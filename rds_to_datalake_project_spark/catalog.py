@@ -1,0 +1,76 @@
+"""Catalog facade — register lake/test tables as Spark SQL views.
+
+Replaces the reference's Glue-catalog CRUD + Hudi hive_sync
+(rds_to_datalake/glue_catalog.py:6-98; glue_jobs/initial_load.py:168-174)
+with the Spark catalog: a registered view/table is immediately
+queryable via ``spark.sql`` — the whole Athena layer
+(rds_to_datalake/athena.py) collapses to that.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark surfaces them as
+# long (session conf nanosAsLong) and we restore TimestampType at
+# microsecond precision — identical to what DuckDB/arrow readers see.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata/lake parquet table with type normalization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # integer div — float division would lose precision on
+            # 1e18-scale nano values (53-bit double mantissa).
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_parquet_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> dict[str, DataFrame]:
+    """Register each ``{sf_dir}/{name}.parquet`` as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def register_lake_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Expose an upsert-table directory as a queryable view.
+
+    Equivalent of the reference's hive_sync after a Hudi write
+    (initial_load.py:168-174): after this, ``SELECT ... FROM name``
+    works. Partition discovery is Spark's built-in directory listing.
+    """
+    df = spark.read.parquet(path)
+    df.createOrReplaceTempView(name)
+    return df

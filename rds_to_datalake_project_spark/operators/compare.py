@@ -1,0 +1,77 @@
+"""T1/T2 — differential comparator (source-of-truth vs lake).
+
+Reference: rds_to_datalake/compare.py:52-88 — count equality, then a
+driver-side zip of two fully-collected, id-sorted row lists, printing
+the first 10 diffs. That collapses on big tables.
+
+Engine: distributed set-diff. ``exceptAll`` both ways proves multiset
+equality without ever collecting the tables; the mismatch report joins
+on the key and surfaces the first N differing rows. One shuffle each
+way; at 100 TB this is a standard co-partitioned anti-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Engine/meta columns dropped before compare — the reference drops
+# Hudi's _hoodie* meta + derived partition cols (compare.py:38-48).
+META_PREFIXES = ("_hoodie", "__")
+PARTITION_SUFFIXES = ("_year", "_month", "_day", "_hour", "_minute")
+
+
+def strip_meta_columns(df: DataFrame) -> DataFrame:
+    drop = [
+        c
+        for c in df.columns
+        if c.startswith(META_PREFIXES) or c.endswith(PARTITION_SUFFIXES)
+    ]
+    return df.drop(*drop) if drop else df
+
+
+@dataclass
+class CompareResult:
+    n_source: int
+    n_lake: int
+    n_only_in_source: int
+    n_only_in_lake: int
+    sample_diffs: list = field(default_factory=list)
+
+    @property
+    def equal(self) -> bool:
+        return (
+            self.n_source == self.n_lake
+            and self.n_only_in_source == 0
+            and self.n_only_in_lake == 0
+        )
+
+
+def compare_tables(
+    source: DataFrame,
+    lake: DataFrame,
+    keys: Sequence[str] = ("id",),
+    sample: int = 10,
+) -> CompareResult:
+    """Multiset-compare two tables; report counts and ≤``sample``
+    differing keys (reference compare.py:56-79 semantics, distributed)."""
+    lake = strip_meta_columns(lake).select(*source.columns)
+    only_src = source.exceptAll(lake)
+    only_lake = lake.exceptAll(source)
+    n_src, n_lake = source.count(), lake.count()
+    n_os, n_ol = only_src.count(), only_lake.count()
+    diffs = []
+    if n_os or n_ol:
+        s = only_src.select(*keys, *[F.col(c) for c in source.columns if c not in keys])
+        l = only_lake.select(*keys, *[F.col(c) for c in source.columns if c not in keys])
+        diffs = (
+            s.withColumn("__side", F.lit("source"))
+            .unionByName(l.withColumn("__side", F.lit("lake")))
+            .orderBy(*keys)
+            .limit(sample)
+            .collect()
+        )
+    return CompareResult(n_src, n_lake, n_os, n_ol, diffs)

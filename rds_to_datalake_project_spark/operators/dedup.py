@@ -1,0 +1,69 @@
+"""W1/W2 — latest-version-per-key dedup, and exact content dedup.
+
+Reference core operator (glue_jobs/incremental.py:172-183):
+``row_number() OVER (PARTITION BY id ORDER BY update_at DESC)`` keep
+rn=1 — this is the CDC "precombine": on key collision the row with the
+larger ``update_at`` wins (Hudi precombine.field, initial_load.py:165).
+
+Scale notes:
+- row_number over a hash-partitioned window is a single shuffle on the
+  key — the minimal possible cost for exact per-key dedup; AQE splits
+  skewed key partitions.
+- We add deterministic tie-breakers (SURVEY.md §7.4): equal
+  precombine values are won by ``_src_priority`` (incoming batch over
+  existing table), then by a stable column ordering, so replays are
+  idempotent (ST7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_version_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    precombine: str,
+    tie_breakers: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Keep exactly one row per key: max ``precombine``, ties broken by
+    ``tie_breakers`` then arbitrarily-but-deterministically.
+
+    Identical plan shape to reference incremental.py:172-183 (window +
+    filter + drop), with explicit tie-breaking added.
+    """
+    order = [F.col(precombine).desc()]
+    order += [F.col(c).desc() if isinstance(c, str) else c for c in tie_breakers]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    keep_order: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Exact-duplicate removal by content columns (extension operator).
+
+    One shuffle on a hash of the content columns. ``keep_order``
+    decides which duplicate survives (default: arbitrary deterministic
+    via remaining columns ascending).
+    """
+    fingerprint = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    with_fp = df.withColumn("__fp", fingerprint)
+    order = [F.col(c).asc() if isinstance(c, str) else c for c in keep_order]
+    if not order:
+        order = [F.col(c).asc() for c in df.columns if c not in content_cols] or [F.col("__fp")]
+    w = Window.partitionBy("__fp").orderBy(*order)
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )

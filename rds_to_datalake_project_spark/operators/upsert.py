@@ -1,0 +1,224 @@
+"""KeyedTable — primary-keyed, partitioned, upsertable lake table.
+
+This replaces the reference's Hudi COPY_ON_WRITE table:
+
+- record key / precombine key / partition path  ← Hudi options at
+  reference glue_jobs/initial_load.py:160-176, incremental.py:214-243.
+- ``initial_load`` = S8 (overwrite write), ``upsert`` = S9 (the
+  merge), both SURVEY.md §2.1.
+- precombine semantics (max ``update_at`` wins; incoming batch beats
+  existing on tie — SURVEY.md §7.4) via W1 window dedup.
+
+Physical strategy (scale-first):
+- The table is plain partitioned parquet. An upsert only touches the
+  partitions that appear in the (deduped) incoming batch: we collect
+  the batch's distinct partition tuples (tiny — bounded by batch
+  size), read ONLY those partitions of the existing table (Catalyst
+  partition pruning — no full scan), merge via one hash-shuffle window
+  dedup, and rewrite ONLY those partitions with dynamic partition
+  overwrite. At 100 TB this is the same touched-files-only write
+  amplification class as Hudi COW.
+- Valid because the partition-source column is immutable per contract
+  (reference README.rst:44-48; FIXTURES.md §1 — ``create_at`` never
+  changes), so a key can never move between partitions.
+- Merge input is minimized by pre-deduping the batch (reference
+  incremental.py:172-183 does the same before handing Hudi the batch).
+- ``localCheckpoint`` materializes the merged partitions before the
+  overwrite (Spark refuses to overwrite a path it is reading from
+  lazily). On a production cluster you'd stage to a commit-protocol
+  table format (Delta/Iceberg); partition-level overwrite here is
+  idempotent-but-not-atomic, which matches the reference's Hudi-COW
+  crash posture of "re-run the batch" (idempotent upsert, ST7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.dedup import latest_version_per_key
+from rds_to_datalake_project_spark.operators.enrich import (
+    add_time_partitions,
+    partition_columns,
+)
+from rds_to_datalake_project_spark.schema import TableSpec
+
+_OP_COL = "Op"  # DMS CDC envelope (reference incremental.py:210)
+_PRIORITY = "__src_priority"
+
+
+class KeyedTable:
+    """A keyed, partitioned, upsertable parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str, spec: TableSpec):
+        self.spark = spark
+        self.path = path
+        self.spec = spec
+        self.partition_cols: list[str] = (
+            partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
+            if spec.partition_granularity
+            else []
+        )
+
+    # -- helpers -------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        if not self.spec.partition_granularity:
+            return df
+        missing = [c for c in self.partition_cols if c not in df.columns]
+        if missing:
+            df = add_time_partitions(
+                df, self.spec.partition_source, self.spec.partition_granularity
+            )
+        return df
+
+    def _dedup(self, df: DataFrame, tie_breakers=()) -> DataFrame:
+        return latest_version_per_key(
+            df, list(self.spec.record_key), self.spec.precombine_key, tie_breakers
+        )
+
+    def read(self) -> DataFrame:
+        # Partition values must round-trip as the zero-padded strings
+        # the enrichment wrote (see session.py conf; guarded here too
+        # for externally-created sessions).
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        return self.spark.read.parquet(self.path)
+
+    def register(self, name: str | None = None) -> DataFrame:
+        df = self.read()
+        df.createOrReplaceTempView(name or self.spec.name)
+        return df
+
+    # -- S8: initial load ----------------------------------------------------
+
+    def initial_load(self, df: DataFrame, delete_mode: str = "ignore") -> None:
+        """Snapshot → lake table (reference glue_jobs/initial_load.py:156-183).
+
+        read → enrich (P1) → precombine dedup (W2) → partitioned
+        overwrite write. The dedup reproduces what Hudi's writer did
+        implicitly via precombine.field.
+        """
+        out = self._apply_ops(self._dedup(self._enrich(df)), delete_mode)
+        writer = out.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+
+    # -- S9: incremental upsert (the MERGE) -----------------------------------
+
+    def upsert(self, batch: DataFrame, delete_mode: str = "ignore") -> None:
+        """Merge a CDC micro-batch into the table by record key.
+
+        Equivalent of Hudi upsert-append (reference incremental.py:214-243)
+        / Delta ``MERGE ... WHEN MATCHED AND s.update_at >= t.update_at``:
+        union existing(touched partitions) + batch → W1 dedup with
+        incoming-wins tie-break → rewrite touched partitions only.
+
+        delete_mode: "ignore" drops D rows from the batch (reference
+        behavior, README.rst:53); "apply" removes the target row when
+        the winning version is a delete (ST9 extension).
+        """
+        if not self.exists():
+            self.initial_load(batch, delete_mode=delete_mode)
+            return
+
+        batch = self._enrich(batch)
+        if delete_mode == "ignore" and _OP_COL in batch.columns:
+            batch = batch.filter(
+                F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D")
+            )
+        # Pre-dedup the batch: keeps merge input minimal (incremental.py:172-183).
+        batch = self._dedup(batch)
+
+        existing = self.read()
+        if self.partition_cols:
+            # Touched-partition pruning: tiny driver-side collect of the
+            # batch's distinct partition tuples.
+            touched = [
+                tuple(r)
+                for r in batch.select(*self.partition_cols).distinct().collect()
+            ]
+            if not touched:
+                return
+            # OR-of-AND equality predicate on partition columns —
+            # Catalyst turns this into partition pruning (no data read
+            # outside touched partitions).
+            from functools import reduce
+
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(c) == v for c, v in zip(self.partition_cols, t)],
+                    )
+                    for t in touched
+                ],
+            )
+            existing = existing.filter(pred)
+
+        # Align CDC envelope across both sides.
+        existing, batch = _align_op_column(existing, batch)
+        merged = self._dedup(
+            existing.withColumn(_PRIORITY, F.lit(0)).unionByName(
+                batch.withColumn(_PRIORITY, F.lit(1))
+            ),
+            tie_breakers=[F.col(_PRIORITY).desc()],
+        ).drop(_PRIORITY)
+        merged = self._apply_ops(merged, delete_mode)
+
+        # Materialize before overwriting the source path; dynamic
+        # partition overwrite rewrites only the touched partitions.
+        merged = merged.localCheckpoint(eager=True)
+        writer = merged.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+        if self.partition_cols:
+            # Dynamic overwrite cannot erase a partition whose merged
+            # output is empty (all rows deleted) — drop those dirs.
+            remaining = {
+                tuple(r)
+                for r in merged.select(*self.partition_cols).distinct().collect()
+            }
+            for t in set(touched) - remaining:
+                self._delete_partition_dir(t)
+
+    def _delete_partition_dir(self, values: tuple) -> None:
+        """Remove one partition directory via the Hadoop FileSystem API
+        (portable across local/HDFS/S3A schemes)."""
+        rel = "/".join(f"{c}={v}" for c, v in zip(self.partition_cols, values))
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+
+    def _apply_ops(self, df: DataFrame, delete_mode: str) -> DataFrame:
+        """Resolve the CDC envelope after the merge has picked winners."""
+        if delete_mode not in ("ignore", "apply"):
+            raise ValueError(f"delete_mode must be 'ignore' or 'apply', got {delete_mode!r}")
+        if _OP_COL not in df.columns:
+            return df
+        # "ignore": D rows were already filtered out pre-merge, so the
+        # prior version of the record survives (reference README.rst:53).
+        # "apply": a winning D version removes the record entirely (ST9).
+        df = df.filter(F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D"))
+        return df.drop(_OP_COL)
+
+
+def _align_op_column(existing: DataFrame, batch: DataFrame):
+    """Make both sides union-compatible w.r.t. the Op envelope column."""
+    if _OP_COL in batch.columns and _OP_COL not in existing.columns:
+        existing = existing.withColumn(_OP_COL, F.lit(None).cast("string"))
+    if _OP_COL in existing.columns and _OP_COL not in batch.columns:
+        batch = batch.withColumn(_OP_COL, F.lit(None).cast("string"))
+    return existing, batch

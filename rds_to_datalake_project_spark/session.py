@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+Replaces the reference's Glue job bootstrap (reference:
+glue_jobs/initial_load.py:22-34 — SparkSession + Kryo serializer conf;
+rds_to_datalake/glue_job.py:93 — job-level Spark conf) with one
+config-driven factory suitable for local[N] tests and a real cluster.
+
+Scale posture (100 TB target):
+- AQE on: runtime coalescing of shuffle partitions + skew-join
+  splitting replace hand-tuned partition counts.
+- shuffle.partitions defaults to the local core count for tests;
+  on a cluster this is overridden (or left to AQE's coalescing).
+- Arrow enabled so any Pandas-UDF escape hatch is vectorized.
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "rds_to_datalake_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession with engine defaults.
+
+    ``master=None`` defers to an existing session / spark-submit; tests
+    pass ``local[N]``.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and SparkSession.getActiveSession() is None:
+        master = f"local[{cpus}]"
+    if master is not None:
+        builder = builder.master(master)
+
+    conf = {
+        # Reference keeps Kryo (glue_jobs/initial_load.py:27-29).
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Partitioned upsert rewrites must only replace touched partitions.
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # Partition path values are zero-padded strings by contract
+        # (reference layout year=2024/month=01/...). Inference would
+        # read them back as ints, drifting the schema between write
+        # and read ("01" -> 1 -> new partition "1" on next upsert).
+        "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+        # Files: pack small CDC files into sane input splits.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # Parquet TIMESTAMP(NANOS) (written by e.g. pandas/arrow) is
+        # unreadable by Spark's vectorized reader unless surfaced as
+        # long; catalog.load_table converts it back to a timestamp.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Local mode honors driver memory from env when present.
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
