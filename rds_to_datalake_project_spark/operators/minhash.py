@@ -1,0 +1,182 @@
+"""MinHash + LSH near-duplicate detection (extension surface).
+
+The standard fuzzy-dedup pipeline for LLM training corpora:
+shingle → minhash signature → band → bucket-join → verify Jaccard.
+
+Scale design (100 TB):
+- Shingling + hashing are map-only array expressions (xxhash64 is a
+  JVM intrinsic; seeds are varied by hashing (seed, shingle) pairs).
+- LSH banding turns all-pairs O(n²) into groupBy(band_hash) — only
+  rows sharing a band bucket ever meet, one shuffle per corpus (bands
+  are exploded, so it's a single wide shuffle, not b passes).
+- Candidate pairs are verified with exact n-gram Jaccard computed on
+  the (small) candidate set only.
+
+Cross-engine note: xxhash64 seeds are Spark-specific, so these
+operators get rows-only driver checks; the *verification* operator
+(ngram_jaccard) is plain set arithmetic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of whitespace-normalized,
+    lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """array<long> signature: per seed, min over shingle hashes.
+
+    Permutation h_i(s) = xxhash64(i, s) — one JVM hash call per
+    (seed, shingle).
+
+    Expression shape matters ×64 here:
+    - ``shingle_col`` must be the CHILD of one outer ``transform`` so
+      its (regex+split+ngram) expression is evaluated once per row —
+      any form that references it inside a per-seed lambda body
+      re-evaluates it per seed (observed 40×+ slowdowns), and N
+      parallel ``F.array(...)`` branches additionally explode codegen.
+    - per shingle we emit all ``num_hashes`` seeded hashes, then fold
+      an elementwise min across shingles (zip_with + least).
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    per_shingle = F.transform(
+        shingle_col, lambda s: F.transform(seeds, lambda seed: F.xxhash64(seed, s))
+    )
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, h: F.least(a, h)),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    rows/bands: signature is split into ``bands`` bands of
+    ``num_hashes // bands`` rows; band hash = xxhash64 of the slice.
+    Output: distinct (a_id, b_id) with a_id < b_id.
+    """
+    rows_per_band = num_hashes // bands
+    # Fan out before the expensive map stage: a corpus read from few
+    # files would otherwise compute every signature in a handful of
+    # tasks (observed: 1-task stages on a 32-core local run).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Stage the signature as a real column, then band it with one
+    # nested HOF — each stage's expression appears exactly once in the
+    # plan (vs. bands× copies if the per-band structs inlined it).
+    sig_df = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+    )
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for (candidate) pairs.
+
+    With ``pairs`` (from LSH) this verifies candidates only; without,
+    it scores all ordered pairs (test scale only). Jaccard is computed
+    with exact integer set cardinalities — cross-engine stable.
+    """
+    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    if pairs is None:
+        a, b = docs.alias("a"), docs.alias("b")
+        joined = a.crossJoin(b).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        a = docs.alias("a")
+        b = docs.alias("b")
+        joined = (
+            pairs.join(a, pairs["a_id"] == F.col(f"a.{id_col}"))
+            .join(b, pairs["b_id"] == F.col(f"b.{id_col}"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full fuzzy-dedup: keep one representative (min id) per
+    near-duplicate group. Groups = connected candidates verified at
+    ``threshold`` (single-hop union: the min-id representative absorbs
+    its verified duplicates; good corpus-dedup approximation without
+    an iterative connected-components pass)."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    losers = verified.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,110 @@
+"""Text-analysis operators for LLM-training-data pipelines (extension
+surface beyond the reference; SURVEY.md §7.2 step 7).
+
+All metrics are built-in column expressions (whole-stage codegen) —
+no Python in the hot path, so they stream over 100 TB of documents at
+parquet-scan speed. Each is paired with an ANSI-SQL oracle in
+plans/extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+# Deliberately small + deterministic: the goal is a cheap first-pass
+# router, not a classifier.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+)
+
+
+def n_tokens(col: Column) -> Column:
+    """Whitespace tokenization count (token counting baseline)."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def n_alpha(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+
+
+def n_digits(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^0-9]", ""))
+
+
+def n_punct(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: length, token, character-class
+    and stopword-ratio metrics used for corpus filtering."""
+    t = F.col(text_col)
+    toks = n_tokens(t)
+    stop_hits = _marker_hits(t, EN_STOPWORDS)
+    return df.select(
+        "*",
+        F.length(t).alias("q_chars"),
+        toks.alias("q_tokens"),
+        n_alpha(t).alias("q_alpha"),
+        n_digits(t).alias("q_digits"),
+        n_punct(t).alias("q_punct"),
+        (n_alpha(t).cast("double") / F.length(t)).alias("q_alpha_ratio"),
+        (F.length(t).cast("double") / toks).alias("q_avg_token_len"),
+        (stop_hits.cast("double") / F.lit(len(EN_STOPWORDS))).alias("q_stopword_ratio"),
+    )
+
+
+def _marker_hits(t: Column, words: tuple[str, ...]) -> Column:
+    """How many of ``words`` occur as whitespace-delimited tokens."""
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    hit = None
+    for w in words:
+        h = F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        hit = h if hit is None else hit + h
+    return hit
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram/stopword language ID: score each candidate
+    language by marker-token hits, emit argmax + per-language scores."""
+    t = F.col(text_col)
+    scores = {lang: _marker_hits(t, words) for lang, words in LANG_MARKERS.items()}
+    df = df.select(
+        "*", *[s.alias(f"score_{lang}") for lang, s in scores.items()]
+    )
+    # argmax with deterministic tie-break: language name ascending.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # argmax via left fold with STRICT >: on score ties the
+    # alphabetically-first language (array order) wins.
+    best_lang = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("s"), F.lit("").alias("l")),
+        lambda acc, p: F.when(p["s"] > acc["s"], p).otherwise(acc),
+    )["l"]
+    return df.withColumn("pred_lang", F.when(F.array_max(pairs)["s"] > 0, best_lang).otherwise(F.lit("unknown")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Used as the exact-dedup
+    key (cross-engine stable, unlike xxhash seeds)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm.cast("binary")))

@@ -1,0 +1,421 @@
+"""CDC-pipeline query surface (SURVEY.md §2 core operators W1/P1/S4/
+S8/S9), exposed over the driver's ``events`` table.
+
+``events`` plays the CDC log: ``user_id`` is the record key, ``ts``
+orders versions (composite with ``event_id`` for total order), and the
+ISO string twin columns reproduce the reference's
+timestamps-as-strings contract (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+from rds_to_datalake_project_spark.operators.dedup import latest_version_per_key
+from rds_to_datalake_project_spark.operators.enrich import add_time_partitions
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+from rds_to_datalake_project_spark.sources.dynamodb_json import decode_dynamodb_items
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS+00:00"
+
+
+def _events_as_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CDC-shaped frame: id/create_at/update_at contract.
+
+    update_at = ISO ts + zero-padded event_id: a strictly-unique,
+    lexicographically-ordered version string (precombine key), exactly
+    the reference's string-timestamp ordering contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", ISO_FMT)
+    return ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.concat_ws("#", iso, F.lpad(F.col("event_id").cast("string"), 12, "0")).alias(
+            "update_at"
+        ),
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+    )
+
+
+# --- W1: latest version per key ----------------------------------------------
+
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = latest_version_per_key(ev, ["user_id"], "ts", tie_breakers=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    ).orderBy("user_id")
+
+
+DEDUP_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --- P1: time-partition enrichment -------------------------------------------
+
+def partition_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = add_time_partitions(ev, "ts", granularity="minute", prefix="ts")
+    return out.select(
+        "event_id", "ts_year", "ts_month", "ts_day", "ts_hour", "ts_minute"
+    ).orderBy("event_id")
+
+
+ENRICH_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y') AS ts_year,
+       strftime(ts, '%m') AS ts_month,
+       strftime(ts, '%d') AS ts_day,
+       strftime(ts, '%H') AS ts_hour,
+       strftime(ts, '%M') AS ts_minute
+FROM events
+ORDER BY event_id
+"""
+
+# String-contract variant: enrich from an ISO-8601 string column by
+# fixed-offset substring, byte-for-byte the reference's P1
+# (initial_load.py:129-150).
+
+def partition_enrich_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cdc = _events_as_cdc(spark, sf_dir)
+    iso = F.date_format("ts", ISO_FMT)
+    df = cdc.withColumn("create_at", iso)
+    out = add_time_partitions(df, "create_at", granularity="minute")
+    return out.select(
+        "event_id", "create_year", "create_month", "create_day", "create_hour", "create_minute"
+    ).orderBy("event_id")
+
+
+ENRICH_STRING_SQL = """
+SELECT event_id,
+       substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00'), 1, 4)  AS create_year,
+       substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00'), 6, 2)  AS create_month,
+       substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00'), 9, 2)  AS create_day,
+       substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00'), 12, 2) AS create_hour,
+       substring(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00'), 15, 2) AS create_minute
+FROM events
+ORDER BY event_id
+"""
+
+
+# --- S8+S9: full initial-load → CDC-upsert round trip -------------------------
+
+def cdc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split events at the time median into snapshot + CDC batch, run
+    the real pipeline (initial_load then upsert), read the table back.
+
+    The result must equal "latest version per user over ALL events" —
+    which is exactly what the SQL oracle states. This hash-checks the
+    whole upsert path end-to-end, not a reimplementation of it.
+    """
+    cdc_all = _events_as_cdc(spark, sf_dir)
+    cutoff = "2024-01-15T00:00:00"
+    iso = F.date_format("ts", ISO_FMT)
+    snapshot = cdc_all.filter(iso < cutoff)
+    batch = cdc_all.filter(iso >= cutoff).withColumn("Op", F.lit("U"))
+
+    spec = TableSpec(
+        "events_upsert",
+        record_key=("id",),
+        precombine_key="update_at",
+        partition_granularity=None,  # version rows move in time → unpartitioned
+    )
+    table = KeyedTable(spark, tempfile.mkdtemp(prefix="upsert_rt_") + "/t", spec)
+    table.initial_load(snapshot)
+    table.upsert(batch)
+    out = table.read()
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    ).orderBy("user_id")
+
+
+# Oracle: identical to W1 dedup over the full log — upsert(initial ∪
+# cdc) must converge to the same latest-version state (ST7).
+UPSERT_RT_SQL = DEDUP_SQL
+
+
+# --- S4: DynamoDB-JSON decode --------------------------------------------------
+
+def dynamodb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format encode → declarative decode round trip on orders.
+
+    Builds the ``{"Item": {"f": {"S"|"N": "..."}}}`` envelope
+    (README.rst:149-154 format) from the orders table, then decodes it
+    with the engine's from_json transform. Only integer/string fields
+    go on the wire (double→string rendering differs across engines).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wire = F.concat(
+        F.lit('{"Item":{"orderkey":{"N":"'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"},"custkey":{"N":"'),
+        F.col("o_custkey").cast("string"),
+        F.lit('"},"status":{"S":"'),
+        F.col("o_orderstatus"),
+        F.lit('"},"priority":{"S":"'),
+        F.col("o_orderpriority"),
+        F.lit('"}}}'),
+    )
+    encoded = o.select(wire.alias("item_json"))
+    decoded = decode_dynamodb_items(
+        encoded,
+        fields={
+            "orderkey": ("N", "bigint"),
+            "custkey": ("N", "bigint"),
+            "status": ("S", None),
+            "priority": ("S", None),
+        },
+    )
+    return decoded.orderBy("orderkey")
+
+
+DYNAMODB_SQL = """
+WITH wire AS (
+  SELECT concat('{"Item":{"orderkey":{"N":"', CAST(o_orderkey AS VARCHAR),
+                '"},"custkey":{"N":"', CAST(o_custkey AS VARCHAR),
+                '"},"status":{"S":"', o_orderstatus,
+                '"},"priority":{"S":"', o_orderpriority, '"}}}') AS item_json
+  FROM orders
+)
+SELECT CAST(json_extract_string(item_json, '$.Item.orderkey.N') AS BIGINT) AS orderkey,
+       CAST(json_extract_string(item_json, '$.Item.custkey.N') AS BIGINT) AS custkey,
+       json_extract_string(item_json, '$.Item.status.S') AS status,
+       json_extract_string(item_json, '$.Item.priority.S') AS priority
+FROM wire
+ORDER BY orderkey
+"""
+
+
+# --- ST8: tumbling-window event counts (batch twin of the stream) ------------
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.streaming.pipeline import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, "ts", "1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+    ).orderBy("win_start_us", "event_type")
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start_us, event_type
+"""
+
+
+# --- A6: max-timestamp watermark per table/day --------------------------------
+
+def watermark_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max(F.unix_micros(F.col("ts"))).alias("high_watermark_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+WATERMARK_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       MAX(epoch_us(ts)) AS high_watermark_us,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+# --- F7: JSON prop extraction over the events stream --------------------------
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the ``props`` JSON-string column (F7 from_json surface)
+    and aggregate the extracted field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- S3+S10: partitioned JSON-lines sink → source round trip ------------------
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as hive-partitioned JSON-lines (S10, the DynamoDB
+    stream consumer's sink layout dynamodb_stream_consumer.py:74-90),
+    read them back (S3), and aggregate per partition day.
+
+    The oracle aggregates the source directly — hash equality proves
+    the sink→source round trip is lossless for the carried columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_") + "/events_jsonl"
+    staged = (
+        add_time_partitions(ev, "ts", granularity="day", prefix="p")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "p_year", "p_month", "p_day",
+        )
+    )
+    staged.write.mode("overwrite").partitionBy("p_year", "p_month", "p_day").json(out_dir)
+    back = spark.read.json(
+        out_dir,
+        schema=(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, "
+            "p_year STRING, p_month STRING, p_day STRING"
+        ),
+    )
+    return (
+        back.groupBy("p_year", "p_month", "p_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .orderBy("p_year", "p_month", "p_day")
+    )
+
+
+JSONL_RT_SQL = """
+SELECT strftime(ts, '%Y') AS p_year,
+       strftime(ts, '%m') AS p_month,
+       strftime(ts, '%d') AS p_day,
+       COUNT(*) AS n_events,
+       SUM(event_id) AS sum_event_id,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY p_year, p_month, p_day
+"""
+
+
+# --- ST9: delete-aware upsert round trip --------------------------------------
+
+def delete_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream with deletes: 'error' events are Op=D tombstones for
+    their user. Run initial-load + upsert with delete_mode="apply";
+    the surviving state must equal "users whose latest event is not an
+    error" — which is what the oracle asserts. Valid because the split
+    is time-ordered (no out-of-order tombstones across batches)."""
+    cdc_all = _events_as_cdc(spark, sf_dir).withColumn(
+        "Op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    cutoff = "2024-01-15T00:00:00"
+    iso = F.date_format("ts", ISO_FMT)
+    snapshot = cdc_all.filter(iso < cutoff)
+    batch = cdc_all.filter(iso >= cutoff)
+
+    spec = TableSpec(
+        "events_del",
+        record_key=("id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    table = KeyedTable(spark, tempfile.mkdtemp(prefix="del_rt_") + "/t", spec)
+    table.initial_load(snapshot, delete_mode="apply")
+    table.upsert(batch, delete_mode="apply")
+    return (
+        table.read()
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+DELETE_APPLY_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "dedup_latest_per_key": dedup_latest_per_key,
+    "partition_enrich": partition_enrich,
+    "partition_enrich_string": partition_enrich_string,
+    "cdc_upsert_roundtrip": cdc_upsert_roundtrip,
+    "dynamodb_decode": dynamodb_decode,
+    "windowed_counts": windowed_counts,
+    "watermark_per_day": watermark_per_day,
+    "events_json_props": events_json_props,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "delete_apply_roundtrip": delete_apply_roundtrip,
+}
+
+ORACLES = {
+    "dedup_latest_per_key": DEDUP_SQL,
+    "partition_enrich": ENRICH_SQL,
+    "partition_enrich_string": ENRICH_STRING_SQL,
+    "cdc_upsert_roundtrip": UPSERT_RT_SQL,
+    "dynamodb_decode": DYNAMODB_SQL,
+    "windowed_counts": WINDOWED_COUNTS_SQL,
+    "watermark_per_day": WATERMARK_SQL,
+    "events_json_props": EVENTS_JSON_SQL,
+    "jsonl_roundtrip": JSONL_RT_SQL,
+    "delete_apply_roundtrip": DELETE_APPLY_SQL,
+}

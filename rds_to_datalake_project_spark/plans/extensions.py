@@ -1,0 +1,299 @@
+"""Extension query surface: training-data pipeline operators over the
+``documents`` and ``embeddings`` tables (dedup, similarity search,
+text analysis). These are first-class engine capabilities beyond the
+reference inventory (build brief; SURVEY.md §7.2 step 7).
+
+MinHash/SimHash entries use Spark's xxhash64 (no cross-engine twin) —
+they are declared without oracle SQL and get rows-only checks; their
+semantics are pinned by unit tests with planted near-duplicates
+instead (tests/test_fuzzy_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+from rds_to_datalake_project_spark.operators.minhash import (
+    lsh_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+from rds_to_datalake_project_spark.operators.simhash import simhash_neardup_pairs
+from rds_to_datalake_project_spark.operators.similarity import (
+    cosine_topk,
+    neardup_pairs_blocked,
+)
+from rds_to_datalake_project_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_metrics,
+)
+
+
+# --- exact dedup (hash-groupBy) ------------------------------------------------
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(docs)
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+# --- document fingerprint -------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- text quality metrics --------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_metrics(docs)
+    return out.select(
+        "doc_id", "q_chars", "q_tokens", "q_alpha", "q_digits", "q_punct",
+        "q_alpha_ratio", "q_avg_token_len", "q_stopword_ratio",
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS q_chars,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS q_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS q_digits,
+       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS q_punct,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS q_alpha_ratio,
+       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS q_avg_token_len,
+       CAST((CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' a ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' an ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' and ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' or ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' of ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' to ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' in ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' is ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' it ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' for ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' on ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' with ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' as ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' at ') THEN 1 ELSE 0 END
+           + CASE WHEN contains(concat(' ', lower(text), ' '), ' by ') THEN 1 ELSE 0 END) AS DOUBLE) / 16
+         AS q_stopword_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --- language identification ------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "score_en", "score_de", "score_fr", "score_es", "pred_lang"
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"(CASE WHEN contains(concat(' ', lower(text), ' '), ' {w} ') THEN 1 ELSE 0 END)"
+        for w in words
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_hits_sql(("the", "and", "of", "to", "is"))} AS score_en,
+         {_hits_sql(("der", "die", "und", "nicht", "ist"))} AS score_de,
+         {_hits_sql(("le", "la", "et", "les", "est"))} AS score_fr,
+         {_hits_sql(("el", "la", "que", "de", "es"))} AS score_es
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+       -- tie-break mirrors the engine's fold: first language in
+       -- alphabetical array order (de, en, es, fr) reaching the max wins
+       CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'unknown'
+            WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# --- token counting aggregate -------------------------------------------------------
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks.cast("long")).alias("total_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- similarity search ----------------------------------------------------------------
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+# Quantized-integer cosine (see operators/similarity.py): exact integer
+# sums → the double division is bit-identical across engines.
+_COS_SQL_FRAGMENT = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * q.qv[i])) AS DOUBLE)
+         / sqrt(
+             CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE)
+           * CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])) AS DOUBLE)
+           ) AS cosine_sim
+  FROM embeddings e, q
+)
+"""
+
+ANN_TOPK_SQL = (
+    _COS_SQL_FRAGMENT
+    + """
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+)
+
+
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_blocked(emb, block_col="label", threshold=0.25).orderBy(
+        "a_id", "b_id"
+    )
+
+
+NEARDUP_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       / sqrt(
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE)
+         * CAST(list_sum(list_transform(range(1, len(b.qv) + 1), i -> b.qv[i] * b.qv[i])) AS DOUBLE)
+         ) AS cosine_sim
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      / sqrt(
+          CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE)
+        * CAST(list_sum(list_transform(range(1, len(b.qv) + 1), i -> b.qv[i] * b.qv[i])) AS DOUBLE)
+        ) > 0.25
+ORDER BY a_id, b_id
+"""
+
+
+# --- fuzzy dedup (rows-only driver checks; semantics pinned in unit tests) --------------
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs).orderBy("a_id", "b_id")
+
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs)
+    return ngram_jaccard_pairs(docs, cand, threshold=0.5).orderBy("a_id", "b_id")
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=8, bands=16).orderBy("a_id", "b_id")
+
+
+QUERIES = {
+    "exact_dedup_docs": exact_dedup_docs,
+    "doc_fingerprint": doc_fingerprint,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_count_by_source": token_count_by_source,
+    "ann_topk_cosine": ann_topk_cosine,
+    "neardup_cosine_pairs": neardup_cosine_pairs,
+    "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_neardup": minhash_neardup,
+    "ngram_jaccard_neardup": ngram_jaccard_neardup,
+    "simhash_neardup": simhash_neardup,
+}
+
+# xxhash64-based ops have no DuckDB twin → no oracle entry (driver
+# records rows-only checks for them, per the contract).
+ORACLES = {
+    "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "token_count_by_source": TOKEN_COUNT_SQL,
+    "ann_topk_cosine": ANN_TOPK_SQL,
+    "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
+}

@@ -1,0 +1,458 @@
+"""Relational query surface (SURVEY.md §2.3/2.4/2.5/2.6/2.7 — the SQL
+layer the reference delegates to Athena, reference athena.py:16-87).
+
+Cross-engine determinism rules used throughout (and in the oracles):
+- double aggregates go through DECIMAL(38,6): per-row double
+  arithmetic is IEEE-identical in Spark and DuckDB, the decimal SUM is
+  exact and order-independent, and only the final value is cast back
+  to double — so value hashes match bit-for-bit.
+- averages are expressed as exact-decimal SUM divided by COUNT in
+  double (a single, identical division on both engines).
+- every ORDER BY ends with a unique key so LIMIT picks a
+  deterministic row set.
+- timestamps in outputs are epoch microseconds (bigint) or formatted
+  strings — no engine-specific timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+
+
+def _dsum(col):
+    """Exact, order-independent sum of a double expression."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+# --- Q1: pricing summary (groupBy + 8 aggregates, A-family) ----------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + agg + top-k, J1/O-family) ----------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    # customer is tiny relative to orders/lineitem — broadcast it.
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15'
+  AND l_shipdate  > TIMESTAMP '1999-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5: region revenue (5-way join incl. dims, broadcast pattern) ----------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # Dimension chain is tiny: broadcast everything except the two
+    # fact tables; the only big shuffle is lineitem ⨝ orders.
+    dim = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(dim),
+            (orders["o_custkey"] == dim["c_custkey"])
+            & (supplier["s_nationkey"] == dim["n_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- top customers per nation (window W-family over joins) ------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(spend, customer["c_custkey"] == spend["o_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", "c_custkey", "c_name", "total_spend")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .orderBy("n_name", "rank_in_nation")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, c_custkey, c_name, total_spend, rank_in_nation
+FROM (
+  SELECT n_name, c_custkey, c_name, total_spend,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY total_spend DESC, c_custkey) AS rank_in_nation
+  FROM customer
+  JOIN spend  ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rank_in_nation <= 3
+ORDER BY n_name, rank_in_nation
+"""
+
+
+# --- order-priority counts (A-family, conditional agg) -----------------------
+
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            _dsum(F.col("o_totalprice")).alias("total_value"),
+            F.max(F.unix_micros(F.col("o_orderdate"))).alias("last_order_us"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       epoch_us(MAX(o_orderdate)) AS last_order_us
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- set difference (T-family, reference compare.py semantics) ---------------
+
+def orders_except_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return o.exceptAll(o.filter(F.col("o_orderkey") % 3 == 0)).orderBy("o_orderkey")
+
+
+EXCEPT_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+EXCEPT ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+ORDER BY o_orderkey
+"""
+
+
+# --- scalar function surface (F-family) --------------------------------------
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")  # F3/F4
+    return o.select(
+        "o_orderkey",
+        od.alias("od_str"),
+        F.substring(od, 1, 4).alias("od_year"),  # F1
+        F.lpad(F.col("o_orderkey").cast("string"), 9, "0").alias("key_pad"),  # F5
+        F.concat_ws("=", F.col("o_custkey").cast("string"), od).alias("composite_id"),  # F6
+        F.split(F.col("o_orderpriority"), "-")[0].alias("prio_code"),  # F6
+        F.when(F.col("o_orderpriority").contains("URGENT"), 1).otherwise(0).alias("is_urgent"),  # F10
+        F.md5(F.lpad(F.col("o_orderkey").cast("string"), 9, "0").cast("binary")).alias("key_md5"),  # F11
+        F.col("o_totalprice").cast("int").alias("price_int"),  # F9 (truncating cast)
+    ).orderBy("o_orderkey")
+
+
+SCALAR_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+       substring(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), 1, 4) AS od_year,
+       lpad(CAST(o_orderkey AS VARCHAR), 9, '0') AS key_pad,
+       concat_ws('=', CAST(o_custkey AS VARCHAR), strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS composite_id,
+       string_split(o_orderpriority, '-')[1] AS prio_code,
+       CASE WHEN contains(o_orderpriority, 'URGENT') THEN 1 ELSE 0 END AS is_urgent,
+       md5(lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) AS key_md5,
+       CAST(trunc(o_totalprice) AS INTEGER) AS price_int
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# --- join family (J1 surface: inner comes via q3/q5; left/semi/anti here) ----
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J1 family): customers with no 1-URGENT orders,
+    counted per nation. Anti side is the big probe; nation broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").startswith("1"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("n_name")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT n_name, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers having at least one returned lineitem."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIERS_WITH_RETURNS_SQL = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+ORDER BY s_suppkey
+"""
+
+
+def customer_order_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer with order count/value (0 for
+    order-less customers — exercises null-producing join + coalesce)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"), _dsum(F.col("o_totalprice")).alias("val")
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("val"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_ORDER_BALANCE_SQL = """
+SELECT c_custkey,
+       COALESCE(cnt, 0) AS n_orders,
+       COALESCE(val, 0.0) AS total_value
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS val
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+# --- rollup (grouping-sets family, free via Catalyst) ------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- S7: SQL facade (the Athena replacement runs opaque SQL text) ------------
+
+def sql_facade_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped query executed as an opaque SQL string through
+    the engine's run_query facade over registered views — the exact
+    usage mode of the reference's Athena layer (athena.py:16-64)."""
+    from rds_to_datalake_project_spark.catalog import register_parquet_dir
+    from rds_to_datalake_project_spark.sql import run_query
+
+    register_parquet_dir(spark, sf_dir, tables=("lineitem",))
+    return run_query(
+        spark,
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                 AS forecast_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+SQL_FACADE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top_customers_per_nation": top_customers_per_nation,
+    "order_priority_stats": order_priority_stats,
+    "orders_except_filtered": orders_except_filtered,
+    "scalar_functions": scalar_functions,
+    "customers_without_orders": customers_without_orders,
+    "suppliers_with_returns": suppliers_with_returns,
+    "customer_order_balance": customer_order_balance,
+    "revenue_rollup": revenue_rollup,
+    "sql_facade_forecast_revenue": sql_facade_forecast_revenue,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+    "order_priority_stats": ORDER_PRIORITY_SQL,
+    "orders_except_filtered": EXCEPT_SQL,
+    "scalar_functions": SCALAR_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "suppliers_with_returns": SUPPLIERS_WITH_RETURNS_SQL,
+    "customer_order_balance": CUSTOMER_ORDER_BALANCE_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "sql_facade_forecast_revenue": SQL_FACADE_SQL,
+}

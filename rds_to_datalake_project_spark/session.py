@@ -67,6 +67,10 @@ def get_spark(
         # unreadable by Spark's vectorized reader unless surfaced as
         # long; catalog.load_table converts it back to a timestamp.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Naive parquet timestamps (no tz) must read as TIMESTAMP in
+        # the UTC session, not TIMESTAMP_NTZ: NTZ breaks unix_micros &
+        # friends, and UTC-instant semantics match the DuckDB oracle.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Local mode honors driver memory from env when present.
         "spark.ui.enabled": "false",
     }

@@ -1,0 +1,164 @@
+"""Extension-operator semantics tests: fuzzy dedup (planted
+near-duplicates), similarity search, text analysis, multimodal
+plumbing. These pin behavior the DuckDB oracle can't check
+(xxhash64-based MinHash/SimHash get rows-only driver checks)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from rds_to_datalake_project_spark.operators.minhash import (
+    lsh_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+)
+from rds_to_datalake_project_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_decode_stub,
+    synthesize_media,
+)
+from rds_to_datalake_project_spark.operators.simhash import simhash_neardup_pairs
+from rds_to_datalake_project_spark.operators.similarity import (
+    assign_ivf_cells,
+    cosine_topk,
+    ivf_topk,
+    neardup_pairs_blocked,
+)
+from rds_to_datalake_project_spark.operators.text import language_id, quality_metrics
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun and the birds sing in the trees all day long"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    """Planted corpus: 0 and 1 near-dups, 2 exact-dup of 0, 3-4 unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy dog", "sleepy dog")),   # near-dup of 0
+        (2, BASE),                                      # exact dup of 0
+        (3, "completely different text about database systems and query optimization engines at scale"),
+        (4, "ein ganz anderer deutscher text der nicht mit den anderen verwandt ist und davon handelt"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_finds_planted_neardups(docs):
+    pairs = {(r.a_id, r.b_id) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 2) in pairs          # exact dup always collides
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dup collides in ≥1 band
+    assert (3, 4) not in pairs      # unrelated never collides
+
+
+def test_ngram_jaccard_exact_values(docs):
+    scored = ngram_jaccard_pairs(docs, threshold=0.0)
+    j = {(r.a_id, r.b_id): r.jaccard for r in scored.collect()}
+    assert j[(0, 2)] == 1.0
+    assert 0.5 < j[(0, 1)] < 1.0
+    assert j[(3, 4)] == 0.0
+
+
+def test_minhash_dedup_keeps_representatives(docs):
+    kept = sorted(r.doc_id for r in minhash_dedup(docs, threshold=0.5).collect())
+    # 0 survives as min-id representative; 2 (exact dup) removed;
+    # 1 (verified near-dup at 0.5) removed; 3,4 unrelated survive.
+    assert kept == [0, 3, 4]
+
+
+def test_simhash_neardup(docs):
+    pairs = {(r.a_id, r.b_id): r.hamming for r in
+             simhash_neardup_pairs(docs, max_hamming=8, bands=16).collect()}
+    assert pairs[(0, 2)] == 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert (3, 4) not in pairs
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),    # close to 0
+        (2, [0.0, 1.0, 0.0], 0),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0], 1),   # opposite of 0
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_ordering(vectors):
+    got = cosine_topk(vectors, query_vec_id=0, k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert got[0].cosine_sim == pytest.approx(1.0)
+    assert got[1].cosine_sim == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-6)
+    assert got[2].cosine_sim == pytest.approx(0.0, abs=1e-9)
+
+
+def test_neardup_pairs_blocked_respects_blocks(vectors):
+    pairs = {(r.a_id, r.b_id) for r in
+             neardup_pairs_blocked(vectors, block_col="label", threshold=0.5).collect()}
+    assert pairs == {(0, 1)}  # (0,3) would be -1 sim; (3,4) orthogonal; cross-block never compared
+
+
+def test_ivf_two_stage(vectors):
+    cells = assign_ivf_cells(
+        vectors, centroids=[(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 1.0])]
+    )
+    assign = {r.vec_id: r.ivf_cell for r in cells.collect()}
+    assert assign[0] == 0 and assign[1] == 0 and assign[4] == 1
+    got = ivf_topk(cells, query_vec=[1.0, 0.0, 0.0], probe_cells=[0], k=2).collect()
+    assert [r.vec_id for r in got] == [0, 1]
+
+
+def test_language_id_on_planted_langs(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house is to be seen"),
+         (1, "der hund und die katze ist nicht da"),
+         (2, "le chat et la souris est dans les champs"),
+         (3, "zzz qqq xxx")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "unknown"}
+
+
+def test_quality_metrics_values(spark):
+    df = spark.createDataFrame([(0, "Hello world 42!")], ["doc_id", "text"])
+    r = quality_metrics(df).collect()[0]
+    assert r.q_chars == 15 and r.q_tokens == 3
+    assert r.q_alpha == 10 and r.q_digits == 2 and r.q_punct == 1
+    assert r.q_alpha_ratio == pytest.approx(10 / 15)
+
+
+def test_multimodal_feature_extraction(spark):
+    base = spark.range(0, 30).select(F.col("id"), F.concat(F.lit("payload-"), F.col("id")).alias("payload"))
+    media = synthesize_media(base, "id", "payload")
+    assert media.schema["content"].dataType.typeName() == "binary"
+
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r.feat_dim == 8 and len(r.features) == 8 for r in rows)
+    # deterministic: kernel output matches a local call on the same bytes
+    one = media.filter(F.col("media_id") == 7).collect()[0]
+    got = next(r for r in rows if r.media_id == 7)
+    assert got.features == pytest.approx(media_decode_stub(one.content, one.mime, 8))
+
+
+def test_frame_sample_plan(spark):
+    base = spark.range(0, 12).select(F.col("id"), F.col("id").cast("string").alias("payload"))
+    media = synthesize_media(base, "id", "payload")
+    plan = frame_sample_plan(media, every_ms=1000, max_frames=4)
+    rows = plan.collect()
+    assert all(r.mime == "video/mp4" for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, ts_list in per_doc.items():
+        assert len(ts_list) <= 4
+        assert sorted(ts_list) == list(range(0, 1000 * len(ts_list), 1000))

@@ -1,0 +1,173 @@
+"""Streaming layer tests: Structured Streaming CDC → KeyedTable
+(exactly-once via checkpoint + idempotent upsert), the portable
+batch tracker (watermark, bounded batch, commit-on-success — ST1-ST10),
+and windowed event counts (ST8)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+from rds_to_datalake_project_spark.sources.cdc import encode_commit_ts
+from rds_to_datalake_project_spark.streaming import (
+    CDCTracker,
+    run_incremental_once,
+    stream_cdc_to_table,
+    windowed_event_counts,
+)
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("create_at", T.StringType()),
+        T.StructField("update_at", T.StringType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("Op", T.StringType()),
+    ]
+)
+
+
+def _write_cdc_file(spark, cdc_dir: str, commit_dt: datetime, rows: list[tuple]) -> str:
+    """One CDC parquet file named with the reference's commit-time codec
+    (YYYY/MM/DD/HH/YYYYMMDD-HHMMSSfff.parquet layout)."""
+    sub = commit_dt.strftime("%Y/%m/%d/%H")
+    fname = f"{encode_commit_ts(commit_dt)}.parquet"
+    tmp = os.path.join(cdc_dir, "__tmp", fname)
+    df = spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    dest_dir = os.path.join(cdc_dir, sub)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, fname)
+    os.replace(os.path.join(tmp, part), dest)
+    import shutil
+
+    shutil.rmtree(os.path.join(cdc_dir, "__tmp"))
+    return dest
+
+
+def _row(i, ca, ua, v, op="U"):
+    return (i, f"{ca}T00:00:00.000000+00:00", f"{ua}T00:00:00.000000+00:00", v, op)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    spec = TableSpec("t", record_key=("id",), precombine_key="update_at",
+                     partition_source="create_at", partition_granularity="day",
+                     schema=CDC_SCHEMA)
+    return KeyedTable(spark, str(tmp_path / "table"), spec)
+
+
+def test_stream_cdc_available_now(spark, tmp_path, table):
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0", "I"),
+                     _row("b", "2024-01-01", "2024-01-01", "b0", "I")])
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 1, 0),
+                    [_row("a", "2024-01-01", "2024-01-02", "a1"),
+                     _row("c", "2024-01-02", "2024-01-02", "c0", "I")])
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_cdc_to_table(spark, cdc_dir, table, ckpt, CDC_SCHEMA,
+                        max_files_per_trigger=1)
+    got = {r.id: r.val for r in table.read().collect()}
+    assert got == {"a": "a1", "b": "b0", "c": "c0"}
+
+    # New file after restart: checkpoint resumes, already-seen files skipped.
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 2, 0),
+                    [_row("b", "2024-01-01", "2024-01-03", "b1")])
+    stream_cdc_to_table(spark, cdc_dir, table, ckpt, CDC_SCHEMA,
+                        max_files_per_trigger=1)
+    got = {r.id: r.val for r in table.read().collect()}
+    assert got == {"a": "a1", "b": "b1", "c": "c0"}
+
+
+def test_tracker_bounded_batch_and_watermark(spark, tmp_path, table):
+    cdc_dir = str(tmp_path / "cdc")
+    for minute, key, val in [(0, "a", "a0"), (1, "b", "b0"), (2, "a", "a1")]:
+        _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, minute, 0),
+                        [_row(key, "2024-01-01", f"2024-01-0{minute+1}", val)])
+
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"), max_files=2)
+    # tick 1: bounded to 2 oldest files
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 2
+    assert {r.id: r.val for r in table.read().collect()} == {"a": "a0", "b": "b0"}
+    # tick 2: remaining file
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 1
+    assert {r.id: r.val for r in table.read().collect()} == {"a": "a1", "b": "b0"}
+    # tick 3: idle
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 0
+
+    # tracker state survives reload (atomic JSON commit)
+    reloaded = CDCTracker.load(str(tmp_path / "tracker.json"))
+    assert reloaded.state("t").n_batches == 2
+    assert reloaded.state("t").last_processed == datetime(2024, 1, 1, 10, 2, 0)
+
+
+def test_tracker_commit_on_success_only(spark, tmp_path, table):
+    """ST10 fix: a failing batch must NOT advance the watermark."""
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"))
+
+    def boom(df):
+        raise RuntimeError("job failed")
+
+    with pytest.raises(RuntimeError):
+        run_incremental_once(spark, tracker, cdc_dir, table, batch_fn=boom)
+    assert tracker.state("t").last_processed == datetime(1970, 1, 1)
+    assert tracker.running is False  # released for the next tick
+
+    # retry without the fault: processes the same file (no data loss)
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 1
+    assert {r.id: r.val for r in table.read().collect()} == {"a": "a0"}
+
+
+def test_tracker_serialized_runs(spark, tmp_path, table):
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"))
+    tracker.running = True
+    assert run_incremental_once(spark, tracker, str(tmp_path / "cdc"), table) == 0
+
+
+def test_windowed_event_counts_batch_twin(spark):
+    df = spark.createDataFrame(
+        [(1, "click", "2024-01-01 10:00:30"),
+         (2, "click", "2024-01-01 10:00:59"),
+         (3, "view", "2024-01-01 10:01:10")],
+        ["event_id", "event_type", "ts_str"],
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    out = windowed_event_counts(df, "ts", "1 minute").collect()
+    by_key = {(r.window_start.strftime("%H:%M"), r.event_type): r.n_events for r in out}
+    assert by_key == {("10:00", "click"): 2, ("10:01", "view"): 1}
+
+
+def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
+    """Real streaming run: file source → watermarked tumbling window →
+    append sink. Append mode only emits windows the watermark closed."""
+    src = str(tmp_path / "events")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rows = [(1, "click", datetime(2024, 1, 1, 10, 0, 30)),
+            (2, "click", datetime(2024, 1, 1, 10, 0, 59)),
+            (3, "view", datetime(2024, 1, 1, 10, 30, 0))]  # advances watermark past 10:01
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, "ts", "1 minute", watermark_delay="5 minutes")
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.window_start.strftime("%H:%M"), r.event_type): r.n_events
+           for r in spark.sql("SELECT * FROM wincounts").collect()}
+    # the 10:00 window is closed (watermark = 10:30 - 5 min); 10:30 still open
+    assert got == {("10:00", "click"): 2}
