@@ -23,8 +23,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q14_promo_revenue",
     "top_customers_per_nation",
     "order_priority_stats",
+    "customers_without_orders",
+    "windowed_counts",
     "dedup_latest_per_key",
     "partition_enrich",
     "cdc_upsert_roundtrip",

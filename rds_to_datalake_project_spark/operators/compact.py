@@ -1,0 +1,83 @@
+"""Compaction — small-file consolidation for lake tables.
+
+The reference's minute-granularity layout (glue_jobs/initial_load.py:
+163-166; lambda sink dynamodb_stream_consumer.py:74-90) plus
+2-file micro-batches (incremental_load_orchestration.py:98) produce
+the classic CDC small-files problem: at 100 TB the file count, not the
+byte count, kills scan planning and S3 listing. SURVEY.md §4 flags
+this; the engine answers with an explicit compaction pass (the role
+Hudi's file-sizing/clustering services play inside its writer).
+
+Design:
+- per-partition rewrite: each partition's rows are coalesced to
+  ``ceil(partition_bytes / target_file_bytes)`` files via a
+  repartition on a synthetic bucket column — no global shuffle, and
+  partition values never move (the layout contract guarantees that).
+- optional sort-within-partitions (z-order-lite): clustering rows by
+  the record key improves min/max file skipping for key lookups.
+- idempotent: re-compacting a compacted table is a no-op rewrite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith(("_", ".")))
+    return total
+
+
+def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
+    return max(1, math.ceil(total_bytes / max(target_file_bytes, 1)))
+
+
+def compact_table(
+    table: KeyedTable,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by_key: bool = True,
+) -> int:
+    """Rewrite the table with right-sized files; returns file count.
+
+    Local/HDFS sizing uses directory stats; on object stores you would
+    take the file index's size metadata instead (same arithmetic).
+    """
+    df = table.read()
+    n_files = plan_target_files(_dir_bytes(table.path), target_file_bytes)
+    if table.partition_cols:
+        # Hash rows of each partition into n_files buckets; repartition
+        # on (partition cols + bucket) keeps partition dirs intact
+        # while bounding files per partition.
+        bucket = (
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in table.spec.record_key]),
+                F.lit(n_files),
+            )
+        ).alias("__bucket")
+        out = df.select("*", bucket).repartition(
+            n_files, *[F.col(c) for c in table.partition_cols], F.col("__bucket")
+        ).drop("__bucket")
+    else:
+        out = df.repartition(n_files)
+    if sort_by_key:
+        out = out.sortWithinPartitions(*table.spec.record_key)
+    out = out.localCheckpoint(eager=True)  # rewrite source path safely
+    writer = out.write.mode("overwrite")
+    if table.partition_cols:
+        writer = writer.partitionBy(*table.partition_cols)
+    writer.parquet(table.path)
+    return n_files
+
+
+def data_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

@@ -394,6 +394,46 @@ ORDER BY user_id
 """
 
 
+# --- sessionization (stateful-op batch twin; streaming/sessionize.py) ---------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.streaming.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sid AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events
+FROM sid
+GROUP BY user_id, s
+ORDER BY user_id, session_start_us
+"""
+
+
 QUERIES = {
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
@@ -405,6 +445,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "jsonl_roundtrip": jsonl_roundtrip,
     "delete_apply_roundtrip": delete_apply_roundtrip,
+    "sessionize_events": sessionize_events,
 }
 
 ORACLES = {
@@ -418,4 +459,5 @@ ORACLES = {
     "events_json_props": EVENTS_JSON_SQL,
     "jsonl_roundtrip": JSONL_RT_SQL,
     "delete_apply_roundtrip": DELETE_APPLY_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
 }

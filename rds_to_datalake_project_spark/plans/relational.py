@@ -390,6 +390,71 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- Q14: promo revenue (lineitem ⨝ part, conditional agg over a join) -------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    # part is the dimension side — broadcast it; lineitem streams.
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0) * _dsum(promo) / _dsum(disc)
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+# --- part stats (dimension-table aggregation incl. distinct-agg) --------------
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            _dsum(F.col("p_retailprice")).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_BRAND_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p_type) AS n_types,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 # --- S7: SQL facade (the Athena replacement runs opaque SQL text) ------------
 
 def sql_facade_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +505,8 @@ QUERIES = {
     "customer_order_balance": customer_order_balance,
     "revenue_rollup": revenue_rollup,
     "sql_facade_forecast_revenue": sql_facade_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "part_brand_stats": part_brand_stats,
 }
 
 ORACLES = {
@@ -455,4 +522,6 @@ ORACLES = {
     "customer_order_balance": CUSTOMER_ORDER_BALANCE_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "sql_facade_forecast_revenue": SQL_FACADE_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "part_brand_stats": PART_BRAND_SQL,
 }

@@ -1,0 +1,102 @@
+"""Scale-operator tests: compaction (small-files), salted skew-join,
+and the manifest-driven export source (S5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rds_to_datalake_project_spark.operators.compact import (
+    compact_table,
+    data_file_count,
+    plan_target_files,
+)
+from rds_to_datalake_project_spark.operators.skew import salted_join
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+from rds_to_datalake_project_spark.sources.dynamodb_json import (
+    decode_dynamodb_items,
+    read_manifest_export,
+)
+
+
+def test_plan_target_files():
+    assert plan_target_files(0, 128) == 1
+    assert plan_target_files(128, 128) == 1
+    assert plan_target_files(129, 128) == 2
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    spec = TableSpec("t", record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    # initial load + many tiny upserts → small-files buildup
+    def mk(ids, day, v):
+        return spark.createDataFrame(
+            [(f"k{i}", f"2024-01-{day:02d}T00:00:00", f"2024-01-{day:02d}T00:00:0{v}", v)
+             for i in ids],
+            ["id", "create_at", "update_at", "v"],
+        )
+    t.initial_load(mk(range(20), 1, 0))
+    for v in range(1, 4):
+        t.upsert(mk(range(20), 1, v))
+    before_rows = sorted(map(tuple, t.read().collect()))
+    before_files = data_file_count(t.path)
+
+    n = compact_table(t, target_file_bytes=64 * 1024 * 1024)
+    after_rows = sorted(map(tuple, t.read().collect()))
+    after_files = data_file_count(t.path)
+
+    assert after_rows == before_rows          # lossless rewrite
+    assert after_files <= before_files
+    assert after_files <= n * 1 + 1           # bounded by plan (1 partition here)
+    # idempotent: second compaction keeps rows identical
+    compact_table(t, target_file_bytes=64 * 1024 * 1024)
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    # skewed big side: one hot key with 500 rows
+    big = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(500)] + [(2, "x"), (3, "y"), (99, "no-match")],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2"), (3, "dim3")], ["sk", "dim"])
+    expected = big.join(small, big["k"] == small["sk"], how)
+    got = salted_join(big, small, on=[("k", "sk")], salt_factor=4, how=how)
+    assert sorted(map(tuple, got.select("k", "payload", "sk", "dim").collect())) == \
+           sorted(map(tuple, expected.select("k", "payload", "sk", "dim").collect()))
+
+
+def test_read_manifest_export_and_decode(spark, tmp_path):
+    # synthesize a DynamoDB export: 2 gzipped JSON-lines data files + manifest
+    import gzip
+
+    data_dir = tmp_path / "export"
+    os.makedirs(data_dir)
+    items = [
+        {"Item": {"account": {"S": f"a{i}"}, "amount": {"N": str(100 + i)}}}
+        for i in range(10)
+    ]
+    keys = []
+    for part in range(2):
+        key = f"data-{part}.json.gz"
+        with gzip.open(data_dir / key, "wt") as f:
+            for it in items[part * 5 : (part + 1) * 5]:
+                f.write(json.dumps(it) + "\n")
+        keys.append(key)
+    manifest = tmp_path / "manifest-files.json"
+    with open(manifest, "w") as f:
+        for k in keys:
+            f.write(json.dumps({"dataFileS3Key": k, "itemCount": 5}) + "\n")
+
+    raw = read_manifest_export(spark, str(manifest), base_dir=str(data_dir) + "/")
+    decoded = decode_dynamodb_items(
+        raw, fields={"account": ("S", None), "amount": ("N", "int")}
+    )
+    rows = {r.account: r.amount for r in decoded.collect()}
+    assert rows == {f"a{i}": 100 + i for i in range(10)}

