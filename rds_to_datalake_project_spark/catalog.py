@@ -64,6 +64,28 @@ def register_parquet_dir(
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed by its join key.
+
+    Two tables bucketed on their join key with the same bucket count
+    join WITHOUT a shuffle — the co-location the reference gets from
+    nothing (it never joins at scale) but a 100 TB lake needs for
+    repeated fact-fact joins. Bucket files are the unit of join
+    locality; combine with compaction for sizing.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def register_lake_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     """Expose an upsert-table directory as a queryable view.
 

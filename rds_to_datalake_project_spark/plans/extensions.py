@@ -272,6 +272,86 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs, max_hamming=8, bands=16).orderBy("a_id", "b_id")
 
 
+# --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------
+
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → fixed-dim features via mapInPandas
+    (operators/multimodal.py). The decode kernel is the deterministic
+    stub; schema/batching/pruning are the real engine path."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_features(media, dim=8).orderBy("media_id")
+
+
+def video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return frame_sample_plan(media, every_ms=60_000, max_frames=8).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
+# --- IVF two-stage ANN (coarse quantize + probe) ------------------------------
+
+def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign cells against 4 fixed axis-aligned centroids,
+    then exact cosine over the nearest cell only (rows-only check;
+    exactness of the cosine kernel is pinned by ann_topk_cosine)."""
+    from rds_to_datalake_project_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    def axis(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+    cells = assign_ivf_cells(emb, centroids=[(i, axis(i)) for i in range(4)])
+    return ivf_topk(cells, query_vec=axis(0), probe_cells=[0], k=10)
+
+
+# --- F2/F3/F4: timestamp codec round trip -------------------------------------
+
+def commit_key_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC commit-key + ISO-8601 codecs over the events stream."""
+    from rds_to_datalake_project_spark.functions import (
+        commit_key_expr,
+        iso_utc,
+        parse_iso,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        commit_key_expr(F.col("ts")).alias("commit_key"),
+        iso_utc(F.col("ts")).alias("iso"),
+        F.unix_micros(parse_iso(iso_utc(F.col("ts")))).alias("roundtrip_us"),
+    ).orderBy("event_id")
+
+
+COMMIT_KEY_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y/%m/%d/%H/%Y%m%d-%H%M%S') || substring(strftime(ts, '%f'), 1, 3)
+         AS commit_key,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f+00:00') AS iso,
+       epoch_us(ts) AS roundtrip_us
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -284,6 +364,10 @@ QUERIES = {
     "minhash_neardup": minhash_neardup,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "simhash_neardup": simhash_neardup,
+    "media_feature_extract": media_feature_extract,
+    "video_frame_plan": video_frame_plan,
+    "ivf_probe_topk": ivf_probe_topk,
+    "commit_key_codec": commit_key_codec,
 }
 
 # xxhash64-based ops have no DuckDB twin → no oracle entry (driver
@@ -296,4 +380,5 @@ ORACLES = {
     "token_count_by_source": TOKEN_COUNT_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
+    "commit_key_codec": COMMIT_KEY_SQL,
 }

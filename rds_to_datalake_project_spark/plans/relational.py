@@ -77,10 +77,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
     )
-    # customer is tiny relative to orders/lineitem — broadcast it.
+    # No manual broadcast hint: filtered customer is small relative
+    # to the facts but still scales with SF — AQE picks broadcast
+    # while it fits and shuffle-join beyond.
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -123,17 +125,19 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
-    # Dimension chain is tiny: broadcast everything except the two
-    # fact tables; the only big shuffle is lineitem ⨝ orders.
+    # Broadcast hints only on the tables that stay tiny at ANY scale
+    # (region: 5 rows, nation: 25 rows). customer/supplier grow with
+    # SF — AQE broadcasts them automatically while they fit and
+    # switches to shuffle joins beyond the threshold at 100 TB.
     dim = (
         customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
     return (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
         .join(
-            F.broadcast(dim),
+            dim,
             (orders["o_custkey"] == dim["c_custkey"])
             & (supplier["s_nationkey"] == dim["n_nationkey"]),
         )
@@ -400,9 +404,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
-    # part is the dimension side — broadcast it; lineitem streams.
+    # part is the dimension side but grows with SF — AQE decides the
+    # join strategy (broadcast at test scale, shuffle at 100 TB).
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
             (
                 F.lit(100.0) * _dsum(promo) / _dsum(disc)

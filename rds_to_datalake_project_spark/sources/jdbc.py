@@ -6,9 +6,9 @@ db_connect.py builds the engine from config.
 
 Engine: ``spark.read.jdbc`` with partitioned reads — at scale a
 single-connection full-table read is the bottleneck, so we expose
-``partition_column/num_partitions`` for parallel range scans. No live
-database exists in the test container, so this module is exercised by
-unit tests only for option construction.
+``partition_column/num_partitions`` for parallel range scans. Tested
+end-to-end against Spark's bundled embedded Derby
+(tests/test_scale_ops.py).
 """
 
 from __future__ import annotations
@@ -42,3 +42,22 @@ def jdbc_read_options(
 
 def read_jdbc_table(spark: SparkSession, **options) -> DataFrame:
     return spark.read.format("jdbc").options(**jdbc_read_options(**options)).load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    **extra: str,
+) -> None:
+    """JDBC sink (each partition writes over its own connection in
+    ``batch_size`` batches — the parallel inverse of the partitioned
+    read)."""
+    (
+        df.write.format("jdbc")
+        .options(url=url, dbtable=table, batchsize=str(batch_size), **extra)
+        .mode(mode)
+        .save()
+    )

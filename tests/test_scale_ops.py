@@ -100,3 +100,54 @@ def test_read_manifest_export_and_decode(spark, tmp_path):
     )
     rows = {r.account: r.amount for r in decoded.collect()}
     assert rows == {f"a{i}": 100 + i for i in range(10)}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S6 JDBC source/sink against Spark's bundled embedded Derby:
+    write a table, read it back whole and as a partitioned range scan."""
+    from rds_to_datalake_project_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_table,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(i, f"email{i}@x.io", f"2024-01-{(i % 28) + 1:02d}") for i in range(100)],
+        ["id", "email", "create_at"],
+    )
+    write_jdbc_table(df, url, "accounts", mode="overwrite", driver=driver)
+
+    back = read_jdbc_table(spark, url=url, table="accounts", driver=driver)
+    assert back.count() == 100
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    ranged = read_jdbc_table(
+        spark, url=url, table="accounts", driver=driver,
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 100
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key join without an Exchange."""
+    from rds_to_datalake_project_spark.catalog import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        left = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        write_bucketed(left, "bkt_left", "k", n_buckets=8, sort_col="k")
+        write_bucketed(right, "bkt_right", "k", n_buckets=8, sort_col="k")
+
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
