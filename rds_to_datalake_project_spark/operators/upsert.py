@@ -91,7 +91,10 @@ class KeyedTable:
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: after additive schema evolution, untouched
+        # partitions keep the old column set — the union of footers is
+        # the table schema (missing columns read as null).
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def register(self, name: str | None = None) -> DataFrame:
         df = self.read()
@@ -166,11 +169,14 @@ class KeyedTable:
             )
             existing = existing.filter(pred)
 
-        # Align CDC envelope across both sides.
+        # Align CDC envelope across both sides; allowMissingColumns
+        # gives additive schema evolution (new CDC columns arrive as
+        # null on historical rows, dropped ones as null on the batch).
         existing, batch = _align_op_column(existing, batch)
         merged = self._dedup(
             existing.withColumn(_PRIORITY, F.lit(0)).unionByName(
-                batch.withColumn(_PRIORITY, F.lit(1))
+                batch.withColumn(_PRIORITY, F.lit(1)),
+                allowMissingColumns=True,
             ),
             tie_breakers=[F.col(_PRIORITY).desc()],
         ).drop(_PRIORITY)

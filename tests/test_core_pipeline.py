@@ -175,3 +175,23 @@ def test_compare_tables_equal_and_diff(table, spark, base_df):
     assert not res2.equal
     assert res2.n_only_in_source == 1 and res2.n_only_in_lake == 1
     assert len(res2.sample_diffs) == 2
+
+
+def test_upsert_additive_schema_evolution(spark, tmp_path):
+    """CDC schema drift: a batch with a new column merges; historical
+    rows read the new column as null (partitioned: untouched
+    partitions keep old footers — mergeSchema read covers them)."""
+    spec = TableSpec("t", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    t.initial_load(spark.createDataFrame(
+        _rows(
+            ("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", "a0", {}),
+            ("b", "2024-02-01T00:00:00", "2024-02-01T00:00:00", "b0", {}),
+        )))
+    batch = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-02T00:00:00", "a1", "tagged")],
+        ["id", "create_at", "update_at", "val", "new_col"],
+    )
+    t.upsert(batch)
+    got = {r.id: (r.val, r.new_col) for r in t.read().collect()}
+    assert got == {"a": ("a1", "tagged"), "b": ("b0", None)}
