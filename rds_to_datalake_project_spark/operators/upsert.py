@@ -109,8 +109,17 @@ class KeyedTable:
         read → enrich (P1) → precombine dedup (W2) → partitioned
         overwrite write. The dedup reproduces what Hudi's writer did
         implicitly via precombine.field.
+
+        delete_mode="ignore" drops D rows BEFORE dedup (same order as
+        upsert): a delete must not shadow an older live version of the
+        key when deletes are being ignored.
         """
-        out = self._apply_ops(self._dedup(self._enrich(df)), delete_mode)
+        df = self._enrich(df)
+        if delete_mode == "ignore" and _OP_COL in df.columns:
+            df = df.filter(
+                F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D")
+            )
+        out = self._apply_ops(self._dedup(df), delete_mode)
         writer = out.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)

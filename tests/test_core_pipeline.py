@@ -195,3 +195,17 @@ def test_upsert_additive_schema_evolution(spark, tmp_path):
     t.upsert(batch)
     got = {r.id: (r.val, r.new_col) for r in t.read().collect()}
     assert got == {"a": ("a1", "tagged"), "b": ("b0", None)}
+
+
+def test_initial_load_ignore_mode_delete_does_not_shadow(spark, tmp_path):
+    """ignore mode: a newer D row must not erase the older live
+    version during initial load (same pre-dedup filter as upsert)."""
+    spec = TableSpec("t", partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", "live", "I"),
+         ("a", "2024-01-01T00:00:00", "2024-01-02T00:00:00", "gone", "D")],
+        ["id", "create_at", "update_at", "val", "Op"],
+    )
+    t.initial_load(df, delete_mode="ignore")
+    assert {r.id: r.val for r in t.read().collect()} == {"a": "live"}
