@@ -102,6 +102,25 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", F.when(F.array_max(pairs)["s"] > 0, best_lang).otherwise(F.lit("unknown")))
 
 
+ROLL_BASE = 131
+ROLL_MOD = 2_147_483_647  # 2^31-1: products stay < 2^39, exact in int64
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash of the normalized text (the brief's
+    "document fingerprinting (rolling hash)"): h = fold(h*B + code(c))
+    mod M over characters. Exact 64-bit integer arithmetic → identical
+    in any engine (DuckDB twin uses list_reduce)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, code: (acc * ROLL_BASE + code) % ROLL_MOD,
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Used as the exact-dedup

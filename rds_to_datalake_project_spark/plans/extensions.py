@@ -352,6 +352,73 @@ ORDER BY event_id
 """
 
 
+# --- table profiling (data-quality pass; oracle-checked exact mode) -----------
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return profile_table(o, exact_distinct=True).orderBy("column")
+
+
+PROFILE_SQL = """
+WITH stats AS (
+  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+         COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*),
+         COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', COUNT(*),
+         COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+         COUNT(DISTINCT o_totalprice),
+         CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+  FROM orders
+)
+SELECT * FROM stats ORDER BY "column"
+"""
+
+
+# --- rolling-hash fingerprint (exact integer arithmetic, cross-engine) --------
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rfp")).orderBy("doc_id")
+
+
+ROLLING_FP_SQL = """
+SELECT doc_id,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(norm, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, c) -> (acc * 131 + c) % 2147483647)
+       END AS rfp
+FROM (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -368,6 +435,8 @@ QUERIES = {
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
     "commit_key_codec": commit_key_codec,
+    "profile_orders": profile_orders,
+    "rolling_fingerprint": rolling_fingerprint,
 }
 
 # xxhash64-based ops have no DuckDB twin → no oracle entry (driver
@@ -381,4 +450,6 @@ ORACLES = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
     "commit_key_codec": COMMIT_KEY_SQL,
+    "profile_orders": PROFILE_SQL,
+    "rolling_fingerprint": ROLLING_FP_SQL,
 }
