@@ -419,6 +419,40 @@ ORDER BY doc_id
 """
 
 
+# --- exact n-gram Jaccard, all pairs over a sample (oracle-checked) -----------
+
+def jaccard_allpairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine verification of the Jaccard arithmetic itself:
+    all pairs among doc_id < 60, exact 3-gram set Jaccard. (The LSH
+    path reuses this exact kernel on candidate pairs only.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return (
+        ngram_jaccard_pairs(docs, pairs=None, threshold=0.0)
+        .orderBy("a_id", "b_id")
+    )
+
+
+JACCARD_ALLPAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM documents WHERE doc_id < 60
+  )
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -437,6 +471,7 @@ QUERIES = {
     "commit_key_codec": commit_key_codec,
     "profile_orders": profile_orders,
     "rolling_fingerprint": rolling_fingerprint,
+    "jaccard_allpairs_sample": jaccard_allpairs_sample,
 }
 
 # xxhash64-based ops have no DuckDB twin → no oracle entry (driver
@@ -452,4 +487,5 @@ ORACLES = {
     "commit_key_codec": COMMIT_KEY_SQL,
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,
+    "jaccard_allpairs_sample": JACCARD_ALLPAIRS_SQL,
 }
