@@ -269,7 +269,9 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=8, bands=16).orderBy("a_id", "b_id")
+    # bands=9 (7-bit buckets): same ≤8-bit recall guarantee as more
+    # bands, but 8x more bucket values → far smaller collision sets.
+    return simhash_neardup_pairs(docs, max_hamming=8, bands=9).orderBy("a_id", "b_id")
 
 
 # --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------

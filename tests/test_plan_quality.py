@@ -76,3 +76,24 @@ def test_join_queries_scan_only_needed_columns(spark, qname):
         # lineitem scans must not read more than 6 columns in these queries
         if cols and cols[0].startswith("l_"):
             assert len(cols) <= 6, cols
+
+
+def test_keyed_table_partition_pruning(spark, tmp_path):
+    """A filter on the derived partition column must prune at the file
+    index — the scan's partition count reflects only matching dirs."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    t = KeyedTable(spark, str(tmp_path / "t"),
+                   TableSpec("t", partition_granularity="month"))
+    rows = [(f"k{m}_{i}", f"2024-{m:02d}-01T00:00:00", f"2024-{m:02d}-01T00:00:00", "v")
+            for m in (1, 2, 3) for i in range(10)]
+    t.initial_load(spark.createDataFrame(rows, ["id", "create_at", "update_at", "val"]))
+
+    pruned = t.read().filter(F.col("create_month") == "02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters present on the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "create_month" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == 10
