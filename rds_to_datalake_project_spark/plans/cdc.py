@@ -434,6 +434,44 @@ ORDER BY user_id, session_start_us
 """
 
 
+# --- as-of join (point-in-time lookup; DuckDB native ASOF JOIN oracle) --------
+
+def asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's profile state as of the
+    purchase: the latest prior-or-equal signup event's value. The CDC
+    lake's canonical historical query (the upsert table alone cannot
+    answer it — it keeps only the final version)."""
+    from rds_to_datalake_project_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("profile_value")
+    )
+    out = asof_join(
+        purchases, versions, on="user_id", left_ts="ts", right_ts="vts",
+        payload_cols=["profile_value"], how="left",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value", "profile_value",
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       v.profile_value
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id AS v_user, ts AS vts, value AS profile_value
+                FROM events WHERE event_type = 'signup') v
+  ON p.user_id = v.v_user AND p.ts >= v.vts
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
@@ -446,6 +484,7 @@ QUERIES = {
     "jsonl_roundtrip": jsonl_roundtrip,
     "delete_apply_roundtrip": delete_apply_roundtrip,
     "sessionize_events": sessionize_events,
+    "asof_user_state": asof_user_state,
 }
 
 ORACLES = {
@@ -460,4 +499,5 @@ ORACLES = {
     "jsonl_roundtrip": JSONL_RT_SQL,
     "delete_apply_roundtrip": DELETE_APPLY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "asof_user_state": ASOF_SQL,
 }

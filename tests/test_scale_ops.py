@@ -151,3 +151,50 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive bound, latest-version pick, null for no prior
+    version, inner mode drops unmatched."""
+    from datetime import datetime as d
+
+    from rds_to_datalake_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k1", d(2024, 1, 10)),   # between v1 and v2 → v1
+         (2, "k1", d(2024, 1, 15)),   # exactly at v2 → v2 (inclusive)
+         (3, "k1", d(2024, 1, 20)),   # after v2 → v2
+         (4, "k1", d(2024, 1, 1)),    # before any version → null
+         (5, "k2", d(2024, 1, 10))],  # key with no versions → null
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k1", d(2024, 1, 5), "v1"), ("k1", d(2024, 1, 15), "v2")],
+        ["k", "vts", "payload"],
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="vts",
+                    payload_cols=["payload"])
+    got = {r.event_id: r.payload for r in out.collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v2", 4: None, 5: None}
+
+    inner = asof_join(left, right, on="k", left_ts="ts", right_ts="vts",
+                      payload_cols=["payload"], how="inner")
+    assert sorted(r.event_id for r in inner.collect()) == [1, 2, 3]
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must compile to ONE hash shuffle (union-window
+    form), never a range/cross join."""
+    import re
+
+    from datetime import datetime as d
+
+    from rds_to_datalake_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", d(2024, 1, 1))], ["e", "k", "ts"])
+    right = spark.createDataFrame([("k", d(2024, 1, 1), "v")], ["k", "vts", "p"])
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="vts",
+                    payload_cols=["p"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
