@@ -590,6 +590,43 @@ LIMIT 20
 """
 
 
+# --- range join: lineitems shipped inside promo windows -----------------------
+
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join via the binned equi-join operator
+    (operators/rangejoin.py): 3-day promo windows derived from a
+    deterministic order sample, probed by every lineitem ship date."""
+    from rds_to_datalake_project_spark.operators.rangejoin import range_join
+
+    o = load_table(spark, sf_dir, "orders")
+    windows = o.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("w_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    points = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hits = range_join(points, windows, "l_shipdate", "w_start", "w_end")
+    return (
+        hits.groupBy("w_id")
+        .agg(
+            F.count("*").alias("n_shipped"),
+            F.sum("l_orderkey").alias("sum_orderkey"),
+        )
+        .orderBy("w_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT w_id, COUNT(*) AS n_shipped, SUM(l_orderkey) AS sum_orderkey
+FROM (SELECT o_orderkey AS w_id, o_orderdate AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+      FROM orders WHERE o_orderkey % 997 = 0) w
+JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+GROUP BY w_id
+ORDER BY w_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -607,6 +644,7 @@ QUERIES = {
     "part_brand_stats": part_brand_stats,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "range_join_promo_windows": range_join_promo_windows,
 }
 
 ORACLES = {
@@ -626,4 +664,5 @@ ORACLES = {
     "part_brand_stats": PART_BRAND_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q10_returned_items": Q10_SQL,
+    "range_join_promo_windows": RANGE_JOIN_SQL,
 }

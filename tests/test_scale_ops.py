@@ -198,3 +198,35 @@ def test_asof_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_binned_no_nested_loop(spark):
+    """Binned range join: correct point-in-interval matches (end
+    exclusive, bin-boundary crossing) via a hash equi-join — never a
+    nested-loop plan."""
+    from datetime import datetime as d
+
+    from rds_to_datalake_project_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 12)),   # inside w1
+         (2, d(2024, 1, 4, 0)),    # == w1 end → excluded
+         (3, d(2024, 1, 5, 23)),   # inside w2 (w2 crosses a day bin)
+         (4, d(2024, 2, 1, 0))],   # no window
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, d(2024, 1, 1), d(2024, 1, 4)),
+         (20, d(2024, 1, 5, 12), d(2024, 1, 6, 12))],
+        ["w_id", "w_start", "w_end"],
+    )
+    out = range_join(points, intervals, "ts", "w_start", "w_end")
+    got = {(r.pid, r.w_id) for r in out.collect()}
+    assert got == {(1, 10), (3, 20)}
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
