@@ -1,0 +1,110 @@
+"""Hypertable rollup — continuous aggregates with incremental refresh.
+
+The TimescaleDB-style pattern for event streams: keep materialized
+aggregates per (time bucket × dimensions) and, when new events arrive,
+recompute ONLY the buckets the new data touches — never the full
+history. At 100 TB of events a full re-aggregation is impossible; the
+touched-bucket set of a micro-batch is tiny.
+
+Composition: a rollup IS a keyed upsert table — record key = (bucket,
+dims), precombine on a refresh sequence — so incremental refresh
+reuses KeyedTable's touched-partition merge machinery (the same
+physics Hudi gives the reference's row tables, applied to aggregates).
+
+Correctness requirement: the aggregates must be recomputable per
+bucket from the raw slice (sum/count/min/max — algebraic). AVG is
+carried as sum+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+BUCKET = "bucket_start"
+
+
+class RollupTable:
+    """Materialized time-bucketed aggregate with incremental refresh.
+
+    ``aggs`` maps output column -> aggregate Column over the raw
+    events (algebraic only). ``dims`` are extra group columns.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str,
+        window: str = "1 hour",
+        dims: tuple[str, ...] = (),
+        aggs: dict[str, Column] | None = None,
+    ):
+        self.spark = spark
+        self.ts_col = ts_col
+        self.window = window
+        self.dims = tuple(dims)
+        self.aggs = aggs or {"n_events": F.count("*")}
+        self.table = KeyedTable(
+            spark,
+            path,
+            TableSpec(
+                "rollup",
+                record_key=(BUCKET, *self.dims),
+                precombine_key="__refresh_seq",
+                partition_granularity=None,
+            ),
+        )
+
+    # -- aggregation kernel ----------------------------------------------------
+
+    def _aggregate(self, events: DataFrame, refresh_seq: int) -> DataFrame:
+        win = F.window(F.col(self.ts_col), self.window)
+        return (
+            events.groupBy(win.alias("__w"), *self.dims)
+            .agg(*[a.alias(name) for name, a in self.aggs.items()])
+            .select(
+                F.col("__w.start").alias(BUCKET),
+                *self.dims,
+                *self.aggs.keys(),
+                F.lit(refresh_seq).alias("__refresh_seq"),
+            )
+        )
+
+    # -- full + incremental refresh --------------------------------------------
+
+    def full_refresh(self, events: DataFrame) -> None:
+        self.table.initial_load(self._aggregate(events, 0))
+
+    def incremental_refresh(self, all_events: DataFrame, new_events: DataFrame) -> None:
+        """Recompute only buckets present in ``new_events``.
+
+        ``all_events`` is the full raw table (lazily scanned — the
+        bucket semi-join prunes it); a bucket's aggregate must come
+        from ALL of its rows, not only the new ones, so touched
+        buckets are re-aggregated from the raw slice and upserted
+        (precombine: newest refresh wins).
+        """
+        win = F.window(F.col(self.ts_col), self.window)
+        touched = new_events.select(win["start"].alias(BUCKET)).distinct()
+        # window() must be projected before it can join — bucket each
+        # raw row, then broadcast-semi-join against touched buckets.
+        slice_df = (
+            all_events.withColumn("__b", win["start"])
+            .join(F.broadcast(touched), F.col("__b") == F.col(BUCKET), "left_semi")
+            .drop("__b")
+        )
+        seq = self._next_seq()
+        self.table.upsert(self._aggregate(slice_df, seq))
+
+    def _next_seq(self) -> int:
+        if not self.table.exists():
+            return 1
+        row = self.table.read().agg(F.max("__refresh_seq")).collect()[0][0]
+        return int(row or 0) + 1
+
+    def read(self) -> DataFrame:
+        return self.table.read().drop("__refresh_seq")

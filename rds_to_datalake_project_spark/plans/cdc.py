@@ -472,6 +472,51 @@ ORDER BY event_id
 """
 
 
+# --- hypertable rollup (continuous aggregate; incremental refresh) ------------
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split events at a cutoff, full-refresh the rollup on the old
+    slice, then incrementally refresh with the new slice — the result
+    must equal a direct aggregation over ALL events (the oracle). This
+    hash-checks the touched-bucket refresh path end to end."""
+    from rds_to_datalake_project_spark.operators.rollup import RollupTable
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    old, new = ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff)
+
+    roll = RollupTable(
+        spark,
+        tempfile.mkdtemp(prefix="rollup_") + "/t",
+        ts_col="ts",
+        window="1 hour",
+        dims=("event_type",),
+        aggs={
+            "n_events": F.count("*"),
+            "sum_value": F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+            "max_value": F.max("value"),
+        },
+    )
+    roll.full_refresh(old)
+    roll.incremental_refresh(ev, new)
+    return roll.read().select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_us"),
+        "event_type", "n_events", "sum_value", "max_value",
+    ).orderBy("bucket_us", "event_type")
+
+
+ROLLUP_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_us, event_type
+"""
+
+
 QUERIES = {
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
@@ -485,6 +530,7 @@ QUERIES = {
     "delete_apply_roundtrip": delete_apply_roundtrip,
     "sessionize_events": sessionize_events,
     "asof_user_state": asof_user_state,
+    "hypertable_rollup": hypertable_rollup,
 }
 
 ORACLES = {
@@ -500,4 +546,5 @@ ORACLES = {
     "delete_apply_roundtrip": DELETE_APPLY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "asof_user_state": ASOF_SQL,
+    "hypertable_rollup": ROLLUP_SQL,
 }

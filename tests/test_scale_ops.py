@@ -230,3 +230,37 @@ def test_range_join_binned_no_nested_loop(spark):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_rollup_incremental_touches_only_new_buckets(spark, tmp_path):
+    """Incremental refresh recomputes touched buckets from the full
+    raw slice (late rows included) and leaves other buckets alone."""
+    from datetime import datetime as d
+
+    from rds_to_datalake_project_spark.operators.rollup import RollupTable
+
+    cols = ["ts", "event_type", "value"]
+    old = spark.createDataFrame(
+        [(d(2024, 1, 1, 10, 5), "a", 1.0),
+         (d(2024, 1, 1, 10, 40), "a", 2.0),
+         (d(2024, 1, 1, 11, 5), "b", 3.0)], cols)
+    # new batch: one event in a NEW bucket, one LATE event in 10:00
+    new = spark.createDataFrame(
+        [(d(2024, 1, 1, 12, 0), "a", 10.0),
+         (d(2024, 1, 1, 10, 59), "a", 4.0)], cols)
+
+    roll = RollupTable(spark, str(tmp_path / "r"), ts_col="ts", window="1 hour",
+                       dims=("event_type",),
+                       aggs={"n": F.count("*"), "s": F.sum("value")})
+    roll.full_refresh(old)
+    roll.incremental_refresh(old.unionByName(new), new)
+
+    rows = {(r.bucket_start.strftime("%H"), r.event_type): (r.n, r.s)
+            for r in roll.read().collect()}
+    assert rows == {("10", "a"): (3, 7.0),   # late row folded in
+                    ("11", "b"): (1, 3.0),   # untouched
+                    ("12", "a"): (1, 10.0)}  # new bucket
+    # untouched bucket kept its original refresh sequence
+    seqs = {r.bucket_start.strftime("%H"): r["__refresh_seq"]
+            for r in roll.table.read().collect()}
+    assert seqs["11"] == 0 and seqs["10"] == 1 and seqs["12"] == 1
