@@ -31,6 +31,10 @@ HEADLINE = [
     "dedup_latest_per_key",
     "partition_enrich",
     "cdc_upsert_roundtrip",
+    "sessionize_events",
+    "asof_user_state",
+    "range_join_promo_windows",
+    "hypertable_rollup",
     "exact_dedup_docs",
     "text_quality",
     "token_count_by_source",

@@ -208,6 +208,25 @@ class KeyedTable:
             for t in set(touched) - remaining:
                 self._delete_partition_dir(t)
 
+    def vacuum_partitions(self, keep_predicate) -> int:
+        """Retention: drop whole partitions whose values fail
+        ``keep_predicate`` (a callable over the partition-value tuple).
+        Partition-dir deletes only — no data files are read, which is
+        what makes retention O(partitions) at 100 TB. Returns the
+        number of partitions dropped."""
+        if not self.partition_cols:
+            raise ValueError("vacuum_partitions requires a partitioned table")
+        values = [
+            tuple(r)
+            for r in self.read().select(*self.partition_cols).distinct().collect()
+        ]
+        dropped = 0
+        for t in values:
+            if not keep_predicate(t):
+                self._delete_partition_dir(t)
+                dropped += 1
+        return dropped
+
     def _delete_partition_dir(self, values: tuple) -> None:
         """Remove one partition directory via the Hadoop FileSystem API
         (portable across local/HDFS/S3A schemes)."""

@@ -91,6 +91,27 @@ def stream_cdc_to_table(
     return query
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication by key within the watermark.
+
+    The streaming twin of W1/exact dedup: duplicate (key) rows arriving
+    within ``watermark_delay`` of each other are emitted once; state
+    for keys older than the watermark is dropped, so memory is bounded
+    regardless of stream length (the 100 TB-stream requirement).
+    Batch DataFrames fall back to plain dropDuplicates.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -209,3 +209,17 @@ def test_initial_load_ignore_mode_delete_does_not_shadow(spark, tmp_path):
     )
     t.initial_load(df, delete_mode="ignore")
     assert {r.id: r.val for r in t.read().collect()} == {"a": "live"}
+
+
+def test_vacuum_partitions_retention(spark, tmp_path):
+    """Retention drops whole partition dirs without reading data."""
+    spec = TableSpec("t", partition_granularity="month")
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    rows = [(f"k{m}_{i}", f"2024-{m:02d}-01T00:00:00", f"2024-{m:02d}-01T00:00:00", "v")
+            for m in (1, 2, 3) for i in range(5)]
+    t.initial_load(spark.createDataFrame(rows, ["id", "create_at", "update_at", "val"]))
+    # keep only months >= 02  (partition tuple is (year, month) strings)
+    dropped = t.vacuum_partitions(lambda vals: vals[1] >= "02")
+    assert dropped == 1
+    left = {r.create_month for r in t.read().select("create_month").distinct().collect()}
+    assert left == {"02", "03"}

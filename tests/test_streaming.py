@@ -210,3 +210,29 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     # guaranteed prefix.
     assert closed[0] == (1, "10:00", "10:05", 2)
     assert all(c not in closed for c in [(2, "20:00", "20:00", 1)]) or len(closed) >= 1
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from rds_to_datalake_project_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "dup_events")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ])
+    rows = [("a", datetime(2024, 1, 1, 10, 0), 1),
+            ("a", datetime(2024, 1, 1, 10, 1), 2),   # dup within watermark
+            ("b", datetime(2024, 1, 1, 10, 2), 3)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream(stream, keys=("k",), ts_col="ts", watermark_delay="30 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.k, r.v) for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert [k for k, _ in got] == ["a", "b"]  # one row per key
+
+    # batch fallback
+    batch = spark.createDataFrame(rows, schema)
+    assert dedup_stream(batch, keys=("k",)).count() == 2
