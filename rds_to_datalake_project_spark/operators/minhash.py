@@ -103,9 +103,13 @@ def lsh_candidate_pairs(
             ).alias("bucket"),
         ),
     )
-    banded = sig_df.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    # Materialized once — the self-join would recompute the signature
+    # scan per side (same pattern as the simhash fingerprint table).
+    banded = (
+        sig_df.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

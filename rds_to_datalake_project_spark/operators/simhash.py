@@ -109,7 +109,11 @@ def simhash_neardup_pairs(
     band-bucket equi-join (requires bands ≥ max_hamming + 1)."""
     if bands < max_hamming + 1:
         raise ValueError("bands must be ≥ max_hamming + 1 for recall guarantee")
-    banded = simhash_buckets(df, id_col, text_col, bands)
+    # Materialize the fingerprints once: the self-join would otherwise
+    # recompute (and re-codegen) the whole simhash scan per side. At
+    # scale this is exactly the "store the fingerprint table, then
+    # self-join it" pattern.
+    banded = simhash_buckets(df, id_col, text_col, bands).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -269,9 +269,13 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # bands=9 (7-bit buckets): same ≤8-bit recall guarantee as more
-    # bands, but 8x more bucket values → far smaller collision sets.
-    return simhash_neardup_pairs(docs, max_hamming=8, bands=9).orderBy("a_id", "b_id")
+    # Production defaults: hamming ≤ 3 with 4 bands of 16 bits —
+    # 65k bucket values per band keeps collision sets tiny even on
+    # highly self-similar corpora (h=8/9-band banding admitted ~11M
+    # candidate pairs on 5k template-generated docs; h=3/4-band cuts
+    # that by orders of magnitude with the same recall guarantee for
+    # pairs within the threshold).
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=4).orderBy("a_id", "b_id")
 
 
 # --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------
