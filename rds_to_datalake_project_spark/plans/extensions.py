@@ -459,6 +459,55 @@ ORDER BY a_id, b_id
 """
 
 
+# --- deterministic sampling (reproducible curation; oracle-checked) -----------
+
+def sample_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.sampling import (
+        deterministic_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample_per_group(docs, "source", "doc_id", quota=20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+ORDER BY doc_id
+"""
+
+
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id", test_permille=100)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("split")
+    )
+
+
+SPLIT_SQL = """
+SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 29, 4)) AS BIGINT) % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -478,6 +527,8 @@ QUERIES = {
     "profile_orders": profile_orders,
     "rolling_fingerprint": rolling_fingerprint,
     "jaccard_allpairs_sample": jaccard_allpairs_sample,
+    "sample_docs_per_source": sample_docs_per_source,
+    "train_test_split_counts": train_test_split_counts,
 }
 
 # xxhash64-based ops have no DuckDB twin → no oracle entry (driver
@@ -494,4 +545,6 @@ ORACLES = {
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,
     "jaccard_allpairs_sample": JACCARD_ALLPAIRS_SQL,
+    "sample_docs_per_source": SAMPLE_SQL,
+    "train_test_split_counts": SPLIT_SQL,
 }
