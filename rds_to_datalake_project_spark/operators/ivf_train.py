@@ -1,0 +1,72 @@
+"""IVF centroid training — mini k-means as DataFrame operations.
+
+Completes the IVF ANN path (operators/similarity.py): instead of
+caller-supplied centroids, train them from the corpus. The canonical
+iterative algorithm the SQL oracle can't express — per the driver
+contract it gets rows-only checks; semantics are pinned by unit tests
+on separable clusters.
+
+Scale shape per iteration:
+- assignment: map-only (broadcast centroid literals, nearest-cell
+  argmin per row — assign_ivf_cells)
+- update: posexplode the vectors once → groupBy (cell, dim) mean →
+  k×dim tiny result collected to the driver for the next iteration.
+One shuffle per iteration, state on the driver is k×dim floats.
+Initialization is the deterministic md5-ranked sample (same seeds on
+any engine/partitioning — reproducible training).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.sampling import (
+    deterministic_sample_per_group,
+)
+from rds_to_datalake_project_spark.operators.similarity import assign_ivf_cells
+
+
+def init_centroids(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the k corpus vectors with the
+    smallest md5(id) rank (engine/partitioning independent)."""
+    seeds = deterministic_sample_per_group(
+        corpus.withColumn("__g", F.lit(0)), "__g", id_col, quota=k
+    )
+    rows = seeds.select(id_col, vec_col).orderBy(id_col).collect()
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 4,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd iterations over the corpus; returns trained centroids.
+
+    Empty cells keep their previous centroid (no respawn — at corpus
+    scale a dead cell just stays unused).
+    """
+    centroids = init_centroids(corpus, k, id_col, vec_col)
+    dim = len(centroids[0][1])
+    for _ in range(iterations):
+        assigned = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("ivf_cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r.ivf_cell, [0.0] * dim)[r.dim] = r.m
+        centroids = [
+            (cid, by_cell.get(cid, vec)) for cid, vec in centroids
+        ]
+    return centroids

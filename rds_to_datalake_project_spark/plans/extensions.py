@@ -508,6 +508,31 @@ ORDER BY split
 """
 
 
+# --- IVF training + probe (iterative algorithm; rows-only check) --------------
+
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN with TRAINED centroids: k-means over the corpus
+    (deterministic init), assign cells, probe the query's nearest 2
+    cells. Iterative — no SQL twin; pinned by unit tests instead."""
+    from rds_to_datalake_project_spark.operators.ivf_train import train_ivf_centroids
+    from rds_to_datalake_project_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=4, iterations=3)
+    cells = assign_ivf_cells(emb, centroids)
+    query = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = [float(x) for x in query]
+    # probe the 2 centroids nearest the query
+    import math
+    def dist(c):
+        return math.fsum((a - b) ** 2 for a, b in zip(c, qv))
+    probe = sorted(centroids, key=lambda cv: dist(cv[1]))[:2]
+    return ivf_topk(cells, qv, [cid for cid, _ in probe], k=10)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
@@ -529,6 +554,7 @@ QUERIES = {
     "jaccard_allpairs_sample": jaccard_allpairs_sample,
     "sample_docs_per_source": sample_docs_per_source,
     "train_test_split_counts": train_test_split_counts,
+    "ivf_trained_topk": ivf_trained_topk,
 }
 
 # xxhash64-based ops have no DuckDB twin → no oracle entry (driver

@@ -162,3 +162,27 @@ def test_frame_sample_plan(spark):
     for mid, ts_list in per_doc.items():
         assert len(ts_list) <= 4
         assert sorted(ts_list) == list(range(0, 1000 * len(ts_list), 1000))
+
+
+def test_ivf_training_separates_clusters(spark):
+    """k-means on 3 well-separated clusters: training converges to one
+    centroid per cluster and cell assignment recovers membership."""
+    from rds_to_datalake_project_spark.operators.ivf_train import train_ivf_centroids
+    from rds_to_datalake_project_spark.operators.similarity import assign_ivf_cells
+
+    rows = []
+    for c, base in enumerate([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]]):
+        for i in range(20):
+            rows.append((c * 20 + i, [base[0] + (i % 5) * 0.1, base[1] + (i % 3) * 0.1], c))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "true_cluster"])
+
+    centroids = train_ivf_centroids(df, k=3, iterations=5)
+    assigned = assign_ivf_cells(df, centroids)
+    joined = assigned.join(df.select("vec_id", "true_cluster"), "vec_id")
+    # each true cluster maps to exactly one cell (perfect separation)
+    m = joined.groupBy("true_cluster").agg(
+        F.countDistinct("ivf_cell").alias("ncells")).collect()
+    assert all(r.ncells == 1 for r in m)
+    cells = {r.true_cluster: r.ivf_cell for r in
+             joined.select("true_cluster", "ivf_cell").distinct().collect()}
+    assert len(set(cells.values())) == 3
