@@ -627,6 +627,56 @@ ORDER BY w_id
 """
 
 
+# --- INTERSECT (set-op family completion) --------------------------------------
+
+def orders_intersect_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers appearing in BOTH the urgent-order and the
+    high-value-order populations (INTERSECT — distinct semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority").startswith("1")).select("o_custkey")
+    high = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return urgent.intersect(high).orderBy("o_custkey")
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+ORDER BY o_custkey
+"""
+
+
+# --- holistic aggregates: exact percentiles -------------------------------------
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (holistic) percentile aggregation — the one aggregate
+    class that cannot be computed map-side-partial; Spark sorts within
+    groups. Linear-interpolated like DuckDB's quantile_cont."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS median,
+       quantile_cont(l_quantity, 0.95) AS p95,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -645,6 +695,8 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "range_join_promo_windows": range_join_promo_windows,
+    "orders_intersect_urgent": orders_intersect_urgent,
+    "quantity_percentiles": quantity_percentiles,
 }
 
 ORACLES = {
@@ -665,4 +717,6 @@ ORACLES = {
     "q7_volume_shipping": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "range_join_promo_windows": RANGE_JOIN_SQL,
+    "orders_intersect_urgent": INTERSECT_SQL,
+    "quantity_percentiles": PERCENTILES_SQL,
 }
