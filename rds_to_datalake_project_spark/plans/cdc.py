@@ -282,7 +282,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -337,7 +337,7 @@ SELECT strftime(ts, '%Y') AS p_year,
        strftime(ts, '%m') AS p_month,
        strftime(ts, '%d') AS p_day,
        COUNT(*) AS n_events,
-       SUM(event_id) AS sum_event_id,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        MAX(epoch_us(ts)) AS max_ts_us
 FROM events
 GROUP BY 1, 2, 3

@@ -501,7 +501,7 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_SQL = """
 SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 29, 4)) AS BIGINT) % 1000 < 100
             THEN 'test' ELSE 'train' END AS split,
-       COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+       COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents
 GROUP BY 1
 ORDER BY split

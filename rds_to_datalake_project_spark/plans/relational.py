@@ -617,7 +617,7 @@ def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RANGE_JOIN_SQL = """
-SELECT w_id, COUNT(*) AS n_shipped, SUM(l_orderkey) AS sum_orderkey
+SELECT w_id, COUNT(*) AS n_shipped, CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey
 FROM (SELECT o_orderkey AS w_id, o_orderdate AS w_start,
              o_orderdate + INTERVAL 3 DAY AS w_end
       FROM orders WHERE o_orderkey % 997 = 0) w
