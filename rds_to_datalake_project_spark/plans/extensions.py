@@ -283,7 +283,14 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → fixed-dim features via mapInPandas
     (operators/multimodal.py). The decode kernel is the deterministic
-    stub; schema/batching/pruning are the real engine path."""
+    stub; schema/batching/pruning are the real engine path.
+
+    The declared projection posexplodes the vector and recovers the
+    stub's integer byte-histogram accumulator ``acc_j = feature_j *
+    255 * n_bytes`` (exact: acc ≤ 255·len(text) ≪ 2^24, so the
+    float32 round-trip is within 0.02 of the integer) — giving the
+    harness a hashable, integer-exact row shape instead of an
+    array<float> column."""
     from rds_to_datalake_project_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
@@ -291,7 +298,46 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
-    return extract_features(media, dim=8).orderBy("media_id")
+    feats = extract_features(media, dim=8)
+    meta = media.select("media_id", "n_bytes")
+    return (
+        feats.select(
+            "media_id",
+            "mime",
+            "feat_dim",
+            F.posexplode("features").alias("j", "feature"),
+        )
+        .join(F.broadcast(meta), "media_id")
+        .select(
+            "media_id",
+            "mime",
+            "feat_dim",
+            "j",
+            F.round(F.col("feature").cast("double") * 255.0 * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("acc"),
+        )
+        .orderBy("media_id", "j")
+    )
+
+
+# The stub feature is acc_j/(255·n) where acc_j sums bytes at positions
+# ≡ j (mod 8); documents.text is pure ASCII (verified), so DuckDB char
+# positions equal byte positions and the accumulator is reproducible
+# with string ops alone.
+MEDIA_FEATURES_SQL = """
+SELECT d.doc_id AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS mime,
+       8 AS feat_dim,
+       CAST(u.j AS INTEGER) AS j,
+       CAST(COALESCE(list_sum(list_transform(
+                generate_series(CAST(u.j AS INTEGER) + 1, length(d.text), 8),
+                i -> ord(substr(d.text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT) AS acc
+FROM documents d, unnest(generate_series(0, 7)) AS u(j)
+ORDER BY media_id, j
+"""
 
 
 def video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +351,21 @@ def video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=60_000, max_frames=8).orderBy(
         "media_id", "frame_ts_ms"
     )
+
+
+# frame timestamps are pure integer arithmetic over the synthesized
+# metadata (duration_ms = doc_id % 600000) — fully SQL-expressible.
+# `//` matches Spark's double-division + cast-to-int truncation.
+VIDEO_FRAME_SQL = """
+SELECT d.doc_id AS media_id,
+       'video/mp4' AS mime,
+       CAST(u.i * 60000 AS INTEGER) AS frame_ts_ms
+FROM documents d,
+     unnest(generate_series(
+         0, least((d.doc_id % 600000) // 60000, 7))) AS u(i)
+WHERE d.doc_id % 3 = 2
+ORDER BY media_id, frame_ts_ms
+"""
 
 
 # --- IVF two-stage ANN (coarse quantize + probe) ------------------------------
@@ -571,6 +632,8 @@ ORACLES = {
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,
     "jaccard_allpairs_sample": JACCARD_ALLPAIRS_SQL,
+    "media_feature_extract": MEDIA_FEATURES_SQL,
+    "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,
     "train_test_split_counts": SPLIT_SQL,
 }
