@@ -92,7 +92,40 @@ def register_lake_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     Equivalent of the reference's hive_sync after a Hudi write
     (initial_load.py:168-174): after this, ``SELECT ... FROM name``
     works. Partition discovery is Spark's built-in directory listing.
+    Session-scoped; for catalog-persistent registration use
+    ``sync_lake_table``.
     """
     df = spark.read.parquet(path)
     df.createOrReplaceTempView(name)
     return df
+
+
+def sync_lake_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    partitioned: bool = True,
+    database: str = "default",
+) -> None:
+    """Persist a lake-table directory in the shared catalog
+    (hive_sync proper: reference glue_jobs/initial_load.py:168-174,
+    rds_to_datalake/glue_catalog.py:6-98).
+
+    Creates an EXTERNAL datasource table (``CREATE TABLE ... USING
+    parquet LOCATION``) — visible to every session of the catalog
+    (``spark.newSession()`` here; a Hive/Glue metastore in
+    production), unlike the temp view from ``register_lake_table``.
+    Idempotent: call after every write, like the reference re-syncs
+    after each Hudi commit; ``MSCK REPAIR`` picks up partitions added
+    since the last sync without listing data files.
+    """
+    # Qualified name: a session temp view with the same name (e.g.
+    # from register_lake_table) would otherwise shadow the catalog
+    # table during resolution.
+    qname = f"`{database}`.`{name}`"
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {qname} USING parquet LOCATION '{path}'")
+    if partitioned:
+        # Recover partitions added by writes since the last sync.
+        spark.sql(f"MSCK REPAIR TABLE {qname}")
+    # Invalidate cached file listings from reads before this sync.
+    spark.sql(f"REFRESH TABLE {qname}")

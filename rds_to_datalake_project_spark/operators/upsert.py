@@ -96,7 +96,19 @@ class KeyedTable:
         # the table schema (missing columns read as null).
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
-    def register(self, name: str | None = None) -> DataFrame:
+    def register(self, name: str | None = None, persistent: bool = False) -> DataFrame:
+        """Session temp view by default; ``persistent=True`` also
+        hive-syncs an external table into the shared catalog
+        (catalog.sync_lake_table) so other sessions see it."""
+        if persistent:
+            from rds_to_datalake_project_spark.catalog import sync_lake_table
+
+            sync_lake_table(
+                self.spark,
+                name or self.spec.name,
+                self.path,
+                partitioned=bool(self.partition_cols),
+            )
         df = self.read()
         df.createOrReplaceTempView(name or self.spec.name)
         return df
@@ -161,22 +173,17 @@ class KeyedTable:
             ]
             if not touched:
                 return
-            # OR-of-AND equality predicate on partition columns —
-            # Catalyst turns this into partition pruning (no data read
-            # outside touched partitions).
-            from functools import reduce
-
-            pred = reduce(
-                lambda a, b: a | b,
-                [
-                    reduce(
-                        lambda a, b: a & b,
-                        [F.col(c) == v for c, v in zip(self.partition_cols, t)],
-                    )
-                    for t in touched
-                ],
+            # Single IN predicate on a synthesized partition key: the
+            # expression references only partition columns, so Catalyst
+            # classifies it as a partition filter (no data read outside
+            # touched partitions), and — unlike an OR-of-AND per tuple —
+            # the expression tree stays O(1) deep at any partition
+            # count; >10 values become an InSet hash lookup.
+            existing = existing.filter(
+                self._partition_key_col().isin(
+                    [self._partition_key_value(t) for t in touched]
+                )
             )
-            existing = existing.filter(pred)
 
         # Align CDC envelope across both sides; allowMissingColumns
         # gives additive schema evolution (new CDC columns arrive as
@@ -198,15 +205,28 @@ class KeyedTable:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.path)
-        if self.partition_cols:
+        if self.partition_cols and delete_mode == "apply":
             # Dynamic overwrite cannot erase a partition whose merged
             # output is empty (all rows deleted) — drop those dirs.
+            # Only deletes can empty a partition, so under "ignore"
+            # every touched partition still has rows and this extra
+            # job (cheap — it reads the localCheckpoint) is skipped.
             remaining = {
                 tuple(r)
                 for r in merged.select(*self.partition_cols).distinct().collect()
             }
             for t in set(touched) - remaining:
                 self._delete_partition_dir(t)
+
+    def _partition_key_col(self):
+        """Partition tuple → one string column (for IN-set pruning)."""
+        return F.concat_ws(
+            "/", *[F.col(c).cast("string") for c in self.partition_cols]
+        )
+
+    @staticmethod
+    def _partition_key_value(values: tuple) -> str:
+        return "/".join(str(v) for v in values)
 
     def vacuum_partitions(self, keep_predicate) -> int:
         """Retention: drop whole partitions whose values fail
