@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rds_to_datalake_project_spark.operators.fanout import fan_out
+
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct) of whitespace-normalized,
@@ -77,10 +79,11 @@ def lsh_candidate_pairs(
     Output: distinct (a_id, b_id) with a_id < b_id.
     """
     rows_per_band = num_hashes // bands
-    # Fan out before the expensive map stage: a corpus read from few
-    # files would otherwise compute every signature in a handful of
-    # tasks (observed: 1-task stages on a 32-core local run).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Conditional fan-out before the expensive map stage: a corpus
+    # read from few files would otherwise compute every signature in a
+    # handful of tasks; an already-well-split 100 TB scan is passed
+    # through with no shuffle.
+    df = fan_out(df)
     # Stage the signature as a real column, then band it with one
     # nested HOF — each stage's expression appears exactly once in the
     # plan (vs. bands× copies if the per-band structs inlined it).
@@ -141,7 +144,7 @@ def ngram_jaccard_pairs(
     it scores all ordered pairs (test scale only). Jaccard is computed
     with exact integer set cardinalities — cross-engine stable.
     """
-    docs = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    docs = fan_out(df).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
     )
     if pairs is None:

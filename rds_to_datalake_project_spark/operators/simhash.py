@@ -78,9 +78,12 @@ def simhash_buckets(
     """
     bits = 64 // bands
     fp = simhash64(text_col)
-    # Fan out before the fingerprint map stage (few input files would
-    # otherwise serialize the whole corpus through a few tasks).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Conditional fan-out before the fingerprint map stage (few input
+    # files would otherwise serialize the corpus through a few tasks;
+    # a well-split scan passes through shuffle-free).
+    from rds_to_datalake_project_spark.operators.fanout import fan_out
+
+    df = fan_out(df)
     df = df.select(F.col(id_col), fp.alias("simhash"))
     # One HOF over band indices — parallel per-band structs would let
     # CollapseProject inline `bands` copies of the simhash tree.

@@ -97,3 +97,36 @@ def test_keyed_table_partition_pruning(spark, tmp_path):
     # partition filters present on the scan, not a post-scan Filter
     assert "PartitionFilters" in plan and "create_month" in plan.split("PartitionFilters")[1][:200]
     assert pruned.count() == 10
+
+
+def test_fan_out_is_conditional(spark):
+    """fan_out must insert a RoundRobin Exchange only when the input is
+    under-partitioned; a well-split input passes through shuffle-free
+    (the 100 TB path must not pay a full-corpus repartition)."""
+    from rds_to_datalake_project_spark.operators.fanout import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    few = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4)
+
+    fanned = fan_out(few)
+    assert fanned.rdd.getNumPartitions() == par
+    assert "Exchange RoundRobinPartitioning" in (
+        fanned._jdf.queryExecution().executedPlan().toString()
+    )
+
+    passed = fan_out(wide)
+    # identical frame back — no new Exchange layered on top
+    assert passed is wide
+
+
+def test_lsh_banding_no_repartition_on_wide_input(spark, tables):
+    """End-to-end: lsh_candidate_pairs over an already-well-partitioned
+    corpus must not add a RoundRobin shuffle before the signature map."""
+    from rds_to_datalake_project_spark.operators.minhash import lsh_candidate_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    docs = tables["documents"].repartition(par).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(docs)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
