@@ -6,8 +6,10 @@ Reproduces the reference CDCTracker's well-specified semantics
 
 - per-table high-watermark commit timestamp (``last_processed``)
 - bounded batch: at most ``max_files`` CDC files per run (:98)
-- idle advance: when no files are pending, the watermark may advance
-  by at most ``max_interval`` so discovery stays O(recent) (:154-161)
+- idle advance (opt-in via ``max_interval``): when no files are
+  pending, the watermark anchors to ``now - max_interval`` so
+  discovery stays O(recent) on quiet tables (:154-161; see
+  ``plan_batch`` for why the formula differs)
 - serialized runs: a ``running`` flag refuses concurrent starts (:381)
 
 One deliberate divergence (SURVEY.md §7.4 / ST10): the reference
@@ -25,7 +27,7 @@ import os
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,7 +62,10 @@ class CDCTracker:
 
     path: str
     max_files: int = 2
-    max_interval: timedelta = timedelta(hours=1)
+    # None disables the idle watermark advance — the safe default for
+    # historical backfills/replays, where jumping the watermark toward
+    # wall-now would skip files with old encoded commit times.
+    max_interval: timedelta | None = None
     tables: dict[str, TableState] = field(default_factory=dict)
     running: bool = False
 
@@ -69,10 +74,15 @@ class CDCTracker:
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
+            interval_s = d.get("max_interval_s")
             return cls(
                 path=path,
                 max_files=d.get("max_files", kwargs.get("max_files", 2)),
-                max_interval=timedelta(seconds=d.get("max_interval_s", 3600)),
+                max_interval=(
+                    timedelta(seconds=interval_s)
+                    if interval_s is not None
+                    else kwargs.get("max_interval")
+                ),
                 tables={k: TableState.from_dict(v) for k, v in d["tables"].items()},
                 running=d.get("running", False),
             )
@@ -81,7 +91,11 @@ class CDCTracker:
     def save(self) -> None:
         d = {
             "max_files": self.max_files,
-            "max_interval_s": int(self.max_interval.total_seconds()),
+            "max_interval_s": (
+                int(self.max_interval.total_seconds())
+                if self.max_interval is not None
+                else None
+            ),
             "tables": {k: v.to_dict() for k, v in self.tables.items()},
             "running": self.running,
         }
@@ -95,13 +109,26 @@ class CDCTracker:
 
     # -- batch planning (get_todo twin, :129-161) ----------------------------
 
-    def plan_batch(self, table: str, cdc_dir: str) -> tuple[list[str], datetime | None]:
+    def plan_batch(
+        self, table: str, cdc_dir: str, now: datetime | None = None
+    ) -> tuple[list[str], datetime | None]:
         """Files to process next for ``table`` and the watermark value
         to commit on success.
 
         Bounded to ``max_files`` oldest-first; next watermark = max
-        encoded commit time of the chosen files, or ``last +
-        max_interval`` (capped at the latest file boundary) when idle.
+        encoded commit time of the chosen files. When no files are
+        pending, the returned idle watermark is ``now - max_interval``
+        (None if that wouldn't advance): committing it keeps quiet
+        tables' discovery anchored near the present instead of
+        re-filtering the full history every tick, while the
+        ``max_interval`` safety margin means a file whose encoded
+        commit time lags its arrival by less than ``max_interval`` is
+        never skipped. The reference instead sweeps ``last +
+        max_interval`` per tick with an effectively infinite default
+        (incremental_load_orchestration.py:97,154-161) — which can
+        jump the watermark past files that have not arrived yet; this
+        engine keeps its O(recent)-discovery purpose without that
+        loss mode (same posture as the ST10 commit-on-success fix).
         """
         from rds_to_datalake_project_spark.sources.cdc import decode_commit_ts
 
@@ -109,7 +136,12 @@ class CDCTracker:
         files = discover_cdc_files(cdc_dir, after=st.last_processed)
         files = files[: self.max_files]
         if not files:
-            return [], None
+            if self.max_interval is None:
+                return [], None
+            if now is None:
+                now = datetime.now(timezone.utc).replace(tzinfo=None)
+            idle_wm = now - self.max_interval
+            return [], (idle_wm if idle_wm > st.last_processed else None)
         next_wm = max(t for t in (decode_commit_ts(f) for f in files) if t is not None)
         return files, next_wm
 
@@ -118,6 +150,15 @@ class CDCTracker:
         st = self.state(table)
         st.last_processed = watermark
         st.n_batches += 1
+        self.save()
+
+    def commit_idle(self, table: str, watermark: datetime) -> None:
+        """Advance the watermark over an empty window (no batch ran, so
+        ``n_batches`` is untouched). Never move past files that exist:
+        callers pass the ``plan_batch`` idle watermark, whose window
+        was just verified empty."""
+        st = self.state(table)
+        st.last_processed = max(st.last_processed, watermark)
         self.save()
 
 
@@ -142,6 +183,10 @@ def run_incremental_once(
     try:
         files, next_wm = tracker.plan_batch(table.spec.name, cdc_dir)
         if not files:
+            if next_wm is not None:
+                # Idle advance: keep discovery O(recent window), not
+                # O(full history), on quiet tables.
+                tracker.commit_idle(table.spec.name, next_wm)
             return 0
         batch = read_cdc_files(spark, files, schema=table.spec.schema, fmt=fmt)
         if batch_fn is not None:

@@ -6,7 +6,7 @@ and windowed event counts (ST8)."""
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 import pytest
@@ -236,3 +236,40 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     # batch fallback
     batch = spark.createDataFrame(rows, schema)
     assert dedup_stream(batch, keys=("k",)).count() == 2
+
+
+def test_tracker_idle_advance(spark, tmp_path, table):
+    """Opt-in idle advance: an idle tick anchors the watermark at
+    now - max_interval so quiet-table discovery stays O(recent), but
+    never past files that could still arrive inside the margin."""
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0", "I")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"),
+                              max_interval=timedelta(hours=1))
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 1
+
+    # idle tick: watermark anchors to now - max_interval
+    now = datetime(2024, 1, 2, 12, 0, 0)
+    files, idle_wm = tracker.plan_batch("t", cdc_dir, now=now)
+    assert files == [] and idle_wm == datetime(2024, 1, 2, 11, 0, 0)
+    tracker.commit_idle("t", idle_wm)
+    assert tracker.state("t").last_processed == idle_wm
+    assert tracker.state("t").n_batches == 1  # idle ticks aren't batches
+
+    # a file inside the safety margin (commit ts > now - interval) is
+    # still discovered on the next tick
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 2, 11, 30, 0),
+                    [_row("b", "2024-01-02", "2024-01-02", "b0", "I")])
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 1
+    assert {r.id: r.val for r in table.read().collect()} == {"a": "a0", "b": "b0"}
+
+    # idle ticks never regress the watermark
+    files, idle_wm = tracker.plan_batch("t", cdc_dir, now=now)
+    assert files == [] and idle_wm is None
+
+    # default (max_interval=None): idle ticks never move the watermark
+    t2 = CDCTracker.load(str(tmp_path / "t2.json"))
+    t2.state("t").last_processed = datetime(2024, 1, 1)
+    files, idle_wm = t2.plan_batch("t", str(tmp_path / "empty"))
+    assert files == [] and idle_wm is None
