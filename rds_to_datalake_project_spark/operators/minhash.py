@@ -31,10 +31,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # Guard k < 1 (text shorter than n tokens): sequence(0, k-1) would
+    # count DOWN (Spark infers step -1) and slice(toks, 0, n) errors.
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.slice(toks, 1, 0))  # typed empty array<string>
     return F.array_distinct(grams)
 
 
