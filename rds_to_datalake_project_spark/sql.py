@@ -9,6 +9,9 @@ and "UNLOAD to parquet" is just ``df.write.parquet``.
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -16,10 +19,47 @@ def run_query(spark: SparkSession, sql: str, cache: bool = False) -> DataFrame:
     """Arbitrary SQL over registered tables (athena.py:16-64 equivalent).
 
     ``cache=True`` is the engine's analog of Athena result-reuse
-    (vendor/aws_athena.py:75-82).
+    (vendor/aws_athena.py:75-82); for the reference's max-age
+    semantics use ``ResultCache``.
     """
     df = spark.sql(sql)
     return df.cache() if cache else df
+
+
+@dataclass
+class ResultCache:
+    """Athena result-reuse with TTL (vendor/aws_athena.py:75-82):
+    an identical query string within ``max_age_s`` returns the cached
+    (memory/disk-persisted) result instead of re-executing; stale
+    entries are unpersisted and re-run.
+
+    Scale note: entries hold Spark storage, not driver memory — the
+    DataFrame is persisted on executors, so a cached 1 TB result costs
+    the driver only the plan object.
+    """
+
+    max_age_s: float = 300.0
+    _entries: dict[str, tuple[float, DataFrame]] = field(default_factory=dict)
+
+    def get_or_run(
+        self, spark: SparkSession, sql: str, now: float | None = None
+    ) -> tuple[DataFrame, bool]:
+        """Returns (result, reused)."""
+        now = time.monotonic() if now is None else now
+        hit = self._entries.get(sql)
+        if hit is not None:
+            born, df = hit
+            if now - born <= self.max_age_s:
+                return df, True
+            df.unpersist()
+        df = spark.sql(sql).cache()
+        self._entries[sql] = (now, df)
+        return df, False
+
+    def clear(self) -> None:
+        for _, df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
 
 
 def preview_table(spark: SparkSession, table: str, n: int = 10) -> tuple[DataFrame, int]:

@@ -1,0 +1,83 @@
+"""SQL facade sinks and result reuse: UNLOAD roundtrips for every
+format (S11 CSV, S13 parquet export, JSON) and the Athena
+result-reuse TTL analog (vendor/aws_athena.py:27-116)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rds_to_datalake_project_spark.sql import ResultCache, unload_query
+
+SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(tables):
+    return tables
+
+
+def _expected(spark):
+    return {
+        (r.o_orderpriority, r.n, round(r.total, 2))
+        for r in spark.sql(SQL).collect()
+    }
+
+
+def test_unload_parquet_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out_parquet")
+    unload_query(spark, SQL, out, fmt="parquet")
+    back = spark.read.parquet(out)
+    assert {
+        (r.o_orderpriority, r.n, round(r.total, 2)) for r in back.collect()
+    } == _expected(spark)
+    assert [f.name for f in back.schema.fields] == ["o_orderpriority", "n", "total"]
+
+
+def test_unload_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out_csv")
+    unload_query(spark, SQL, out, fmt="csv")
+    # header on, values re-parsed from text
+    back = spark.read.option("header", True).csv(out)
+    got = {
+        (r.o_orderpriority, int(r.n), round(float(r.total), 2))
+        for r in back.collect()
+    }
+    assert got == _expected(spark)
+
+
+def test_unload_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out_json")
+    unload_query(spark, SQL, out, fmt="json")
+    back = spark.read.json(out)
+    got = {
+        (r.o_orderpriority, int(r.n), round(float(r.total), 2))
+        for r in back.collect()
+    }
+    assert got == _expected(spark)
+
+
+def test_unload_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported unload format"):
+        unload_query(spark, SQL, str(tmp_path / "x"), fmt="orc2")
+
+
+def test_result_cache_ttl(spark):
+    cache = ResultCache(max_age_s=60)
+    try:
+        df1, reused1 = cache.get_or_run(spark, SQL, now=0.0)
+        assert not reused1
+        df2, reused2 = cache.get_or_run(spark, SQL, now=30.0)
+        assert reused2 and df2 is df1
+        # stale: past the TTL the entry is dropped and re-run
+        df3, reused3 = cache.get_or_run(spark, SQL, now=120.0)
+        assert not reused3 and df3 is not df1
+        # different query text is a different cache key
+        _, reused4 = cache.get_or_run(spark, SQL + " ORDER BY n", now=121.0)
+        assert not reused4
+    finally:
+        cache.clear()
