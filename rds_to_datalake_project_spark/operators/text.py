@@ -102,6 +102,59 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", F.when(F.array_max(pairs)["s"] > 0, best_lang).otherwise(F.lit("unknown")))
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals for corpus filtering:
+
+    - ``q_dup_line_ratio``: 1 - distinct/total over newline-split lines
+      (boilerplate and scraped-nav detector)
+    - ``q_distinct_token_ratio``: distinct/total whitespace tokens
+      (low = loops, keyword stuffing)
+    - ``q_top_bigram_count`` / ``q_n_bigrams`` / ``q_top_bigram_ratio``:
+      occurrences of the most frequent word 2-gram over total 2-grams
+      (the classic "most common n-gram fraction" rule)
+
+    All pure array expressions: the top-bigram pass is O(distinct x
+    total) per row — bounded by document length, zero shuffles, and
+    stays inside whole-stage codegen. Ratios divide exact integer
+    counts, so the DuckDB twin is bit-identical.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    k = F.size(toks) - 1
+    bigrams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+        )
+    )
+    df = df.select(
+        "*",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+        ).alias("q_dup_line_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "q_distinct_token_ratio"
+        ),
+        F.coalesce(top_count, F.lit(0)).cast("long").alias("q_top_bigram_count"),
+        F.size(bigrams).cast("long").alias("q_n_bigrams"),
+    )
+    return df.withColumn(
+        "q_top_bigram_ratio",
+        F.col("q_top_bigram_count").cast("double")
+        / F.nullif(F.col("q_n_bigrams"), F.lit(0)),
+    )
+
+
 ROLL_BASE = 131
 ROLL_MOD = 2_147_483_647  # 2^31-1: products stay < 2^39, exact in int64
 

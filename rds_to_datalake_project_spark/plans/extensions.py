@@ -113,6 +113,57 @@ ORDER BY doc_id
 
 # --- language identification ------------------------------------------------------
 
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition filters over documents
+    (operators/text.py:repetition_metrics)."""
+    from rds_to_datalake_project_spark.operators.text import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        repetition_metrics(docs)
+        .select(
+            "doc_id",
+            "q_dup_line_ratio",
+            "q_distinct_token_ratio",
+            "q_top_bigram_count",
+            "q_n_bigrams",
+            "q_top_bigram_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Ratios divide exact integer counts → IEEE-identical across engines.
+# DuckDB lists are 1-indexed; toks[i]||' '||toks[i+1] mirrors Spark's
+# slice(toks, i+1, 2) bigram.
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])
+         ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id,
+       1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS q_dup_line_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS q_distinct_token_ratio,
+       CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+                d -> len(list_filter(bg, x -> x = d)))), 0) AS BIGINT) AS q_top_bigram_count,
+       CAST(len(bg) AS BIGINT) AS q_n_bigrams,
+       CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+                d -> len(list_filter(bg, x -> x = d)))), 0) AS DOUBLE)
+         / NULLIF(len(bg), 0) AS q_top_bigram_ratio
+FROM b
+ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = language_id(docs)
@@ -598,6 +649,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
+    "repetition_quality": repetition_quality,
     "lang_id": lang_id,
     "token_count_by_source": token_count_by_source,
     "ann_topk_cosine": ann_topk_cosine,
@@ -624,6 +676,7 @@ ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "repetition_quality": REPETITION_SQL,
     "lang_id": LANG_ID_SQL,
     "token_count_by_source": TOKEN_COUNT_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,

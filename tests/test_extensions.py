@@ -186,3 +186,35 @@ def test_ivf_training_separates_clusters(spark):
     cells = {r.true_cluster: r.ivf_cell for r in
              joined.select("true_cluster", "ivf_cell").distinct().collect()}
     assert len(set(cells.values())) == 3
+
+
+def test_repetition_metrics_values(spark):
+    from rds_to_datalake_project_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, one duplicated; "spam spam" bigram dominates
+            (1, "spam spam spam spam\nham\nham\neggs"),
+            (2, "all words here are completely distinct tokens"),
+            (3, "one"),  # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+
+    r1 = got[1]
+    assert r1.q_dup_line_ratio == pytest.approx(1 - 3 / 4)
+    # tokens: spam x4 ham ham eggs -> 3 distinct / 7
+    assert r1.q_distinct_token_ratio == pytest.approx(3 / 7)
+    # bigrams: 3x "spam spam", "spam ham", "ham ham", "ham eggs" -> 6 total
+    assert r1.q_top_bigram_count == 3 and r1.q_n_bigrams == 6
+    assert r1.q_top_bigram_ratio == pytest.approx(0.5)
+
+    r2 = got[2]
+    assert r2.q_dup_line_ratio == 0.0
+    assert r2.q_distinct_token_ratio == 1.0
+    assert r2.q_top_bigram_count == 1
+
+    r3 = got[3]
+    assert r3.q_n_bigrams == 0 and r3.q_top_bigram_count == 0
+    assert r3.q_top_bigram_ratio is None  # 0/0 -> null, filterable
