@@ -297,6 +297,55 @@ ORDER BY a_id, b_id
 """
 
 
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global duplicate groups: connected components (iterative
+    min-label propagation + pointer jumping, operators/components.py)
+    over the oracle-checked cosine near-dup pair graph."""
+    from rds_to_datalake_project_spark.operators.components import (
+        connected_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_blocked(emb, block_col="label", threshold=0.25)
+    comp = connected_components(pairs.select("a_id", "b_id"))
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("comp").cast("long").alias("comp"),
+    ).orderBy("id")
+
+
+# Transitive closure via recursive CTE: comp = MIN over the reachable
+# set — the same canonical label the Spark pointer-jumping loop
+# converges to, so the two engines agree exactly.
+NEARDUP_COMPONENTS_SQL = """
+WITH RECURSIVE q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+        / sqrt(
+            CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * a.qv[i])) AS DOUBLE)
+          * CAST(list_sum(list_transform(range(1, len(b.qv) + 1), i -> b.qv[i] * b.qv[i])) AS DOUBLE)
+          ) > 0.25
+), sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM sym GROUP BY src
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS comp
+FROM reach
+GROUP BY id
+ORDER BY id
+"""
+
+
 # --- fuzzy dedup (rows-only driver checks; semantics pinned in unit tests) --------------
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +703,7 @@ QUERIES = {
     "token_count_by_source": token_count_by_source,
     "ann_topk_cosine": ann_topk_cosine,
     "neardup_cosine_pairs": neardup_cosine_pairs,
+    "neardup_components": neardup_components,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "minhash_neardup": minhash_neardup,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -681,6 +731,7 @@ ORACLES = {
     "token_count_by_source": TOKEN_COUNT_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
+    "neardup_components": NEARDUP_COMPONENTS_SQL,
     "commit_key_codec": COMMIT_KEY_SQL,
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,

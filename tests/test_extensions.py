@@ -218,3 +218,41 @@ def test_repetition_metrics_values(spark):
     r3 = got[3]
     assert r3.q_n_bigrams == 0 and r3.q_top_bigram_count == 0
     assert r3.q_top_bigram_ratio is None  # 0/0 -> null, filterable
+
+
+def test_connected_components_planted_graph(spark):
+    from rds_to_datalake_project_spark.operators.components import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    # chain 1-2-3-4, clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_by_components(docs, edges).collect()}
+    # one representative (min id) per group; non-edge doc 99 untouched
+    assert kept == {1, 10, 20, 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must close a 64-node path well inside the round
+    budget (O(log n), not O(n) propagation)."""
+    from rds_to_datalake_project_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    comp = connected_components(edges, max_rounds=10).collect()
+    assert {r.comp for r in comp} == {0}
+    assert len(comp) == 64
