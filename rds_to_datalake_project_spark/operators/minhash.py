@@ -182,13 +182,24 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    transitive: bool = False,
 ) -> DataFrame:
     """Full fuzzy-dedup: keep one representative (min id) per
-    near-duplicate group. Groups = connected candidates verified at
-    ``threshold`` (single-hop union: the min-id representative absorbs
-    its verified duplicates; good corpus-dedup approximation without
-    an iterative connected-components pass)."""
+    near-duplicate group.
+
+    ``transitive=False`` (default): single-hop union — the min-id
+    representative absorbs its verified duplicates; no iteration, good
+    corpus-dedup approximation. ``transitive=True``: proper connected
+    components over the verified pair graph
+    (operators/components.py), so chains A~B~C collapse to one
+    representative even when A and C are not directly similar."""
     cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
     verified = ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    if transitive:
+        from rds_to_datalake_project_spark.operators.components import (
+            dedup_by_components,
+        )
+
+        return dedup_by_components(df, verified, id_col)
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

@@ -102,6 +102,36 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", F.when(F.array_max(pairs)["s"] > 0, best_lang).otherwise(F.lit("unknown")))
 
 
+# (name, pattern, replacement) — applied in order; IPs are redacted
+# before phones so the phone class ([\d\- ]) cannot absorb them.
+# Patterns stick to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB twin): classes, non-capturing groups, \b.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", suffix: str = "_scrubbed"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs and count matches
+    per category (standard pre-training scrub pass). Pure regex column
+    expressions — codegen'd, no shuffle, scan-speed over a corpus.
+    Counts are over the original text; redaction applies the rules in
+    ``PII_RULES`` order."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    scrubbed = t
+    for _, pat, tok in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return df.select("*", *counts, scrubbed.alias(text_col + suffix))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/RefinedWeb-style repetition signals for corpus filtering:
 

@@ -164,6 +164,59 @@ ORDER BY doc_id
 """
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + scrubbed-text digest over documents with
+    deterministic planted PII (email/phone/IP derived from doc_id), so
+    the scrub path is exercised on every row regardless of corpus
+    content (operators/text.py:scrub_pii)."""
+    from rds_to_datalake_project_spark.operators.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text_scrubbed").cast("binary")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-000-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{7,}\\d')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')) AS scrub_md5
+FROM planted
+ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = language_id(docs)
@@ -699,6 +752,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
+    "pii_scrub": pii_scrub,
     "lang_id": lang_id,
     "token_count_by_source": token_count_by_source,
     "ann_topk_cosine": ann_topk_cosine,
@@ -727,6 +781,7 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
     "lang_id": LANG_ID_SQL,
     "token_count_by_source": TOKEN_COUNT_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,

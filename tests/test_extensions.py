@@ -256,3 +256,46 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges, max_rounds=10).collect()
     assert {r.comp for r in comp} == {0}
     assert len(comp) == 64
+
+
+def test_scrub_pii_planted(spark):
+    from rds_to_datalake_project_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.1 and call +44 20-7946-0958 today"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].n_email == 1 and got[1].text_scrubbed == "mail <EMAIL> now"
+    assert got[2].n_ipv4 == 1 and got[2].n_phone == 1
+    assert got[2].text_scrubbed == "server <IP> and call <PHONE> today"
+    assert got[3].text_scrubbed == "clean text with no identifiers"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+
+
+def test_minhash_dedup_transitive_mode(spark):
+    from rds_to_datalake_project_spark.operators.minhash import minhash_dedup
+
+    # A~B and B~C are near-dups; A~C differs in two places so the
+    # chain only collapses fully under transitive components
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("kappa", "lambda")),
+            (3, base.replace("kappa", "lambda").replace("alpha", "omega")),
+            (4, "completely different text about spark engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in minhash_dedup(
+            docs, bands=32, threshold=0.5, transitive=True
+        ).collect()
+    }
+    assert 1 in kept and 4 in kept and 2 not in kept
