@@ -118,30 +118,42 @@ def assign_ivf_cells(
 
     ``centroids`` is a small driver-side list (k-means or sampled) —
     embedded as a literal array and evaluated map-only per row.
+
+    Distances are exact integer sums over QUANTIZED vectors (same
+    fixed-point scheme as the cosine kernel): (qx-qc)² ≤ 4e12 per dim,
+    ×dim well inside int64 — so the assignment is bit-identical across
+    engines/partitionings and DuckDB-oracle-able. Ties take the first
+    (lowest-index) centroid in ``centroids`` order, matching an
+    ``ORDER BY dist, cid`` twin when centroids are passed cid-ascending.
     """
     cents = F.array(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+                quantize(F.array(*[F.lit(float(x)) for x in vec])).alias("cvec"),
             )
             for cid, vec in centroids
         ]
     )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Stage the quantized vector as a column and score each centroid
+    # exactly once (the fold then compares ready-made (d, cid) structs)
+    # — referencing dist() inside the fold's when() would inline the
+    # distance expression 2k× per row and re-quantize per centroid.
+    staged = corpus.withColumn("__qv", quantize(vec_col))
     dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with(F.col("__qv"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    best = F.aggregate(
-        cents,
-        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")),
-        lambda acc, c: F.when(dist(c["cvec"]) < acc["d"],
-                              F.struct(dist(c["cvec"]).alias("d"), c["cid"].alias("cid"))
-                              ).otherwise(acc),
+    scored = F.transform(
+        cents, lambda c: F.struct(dist(c["cvec"]).alias("d"), c["cid"].alias("cid"))
     )
-    return corpus.select(F.col(id_col), F.col(vec_col), best["cid"].alias("ivf_cell"))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit((1 << 63) - 1).cast("long").alias("d"), F.lit(-1).alias("cid")),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )
+    return staged.select(F.col(id_col), F.col(vec_col), best["cid"].alias("ivf_cell"))
 
 
 def ivf_topk(

@@ -525,8 +525,9 @@ ORDER BY media_id, frame_ts_ms
 
 def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign cells against 4 fixed axis-aligned centroids,
-    then exact cosine over the nearest cell only (rows-only check;
-    exactness of the cosine kernel is pinned by ann_topk_cosine)."""
+    then exact cosine over the nearest cell only. Cell assignment uses
+    exact quantized-integer distances, so the full two-stage probe is
+    DuckDB-oracle-able (hash-checked as of round 2)."""
     from rds_to_datalake_project_spark.operators.similarity import (
         assign_ivf_cells,
         ivf_topk,
@@ -540,6 +541,37 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v
     cells = assign_ivf_cells(emb, centroids=[(i, axis(i)) for i in range(4)])
     return ivf_topk(cells, query_vec=axis(0), probe_cells=[0], k=10)
+
+
+# Integer-exact twin of the two-stage probe: quantized axis centroids
+# (e_i -> 1e6 at position i+1), argmin by (dist, cid) matching the
+# fold's first-wins tie-break, cosine against quantized e_0.
+IVF_PROBE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), cents AS (
+  SELECT CAST(u.cid AS INTEGER) AS cid FROM unnest(generate_series(0, 3)) AS u(cid)
+), dists AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+           i -> (q.qv[i] - CASE WHEN i = c.cid + 1 THEN 1000000 ELSE 0 END)
+              * (q.qv[i] - CASE WHEN i = c.cid + 1 THEN 1000000 ELSE 0 END))) AS d
+  FROM q, cents c
+), assigned AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dists
+)
+SELECT q.vec_id,
+       CAST(q.qv[1] * 1000000 AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i])) AS DOUBLE)
+                * CAST(1000000000000 AS DOUBLE)) AS cosine_sim
+FROM q JOIN assigned a ON q.vec_id = a.vec_id AND a.rn = 1 AND a.cid = 0
+ORDER BY cosine_sim DESC, q.vec_id
+LIMIT 10
+"""
 
 
 # --- F2/F3/F4: timestamp codec round trip -------------------------------------
@@ -787,6 +819,7 @@ ORACLES = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
     "neardup_components": NEARDUP_COMPONENTS_SQL,
+    "ivf_probe_topk": IVF_PROBE_SQL,
     "commit_key_codec": COMMIT_KEY_SQL,
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,
