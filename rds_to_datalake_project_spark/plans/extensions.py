@@ -574,6 +574,36 @@ LIMIT 10
 """
 
 
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order key over (o_custkey, o_orderkey) — the clustering
+    expression behind cluster_by_zorder (operators/zorder.py), emitted
+    per row so the bit interleave is oracle-checked end-to-end."""
+    from rds_to_datalake_project_spark.operators.zorder import morton_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    span = F.lit(1 << 16)
+    return (
+        orders.select(
+            "o_orderkey",
+            morton_key(
+                F.pmod(F.col("o_custkey").cast("long"), span),
+                F.pmod(F.col("o_orderkey").cast("long"), span),
+            ).alias("zkey"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ZORDER_SQL = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 16),
+         i -> (CAST(((o_custkey % 65536) >> CAST(i AS INTEGER)) & 1 AS BIGINT) << (2 * CAST(i AS INTEGER)))
+            + (CAST(((o_orderkey % 65536) >> CAST(i AS INTEGER)) & 1 AS BIGINT) << (2 * CAST(i AS INTEGER) + 1)))) AS BIGINT) AS zkey
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # --- F2/F3/F4: timestamp codec round trip -------------------------------------
 
 def commit_key_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +827,7 @@ QUERIES = {
     "media_feature_extract": media_feature_extract,
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
+    "zorder_key_orders": zorder_key_orders,
     "commit_key_codec": commit_key_codec,
     "profile_orders": profile_orders,
     "rolling_fingerprint": rolling_fingerprint,
@@ -820,6 +851,7 @@ ORACLES = {
     "neardup_cosine_pairs": NEARDUP_COSINE_SQL,
     "neardup_components": NEARDUP_COMPONENTS_SQL,
     "ivf_probe_topk": IVF_PROBE_SQL,
+    "zorder_key_orders": ZORDER_SQL,
     "commit_key_codec": COMMIT_KEY_SQL,
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,

@@ -299,3 +299,32 @@ def test_minhash_dedup_transitive_mode(spark):
         ).collect()
     }
     assert 1 in kept and 4 in kept and 2 not in kept
+
+
+def test_morton_key_golden_and_locality(spark):
+    from rds_to_datalake_project_spark.operators.zorder import (
+        cluster_by_zorder,
+        morton_key,
+    )
+
+    df = spark.createDataFrame(
+        [(3, 1), (5, 6), (65535, 0), (0, 65535)], "a long, b long"
+    )
+    got = [
+        r.z for r in df.select(morton_key("a", "b").alias("z")).orderBy("a").collect()
+    ]
+    # interleave: bit i of a -> 2i, of b -> 2i+1 (computed by hand)
+    assert sorted(got) == sorted([7, 57, 1431655765, 2863311530])
+
+    # locality: over a 32x32 grid, consecutive 64-row runs of the
+    # z-sorted order stay inside small squares in BOTH dimensions
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+    ).coalesce(1)
+    rows = cluster_by_zorder(grid, "x", "y").collect()
+    for c in range(0, 1024, 64):
+        chunk = rows[c : c + 64]
+        xs = [r.x for r in chunk]
+        ys = [r.y for r in chunk]
+        # a 64-cell z-block is an 8x8 square; allow the exact bound
+        assert max(xs) - min(xs) <= 7 and max(ys) - min(ys) <= 7
