@@ -8,11 +8,13 @@ from rds_to_datalake_project_spark.streaming.pipeline import (
 )
 from rds_to_datalake_project_spark.streaming.tracker import (
     CDCTracker,
+    run_incremental_all,
     run_incremental_once,
 )
 
 __all__ = [
     "CDCTracker",
+    "run_incremental_all",
     "run_incremental_once",
     "stream_cdc_to_table",
     "windowed_event_counts",

@@ -66,6 +66,13 @@ class CDCTracker:
     # historical backfills/replays, where jumping the watermark toward
     # wall-now would skip files with old encoded commit times.
     max_interval: timedelta | None = None
+    # Ingest buffering window (ST6, the reference's Lambda-side
+    # minute-partition buffer re-expressed on the consume side): defer
+    # a batch smaller than ``min_files`` until it either fills up or
+    # its oldest file is older than ``max_buffer_age`` — batching tiny
+    # CDC trickles into fewer, larger upserts without unbounded delay.
+    min_files: int = 1
+    max_buffer_age: timedelta | None = None
     tables: dict[str, TableState] = field(default_factory=dict)
     running: bool = False
 
@@ -83,6 +90,10 @@ class CDCTracker:
                     if interval_s is not None
                     else kwargs.get("max_interval")
                 ),
+                # operational knobs, not persisted state — honor the
+                # caller's values on reload
+                min_files=kwargs.get("min_files", 1),
+                max_buffer_age=kwargs.get("max_buffer_age"),
                 tables={k: TableState.from_dict(v) for k, v in d["tables"].items()},
                 running=d.get("running", False),
             )
@@ -142,6 +153,16 @@ class CDCTracker:
                 now = datetime.now(timezone.utc).replace(tzinfo=None)
             idle_wm = now - self.max_interval
             return [], (idle_wm if idle_wm > st.last_processed else None)
+        if len(files) < self.min_files and self.max_buffer_age is not None:
+            if now is None:
+                now = datetime.now(timezone.utc).replace(tzinfo=None)
+            oldest = min(
+                t for t in (decode_commit_ts(f) for f in files) if t is not None
+            )
+            if oldest > now - self.max_buffer_age:
+                # still buffering: under-filled AND younger than the
+                # age bound — defer without advancing anything
+                return [], None
         next_wm = max(t for t in (decode_commit_ts(f) for f in files) if t is not None)
         return files, next_wm
 
@@ -197,3 +218,27 @@ def run_incremental_once(
     finally:
         tracker.running = False
         tracker.save()
+
+
+def run_incremental_all(
+    spark: SparkSession,
+    tracker: CDCTracker,
+    tables: dict[str, tuple[str, KeyedTable]],
+    fmt: str = "parquet",
+    delete_mode: str = "ignore",
+) -> dict[str, int]:
+    """One orchestrator tick over EVERY table — the reference's
+    table_tracker_list shape (incremental_load_orchestration.py:205,
+    233-243: one job run drains each table's todo list). Per-table
+    watermarks commit independently, so one failing table doesn't
+    block or roll back the others; it simply retries next tick."""
+    out: dict[str, int] = {}
+    for name, (cdc_dir, table) in tables.items():
+        try:
+            out[name] = run_incremental_once(
+                spark, tracker, cdc_dir, table, fmt=fmt, delete_mode=delete_mode
+            )
+        except Exception:
+            # commit-on-success semantics make the retry safe (ST7/ST10)
+            out[name] = -1
+    return out

@@ -273,3 +273,60 @@ def test_tracker_idle_advance(spark, tmp_path, table):
     t2.state("t").last_processed = datetime(2024, 1, 1)
     files, idle_wm = t2.plan_batch("t", str(tmp_path / "empty"))
     assert files == [] and idle_wm is None
+
+
+def test_tracker_buffering_window(spark, tmp_path, table):
+    """ST6: a batch smaller than min_files is deferred until it fills
+    up or ages past max_buffer_age — never deferred forever."""
+    cdc_dir = str(tmp_path / "cdc")
+    t_file = datetime(2024, 1, 1, 10, 0, 0)
+    _write_cdc_file(spark, cdc_dir, t_file,
+                    [_row("a", "2024-01-01", "2024-01-01", "a0", "I")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"), max_files=10,
+                              min_files=2, max_buffer_age=timedelta(minutes=5))
+
+    # young + under-filled -> buffer (defer)
+    files, wm = tracker.plan_batch("t", cdc_dir, now=t_file + timedelta(minutes=1))
+    assert files == [] and wm is None
+
+    # second file arrives -> min_files met, batch released
+    _write_cdc_file(spark, cdc_dir, t_file + timedelta(minutes=2),
+                    [_row("b", "2024-01-01", "2024-01-01", "b0", "I")])
+    files, wm = tracker.plan_batch("t", cdc_dir, now=t_file + timedelta(minutes=3))
+    assert len(files) == 2
+
+    # single NEW file, never filled, but aged out -> released anyway
+    tracker.commit("t", wm)
+    _write_cdc_file(spark, cdc_dir, t_file + timedelta(minutes=10),
+                    [_row("c", "2024-01-01", "2024-01-01", "c0", "I")])
+    files, wm = tracker.plan_batch("t", cdc_dir, now=t_file + timedelta(minutes=20))
+    assert len(files) == 1
+
+    # buffering knobs survive a reload (operational config via kwargs)
+    re = CDCTracker.load(str(tmp_path / "tracker.json"), min_files=2,
+                         max_buffer_age=timedelta(minutes=5))
+    assert re.min_files == 2 and re.max_buffer_age == timedelta(minutes=5)
+
+
+def test_run_incremental_all_multi_table(spark, tmp_path):
+    """Reference table_tracker_list shape: one tick drains every table
+    with independent watermarks."""
+    from rds_to_datalake_project_spark.streaming import run_incremental_all
+
+    tables = {}
+    for name in ("t_a", "t_b"):
+        cdc_dir = str(tmp_path / f"cdc_{name}")
+        _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                        [_row(f"{name}-k", "2024-01-01", "2024-01-01", "v0", "I")])
+        spec = TableSpec(name, record_key=("id",), precombine_key="update_at",
+                         partition_source="create_at", partition_granularity="day",
+                         schema=CDC_SCHEMA)
+        tables[name] = (cdc_dir, KeyedTable(spark, str(tmp_path / name), spec))
+
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"), max_files=10)
+    got = run_incremental_all(spark, tracker, tables)
+    assert got == {"t_a": 1, "t_b": 1}
+    for name, (_, kt) in tables.items():
+        assert {r.id for r in kt.read().collect()} == {f"{name}-k"}
+    # second tick: both idle
+    assert run_incremental_all(spark, tracker, tables) == {"t_a": 0, "t_b": 0}
