@@ -7,9 +7,9 @@ ORACLES: name -> DuckDB-compatible ANSI SQL (omitted for ops with no
 
 from __future__ import annotations
 
-from rds_to_datalake_project_spark.plans import cdc, extensions, relational
+from rds_to_datalake_project_spark.plans import cdc, extensions, relational, tpch_extra
 
-QUERIES = {**relational.QUERIES, **cdc.QUERIES, **extensions.QUERIES}
-ORACLES = {**relational.ORACLES, **cdc.ORACLES, **extensions.ORACLES}
+QUERIES = {**relational.QUERIES, **cdc.QUERIES, **extensions.QUERIES, **tpch_extra.QUERIES}
+ORACLES = {**relational.ORACLES, **cdc.ORACLES, **extensions.ORACLES, **tpch_extra.ORACLES}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"

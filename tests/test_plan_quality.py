@@ -66,6 +66,33 @@ def test_partition_enrich_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_q18_single_fact_shuffle(spark):
+    """The HAVING pre-aggregation is the only wide stage: lineitem
+    shuffles once on l_orderkey; the tiny surviving key set joins back
+    to orders/customer as AQE broadcasts."""
+    df = QUERIES["q18_large_volume_customers"](spark, SF)
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_single_shuffle(spark):
+    """Scalar-subquery average broadcasts; the NOT-EXISTS anti join
+    stays narrow — only the final groupBy shuffles."""
+    df = QUERIES["q22_inactive_high_balance"](spark, SF)
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q13_two_aggregation_levels_two_shuffles(spark):
+    """Left join + per-customer count + distribution count: the join
+    side broadcasts at this SF, leaving one shuffle per aggregation
+    level and nothing else."""
+    df = QUERIES["q13_customer_distribution"](spark, SF)
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
 @pytest.mark.parametrize("qname", ["q5_region_revenue", "q10_returned_items"])
 def test_join_queries_scan_only_needed_columns(spark, qname):
     plan = _formatted_plan(QUERIES[qname](spark, SF))
