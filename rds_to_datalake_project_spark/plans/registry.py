@@ -7,9 +7,17 @@ ORACLES: name -> DuckDB-compatible ANSI SQL (omitted for ops with no
 
 from __future__ import annotations
 
-from rds_to_datalake_project_spark.plans import cdc, extensions, relational, tpch_extra
+from rds_to_datalake_project_spark.plans import (
+    cdc,
+    curation,
+    extensions,
+    relational,
+    tpch_extra,
+)
 
-QUERIES = {**relational.QUERIES, **cdc.QUERIES, **extensions.QUERIES, **tpch_extra.QUERIES}
-ORACLES = {**relational.ORACLES, **cdc.ORACLES, **extensions.ORACLES, **tpch_extra.ORACLES}
+_MODULES = (relational, cdc, extensions, tpch_extra, curation)
+
+QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
+ORACLES = {k: v for m in _MODULES for k, v in m.ORACLES.items()}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"
