@@ -58,6 +58,10 @@ class RollupTable:
                 partition_granularity=None,
             ),
         )
+        # Last refresh sequence issued BY THIS INSTANCE — saves the
+        # read-aggregate-collect job on every refresh. None = unknown
+        # (fresh handle on an existing table → one catch-up read).
+        self._seq: int | None = None
 
     # -- aggregation kernel ----------------------------------------------------
 
@@ -78,6 +82,7 @@ class RollupTable:
 
     def full_refresh(self, events: DataFrame) -> None:
         self.table.initial_load(self._aggregate(events, 0))
+        self._seq = 0
 
     def incremental_refresh(self, all_events: DataFrame, new_events: DataFrame) -> None:
         """Recompute only buckets present in ``new_events``.
@@ -99,8 +104,11 @@ class RollupTable:
         )
         seq = self._next_seq()
         self.table.upsert(self._aggregate(slice_df, seq))
+        self._seq = seq
 
     def _next_seq(self) -> int:
+        if self._seq is not None:
+            return self._seq + 1
         if not self.table.exists():
             return 1
         row = self.table.read().agg(F.max("__refresh_seq")).collect()[0][0]

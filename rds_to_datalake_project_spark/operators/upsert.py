@@ -23,17 +23,23 @@ Physical strategy (scale-first):
   changes), so a key can never move between partitions.
 - Merge input is minimized by pre-deduping the batch (reference
   incremental.py:172-183 does the same before handing Hudi the batch).
-- ``localCheckpoint`` materializes the merged partitions before the
-  overwrite (Spark refuses to overwrite a path it is reading from
-  lazily). On a production cluster you'd stage to a commit-protocol
-  table format (Delta/Iceberg); partition-level overwrite here is
-  idempotent-but-not-atomic, which matches the reference's Hudi-COW
-  crash posture of "re-run the batch" (idempotent upsert, ST7).
+- The merge is committed write-audit-publish style: the merged
+  partitions are written ONCE to a hidden ``.staging-*`` directory
+  inside the table (so Spark never overwrites a path it is lazily
+  reading), then published by per-partition directory swaps — pure
+  filesystem metadata operations, no second materialization. This is
+  the same one-pass commit shape Delta/Iceberg use; partition-level
+  publish here is idempotent-but-not-atomic, which matches the
+  reference's Hudi-COW crash posture of "re-run the batch"
+  (idempotent upsert, ST7). A crash mid-publish leaves a mix of old
+  and new partitions; re-running the batch converges (each partition
+  swap is itself atomic on HDFS/local rename semantics).
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -198,25 +204,35 @@ class KeyedTable:
         ).drop(_PRIORITY)
         merged = self._apply_ops(merged, delete_mode)
 
-        # Materialize before overwriting the source path; dynamic
-        # partition overwrite rewrites only the touched partitions.
-        merged = merged.localCheckpoint(eager=True)
+        # One-pass commit: write the merged partitions to a hidden
+        # staging dir (parquet readers skip "."-prefixed paths, and
+        # writing there never collides with the lazy read of the live
+        # tree feeding `merged`), then publish via directory swaps.
+        staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
         writer = merged.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(self.path)
-        if self.partition_cols and delete_mode == "apply":
-            # Dynamic overwrite cannot erase a partition whose merged
-            # output is empty (all rows deleted) — drop those dirs.
-            # Only deletes can empty a partition, so under "ignore"
-            # every touched partition still has rows and this extra
-            # job (cheap — it reads the localCheckpoint) is skipped.
-            remaining = {
-                tuple(r)
-                for r in merged.select(*self.partition_cols).distinct().collect()
-            }
-            for t in set(touched) - remaining:
-                self._delete_partition_dir(t)
+        writer.parquet(staging)
+        try:
+            if self.partition_cols:
+                staged = self._staged_partition_dirs(staging)
+                for rel in staged:
+                    self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
+                # A touched partition with NO staged output lost all its
+                # rows to deletes (delete_mode="apply") — drop its dir.
+                # Staging output is listed, not re-collected, so this
+                # costs no extra Spark job.
+                staged_set = set(staged)
+                for t in touched:
+                    rel = "/".join(
+                        f"{c}={v}" for c, v in zip(self.partition_cols, t)
+                    )
+                    if rel not in staged_set:
+                        self._delete_partition_dir(t)
+            else:
+                self._swap_unpartitioned(staging)
+        finally:
+            self._fs_delete(staging)
 
     def _partition_key_col(self):
         """Partition tuple → one string column (for IN-set pruning)."""
@@ -247,14 +263,65 @@ class KeyedTable:
                 dropped += 1
         return dropped
 
-    def _delete_partition_dir(self, values: tuple) -> None:
-        """Remove one partition directory via the Hadoop FileSystem API
-        (portable across local/HDFS/S3A schemes)."""
-        rel = "/".join(f"{c}={v}" for c, v in zip(self.partition_cols, values))
+    # -- filesystem commit layer (Hadoop FileSystem API: portable
+    # across local/HDFS/S3A schemes) ------------------------------------------
+
+    def _fs(self, path: str):
         jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
+    def _fs_delete(self, path: str) -> None:
+        fs, p = self._fs(path)
         fs.delete(p, True)
+
+    def _delete_partition_dir(self, values: tuple) -> None:
+        rel = "/".join(f"{c}={v}" for c, v in zip(self.partition_cols, values))
+        self._fs_delete(f"{self.path}/{rel}")
+
+    def _staged_partition_dirs(self, staging: str) -> list[str]:
+        """Relative leaf partition paths (``c0=v0/c1=v1/...``) present
+        in the staged output — a metadata listing, not a Spark job."""
+        fs, root = self._fs(staging)
+        rels: list[str] = []
+
+        def walk(path, depth: int, rel: str):
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith((".", "_")) or not st.isDirectory():
+                    continue
+                sub = f"{rel}/{name}" if rel else name
+                if depth == len(self.partition_cols) - 1:
+                    rels.append(sub)
+                else:
+                    walk(st.getPath(), depth + 1, sub)
+
+        walk(root, 0, "")
+        return rels
+
+    def _swap_dir(self, src: str, dst: str) -> None:
+        """Publish one staged partition dir over the live one: delete
+        target, ensure parent, rename (atomic on HDFS/local)."""
+        fs, dst_p = self._fs(dst)
+        fs.delete(dst_p, True)
+        fs.mkdirs(dst_p.getParent())
+        _, src_p = self._fs(src)
+        fs.rename(src_p, dst_p)
+
+    def _swap_unpartitioned(self, staging: str) -> None:
+        """Replace the table's data files with the staged ones."""
+        fs, root = self._fs(self.path)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith((".", "_")):
+                fs.delete(st.getPath(), True)
+        _, stage_p = self._fs(staging)
+        for st in fs.listStatus(stage_p):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            jvm = self.spark._jvm
+            fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}"))
 
     def _apply_ops(self, df: DataFrame, delete_mode: str) -> DataFrame:
         """Resolve the CDC envelope after the merge has picked winners."""
