@@ -26,14 +26,19 @@ Physical strategy (scale-first):
 - The merge is committed write-audit-publish style: the merged
   partitions are written ONCE to a hidden ``.staging-*`` directory
   inside the table (so Spark never overwrites a path it is lazily
-  reading), then published by per-partition directory swaps — pure
+  reading), a ``_PUBLISH_READY`` flag marks the staged write complete,
+  and publish proceeds by per-partition rename-aside swaps — pure
   filesystem metadata operations, no second materialization. This is
-  the same one-pass commit shape Delta/Iceberg use; partition-level
-  publish here is idempotent-but-not-atomic, which matches the
-  reference's Hudi-COW crash posture of "re-run the batch"
-  (idempotent upsert, ST7). A crash mid-publish leaves a mix of old
-  and new partitions; re-running the batch converges (each partition
-  swap is itself atomic on HDFS/local rename semantics).
+  the same one-pass commit shape Delta/Iceberg use. Crash posture
+  (stronger than the reference's Hudi-COW "re-run the batch", ST7):
+  the staged output is retained until the publish fully succeeds and
+  every swap parks the old partition aside before renaming the new
+  one in, so at every instant at least one complete copy of each
+  partition exists (live, aside, or staged). A crash mid-publish
+  leaves a mix of old and new partitions plus the staging dir;
+  ``recover()`` — invoked automatically at the next ``upsert`` —
+  completes the interrupted publish, after which re-running the batch
+  converges (idempotent precombine merge).
 """
 
 from __future__ import annotations
@@ -53,6 +58,8 @@ from rds_to_datalake_project_spark.schema import TableSpec
 
 _OP_COL = "Op"  # DMS CDC envelope (reference incremental.py:210)
 _PRIORITY = "__src_priority"
+_READY_FLAG = "_PUBLISH_READY"  # staged write complete; publish may proceed
+_ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 
 
 class KeyedTable:
@@ -71,8 +78,15 @@ class KeyedTable:
     # -- helpers -------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        # A table whose only content is a publish-ready staging dir or
+        # parked-aside partitions (crash mid-publish) still EXISTS —
+        # treating it as absent would route the next batch through
+        # initial_load and drop every non-batch row.
+        if not os.path.isdir(self.path):
+            return False
+        names = os.listdir(self.path)
+        return any(not n.startswith(("_", ".")) for n in names) or any(
+            n.startswith((".staging-", _ASIDE_PREFIX)) for n in names
         )
 
     def _enrich(self, df: DataFrame) -> DataFrame:
@@ -160,6 +174,10 @@ class KeyedTable:
         if not self.exists():
             self.initial_load(batch, delete_mode=delete_mode)
             return
+        # Complete any interrupted publish FIRST, so self.read() below
+        # sees a fully-published live tree (this is what makes
+        # "re-run the batch" converge after a mid-publish crash).
+        self.recover()
 
         batch = self._enrich(batch)
         if delete_mode == "ignore" and _OP_COL in batch.columns:
@@ -170,25 +188,34 @@ class KeyedTable:
         batch = self._dedup(batch)
 
         existing = self.read()
+        touched: list[tuple] = []
         if self.partition_cols:
             # Touched-partition pruning: tiny driver-side collect of the
-            # batch's distinct partition tuples.
-            touched = [
-                tuple(r)
-                for r in batch.select(*self.partition_cols).distinct().collect()
-            ]
-            if not touched:
+            # batch's distinct partition tuples. The pruning key is
+            # rendered by SPARK in the same collect (not by Python
+            # str()), so the isin values below are bit-identical to
+            # what _partition_key_col() produces over the table —
+            # boolean/decimal/null formatting can never diverge.
+            rows = (
+                batch.select(*self.partition_cols)
+                .distinct()
+                .withColumn("__pk", self._partition_key_col())
+                .collect()
+            )
+            if not rows:
                 return
+            touched = [tuple(r[c] for c in self.partition_cols) for r in rows]
             # Single IN predicate on a synthesized partition key: the
             # expression references only partition columns, so Catalyst
             # classifies it as a partition filter (no data read outside
             # touched partitions), and — unlike an OR-of-AND per tuple —
             # the expression tree stays O(1) deep at any partition
-            # count; >10 values become an InSet hash lookup.
+            # count; >10 values become an InSet hash lookup. A '/'
+            # inside a partition VALUE can only alias keys into an
+            # over-inclusive filter (extra partitions get merged and
+            # republished unchanged) — never row loss.
             existing = existing.filter(
-                self._partition_key_col().isin(
-                    [self._partition_key_value(t) for t in touched]
-                )
+                self._partition_key_col().isin([r["__pk"] for r in rows])
             )
 
         # Align CDC envelope across both sides; allowMissingColumns
@@ -207,42 +234,94 @@ class KeyedTable:
         # One-pass commit: write the merged partitions to a hidden
         # staging dir (parquet readers skip "."-prefixed paths, and
         # writing there never collides with the lazy read of the live
-        # tree feeding `merged`), then publish via directory swaps.
+        # tree feeding `merged`), then publish via rename-aside swaps.
         staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
         writer = merged.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(staging)
-        try:
-            if self.partition_cols:
-                staged = self._staged_partition_dirs(staging)
-                for rel in staged:
-                    self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
-                # A touched partition with NO staged output lost all its
-                # rows to deletes (delete_mode="apply") — drop its dir.
-                # Staging output is listed, not re-collected, so this
-                # costs no extra Spark job.
-                staged_set = set(staged)
-                for t in touched:
-                    rel = "/".join(
-                        f"{c}={v}" for c, v in zip(self.partition_cols, t)
-                    )
-                    if rel not in staged_set:
-                        self._delete_partition_dir(t)
+        if self.partition_cols:
+            # A touched partition with NO staged output lost all its
+            # rows to deletes (delete_mode="apply"): materialize it as
+            # an EMPTY staged dir so publishing it swaps the live
+            # partition away through the same crash-safe path.
+            staged_set = set(self._staged_partition_dirs(staging))
+            for t in touched:
+                rel = "/".join(
+                    f"{c}={v}" for c, v in zip(self.partition_cols, t)
+                )
+                if rel not in staged_set:
+                    fs, p = self._fs(f"{staging}/{rel}")
+                    fs.mkdirs(p)
+        # Flag the staged write as complete. Staging WITHOUT this flag
+        # is a dead half-written job output (safe to discard); staging
+        # WITH it is a committed merge that recover() must publish.
+        fs, flag = self._fs(f"{staging}/{_READY_FLAG}")
+        fs.create(flag, True).close()
+        # The staged output is the canonical merged result from here
+        # on. It is deleted only after a fully successful publish — on
+        # any failure it survives for recover() to finish the job.
+        self._publish(staging)
+
+    def recover(self) -> bool:
+        """Complete (or discard) interrupted upsert publishes.
+
+        Publish-ready staging dirs are published to the end; staging
+        dirs without the ready flag (the writing job died) are
+        discarded — the live tree was never touched for those. Runs
+        automatically at the start of every upsert. Returns True if
+        anything was repaired.
+        """
+        fs, root = self._fs(self.path)
+        if not fs.exists(root):
+            return False
+        repaired = False
+        for st in sorted(
+            fs.listStatus(root), key=lambda s: s.getPath().getName()
+        ):
+            name = st.getPath().getName()
+            if not name.startswith(".staging-"):
+                continue
+            staging = f"{self.path}/{name}"
+            if fs.exists(self._fs(f"{staging}/{_READY_FLAG}")[1]):
+                self._publish(staging)
             else:
-                self._swap_unpartitioned(staging)
-        finally:
-            self._fs_delete(staging)
+                self._fs_delete(staging)
+            repaired = True
+        return repaired
+
+    def _publish(self, staging: str) -> None:
+        """Swap a publish-ready staging dir into the live tree.
+
+        Idempotent and resumable: each partition swap renames the live
+        dir aside, renames the staged dir in, then drops the aside —
+        re-running after a crash at any point completes the remainder
+        (already-published partitions are simply no longer in staging).
+        Staging is deleted only after every swap succeeded.
+        """
+        if self.partition_cols:
+            for rel in self._staged_partition_dirs(staging):
+                self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
+                # An empty staged dir is a publish-as-deleted partition:
+                # the swap parked the old copy and renamed the empty dir
+                # in; remove the now-live empty shell.
+                dst = f"{self.path}/{rel}"
+                fs, dst_p = self._fs(dst)
+                if not any(
+                    not s.getPath().getName().startswith((".", "_"))
+                    for s in fs.listStatus(dst_p)
+                ):
+                    fs.delete(dst_p, True)
+        else:
+            self._swap_unpartitioned(staging)
+        self._fs_delete(staging)
+        self._sweep_asides()
 
     def _partition_key_col(self):
         """Partition tuple → one string column (for IN-set pruning)."""
         return F.concat_ws(
             "/", *[F.col(c).cast("string") for c in self.partition_cols]
         )
-
-    @staticmethod
-    def _partition_key_value(values: tuple) -> str:
-        return "/".join(str(v) for v in values)
 
     def vacuum_partitions(self, keep_predicate) -> int:
         """Retention: drop whole partitions whose values fail
@@ -300,28 +379,84 @@ class KeyedTable:
         return rels
 
     def _swap_dir(self, src: str, dst: str) -> None:
-        """Publish one staged partition dir over the live one: delete
-        target, ensure parent, rename (atomic on HDFS/local)."""
+        """Publish one staged partition dir over the live one:
+        rename-old-aside → rename-new-in → drop-aside (each rename
+        atomic on HDFS/local). A complete copy of the partition exists
+        at every instant — live, aside, or staged — so no crash point
+        can leave the partition absent from every location."""
         fs, dst_p = self._fs(dst)
-        fs.delete(dst_p, True)
         fs.mkdirs(dst_p.getParent())
+        aside = f"{os.path.dirname(dst)}/{_ASIDE_PREFIX}{os.path.basename(dst)}"
+        _, aside_p = self._fs(aside)
+        if fs.exists(dst_p):
+            fs.delete(aside_p, True)  # stale aside from an earlier attempt
+            self._rename(fs, dst_p, aside_p)
         _, src_p = self._fs(src)
-        fs.rename(src_p, dst_p)
+        self._rename(fs, src_p, dst_p)
+        fs.delete(aside_p, True)
 
     def _swap_unpartitioned(self, staging: str) -> None:
-        """Replace the table's data files with the staged ones."""
+        """Replace the table's data files with the staged ones.
+
+        Live files are parked in one hidden aside dir (renames, not
+        deletes) before the staged files move in, so a crash at any
+        point leaves either the staged copy, the aside copy, or the
+        published copy intact — never an empty root that exists()
+        would misread as a fresh table. Resumable: staged file names
+        carry their write-job UUID, so on re-entry only pre-publish
+        stragglers get parked (never files this staging already
+        published), and an empty staged file list means the move-in
+        already completed — only cleanup remains."""
         fs, root = self._fs(self.path)
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith((".", "_")):
-                fs.delete(st.getPath(), True)
         _, stage_p = self._fs(staging)
-        for st in fs.listStatus(stage_p):
-            name = st.getPath().getName()
-            if name.startswith((".", "_")):
-                continue
-            jvm = self.spark._jvm
-            fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}"))
+        jvm = self.spark._jvm
+        staged = [
+            st.getPath()
+            for st in fs.listStatus(stage_p)
+            if not st.getPath().getName().startswith((".", "_"))
+        ]
+        staged_names = {p.getName() for p in staged}
+        aside = f"{self.path}/{_ASIDE_PREFIX}data"
+        _, aside_p = self._fs(aside)
+        if staged:
+            fs.mkdirs(aside_p)
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith((".", "_")) and name not in staged_names:
+                    self._rename(
+                        fs,
+                        st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(f"{aside}/{name}"),
+                    )
+            for p in staged:
+                self._rename(
+                    fs, p, jvm.org.apache.hadoop.fs.Path(f"{self.path}/{p.getName()}")
+                )
+        fs.delete(aside_p, True)
+
+    @staticmethod
+    def _rename(fs, src, dst) -> None:
+        """Hadoop FileSystem.rename signals failure by RETURNING False
+        (no exception) — surface that, or the publish protocol's
+        invariants silently break."""
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def _sweep_asides(self) -> None:
+        """Drop leftover aside dirs (crash after rename-in, before
+        drop-aside). Safe unconditionally: an aside is only ever a
+        superseded copy once its staging sibling has been consumed."""
+        fs, root = self._fs(self.path)
+
+        def walk(path):
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith(_ASIDE_PREFIX):
+                    fs.delete(st.getPath(), True)
+                elif st.isDirectory() and not name.startswith((".", "_")):
+                    walk(st.getPath())
+
+        walk(root)
 
     def _apply_ops(self, df: DataFrame, delete_mode: str) -> DataFrame:
         """Resolve the CDC envelope after the merge has picked winners."""

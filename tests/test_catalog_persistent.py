@@ -105,7 +105,7 @@ def test_partition_pruning_survives_isin_predicate(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "pruned_t"), spec)
     t.initial_load(spark.createDataFrame(_rows(400), DDL))
 
-    keys = [t._partition_key_value(("2024", "01", "02"))]
+    keys = ["2024/01/02"]
     pruned = t.read().filter(t._partition_key_col().isin(keys))
     import re
 
