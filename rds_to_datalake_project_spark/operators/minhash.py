@@ -12,9 +12,15 @@ Scale design (100 TB):
 - Candidate pairs are verified with exact n-gram Jaccard computed on
   the (small) candidate set only.
 
-Cross-engine note: xxhash64 seeds are Spark-specific, so these
+Cross-engine note: xxhash64 seeds are Spark-specific, so the default
 operators get rows-only driver checks; the *verification* operator
-(ngram_jaccard) is plain set arithmetic and oracle-checkable.
+(ngram_jaccard) is plain set arithmetic and oracle-checkable. For a
+fully oracle-checkable pipeline every hashing operator also takes
+``hash_mode="md5"``, which swaps xxhash64 for a 60-bit md5-prefix
+integer (same trick as operators/contamination.py — md5 is bit-exact
+replayable in DuckDB) so LSH banding itself gets a hash-green driver
+row. xxhash64 stays the production default (JVM intrinsic, no string
+materialization); md5 mode trades hash throughput for auditability.
 """
 
 from __future__ import annotations
@@ -22,7 +28,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rds_to_datalake_project_spark.operators.fanout import fan_out
+from rds_to_datalake_project_spark.operators.fanout import fan_out, probe_partitions
+
+
+def md5long60(col: Column) -> Column:
+    """60-bit integer from the md5 hex prefix of a string column —
+    exact BIGINT in any engine, deterministic, replayable in the
+    DuckDB oracle (same construction as contamination._shingle_key)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _seeded_hash(seed: Column, s: Column, hash_mode: str) -> Column:
+    """Per-(seed, shingle) hash family. xxhash64: one JVM intrinsic
+    call. md5: hash of the "seed|shingle" string (oracle twin:
+    ``CAST(('0x' || substring(md5(seed || '|' || s), 1, 15)) AS BIGINT)``)."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(seed, s)
+    if hash_mode == "md5":
+        return md5long60(F.concat_ws("|", seed.cast("string"), s))
+    raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -43,11 +67,14 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64, hash_mode: str = "xxhash64"
+) -> Column:
     """array<long> signature: per seed, min over shingle hashes.
 
     Permutation h_i(s) = xxhash64(i, s) — one JVM hash call per
-    (seed, shingle).
+    (seed, shingle). ``hash_mode="md5"`` uses the 60-bit md5 family
+    instead (cross-engine replayable; see module docstring).
 
     Expression shape matters ×64 here:
     - ``shingle_col`` must be the CHILD of one outer ``transform`` so
@@ -60,7 +87,8 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     per_shingle = F.transform(
-        shingle_col, lambda s: F.transform(seeds, lambda seed: F.xxhash64(seed, s))
+        shingle_col,
+        lambda s: F.transform(seeds, lambda seed: _seeded_hash(seed, s, hash_mode)),
     )
     return F.aggregate(
         per_shingle,
@@ -76,40 +104,51 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     rows/bands: signature is split into ``bands`` bands of
-    ``num_hashes // bands`` rows; band hash = xxhash64 of the slice.
+    ``num_hashes // bands`` rows; band hash = hash of the slice
+    (comma-joined in seed order — the md5 oracle replays that string).
     Output: distinct (a_id, b_id) with a_id < b_id.
+
+    ``input_partitions``: the caller's one-time probe of df's
+    partition count (avoids a per-stage DataFrame→RDD translation;
+    see operators/fanout.py).
     """
     rows_per_band = num_hashes // bands
     # Conditional fan-out before the expensive map stage: a corpus
     # read from few files would otherwise compute every signature in a
     # handful of tasks; an already-well-split 100 TB scan is passed
     # through with no shuffle.
-    df = fan_out(df)
+    df = fan_out(df, current=input_partitions)
     # Stage the signature as a real column, then band it with one
     # nested HOF — each stage's expression appears exactly once in the
     # plan (vs. bands× copies if the per-band structs inlined it).
     sig_df = df.select(
         F.col(id_col),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+        minhash_signature(
+            shingles(text_col, shingle_n), num_hashes, hash_mode
+        ).alias("__sig"),
     )
+
+    def _bucket(b):
+        band_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return (
+            F.xxhash64(band_str) if hash_mode == "xxhash64" else md5long60(band_str)
+        )
+
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
-        ),
+        lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
     )
     # Materialized once — the self-join would recompute the signature
     # scan per side (same pattern as the simhash fingerprint table).
@@ -142,6 +181,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for (candidate) pairs.
 
@@ -149,7 +189,7 @@ def ngram_jaccard_pairs(
     it scores all ordered pairs (test scale only). Jaccard is computed
     with exact integer set cardinalities — cross-engine stable.
     """
-    docs = fan_out(df).select(
+    docs = fan_out(df, current=input_partitions).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
     )
     if pairs is None:
@@ -183,6 +223,7 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     transitive: bool = False,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full fuzzy-dedup: keep one representative (min id) per
     near-duplicate group.
@@ -193,8 +234,13 @@ def minhash_dedup(
     components over the verified pair graph
     (operators/components.py), so chains A~B~C collapse to one
     representative even when A and C are not directly similar."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    verified = ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    n_parts = probe_partitions(df)  # once for the whole pipeline
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_mode, n_parts
+    )
+    verified = ngram_jaccard_pairs(
+        df, cand, id_col, text_col, shingle_n, threshold, n_parts
+    )
     if transitive:
         from rds_to_datalake_project_spark.operators.components import (
             dedup_by_components,

@@ -17,8 +17,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of whitespace tokens, as a long.
+def _bit_width(hash_mode: str) -> int:
+    """xxhash64 fingerprints use all 64 bits; md5 mode uses the 60-bit
+    md5-prefix family (operators/minhash.md5long60) so the fingerprint
+    stays an exact, oracle-replayable BIGINT — 60 bits, 15-bit bands."""
+    if hash_mode == "xxhash64":
+        return 64
+    if hash_mode == "md5":
+        return 60
+    raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+
+
+def simhash64(col: Column | str, hash_mode: str = "xxhash64") -> Column:
+    """64-bit SimHash of whitespace tokens, as a long (60-bit in
+    ``hash_mode="md5"``).
 
     votes[i] = sum over tokens of bit_i — kept as ONE array-accumulator
     aggregate (64 independent per-bit aggregates would each inline a
@@ -27,14 +39,20 @@ def simhash64(col: Column | str) -> Column:
     Python wrappers only accept int shift amounts, and the shift here
     is the HOF lambda variable.
     """
+    n_bits = _bit_width(hash_mode)
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    if hash_mode == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        from rds_to_datalake_project_spark.operators.minhash import md5long60
+
+        hashes = F.transform(toks, lambda t: md5long60(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
     # ones[i] = count of tokens with bit i set — one pass over tokens.
     ones = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
@@ -70,20 +88,22 @@ def simhash_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
+    hash_mode: str = "xxhash64",
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Fingerprint + explode into ``bands`` prefix-band buckets.
 
     Two docs within ``bands - 1`` Hamming bits are guaranteed to
     collide in at least one band (pigeonhole).
     """
-    bits = 64 // bands
-    fp = simhash64(text_col)
+    bits = _bit_width(hash_mode) // bands
+    fp = simhash64(text_col, hash_mode)
     # Conditional fan-out before the fingerprint map stage (few input
     # files would otherwise serialize the corpus through a few tasks;
     # a well-split scan passes through shuffle-free).
     from rds_to_datalake_project_spark.operators.fanout import fan_out
 
-    df = fan_out(df)
+    df = fan_out(df, current=input_partitions)
     df = df.select(F.col(id_col), fp.alias("simhash"))
     # One HOF over band indices — parallel per-band structs would let
     # CollapseProject inline `bands` copies of the simhash tree.
@@ -107,6 +127,8 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_mode: str = "xxhash64",
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
     band-bucket equi-join (requires bands ≥ max_hamming + 1)."""
@@ -116,7 +138,9 @@ def simhash_neardup_pairs(
     # recompute (and re-codegen) the whole simhash scan per side. At
     # scale this is exactly the "store the fingerprint table, then
     # self-join it" pattern.
-    banded = simhash_buckets(df, id_col, text_col, bands).localCheckpoint(eager=True)
+    banded = simhash_buckets(
+        df, id_col, text_col, bands, hash_mode, input_partitions
+    ).localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -431,6 +431,144 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(docs, max_hamming=3, bands=4).orderBy("a_id", "b_id")
 
 
+# --- md5-mode fuzzy dedup (oracle-backed twins of the xxhash64 pipelines) -----
+#
+# Same operators, hash_mode="md5": every hash in the pipeline is the
+# 60-bit md5-prefix integer DuckDB can replay bit-exactly, so LSH
+# banding / signature / simhash logic itself gets hash-green driver
+# rows (the xxhash64 defaults above remain the fast production path).
+
+def minhash_lsh_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, hash_mode="md5").orderBy("a_id", "b_id")
+
+
+def minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_dedup(docs, threshold=0.5, hash_mode="md5")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def ngram_jaccard_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, hash_mode="md5")
+    return ngram_jaccard_pairs(docs, cand, threshold=0.5).orderBy("a_id", "b_id")
+
+
+def simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_neardup_pairs(docs, max_hamming=3, bands=4, hash_mode="md5")
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# Shared oracle prefix: shingle → 64-seed md5 minhash → 16 bands of 4
+# rows → band-bucket self-join. Replays operators/minhash.py in
+# hash_mode="md5" exactly: per-seed hash = md5int60("seed|shingle"),
+# band string = comma-joined minhash values in seed order, bucket =
+# md5int60(band string).
+_MD5_LSH_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  )
+), ex AS (
+  SELECT doc_id, s.sh AS sh FROM sh, unnest(shingles) AS s(sh)
+), mh AS (
+  SELECT doc_id, r.seed AS seed,
+         MIN(CAST(('0x' || substring(md5(CAST(r.seed AS VARCHAR) || '|' || ex.sh), 1, 15)) AS BIGINT)) AS h
+  FROM ex, range(0, 64) AS r(seed)
+  GROUP BY doc_id, r.seed
+), bandstr AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bs
+  FROM mh GROUP BY doc_id, seed // 4
+), buckets AS (
+  SELECT doc_id, band, CAST(('0x' || substring(md5(bs), 1, 15)) AS BIGINT) AS bucket
+  FROM bandstr
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
+MINHASH_LSH_MD5_SQL = _MD5_LSH_CTE + """
+SELECT a_id, b_id FROM cand ORDER BY a_id, b_id
+"""
+
+MINHASH_NEARDUP_MD5_SQL = _MD5_LSH_CTE + """
+, losers AS (
+  SELECT DISTINCT c.b_id
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.b_id = d.doc_id)
+ORDER BY doc_id
+"""
+
+NGRAM_JACCARD_NEARDUP_MD5_SQL = _MD5_LSH_CTE + """
+SELECT a_id, b_id, jaccard FROM (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+WHERE jaccard >= 0.5
+ORDER BY a_id, b_id
+"""
+
+# SimHash md5 mode: 60-bit fingerprint (15 hex chars of md5 per
+# token), majority vote per bit, 4 bands of 15 bits, Hamming ≤ 3.
+SIMHASH_NEARDUP_MD5_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(tk) AS n,
+         CAST(('0x' || substring(md5(t.tok), 1, 15)) AS BIGINT) AS h
+  FROM toks, unnest(tk) AS t(tok)
+), bits AS (
+  SELECT doc_id, r.i AS i, SUM((h >> r.i) & 1) AS ones, MAX(n) AS n
+  FROM ex, range(0, 60) AS r(i)
+  GROUP BY doc_id, r.i
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), buckets AS (
+  SELECT doc_id, simhash, r.b AS band, (simhash >> (r.b * 15)) & 32767 AS bucket
+  FROM fp, range(0, 4) AS r(b)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY a_id, b_id
+"""
+
+
 # --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +962,10 @@ QUERIES = {
     "minhash_neardup": minhash_neardup,
     "ngram_jaccard_neardup": ngram_jaccard_neardup,
     "simhash_neardup": simhash_neardup,
+    "minhash_lsh_candidates_md5": minhash_lsh_candidates_md5,
+    "minhash_neardup_md5": minhash_neardup_md5,
+    "ngram_jaccard_neardup_md5": ngram_jaccard_neardup_md5,
+    "simhash_neardup_md5": simhash_neardup_md5,
     "media_feature_extract": media_feature_extract,
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
@@ -856,6 +998,10 @@ ORACLES = {
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,
     "jaccard_allpairs_sample": JACCARD_ALLPAIRS_SQL,
+    "minhash_lsh_candidates_md5": MINHASH_LSH_MD5_SQL,
+    "minhash_neardup_md5": MINHASH_NEARDUP_MD5_SQL,
+    "ngram_jaccard_neardup_md5": NGRAM_JACCARD_NEARDUP_MD5_SQL,
+    "simhash_neardup_md5": SIMHASH_NEARDUP_MD5_SQL,
     "media_feature_extract": MEDIA_FEATURES_SQL,
     "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,
