@@ -77,6 +77,14 @@ class KeyedTable:
 
     # -- helpers -------------------------------------------------------------
 
+    @staticmethod
+    def _fault(point: str) -> None:
+        """Crash-injection seam for the publish protocol. No-op in
+        production; tests/test_crash_recovery.py monkeypatches it to
+        raise at each named point (every place a process can die
+        between two filesystem operations) and then asserts that
+        ``recover()`` + batch replay converge to the oracle state."""
+
     def exists(self) -> bool:
         # A table whose only content is a publish-ready staging dir or
         # parked-aside partitions (crash mid-publish) still EXISTS —
@@ -256,8 +264,9 @@ class KeyedTable:
         # Flag the staged write as complete. Staging WITHOUT this flag
         # is a dead half-written job output (safe to discard); staging
         # WITH it is a committed merge that recover() must publish.
-        fs, flag = self._fs(f"{staging}/{_READY_FLAG}")
-        fs.create(flag, True).close()
+        self._fault("staged_written")
+        self._write_ready_flag(staging)
+        self._fault("flag_created")
         # The staged output is the canonical merged result from here
         # on. It is deleted only after a fully successful publish — on
         # any failure it survives for recover() to finish the job.
@@ -312,10 +321,48 @@ class KeyedTable:
                     for s in fs.listStatus(dst_p)
                 ):
                     fs.delete(dst_p, True)
+                self._fault("partition_published")
         else:
             self._swap_unpartitioned(staging)
+        self._fault("all_swapped")
         self._fs_delete(staging)
+        self._fault("staging_deleted")
         self._sweep_asides()
+
+    def _write_ready_flag(self, staging: str) -> None:
+        """Commit point of the upsert. The flag carries a manifest of
+        the staged top-level data-file names (relevant for
+        unpartitioned tables — see ``_swap_unpartitioned``) and is
+        written atomically via tmp + rename, so a crash mid-write can
+        never leave a present-but-truncated flag: the staging is
+        either fully committed or discardable."""
+        fs, stage_p = self._fs(staging)
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(stage_p)
+            if not st.getPath().getName().startswith((".", "_"))
+            and not st.isDirectory()
+        ]
+        _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
+        out = fs.create(tmp_p, True)
+        data = "\n".join(sorted(names)).encode("utf-8")
+        if data:
+            out.write(data)
+        out.close()
+        _, flag_p = self._fs(f"{staging}/{_READY_FLAG}")
+        self._rename(fs, tmp_p, flag_p)
+
+    def _read_manifest(self, staging: str) -> set[str]:
+        """The committed staged-file-name set from the ready flag."""
+        fs, flag_p = self._fs(f"{staging}/{_READY_FLAG}")
+        stream = fs.open(flag_p)
+        try:
+            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return {n for n in text.split("\n") if n}
 
     def _partition_key_col(self):
         """Partition tuple → one string column (for IN-set pruning)."""
@@ -391,47 +438,54 @@ class KeyedTable:
         if fs.exists(dst_p):
             fs.delete(aside_p, True)  # stale aside from an earlier attempt
             self._rename(fs, dst_p, aside_p)
+            self._fault("parked_aside")
         _, src_p = self._fs(src)
         self._rename(fs, src_p, dst_p)
+        self._fault("renamed_in")
         fs.delete(aside_p, True)
 
     def _swap_unpartitioned(self, staging: str) -> None:
         """Replace the table's data files with the staged ones.
 
-        Live files are parked in one hidden aside dir (renames, not
-        deletes) before the staged files move in, so a crash at any
-        point leaves either the staged copy, the aside copy, or the
-        published copy intact — never an empty root that exists()
-        would misread as a fresh table. Resumable: staged file names
-        carry their write-job UUID, so on re-entry only pre-publish
-        stragglers get parked (never files this staging already
-        published), and an empty staged file list means the move-in
-        already completed — only cleanup remains."""
+        The manifest in the ready flag — NOT the staging dir's current
+        listing — defines the new file set: on re-entry after a crash,
+        a file this publish already moved in is recognized by its
+        manifest membership and left alone, while every pre-publish
+        live file (not in the manifest) is parked in one hidden aside
+        dir (renames, not deletes) before the remaining staged files
+        move in. A crash at any point therefore leaves every row
+        intact as staged, aside, or published data — never an empty
+        root that exists() would misread as a fresh table, and never a
+        published file mistaken for an old one. An empty manifest is a
+        committed empty result (every row deleted): all live data
+        files are parked and dropped."""
         fs, root = self._fs(self.path)
         _, stage_p = self._fs(staging)
         jvm = self.spark._jvm
+        manifest = self._read_manifest(staging)
         staged = [
             st.getPath()
             for st in fs.listStatus(stage_p)
             if not st.getPath().getName().startswith((".", "_"))
         ]
-        staged_names = {p.getName() for p in staged}
         aside = f"{self.path}/{_ASIDE_PREFIX}data"
         _, aside_p = self._fs(aside)
-        if staged:
-            fs.mkdirs(aside_p)
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if not name.startswith((".", "_")) and name not in staged_names:
-                    self._rename(
-                        fs,
-                        st.getPath(),
-                        jvm.org.apache.hadoop.fs.Path(f"{aside}/{name}"),
-                    )
-            for p in staged:
+        fs.mkdirs(aside_p)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith((".", "_")) and name not in manifest:
                 self._rename(
-                    fs, p, jvm.org.apache.hadoop.fs.Path(f"{self.path}/{p.getName()}")
+                    fs,
+                    st.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(f"{aside}/{name}"),
                 )
+                self._fault("parked_file")
+        for p in staged:
+            self._rename(
+                fs, p, jvm.org.apache.hadoop.fs.Path(f"{self.path}/{p.getName()}")
+            )
+            self._fault("moved_in_file")
+        self._fault("files_moved")
         fs.delete(aside_p, True)
 
     @staticmethod

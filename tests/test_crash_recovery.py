@@ -1,0 +1,234 @@
+"""Crash-injection tests of the upsert publish/recover protocol
+(operators/upsert.py write-audit-publish commit).
+
+Every ``KeyedTable._fault`` point is a place the process can die
+between two filesystem operations. Each case kills the publish at one
+specific occurrence of one point, then asserts the protocol's three
+guarantees:
+
+1. the table still ``exists()`` — no crash window leaves the table
+   absent (every partition has a complete copy as live, aside, or
+   staged data);
+2. ``recover()`` lands the table in EITHER the pre-batch state (crash
+   before the ready flag: un-committed staging is discarded) OR the
+   fully-merged state (crash after: the committed publish completes)
+   — never a torn mix of old and new rows;
+3. re-running the SAME batch through ``upsert()`` converges to the
+   oracle state with a clean tree (no staging dirs, no parked asides)
+   — the reference's idempotent-replay contract
+   (/root/reference/glue_jobs/incremental.py:214-243, ST7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+
+class Boom(RuntimeError):
+    pass
+
+
+def _inject(monkeypatch, point: str, nth: int) -> dict:
+    """Raise Boom at the nth occurrence of the named fault point; all
+    later calls (the recovery pass) are no-ops."""
+    state = {"seen": 0, "fired": False}
+
+    def fault(p):
+        if state["fired"] or p != point:
+            return
+        state["seen"] += 1
+        if state["seen"] == nth:
+            state["fired"] = True
+            raise Boom(f"{point}#{nth}")
+
+    monkeypatch.setattr(KeyedTable, "_fault", staticmethod(fault))
+    return state
+
+
+def _assert_clean(path: str) -> None:
+    leftovers = []
+    for root, dirs, files in os.walk(path):
+        for n in dirs + files:
+            if n.startswith((".staging-", ".__old-")):
+                leftovers.append(os.path.join(root, n))
+    assert not leftovers, leftovers
+
+
+def _snap(table: KeyedTable) -> dict:
+    return {
+        r.id: (r.update_at, r.val)
+        for r in table.read().select("id", "update_at", "val").collect()
+    }
+
+
+INIT_COLS = ["id", "create_at", "update_at", "val"]
+BATCH_COLS = ["id", "create_at", "update_at", "val", "Op"]
+
+# 3 partitions (months 01/02/03); the batch updates 01 and 02, inserts
+# into 01, and deletes ALL of 03 — so the publish exercises both the
+# rewrite swap and the publish-as-deleted (empty staged dir) path.
+INITIAL = [
+    ("r1", "2024-01-05T00:00:00", "2024-01-05T00:00:00", "a1"),
+    ("r2", "2024-01-06T00:00:00", "2024-01-06T00:00:00", "a2"),
+    ("r3", "2024-02-05T00:00:00", "2024-02-05T00:00:00", "a3"),
+    ("r4", "2024-02-06T00:00:00", "2024-02-06T00:00:00", "a4"),
+    ("r5", "2024-03-05T00:00:00", "2024-03-05T00:00:00", "a5"),
+    ("r6", "2024-03-06T00:00:00", "2024-03-06T00:00:00", "a6"),
+]
+BATCH = [
+    ("r1", "2024-01-05T00:00:00", "2024-04-01T00:00:00", "b1", "U"),
+    ("r7", "2024-01-07T00:00:00", "2024-04-01T00:00:00", "b7", "I"),
+    ("r3", "2024-02-05T00:00:00", "2024-04-01T00:00:00", "b3", "U"),
+    ("r5", "2024-03-05T00:00:00", "2024-04-01T00:00:00", "x5", "D"),
+    ("r6", "2024-03-06T00:00:00", "2024-04-01T00:00:00", "x6", "D"),
+]
+PRE = {r[0]: (r[2], r[3]) for r in INITIAL}
+POST = {
+    "r1": ("2024-04-01T00:00:00", "b1"),
+    "r2": ("2024-01-06T00:00:00", "a2"),
+    "r3": ("2024-04-01T00:00:00", "b3"),
+    "r4": ("2024-02-06T00:00:00", "a4"),
+    "r7": ("2024-04-01T00:00:00", "b7"),
+}
+
+PART_SPEC = TableSpec(
+    "t",
+    record_key=("id",),
+    precombine_key="update_at",
+    partition_source="create_at",
+    partition_granularity="month",
+)
+FLAT_SPEC = TableSpec(
+    "t", record_key=("id",), precombine_key="update_at", partition_granularity=None
+)
+
+# (point, nth occurrence, guaranteed to fire). 3 touched partitions
+# all have live dirs, so the per-partition points fire exactly 3x.
+PART_POINTS = [
+    ("staged_written", 1, True),
+    ("flag_created", 1, True),
+    ("parked_aside", 1, True),
+    ("parked_aside", 2, True),
+    ("parked_aside", 3, True),
+    ("renamed_in", 1, True),
+    ("renamed_in", 2, True),
+    ("renamed_in", 3, True),
+    ("partition_published", 1, True),
+    ("partition_published", 2, True),
+    ("partition_published", 3, True),
+    ("all_swapped", 1, True),
+    ("staging_deleted", 1, True),
+]
+
+# Unpartitioned file counts depend on task layout, so only the first
+# occurrence of the per-file points is guaranteed; nth=2 cases degrade
+# to a plain success check when the point never fires.
+FLAT_POINTS = [
+    ("staged_written", 1, True),
+    ("flag_created", 1, True),
+    ("parked_file", 1, True),
+    ("parked_file", 2, False),
+    ("moved_in_file", 1, True),
+    ("moved_in_file", 2, False),
+    ("files_moved", 1, True),
+    ("all_swapped", 1, True),
+    ("staging_deleted", 1, True),
+]
+
+
+def _run_crash_case(spark, tmp_path, monkeypatch, spec, point, nth, must_fire):
+    path = str(tmp_path / "t")
+    table = KeyedTable(spark, path, spec)
+    table.initial_load(spark.createDataFrame(INITIAL, INIT_COLS))
+    assert _snap(table) == PRE
+
+    batch = spark.createDataFrame(BATCH, BATCH_COLS)
+    state = _inject(monkeypatch, point, nth)
+    if must_fire:
+        with pytest.raises(Boom):
+            table.upsert(batch, delete_mode="apply")
+        assert state["fired"]
+    else:
+        try:
+            table.upsert(batch, delete_mode="apply")
+        except Boom:
+            assert state["fired"]
+    fired = state["fired"]
+    state["fired"] = True  # disarm for the recovery/replay passes
+
+    # guarantee 1: the table never vanishes mid-publish
+    assert table.exists()
+
+    if fired:
+        # guarantee 2: recovery lands on exactly pre-batch or merged —
+        # discarded if the crash hit before the commit flag, completed
+        # if after; never a torn mix.
+        table.recover()
+        mid = _snap(table)
+        assert mid == (PRE if point == "staged_written" else POST)
+
+    # guarantee 3: idempotent batch replay converges, tree is clean
+    table.upsert(
+        spark.createDataFrame(BATCH, BATCH_COLS), delete_mode="apply"
+    )
+    assert _snap(table) == POST
+    _assert_clean(path)
+
+
+@pytest.mark.parametrize("point,nth,must_fire", PART_POINTS)
+def test_partitioned_publish_crash(spark, tmp_path, monkeypatch, point, nth, must_fire):
+    _run_crash_case(spark, tmp_path, monkeypatch, PART_SPEC, point, nth, must_fire)
+
+
+@pytest.mark.parametrize("point,nth,must_fire", FLAT_POINTS)
+def test_unpartitioned_publish_crash(
+    spark, tmp_path, monkeypatch, point, nth, must_fire
+):
+    _run_crash_case(spark, tmp_path, monkeypatch, FLAT_SPEC, point, nth, must_fire)
+
+
+def test_unpartitioned_delete_all_rows(spark, tmp_path):
+    """A committed empty merge (every row deleted) must actually empty
+    the table — the manifest, not the staged-file listing, drives the
+    swap, so zero staged files still park-and-drop every live file."""
+    path = str(tmp_path / "t")
+    table = KeyedTable(spark, path, FLAT_SPEC)
+    table.initial_load(spark.createDataFrame(INITIAL[:2], INIT_COLS))
+    deletes = [
+        ("r1", "2024-01-05T00:00:00", "2024-04-01T00:00:00", "x1", "D"),
+        ("r2", "2024-01-06T00:00:00", "2024-04-01T00:00:00", "x2", "D"),
+    ]
+    table.upsert(spark.createDataFrame(deletes, BATCH_COLS), delete_mode="apply")
+    assert (not table.exists()) or table.read().count() == 0
+    _assert_clean(path)
+
+
+def test_crash_during_recovery_itself(spark, tmp_path, monkeypatch):
+    """A second crash inside recover() must still converge on the
+    third attempt (the protocol is re-entrant, not just resumable)."""
+    path = str(tmp_path / "t")
+    table = KeyedTable(spark, path, PART_SPEC)
+    table.initial_load(spark.createDataFrame(INITIAL, INIT_COLS))
+    batch = spark.createDataFrame(BATCH, BATCH_COLS)
+
+    _inject(monkeypatch, "parked_aside", 1)
+    with pytest.raises(Boom):
+        table.upsert(batch, delete_mode="apply")
+
+    # crash again mid-recovery, one partition further along
+    _inject(monkeypatch, "renamed_in", 2)
+    with pytest.raises(Boom):
+        table.recover()
+    assert table.exists()
+
+    monkeypatch.setattr(KeyedTable, "_fault", staticmethod(lambda p: None))
+    table.recover()
+    assert _snap(table) == POST
+    table.upsert(spark.createDataFrame(BATCH, BATCH_COLS), delete_mode="apply")
+    assert _snap(table) == POST
+    _assert_clean(path)
