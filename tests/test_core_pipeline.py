@@ -223,3 +223,44 @@ def test_vacuum_partitions_retention(spark, tmp_path):
     assert dropped == 1
     left = {r.create_month for r in t.read().select("create_month").distinct().collect()}
     assert left == {"02", "03"}
+
+
+def test_partition_dir_escaping_special_and_null_values(spark, tmp_path):
+    """Metadata-level dir operations (publish-as-deleted, vacuum) must
+    render partition paths exactly as Spark's writer escapes them:
+    '/'-containing values percent-encode, nulls become
+    __HIVE_DEFAULT_PARTITION__. A Python f-string renderer would
+    target bogus paths for any of these."""
+    import os
+
+    spec = TableSpec("t", partition_granularity="month")
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    # supply partition columns directly (enrich skips when present)
+    cols = ["id", "create_at", "update_at", "val", "create_year", "create_month"]
+    initial = [
+        ("a", "x", "2024-01-01T00:00:00", "va", "2024", "01"),
+        ("b", "x", "2024-01-01T00:00:00", "vb", "a/b", "x:y"),
+        ("c", "x", "2024-01-01T00:00:00", "vc", None, None),
+    ]
+    t.initial_load(spark.createDataFrame(initial, cols))
+    root = str(tmp_path / "t")
+    assert os.path.isdir(f"{root}/create_year=a%2Fb/create_month=x%3Ay")
+    assert os.path.isdir(
+        f"{root}/create_year=__HIVE_DEFAULT_PARTITION__"
+        "/create_month=__HIVE_DEFAULT_PARTITION__"
+    )
+
+    # publish-as-deleted for the escaped partition: delete b entirely
+    batch = [("b", "x", "2024-02-01T00:00:00", "vb", "a/b", "x:y", "D")]
+    t.upsert(spark.createDataFrame(batch, cols + ["Op"]), delete_mode="apply")
+    assert not os.path.exists(f"{root}/create_year=a%2Fb/create_month=x%3Ay")
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got == {"a": "va", "c": "vc"}
+
+    # vacuum must hit the real (escaped / null) dirs too
+    dropped = t.vacuum_partitions(lambda vals: vals[0] == "2024")
+    assert dropped == 1
+    assert not os.path.exists(
+        f"{root}/create_year=__HIVE_DEFAULT_PARTITION__"
+    ) or not os.listdir(f"{root}/create_year=__HIVE_DEFAULT_PARTITION__")
+    assert {r.id for r in t.read().collect()} == {"a"}
