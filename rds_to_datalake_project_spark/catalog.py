@@ -129,3 +129,46 @@ def sync_lake_table(
         spark.sql(f"MSCK REPAIR TABLE {qname}")
     # Invalidate cached file listings from reads before this sync.
     spark.sql(f"REFRESH TABLE {qname}")
+
+
+def drop_lake_table(
+    spark: SparkSession,
+    name: str,
+    path: str | None = None,
+    database: str = "default",
+    delete_data: bool = True,
+) -> bool:
+    """Tear a lake table down: unregister it everywhere and
+    (optionally) delete its files.
+
+    PySpark twin of the reference's teardown surface — delete-table-
+    if-exists against the Glue catalog
+    (rds_to_datalake/glue_catalog.py:48-86) plus the lake-data wipe in
+    rds_to_datalake/cleanup.py:11-33. The catalog entry is EXTERNAL
+    (``sync_lake_table``), so ``DROP TABLE`` removes only metadata;
+    the data dir is deleted through the Hadoop FileSystem API
+    (portable across local/HDFS/S3A schemes — an O(1) metadata call
+    plus the store's recursive delete, no data is read). Idempotent;
+    returns True if anything was removed.
+
+    ``path=None`` resolves the location from the catalog entry before
+    dropping it; pass it explicitly for tables never synced.
+    """
+    qname = f"`{database}`.`{name}`"
+    removed = False
+    if path is None and spark.catalog.tableExists(name, database):
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qname}").collect()
+        path = next((r.data_type for r in rows if r.col_name == "Location"), None)
+    if spark.catalog.dropTempView(name):
+        removed = True
+    if spark.catalog.tableExists(name, database):
+        spark.sql(f"DROP TABLE {qname}")
+        removed = True
+    if delete_data and path:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed = True
+    return removed

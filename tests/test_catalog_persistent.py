@@ -113,3 +113,27 @@ def test_partition_pruning_survives_isin_predicate(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[\(?concat_ws", plan.replace("\n", " "))
     # 400 rows over 40 day-partitions → one partition has 10 rows
     assert pruned.count() == 10
+
+
+def test_drop_lake_table_full_teardown(spark, tmp_path):
+    """create → drop → a SECOND session sees neither the catalog
+    entry nor the files (reference glue_catalog.py:48-86 delete-table
+    + cleanup.py:11-33 data wipe)."""
+    import os
+
+    from rds_to_datalake_project_spark.catalog import drop_lake_table
+
+    spec = TableSpec("drop_me", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "drop_me"), spec)
+    t.initial_load(spark.createDataFrame(_rows(50), DDL))
+    t.register(persistent=True)
+    assert spark.newSession().catalog.tableExists("drop_me", "default")
+
+    assert drop_lake_table(spark, "drop_me")  # path resolved from catalog
+    other = spark.newSession()
+    assert not other.catalog.tableExists("drop_me", "default")
+    assert not other.catalog.tableExists("drop_me")  # temp view gone too
+    assert not os.path.exists(str(tmp_path / "drop_me"))
+
+    # idempotent: second drop is a clean no-op
+    assert drop_lake_table(spark, "drop_me") is False

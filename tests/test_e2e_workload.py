@@ -152,3 +152,91 @@ def test_generator_workload_is_replay_safe(spark, tmp_path):
         pass
     after = {(r.id, r.val) for r in table.read().select("id", "val").collect()}
     assert after == before
+
+
+def test_multi_table_tick_with_buffering_and_failure_isolation(spark, tmp_path):
+    """run_incremental_all over two tables with the ingest buffer
+    active (ST6): an under-filled young batch defers, an aged one
+    flushes, and a failing table's watermark stays put while the other
+    table's advances — the per-table independence the reference's
+    table_tracker_list loop provides
+    (incremental_load_orchestration.py:205,233-243)."""
+    from datetime import timezone
+
+    from rds_to_datalake_project_spark.streaming import run_incremental_all
+
+    # buffer-age decisions compare encoded commit times against wall
+    # clock, so the file clocks must be real-now based
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+
+    def mktable(name):
+        spec = TableSpec(
+            name,
+            record_key=("id",),
+            precombine_key="update_at",
+            partition_source="create_at",
+            partition_granularity="day",
+            schema=CDC_SCHEMA,
+        )
+        return KeyedTable(spark, str(tmp_path / name), spec)
+
+    wl_a, wl_b = Workload(seed=11), Workload(seed=22)
+    dir_a, dir_b = str(tmp_path / "cdc_a"), str(tmp_path / "cdc_b")
+    table_a, table_b = mktable("acc_a"), mktable("acc_b")
+    tables = {"acc_a": (dir_a, table_a), "acc_b": (dir_b, table_b)}
+    tracker = CDCTracker.load(
+        str(tmp_path / "tracker.json"),
+        max_files=10,
+        min_files=2,
+        max_buffer_age=timedelta(minutes=30),
+    )
+
+    # tick 0: a has ONE file aged past the buffer bound -> flushes
+    # despite min_files; b has two files -> fills min_files
+    _write_cdc_file(spark, dir_a, now - timedelta(minutes=45), wl_a.events(10))
+    _write_cdc_file(spark, dir_b, now - timedelta(minutes=40), wl_b.events(10))
+    _write_cdc_file(spark, dir_b, now - timedelta(minutes=39), wl_b.events(10))
+    assert run_incremental_all(
+        spark, tracker, tables, delete_mode="apply"
+    ) == {"acc_a": 1, "acc_b": 2}
+
+    # tick 1: a gets one YOUNG file -> under-filled and under-age,
+    # buffered (0 processed, watermark untouched)
+    _write_cdc_file(spark, dir_a, now - timedelta(minutes=10), wl_a.events(10))
+    wm_a_buffered = tracker.state("acc_a").last_processed
+    assert run_incremental_all(
+        spark, tracker, tables, delete_mode="apply"
+    ) == {"acc_a": 0, "acc_b": 0}
+    assert tracker.state("acc_a").last_processed == wm_a_buffered
+
+    # capture b's converged truth BEFORE the failing batch
+    truth_b_mid = wl_b.truth_df(spark)
+
+    # tick 2: a's buffer fills (2 files); b's upsert blows up mid-tick
+    _write_cdc_file(spark, dir_a, now - timedelta(minutes=9), wl_a.events(10))
+    _write_cdc_file(spark, dir_b, now - timedelta(minutes=8), wl_b.events(10))
+    _write_cdc_file(spark, dir_b, now - timedelta(minutes=7), wl_b.events(10))
+    wm_b_before = tracker.state("acc_b").last_processed
+
+    def boom(*a, **k):
+        raise RuntimeError("injected upsert failure")
+
+    table_b.upsert = boom
+    assert run_incremental_all(
+        spark, tracker, tables, delete_mode="apply"
+    ) == {"acc_a": 2, "acc_b": -1}
+    # independence: a advanced, b did not move or mutate
+    assert tracker.state("acc_a").last_processed > wm_a_buffered
+    assert tracker.state("acc_b").last_processed == wm_b_before
+    assert compare_tables(truth_b_mid, table_b.read(), keys=("id",)).equal
+
+    # tick 3: b recovers and replays exactly the failed files
+    del table_b.upsert  # restore the real method
+    assert run_incremental_all(
+        spark, tracker, tables, delete_mode="apply"
+    ) == {"acc_a": 0, "acc_b": 2}
+
+    assert compare_tables(wl_a.truth_df(spark), table_a.read(), keys=("id",)).equal
+    assert compare_tables(wl_b.truth_df(spark), table_b.read(), keys=("id",)).equal
+    assert tracker.state("acc_a").n_batches == 2
+    assert tracker.state("acc_b").n_batches == 2
