@@ -55,6 +55,9 @@ def main() -> int:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # no \r-progress bars in captured bench output (the driver
+        # stores the tail of this run verbatim in BENCH_r{N}.json)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
     # Warm the JVM/codegen path once so q1 doesn't pay session startup.
