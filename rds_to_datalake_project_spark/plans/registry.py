@@ -22,12 +22,19 @@ _MODULES = (relational, cdc, extensions, tpch_extra, curation)
 # they land inside that window; long-green queries rotate to the tail (their
 # r1/r2 rows remain on record and pytest still covers them every round).
 _PRIORITY = (
-    # md5-mode fuzzy-dedup variants (new round 4, oracle-backed) — the
-    # only declared queries without a driver-green hash row yet
+    # new round 4, oracle-backed — the only declared queries without a
+    # driver-green hash row yet: md5-mode fuzzy dedup + the TPC-H
+    # completion set (q2/q4/q11/q12/q15/q20)
     "minhash_lsh_candidates_md5",
     "minhash_neardup_md5",
     "ngram_jaccard_neardup_md5",
     "simhash_neardup_md5",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_important_part_value",
+    "q12_shipping_classes",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
     # green in r1 only; re-confirm periodically while window room exists

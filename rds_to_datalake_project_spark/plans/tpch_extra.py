@@ -442,7 +442,319 @@ ORDER BY cntrycode
 """
 
 
+# --- Q2: min-cost supplier per part (correlated-min → partitioned window) ----
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each SMALL part of size ≤ 10, the ASIA supplier(s) offering
+    the minimum observed unit price. The testdata has no partsupp
+    table, so the part-supplier bridge is derived from lineitem (min
+    unit price per (part, supplier) — exact, order-independent). The
+    correlated scalar subquery of the original compiles to ONE
+    partitioned window min (a single hash shuffle on p_partkey) — no
+    per-part recomputation, broadcastable dims."""
+    from pyspark.sql import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eligible = (
+        bridge.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH bridge AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eligible AS (
+  SELECT p_partkey, s_name, n_name, s_acctbal, cost,
+         MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM bridge
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'SMALL' AND p_size <= 10
+)
+SELECT p_partkey, s_name, n_name, s_acctbal, cost
+FROM eligible WHERE cost = min_cost
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+# --- Q4: order priority checking (EXISTS → left semi join) -------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of 1997Q3 that have at least one returned lineitem
+    (l_returnflag = 'R' stands in for the original's
+    commitdate < receiptdate, which the testdata lacks), counted per
+    priority. EXISTS compiles to a LeftSemi hash join — the build side
+    is pre-filtered and deduplicated by the join itself."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q11: important part value (global-total scalar subquery) ----------------
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue through NATION_3 suppliers exceeds 0.1% of
+    that nation's total — the original's group-vs-global-aggregate
+    shape. The global total is a 1-row aggregate cross-joined as a
+    broadcast (no second scan of the grouped data; the per-part agg is
+    reused for both sides via one shuffle)."""
+    supp3 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(supp3, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(_dsum(vol).alias("part_value"))
+    )
+    total = per_part.agg(_dsum(F.col("part_value")).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS part_value
+  FROM lineitem
+  WHERE EXISTS (
+          SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey = l_suppkey AND n_name = 'NATION_3'
+        )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (
+        SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) FROM per_part
+      )
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- Q12: shipping classes (CASE-sum pivot over a fact-fact join) ------------
+
+def q12_shipping_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1998 shipments bucketed by discount band (stand-in for the
+    missing l_shipmode), counting critical- vs normal-priority orders
+    per band — the conditional-aggregation pivot of the original."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.when(F.col("l_discount") >= 0.05, F.lit("HIGH_DISC"))
+            .otherwise(F.lit("LOW_DISC"))
+            .alias("disc_band")
+        )
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("disc_band")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN l_discount >= 0.05 THEN 'HIGH_DISC' ELSE 'LOW_DISC' END AS disc_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY CASE WHEN l_discount >= 0.05 THEN 'HIGH_DISC' ELSE 'LOW_DISC' END
+ORDER BY disc_band
+"""
+
+
+# --- Q15: top supplier (aggregate-max scalar subquery, exact tie set) --------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1997Q1 revenue. The max-equality
+    comparison happens on the EXACT decimal sums (cast to double only
+    for output), so ties are bit-identical across engines. One shuffle
+    for the per-supplier agg; the 1-row max broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("revd")
+    )
+    top = rev.agg(F.max("revd").alias("max_revd"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("revd") == F.col("max_revd"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("revd").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS revd
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(revd AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revd = (SELECT MAX(revd) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q20: suppliers with excess shipped volume (nested agg semi-join) --------
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers who shipped, for some red part in 1997, more
+    than 1.2× the average supplier volume of that part (stand-in for
+    the original's availqty > 0.5·sum(qty); partsupp is derived from
+    lineitem). Nested aggregate → one grouped agg + one partitioned
+    window avg + a semi join; nothing is collected."""
+    from pyspark.sql import Window
+
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    l97 = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    ps = (
+        l97.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        ps.withColumn("part_avg", F.avg("qty").over(w))
+        .filter(F.col("qty").cast("double") > F.lit(1.2) * F.col("part_avg").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation5 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supplier.join(F.broadcast(nation5), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND EXISTS (SELECT 1 FROM part
+                WHERE p_partkey = l_partkey AND p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+), excess AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, CAST(qty AS DOUBLE) AS qd,
+           AVG(qty) OVER (PARTITION BY l_partkey) AS part_avg
+    FROM ps
+  ) WHERE qd > 1.2 * CAST(part_avg AS DOUBLE)
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND EXISTS (SELECT 1 FROM excess WHERE excess.l_suppkey = s_suppkey)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q11_important_part_value": q11_important_part_value,
+    "q12_shipping_classes": q12_shipping_classes,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_excess_suppliers": q20_excess_suppliers,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation": q9_profit_by_nation,
     "q13_customer_distribution": q13_customer_distribution,
@@ -455,6 +767,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q11_important_part_value": Q11_SQL,
+    "q12_shipping_classes": Q12_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q20_excess_suppliers": Q20_SQL,
     "q8_market_share": Q8_SQL,
     "q9_profit_by_nation": Q9_SQL,
     "q13_customer_distribution": Q13_SQL,
