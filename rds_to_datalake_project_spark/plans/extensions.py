@@ -569,6 +569,68 @@ ORDER BY a_id, b_id
 """
 
 
+# --- SRP cosine-LSH over embeddings (oracle-backed) ---------------------------
+
+def srp_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via signed-random-projection LSH
+    (operators/srp.py): no blocking column, no trained centroids —
+    the md5-derived ±1 projections and integer dot products make the
+    whole pipeline (fingerprint, banding, Hamming) bit-identical in
+    DuckDB.
+
+    Band width is the recall/cost dial: this synthetic corpus has no
+    true near-duplicates (closest pair is 9/60 bits apart), so the
+    query widens to 15 bands / h ≤ 14 to exercise a non-empty
+    guarantee set; production corpora with real duplicates use the
+    operator defaults (6 bands of 10 bits, h ≤ 5 — tiny buckets)."""
+    from rds_to_datalake_project_spark.operators.srp import srp_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb, max_hamming=14, n_bits=60, bands=15, dim=64
+    ).orderBy("a_id", "b_id")
+
+
+def _srp_oracle_sql(n_bits: int = 60, bands: int = 15, dim: int = 64,
+                    max_hamming: int = 14) -> str:
+    """Oracle generated from the SAME ±1 matrix the Spark plan embeds
+    (srp_weights is plain deterministic Python)."""
+    from rds_to_datalake_project_spark.operators.srp import srp_weights
+
+    wlit = "[" + ", ".join(
+        "[" + ", ".join(str(w) for w in row) + "]"
+        for row in srp_weights(n_bits, dim)
+    ) + "]"
+    bits = n_bits // bands
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), fp AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, {n_bits}), i ->
+           CASE WHEN CAST(list_sum(list_transform(range(1, {dim} + 1),
+                        j -> w.W[i + 1][j] * qv[j])) AS BIGINT) > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS srp
+  FROM q, (SELECT {wlit} AS W) AS w
+), buckets AS (
+  SELECT vec_id, srp, r.b AS band,
+         (srp >> (r.b * {bits})) & {(1 << bits) - 1} AS bucket
+  FROM fp, range(0, {bands}) AS r(b)
+)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(bit_count(xor(a.srp, b.srp)) AS BIGINT) AS hamming
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE bit_count(xor(a.srp, b.srp)) <= {max_hamming}
+ORDER BY a_id, b_id
+"""
+
+
+SRP_NEARDUP_SQL = _srp_oracle_sql()
+
+
 # --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,6 +1028,7 @@ QUERIES = {
     "minhash_neardup_md5": minhash_neardup_md5,
     "ngram_jaccard_neardup_md5": ngram_jaccard_neardup_md5,
     "simhash_neardup_md5": simhash_neardup_md5,
+    "srp_neardup_embeddings": srp_neardup_embeddings,
     "media_feature_extract": media_feature_extract,
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
@@ -1002,6 +1065,7 @@ ORACLES = {
     "minhash_neardup_md5": MINHASH_NEARDUP_MD5_SQL,
     "ngram_jaccard_neardup_md5": NGRAM_JACCARD_NEARDUP_MD5_SQL,
     "simhash_neardup_md5": SIMHASH_NEARDUP_MD5_SQL,
+    "srp_neardup_embeddings": SRP_NEARDUP_SQL,
     "media_feature_extract": MEDIA_FEATURES_SQL,
     "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,

@@ -35,6 +35,7 @@ _PRIORITY = (
     "q12_shipping_classes",
     "q15_top_supplier",
     "q20_excess_suppliers",
+    "srp_neardup_embeddings",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
     # green in r1 only; re-confirm periodically while window room exists

@@ -328,3 +328,40 @@ def test_morton_key_golden_and_locality(spark):
         ys = [r.y for r in chunk]
         # a 64-cell z-block is an 8x8 square; allow the exact bound
         assert max(xs) - min(xs) <= 7 and max(ys) - min(ys) <= 7
+
+
+def test_srp_neardup_finds_planted_duplicates(spark):
+    """SRP cosine-LSH (operators/srp.py): tiny-perturbation duplicates
+    land within the Hamming bound and are found through the band join
+    at production defaults; unrelated random vectors stay out. The
+    fingerprint must also be partitioning-independent (exact integer
+    dots + literal projection matrix)."""
+    import random
+
+    from rds_to_datalake_project_spark.operators.srp import (
+        srp_buckets,
+        srp_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(5):
+        base = [rng.uniform(-1.0, 1.0) for _ in range(16)]
+        rows.append((2 * g, [float(x) for x in base]))
+        # same direction, tiny perturbation -> cosine ~1
+        rows.append((2 * g + 1, [float(x * 1.01 + 0.001) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in srp_neardup_pairs(df, dim=16).collect()
+    }
+    planted = {(2 * g, 2 * g + 1) for g in range(5)}
+    assert planted <= set(got), got
+    assert all(h <= 5 for h in got.values())
+    # no cross-group pair sneaks in (random 16-dim directions are ~30/60 apart)
+    assert set(got) == planted, got
+
+    fp1 = {(r.vec_id, r.srp) for r in srp_buckets(df, dim=16).collect()}
+    fp2 = {(r.vec_id, r.srp) for r in srp_buckets(df.repartition(7), dim=16).collect()}
+    assert fp1 == fp2
