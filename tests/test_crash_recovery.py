@@ -232,3 +232,54 @@ def test_crash_during_recovery_itself(spark, tmp_path, monkeypatch):
     table.upsert(spark.createDataFrame(BATCH, BATCH_COLS), delete_mode="apply")
     assert _snap(table) == POST
     _assert_clean(path)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SEQ_POINTS = [
+    "staged_written",
+    "flag_created",
+    "parked_aside",
+    "renamed_in",
+    "partition_published",
+    "all_swapped",
+    "staging_deleted",
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    crashes=st.lists(
+        st.tuples(st.sampled_from(_SEQ_POINTS), st.integers(1, 3)), max_size=3
+    )
+)
+def test_random_crash_sequences_converge(
+    spark, tmp_path_factory, monkeypatch, crashes
+):
+    """Re-entrancy under ARBITRARY crash sequences: each attempt dies
+    at a random point/occurrence (recovery passes included); after the
+    dust settles one clean attempt must land exactly on the oracle
+    state with no staging or aside leftovers."""
+    path = str(tmp_path_factory.mktemp("seq") / "t")
+    table = KeyedTable(spark, path, PART_SPEC)
+    table.initial_load(spark.createDataFrame(INITIAL, INIT_COLS))
+
+    for point, nth in crashes:
+        _inject(monkeypatch, point, nth)
+        try:
+            table.upsert(
+                spark.createDataFrame(BATCH, BATCH_COLS), delete_mode="apply"
+            )
+        except Boom:
+            pass
+        assert table.exists()
+
+    monkeypatch.setattr(KeyedTable, "_fault", staticmethod(lambda p: None))
+    table.upsert(spark.createDataFrame(BATCH, BATCH_COLS), delete_mode="apply")
+    assert _snap(table) == POST
+    _assert_clean(path)
