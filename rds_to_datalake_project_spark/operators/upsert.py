@@ -307,25 +307,44 @@ class KeyedTable:
         Staging is deleted only after every swap succeeded.
         """
         if self.partition_cols:
-            for rel in self._staged_partition_dirs(staging):
-                self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
-                # An empty staged dir is a publish-as-deleted partition:
-                # the swap parked the old copy and renamed the empty dir
-                # in; remove the now-live empty shell.
-                dst = f"{self.path}/{rel}"
-                fs, dst_p = self._fs(dst)
-                if not any(
-                    not s.getPath().getName().startswith((".", "_"))
-                    for s in fs.listStatus(dst_p)
-                ):
-                    fs.delete(dst_p, True)
-                self._fault("partition_published")
+            rels = self._staged_partition_dirs(staging)
+            if len(rels) > 8:
+                # Backfill-scale publishes touch hundreds of
+                # partitions; the swaps are independent per-directory
+                # metadata operations, so issue them concurrently
+                # instead of thousands of serial driver→NameNode round
+                # trips. Crash-safety is unchanged: any completed
+                # subset is a valid resume point (recover() re-lists
+                # staging), and py4j/Hadoop FileSystem are
+                # thread-safe.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=16) as pool:
+                    list(pool.map(lambda r: self._publish_partition(staging, r), rels))
+            else:
+                for rel in rels:
+                    self._publish_partition(staging, rel)
         else:
             self._swap_unpartitioned(staging)
         self._fault("all_swapped")
         self._fs_delete(staging)
         self._fault("staging_deleted")
         self._sweep_asides()
+
+    def _publish_partition(self, staging: str, rel: str) -> None:
+        """Swap one staged partition into the live tree; an empty
+        staged dir is a publish-as-deleted partition — the swap parks
+        the old copy and renames the empty dir in, then the now-live
+        empty shell is removed."""
+        self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
+        dst = f"{self.path}/{rel}"
+        fs, dst_p = self._fs(dst)
+        if not any(
+            not s.getPath().getName().startswith((".", "_"))
+            for s in fs.listStatus(dst_p)
+        ):
+            fs.delete(dst_p, True)
+        self._fault("partition_published")
 
     def _write_ready_flag(self, staging: str) -> None:
         """Commit point of the upsert. The flag carries a manifest of
