@@ -33,6 +33,20 @@ def n_tokens(col: Column) -> Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
+# GPT-2-family pre-tokenizer, ASCII-restricted: optional leading space
+# + (letter run | digit run | punctuation run). No lookaheads and no
+# unicode classes, so Spark's Java regex and DuckDB's RE2 produce the
+# same match sequence token-for-token.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def n_bpe_tokens(col: Column) -> Column:
+    """BPE-style pre-token count — the budget metric LLM pipelines
+    size corpora with (whitespace counts undercount punctuation-heavy
+    text). One vectorized regexp_extract_all, no UDF."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
 def n_alpha(col: Column) -> Column:
     return F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
 

@@ -569,6 +569,39 @@ ORDER BY a_id, b_id
 """
 
 
+# --- BPE-ish token budget (oracle-backed) -------------------------------------
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets with the BPE-style pre-tokenizer
+    (operators/text.n_bpe_tokens) next to the whitespace baseline —
+    the corpus-sizing report an LLM data pipeline runs before
+    training."""
+    from rds_to_datalake_project_spark.operators.text import n_bpe_tokens, n_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(n_bpe_tokens(F.col("text"))).cast("long").alias("bpe_tokens"),
+            F.sum(n_tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_TOKEN_SQL = r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- SRP cosine-LSH over embeddings (oracle-backed) ---------------------------
 
 def srp_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,6 +1062,7 @@ QUERIES = {
     "ngram_jaccard_neardup_md5": ngram_jaccard_neardup_md5,
     "simhash_neardup_md5": simhash_neardup_md5,
     "srp_neardup_embeddings": srp_neardup_embeddings,
+    "bpe_token_stats": bpe_token_stats,
     "media_feature_extract": media_feature_extract,
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
@@ -1066,6 +1100,7 @@ ORACLES = {
     "ngram_jaccard_neardup_md5": NGRAM_JACCARD_NEARDUP_MD5_SQL,
     "simhash_neardup_md5": SIMHASH_NEARDUP_MD5_SQL,
     "srp_neardup_embeddings": SRP_NEARDUP_SQL,
+    "bpe_token_stats": BPE_TOKEN_SQL,
     "media_feature_extract": MEDIA_FEATURES_SQL,
     "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,

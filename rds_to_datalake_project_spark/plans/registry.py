@@ -36,6 +36,7 @@ _PRIORITY = (
     "q15_top_supplier",
     "q20_excess_suppliers",
     "srp_neardup_embeddings",
+    "bpe_token_stats",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
     # green in r1 only; re-confirm periodically while window room exists
