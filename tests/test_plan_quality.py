@@ -179,3 +179,25 @@ def test_lsh_banding_no_repartition_on_wide_input(spark, tables):
     cand = lsh_candidate_pairs(docs)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" not in plan
+
+
+def test_new_tpch_shapes_stay_scale_safe(spark):
+    """The round-4 TPC-H additions must keep their designed physical
+    shapes: dims broadcast, correlated/global aggregates via window or
+    1-row broadcast — never a corpus-wide single-partition exchange,
+    and q2's top-k never a global sort."""
+    # q11's one SinglePartition exchange is the 1-row global-total
+    # aggregate over ALREADY-AGGREGATED per-part rows (partial agg is
+    # map-side) — the scalar-subquery pattern, bounded by the group
+    # count, not the corpus. Everything else must have none.
+    allowed_single = {"q11_important_part_value": 1}
+    for name in ("q2_min_cost_supplier", "q11_important_part_value",
+                 "q20_excess_suppliers"):
+        df = QUERIES[name](spark, SF)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        n_single = plan.count("Exchange SinglePartition")
+        assert n_single <= allowed_single.get(name, 0), (name, n_single)
+    q2 = QUERIES["q2_min_cost_supplier"](spark, SF)
+    assert "TakeOrderedAndProject" in q2._jdf.queryExecution().executedPlan().toString()
