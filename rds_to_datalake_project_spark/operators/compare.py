@@ -50,6 +50,20 @@ class CompareResult:
         )
 
 
+def diff_report(source: DataFrame, lake: DataFrame) -> DataFrame:
+    """Row-level multiset diff as a DataFrame: every row present in
+    exactly one side, tagged ``side`` ∈ {source, lake}. The
+    distributed whole of what ``compare_tables`` samples — kept lazy
+    so a 100 TB audit can write the report instead of collecting it.
+    One co-partitioned anti-join shuffle per direction."""
+    lake = strip_meta_columns(lake).select(*source.columns)
+    return (
+        source.exceptAll(lake)
+        .withColumn("side", F.lit("source"))
+        .unionByName(lake.exceptAll(source).withColumn("side", F.lit("lake")))
+    )
+
+
 def compare_tables(
     source: DataFrame,
     lake: DataFrame,

@@ -517,7 +517,50 @@ ORDER BY bucket_us, event_type
 """
 
 
+# --- J2: differential comparator as a lake-scale report -----------------------
+
+def table_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row diff of a source table vs a 'lake' copy with
+    deterministic injected drift (reference compare.py:52-88, but as a
+    distributed report instead of a driver-side zip): keys divisible
+    by 97 get a mutated o_totalprice, keys divisible by 101 are
+    missing from the lake. Every drifted row must surface exactly once
+    per side it exists on."""
+    from rds_to_datalake_project_spark.operators.compare import diff_report
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    src = load_table(spark, sf_dir, "orders").select(*cols)
+    mutated = src.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    lake = mutated.filter(F.col("o_orderkey") % 101 != 0)
+    return diff_report(src, lake).orderBy("o_orderkey", "side")
+
+
+TABLE_DIFF_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+), lake AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, side FROM (
+  SELECT d.*, 'source' AS side FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM lake) d
+  UNION ALL
+  SELECT d.*, 'lake' AS side FROM (SELECT * FROM lake EXCEPT ALL SELECT * FROM src) d
+)
+ORDER BY o_orderkey, side
+"""
+
+
 QUERIES = {
+    "table_diff_report": table_diff_report,
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
     "partition_enrich_string": partition_enrich_string,
@@ -534,6 +577,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table_diff_report": TABLE_DIFF_SQL,
     "dedup_latest_per_key": DEDUP_SQL,
     "partition_enrich": ENRICH_SQL,
     "partition_enrich_string": ENRICH_STRING_SQL,

@@ -37,6 +37,7 @@ _PRIORITY = (
     "q20_excess_suppliers",
     "srp_neardup_embeddings",
     "bpe_token_stats",
+    "table_diff_report",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
     # green in r1 only; re-confirm periodically while window room exists
