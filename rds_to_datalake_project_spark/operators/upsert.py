@@ -63,17 +63,42 @@ _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 
 
 class KeyedTable:
-    """A keyed, partitioned, upsertable parquet table."""
+    """A keyed, partitioned, upsertable parquet table.
 
-    def __init__(self, spark: SparkSession, path: str, spec: TableSpec):
+    ``retain_versions > 0`` (partitioned tables only) turns on
+    snapshot retention: each upsert publish becomes a numbered commit,
+    the pre-publish copy of every replaced partition is retired under
+    ``.retired/v{k}/`` instead of deleted, and ``read_as_of(k)``
+    reconstructs the table exactly as it stood after commit k (0 =
+    after initial load). Retention rides the same crash-safe
+    rename-only publish protocol — a retire is the same metadata
+    rename as an aside drop, so commits stay one-pass and resumable.
+    ``vacuum_versions`` expires old snapshots. Off by default: with
+    retain_versions=0 behavior is bit-for-bit the non-versioned
+    protocol.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        spec: TableSpec,
+        retain_versions: int = 0,
+    ):
         self.spark = spark
         self.path = path
         self.spec = spec
+        self.retain_versions = retain_versions
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
             if spec.partition_granularity
             else []
         )
+        if retain_versions and not self.partition_cols:
+            raise ValueError(
+                "snapshot retention requires a partitioned table "
+                "(unpartitioned swaps replace files, not partition dirs)"
+            )
 
     # -- helpers -------------------------------------------------------------
 
@@ -160,10 +185,23 @@ class KeyedTable:
                 F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D")
             )
         out = self._apply_ops(self._dedup(df), delete_mode)
-        writer = out.write.mode("overwrite")
+        # Static overwrite: an initial load is a TABLE RESET — the
+        # session's dynamic partitionOverwriteMode (right for upsert's
+        # touched-partition staging writes) would leave partitions of
+        # a previous incarnation alive when reloading over an existing
+        # table; static mode clears the whole path first.
+        writer = out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        )
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.path)
+        if self.retain_versions:
+            # Snapshot history from a previous incarnation no longer
+            # describes this data (static overwrite usually cleared it
+            # with the path; be explicit in case of scheme quirks).
+            self._fs_delete(f"{self.path}/.meta")
+            self._fs_delete(f"{self.path}/.retired")
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
 
@@ -306,6 +344,9 @@ class KeyedTable:
         (already-published partitions are simply no longer in staging).
         Staging is deleted only after every swap succeeded.
         """
+        version = None
+        if self.retain_versions:
+            version = self._flag_meta(f"{staging}/{_READY_FLAG}").get("version")
         if self.partition_cols:
             rels = self._staged_partition_dirs(staging)
             if len(rels) > 8:
@@ -320,23 +361,47 @@ class KeyedTable:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=16) as pool:
-                    list(pool.map(lambda r: self._publish_partition(staging, r), rels))
+                    list(
+                        pool.map(
+                            lambda r: self._publish_partition(staging, r, version),
+                            rels,
+                        )
+                    )
             else:
                 for rel in rels:
-                    self._publish_partition(staging, rel)
+                    self._publish_partition(staging, rel, version)
         else:
             self._swap_unpartitioned(staging)
         self._fault("all_swapped")
+        if version is not None:
+            # Persist the commit record: the snapshot store's source of
+            # truth for created-partition attribution and the version
+            # counter. Idempotent (tmp + rename, same content on
+            # re-entry — the version was fixed in the flag at commit).
+            fs, meta_dir = self._fs(f"{self.path}/.meta")
+            fs.mkdirs(meta_dir)
+            _, tmp_p = self._fs(f"{self.path}/.meta/.v{version}.tmp")
+            out = fs.create(tmp_p, True)
+            data = self._read_flag_text(f"{staging}/{_READY_FLAG}").encode("utf-8")
+            if data:
+                out.write(data)
+            out.close()
+            _, rec_p = self._fs(f"{self.path}/.meta/v{version}.flag")
+            fs.delete(rec_p, True)
+            self._rename(fs, tmp_p, rec_p)
+            self._fault("meta_committed")
         self._fs_delete(staging)
         self._fault("staging_deleted")
-        self._sweep_asides()
+        self._sweep_asides(version)
 
-    def _publish_partition(self, staging: str, rel: str) -> None:
+    def _publish_partition(
+        self, staging: str, rel: str, retire_version: int | None = None
+    ) -> None:
         """Swap one staged partition into the live tree; an empty
         staged dir is a publish-as-deleted partition — the swap parks
         the old copy and renames the empty dir in, then the now-live
         empty shell is removed."""
-        self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}")
+        self._swap_dir(f"{staging}/{rel}", f"{self.path}/{rel}", rel, retire_version)
         dst = f"{self.path}/{rel}"
         fs, dst_p = self._fs(dst)
         if not any(
@@ -347,12 +412,16 @@ class KeyedTable:
         self._fault("partition_published")
 
     def _write_ready_flag(self, staging: str) -> None:
-        """Commit point of the upsert. The flag carries a manifest of
-        the staged top-level data-file names (relevant for
-        unpartitioned tables — see ``_swap_unpartitioned``) and is
-        written atomically via tmp + rename, so a crash mid-write can
-        never leave a present-but-truncated flag: the staging is
-        either fully committed or discardable."""
+        """Commit point of the upsert. The flag carries the commit
+        record — ``#``-prefixed meta lines (snapshot version, created
+        partitions) plus a manifest of the staged top-level data-file
+        names (relevant for unpartitioned tables — see
+        ``_swap_unpartitioned``) — written atomically via tmp +
+        rename, so a crash mid-write can never leave a
+        present-but-truncated flag: the staging is either fully
+        committed or discardable. Everything recovery needs to finish
+        (or attribute) this publish is in the flag, so re-entry never
+        recomputes commit state."""
         fs, stage_p = self._fs(staging)
         names = [
             st.getPath().getName()
@@ -360,26 +429,145 @@ class KeyedTable:
             if not st.getPath().getName().startswith((".", "_"))
             and not st.isDirectory()
         ]
+        lines = []
+        if self.retain_versions:
+            version = (self.versions() or [0])[-1] + 1
+            created = [
+                rel
+                for rel in self._staged_partition_dirs(staging)
+                if not self._fs(f"{self.path}/{rel}")[0].exists(
+                    self._fs(f"{self.path}/{rel}")[1]
+                )
+            ]
+            lines.append(f"#version={version}")
+            lines.append("#created=" + "\t".join(sorted(created)))
+        lines.extend(sorted(names))
         _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
         out = fs.create(tmp_p, True)
-        data = "\n".join(sorted(names)).encode("utf-8")
+        data = "\n".join(lines).encode("utf-8")
         if data:
             out.write(data)
         out.close()
         _, flag_p = self._fs(f"{staging}/{_READY_FLAG}")
         self._rename(fs, tmp_p, flag_p)
 
-    def _read_manifest(self, staging: str) -> set[str]:
-        """The committed staged-file-name set from the ready flag."""
-        fs, flag_p = self._fs(f"{staging}/{_READY_FLAG}")
+    def _read_flag_text(self, flag_path: str) -> str:
+        fs, flag_p = self._fs(flag_path)
         stream = fs.open(flag_p)
         try:
-            text = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+            return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
             )
         finally:
             stream.close()
-        return {n for n in text.split("\n") if n}
+
+    def _read_manifest(self, staging: str) -> set[str]:
+        """The committed staged-file-name set from the ready flag."""
+        text = self._read_flag_text(f"{staging}/{_READY_FLAG}")
+        return {n for n in text.split("\n") if n and not n.startswith("#")}
+
+    def _flag_meta(self, flag_path: str) -> dict:
+        """Parse the ``#key=value`` meta lines of a commit flag."""
+        meta: dict = {}
+        for line in self._read_flag_text(flag_path).split("\n"):
+            if line.startswith("#") and "=" in line:
+                k, v = line[1:].split("=", 1)
+                meta[k] = v
+        if "version" in meta:
+            meta["version"] = int(meta["version"])
+        meta["created"] = [r for r in meta.get("created", "").split("\t") if r]
+        return meta
+
+    # -- snapshot retention / time travel ------------------------------------
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions, ascending (0, the initial-load
+        state, is implicit and not listed)."""
+        fs, meta_p = self._fs(f"{self.path}/.meta")
+        if not fs.exists(meta_p):
+            return []
+        out = []
+        for st in fs.listStatus(meta_p):
+            n = st.getPath().getName()
+            if n.startswith("v") and n.endswith(".flag"):
+                out.append(int(n[1 : -len(".flag")]))
+        return sorted(out)
+
+    def read_as_of(self, version: int) -> DataFrame:
+        """The table exactly as it stood after commit ``version``
+        (0 = after initial load).
+
+        Metadata-only reconstruction: for each partition, the first
+        event after ``version`` decides its source — retired at j →
+        read the ``.retired/v{j}`` copy (the pre-j state, i.e. the
+        state at ``version`` by minimality of j); created at j →
+        the partition did not exist yet; no event → live dir. No data
+        is copied at commit or read time; a snapshot read lists the
+        same number of dirs as a live read.
+        """
+        if not self.retain_versions:
+            raise ValueError("read_as_of requires retain_versions > 0")
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        first: dict[str, tuple[str, int]] = {}
+        for j in self.versions():
+            if j <= version:
+                continue
+            for rel in self._retired_rels(j):
+                first.setdefault(rel, ("retired", j))
+            for rel in self._flag_meta(f"{self.path}/.meta/v{j}.flag")["created"]:
+                first.setdefault(rel, ("created", j))
+        groups: dict[str, list[str]] = {}
+        for rel in self._staged_partition_dirs(self.path):  # live dirs
+            if rel not in first:
+                groups.setdefault(self.path, []).append(rel)
+        for rel, (kind, j) in first.items():
+            if kind == "retired":
+                groups.setdefault(f"{self.path}/.retired/v{j}", []).append(rel)
+        reads = [
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(*[f"{root}/{rel}" for rel in rels])
+            for root, rels in groups.items()
+            if rels
+        ]
+        if not reads:
+            return self.read().limit(0)
+        out = reads[0]
+        for r in reads[1:]:
+            out = out.unionByName(r, allowMissingColumns=True)
+        return out
+
+    def vacuum_versions(self, keep_last: int = 1) -> int:
+        """Expire old snapshots: drop the retired copies and commit
+        records of all but the newest ``keep_last`` versions (≥ 1 —
+        the newest commit record anchors the version counter).
+        Returns the number of versions expired."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be ≥ 1")
+        expired = self.versions()[:-keep_last]
+        for j in expired:
+            self._fs_delete(f"{self.path}/.retired/v{j}")
+            self._fs_delete(f"{self.path}/.meta/v{j}.flag")
+        return len(expired)
+
+    def _retired_rels(self, version: int) -> list[str]:
+        root = f"{self.path}/.retired/v{version}"
+        fs, p = self._fs(root)
+        return self._staged_partition_dirs(root) if fs.exists(p) else []
+
+    def _retire_aside(self, aside: str, rel: str, version: int) -> None:
+        """Move a parked pre-publish partition copy into the snapshot
+        store (one rename; parent dirs created as needed)."""
+        fs, aside_p = self._fs(aside)
+        if not fs.exists(aside_p):
+            return
+        _, dst_p = self._fs(f"{self.path}/.retired/v{version}/{rel}")
+        fs.mkdirs(dst_p.getParent())
+        fs.delete(dst_p, True)  # re-entry leftovers from a crashed retire
+        self._rename(fs, aside_p, dst_p)
+        self._fault("aside_retired")
 
     def _partition_key_col(self):
         """Partition tuple → one string column (for IN-set pruning)."""
@@ -460,24 +648,44 @@ class KeyedTable:
         walk(root, 0, "")
         return rels
 
-    def _swap_dir(self, src: str, dst: str) -> None:
+    def _swap_dir(
+        self,
+        src: str,
+        dst: str,
+        rel: str | None = None,
+        retire_version: int | None = None,
+    ) -> None:
         """Publish one staged partition dir over the live one:
         rename-old-aside → rename-new-in → drop-aside (each rename
         atomic on HDFS/local). A complete copy of the partition exists
         at every instant — live, aside, or staged — so no crash point
-        can leave the partition absent from every location."""
+        can leave the partition absent from every location. With
+        snapshot retention, the final drop becomes a retire (one
+        rename into ``.retired/v{k}``) — same crash posture, the copy
+        just ends somewhere durable."""
         fs, dst_p = self._fs(dst)
         fs.mkdirs(dst_p.getParent())
         aside = f"{os.path.dirname(dst)}/{_ASIDE_PREFIX}{os.path.basename(dst)}"
         _, aside_p = self._fs(aside)
         if fs.exists(dst_p):
-            fs.delete(aside_p, True)  # stale aside from an earlier attempt
+            if fs.exists(aside_p):
+                # stale aside from an earlier attempt of a PREVIOUS
+                # publish whose cleanup died — retire it under this
+                # commit when retaining (conservative: data kept),
+                # else drop it as before.
+                if retire_version is not None and rel is not None:
+                    self._retire_aside(aside, rel, retire_version)
+                else:
+                    fs.delete(aside_p, True)
             self._rename(fs, dst_p, aside_p)
             self._fault("parked_aside")
         _, src_p = self._fs(src)
         self._rename(fs, src_p, dst_p)
         self._fault("renamed_in")
-        fs.delete(aside_p, True)
+        if retire_version is not None and rel is not None:
+            self._retire_aside(aside, rel, retire_version)
+        else:
+            fs.delete(aside_p, True)
 
     def _swap_unpartitioned(self, staging: str) -> None:
         """Replace the table's data files with the staged ones.
@@ -531,21 +739,32 @@ class KeyedTable:
         if not fs.rename(src, dst):
             raise IOError(f"rename failed: {src} -> {dst}")
 
-    def _sweep_asides(self) -> None:
-        """Drop leftover aside dirs (crash after rename-in, before
-        drop-aside). Safe unconditionally: an aside is only ever a
-        superseded copy once its staging sibling has been consumed."""
+    def _sweep_asides(self, retire_version: int | None = None) -> None:
+        """Resolve leftover aside dirs (crash after rename-in, before
+        drop/retire-aside). Safe unconditionally: an aside is only
+        ever a superseded copy once its staging sibling has been
+        consumed — dropped when not retaining, retired under the
+        recovering commit's version when retaining (the flag pinned
+        that version at commit time, so attribution is exact)."""
         fs, root = self._fs(self.path)
 
-        def walk(path):
+        def walk(path, rel_prefix: str):
             for st in fs.listStatus(path):
                 name = st.getPath().getName()
                 if name.startswith(_ASIDE_PREFIX):
-                    fs.delete(st.getPath(), True)
+                    if retire_version is not None:
+                        leaf = name[len(_ASIDE_PREFIX):]
+                        rel = f"{rel_prefix}/{leaf}" if rel_prefix else leaf
+                        self._retire_aside(
+                            f"{path.toString()}/{name}", rel, retire_version
+                        )
+                    else:
+                        fs.delete(st.getPath(), True)
                 elif st.isDirectory() and not name.startswith((".", "_")):
-                    walk(st.getPath())
+                    sub = f"{rel_prefix}/{name}" if rel_prefix else name
+                    walk(st.getPath(), sub)
 
-        walk(root)
+        walk(root, "")
 
     def _apply_ops(self, df: DataFrame, delete_mode: str) -> DataFrame:
         """Resolve the CDC envelope after the merge has picked winners."""
