@@ -559,8 +559,67 @@ ORDER BY o_orderkey, side
 """
 
 
+# --- snapshot retention / time travel (KeyedTable retain_versions) -----------
+
+def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL versioned pipeline — initial load + two committed
+    upserts on a retained, month-partitioned table — then read the
+    table AS OF commit 1. Commit 2 replaced (and retired) most
+    partitions; the snapshot read must reconstruct the pre-commit-2
+    state exactly, which the oracle states directly over orders."""
+    import tempfile
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_tt",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_source="o_orderdate",
+        partition_granularity="month",
+    )
+    t = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="time_travel_") + "/t",
+        spec,
+        retain_versions=3,
+    )
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    b1 = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(b1)  # commit 1
+    b2 = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("update_at", F.lit("v2"))
+    )
+    t.upsert(b2)  # commit 2 — retires the partitions it replaces
+    return (
+        t.read_as_of(1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+TIME_TRAVEL_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "table_diff_report": table_diff_report,
+    "time_travel_roundtrip": time_travel_roundtrip,
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
     "partition_enrich_string": partition_enrich_string,
@@ -578,6 +637,7 @@ QUERIES = {
 
 ORACLES = {
     "table_diff_report": TABLE_DIFF_SQL,
+    "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "dedup_latest_per_key": DEDUP_SQL,
     "partition_enrich": ENRICH_SQL,
     "partition_enrich_string": ENRICH_STRING_SQL,

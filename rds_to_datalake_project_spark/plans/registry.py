@@ -38,6 +38,7 @@ _PRIORITY = (
     "srp_neardup_embeddings",
     "bpe_token_stats",
     "table_diff_report",
+    "time_travel_roundtrip",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
     # green in r1 only; re-confirm periodically while window room exists
