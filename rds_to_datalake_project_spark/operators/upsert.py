@@ -65,17 +65,20 @@ _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 class KeyedTable:
     """A keyed, partitioned, upsertable parquet table.
 
-    ``retain_versions > 0`` (partitioned tables only) turns on
-    snapshot retention: each upsert publish becomes a numbered commit,
-    the pre-publish copy of every replaced partition is retired under
-    ``.retired/v{k}/`` instead of deleted, and ``read_as_of(k)``
-    reconstructs the table exactly as it stood after commit k (0 =
-    after initial load). Retention rides the same crash-safe
-    rename-only publish protocol — a retire is the same metadata
-    rename as an aside drop, so commits stay one-pass and resumable.
-    ``vacuum_versions`` expires old snapshots. Off by default: with
-    retain_versions=0 behavior is bit-for-bit the non-versioned
-    protocol.
+    ``retain_versions = N > 0`` turns on snapshot retention: each
+    upsert publish becomes a numbered commit, the pre-publish copy of
+    every replaced partition (or, for unpartitioned tables, the whole
+    replaced file set) is retired under ``.retired/v{k}/`` instead of
+    deleted, and ``read_as_of(k)`` reconstructs the table exactly as
+    it stood after commit k (0 = after initial load). Retention rides
+    the same crash-safe rename-only publish protocol — a retire is
+    the same metadata rename as an aside drop, so commits stay
+    one-pass and resumable. N is ENFORCED: every publish auto-expires
+    history beyond the newest N commits (``vacuum_versions`` is the
+    manual form), and ``read_as_of`` refuses versions below the
+    retention floor rather than ever serving an approximate snapshot.
+    Off by default: with retain_versions=0 behavior is bit-for-bit
+    the non-versioned protocol.
     """
 
     def __init__(
@@ -89,16 +92,12 @@ class KeyedTable:
         self.path = path
         self.spec = spec
         self.retain_versions = retain_versions
+        self._fs_handle = None
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
             if spec.partition_granularity
             else []
         )
-        if retain_versions and not self.partition_cols:
-            raise ValueError(
-                "snapshot retention requires a partitioned table "
-                "(unpartitioned swaps replace files, not partition dirs)"
-            )
 
     # -- helpers -------------------------------------------------------------
 
@@ -371,28 +370,32 @@ class KeyedTable:
                 for rel in rels:
                     self._publish_partition(staging, rel, version)
         else:
-            self._swap_unpartitioned(staging)
+            self._swap_unpartitioned(staging, version)
         self._fault("all_swapped")
         if version is not None:
-            # Persist the commit record: the snapshot store's source of
-            # truth for created-partition attribution and the version
-            # counter. Idempotent (tmp + rename, same content on
-            # re-entry — the version was fixed in the flag at commit).
+            # Persist the commit record by RENAMING the staging flag
+            # into .meta — one atomic metadata op instead of a
+            # read-copy-write round trip. Safe because every staged
+            # dir has been consumed by the swaps above: if we crash
+            # after this rename, recover() finds a flag-less staging
+            # holding no data and discards it (the half-published
+            # state a flagged staging exists to prevent is impossible
+            # here).
             fs, meta_dir = self._fs(f"{self.path}/.meta")
             fs.mkdirs(meta_dir)
-            _, tmp_p = self._fs(f"{self.path}/.meta/.v{version}.tmp")
-            out = fs.create(tmp_p, True)
-            data = self._read_flag_text(f"{staging}/{_READY_FLAG}").encode("utf-8")
-            if data:
-                out.write(data)
-            out.close()
             _, rec_p = self._fs(f"{self.path}/.meta/v{version}.flag")
-            fs.delete(rec_p, True)
-            self._rename(fs, tmp_p, rec_p)
+            fs.delete(rec_p, True)  # re-entry leftovers
+            self._rename(fs, self._fs(f"{staging}/{_READY_FLAG}")[1], rec_p)
             self._fault("meta_committed")
         self._fs_delete(staging)
         self._fault("staging_deleted")
         self._sweep_asides(version)
+        if version is not None and self.retain_versions:
+            # retain_versions=N is a CONTRACT, not a hint: history
+            # beyond the newest N commits auto-expires at every
+            # publish, so retired copies can never grow unbounded
+            # behind a caller who forgets to vacuum.
+            self.vacuum_versions(keep_last=self.retain_versions)
 
     def _publish_partition(
         self, staging: str, rel: str, retire_version: int | None = None
@@ -432,11 +435,12 @@ class KeyedTable:
         lines = []
         if self.retain_versions:
             version = (self.versions() or [0])[-1] + 1
+            jvm = self.spark._jvm
             created = [
                 rel
                 for rel in self._staged_partition_dirs(staging)
-                if not self._fs(f"{self.path}/{rel}")[0].exists(
-                    self._fs(f"{self.path}/{rel}")[1]
+                if not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
                 )
             ]
             lines.append(f"#version={version}")
@@ -482,7 +486,8 @@ class KeyedTable:
 
     def versions(self) -> list[int]:
         """Committed snapshot versions, ascending (0, the initial-load
-        state, is implicit and not listed)."""
+        state, is implicit and not listed). NOT the readable set once
+        vacuuming has run — use ``readable_versions()`` for that."""
         fs, meta_p = self._fs(f"{self.path}/.meta")
         if not fs.exists(meta_p):
             return []
@@ -492,6 +497,25 @@ class KeyedTable:
             if n.startswith("v") and n.endswith(".flag"):
                 out.append(int(n[1 : -len(".flag")]))
         return sorted(out)
+
+    def _read_floor(self) -> int:
+        """The oldest still-reconstructible snapshot version. 0 until
+        a vacuum expires history; after one, the persisted ``_FLOOR``
+        marker (written BEFORE anything is deleted, so a crashed
+        vacuum can only ever be conservative)."""
+        fs, p = self._fs(f"{self.path}/.meta/_FLOOR")
+        if not fs.exists(p):
+            return 0
+        return int(self._read_flag_text(f"{self.path}/.meta/_FLOOR").strip() or 0)
+
+    def readable_versions(self) -> list[int]:
+        """Snapshot versions ``read_as_of`` will serve EXACTLY —
+        ``[floor..latest]``; the answer to "which versions are still
+        reconstructible?" after vacuums have expired history."""
+        if not self.retain_versions:
+            return []
+        latest = (self.versions() or [0])[-1]
+        return list(range(self._read_floor(), latest + 1))
 
     def read_as_of(self, version: int) -> DataFrame:
         """The table exactly as it stood after commit ``version``
@@ -504,12 +528,30 @@ class KeyedTable:
         the partition did not exist yet; no event → live dir. No data
         is copied at commit or read time; a snapshot read lists the
         same number of dirs as a live read.
+
+        Raises ``ValueError`` for any version outside
+        ``readable_versions()`` — a version whose history was
+        vacuumed, or one that never existed, must never be silently
+        approximated by a mix of live and retired partitions (the
+        contract every real snapshot store honors; cf. Athena's
+        result-reuse which errors rather than serving stale data,
+        reference vendor/aws_athena.py:75-82).
         """
         if not self.retain_versions:
             raise ValueError("read_as_of requires retain_versions > 0")
+        latest = (self.versions() or [0])[-1]
+        floor = self._read_floor()
+        if not floor <= version <= latest:
+            raise ValueError(
+                f"version {version} is not reconstructible: readable "
+                f"range is [{floor}, {latest}]"
+                + (" (older history was vacuumed)" if floor else "")
+            )
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
+        if not self.partition_cols:
+            return self._read_unpartitioned_as_of(version)
         first: dict[str, tuple[str, int]] = {}
         for j in self.versions():
             if j <= version:
@@ -539,14 +581,76 @@ class KeyedTable:
             out = out.unionByName(r, allowMissingColumns=True)
         return out
 
+    def _read_unpartitioned_as_of(self, version: int) -> DataFrame:
+        """Unpartitioned snapshot read: the swap unit is the whole
+        file set, so ``.retired/v{j}`` holds the COMPLETE pre-j table
+        (every replaced file parked there — see
+        ``_swap_unpartitioned``); the state at ``version`` is the
+        retired set of the first commit after it, or the live files
+        when no later commit exists."""
+        later = [j for j in self.versions() if j > version]
+        if not later:
+            fs, root_p = self._fs(self.path)
+            if any(
+                not st.getPath().getName().startswith((".", "_"))
+                for st in fs.listStatus(root_p)
+            ):
+                return self.read()
+            # emptied at its latest version: borrow a schema from the
+            # newest retired copy so the snapshot read is a real
+            # (empty) DataFrame instead of a schema-inference error
+            for j in reversed(self.versions()):
+                rr = f"{self.path}/.retired/v{j}"
+                _, rp = self._fs(rr)
+                if fs.exists(rp) and fs.listStatus(rp):
+                    return (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(rr)
+                        .limit(0)
+                    )
+            return self.read()  # never had data: surface the natural error
+        root = f"{self.path}/.retired/v{later[0]}"
+        fs, p = self._fs(root)
+        has_files = fs.exists(p) and any(
+            not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(p)
+        )
+        if not has_files:  # the table was empty at that version
+            return self.read().limit(0)
+        return self.spark.read.option("mergeSchema", "true").parquet(root)
+
+    def _write_floor(self, floor: int) -> None:
+        """Persist the retention floor (tmp + rename; monotonic)."""
+        if floor <= self._read_floor():
+            return
+        fs, meta_dir = self._fs(f"{self.path}/.meta")
+        fs.mkdirs(meta_dir)
+        _, tmp_p = self._fs(f"{self.path}/.meta/._FLOOR.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(str(floor).encode("utf-8"))
+        out.close()
+        _, floor_p = self._fs(f"{self.path}/.meta/_FLOOR")
+        fs.delete(floor_p, True)
+        self._rename(fs, tmp_p, floor_p)
+
     def vacuum_versions(self, keep_last: int = 1) -> int:
         """Expire old snapshots: drop the retired copies and commit
         records of all but the newest ``keep_last`` versions (≥ 1 —
         the newest commit record anchors the version counter).
-        Returns the number of versions expired."""
+        Returns the number of versions expired.
+
+        The new retention floor (``min(kept) - 1`` — that version is
+        still exact, its reconstruction only needs events AFTER it)
+        is persisted FIRST: a crash mid-vacuum leaves some expired
+        files behind but never a version that looks readable with
+        half its history gone."""
         if keep_last < 1:
             raise ValueError("keep_last must be ≥ 1")
         expired = self.versions()[:-keep_last]
+        if not expired:
+            return 0
+        self._write_floor(expired[-1])
+        self._fault("floor_written")
         for j in expired:
             self._fs_delete(f"{self.path}/.retired/v{j}")
             self._fs_delete(f"{self.path}/.meta/v{j}.flag")
@@ -598,9 +702,18 @@ class KeyedTable:
     # across local/HDFS/S3A schemes) ------------------------------------------
 
     def _fs(self, path: str):
+        # Every path a KeyedTable touches (staging, .meta, .retired,
+        # partition dirs) lives under self.path, so one FileSystem
+        # handle serves them all — resolving it per call costs three
+        # py4j round trips each, and the publish/commit path makes
+        # hundreds of _fs calls per batch.
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+        if self._fs_handle is None:
+            self._fs_handle = jvm.org.apache.hadoop.fs.Path(
+                self.path
+            ).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return self._fs_handle, p
 
     def _fs_delete(self, path: str) -> None:
         fs, p = self._fs(path)
@@ -659,35 +772,59 @@ class KeyedTable:
         rename-old-aside → rename-new-in → drop-aside (each rename
         atomic on HDFS/local). A complete copy of the partition exists
         at every instant — live, aside, or staged — so no crash point
-        can leave the partition absent from every location. With
-        snapshot retention, the final drop becomes a retire (one
-        rename into ``.retired/v{k}``) — same crash posture, the copy
-        just ends somewhere durable."""
+        can leave the partition absent from every location.
+
+        With snapshot retention the park IS the retire: the live copy
+        renames DIRECTLY into ``.retired/v{k}/{rel}`` — one metadata
+        rename that both preserves the pre-commit state and stamps its
+        commit attribution at park time. No intermediate aside can be
+        orphaned by a crash and later retired under the WRONG commit
+        by whichever publish happens to sweep it up (the r4 advisor's
+        stale-aside misattribution window) — the destination name
+        carries the truth from the first rename."""
         fs, dst_p = self._fs(dst)
         fs.mkdirs(dst_p.getParent())
         aside = f"{os.path.dirname(dst)}/{_ASIDE_PREFIX}{os.path.basename(dst)}"
         _, aside_p = self._fs(aside)
+        if retire_version is not None and rel is not None:
+            if fs.exists(aside_p):
+                # plain aside from a pre-retention-era crash: no
+                # version in history can own it. If a live copy also
+                # exists it supersedes the orphan (the live dir is the
+                # authoritative pre-commit state) — drop it; otherwise
+                # the orphan is the last complete copy — keep it as
+                # this commit's snapshot.
+                if fs.exists(dst_p):
+                    fs.delete(aside_p, True)
+                else:
+                    self._retire_aside(aside, rel, retire_version)
+            if fs.exists(dst_p):
+                _, park_p = self._fs(
+                    f"{self.path}/.retired/v{retire_version}/{rel}"
+                )
+                fs.mkdirs(park_p.getParent())
+                fs.delete(park_p, True)  # re-entry leftovers
+                self._rename(fs, dst_p, park_p)
+                self._fault("parked_aside")
+            _, src_p = self._fs(src)
+            self._rename(fs, src_p, dst_p)
+            self._fault("renamed_in")
+            return
         if fs.exists(dst_p):
             if fs.exists(aside_p):
                 # stale aside from an earlier attempt of a PREVIOUS
-                # publish whose cleanup died — retire it under this
-                # commit when retaining (conservative: data kept),
-                # else drop it as before.
-                if retire_version is not None and rel is not None:
-                    self._retire_aside(aside, rel, retire_version)
-                else:
-                    fs.delete(aside_p, True)
+                # publish whose cleanup died — superseded, drop it.
+                fs.delete(aside_p, True)
             self._rename(fs, dst_p, aside_p)
             self._fault("parked_aside")
         _, src_p = self._fs(src)
         self._rename(fs, src_p, dst_p)
         self._fault("renamed_in")
-        if retire_version is not None and rel is not None:
-            self._retire_aside(aside, rel, retire_version)
-        else:
-            fs.delete(aside_p, True)
+        fs.delete(aside_p, True)
 
-    def _swap_unpartitioned(self, staging: str) -> None:
+    def _swap_unpartitioned(
+        self, staging: str, retire_version: int | None = None
+    ) -> None:
         """Replace the table's data files with the staged ones.
 
         The manifest in the ready flag — NOT the staging dir's current
@@ -701,7 +838,16 @@ class KeyedTable:
         root that exists() would misread as a fresh table, and never a
         published file mistaken for an old one. An empty manifest is a
         committed empty result (every row deleted): all live data
-        files are parked and dropped."""
+        files are parked and dropped.
+
+        With snapshot retention the park destination is
+        ``.retired/v{k}/`` itself (the dir is created even when zero
+        files park — an empty retired set IS the record that the
+        table was empty before commit k), so the retired dir
+        accumulates exactly the complete pre-k file set and the aside
+        stage disappears — parquet part-file names are task-UUID
+        unique, so every pre-publish file is outside the manifest and
+        every parked name is collision-free."""
         fs, root = self._fs(self.path)
         _, stage_p = self._fs(staging)
         jvm = self.spark._jvm
@@ -711,7 +857,10 @@ class KeyedTable:
             for st in fs.listStatus(stage_p)
             if not st.getPath().getName().startswith((".", "_"))
         ]
-        aside = f"{self.path}/{_ASIDE_PREFIX}data"
+        if retire_version is not None:
+            aside = f"{self.path}/.retired/v{retire_version}"
+        else:
+            aside = f"{self.path}/{_ASIDE_PREFIX}data"
         _, aside_p = self._fs(aside)
         fs.mkdirs(aside_p)
         for st in fs.listStatus(root):
@@ -729,7 +878,8 @@ class KeyedTable:
             )
             self._fault("moved_in_file")
         self._fault("files_moved")
-        fs.delete(aside_p, True)
+        if retire_version is None:
+            fs.delete(aside_p, True)
 
     @staticmethod
     def _rename(fs, src, dst) -> None:

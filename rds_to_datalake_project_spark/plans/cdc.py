@@ -9,6 +9,8 @@ timestamps-as-strings contract (FIXTURES.md §1).
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +24,20 @@ from rds_to_datalake_project_spark.schema import TableSpec
 from rds_to_datalake_project_spark.sources.dynamodb_json import decode_dynamodb_items
 
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS+00:00"
+
+
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch dir, cleared at the START of each run.
+
+    A fresh ``mkdtemp`` per invocation leaks a full table copy every
+    driver/bench round (r4 ADVICE); a fixed path is overwritten
+    instead. Cleared eagerly (not on exit) because the returned
+    DataFrames are lazy — the driver collects them after the query
+    function returns, so the files must outlive the call."""
+    root = os.path.join(tempfile.gettempdir(), "sg_scratch", name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def _events_as_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +157,7 @@ def cdc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         precombine_key="update_at",
         partition_granularity=None,  # version rows move in time → unpartitioned
     )
-    table = KeyedTable(spark, tempfile.mkdtemp(prefix="upsert_rt_") + "/t", spec)
+    table = KeyedTable(spark, _scratch("upsert_rt") + "/t", spec)
     table.initial_load(snapshot)
     table.upsert(batch)
     out = table.read()
@@ -302,7 +318,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink→source round trip is lossless for the carried columns.
     """
     ev = load_table(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_") + "/events_jsonl"
+    out_dir = _scratch("jsonl_rt") + "/events_jsonl"
     staged = (
         add_time_partitions(ev, "ts", granularity="day", prefix="p")
         .select(
@@ -367,7 +383,7 @@ def delete_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         precombine_key="update_at",
         partition_granularity=None,
     )
-    table = KeyedTable(spark, tempfile.mkdtemp(prefix="del_rt_") + "/t", spec)
+    table = KeyedTable(spark, _scratch("del_rt") + "/t", spec)
     table.initial_load(snapshot, delete_mode="apply")
     table.upsert(batch, delete_mode="apply")
     return (
@@ -487,7 +503,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roll = RollupTable(
         spark,
-        tempfile.mkdtemp(prefix="rollup_") + "/t",
+        _scratch("rollup") + "/t",
         ts_col="ts",
         window="1 hour",
         dims=("event_type",),
@@ -567,11 +583,6 @@ def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table AS OF commit 1. Commit 2 replaced (and retired) most
     partitions; the snapshot read must reconstruct the pre-commit-2
     state exactly, which the oracle states directly over orders."""
-    import tempfile
-
-    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
-    from rds_to_datalake_project_spark.schema import TableSpec
-
     cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
     base = load_table(spark, sf_dir, "orders").select(*cols)
     spec = TableSpec(
@@ -583,7 +594,7 @@ def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = KeyedTable(
         spark,
-        tempfile.mkdtemp(prefix="time_travel_") + "/t",
+        _scratch("time_travel") + "/t",
         spec,
         retain_versions=3,
     )

@@ -90,27 +90,22 @@ def test_unversioned_behavior_is_unchanged(spark, tmp_path):
     root = str(tmp_path / "tt")
     assert not os.path.exists(f"{root}/.meta")
     assert not os.path.exists(f"{root}/.retired")
+    assert t.readable_versions() == []
     with pytest.raises(ValueError):
         t.read_as_of(0)
-
-
-def test_retention_requires_partitioned_table(spark, tmp_path):
-    with pytest.raises(ValueError):
-        KeyedTable(
-            spark,
-            str(tmp_path / "flat"),
-            TableSpec("flat", partition_granularity=None),
-            retain_versions=3,
-        )
 
 
 def test_vacuum_versions_expires_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
+    assert t.readable_versions() == [0, 1, 2, 3]
     assert t.vacuum_versions(keep_last=1) == 2
     assert t.versions() == [3]
     assert _vals(t.read()) == S3
-    # expired snapshots are gone; the newest anchor still resolves
+    # floor = min(kept) - 1: version 2's reconstruction only needs
+    # events AFTER it (v3's retired copies), which survived the vacuum
+    assert t.readable_versions() == [2, 3]
+    assert _vals(t.read_as_of(2)) == S2
     assert _vals(t.read_as_of(3)) == S3
     # version counter keeps advancing past the kept anchor
     t.upsert(
@@ -124,12 +119,158 @@ def test_vacuum_versions_expires_history(spark, tmp_path):
     assert _vals(t.read_as_of(3)) == S3
 
 
+@pytest.mark.parametrize("expired", [0, 1])
+def test_read_as_of_expired_version_raises(spark, tmp_path, expired):
+    """The r4 defect: an expired version must RAISE, never silently
+    resolve retired partitions to live dirs and serve a mixed-version
+    snapshot."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    t.vacuum_versions(keep_last=1)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(expired)
+
+
+def test_read_as_of_out_of_range_raises(spark, tmp_path):
+    """A version that never existed must not alias to live state."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(99)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(-1)
+
+
+def test_retain_versions_count_is_enforced(spark, tmp_path):
+    """retain_versions=N bounds history automatically: every publish
+    expires commits beyond the newest N — no unbounded growth behind
+    a caller who never vacuums."""
+    t = _mk(spark, tmp_path, retain=2)
+    _apply_all(spark, t)  # commits 1, 2, 3
+    assert t.versions() == [2, 3]
+    assert t.readable_versions() == [1, 2, 3]
+    assert _vals(t.read_as_of(1)) == S1
+    assert _vals(t.read_as_of(2)) == S2
+    assert _vals(t.read_as_of(3)) == S3
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(0)
+
+
+def test_crash_mid_vacuum_is_conservative(spark, tmp_path, monkeypatch):
+    """The floor is persisted BEFORE any history is deleted, so a
+    crash mid-vacuum can only shrink the readable set, never leave a
+    version readable-looking with half its history gone."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    _inject(monkeypatch, "floor_written", 1)
+    with pytest.raises(Boom):
+        t.vacuum_versions(keep_last=1)
+    # nothing deleted yet, but the floor already excludes 0 and 1
+    assert t.readable_versions() == [2, 3]
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(0)
+    assert _vals(t.read_as_of(2)) == S2
+    assert _vals(t.read_as_of(3)) == S3
+    # re-running the vacuum completes the expiry
+    monkeypatch.setattr(KeyedTable, "_fault", staticmethod(lambda p: None))
+    t.vacuum_versions(keep_last=1)
+    assert t.versions() == [3]
+    assert _vals(t.read_as_of(2)) == S2
+
+
 def test_initial_load_resets_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
     t.initial_load(spark.createDataFrame(V0, INIT_COLS))
     assert t.versions() == []
     assert _vals(t.read_as_of(0)) == S0
+
+
+FLAT_SPEC = TableSpec(
+    "tt_flat",
+    record_key=("id",),
+    precombine_key="update_at",
+    partition_granularity=None,
+)
+
+
+def _mk_flat(spark, tmp_path, retain=5):
+    t = KeyedTable(spark, str(tmp_path / "ttf"), FLAT_SPEC, retain_versions=retain)
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    return t
+
+
+def test_unpartitioned_read_as_of_reconstructs_every_version(spark, tmp_path):
+    """Flat tables retain too: the swap unit is the whole file set,
+    so .retired/v{k} holds the complete pre-k table."""
+    t = _mk_flat(spark, tmp_path)
+    _apply_all(spark, t)
+    assert t.versions() == [1, 2, 3]
+    assert _vals(t.read()) == S3
+    assert _vals(t.read_as_of(0)) == S0
+    assert _vals(t.read_as_of(1)) == S1
+    assert _vals(t.read_as_of(2)) == S2
+    assert _vals(t.read_as_of(3)) == S3
+
+
+def test_unpartitioned_vacuum_floor(spark, tmp_path):
+    t = _mk_flat(spark, tmp_path)
+    _apply_all(spark, t)
+    assert t.vacuum_versions(keep_last=1) == 2
+    assert t.readable_versions() == [2, 3]
+    assert _vals(t.read_as_of(2)) == S2
+    assert _vals(t.read_as_of(3)) == S3
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.read_as_of(1)
+
+
+def test_unpartitioned_delete_all_snapshot(spark, tmp_path):
+    """Emptying a retained flat table must keep every prior snapshot
+    exact and serve the latest version as a real empty DataFrame."""
+    t = _mk_flat(spark, tmp_path)
+    deletes = [
+        ("r1", "2024-01-05T00:00:00", "2024-09-01T00:00:00", "x1", "D"),
+        ("r2", "2024-02-05T00:00:00", "2024-09-01T00:00:00", "x2", "D"),
+    ]
+    t.upsert(spark.createDataFrame(deletes, BATCH_COLS), delete_mode="apply")
+    assert _vals(t.read_as_of(0)) == S0
+    assert t.read_as_of(1).count() == 0
+
+
+@pytest.mark.parametrize(
+    "point,nth",
+    [
+        ("parked_file", 1),
+        ("parked_file", 2),
+        ("moved_in_file", 1),
+        ("files_moved", 1),
+        ("all_swapped", 1),
+        ("meta_committed", 1),
+        ("staging_deleted", 1),
+    ],
+)
+def test_crash_during_retained_flat_publish(
+    spark, tmp_path, monkeypatch, point, nth
+):
+    """The unpartitioned retention path rides the same crash-safe
+    protocol: every fault point recovers with exact history."""
+    t = _mk_flat(spark, tmp_path)
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+
+    state = _inject(monkeypatch, point, nth)
+    try:
+        t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+    except Boom:
+        pass
+    state["fired"] = True  # disarm
+    assert t.exists()
+    t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+
+    assert _vals(t.read()) == S2
+    assert _vals(t.read_as_of(0)) == S0
+    assert _vals(t.read_as_of(1)) == S1
+    assert _vals(t.read_as_of(t.versions()[-1])) == S2
+    _assert_clean(str(tmp_path / "ttf"))
 
 
 @pytest.mark.parametrize(
