@@ -577,12 +577,28 @@ ORDER BY o_orderkey, side
 
 # --- snapshot retention / time travel (KeyedTable retain_versions) -----------
 
-def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the REAL versioned pipeline — initial load + two committed
-    upserts on a retained, month-partitioned table — then read the
-    table AS OF commit 1. Commit 2 replaced (and retired) most
-    partitions; the snapshot read must reconstruct the pre-commit-2
-    state exactly, which the oracle states directly over orders."""
+_VERSIONED_ORDERS: dict[tuple[int, str], KeyedTable] = {}
+
+
+def _versioned_orders(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """Shared versioned-lake fixture for the time-travel family of
+    queries: a retained, month-partitioned orders table with an
+    initial load (v0) and two committed upserts —
+
+    - commit 1: keys %3 == 0 repriced +100 (``update_at`` = "v1")
+    - commit 2 (delete_mode="apply"):
+        * keys %5 == 0 repriced +1000 from BASE ("v2")
+        * keys %7 == 0 (and not %5) tombstoned (Op = D)
+        * keys %11 == 0 re-inserted as NEW keys (+10 000 000)
+
+    Deterministic, so every consumer's oracle can restate each
+    snapshot in closed form over ``orders``. Built once per
+    (session, sf_dir) — the three driver queries that read it share
+    one physical build."""
+    key = (id(spark), sf_dir)
+    t = _VERSIONED_ORDERS.get(key)
+    if t is not None:
+        return t
     cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
     base = load_table(spark, sf_dir, "orders").select(*cols)
     spec = TableSpec(
@@ -605,12 +621,35 @@ def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("update_at", F.lit("v1"))
     )
     t.upsert(b1)  # commit 1
-    b2 = (
-        base.filter(F.col("o_orderkey") % 5 == 0)
+    k = F.col("o_orderkey")
+    updates = (
+        base.filter(k % 5 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = base.filter((k % 7 == 0) & (k % 5 != 0)).withColumn("Op", F.lit("D"))
+    inserts = (
+        base.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + F.lit(10_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    b2 = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
         .withColumn("update_at", F.lit("v2"))
     )
-    t.upsert(b2)  # commit 2 — retires the partitions it replaces
+    t.upsert(b2, delete_mode="apply")  # commit 2 — retires what it replaces
+    _VERSIONED_ORDERS[key] = t
+    return t
+
+
+def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL versioned pipeline (shared fixture above), then
+    read the table AS OF commit 1. Commit 2 replaced/deleted/created
+    partitions after it; the snapshot read must reconstruct the
+    pre-commit-2 state exactly, which the oracle states directly over
+    orders."""
+    t = _versioned_orders(spark, sf_dir)
     return (
         t.read_as_of(1)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
@@ -628,9 +667,90 @@ ORDER BY o_orderkey
 """
 
 
+def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed OF THE LAKE ITSELF: ``table_changes(0, 2)`` on the
+    versioned fixture — every key inserted, updated, or deleted
+    between the initial load and commit 2, with its image. One
+    full-outer key join between two metadata-only snapshot reads
+    (operators/upsert.py table_changes); the oracle restates the net
+    change set in closed form over orders."""
+    t = _versioned_orders(spark, sf_dir)
+    return (
+        t.table_changes(0, 2)
+        .select("o_orderkey", "_change_type", "o_totalprice")
+        .orderBy("o_orderkey", "_change_type")
+    )
+
+
+LAKE_CHANGES_SQL = """
+WITH updates AS (
+    SELECT o_orderkey,
+           'update' AS _change_type,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice + 100.0 END AS o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 3 = 0 OR o_orderkey % 5 = 0)
+      AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+), deletes AS (
+    SELECT o_orderkey, 'delete' AS _change_type, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+), inserts AS (
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           'insert' AS _change_type,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+)
+SELECT * FROM updates
+UNION ALL SELECT * FROM deletes
+UNION ALL SELECT * FROM inserts
+ORDER BY o_orderkey, _change_type
+"""
+
+
+def sql_timetravel_changed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the SQL FACADE: one run_query joining two
+    ``FOR VERSION AS OF`` snapshots of the same lake table (sql.py
+    rewrite → snapshot temp views) — counts per priority of orders
+    alive at both commits and of those repriced between them. Counts
+    only, so the hash is float-free."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t = _versioned_orders(spark, sf_dir)
+    return run_query(
+        spark,
+        """
+        SELECT a.o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN b.o_totalprice <> a.o_totalprice
+                        THEN 1 ELSE 0 END) AS n_repriced
+        FROM ot FOR VERSION AS OF 1 a
+        JOIN ot FOR VERSION AS OF 2 b USING (o_orderkey)
+        GROUP BY a.o_orderpriority
+        ORDER BY priority
+        """,
+        tables={"ot": t},
+    )
+
+
+SQL_TIMETRAVEL_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repriced
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
+    "lake_table_changes": lake_table_changes,
+    "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
     "dedup_latest_per_key": dedup_latest_per_key,
     "partition_enrich": partition_enrich,
     "partition_enrich_string": partition_enrich_string,
@@ -649,6 +769,8 @@ QUERIES = {
 ORACLES = {
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
+    "lake_table_changes": LAKE_CHANGES_SQL,
+    "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,
     "dedup_latest_per_key": DEDUP_SQL,
     "partition_enrich": ENRICH_SQL,
     "partition_enrich_string": ENRICH_STRING_SQL,

@@ -9,19 +9,56 @@ and "UNLOAD to parquet" is just ``df.write.parquet``.
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+# `<table> FOR VERSION AS OF <k>` — the public time-travel SQL syntax
+# (Delta/Iceberg's spelling), rewritten by run_query into a snapshot
+# temp view so the one SQL facade reaches everything the Python API
+# can (reference parity: ALL queries flow through one SQL layer,
+# athena.py:16-64).
+_AS_OF_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+    re.IGNORECASE,
+)
 
-def run_query(spark: SparkSession, sql: str, cache: bool = False) -> DataFrame:
+
+def run_query(
+    spark: SparkSession,
+    sql: str,
+    cache: bool = False,
+    tables: dict | None = None,
+) -> DataFrame:
     """Arbitrary SQL over registered tables (athena.py:16-64 equivalent).
 
     ``cache=True`` is the engine's analog of Athena result-reuse
     (vendor/aws_athena.py:75-82); for the reference's max-age
     semantics use ``ResultCache``.
+
+    ``tables`` maps names to retained ``KeyedTable``s: any
+    ``<name> FOR VERSION AS OF <k>`` reference in the SQL resolves to
+    that table's exact snapshot at commit k (registered as a temp
+    view over the metadata-only ``read_as_of`` plan — no data copy).
+    Unknown names or unreadable versions raise rather than silently
+    querying live state.
     """
+    if tables:
+        def _rewrite(m: re.Match) -> str:
+            name, version = m.group(1), int(m.group(2))
+            t = tables.get(name)
+            if t is None:
+                raise ValueError(
+                    f"FOR VERSION AS OF on unknown table {name!r}; "
+                    f"known: {sorted(tables)}"
+                )
+            view = f"__asof_{name}_v{version}"
+            t.read_as_of(version).createOrReplaceTempView(view)
+            return view
+
+        sql = _AS_OF_RE.sub(_rewrite, sql)
     df = spark.sql(sql)
     return df.cache() if cache else df
 

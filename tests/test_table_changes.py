@@ -1,0 +1,153 @@
+"""Lake CDC feed (KeyedTable.table_changes) + SQL-facade time travel.
+
+``table_changes(v_from, v_to)`` is the engine's Delta-CDF analog: the
+net insert/update/delete set between two retained snapshots, derived
+from the commit log the publish protocol already maintains — the
+reference's CDC concept (glue_jobs/incremental.py) applied to the
+lake itself. ``FOR VERSION AS OF`` is the same history surfaced
+through the one SQL facade (sql.py run_query rewrite).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.sql import run_query
+
+from tests.test_time_travel import (
+    B1,
+    B2,
+    B3,
+    BATCH_COLS,
+    INIT_COLS,
+    S0,
+    S1,
+    S2,
+    S3,
+    SPEC,
+    V0,
+    _apply_all,
+    _mk,
+)
+
+
+def _changes(t: KeyedTable, v_from: int, v_to: int) -> dict:
+    return {
+        r.id: (r._change_type, r.val)
+        for r in t.table_changes(v_from, v_to)
+        .select("id", "_change_type", "val")
+        .collect()
+    }
+
+
+def test_table_changes_classifies_net_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    # single-commit deltas
+    assert _changes(t, 0, 1) == {"r1": ("update", "b1"), "r3": ("insert", "b3")}
+    assert _changes(t, 1, 2) == {"r2": ("delete", "a2"), "r3": ("update", "c3")}
+    assert _changes(t, 2, 3) == {"r4": ("insert", "d4")}
+    # windowed delta is the NET change: r3 (inserted at 1, updated at
+    # 2) is one insert with the final image; r2's life 0→2 is one
+    # delete carrying its state-at-0 pre-image
+    assert _changes(t, 0, 2) == {
+        "r1": ("update", "b1"),
+        "r2": ("delete", "a2"),
+        "r3": ("insert", "c3"),
+    }
+    # empty window → empty feed
+    assert _changes(t, 1, 1) == {}
+
+
+def test_table_changes_validates_range(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    with pytest.raises(ValueError):
+        t.table_changes(2, 1)
+    t.vacuum_versions(keep_last=1)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        t.table_changes(0, 3)  # v_from below the retention floor
+
+
+def test_changes_feed_is_streaming_readable(spark, tmp_path):
+    """write_changes_feed materializes one batch per commit and a
+    readStream consumer tails the feed exactly once per version."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    feed = str(tmp_path / "feed")
+    assert t.write_changes_feed(feed) == [1, 2, 3]
+    assert t.write_changes_feed(feed) == []  # idempotent
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(feed)
+    got = {
+        (r._commit_version, r.id): (r._change_type, r.val)
+        for r in batch.select("_commit_version", "id", "_change_type", "val").collect()
+    }
+    assert got == {
+        (1, "r1"): ("update", "b1"),
+        (1, "r3"): ("insert", "b3"),
+        (2, "r2"): ("delete", "a2"),
+        (2, "r3"): ("update", "c3"),
+        (3, "r4"): ("insert", "d4"),
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 5
+
+
+def test_sql_facade_for_version_as_of(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    for v, expect in ((0, S0), (1, S1), (2, S2), (3, S3)):
+        got = {
+            r.id: r.val
+            for r in run_query(
+                spark,
+                f"SELECT id, val FROM tt FOR VERSION AS OF {v}",
+                tables={"tt": t},
+            ).collect()
+        }
+        assert got == expect, v
+
+
+def test_sql_facade_joins_two_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    rows = run_query(
+        spark,
+        """
+        SELECT a.id, a.val AS v0_val, b.val AS v3_val
+        FROM tt FOR VERSION AS OF 0 a
+        JOIN tt FOR VERSION AS OF 3 b USING (id)
+        ORDER BY a.id
+        """,
+        tables={"tt": t},
+    ).collect()
+    assert {(r.id, r.v0_val, r.v3_val) for r in rows} == {("r1", "a1", "b1")}
+
+
+def test_sql_facade_as_of_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    with pytest.raises(ValueError, match="unknown table"):
+        run_query(
+            spark, "SELECT * FROM nope FOR VERSION AS OF 1", tables={"tt": t}
+        )
+    with pytest.raises(ValueError, match="not reconstructible"):
+        run_query(
+            spark, "SELECT * FROM tt FOR VERSION AS OF 99", tables={"tt": t}
+        )
