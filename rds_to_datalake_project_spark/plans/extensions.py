@@ -664,12 +664,63 @@ ORDER BY a_id, b_id
 SRP_NEARDUP_SQL = _srp_oracle_sql()
 
 
-# --- multimodal plumbing (decode kernels stubbed; rows-only checks) -----------
+# --- multimodal: REAL decode kernels + feature plumbing -----------------------
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode end-to-end: synthesize genuine BMP / WAV /
+    PPM files from ``documents`` keys (operators/multimodal.py
+    encoders — actual headers, strides, chunk lists), then parse them
+    back with the dependency-free decode kernels inside Arrow-batched
+    ``mapInPandas`` and emit integer stats (geometry + pixel/sample
+    sums). The payloads are deterministic in ``doc_id``, so the
+    oracle states every decoded stat in closed form — hash equality
+    proves the encode → parse → reduce round trip through real file
+    bytes."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        decode_media_stats,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs, "doc_id")
+    return decode_media_stats(media).orderBy("media_id")
+
+
+# Closed forms (synthesize_real_media contract): images W=id%17+1,
+# H=id%13+1, all channels of image row y equal (id%240)+y →
+# pixel_sum = 3·W·(H·base + H(H−1)/2); audio n=id%50+1 samples of
+# id%100+3i at 8 kHz → sample_sum = n·base + 3·n(n−1)/2.
+MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'image/ppm' END AS mime,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(doc_id % 17 + 1 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(doc_id % 13 + 1 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 <> 1
+            THEN CAST(3 * (doc_id % 17 + 1)
+                 * ((doc_id % 13 + 1) * (doc_id % 240)
+                    + ((doc_id % 13 + 1) * (doc_id % 13)) // 2)
+                 AS BIGINT) END AS pixel_sum,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(doc_id % 50 + 1 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(8000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST((doc_id % 50 + 1) * (doc_id % 100)
+                 + (3 * (doc_id % 50 + 1) * (doc_id % 50)) // 2
+                 AS BIGINT) END AS sample_sum
+FROM documents
+ORDER BY media_id
+"""
 
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → fixed-dim features via mapInPandas
-    (operators/multimodal.py). The decode kernel is the deterministic
-    stub; schema/batching/pruning are the real engine path.
+    (operators/multimodal.py). The featurizer is the dependency-free
+    byte-histogram kernel; schema/batching/pruning are the real
+    engine path.
 
     The declared projection posexplodes the vector and recovers the
     stub's integer byte-histogram accumulator ``acc_j = feature_j *
@@ -1064,6 +1115,7 @@ QUERIES = {
     "srp_neardup_embeddings": srp_neardup_embeddings,
     "bpe_token_stats": bpe_token_stats,
     "media_feature_extract": media_feature_extract,
+    "media_decode_stats": media_decode_stats,
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
     "zorder_key_orders": zorder_key_orders,
@@ -1102,6 +1154,7 @@ ORACLES = {
     "srp_neardup_embeddings": SRP_NEARDUP_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
     "media_feature_extract": MEDIA_FEATURES_SQL,
+    "media_decode_stats": MEDIA_DECODE_SQL,
     "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,
     "train_test_split_counts": SPLIT_SQL,

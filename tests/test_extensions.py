@@ -18,7 +18,7 @@ from rds_to_datalake_project_spark.operators.minhash import (
 from rds_to_datalake_project_spark.operators.multimodal import (
     extract_features,
     frame_sample_plan,
-    media_decode_stub,
+    byte_histogram_features,
     synthesize_media,
 )
 from rds_to_datalake_project_spark.operators.simhash import simhash_neardup_pairs
@@ -147,7 +147,77 @@ def test_multimodal_feature_extraction(spark):
     # deterministic: kernel output matches a local call on the same bytes
     one = media.filter(F.col("media_id") == 7).collect()[0]
     got = next(r for r in rows if r.media_id == 7)
-    assert got.features == pytest.approx(media_decode_stub(one.content, one.mime, 8))
+    assert got.features == pytest.approx(
+        byte_histogram_features(one.content, one.mime, 8)
+    )
+
+
+def test_media_codecs_roundtrip():
+    """The dependency-free codecs parse their own real file bytes
+    exactly — geometry from headers, payload reductions excluding
+    BMP stride padding and respecting WAV chunk word-alignment."""
+    import numpy as np
+
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        decode_bmp_stats,
+        decode_ppm_stats,
+        decode_wav_stats,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    # width 3 → row_bytes 9, stride 12: padding must NOT leak into sums
+    rows = np.arange(2 * 9, dtype=np.uint8).reshape(2, 9)
+    b = encode_bmp(3, 2, rows)
+    assert decode_bmp_stats(b) == (3, 2, int(rows.sum()))
+
+    p = encode_ppm(5, 4, np.full((4, 15), 7, dtype=np.uint8))
+    assert decode_ppm_stats(p) == (5, 4, 4 * 15 * 7)
+
+    samples = np.array([-5, 0, 1000], dtype=np.int64)
+    w = encode_wav(samples, rate=16000)
+    assert decode_wav_stats(w) == (3, 16000, 995)
+
+    # an odd-size foreign chunk before data exercises word-alignment
+    # in the chunk walk (real WAVs carry LIST/INFO chunks like this)
+    import struct as _struct
+
+    fmt_end = 12 + 8 + 16
+    odd = _struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    w2 = w[:fmt_end] + odd + w[fmt_end:]
+    assert decode_wav_stats(w2) == (3, 16000, 995)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp_stats(b"nope")
+    with _pytest.raises(ValueError):
+        decode_wav_stats(b"RIFFxxxxNOPE")
+
+
+def test_media_decode_stats_distributed(spark):
+    """synthesize_real_media → decode_media_stats through the real
+    mapInPandas path matches the closed-form contract."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        decode_media_stats,
+        synthesize_real_media,
+    )
+
+    base = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    stats = decode_media_stats(synthesize_real_media(base, "doc_id"))
+    for r in stats.collect():
+        i = r.media_id
+        if i % 3 == 1:
+            n, b = i % 50 + 1, i % 100
+            assert (r.n_samples, r.sample_rate) == (n, 8000)
+            assert r.sample_sum == n * b + 3 * n * (n - 1) // 2
+            assert r.width is None and r.pixel_sum is None
+        else:
+            w, h, b = i % 17 + 1, i % 13 + 1, i % 240
+            assert (r.width, r.height) == (w, h)
+            assert r.pixel_sum == 3 * w * (h * b + h * (h - 1) // 2)
+            assert r.n_samples is None
 
 
 def test_frame_sample_plan(spark):
