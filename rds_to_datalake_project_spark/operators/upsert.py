@@ -619,6 +619,27 @@ class KeyedTable:
             return self.read().limit(0)
         return self.spark.read.option("mergeSchema", "true").parquet(root)
 
+    def describe_history(self) -> list[dict]:
+        """Commit-log introspection (Delta ``DESCRIBE HISTORY``
+        analog): one record per retained commit — version, whether it
+        is still reconstructible, partitions created by it, and
+        partitions whose pre-commit copy it retired. Pure metadata
+        (one flag read + one listing per commit, bounded by the
+        retention policy)."""
+        floor = self._read_floor()
+        out = []
+        for v in self.versions():
+            meta = self._flag_meta(f"{self.path}/.meta/v{v}.flag")
+            out.append(
+                {
+                    "version": v,
+                    "readable": v >= floor,
+                    "created_partitions": sorted(meta["created"]),
+                    "retired_partitions": sorted(self._retired_rels(v)),
+                }
+            )
+        return out
+
     def table_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Row-level CDC feed of the lake table itself between two
         retained snapshots — the public equivalent of Delta CDF's

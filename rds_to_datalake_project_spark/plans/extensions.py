@@ -888,6 +888,47 @@ ORDER BY o_orderkey
 """
 
 
+def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve key over (o_custkey, o_orderkey) — the clustering
+    expression behind cluster_by_hilbert (operators/hilbert.py): the
+    sequential xy2d walk folded into one Catalyst `aggregate` with
+    packed (x, y, d) state, emitted per row so every reflection/swap
+    level is oracle-checked end-to-end (DuckDB replays the identical
+    fold via list_reduce)."""
+    from rds_to_datalake_project_spark.operators.hilbert import hilbert_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    span = F.lit(1 << 15)
+    return orders.select(
+        "o_orderkey",
+        hilbert_key(
+            F.pmod(F.col("o_custkey").cast("long"), span),
+            F.pmod(F.col("o_orderkey").cast("long"), span),
+        ).alias("hkey"),
+    ).orderBy("o_orderkey")
+
+
+HILBERT_SQL = """
+SELECT o_orderkey,
+       list_reduce(
+         list_prepend(CAST((o_custkey % 32768) + ((o_orderkey % 32768) << 15) AS BIGINT),
+                      generate_series(14, 0, -1)),
+         (acc, i) ->
+           (CASE WHEN (((acc >> 15) & 32767) >> CAST(i AS INTEGER)) & 1 = 1 THEN acc & 32767
+                 WHEN ((acc & 32767) >> CAST(i AS INTEGER)) & 1 = 1 THEN 32767 - ((acc >> 15) & 32767)
+                 ELSE (acc >> 15) & 32767 END)
+         + ((CASE WHEN (((acc >> 15) & 32767) >> CAST(i AS INTEGER)) & 1 = 1 THEN (acc >> 15) & 32767
+                  WHEN ((acc & 32767) >> CAST(i AS INTEGER)) & 1 = 1 THEN 32767 - (acc & 32767)
+                  ELSE acc & 32767 END) << 15)
+         + (((acc >> 30)
+             + (xor(3 * (((acc & 32767) >> CAST(i AS INTEGER)) & 1),
+                    (((acc >> 15) & 32767) >> CAST(i AS INTEGER)) & 1) << CAST(2*i AS INTEGER))) << 30)
+       ) >> 30 AS hkey
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # --- F2/F3/F4: timestamp codec round trip -------------------------------------
 
 def commit_key_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1160,7 @@ QUERIES = {
     "video_frame_plan": video_frame_plan,
     "ivf_probe_topk": ivf_probe_topk,
     "zorder_key_orders": zorder_key_orders,
+    "hilbert_key_orders": hilbert_key_orders,
     "commit_key_codec": commit_key_codec,
     "profile_orders": profile_orders,
     "rolling_fingerprint": rolling_fingerprint,
@@ -1143,6 +1185,7 @@ ORACLES = {
     "neardup_components": NEARDUP_COMPONENTS_SQL,
     "ivf_probe_topk": IVF_PROBE_SQL,
     "zorder_key_orders": ZORDER_SQL,
+    "hilbert_key_orders": HILBERT_SQL,
     "commit_key_codec": COMMIT_KEY_SQL,
     "profile_orders": PROFILE_SQL,
     "rolling_fingerprint": ROLLING_FP_SQL,

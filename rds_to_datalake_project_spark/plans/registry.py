@@ -22,30 +22,50 @@ _MODULES = (relational, cdc, extensions, tpch_extra, curation)
 # they land inside that window; long-green queries rotate to the tail (their
 # r1/r2 rows remain on record and pytest still covers them every round).
 _PRIORITY = (
-    # new round 4, oracle-backed — the only declared queries without a
-    # driver-green hash row yet: md5-mode fuzzy dedup + the TPC-H
-    # completion set (q2/q4/q11/q12/q15/q20)
-    "minhash_lsh_candidates_md5",
-    "minhash_neardup_md5",
-    "ngram_jaccard_neardup_md5",
-    "simhash_neardup_md5",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q11_important_part_value",
-    "q12_shipping_classes",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "srp_neardup_embeddings",
-    "bpe_token_stats",
-    "table_diff_report",
+    # new round 5, oracle-backed — no driver-green row yet
+    "media_decode_stats",
+    "lake_table_changes",
+    "sql_timetravel_changed_counts",
+    "hilbert_key_orders",
+    # implementation changed in round 5 (shared versioned fixture /
+    # scratch dirs / publish-protocol rework) — re-confirm even though
+    # r4-green
     "time_travel_roundtrip",
+    "cdc_upsert_roundtrip",
+    "jsonl_roundtrip",
+    "delete_apply_roundtrip",
+    "hypertable_rollup",
     # rows-only by contract; keep the weaker check in-window
     "ivf_trained_topk",
-    # green in r1 only; re-confirm periodically while window room exists
-    "commit_key_codec",
-    "profile_orders",
-    "rolling_fingerprint",
-    "jaccard_allpairs_sample",
+    # stalest greens (r1/r2 windows only) — rotate through for fresh rows
+    "lang_id",
+    "doc_fingerprint",
+    "text_quality",
+    "repetition_quality",
+    "pii_scrub",
+    "token_count_by_source",
+    "exact_dedup_docs",
+    "ann_topk_cosine",
+    "neardup_cosine_pairs",
+    "neardup_components",
+    "zorder_key_orders",
+    "media_feature_extract",
+    "video_frame_plan",
+    "ivf_probe_topk",
+    # r3-green only — next stalest tier
+    "sample_docs_per_source",
+    "train_test_split_counts",
+    "pack_documents",
+    "contamination_docs",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
+    "q22_inactive_high_balance",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

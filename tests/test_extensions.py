@@ -152,6 +152,55 @@ def test_multimodal_feature_extraction(spark):
     )
 
 
+def test_hilbert_key_matches_reference_walk(spark):
+    """The packed-accumulator aggregate must reproduce the canonical
+    sequential xy2d walk bit-for-bit, and consecutive Hilbert
+    distances must map to spatially adjacent cells (the locality
+    property Z-order lacks)."""
+    from rds_to_datalake_project_spark.operators.hilbert import (
+        BITS,
+        cluster_by_hilbert,
+        hilbert_d2xy,
+        hilbert_key,
+    )
+
+    def xy2d(nbits, x, y):
+        d, s, n = 0, 1 << (nbits - 1), 1 << nbits
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pairs = [(0, 0), (1, 0), (1, 1), (0, 1), (5, 7), (123, 456),
+             (32767, 32767), (32767, 0), (0, 32767), (17, 29)]
+    df = spark.createDataFrame(pairs, ["x", "y"]).withColumn(
+        "h", hilbert_key("x", "y")
+    )
+    got = {(r.x, r.y): r.h for r in df.collect()}
+    assert got == {(x, y): xy2d(BITS, x, y) for x, y in pairs}
+    for (x, y), d in got.items():
+        assert hilbert_d2xy(BITS, d) == (x, y)
+    # unit Hilbert steps are unit grid steps
+    prev = hilbert_d2xy(5, 0)
+    for d in range(1, 32 * 32):
+        cur = hilbert_d2xy(5, d)
+        assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1
+        prev = cur
+
+    # clustering adds NO shuffle and preserves the multiset
+    base = spark.range(0, 500).selectExpr("id AS a", "id * 37 % 500 AS b")
+    clustered = cluster_by_hilbert(base, "a", "b")
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert clustered.count() == 500
+
+
 def test_media_codecs_roundtrip():
     """The dependency-free codecs parse their own real file bytes
     exactly — geometry from headers, payload reductions excluding

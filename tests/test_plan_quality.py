@@ -181,6 +181,55 @@ def test_lsh_banding_no_repartition_on_wide_input(spark, tables):
     assert "RoundRobinPartitioning" not in plan
 
 
+def test_table_changes_single_join_shuffle(spark, tmp_path):
+    """The lake CDC diff must be ONE co-partitioned full-outer join:
+    exactly one hash exchange per snapshot side, no nested-loop or
+    cartesian fallback — the shape that stays writable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t"),
+        TableSpec("t", partition_granularity="month"),
+        retain_versions=3,
+    )
+    rows = [
+        (f"k{i}", f"2024-{m:02d}-01T00:00:00", "2024-01-01T00:00:00", "v")
+        for m in (1, 2) for i in range(20)
+    ]
+    t.initial_load(spark.createDataFrame(rows, ["id", "create_at", "update_at", "val"]))
+    t.upsert(
+        spark.createDataFrame(
+            [("k3", "2024-01-01T00:00:00", "2024-02-01T00:00:00", "w")],
+            ["id", "create_at", "update_at", "val"],
+        )
+    )
+    ch = t.table_changes(0, 1)
+    ch.count()
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(id", plan)) <= 2
+
+
+def test_media_decode_is_map_only(spark):
+    """Decode must stream through mapInPandas with zero shuffles —
+    a per-blob kernel has no business moving data."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        decode_media_stats,
+        synthesize_real_media,
+    )
+
+    base = spark.range(0, 50).selectExpr("id AS doc_id")
+    stats = decode_media_stats(synthesize_real_media(base, "doc_id"))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_new_tpch_shapes_stay_scale_safe(spark):
     """The round-4 TPC-H additions must keep their designed physical
     shapes: dims broadcast, correlated/global aggregates via window or

@@ -109,6 +109,27 @@ def test_changes_feed_is_streaming_readable(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 5
 
 
+def test_describe_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    hist = t.describe_history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert all(h["readable"] for h in hist)
+    # commit 1 replaced month 01 and created month 03
+    assert hist[0]["created_partitions"] == ["create_year=2024/create_month=03"]
+    assert hist[0]["retired_partitions"] == ["create_year=2024/create_month=01"]
+    # commit 2 replaced 03 and deleted all of 02 (both retired)
+    assert hist[1]["retired_partitions"] == [
+        "create_year=2024/create_month=02",
+        "create_year=2024/create_month=03",
+    ]
+    # commit 3 recreated 02
+    assert hist[2]["created_partitions"] == ["create_year=2024/create_month=02"]
+    t.vacuum_versions(keep_last=1)
+    hist = t.describe_history()
+    assert [(h["version"], h["readable"]) for h in hist] == [(3, True)]
+
+
 def test_sql_facade_for_version_as_of(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
