@@ -87,11 +87,15 @@ class KeyedTable:
         path: str,
         spec: TableSpec,
         retain_versions: int = 0,
+        changes_feed_dir: str | None = None,
     ):
         self.spark = spark
         self.path = path
         self.spec = spec
         self.retain_versions = retain_versions
+        if changes_feed_dir and not retain_versions:
+            raise ValueError("changes_feed_dir requires retain_versions > 0")
+        self.changes_feed_dir = changes_feed_dir
         self._fs_handle = None
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
@@ -113,12 +117,17 @@ class KeyedTable:
         # A table whose only content is a publish-ready staging dir or
         # parked-aside partitions (crash mid-publish) still EXISTS —
         # treating it as absent would route the next batch through
-        # initial_load and drop every non-batch row.
+        # initial_load and drop every non-batch row. Likewise a
+        # RETAINED table emptied by deletes (every row tombstoned):
+        # its commit log (.meta) is the table — routing the next batch
+        # through initial_load would silently reset history.
         if not os.path.isdir(self.path):
             return False
         names = os.listdir(self.path)
-        return any(not n.startswith(("_", ".")) for n in names) or any(
-            n.startswith((".staging-", _ASIDE_PREFIX)) for n in names
+        return (
+            any(not n.startswith(("_", ".")) for n in names)
+            or any(n.startswith((".staging-", _ASIDE_PREFIX)) for n in names)
+            or (bool(self.retain_versions) and ".meta" in names)
         )
 
     def _enrich(self, df: DataFrame) -> DataFrame:
@@ -143,10 +152,48 @@ class KeyedTable:
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
+        if self.retain_versions and self._is_empty_live():
+            # emptied-by-deletes retained table: a real empty frame
+            # (schema borrowed from the newest retired copy) instead
+            # of a schema-inference error — keeps the merge path and
+            # history alive through emptiness.
+            empty = self._empty_from_retired()
+            if empty is not None:
+                return empty
         # mergeSchema: after additive schema evolution, untouched
         # partitions keep the old column set — the union of footers is
         # the table schema (missing columns read as null).
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _is_empty_live(self) -> bool:
+        """True when the live tree holds no data FILES — deleting the
+        last row of a partition removes its leaf dir but can leave
+        empty parent levels (create_year=...), so entry names alone
+        can't answer this."""
+        if not os.path.isdir(self.path):
+            return False
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            if any(not f.startswith((".", "_")) for f in files):
+                return False
+        return True
+
+    def _empty_from_retired(self) -> DataFrame | None:
+        """Zero-row frame with the table's schema, recovered from the
+        newest retired snapshot copy; None when no history has data
+        (nothing to borrow a schema from)."""
+        fs = self._fs(self.path)[0]
+        for j in reversed(self.versions()):
+            rr = f"{self.path}/.retired/v{j}"
+            _, rp = self._fs(rr)
+            if fs.exists(rp) and fs.listStatus(rp):
+                return (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", rr)
+                    .parquet(rr)
+                    .limit(0)
+                )
+        return None
 
     def register(self, name: str | None = None, persistent: bool = False) -> DataFrame:
         """Session temp view by default; ``persistent=True`` also
@@ -391,6 +438,12 @@ class KeyedTable:
         self._fault("staging_deleted")
         self._sweep_asides(version)
         if version is not None and self.retain_versions:
+            if self.changes_feed_dir:
+                # CDC in → CDC out: append this commit's change batch
+                # to the streaming-readable feed BEFORE its inputs can
+                # expire (write_changes_feed is idempotent, so a
+                # recover()-driven republish never double-writes).
+                self.write_changes_feed(self.changes_feed_dir)
             # retain_versions=N is a CONTRACT, not a hint: history
             # beyond the newest N commits auto-expires at every
             # publish, so retired copies can never grow unbounded
@@ -590,25 +643,7 @@ class KeyedTable:
         when no later commit exists."""
         later = [j for j in self.versions() if j > version]
         if not later:
-            fs, root_p = self._fs(self.path)
-            if any(
-                not st.getPath().getName().startswith((".", "_"))
-                for st in fs.listStatus(root_p)
-            ):
-                return self.read()
-            # emptied at its latest version: borrow a schema from the
-            # newest retired copy so the snapshot read is a real
-            # (empty) DataFrame instead of a schema-inference error
-            for j in reversed(self.versions()):
-                rr = f"{self.path}/.retired/v{j}"
-                _, rp = self._fs(rr)
-                if fs.exists(rp) and fs.listStatus(rp):
-                    return (
-                        self.spark.read.option("mergeSchema", "true")
-                        .parquet(rr)
-                        .limit(0)
-                    )
-            return self.read()  # never had data: surface the natural error
+            return self.read()  # read() handles the emptied-table case
         root = f"{self.path}/.retired/v{later[0]}"
         fs, p = self._fs(root)
         has_files = fs.exists(p) and any(

@@ -29,6 +29,7 @@ from tests.test_time_travel import (
     V0,
     _apply_all,
     _mk,
+    _vals,
 )
 
 
@@ -107,6 +108,54 @@ def test_changes_feed_is_streaming_readable(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 5
+
+
+def test_auto_changes_feed_on_publish(spark, tmp_path):
+    """changes_feed_dir publishes the commit's change batch as part
+    of the upsert itself — CDC in, CDC out, no extra orchestration."""
+    feed = str(tmp_path / "feed")
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "tt"),
+        SPEC,
+        retain_versions=5,
+        changes_feed_dir=feed,
+    )
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    for b in (B1, B2):
+        t.upsert(spark.createDataFrame(b, BATCH_COLS), delete_mode="apply")
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(feed)
+    got = {
+        (r._commit_version, r.id): r._change_type
+        for r in batch.select("_commit_version", "id", "_change_type").collect()
+    }
+    assert got == {
+        (1, "r1"): "update",
+        (1, "r3"): "insert",
+        (2, "r2"): "delete",
+        (2, "r3"): "update",
+    }
+
+
+def test_emptied_retained_table_keeps_history(spark, tmp_path):
+    """Deleting every row of a retained table must not reset its
+    commit log: the table still exists(), reads as a real empty
+    frame, serves old snapshots, and the next upsert is a NEW commit
+    (not an initial-load history wipe)."""
+    t = _mk(spark, tmp_path)
+    deletes = [
+        ("r1", "2024-01-05T00:00:00", "2024-09-01T00:00:00", "x1", "D"),
+        ("r2", "2024-02-05T00:00:00", "2024-09-01T00:00:00", "x2", "D"),
+    ]
+    t.upsert(spark.createDataFrame(deletes, BATCH_COLS), delete_mode="apply")
+    assert t.exists()
+    assert t.read().count() == 0
+    assert _vals(t.read_as_of(0)) == S0
+    t.upsert(spark.createDataFrame(B3, BATCH_COLS), delete_mode="apply")
+    assert t.versions() == [1, 2]
+    assert _vals(t.read()) == {"r4": "d4"}
+    assert _vals(t.read_as_of(0)) == S0
+    assert t.read_as_of(1).count() == 0
 
 
 def test_describe_history(spark, tmp_path):
