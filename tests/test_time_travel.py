@@ -186,6 +186,80 @@ def test_initial_load_resets_history(spark, tmp_path):
     assert _vals(t.read_as_of(0)) == S0
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEYS = [f"k{i}" for i in range(8)]
+_KEY_MONTH = {k: f"2024-0{i % 3 + 1}" for i, k in enumerate(_KEYS)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_time_travel_matches_model_under_random_batches(
+    spark, tmp_path_factory, data
+):
+    """Model-based check: random upsert/delete batches against a
+    Python dict-of-states model — every retained snapshot must equal
+    its model state exactly (through partition creation, deletion,
+    and total emptiness), and after a random vacuum every expired
+    version must raise while every kept one stays exact."""
+    path = str(tmp_path_factory.mktemp("ttm") / "t")
+    t = KeyedTable(spark, path, SPEC, retain_versions=10)
+
+    def row(k, op, v):
+        return (k, f"{_KEY_MONTH[k]}-05T00:00:00", f"2024-09-0{v}T00:00:00",
+                f"{k}@v{v}", op)
+
+    init_keys = sorted(data.draw(
+        st.sets(st.sampled_from(_KEYS), min_size=1), label="init"
+    ))
+    state = {k: f"{k}@v0" for k in init_keys}
+    t.initial_load(
+        spark.createDataFrame([row(k, "I", 0) for k in init_keys], BATCH_COLS)
+    )
+    states = [dict(state)]
+
+    n_batches = data.draw(st.integers(1, 4), label="n_batches")
+    for v in range(1, n_batches + 1):
+        ops = data.draw(
+            st.dictionaries(
+                st.sampled_from(_KEYS),
+                st.sampled_from(["U", "D"]),
+                min_size=1,
+            ),
+            label=f"batch{v}",
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [row(k, op, v) for k, op in ops.items()], BATCH_COLS
+            ),
+            delete_mode="apply",
+        )
+        for k, op in ops.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = f"{k}@v{v}"
+        states.append(dict(state))
+
+    for v, expect in enumerate(states):
+        assert _vals(t.read_as_of(v)) == expect, f"version {v}"
+
+    keep = data.draw(st.integers(1, n_batches), label="keep_last")
+    t.vacuum_versions(keep_last=keep)
+    floor = t.readable_versions()[0]
+    for v, expect in enumerate(states):
+        if v >= floor:
+            assert _vals(t.read_as_of(v)) == expect, f"kept version {v}"
+        else:
+            with pytest.raises(ValueError, match="not reconstructible"):
+                t.read_as_of(v)
+
+
 FLAT_SPEC = TableSpec(
     "tt_flat",
     record_key=("id",),
