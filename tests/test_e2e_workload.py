@@ -120,6 +120,73 @@ def test_generator_workload_converges_to_truth(spark, tmp_path):
     assert wl.next_id > 50 and len(wl.truth) < wl.next_id
 
 
+def test_changes_feed_replays_into_equal_table(spark, tmp_path):
+    """CDC in → lake → CDC out, closed loop: run the random workload
+    into a retained table that auto-publishes its changes feed, then
+    rebuild a SECOND table from nothing but the v0 snapshot plus the
+    feed batches replayed as ordinary CDC upserts. Equality proves
+    the feed is a complete, correctly-ordered change stream (the
+    engine's own output is a valid input — Delta CDF's core
+    contract). Delete rows carry the pre-image's update_at; the
+    incoming-wins tie-break is what makes replaying them correct."""
+    from pyspark.sql import functions as F
+
+    wl = Workload(seed=31)
+    cdc_dir = str(tmp_path / "cdc")
+    feed = str(tmp_path / "feed")
+    spec = TableSpec(
+        "accounts3",
+        record_key=("id",),
+        precombine_key="update_at",
+        partition_source="create_at",
+        partition_granularity="day",
+        schema=CDC_SCHEMA,
+    )
+    table = KeyedTable(
+        spark,
+        str(tmp_path / "accounts3"),
+        spec,
+        retain_versions=20,
+        changes_feed_dir=feed,
+    )
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"), max_files=10)
+    file_clock = T0
+    for _ in range(4):
+        file_clock += timedelta(minutes=1)
+        _write_cdc_file(spark, cdc_dir, file_clock, wl.events(15))
+        run_incremental_once(
+            spark, tracker, cdc_dir, table, fmt="parquet", delete_mode="apply"
+        )
+    assert table.versions(), "workload must have produced commits"
+
+    replica = KeyedTable(spark, str(tmp_path / "replica"), spec)
+    replica.initial_load(table.read_as_of(0))
+    feed_df = spark.read.option("recursiveFileLookup", "true").parquet(feed)
+    for v in sorted(
+        r._commit_version
+        for r in feed_df.select("_commit_version").distinct().collect()
+    ):
+        batch = (
+            feed_df.filter(F.col("_commit_version") == v)
+            .withColumn(
+                "Op",
+                F.when(F.col("_change_type") == "delete", "D").otherwise("U"),
+            )
+            .drop("_change_type", "_commit_version")
+        )
+        replica.upsert(batch, delete_mode="apply")
+
+    logical = ["id", "create_at", "update_at", "val"]
+    result = compare_tables(
+        table.read().select(*logical), replica.read(), keys=("id",)
+    )
+    assert result.equal, (
+        f"source={result.n_source} lake={result.n_lake} "
+        f"only_src={result.n_only_in_source} only_lake={result.n_only_in_lake} "
+        f"diffs={result.sample_diffs}"
+    )
+
+
 def test_generator_workload_is_replay_safe(spark, tmp_path):
     """Crash-replay posture (ST7): re-running the last batch after a
     'lost' tracker commit must not change the converged table."""
