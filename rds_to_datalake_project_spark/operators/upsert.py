@@ -208,6 +208,12 @@ class KeyedTable:
                 self.path,
                 partitioned=bool(self.partition_cols),
             )
+        if self.retain_versions:
+            # SQL users get `<name> FOR VERSION AS OF k` for free on
+            # any registered retained table (sql.py run_query rewrite)
+            from rds_to_datalake_project_spark.sql import register_time_travel
+
+            register_time_travel(name or self.spec.name, self)
         df = self.read()
         df.createOrReplaceTempView(name or self.spec.name)
         return df

@@ -25,6 +25,17 @@ _AS_OF_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Session-level registry of retained KeyedTables, so SQL users get
+# time travel without threading table objects through every call —
+# KeyedTable.register() enrolls retained tables here automatically.
+TIME_TRAVEL_TABLES: dict[str, object] = {}
+
+
+def register_time_travel(name: str, table) -> None:
+    """Make ``<name> FOR VERSION AS OF k`` resolvable in any
+    subsequent ``run_query`` (table must expose ``read_as_of``)."""
+    TIME_TRAVEL_TABLES[name] = table
+
 
 def run_query(
     spark: SparkSession,
@@ -42,23 +53,26 @@ def run_query(
     ``<name> FOR VERSION AS OF <k>`` reference in the SQL resolves to
     that table's exact snapshot at commit k (registered as a temp
     view over the metadata-only ``read_as_of`` plan — no data copy).
-    Unknown names or unreadable versions raise rather than silently
-    querying live state.
+    Names fall back to the session-level ``TIME_TRAVEL_TABLES``
+    registry (populated by ``KeyedTable.register``). Unknown names or
+    unreadable versions raise rather than silently querying live
+    state.
     """
-    if tables:
-        def _rewrite(m: re.Match) -> str:
-            name, version = m.group(1), int(m.group(2))
-            t = tables.get(name)
-            if t is None:
-                raise ValueError(
-                    f"FOR VERSION AS OF on unknown table {name!r}; "
-                    f"known: {sorted(tables)}"
-                )
-            view = f"__asof_{name}_v{version}"
-            t.read_as_of(version).createOrReplaceTempView(view)
-            return view
+    known = {**TIME_TRAVEL_TABLES, **(tables or {})}
 
-        sql = _AS_OF_RE.sub(_rewrite, sql)
+    def _rewrite(m: re.Match) -> str:
+        name, version = m.group(1), int(m.group(2))
+        t = known.get(name)
+        if t is None:
+            raise ValueError(
+                f"FOR VERSION AS OF on unknown table {name!r}; "
+                f"known: {sorted(known)}"
+            )
+        view = f"__asof_{name}_v{version}"
+        t.read_as_of(version).createOrReplaceTempView(view)
+        return view
+
+    sql = _AS_OF_RE.sub(_rewrite, sql)
     df = spark.sql(sql)
     return df.cache() if cache else df
 

@@ -210,6 +210,26 @@ def test_sql_facade_joins_two_versions(spark, tmp_path):
     assert {(r.id, r.v0_val, r.v3_val) for r in rows} == {("r1", "a1", "b1")}
 
 
+def test_sql_facade_uses_session_registry(spark, tmp_path):
+    """register() on a retained table enrolls it for FOR VERSION AS OF
+    without threading the object through every run_query call."""
+    from rds_to_datalake_project_spark.sql import TIME_TRAVEL_TABLES
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    t.register("tt_reg")
+    try:
+        got = {
+            r.id: r.val
+            for r in run_query(
+                spark, "SELECT id, val FROM tt_reg FOR VERSION AS OF 1"
+            ).collect()
+        }
+        assert got == S1
+    finally:
+        TIME_TRAVEL_TABLES.pop("tt_reg", None)
+
+
 def test_sql_facade_as_of_guards(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
