@@ -747,8 +747,11 @@ class KeyedTable:
         )
         written = []
         for v in self.readable_versions()[1:]:
-            vp = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/v{v}")
-            if fs.exists(vp):
+            # a batch counts as materialized only when its _SUCCESS
+            # marker exists — a crash mid-write leaves a partial dir
+            # that the next call must overwrite, never skip forever
+            done = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/v{v}/_SUCCESS")
+            if fs.exists(done):
                 continue
             self.table_changes(v - 1, v).withColumn(
                 "_commit_version", F.lit(v)

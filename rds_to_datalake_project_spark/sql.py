@@ -59,6 +59,12 @@ def run_query(
     state.
     """
     known = {**TIME_TRAVEL_TABLES, **(tables or {})}
+    if not known:
+        # nothing registered: leave the SQL untouched (a native
+        # catalog may own the time-travel syntax). With ANY tables
+        # registered, an unknown name raises — a typo must not fall
+        # through to live state.
+        return spark.sql(sql).cache() if cache else spark.sql(sql)
 
     def _rewrite(m: re.Match) -> str:
         name, version = m.group(1), int(m.group(2))

@@ -74,9 +74,16 @@ def test_table_changes_validates_range(spark, tmp_path):
 def test_changes_feed_is_streaming_readable(spark, tmp_path):
     """write_changes_feed materializes one batch per commit and a
     readStream consumer tails the feed exactly once per version."""
+    import os
+
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
     feed = str(tmp_path / "feed")
+    # a crash-torn partial batch (no _SUCCESS marker) must be
+    # overwritten, not skipped forever
+    os.makedirs(f"{feed}/v1")
+    with open(f"{feed}/v1/part-junk.parquet", "w") as f:
+        f.write("torn")
     assert t.write_changes_feed(feed) == [1, 2, 3]
     assert t.write_changes_feed(feed) == []  # idempotent
 
