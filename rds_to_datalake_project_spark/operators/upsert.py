@@ -821,20 +821,27 @@ class KeyedTable:
 
     def vacuum_partitions(self, keep_predicate) -> int:
         """Retention: drop whole partitions whose values fail
-        ``keep_predicate`` (a callable over the partition-value tuple).
-        Partition-dir deletes only — no data files are read, which is
-        what makes retention O(partitions) at 100 TB. Returns the
-        number of partitions dropped."""
+        ``keep_predicate`` (a callable over the partition-value tuple,
+        values as the strings the layout encodes; hive-null dirs come
+        back as None). Pure directory listing + deletes — no data
+        files or footers are read (a ``distinct`` over partition
+        columns would scan row groups), which is what makes retention
+        O(partitions) at 100 TB. Returns the number of partitions
+        dropped."""
         if not self.partition_cols:
             raise ValueError("vacuum_partitions requires a partitioned table")
-        values = [
-            tuple(r)
-            for r in self.read().select(*self.partition_cols).distinct().collect()
-        ]
+        u = self.spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         dropped = 0
-        for t in values:
-            if not keep_predicate(t):
-                self._delete_partition_dir(t)
+        for rel in self._staged_partition_dirs(self.path):
+            raw = [seg.split("=", 1)[1] for seg in rel.split("/")]
+            values = tuple(
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else u.unescapePathName(v)
+                for v in raw
+            )
+            if not keep_predicate(values):
+                self._fs_delete(f"{self.path}/{rel}")
                 dropped += 1
         return dropped
 
