@@ -37,6 +37,52 @@ def deterministic_sample_per_group(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Data-mixing: resample each source at a target epoch multiplier
+    — the corpus-weighting step of LLM training recipes ("2.5 epochs
+    of wiki, 0.3 of web"). Rows gain an ``epoch`` column:
+
+    - a source with epochs e gets ⌊e⌋ full copies (epoch 0..⌊e⌋−1)
+    - plus a fractional top-up epoch holding the deterministic
+      md5-bucket fraction (e − ⌊e⌋) of its rows.
+
+    Fully deterministic (no RNG): the same rows appear in the top-up
+    on any engine, partitioning, or rerun — md5 of the key maps to a
+    60-bit bucket and the row is kept when bucket/2^60 < fraction.
+    Map-only: the explode fans out copies without any shuffle, and
+    upstream dedup guarantees key-uniqueness per epoch."""
+    frac_of = {g: e - int(e) for g, e in epochs.items()}
+    whole_of = {g: int(e) for g, e in epochs.items()}
+
+    def lookup(mapping, default):
+        expr = F.lit(float(default))
+        for g, v in sorted(mapping.items()):
+            expr = F.when(F.col(group_col) == g, F.lit(float(v))).otherwise(expr)
+        return expr
+
+    whole = lookup(whole_of, int(default_epochs)).cast("int")
+    frac = lookup(frac_of, default_epochs - int(default_epochs))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    in_topup = (bucket.cast("double") / F.lit(float(1 << 60))) < frac
+    n_epochs = whole + F.when(in_topup, 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_epochs)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     key_col: str,

@@ -47,6 +47,62 @@ def n_bpe_tokens(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0)))
 
 
+# Chunking variant of the pre-tokenizer: a trailing `\s+` alternative
+# makes the match set COVER every character (runs of extra whitespace
+# become tokens), so concatenating a document's tokens reproduces it
+# byte-for-byte — the property that lets context-window chunking slice
+# token lists and emit exact text spans. Leftmost-first alternation
+# behaves identically in Java regex and RE2 (no lookaheads).
+CHUNK_SPLIT_RE = BPE_SPLIT_RE + r"|\s+"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Split documents into contiguous context-window chunks of at
+    most ``max_tokens`` pre-tokens — the sequence-length shaping every
+    LLM training pipeline applies before packing.
+
+    One vectorized pass: tokenize once (``regexp_extract_all``),
+    build per-chunk structs with a higher-order ``transform`` over
+    chunk indices (token-list ``slice`` + join), then ``posexplode``.
+    No UDF, no shuffle — a document never leaves its partition, so
+    the op is map-only at any corpus size. Empty documents yield one
+    empty chunk (chunk_id 0) rather than vanishing.
+
+    Output: ``id_col``, ``chunk_id``, ``chunk_text``,
+    ``n_chunk_tokens``; concatenating a document's chunks in
+    chunk_id order reproduces the original text exactly.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(CHUNK_SPLIT_RE), F.lit(0))
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(max_tokens))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(toks, i * max_tokens + 1, max_tokens), ""
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("__c.chunk_text"), F.lit(CHUNK_SPLIT_RE), F.lit(0)
+            )
+        ).alias("n_chunk_tokens"),
+    )
+
+
 def n_alpha(col: Column) -> Column:
     return F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
 

@@ -27,6 +27,8 @@ _PRIORITY = (
     "lake_table_changes",
     "sql_timetravel_changed_counts",
     "hilbert_key_orders",
+    "chunk_documents_windows",
+    "mixture_sample_counts",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

@@ -67,3 +67,55 @@ def test_contamination_planted(spark):
         else:
             assert r.contamination == 1.0  # exact copy of train text
             assert r.n_sh == r.n_hit == 8  # 10 tokens → 8 tri-shingles
+
+
+def test_chunk_documents_reconstructs_and_bounds(spark):
+    """Chunks must concatenate back to the exact original text, every
+    chunk must respect the token budget, and re-tokenizing a chunk
+    must agree with the slice (no token merges across boundaries)."""
+    from rds_to_datalake_project_spark.operators.text import chunk_documents
+
+    rows = [
+        (0, "plain words only here"),
+        (1, "punct!) and   double  spaces\nnewlines\ttabs 123 mixed456"),
+        (2, ""),  # empty doc → one empty chunk
+        (3, " leading and trailing "),
+        (4, "x" * 50 + " " + "word " * 40),  # forces multiple chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, max_tokens=8).collect()
+    by_doc = {}
+    for r in out:
+        assert r.n_chunk_tokens <= 8
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for doc_id, text in rows:
+        chunks = [t for _, t in sorted(by_doc[doc_id])]
+        assert "".join(chunks) == text, doc_id
+    assert by_doc[2] == [(0, "")]
+    assert len(by_doc[4]) > 1
+
+
+def test_mixture_sample_epoch_semantics(spark):
+    """epochs=2.x → two full copies plus a deterministic fractional
+    top-up; 0.0 → source dropped; default 1.0 → exactly one epoch.
+    The top-up must be stable across partitionings."""
+    from rds_to_datalake_project_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    epochs = {"s0": 2.5, "s1": 0.0}
+    out = mixture_sample(df, "src", "k", epochs, default_epochs=1.0)
+    per = {
+        (r.src, r.epoch): r.n
+        for r in out.groupBy("src", "epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per[("s0", 0)] == per[("s0", 1)] == 100  # full copies
+    assert 20 <= per[("s0", 2)] <= 80  # ~50% md5 top-up
+    assert not any(s == "s1" for s, _ in per)  # dropped source
+    assert per[("s2", 0)] == 100 and ("s2", 1) not in per  # default 1.0
+
+    # determinism: identical membership under a different partitioning
+    again = mixture_sample(df.repartition(13), "src", "k", epochs)
+    a = {(r.src, r.epoch, r.k) for r in out.collect()}
+    b = {(r.src, r.epoch, r.k) for r in again.collect()}
+    assert a == b
