@@ -1038,11 +1038,13 @@ class KeyedTable:
 
     def _sweep_asides(self, retire_version: int | None = None) -> None:
         """Resolve leftover aside dirs (crash after rename-in, before
-        drop/retire-aside). Safe unconditionally: an aside is only
-        ever a superseded copy once its staging sibling has been
-        consumed — dropped when not retaining, retired under the
-        recovering commit's version when retaining (the flag pinned
-        that version at commit time, so attribution is exact)."""
+        drop-aside). Retained publishes never CREATE asides — the park
+        renames straight into ``.retired/v{k}`` (``_swap_dir``) — so
+        with retention on this only ever meets orphans from a
+        pre-retention era; those are kept under the recovering
+        commit's version (conservative: data preserved, attribution
+        approximate) rather than dropped. Without retention, asides
+        are superseded copies and are dropped as before."""
         fs, root = self._fs(self.path)
 
         def walk(path, rel_prefix: str):
