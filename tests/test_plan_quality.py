@@ -215,6 +215,21 @@ def test_table_changes_single_join_shuffle(spark, tmp_path):
     assert len(re.findall(r"Exchange hashpartitioning\(id", plan)) <= 2
 
 
+def test_chunking_is_map_only(spark):
+    """Context-window chunking must never move a document: tokenize,
+    slice, posexplode — all narrow. A shuffle here would be a 100 TB
+    regression."""
+    from rds_to_datalake_project_spark.operators.text import chunk_documents
+
+    docs = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "repeat('word ', CAST(id % 40 AS INT)) AS text"
+    )
+    ch = chunk_documents(docs, max_tokens=8)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
 def test_media_decode_is_map_only(spark):
     """Decode must stream through mapInPandas with zero shuffles —
     a per-blob kernel has no business moving data."""
