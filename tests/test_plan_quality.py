@@ -215,6 +215,42 @@ def test_table_changes_single_join_shuffle(spark, tmp_path):
     assert len(re.findall(r"Exchange hashpartitioning\(id", plan)) <= 2
 
 
+def test_read_as_of_keeps_partition_pruning(spark, tmp_path):
+    """Snapshot reads are explicit dir lists with a basePath — a
+    partition-column filter must still prune at the file index, same
+    as a live read (time travel must not turn scans into full
+    sweeps)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t"),
+        TableSpec("t", partition_granularity="month"),
+        retain_versions=3,
+    )
+    rows = [
+        (f"k{m}_{i}", f"2024-{m:02d}-01T00:00:00", "2024-06-01T00:00:00", "v")
+        for m in (1, 2, 3) for i in range(10)
+    ]
+    t.initial_load(
+        spark.createDataFrame(rows, ["id", "create_at", "update_at", "val"])
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [("k1_0", "2024-01-01T00:00:00", "2024-07-01T00:00:00", "w")],
+            ["id", "create_at", "update_at", "val"],
+        )
+    )
+    pruned = t.read_as_of(0).filter(F.col("create_month") == "02")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "create_month" in plan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == 10
+
+
 def test_chunking_is_map_only(spark):
     """Context-window chunking must never move a document: tokenize,
     slice, posexplode — all narrow. A shuffle here would be a 100 TB
