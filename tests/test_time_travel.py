@@ -193,22 +193,32 @@ _KEYS = [f"k{i}" for i in range(8)]
 _KEY_MONTH = {k: f"2024-0{i % 3 + 1}" for i, k in enumerate(_KEYS)}
 
 
+_FLAT_MODEL_SPEC = TableSpec(
+    "ttm_flat",
+    record_key=("id",),
+    precombine_key="update_at",
+    partition_granularity=None,
+)
+
+
 @settings(
-    max_examples=6,
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.parametrize("spec", [SPEC, _FLAT_MODEL_SPEC], ids=["part", "flat"])
 @given(data=st.data())
 def test_time_travel_matches_model_under_random_batches(
-    spark, tmp_path_factory, data
+    spark, tmp_path_factory, spec, data
 ):
     """Model-based check: random upsert/delete batches against a
     Python dict-of-states model — every retained snapshot must equal
     its model state exactly (through partition creation, deletion,
     and total emptiness), and after a random vacuum every expired
-    version must raise while every kept one stays exact."""
+    version must raise while every kept one stays exact. Runs over
+    both the partitioned and the unpartitioned retention paths."""
     path = str(tmp_path_factory.mktemp("ttm") / "t")
-    t = KeyedTable(spark, path, SPEC, retain_versions=10)
+    t = KeyedTable(spark, path, spec, retain_versions=10)
 
     def row(k, op, v):
         return (k, f"{_KEY_MONTH[k]}-05T00:00:00", f"2024-09-0{v}T00:00:00",
