@@ -7,9 +7,10 @@ cells. The Hilbert curve visits every cell pair adjacently, giving
 strictly better min/max pruning for the same sort — the reason
 Hudi/Delta expose HILBERT alongside ZORDER.
 
-The classic ``xy2d`` walk is sequential (each bit level reflects and
-swaps the remaining coordinates), which looks hostile to a
-set-oriented engine — but the walk's whole state is three small
+The classic ``xy2d`` walk (the textbook-public algorithm, e.g. the
+Wikipedia "Hilbert curve" reference implementation) is sequential
+(each bit level reflects and swaps the remaining coordinates), which
+looks hostile to a set-oriented engine — but the walk's whole state is three small
 integers, so it folds into ONE Catalyst ``aggregate`` over bit
 levels with (x, y, d) PACKED into a single 64-bit accumulator
 (``x | y<<bits | d<<2·bits``). Pure integer arithmetic inside
