@@ -77,6 +77,8 @@ def chunk_documents(
     ``n_chunk_tokens``; concatenating a document's chunks in
     chunk_id order reproduces the original text exactly.
     """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be ≥ 1, got {max_tokens}")
     toks = F.regexp_extract_all(F.col(text_col), F.lit(CHUNK_SPLIT_RE), F.lit(0))
     n_chunks = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(max_tokens))).cast("int"), F.lit(1)
