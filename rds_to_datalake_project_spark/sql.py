@@ -120,15 +120,20 @@ class ResultCache:
 
 
 def preview_table(spark: SparkSession, table: str, n: int = 10) -> tuple[DataFrame, int]:
-    """``SELECT * LIMIT n`` + ``COUNT(*)`` (athena.py:67-87, O3/A1)."""
-    head = spark.sql(f"SELECT * FROM {table} LIMIT {n}")  # noqa: S608 - table name from caller
-    count = spark.sql(f"SELECT COUNT(*) AS n FROM {table}").collect()[0]["n"]  # noqa: S608
+    """``SELECT * LIMIT n`` + ``COUNT(*)`` (athena.py:67-87, O3/A1).
+    Routed through ``run_query`` so ``table`` may be a registered
+    snapshot reference (``t FOR VERSION AS OF k``) — one facade, one
+    behavior."""
+    head = run_query(spark, f"SELECT * FROM {table} LIMIT {n}")  # noqa: S608 - table name from caller
+    count = run_query(spark, f"SELECT COUNT(*) AS n FROM {table}").collect()[0]["n"]  # noqa: S608
     return head, int(count)
 
 
 def unload_query(spark: SparkSession, sql: str, path: str, fmt: str = "parquet") -> None:
-    """UNLOAD (...) TO path WITH (format=...) — vendor/aws_athena.py:50-55."""
-    df = spark.sql(sql)
+    """UNLOAD (...) TO path WITH (format=...) — vendor/aws_athena.py:50-55.
+    Routed through ``run_query``: snapshot references unload the same
+    way they query."""
+    df = run_query(spark, sql)
     writer = df.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)

@@ -237,6 +237,32 @@ def test_sql_facade_uses_session_registry(spark, tmp_path):
         TIME_TRAVEL_TABLES.pop("tt_reg", None)
 
 
+def test_unload_and_preview_reach_snapshots(spark, tmp_path):
+    """The facade's sinks behave like its queries: UNLOAD and preview
+    resolve FOR VERSION AS OF through the same rewrite."""
+    from rds_to_datalake_project_spark.sql import (
+        TIME_TRAVEL_TABLES,
+        preview_table,
+        unload_query,
+    )
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    t.register("tt_sink")
+    try:
+        out = str(tmp_path / "unloaded")
+        unload_query(
+            spark, "SELECT id, val FROM tt_sink FOR VERSION AS OF 1", out
+        )
+        back = {r.id: r.val for r in spark.read.parquet(out).collect()}
+        assert back == S1
+        head, n = preview_table(spark, "tt_sink FOR VERSION AS OF 2", n=10)
+        assert n == len(S2)
+        assert {r.id for r in head.collect()} <= set(S2)
+    finally:
+        TIME_TRAVEL_TABLES.pop("tt_sink", None)
+
+
 def test_sql_facade_as_of_guards(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
