@@ -43,15 +43,79 @@ def compact_table(
     table: KeyedTable,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by_key: bool = True,
+    cluster_by: tuple[str, str] | None = None,
+    curve: str = "hilbert",
 ) -> int:
     """Rewrite the table with right-sized files; returns file count.
+
+    ``cluster_by=(col_a, col_b)`` additionally orders rows along a
+    space-filling curve of the two columns during the rewrite
+    (``curve`` ∈ {"hilbert", "zorder"}) — the clustering service
+    Hudi/Delta run at compaction time, so point/range predicates on
+    either column get file-level min/max skipping after the pass.
 
     Local/HDFS sizing uses directory stats; on object stores you would
     take the file index's size metadata instead (same arithmetic).
     """
     df = table.read()
     n_files = plan_target_files(_dir_bytes(table.path), target_file_bytes)
-    if table.partition_cols:
+    if cluster_by is not None:
+        # A sort within round-robin partitions orders rows but every
+        # file still spans the whole value range; real clustering
+        # needs a RANGE repartition on the curve key so each output
+        # file owns a contiguous curve segment (what Delta's OPTIMIZE
+        # ZORDER does). Partition columns lead the range keys so hive
+        # dirs stay intact and each dir's files split the curve.
+        col_a, col_b = cluster_by
+        # Scale both columns onto the full curve grid first (min/max
+        # from one 1-row aggregate). Raw values mod 2^bits leave the
+        # occupied box misaligned with the curve's quadrants — e.g. a
+        # narrow key range beside a wide one degenerates to a thin
+        # strip the curve sweeps end-to-end, and range-partitioning
+        # the key separates neither dimension. Normalized, the box IS
+        # the grid and every curve range is a tight 2-D cell.
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(F.col(col_a).cast("double")),
+            F.max(F.col(col_a).cast("double")),
+            F.min(F.col(col_b).cast("double")),
+            F.max(F.col(col_b).cast("double")),
+        ).first()
+
+        def scaled(col: str, lo, hi, bits: int):
+            if lo is None or hi is None or hi == lo:
+                return F.lit(0).cast("long")
+            return (
+                (F.col(col).cast("double") - F.lit(lo))
+                * F.lit(((1 << bits) - 1) / (hi - lo))
+            ).cast("long")
+
+        if curve == "hilbert":
+            from rds_to_datalake_project_spark.operators.hilbert import (
+                BITS,
+                hilbert_key,
+            )
+
+            key = hilbert_key(
+                scaled(col_a, lo_a, hi_a, BITS),
+                scaled(col_b, lo_b, hi_b, BITS),
+                BITS,
+            )
+        elif curve == "zorder":
+            from rds_to_datalake_project_spark.operators.zorder import morton_key
+
+            key = morton_key(
+                scaled(col_a, lo_a, hi_a, 16), scaled(col_b, lo_b, hi_b, 16)
+            )
+        else:
+            raise ValueError(f"curve must be 'hilbert' or 'zorder', got {curve!r}")
+        range_cols = [F.col(c) for c in table.partition_cols] + [F.col("__curve")]
+        out = (
+            df.withColumn("__curve", key)
+            .repartitionByRange(n_files, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop("__curve")
+        )
+    elif table.partition_cols:
         # Hash rows of each partition into n_files buckets; repartition
         # on (partition cols + bucket) keeps partition dirs intact
         # while bounding files per partition.
@@ -66,7 +130,7 @@ def compact_table(
         ).drop("__bucket")
     else:
         out = df.repartition(n_files)
-    if sort_by_key:
+    if cluster_by is None and sort_by_key:
         out = out.sortWithinPartitions(*table.spec.record_key)
     out = out.localCheckpoint(eager=True)  # rewrite source path safely
     writer = out.write.mode("overwrite")

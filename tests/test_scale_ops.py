@@ -58,6 +58,41 @@ def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == before_rows
 
 
+@pytest.mark.parametrize("curve", ["hilbert", "zorder"])
+def test_compact_with_curve_clustering(spark, tmp_path, curve):
+    """Curve-clustered compaction must be a lossless rewrite that
+    actually narrows per-file min/max ranges on BOTH clustered
+    columns versus unclustered row order (the skipping benefit the
+    pass exists for)."""
+    import duckdb
+
+    spec = TableSpec("t", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "t"), spec)
+    rows = [(f"k{i}", "2024-01-01T00:00:00", (i * 37) % 1000, (i * 91) % 1000)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "v", "a", "b"]).repartition(8)
+    t.initial_load(df)
+
+    compact_table(t, target_file_bytes=4 * 1024, cluster_by=("a", "b"), curve=curve)
+    assert t.read().count() == 1000  # lossless
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(t.path)
+        for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files) > 1, "need multiple files to measure clustering"
+    con = duckdb.connect()
+    spans = []
+    for f in files:
+        lo_a, hi_a, lo_b, hi_b = con.execute(
+            f"SELECT min(a), max(a), min(b), max(b) FROM read_parquet('{f}')"
+        ).fetchone()
+        spans.append((hi_a - lo_a) + (hi_b - lo_b))
+    # clustered files must cover far less than the full 2×1000 span
+    assert sum(spans) / len(spans) < 1400, spans
+
+
 @pytest.mark.parametrize("how", ["inner", "left"])
 def test_salted_join_matches_plain_join(spark, how):
     # skewed big side: one hot key with 500 rows
