@@ -144,6 +144,39 @@ def test_auto_changes_feed_on_publish(spark, tmp_path):
     }
 
 
+def test_feed_write_failure_does_not_undo_commit(spark, tmp_path, monkeypatch):
+    """The feed append runs after the commit is durable: if it dies,
+    the upsert surfaces the error but the table state stands, and the
+    next publish back-fills the missing feed batch."""
+    feed = str(tmp_path / "feed")
+    t = KeyedTable(
+        spark, str(tmp_path / "tt"), SPEC, retain_versions=5,
+        changes_feed_dir=feed,
+    )
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+
+    calls = {"n": 0}
+    real = KeyedTable.write_changes_feed
+
+    def flaky(self, feed_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("feed sink down")
+        return real(self, feed_dir)
+
+    monkeypatch.setattr(KeyedTable, "write_changes_feed", flaky)
+    with pytest.raises(RuntimeError, match="feed sink down"):
+        t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    # the commit itself is durable despite the feed failure
+    assert t.versions() == [1]
+    assert _vals(t.read()) == S1
+
+    t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(feed)
+    versions = {r._commit_version for r in batch.select("_commit_version").collect()}
+    assert versions == {1, 2}  # v1 back-filled alongside v2
+
+
 def test_emptied_retained_table_keeps_history(spark, tmp_path):
     """Deleting every row of a retained table must not reset its
     commit log: the table still exists(), reads as a real empty
