@@ -60,8 +60,18 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    # Warm the JVM/codegen path once so q1 doesn't pay session startup.
+    # Warm the JVM/codegen path once so q1 doesn't pay session startup,
+    # and the parquet write-committer path so the first writing query
+    # (cdc_upsert_roundtrip) doesn't pay one-time class loading — both
+    # are session costs, not plan-execution costs.
     QUERIES["order_priority_stats"](spark, sf_dir).count()
+    import shutil
+    import tempfile
+
+    warm_dir = os.path.join(tempfile.gettempdir(), "sg_bench_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    spark.range(1).write.mode("overwrite").parquet(warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
