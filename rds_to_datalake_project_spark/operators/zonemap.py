@@ -1,0 +1,166 @@
+"""Zone maps — per-file min/max statistics for scan-time file skipping.
+
+What Delta/Iceberg keep in their transaction-log / manifest stats
+(SURVEY.md §4 "Upsert physical strategy": "file-skipping by min/max
+stats"), re-expressed for the engine's plain-parquet lake tables: a
+tiny parquet sidecar under ``<table>/.zonemap`` holding one row per
+data file with min / max / row count for the indexed columns. A read
+with a range or point predicate consults the sidecar and hands Spark
+the exact list of files whose [min, max] zones intersect the
+predicate — files the index proves out of range are never opened.
+Parquet row-group stats still prune WITHIN each opened file; the zone
+map prunes the file SET, which at 100 TB is the difference between
+touching ~800k file footers and reading a sub-megabyte index. The
+payoff compounds with the clustering passes (operators/compact.py
+``cluster_by``: Hilbert / Z-order range repartition): clustered files
+own narrow value ranges, so zones are tight and most files drop out.
+
+Correctness stance — the index is ADVISORY:
+
+- Files present on disk but absent from the index are ALWAYS read, so
+  a stale or partial index (crash mid-build, files appended since)
+  degrades to reading more files, never to row loss. Spark part-file
+  names are globally unique (task UUIDs), so an index row can never
+  describe a *different* file of the same name.
+- Pruning drops a file only when the predicate interval provably
+  misses [min, max]. An all-null zone (min/max NULL) is droppable for
+  range predicates: a comparison with NULL is never true.
+- Bounds are evaluated by Spark expressions over the stats frame (not
+  Python comparisons), so type coercion matches the main scan's
+  semantics exactly.
+
+The build is one column-pruned distributed aggregation (only the
+indexed columns are read) grouped by ``input_file_name()`` — no data
+rows ever reach the driver; the collect is one row per pruned-in
+file, the same driver-side footprint as Delta's log replay.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FILE = "file_uri"
+
+
+def _index_dir(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/.zonemap"
+
+
+def _norm(uri: str) -> str:
+    """file:///a, file:/a and /a all name the same local path."""
+    parsed = urlparse(uri)
+    return parsed.path if parsed.scheme else uri
+
+
+def build_zonemap(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    index_dir: str | None = None,
+) -> None:
+    """(Re)build the zone-map sidecar for ``columns``.
+
+    One distributed scan reading only the indexed columns; output is
+    one row per data file: ``file_uri, n_rows, min_<c>, max_<c> ...``.
+    Written with overwrite into a dot-dir, which every table reader
+    skips, so the index never shadows table data.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(table_path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    stats = (
+        df.select(*columns)
+        .withColumn(_FILE, F.input_file_name())
+        .groupBy(_FILE)
+        .agg(*aggs)
+    )
+    # A handful of KB: one output file keeps the read side a single
+    # footer fetch.
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        index_dir or _index_dir(table_path)
+    )
+
+
+def zonemap_stats(spark: SparkSession, table_path: str, index_dir: str | None = None) -> DataFrame:
+    return spark.read.parquet(index_dir or _index_dir(table_path))
+
+
+def _zone_intersects(col: str, lo, hi) -> F.Column:
+    """Zone [min_c, max_c] can contain a value in [lo, hi] (either
+    bound may be None = unbounded). NULL min/max (all-null zone) make
+    the conjunction NULL → filtered out → file skipped, which is safe
+    for range predicates (see module docstring)."""
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(f"max_{col}") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(f"min_{col}") <= F.lit(hi))
+    return cond
+
+
+def prune_files(
+    spark: SparkSession,
+    table_path: str,
+    predicates: dict[str, tuple],
+    index_dir: str | None = None,
+) -> tuple[list[str], int]:
+    """Resolve the file list for a zoned read.
+
+    Returns ``(files_to_read, n_skipped)``. Files not covered by the
+    index are unconditionally included (advisory contract); indexed
+    files are included iff every predicate interval intersects their
+    zone. Paths come back in Spark-readable form.
+    """
+    full = spark.read.option("mergeSchema", "true").parquet(table_path)
+    live = {_norm(f): f for f in full.inputFiles()}
+
+    idx = index_dir or _index_dir(table_path)
+    try:
+        stats = spark.read.parquet(idx)
+    except Exception:
+        return sorted(live.values()), 0  # no index → full scan
+
+    cond = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        cond = cond & _zone_intersects(col, lo, hi)
+    indexed = {_norm(r[0]) for r in stats.select(_FILE).collect()}
+    kept = {_norm(r[0]) for r in stats.filter(cond).select(_FILE).collect()}
+
+    files = [
+        orig
+        for path, orig in sorted(live.items())
+        if path not in indexed or path in kept
+    ]
+    return files, len(live) - len(files)
+
+
+def pruned_read(
+    spark: SparkSession,
+    table_path: str,
+    predicates: dict[str, tuple],
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Read ``table_path`` rows satisfying ``predicates`` (col →
+    (lo, hi) inclusive bounds, None = unbounded), opening only files
+    whose zones can match. The residual predicate is still applied —
+    zones over-approximate — so the result is EXACTLY the full-scan
+    filter, independent of index state."""
+    full = spark.read.option("mergeSchema", "true").parquet(table_path)
+    residual = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        if lo is not None:
+            residual = residual & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (F.col(col) <= F.lit(hi))
+
+    files, _skipped = prune_files(spark, table_path, predicates, index_dir)
+    if not files:
+        return full.filter(residual).limit(0)
+    return (
+        spark.read.schema(full.schema).parquet(*files).filter(residual)
+    )

@@ -746,6 +746,48 @@ ORDER BY priority
 """
 
 
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping end-to-end (operators/zonemap.py): write
+    orders range-clustered on o_orderdate (16 files, each owning a
+    narrow date slice), build the per-file min/max sidecar, then read
+    a half-year window through ``pruned_read`` — which opens only the
+    files whose zones intersect the window. The oracle states the
+    plain filter, so the hash proves pruning never drops a row; that
+    files are actually skipped is pinned by
+    tests/test_zonemap.py."""
+    from rds_to_datalake_project_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_read,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch("zonemap") + "/orders"
+    (
+        orders.repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    build_zonemap(spark, root, ["o_orderdate", "o_totalprice"])
+    out = pruned_read(
+        spark,
+        root,
+        {"o_orderdate": ("1996-01-01 00:00:00", "1996-06-30 23:59:59")},
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).orderBy("o_orderkey")
+
+
+ZONEMAP_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1996-06-30 23:59:59'
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
@@ -764,9 +806,11 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_user_state": asof_user_state,
     "hypertable_rollup": hypertable_rollup,
+    "zonemap_pruned_scan": zonemap_pruned_scan,
 }
 
 ORACLES = {
+    "zonemap_pruned_scan": ZONEMAP_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

@@ -29,6 +29,7 @@ _PRIORITY = (
     "hilbert_key_orders",
     "chunk_documents_windows",
     "mixture_sample_counts",
+    "zonemap_pruned_scan",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

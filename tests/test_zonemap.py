@@ -1,0 +1,135 @@
+"""Zone-map file skipping (operators/zonemap.py).
+
+Pins the two halves of the contract separately: (a) pruned reads are
+EXACTLY the full-scan filter under every index state (fresh, stale,
+missing, partial coverage), (b) a clustered table really does skip
+files — the read's inputFiles set shrinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+from rds_to_datalake_project_spark.operators.zonemap import (
+    build_zonemap,
+    prune_files,
+    pruned_read,
+    zonemap_stats,
+)
+
+PRED = {"o_orderdate": ("1996-01-01 00:00:00", "1996-06-30 23:59:59")}
+
+
+def _write_clustered(spark, sf_dir, path, n_files=8):
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(n_files, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _expected(spark, sf_dir):
+    lo, hi = PRED["o_orderdate"]
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between(lo, hi))
+        .count()
+    )
+
+
+def test_pruned_read_skips_files_and_matches_full_filter(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    build_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+
+    total_files = len(spark.read.parquet(path).inputFiles())
+    files, skipped = prune_files(spark, path, PRED)
+    assert skipped > 0, "clustered half-year window must skip files"
+    assert len(files) + skipped == total_files
+
+    out = pruned_read(spark, path, PRED)
+    assert len(set(out.inputFiles())) == len(files)
+    assert out.count() == _expected(spark, sf_dir)
+
+
+def test_stats_cover_every_file_and_rowcount(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    build_zonemap(spark, path, ["o_orderdate"])
+    stats = zonemap_stats(spark, path)
+    assert stats.count() == len(spark.read.parquet(path).inputFiles())
+    n = stats.agg(F.sum("n_rows")).first()[0]
+    assert n == load_table(spark, sf_dir, "orders").count()
+
+
+def test_missing_index_degrades_to_full_scan(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    files, skipped = prune_files(spark, path, PRED)
+    assert skipped == 0
+    assert pruned_read(spark, path, PRED).count() == _expected(spark, sf_dir)
+
+
+def test_stale_index_reads_unindexed_files(spark, sf_dir, tmp_path):
+    """Files appended AFTER the index build are outside the index →
+    always read (advisory contract), even when their rows match."""
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    build_zonemap(spark, path, ["o_orderdate"])
+    # Append an in-window batch the index has never seen.
+    lo, hi = PRED["o_orderdate"]
+    extra = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between(lo, hi))
+        .limit(7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+
+    out = pruned_read(spark, path, PRED)
+    assert out.count() == _expected(spark, sf_dir) + 7
+
+
+def test_empty_window_returns_empty_with_schema(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    build_zonemap(spark, path, ["o_orderdate"])
+    out = pruned_read(
+        spark, path, {"o_orderdate": ("2300-01-01 00:00:00", "2300-12-31 00:00:00")}
+    )
+    assert out.count() == 0
+    assert out.columns == spark.read.parquet(path).columns
+
+
+def test_all_null_zone_is_skipped_safely(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=2, v=None)], "k int, v int"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [Row(k=3, v=10), Row(k=4, v=20)], "k int, v int"
+    ).coalesce(1).write.mode("append").parquet(path)
+    build_zonemap(spark, path, ["v"])
+    files, skipped = prune_files(spark, path, {"v": (5, 15)})
+    assert skipped == 1  # the all-null file can never match a range
+    out = pruned_read(spark, path, {"v": (5, 15)})
+    assert [r.k for r in out.collect()] == [3]
+
+
+def test_open_bounds(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path)
+    build_zonemap(spark, path, ["o_orderdate"])
+    lo = "1997-06-01 00:00:00"
+    out = pruned_read(spark, path, {"o_orderdate": (lo, None)})
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= lo)
+        .count()
+    )
+    assert out.count() == expected
+    _, skipped = prune_files(spark, path, {"o_orderdate": (lo, None)})
+    assert skipped > 0
