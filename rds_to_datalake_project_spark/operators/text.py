@@ -282,3 +282,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     key (cross-engine stable, unlike xxhash seeds)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, F.md5(norm.cast("binary")))
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    dampened: bool = True,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Tokenization is ASCII-lowercase word runs (split on ``[^a-z]+``)
+    so the Java-regex and RE2 tokenizers agree token-for-token.
+    ``tf`` = occurrences of the term in the document, ``df_docs`` =
+    number of documents containing it, N = corpus size.
+
+    ``dampened=True`` is standard ln(N/df) TF-IDF. ``dampened=False``
+    scores ``tf * N / df`` — the same per-document ranking (ln is
+    monotone) with only integer multiply + one correctly-rounded IEEE
+    division, so the score is bit-identical across engines and the
+    DuckDB oracle can hash-check it; ln()'s last ulp is libm-dependent
+    and a hash oracle cannot tolerate that.
+
+    Scale shape: explode is map-side; one shuffle to (doc, term), one
+    to term for document frequencies; the vocabulary-sized frequency
+    table joins back on term (AQE broadcasts it when small); top-k is
+    a per-document window, never a global sort.
+    """
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    if dampened:
+        score = F.col("tf") * F.log((F.lit(n_docs)).cast("double") / F.col("df_docs"))
+    else:
+        score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df_docs")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select(id_col, "term_rank", "term", "tf", "df_docs", "score")
+    )

@@ -1134,8 +1134,49 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cells, qv, [cid for cid, _ in probe], k=10)
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms (operators/text.py
+    tfidf_terms, undampened scoring — see its docstring for why the
+    hash-checked variant drops the ln)."""
+    from rds_to_datalake_project_spark.operators.text import tfidf_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_terms(docs, top_k=3, dampened=False).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df_docs AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term_rank, term, tf, df_docs, score
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS term_rank
+    FROM scored
+)
+WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1174,6 +1215,7 @@ QUERIES = {
 # records rows-only checks for them, per the contract).
 ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

@@ -30,6 +30,7 @@ _PRIORITY = (
     "chunk_documents_windows",
     "mixture_sample_counts",
     "zonemap_pruned_scan",
+    "tfidf_top_terms",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

@@ -484,3 +484,31 @@ def test_srp_neardup_finds_planted_duplicates(spark):
     fp1 = {(r.vec_id, r.srp) for r in srp_buckets(df, dim=16).collect()}
     fp2 = {(r.vec_id, r.srp) for r in srp_buckets(df.repartition(7), dim=16).collect()}
     assert fp1 == fp2
+
+
+def test_tfidf_dampened_and_exact_rankings_agree(spark):
+    """ln is monotone, so dampened (real TF-IDF) and undampened
+    (oracle-exact) scoring must produce the same per-document term
+    ranking; ties (equal tf/df) break on the term in both."""
+    from rds_to_datalake_project_spark.operators.text import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana cherry cherry cherry"),
+            (3, "apple date date date elderberry"),
+            (4, "cherry date apple banana"),
+        ],
+        "doc_id int, text string",
+    )
+    a = tfidf_terms(docs, top_k=2, dampened=True).select(
+        "doc_id", "term_rank", "term"
+    )
+    b = tfidf_terms(docs, top_k=2, dampened=False).select(
+        "doc_id", "term_rank", "term"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and a hand-checked row: doc 3's most characteristic term is
+    # "date" (tf=3, df=2) ahead of the unique "elderberry" (tf=1, df=1)
+    top3 = {(r.term_rank): r.term for r in a.filter("doc_id = 3").collect()}
+    assert top3[1] == "date" and top3[2] == "elderberry"
