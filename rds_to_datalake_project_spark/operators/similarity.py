@@ -176,3 +176,111 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- SQ8 scalar quantization (faiss-SQ8 style two-stage search) ---------------
+
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) bounds — the SQ8 "codebook".
+
+    One distributed posexplode + groupBy(pos) aggregate; the collect
+    is dim rows of two doubles (driver-side size = the codebook, same
+    class as IVF centroid means)."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    return [(r["lo"], r["hi"]) for r in sorted(rows, key=lambda r: r["pos"])]
+
+
+def sq8_code(vec_col: Column | str, bounds: list[tuple[float, float]]) -> Column:
+    """array<float> → array<long> of 8-bit codes in [0, 255].
+
+    ``code_i = round(255 · (x_i − lo_i) / (hi_i − lo_i))`` — the
+    subtraction/division/round chain is correctly-rounded IEEE on
+    identical inputs, so codes are bit-identical across engines
+    (constant dimensions encode as 0). Bounds ride the plan as
+    literal arrays (map-only, same as SRP's plan-literal weights).
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lo = F.array(*[F.lit(float(l)) for l, _ in bounds])
+    hi = F.array(*[F.lit(float(h)) for _, h in bounds])
+    return F.transform(
+        c,
+        lambda x, i: F.when(
+            F.element_at(hi, i + 1) == F.element_at(lo, i + 1), F.lit(0).cast("long")
+        ).otherwise(
+            F.round(
+                F.lit(255.0)
+                * (x.cast("double") - F.element_at(lo, i + 1))
+                / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+            ).cast("long")
+        ),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: SQ8 approximate scan, exact rerank.
+
+    Stage 1 scores every vector against the query on 8-bit codes with
+    the centered-integer surrogate ``Σ (c_i−128)(q_i−128)`` — pure
+    int64 sums, 8× less data than float32 — and keeps the top
+    ``rerank`` candidates (TakeOrderedAndProject, embedding carried as
+    payload so stage 2 re-reads nothing). Stage 2 reranks those few
+    rows by exact quantized cosine. One corpus scan total; the scan is
+    map-only against the broadcast 1-row query.
+
+    The result is deterministic and oracle-able end-to-end: codes,
+    surrogate sums, and the final cosine are all integer-exact (see
+    sq8_code); ties break on id at both stages.
+    """
+    bounds = sq8_train(corpus, vec_col)
+    coded = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sq8_code(vec_col, bounds).alias("__code"),
+    )
+    q = (
+        coded.filter(F.col(id_col) == query_vec_id)
+        .select(
+            F.col("__code").alias("__qcode"),
+            quantize(vec_col).alias("__qvec"),
+        )
+    )
+    centered = lambda a, b: (a - 128) * (b - 128)  # noqa: E731
+    staged = (
+        coded.crossJoin(F.broadcast(q))
+        .withColumn(
+            "approx_score",
+            F.aggregate(
+                F.zip_with(F.col("__code"), F.col("__qcode"), centered),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        .limit(rerank)
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.col("approx_score"),
+            cosine_q(quantize(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

