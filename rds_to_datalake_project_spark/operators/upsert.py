@@ -88,6 +88,7 @@ class KeyedTable:
         spec: TableSpec,
         retain_versions: int = 0,
         changes_feed_dir: str | None = None,
+        zonemap_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -96,6 +97,11 @@ class KeyedTable:
         if changes_feed_dir and not retain_versions:
             raise ValueError("changes_feed_dir requires retain_versions > 0")
         self.changes_feed_dir = changes_feed_dir
+        # Optional per-file min/max skipping index (operators/zonemap),
+        # maintained incrementally after every publish — the Hudi/Delta
+        # "table services" analog. Advisory: reads stay correct if
+        # maintenance never ran (unindexed files are always scanned).
+        self.zonemap_columns = list(zonemap_columns or [])
         self._fs_handle = None
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
@@ -254,6 +260,7 @@ class KeyedTable:
             # with the path; be explicit in case of scheme quirks).
             self._fs_delete(f"{self.path}/.meta")
             self._fs_delete(f"{self.path}/.retired")
+        self._maintain_zonemap()
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
 
@@ -455,6 +462,27 @@ class KeyedTable:
             # publish, so retired copies can never grow unbounded
             # behind a caller who forgets to vacuum.
             self.vacuum_versions(keep_last=self.retain_versions)
+        # Post-commit maintenance (outside the crash-critical span: a
+        # failure here leaves a stale-but-advisory index, never a bad
+        # table): reconcile the skipping index with the new live set —
+        # cost ∝ files this publish touched, not table size.
+        self._maintain_zonemap()
+
+    def _maintain_zonemap(self) -> None:
+        if not self.zonemap_columns:
+            return
+        from rds_to_datalake_project_spark.operators.zonemap import refresh_zonemap
+
+        refresh_zonemap(self.spark, self.path, self.zonemap_columns)
+
+    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
+        """Range/point-filtered read through the zone-map index
+        (operators/zonemap.pruned_read): opens only files whose
+        min/max zones can match; exact — the residual filter always
+        applies, and files the index doesn't cover are always read."""
+        from rds_to_datalake_project_spark.operators.zonemap import pruned_read
+
+        return pruned_read(self.spark, self.path, predicates)
 
     def _publish_partition(
         self, staging: str, rel: str, retire_version: int | None = None

@@ -164,3 +164,82 @@ def pruned_read(
     return (
         spark.read.schema(full.schema).parquet(*files).filter(residual)
     )
+
+
+def refresh_zonemap(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    index_dir: str | None = None,
+) -> tuple[int, int]:
+    """Incrementally reconcile the index with the live file set.
+
+    Returns ``(n_added, n_dropped)``. Index rows for files no longer
+    live are dropped; files the index has never seen are scanned
+    (ONLY those files, column-pruned) and appended — so the
+    post-upsert maintenance cost is proportional to the touched
+    files, not the table. A column-set change or a missing index
+    falls back to a full build; an emptied table drops the index.
+    Correctness never depends on this running (advisory contract) —
+    it restores pruning EFFECTIVENESS after the live set changes.
+    """
+    idx = index_dir or _index_dir(table_path)
+    try:
+        full = spark.read.option("mergeSchema", "true").parquet(table_path)
+        live = {_norm(f): f for f in full.inputFiles()}
+    except Exception:
+        live = {}
+    if not live:
+        # emptied table: no files to describe
+        try:
+            n = spark.read.parquet(idx).count()
+        except Exception:
+            return (0, 0)
+        _delete_dir(spark, idx)
+        return (0, n)
+    try:
+        stats = spark.read.parquet(idx)
+    except Exception:
+        build_zonemap(spark, table_path, columns, idx)
+        return (len(live), 0)
+    want = (
+        {_FILE, "n_rows"}
+        | {f"min_{c}" for c in columns}
+        | {f"max_{c}" for c in columns}
+    )
+    if set(stats.columns) != want:
+        build_zonemap(spark, table_path, columns, idx)
+        return (len(live), 0)
+
+    indexed = {_norm(r[0]): r[0] for r in stats.select(_FILE).collect()}
+    new = [orig for p, orig in sorted(live.items()) if p not in indexed]
+    stale = [orig for p, orig in sorted(indexed.items()) if p not in live]
+    if not new and not stale:
+        return (0, 0)
+    kept = stats.filter(~F.col(_FILE).isin(stale)) if stale else stats
+    if new:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in columns:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        fresh = (
+            spark.read.schema(full.schema)
+            .parquet(*new)
+            .select(*columns)
+            .withColumn(_FILE, F.input_file_name())
+            .groupBy(_FILE)
+            .agg(*aggs)
+        )
+        kept = kept.unionByName(fresh.select(*stats.columns))
+    # The new index is derived from the old one lazily — materialize
+    # before overwriting the directory it reads from.
+    out = kept.localCheckpoint(eager=True)
+    out.coalesce(1).write.mode("overwrite").parquet(idx)
+    return (len(new), len(stale))
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hconf).delete(p, True)

@@ -133,3 +133,67 @@ def test_open_bounds(spark, sf_dir, tmp_path):
     assert out.count() == expected
     _, skipped = prune_files(spark, path, {"o_orderdate": (lo, None)})
     assert skipped > 0
+
+
+def _kv_rows(spark, ids, val, day="2024-01-01"):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(
+                id=f"k{i}",
+                create_at=f"{day}T00:00:00.000000+00:00",
+                update_at=f"{day}T00:{i % 60:02d}:00.000000+00:00",
+                score=i,
+                val=val,
+            )
+            for i in ids
+        ]
+    )
+
+
+def test_keyed_table_maintains_zonemap_across_upserts(spark, tmp_path):
+    """zonemap_columns turns on table-service maintenance: the index
+    exists after initial_load, stays consistent with the live file set
+    after an upsert (new files indexed, replaced files dropped), and
+    read_where stays exact."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("t", record_key=("id",), precombine_key="update_at")
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), spec, zonemap_columns=["score"]
+    )
+    t.initial_load(_kv_rows(spark, range(100), "v0"))
+    live = set(spark.read.parquet(t.path).inputFiles())
+    idx = {r[0] for r in zonemap_stats(spark, t.path).select("file_uri").collect()}
+    assert idx == live
+
+    # upsert rewrites the touched partition → file set changes
+    t.upsert(_kv_rows(spark, range(50, 150), "v1"))
+    live2 = set(spark.read.parquet(t.path).inputFiles())
+    idx2 = {r[0] for r in zonemap_stats(spark, t.path).select("file_uri").collect()}
+    assert idx2 == live2 and live2 != live
+
+    out = t.read_where({"score": (120, 130)})
+    got = sorted((r.id, r.val) for r in out.collect())
+    assert got == [(f"k{i}", "v1") for i in range(120, 131)]
+
+
+def test_refresh_zonemap_incremental_counts(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path, n_files=4)
+    from rds_to_datalake_project_spark.operators.zonemap import refresh_zonemap
+
+    added, dropped = refresh_zonemap(spark, path, ["o_orderdate"])
+    assert (added, dropped) == (4, 0)  # missing index → full build
+    assert refresh_zonemap(spark, path, ["o_orderdate"]) == (0, 0)  # no-op
+    load_table(spark, sf_dir, "orders").limit(5).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert refresh_zonemap(spark, path, ["o_orderdate"]) == (1, 0)
+    # column-set change → full rebuild
+    added, dropped = refresh_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    assert added == 5
+    stats = zonemap_stats(spark, path)
+    assert "min_o_totalprice" in stats.columns and stats.count() == 5
