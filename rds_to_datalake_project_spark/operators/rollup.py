@@ -103,7 +103,32 @@ class RollupTable:
             .drop("__b")
         )
         seq = self._next_seq()
-        self.table.upsert(self._aggregate(slice_df, seq))
+        agg = self._aggregate(slice_df, seq)
+        # Emptied-bucket tombstones: when the change batch is
+        # change-typed (a CDC feed carrying deletes), a touched bucket
+        # may have lost its LAST raw row — re-aggregation then yields
+        # no row for it and a plain upsert would leave the stale
+        # aggregate standing forever. Existing (bucket, dims) keys in
+        # touched buckets that the fresh aggregate no longer produces
+        # are deleted through the same merge. A plain append batch
+        # (no change-type column) cannot empty a bucket — skip the
+        # extra pass entirely for that common path.
+        typed = "_change_type" in new_events.columns or "Op" in new_events.columns
+        if typed and self.table.exists():
+            keys = [BUCKET, *self.dims]
+            gone = (
+                self.table.read()
+                .join(F.broadcast(touched), BUCKET, "left_semi")
+                .join(agg, keys, "left_anti")
+                .drop("__refresh_seq")
+                .withColumn("__refresh_seq", F.lit(seq))
+            )
+            batch = agg.withColumn("Op", F.lit("U")).unionByName(
+                gone.withColumn("Op", F.lit("D"))
+            )
+            self.table.upsert(batch, delete_mode="apply")
+        else:
+            self.table.upsert(agg)
         self._seq = seq
 
     def _next_seq(self) -> int:
@@ -116,3 +141,48 @@ class RollupTable:
 
     def read(self) -> DataFrame:
         return self.table.read().drop("__refresh_seq")
+
+    # -- continuous maintenance from a lake CDC feed ---------------------------
+
+    def maintain_from_feed(
+        self,
+        base: KeyedTable,
+        feed_dir: str,
+        checkpoint_dir: str,
+        timeout_s: int = 120,
+    ) -> None:
+        """Keep the rollup fresh by tailing ``base``'s changes feed
+        (KeyedTable.write_changes_feed / changes_feed_dir): a
+        Structured Streaming file source over ``feed_dir``, where each
+        micro-batch incrementally refreshes exactly the buckets its
+        change rows touch — insert/update post-images AND delete
+        pre-images carry the timestamp that locates the bucket, and
+        the change-typed batch enables emptied-bucket tombstones.
+
+        Exactly-once end to end: the checkpoint records consumed feed
+        files, and a replayed batch recomputes the same buckets from
+        the base table — idempotent by construction. Buckets are
+        recomputed from the base's CURRENT state, so when one trigger
+        drains several commits the result converges to the latest
+        snapshot (endpoint semantics, same as table_changes).
+        """
+        batch_reader = self.spark.read.option("recursiveFileLookup", "true")
+        schema = batch_reader.parquet(feed_dir).schema
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_dir)
+        )
+
+        def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.incremental_refresh(base.read(), batch_df)
+
+        q = (
+            stream.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)

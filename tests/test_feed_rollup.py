@@ -1,0 +1,133 @@
+"""Continuous rollup maintenance from the lake CDC feed.
+
+The full lakehouse loop: CDC upserts → KeyedTable commits → changes
+feed (Delta-CDF analog) → Structured Streaming consumer →
+RollupTable.incremental_refresh of exactly the touched buckets. The
+invariant after every drain: rollup == full re-aggregation of the
+base table, including buckets emptied by deletes (tombstone path).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime as d
+
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.rollup import RollupTable
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+SPEC = TableSpec(
+    "ev",
+    record_key=("id",),
+    precombine_key="update_at",
+    partition_granularity=None,
+)
+
+COLS = "id string, ts timestamp, update_at string, value double"
+BATCH_COLS = COLS + ", Op string"
+
+
+def _rollup_equals_direct(roll: RollupTable, base: KeyedTable) -> None:
+    got = {
+        (r.bucket_start, ): (r.n, r.s)
+        for r in roll.read().select("bucket_start", "n", "s").collect()
+    }
+    want = {
+        (r.bucket_start, ): (r.n, r.s)
+        for r in base.read()
+        .groupBy(F.window("ts", "1 hour")["start"].alias("bucket_start"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_feed_driven_rollup_converges_and_tombstones(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    base = KeyedTable(
+        spark, str(tmp_path / "base"), SPEC, retain_versions=5, changes_feed_dir=feed
+    )
+    base.initial_load(
+        spark.createDataFrame(
+            [
+                ("e1", d(2024, 1, 1, 10, 5), "2024-01-01T10:05", 1.0),
+                ("e2", d(2024, 1, 1, 10, 40), "2024-01-01T10:40", 2.0),
+                ("e3", d(2024, 1, 1, 11, 10), "2024-01-01T11:10", 3.0),
+            ],
+            COLS,
+        )
+    )
+    roll = RollupTable(
+        spark,
+        str(tmp_path / "roll"),
+        ts_col="ts",
+        window="1 hour",
+        aggs={"n": F.count("*"), "s": F.sum("value")},
+    )
+    roll.full_refresh(base.read())
+
+    # commit 1: update in bucket 10, insert into new bucket 12
+    base.upsert(
+        spark.createDataFrame(
+            [
+                ("e1", d(2024, 1, 1, 10, 5), "2024-02-01T00:00", 10.0, "U"),
+                ("e4", d(2024, 1, 1, 12, 0), "2024-02-01T00:00", 4.0, "I"),
+            ],
+            BATCH_COLS,
+        ),
+        delete_mode="apply",
+    )
+    # commit 2: delete the ONLY row of bucket 11 — the rollup row for
+    # that bucket must disappear, not linger
+    base.upsert(
+        spark.createDataFrame(
+            [("e3", d(2024, 1, 1, 11, 10), "2024-03-01T00:00", 3.0, "D")],
+            BATCH_COLS,
+        ),
+        delete_mode="apply",
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    roll.maintain_from_feed(base, feed, ckpt)
+    _rollup_equals_direct(roll, base)
+    hours = {r.bucket_start.hour for r in roll.read().collect()}
+    assert hours == {10, 12}  # bucket 11 tombstoned
+
+    # replay with the same checkpoint: nothing new to consume → no-op
+    seq_before = roll.table.read().agg(F.max("__refresh_seq")).first()[0]
+    roll.maintain_from_feed(base, feed, ckpt)
+    assert roll.table.read().agg(F.max("__refresh_seq")).first()[0] == seq_before
+
+    # a further commit flows through on the next drain
+    base.upsert(
+        spark.createDataFrame(
+            [("e5", d(2024, 1, 1, 11, 30), "2024-04-01T00:00", 7.0, "I")],
+            BATCH_COLS,
+        ),
+        delete_mode="apply",
+    )
+    roll.maintain_from_feed(base, feed, ckpt)
+    _rollup_equals_direct(roll, base)
+    assert {r.bucket_start.hour for r in roll.read().collect()} == {10, 11, 12}
+
+
+def test_plain_incremental_refresh_still_appends_without_change_types(
+    spark, tmp_path
+):
+    """The tombstone pass only arms for change-typed batches; the
+    plain append path (no Op/_change_type column) is unchanged."""
+    cols = ["ts", "value"]
+    old = spark.createDataFrame([(d(2024, 1, 1, 10, 5), 1.0)], cols)
+    new = spark.createDataFrame([(d(2024, 1, 1, 11, 5), 2.0)], cols)
+    roll = RollupTable(
+        spark,
+        str(tmp_path / "r"),
+        ts_col="ts",
+        window="1 hour",
+        aggs={"n": F.count("*"), "s": F.sum("value")},
+    )
+    roll.full_refresh(old)
+    roll.incremental_refresh(old.unionByName(new), new)
+    rows = {r.bucket_start.hour: (r.n, r.s) for r in roll.read().collect()}
+    assert rows == {10: (1, 1.0), 11: (1, 2.0)}
