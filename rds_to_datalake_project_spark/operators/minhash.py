@@ -249,3 +249,59 @@ def minhash_dedup(
         return dedup_by_components(df, verified, id_col)
     losers = verified.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    input_partitions: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: C(A→B) = |A∩B| / |A|.
+
+    Catches near-subset duplication — a document quoted or embedded
+    inside a larger one — which symmetric Jaccard dilutes below any
+    useful threshold (|A∩B|/|A∪B| shrinks as B grows). Emits both
+    directions for each candidate pair and keeps pairs whose LARGER
+    containment clears ``threshold``. Cardinalities are exact integer
+    set sizes (cross-engine stable); zero-shingle docs (shorter than
+    the shingle width) are excluded before the division so no engine
+    ever divides by zero.
+
+    Boundary: with ``pairs`` from minhash LSH, candidate recall is
+    Jaccard-biased (a tiny doc inside a huge one may never share a
+    band); a dedicated containment index would band over the smaller
+    set's shingles. Documented trade-off — the verify kernel itself
+    is exact for whatever pairs it is given.
+    """
+    docs = fan_out(df, current=input_partitions).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    docs = docs.filter(F.size("__sh") >= 1)
+    if pairs is None:
+        a, b = docs.alias("a"), docs.alias("b")
+        joined = a.crossJoin(b).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        a = docs.alias("a")
+        b = docs.alias("b")
+        joined = (
+            pairs.join(a, pairs["a_id"] == F.col(f"a.{id_col}"))
+            .join(b, pairs["b_id"] == F.col(f"b.{id_col}"))
+        )
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh"))).cast("double")
+    c_ab = inter / F.size(F.col("a.__sh")).cast("double")
+    c_ba = inter / F.size(F.col("b.__sh")).cast("double")
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+        )
+    )

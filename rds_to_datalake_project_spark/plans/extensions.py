@@ -1134,6 +1134,42 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cells, qv, [cid for cid, _ in probe], k=10)
 
 
+def ngram_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verify over md5-mode LSH candidates
+    (operators/minhash.py ngram_containment_pairs) — the near-subset
+    detector Jaccard misses; the DuckDB twin replays candidates AND
+    both containment directions exactly."""
+    from rds_to_datalake_project_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        ngram_containment_pairs,
+        probe_partitions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = probe_partitions(docs)
+    cand = lsh_candidate_pairs(docs, hash_mode="md5", input_partitions=n_parts)
+    return ngram_containment_pairs(
+        docs, cand, threshold=0.5, input_partitions=n_parts
+    ).orderBy("a_id", "b_id")
+
+
+NGRAM_CONTAINMENT_MD5_SQL = _MD5_LSH_CTE + """
+SELECT a_id, b_id, containment_a_in_b, containment_b_in_a FROM (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(sa.shingles) AS containment_a_in_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(sb.shingles) AS containment_b_in_a
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE len(sa.shingles) >= 1 AND len(sb.shingles) >= 1
+)
+WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
 def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage SQ8 ANN (operators/similarity.py sq8_topk): 8-bit
     scalar-quantized approximate scan → exact cosine rerank. Both
@@ -1237,6 +1273,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "sq8_ann_topk": sq8_ann_topk,
+    "ngram_containment_md5": ngram_containment_md5,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1277,6 +1314,7 @@ ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "sq8_ann_topk": SQ8_ANN_SQL,
+    "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

@@ -32,6 +32,7 @@ _PRIORITY = (
     "zonemap_pruned_scan",
     "tfidf_top_terms",
     "sq8_ann_topk",
+    "ngram_containment_md5",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

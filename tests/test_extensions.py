@@ -540,3 +540,26 @@ def test_sq8_codes_bounded_and_recall(spark, sf_dir):
     approx = [r.vec_id for r in sq8_topk(emb, 0, k=10, rerank=64).collect()]
     assert set(approx) & set(exact), "stage-1 surrogate lost every true neighbor"
     assert approx[0] == exact[0] == 0  # the query itself is its own 1-NN
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    ≈ 1 while Jaccard is diluted far below any dedup threshold."""
+    from rds_to_datalake_project_spark.operators.minhash import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i} token{i} extra{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, filler + " " + small + " " + filler)],
+        "doc_id int, text string",
+    )
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric similarity dilutes to ~0
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.a_id, r.b_id) == (1, 2)
+    assert r.containment_a_in_b > 0.9 > r.containment_b_in_a
