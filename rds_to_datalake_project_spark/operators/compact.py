@@ -145,3 +145,124 @@ def data_file_count(path: str) -> int:
     for _root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def _leaf_partition_stats(table: KeyedTable) -> list[tuple[str, int, int]]:
+    """(rel_path, n_data_files, bytes) per leaf partition dir — pure
+    local/driver listing, no file reads."""
+    depth = len(table.partition_cols)
+    out: list[tuple[str, int, int]] = []
+
+    def walk(path: str, level: int, rel: str):
+        for name in sorted(os.listdir(path)):
+            if name.startswith((".", "_")):
+                continue
+            sub = os.path.join(path, name)
+            if not os.path.isdir(sub):
+                continue
+            r = f"{rel}/{name}" if rel else name
+            if level == depth - 1:
+                files = [
+                    f
+                    for f in os.listdir(sub)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+                size = sum(os.path.getsize(os.path.join(sub, f)) for f in files)
+                out.append((r, len(files), size))
+            else:
+                walk(sub, level + 1, r)
+
+    walk(table.path, 0, "")
+    return out
+
+
+def compact_partitions(
+    table: KeyedTable,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Incremental small-file compaction: rewrite ONLY fragmented
+    partitions, committed through the table's crash-safe publish
+    protocol (Delta OPTIMIZE's shape: a rewrite is a commit).
+
+    A partition is fragmented when its data-file count exceeds both
+    its right-sized count (``ceil(bytes / target_file_bytes)``) and
+    ``min_files``. Selected partitions are read in one pruned scan,
+    re-bucketed to exactly their right-sized file counts (a literal
+    rel-path → n_files map rides the plan, so each partition gets its
+    OWN bucket modulus), staged like an upsert, and published by the
+    same rename-swap + ready-flag machinery — so a crash at any point
+    is recovered by the next ``upsert``/``recover`` and, with
+    retention on, the compaction is a numbered commit whose
+    row-content diff (and changes-feed batch) is empty.
+
+    Unpartitioned tables compact the whole file set through the same
+    staged publish. Returns the rel paths rewritten ([""] for the
+    unpartitioned whole-table rewrite).
+
+    Driver-side cost is one directory listing plus a map literal over
+    the selected partitions — bounded by how much fragmentation one
+    pass repairs, not by table size.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spark = table.spark
+    if not table.partition_cols:
+        files = [
+            f
+            for f in os.listdir(table.path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        size = sum(os.path.getsize(os.path.join(table.path, f)) for f in files)
+        n_right = plan_target_files(size, target_file_bytes)
+        if len(files) <= max(n_right, min_files):
+            return []
+        staging = f"{table.path}/.staging-{_uuid.uuid4().hex}"
+        table.read().repartition(n_right).write.parquet(staging)
+        table._write_ready_flag(staging)
+        table._publish(staging)
+        return [""]
+
+    stats = _leaf_partition_stats(table)
+    plan: dict[str, int] = {}
+    for rel, n_files, size in stats:
+        n_right = plan_target_files(size, target_file_bytes)
+        if n_files > max(n_right, min_files):
+            plan[rel] = n_right
+    if not plan:
+        return []
+
+    # Selected partitions only — pruned read with partition columns
+    # restored from the hive paths.
+    src = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", table.path)
+        .parquet(*[f"{table.path}/{rel}" for rel in plan])
+    )
+    # rel path (as the writer escapes it) → right-sized file count.
+    unescape = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    key_of = {}
+    for rel in plan:
+        vals = [seg.split("=", 1)[1] for seg in rel.split("/")]
+        key_of[rel] = "/".join(unescape(v) for v in vals)
+    n_map = F.create_map(
+        *[
+            x
+            for rel, n in plan.items()
+            for x in (F.lit(key_of[rel]), F.lit(n))
+        ]
+    )
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in table.spec.record_key]),
+        F.element_at(n_map, table._partition_key_col()),
+    )
+    staged = src.select("*", bucket.alias("__bucket")).repartition(
+        *[F.col(c) for c in table.partition_cols], F.col("__bucket")
+    ).drop("__bucket")
+    staging = f"{table.path}/.staging-{_uuid.uuid4().hex}"
+    staged.write.partitionBy(*table.partition_cols).parquet(staging)
+    table._write_ready_flag(staging)
+    table._publish(staging)
+    return sorted(plan)

@@ -299,3 +299,134 @@ def test_rollup_incremental_touches_only_new_buckets(spark, tmp_path):
     seqs = {r.bucket_start.strftime("%H"): r["__refresh_seq"]
             for r in roll.table.read().collect()}
     assert seqs["11"] == 0 and seqs["10"] == 1 and seqs["12"] == 1
+
+
+def _frag_table(spark, tmp_path, name="cp"):
+    """Two partitions: day 01 fragmented (8 files), day 02 compact."""
+    spec = TableSpec(name, record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / name), spec)
+
+    def mk(ids, day):
+        return spark.createDataFrame(
+            [(f"k{i}", f"2024-01-{day:02d}T00:00:00",
+              f"2024-01-{day:02d}T00:00:00", 0) for i in ids],
+            ["id", "create_at", "update_at", "v"],
+        )
+
+    t.initial_load(mk(range(40), 1).unionByName(mk(range(40, 50), 2)))
+    # KeyedTable merges REWRITE partitions, so fragmentation comes
+    # from outside the merge path: high-frequency partitioned sinks
+    # appending straight into the layout (S10-style micro-batches).
+    # Reproduce that with six 5-row appends into day 01.
+    from rds_to_datalake_project_spark.operators.enrich import add_time_partitions
+
+    for i in range(6):
+        extra = add_time_partitions(
+            mk(range(100 + i * 5, 105 + i * 5), 1), "create_at", "day"
+        )
+        extra.coalesce(1).write.partitionBy(*t.partition_cols).mode(
+            "append"
+        ).parquet(t.path)
+    return t
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.compact import (
+        _leaf_partition_stats,
+        compact_partitions,
+    )
+
+    t = _frag_table(spark, tmp_path)
+    before_rows = sorted(map(tuple, t.read().collect()))
+    stats = {rel: n for rel, n, _ in _leaf_partition_stats(t)}
+    frag = [rel for rel, n in stats.items() if n > 2]
+    assert frag, "fixture must fragment at least one partition"
+
+    done = compact_partitions(t, target_file_bytes=64 * 1024 * 1024, min_files=2)
+    assert done == sorted(frag)
+    after = {rel: n for rel, n, _ in _leaf_partition_stats(t)}
+    for rel in frag:
+        assert after[rel] == 1  # right-sized for tiny bytes
+    for rel in set(stats) - set(frag):
+        assert after[rel] == stats[rel]  # untouched
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    # converged: nothing left to compact
+    assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
+
+
+def test_compact_partitions_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
+    from tests.test_crash_recovery import Boom, _inject
+
+    from rds_to_datalake_project_spark.operators.compact import compact_partitions
+
+    t = _frag_table(spark, tmp_path, name="cpc")
+    before_rows = sorted(map(tuple, t.read().collect()))
+    _inject(monkeypatch, "partition_published", 1)
+    with pytest.raises(Boom):
+        compact_partitions(t, target_file_bytes=64 * 1024 * 1024)
+    # interrupted mid-swap: the flagged staging survives; recover()
+    # (or the next upsert) completes the compaction commit
+    assert t.recover() is True
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
+
+
+def test_compact_partitions_unpartitioned_whole_set(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.compact import compact_partitions
+
+    spec = TableSpec("u", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "u"), spec)
+    df = spark.createDataFrame(
+        [(f"k{i}", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 0)
+         for i in range(50)],
+        ["id", "create_at", "update_at", "v"],
+    )
+    t.initial_load(df)
+    for i in range(8):
+        df.filter(F.col("id") == f"k{i}").withColumn(
+            "id", F.concat(F.lit("x"), F.col("id"))
+        ).coalesce(1).write.mode("append").parquet(t.path)
+    before_rows = sorted(map(tuple, t.read().collect()))
+    assert data_file_count(t.path) >= 9
+    assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == [""]
+    assert data_file_count(t.path) == 1
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+
+
+def test_compact_partitions_is_an_empty_commit_under_retention(spark, tmp_path):
+    """With retention on, a compaction is a numbered commit whose
+    row-level diff is empty, and pre-compaction snapshots still
+    reconstruct from the retired fragmented files."""
+    from rds_to_datalake_project_spark.operators.compact import compact_partitions
+    from rds_to_datalake_project_spark.operators.enrich import add_time_partitions
+
+    spec = TableSpec("rc", record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "rc"), spec, retain_versions=5)
+
+    def mk(ids, day):
+        return spark.createDataFrame(
+            [(f"k{i}", f"2024-01-{day:02d}T00:00:00",
+              f"2024-01-{day:02d}T00:00:00", 0) for i in ids],
+            ["id", "create_at", "update_at", "v"],
+        )
+
+    t.initial_load(mk(range(20), 1))
+    t.upsert(mk(range(20, 30), 2))  # commit 1
+    for i in range(4):
+        extra = add_time_partitions(mk([200 + i], 1), "create_at", "day")
+        extra.coalesce(1).write.partitionBy(*t.partition_cols).mode(
+            "append"
+        ).parquet(t.path)
+    pre_rows = sorted(map(tuple, t.read().collect()))
+
+    assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) != []
+    assert t.versions()[-1] == 2  # the compaction committed as v2
+    assert sorted(map(tuple, t.read().collect())) == pre_rows
+    assert t.table_changes(1, 2).count() == 0  # content-identical commit
+    # Out-of-band appends bypass the commit protocol, so they belong
+    # to the snapshot PRECEDING the commit that first retired their
+    # partition: read_as_of(1) equals the full pre-compaction state.
+    assert sorted(map(tuple, t.read_as_of(1).collect())) == pre_rows
