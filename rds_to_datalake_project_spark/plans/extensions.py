@@ -716,6 +716,40 @@ FROM documents
 ORDER BY media_id
 """
 
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brief's resize kernel end-to-end: synthesize real BMP/PPM
+    files, nearest-neighbor resize to 8×5 inside mapInPandas
+    (operators/multimodal.py resize_images), re-encode, and emit the
+    resized geometry + pixel sum. NN sampling of the closed-form
+    payload keeps the resized sum oracle-statable."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        resize_images,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs, "doc_id")
+    return resize_images(media, 8, 5).drop("content").orderBy("media_id")
+
+
+# Resized closed form: source row of output row y' is (y'·H)//5, and
+# every channel of source row y is (id%240)+y → resized pixel_sum =
+# 3·8·(5·base + Σ_{y'<5} (y'·H)//5).
+MEDIA_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp' ELSE 'image/ppm' END AS mime,
+       CAST(8 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       CAST(3 * 8 * (5 * (doc_id % 240)
+            + list_sum(list_transform(range(0, 5),
+                       y -> (y * (doc_id % 13 + 1)) // 5))) AS BIGINT)
+         AS pixel_sum
+FROM documents
+WHERE doc_id % 3 <> 1
+ORDER BY media_id
+"""
+
+
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → fixed-dim features via mapInPandas
     (operators/multimodal.py). The featurizer is the dependency-free
@@ -1274,6 +1308,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "sq8_ann_topk": sq8_ann_topk,
     "ngram_containment_md5": ngram_containment_md5,
+    "media_resize_stats": media_resize_stats,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1315,6 +1350,7 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "sq8_ann_topk": SQ8_ANN_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
+    "media_resize_stats": MEDIA_RESIZE_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

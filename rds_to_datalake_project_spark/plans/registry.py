@@ -33,6 +33,7 @@ _PRIORITY = (
     "tfidf_top_terms",
     "sq8_ann_topk",
     "ngram_containment_md5",
+    "media_resize_stats",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

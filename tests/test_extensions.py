@@ -563,3 +563,27 @@ def test_containment_catches_subset_jaccard_misses(spark):
     r = cont[0]
     assert (r.a_id, r.b_id) == (1, 2)
     assert r.containment_a_in_b > 0.9 > r.containment_b_in_a
+
+
+def test_resize_reencodes_decodable_containers(spark):
+    """resize_images must emit REAL container bytes: decoding the
+    re-encoded blobs reproduces the resized geometry and pixel sum."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        decode_media_stats,
+        resize_images,
+        synthesize_real_media,
+    )
+
+    base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    media = synthesize_real_media(base, "doc_id")
+    resized = resize_images(media, 4, 3)
+    emitted = {
+        r.media_id: (r.mime, r.width, r.height, r.pixel_sum)
+        for r in resized.collect()
+    }
+    assert emitted and all(v[1] == 4 and v[2] == 3 for v in emitted.values())
+    redecoded = {
+        r.media_id: (r.mime, r.width, r.height, r.pixel_sum)
+        for r in decode_media_stats(resized).collect()
+    }
+    assert redecoded == emitted
