@@ -333,3 +333,35 @@ def tfidf_terms(
         .filter(F.col("term_rank") <= top_k)
         .select(id_col, "term_rank", "term", "tf", "df_docs", "score")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """First iteration of BPE vocabulary induction at corpus scale:
+    corpus-wide counts of adjacent character pairs inside pre-tokens;
+    the top-k pairs are the merge candidates a BPE trainer would fuse
+    first. Everything is JVM-side higher-order functions — pre-tokens
+    by the GPT-2-family regex, pairs by one transform over each
+    token's positions — so the scan streams at codegen speed; the only
+    shuffle is the pair-count aggregation (map-side partials first),
+    and top-k is TakeOrderedAndProject, never a global sort."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), 0)
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+    )

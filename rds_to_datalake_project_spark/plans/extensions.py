@@ -602,6 +602,33 @@ ORDER BY source
 """
 
 
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates over the corpus
+    (operators/text.bpe_merge_candidates) — the first vocabulary-
+    induction step an LLM tokenizer trainer runs."""
+    from rds_to_datalake_project_spark.operators.text import bpe_merge_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, top_k=50)
+
+
+BPE_MERGE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(tok)),
+                i -> substr(tok, CAST(i AS INT), 2))) AS pair
+  FROM toks WHERE len(tok) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+"""
+
+
 # --- SRP cosine-LSH over embeddings (oracle-backed) ---------------------------
 
 def srp_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,6 +1336,7 @@ QUERIES = {
     "sq8_ann_topk": sq8_ann_topk,
     "ngram_containment_md5": ngram_containment_md5,
     "media_resize_stats": media_resize_stats,
+    "bpe_merge_pairs": bpe_merge_pairs,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1351,6 +1379,7 @@ ORACLES = {
     "sq8_ann_topk": SQ8_ANN_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
+    "bpe_merge_pairs": BPE_MERGE_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

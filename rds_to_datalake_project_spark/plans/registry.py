@@ -34,6 +34,7 @@ _PRIORITY = (
     "sq8_ann_topk",
     "ngram_containment_md5",
     "media_resize_stats",
+    "bpe_merge_pairs",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

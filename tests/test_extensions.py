@@ -587,3 +587,15 @@ def test_resize_reencodes_decodable_containers(spark):
         for r in decode_media_stats(resized).collect()
     }
     assert redecoded == emitted
+
+
+def test_bpe_merge_candidates_hand_checked(spark):
+    from rds_to_datalake_project_spark.operators.text import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab")], "doc_id int, text string"
+    )
+    # pre-tokens: "aaab", " aaab", "aaab" → pairs per "aaab": aa,aa,ab;
+    # " aaab" adds " a",aa,aa,ab
+    got = {r.pair: r.n for r in bpe_merge_candidates(docs, top_k=10).collect()}
+    assert got == {"aa": 6, "ab": 3, " a": 1}
