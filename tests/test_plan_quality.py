@@ -301,3 +301,61 @@ def test_new_tpch_shapes_stay_scale_safe(spark):
         assert n_single <= allowed_single.get(name, 0), (name, n_single)
     q2 = QUERIES["q2_min_cost_supplier"](spark, SF)
     assert "TakeOrderedAndProject" in q2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tfidf_no_cartesian_and_topk_window(spark):
+    """TF-IDF: the vocabulary frequency table joins back on term (an
+    equi-join — never a cartesian), and per-document top-k is a window
+    over doc_id, not a global sort."""
+    plan = _executed_plan(QUERIES["tfidf_top_terms"](spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_sq8_single_corpus_scan_with_broadcast_query(spark):
+    """SQ8 ANN: one scan of the embeddings corpus (the rerank works on
+    the TakeOrdered payload, not a second read) and the 1-row query is
+    broadcast, never shuffled."""
+    df = QUERIES["sq8_ann_topk"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") - plan.count("Scan parquet []") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_equi_join_not_cartesian(spark):
+    """Containment verify over LSH candidates: both doc-side joins are
+    hash equi-joins on ids."""
+    plan = _executed_plan(QUERIES["ngram_containment_md5"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_merge_pairs_topk_no_global_sort(spark):
+    plan = _executed_plan(QUERIES["bpe_merge_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_zonemap_pruned_scan_reads_fraction_of_files(spark, tmp_path):
+    """The zoned read's file index must hold fewer files than the
+    table — pruning happens at plan time, not as a filter."""
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "orders")
+    (
+        load_table(spark, SF, "orders")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(path)
+    )
+    build_zonemap(spark, path, ["o_orderdate"])
+    out = pruned_read(
+        spark, path, {"o_orderdate": ("1996-01-01 00:00:00", "1996-06-30 23:59:59")}
+    )
+    total = len(spark.read.parquet(path).inputFiles())
+    assert 0 < len(set(out.inputFiles())) < total
