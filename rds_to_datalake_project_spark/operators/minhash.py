@@ -106,8 +106,18 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     hash_mode: str = "xxhash64",
     input_partitions: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    ``max_bucket_size``: drop buckets holding more than this many
+    docs before the self-join. A mega-bucket (boilerplate shingles, a
+    viral template) otherwise contributes O(|bucket|²) candidate
+    pairs — the thing that melts a 100-TB dedup run. Standard
+    production trade-off: members of a capped bucket usually share
+    several OTHER buckets (near-dups collide in many bands), so
+    recall loss is small and bounded. Off (None) by default so the
+    oracle-replayable semantics stay exact.
 
     rows/bands: signature is split into ``bands`` bands of
     ``num_hashes // bands`` rows; band hash = hash of the slice
@@ -157,6 +167,17 @@ def lsh_candidate_pairs(
         .select(id_col, "bb.band", "bb.bucket")
         .localCheckpoint(eager=True)
     )
+    if max_bucket_size is not None:
+        # One extra agg + anti-join on the SAME (band, bucket) key the
+        # self-join shuffles on — no new partitioning, and it removes
+        # the quadratic blow-up before it can materialize.
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .drop("__n")
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

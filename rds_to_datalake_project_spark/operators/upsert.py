@@ -774,7 +774,10 @@ class KeyedTable:
             self.spark._jsc.hadoopConfiguration()
         )
         written = []
+        floor = self._read_feed_floor(feed_dir)
         for v in self.readable_versions()[1:]:
+            if v <= floor:
+                continue  # expired by vacuum_changes_feed — stay expired
             # a batch counts as materialized only when its _SUCCESS
             # marker exists — a crash mid-write leaves a partial dir
             # that the next call must overwrite, never skip forever
@@ -786,6 +789,58 @@ class KeyedTable:
             ).write.mode("overwrite").parquet(f"{feed_dir}/v{v}")
             written.append(v)
         return written
+
+    def vacuum_changes_feed(self, feed_dir: str, keep_last: int) -> list[int]:
+        """Kafka-style retention for the changes feed: keep the newest
+        ``keep_last`` batch dirs, delete the rest. Consumers past
+        their checkpoint are unaffected (the streaming file source
+        never re-reads consumed files); a NEW consumer starts from the
+        oldest retained batch. Returns the versions deleted."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(feed_dir)
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        versions = sorted(
+            int(st.getPath().getName()[1:])
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("v")
+            and st.getPath().getName()[1:].isdigit()
+        )
+        expired = versions[:-keep_last]
+        for v in expired:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/v{v}"), True)
+        if expired:
+            # Persist the retention floor (tmp + rename, monotonic) so
+            # the next write_changes_feed never RE-materializes what
+            # retention deleted — without it the feed grows back at
+            # every publish.
+            floor = max(expired)
+            if floor > self._read_feed_floor(feed_dir):
+                tmp = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/._floor.tmp")
+                out = fs.create(tmp, True)
+                out.write(str(floor).encode("utf-8"))
+                out.close()
+                dst = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/_floor")
+                fs.delete(dst, True)
+                self._rename(fs, tmp, dst)
+        return expired
+
+    def _read_feed_floor(self, feed_dir: str) -> int:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/_floor")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return 0
+        stream = fs.open(p)
+        try:
+            return int(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
+            )
+        finally:
+            stream.close()
 
     def _write_floor(self, floor: int) -> None:
         """Persist the retention floor (tmp + rename; monotonic)."""

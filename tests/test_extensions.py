@@ -599,3 +599,25 @@ def test_bpe_merge_candidates_hand_checked(spark):
     # " aaab" adds " a",aa,aa,ab
     got = {r.pair: r.n for r in bpe_merge_candidates(docs, top_k=10).collect()}
     assert got == {"aa": 6, "ab": 3, " a": 1}
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """max_bucket_size drops quadratic-candidate mega-buckets (viral
+    template text) while small genuine-near-dup buckets survive."""
+    from rds_to_datalake_project_spark.operators.minhash import lsh_candidate_pairs
+
+    clone = "the same viral template text repeated across the corpus " * 3
+    near_a = "a genuinely unique document about distributed query engines and shuffles"
+    near_b = "a genuinely unique document about distributed query engines and joins"
+    docs = spark.createDataFrame(
+        [(i, clone) for i in range(20)] + [(100, near_a), (101, near_b)],
+        "doc_id int, text string",
+    )
+    uncapped = lsh_candidate_pairs(docs).collect()
+    assert len(uncapped) >= 20 * 19 // 2  # the mega-bucket blow-up
+    capped = {
+        (r.a_id, r.b_id)
+        for r in lsh_candidate_pairs(docs, max_bucket_size=10).collect()
+    }
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped)  # no clone pairs survive

@@ -307,3 +307,27 @@ def test_sql_facade_as_of_guards(spark, tmp_path):
         run_query(
             spark, "SELECT * FROM tt FOR VERSION AS OF 99", tables={"tt": t}
         )
+
+
+def test_vacuum_changes_feed_keeps_newest(spark, tmp_path):
+    """Feed retention: old batch dirs expire; a fresh consumer sees
+    only the retained commits."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    feed = str(tmp_path / "feed")
+    assert t.write_changes_feed(feed) == [1, 2, 3]
+
+    assert t.vacuum_changes_feed(feed, keep_last=1) == [1, 2]
+    import os
+
+    def dirs():
+        return sorted(n for n in os.listdir(feed) if n.startswith("v"))
+
+    assert dirs() == ["v3"]
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(feed)
+    assert {r._commit_version for r in batch.collect()} == {3}
+    # idempotent; and the persisted floor stops the next publish from
+    # re-materializing what retention deleted
+    assert t.vacuum_changes_feed(feed, keep_last=1) == []
+    assert t.write_changes_feed(feed) == []
+    assert dirs() == ["v3"]
