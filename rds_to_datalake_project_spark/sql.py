@@ -59,6 +59,9 @@ def run_query(
     state.
     """
     known = {**TIME_TRAVEL_TABLES, **(tables or {})}
+    maint = _maintenance_statement(spark, sql, known)
+    if maint is not None:
+        return maint
     if not known:
         # nothing registered: leave the SQL untouched (a native
         # catalog may own the time-travel syntax). With ANY tables
@@ -81,6 +84,54 @@ def run_query(
     sql = _AS_OF_RE.sub(_rewrite, sql)
     df = spark.sql(sql)
     return df.cache() if cache else df
+
+
+_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
+    """Lake-maintenance statements through the one SQL layer (the
+    public Delta SQL surface, resolved against registered KeyedTables):
+
+    - ``OPTIMIZE <t>``                  → incremental small-file
+      compaction (operators/compact.compact_partitions)
+    - ``VACUUM <t> RETAIN <k> VERSIONS`` → snapshot-history expiry
+      (KeyedTable.vacuum_versions)
+
+    Returns a one-row summary DataFrame, or None when ``sql`` is an
+    ordinary query. Unknown table names raise — maintenance must never
+    silently no-op."""
+
+    def _resolve(name: str):
+        t = known.get(name)
+        if t is None:
+            raise ValueError(
+                f"maintenance statement on unknown table {name!r}; "
+                f"known: {sorted(known)}"
+            )
+        return t
+
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark.operators.compact import (
+            compact_partitions,
+        )
+
+        rewritten = compact_partitions(_resolve(m.group(1)))
+        return spark.createDataFrame(
+            [(m.group(1), len(rewritten))],
+            "table_name string, partitions_rewritten int",
+        )
+    m = _VACUUM_RE.match(sql)
+    if m:
+        expired = _resolve(m.group(1)).vacuum_versions(keep_last=int(m.group(2)))
+        return spark.createDataFrame(
+            [(m.group(1), expired)], "table_name string, versions_expired int"
+        )
+    return None
 
 
 @dataclass

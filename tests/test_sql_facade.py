@@ -81,3 +81,47 @@ def test_result_cache_ttl(spark):
         assert not reused4
     finally:
         cache.clear()
+
+
+def test_sql_facade_maintenance_statements(spark, tmp_path):
+    """OPTIMIZE / VACUUM flow through run_query against registered
+    KeyedTables — the whole lifecycle reachable from one SQL layer."""
+    from rds_to_datalake_project_spark.operators.enrich import add_time_partitions
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("m", record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "m"), spec, retain_versions=5)
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(f"k{i}", "2024-01-01T00:00:00", f"2024-01-01T00:00:{i % 60:02d}", 0)
+             for i in ids],
+            ["id", "create_at", "update_at", "v"],
+        )
+
+    t.initial_load(mk(range(20)))
+    t.upsert(mk(range(20, 25)))
+    t.upsert(mk(range(25, 30)))
+    # fragment day 01 with direct appends
+    for i in range(4):
+        extra = add_time_partitions(mk([300 + i]), "create_at", "day")
+        extra.coalesce(1).write.partitionBy(*t.partition_cols).mode(
+            "append"
+        ).parquet(t.path)
+
+    before = sorted(map(tuple, t.read().collect()))
+    out = run_query(spark, "OPTIMIZE m", tables={"m": t}).collect()[0]
+    assert (out.table_name, out.partitions_rewritten) == ("m", 1)
+    assert sorted(map(tuple, t.read().collect())) == before
+
+    out = run_query(spark, "VACUUM m RETAIN 1 VERSIONS", tables={"m": t}).collect()[0]
+    assert out.table_name == "m" and out.versions_expired >= 1
+    assert len(t.readable_versions()) <= 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown table"):
+        run_query(spark, "OPTIMIZE nope", tables={"m": t})
