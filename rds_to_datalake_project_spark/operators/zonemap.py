@@ -243,3 +243,27 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     p.getFileSystem(hconf).delete(p, True)
+
+
+def fast_count(spark: SparkSession, table_path: str, index_dir: str | None = None) -> int:
+    """Metadata-backed row count (Delta's SELECT COUNT(*) shortcut):
+    indexed live files are counted from the sidecar's ``n_rows`` —
+    zero data reads — and only files the index has never seen are
+    scanned. Exact under the advisory contract: stale index rows
+    (files gone) are ignored via the live-set intersection, unindexed
+    files fall back to a real (column-less, footer-only) count."""
+    full = spark.read.option("mergeSchema", "true").parquet(table_path)
+    live = {_norm(f): f for f in full.inputFiles()}
+    idx = index_dir or _index_dir(table_path)
+    try:
+        stats = spark.read.parquet(idx).select(_FILE, "n_rows").collect()
+    except Exception:
+        stats = []
+    indexed = {_norm(r[0]): r[1] for r in stats}
+    total = sum(n for p, n in indexed.items() if p in live)
+    unindexed = [orig for p, orig in live.items() if p not in indexed]
+    if unindexed:
+        total += (
+            spark.read.schema(full.schema).parquet(*unindexed).count()
+        )
+    return int(total)

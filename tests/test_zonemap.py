@@ -197,3 +197,19 @@ def test_refresh_zonemap_incremental_counts(spark, sf_dir, tmp_path):
     assert added == 5
     stats = zonemap_stats(spark, path)
     assert "min_o_totalprice" in stats.columns and stats.count() == 5
+
+
+def test_fast_count_metadata_only_and_fallback(spark, sf_dir, tmp_path):
+    from rds_to_datalake_project_spark.operators.zonemap import fast_count
+
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path, n_files=4)
+    expected = load_table(spark, sf_dir, "orders").count()
+    assert fast_count(spark, path) == expected  # no index → real count
+    build_zonemap(spark, path, ["o_orderdate"])
+    assert fast_count(spark, path) == expected  # pure metadata
+    # appended (unindexed) files are counted by the fallback scan
+    load_table(spark, sf_dir, "orders").limit(9).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert fast_count(spark, path) == expected + 9
