@@ -629,6 +629,105 @@ LIMIT 50
 """
 
 
+def curate_documents_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (operators/curate.py) as one
+    decision log: language → length → alpha → repetition gates map-
+    side, survivor-only exact dedup in one fingerprint window. Every
+    doc_id%50==0 document is planted twice so the duplicate gate fires
+    on a known set; the oracle replays all six gates in order."""
+    from rds_to_datalake_project_spark.operators.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    return curate_documents(
+        corpus,
+        min_alpha_ratio=0.72,
+        max_dup_line_ratio=0.2,
+        max_top_bigram_ratio=0.05,
+    ).orderBy("doc_id")
+
+
+CURATE_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+), rep AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM corpus
+), repb AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])
+         ELSE [] END AS bg
+  FROM rep
+), repm AS (
+  SELECT doc_id,
+         1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS q_dup_line_ratio,
+         CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+                  d -> len(list_filter(bg, x -> x = d)))), 0) AS DOUBLE)
+           / NULLIF(len(bg), 0) AS q_top_bigram_ratio
+  FROM repb
+), scored AS (
+  SELECT c.doc_id,
+         CASE WHEN greatest({_hits_sql(("the", "and", "of", "to", "is"))},
+                            {_hits_sql(("der", "die", "und", "nicht", "ist"))},
+                            {_hits_sql(("le", "la", "et", "les", "est"))},
+                            {_hits_sql(("el", "la", "que", "de", "es"))}) = 0 THEN 'unknown'
+              WHEN {_hits_sql(("der", "die", "und", "nicht", "ist"))} =
+                   greatest({_hits_sql(("the", "and", "of", "to", "is"))},
+                            {_hits_sql(("der", "die", "und", "nicht", "ist"))},
+                            {_hits_sql(("le", "la", "et", "les", "est"))},
+                            {_hits_sql(("el", "la", "que", "de", "es"))}) THEN 'de'
+              WHEN {_hits_sql(("the", "and", "of", "to", "is"))} =
+                   greatest({_hits_sql(("the", "and", "of", "to", "is"))},
+                            {_hits_sql(("der", "die", "und", "nicht", "ist"))},
+                            {_hits_sql(("le", "la", "et", "les", "est"))},
+                            {_hits_sql(("el", "la", "que", "de", "es"))}) THEN 'en'
+              WHEN {_hits_sql(("el", "la", "que", "de", "es"))} =
+                   greatest({_hits_sql(("the", "and", "of", "to", "is"))},
+                            {_hits_sql(("der", "die", "und", "nicht", "ist"))},
+                            {_hits_sql(("le", "la", "et", "les", "est"))},
+                            {_hits_sql(("el", "la", "que", "de", "es"))}) THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         length(text) AS q_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) AS q_alpha_ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         r.q_dup_line_ratio, r.q_top_bigram_ratio
+  FROM corpus c JOIN repm r USING (doc_id)
+), gated AS (
+  SELECT doc_id, fp,
+         CASE WHEN pred_lang <> 'en' THEN 'lang'
+              WHEN q_chars < 150 THEN 'too_short'
+              WHEN q_chars > 100000 THEN 'too_long'
+              WHEN q_alpha_ratio < 0.72 THEN 'alpha_ratio'
+              WHEN q_dup_line_ratio > 0.2 OR q_top_bigram_ratio > 0.05
+                   THEN 'repetition' END AS gate
+  FROM scored
+), dedup AS (
+  SELECT doc_id, gate,
+         MIN(CASE WHEN gate IS NULL THEN doc_id END)
+           OVER (PARTITION BY fp) AS keeper
+  FROM gated
+)
+SELECT doc_id, (drop_reason IS NULL) AS keep, drop_reason
+FROM (
+  SELECT doc_id,
+         CASE WHEN gate IS NOT NULL THEN gate
+              WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
+  FROM dedup
+)
+ORDER BY doc_id
+"""
+
+
 # --- SRP cosine-LSH over embeddings (oracle-backed) ---------------------------
 
 def srp_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,6 +1436,7 @@ QUERIES = {
     "ngram_containment_md5": ngram_containment_md5,
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
+    "curate_documents_decisions": curate_documents_decisions,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
     "repetition_quality": repetition_quality,
@@ -1380,6 +1480,7 @@ ORACLES = {
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
+    "curate_documents_decisions": CURATE_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "repetition_quality": REPETITION_SQL,

@@ -35,6 +35,7 @@ _PRIORITY = (
     "ngram_containment_md5",
     "media_resize_stats",
     "bpe_merge_pairs",
+    "curate_documents_decisions",
     # implementation changed in round 5 (shared versioned fixture /
     # scratch dirs / publish-protocol rework) — re-confirm even though
     # r4-green

@@ -119,3 +119,42 @@ def test_mixture_sample_epoch_semantics(spark):
     a = {(r.src, r.epoch, r.k) for r in out.collect()}
     b = {(r.src, r.epoch, r.k) for r in again.collect()}
     assert a == b
+
+
+def test_curate_pipeline_gates_and_dedup(spark, sf_dir):
+    """The composed cleaning pass: every gate fires on the planted
+    corpus, dedup keeps the min-id survivor, and apply_curation
+    materializes exactly the kept set."""
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.curate import (
+        apply_curation,
+        curate_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    dec = curate_documents(
+        corpus,
+        min_alpha_ratio=0.72,
+        max_dup_line_ratio=0.2,
+        max_top_bigram_ratio=0.05,
+    )
+    reasons = {
+        r.drop_reason: r.n
+        for r in dec.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert "duplicate" in reasons and "lang" in reasons
+    # every planted copy whose ORIGINAL was kept is a duplicate; the
+    # original keeps (min id wins)
+    dup_ids = {r.doc_id for r in dec.filter("drop_reason = 'duplicate'").collect()}
+    kept = {r.doc_id for r in dec.filter("keep").collect()}
+    for d in dup_ids:
+        assert d >= 1_000_000 and (d - 1_000_000) in kept
+
+    out = apply_curation(corpus, dec)
+    assert out.count() == dec.filter("keep").count()
+    assert {r.doc_id for r in out.select("doc_id").collect()} == kept
