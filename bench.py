@@ -41,6 +41,13 @@ HEADLINE = [
     "ann_topk_cosine",
     "minhash_neardup",
     "simhash_neardup",
+    # round-5 flagships
+    "zonemap_pruned_scan",
+    "tfidf_top_terms",
+    "sq8_ann_topk",
+    "bpe_merge_pairs",
+    "curate_documents_decisions",
+    "media_resize_stats",
 ]
 
 
