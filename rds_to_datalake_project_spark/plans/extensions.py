@@ -1294,6 +1294,24 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(cells, qv, [cid for cid, _ in probe], k=10)
 
 
+def ngram_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fast path of the containment verify: xxhash64 LSH
+    candidates (no cross-engine twin → rows-only driver check; the
+    md5 twin below is the hash-checked replay of the same kernel)."""
+    from rds_to_datalake_project_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        ngram_containment_pairs,
+        probe_partitions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = probe_partitions(docs)
+    cand = lsh_candidate_pairs(docs, input_partitions=n_parts)
+    return ngram_containment_pairs(
+        docs, cand, threshold=0.5, input_partitions=n_parts
+    ).orderBy("a_id", "b_id")
+
+
 def ngram_containment_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment verify over md5-mode LSH candidates
     (operators/minhash.py ngram_containment_pairs) — the near-subset
@@ -1434,6 +1452,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "sq8_ann_topk": sq8_ann_topk,
     "ngram_containment_md5": ngram_containment_md5,
+    "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
     "curate_documents_decisions": curate_documents_decisions,

@@ -33,6 +33,7 @@ _PRIORITY = (
     "tfidf_top_terms",
     "sq8_ann_topk",
     "ngram_containment_md5",
+    "ngram_containment_neardup",
     "media_resize_stats",
     "bpe_merge_pairs",
     "curate_documents_decisions",

@@ -192,5 +192,7 @@ def unload_query(spark: SparkSession, sql: str, path: str, fmt: str = "parquet")
         writer.option("header", True).csv(path)  # S11 CSV sink (athena.py:78)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported unload format {fmt!r}")

@@ -359,3 +359,13 @@ def test_zonemap_pruned_scan_reads_fraction_of_files(spark, tmp_path):
     )
     total = len(spark.read.parquet(path).inputFiles())
     assert 0 < len(set(out.inputFiles())) < total
+
+
+def test_curate_single_shuffle(spark):
+    """All gates are map-side; the only hash exchange is the
+    fingerprint-window dedup."""
+    plan = _executed_plan(QUERIES["curate_documents_decisions"](spark, SF))
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning\(fp", plan)) == 1
+    assert "CartesianProduct" not in plan

@@ -125,3 +125,12 @@ def test_sql_facade_maintenance_statements(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown table"):
         run_query(spark, "OPTIMIZE nope", tables={"m": t})
+
+
+def test_unload_orc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out_orc")
+    unload_query(spark, SQL, out, fmt="orc")
+    back = spark.read.orc(out)
+    assert {
+        (r.o_orderpriority, r.n, round(r.total, 2)) for r in back.collect()
+    } == _expected(spark)
