@@ -430,3 +430,31 @@ def test_compact_partitions_is_an_empty_commit_under_retention(spark, tmp_path):
     # to the snapshot PRECEDING the commit that first retired their
     # partition: read_as_of(1) equals the full pre-compaction state.
     assert sorted(map(tuple, t.read_as_of(1).collect())) == pre_rows
+
+
+_COMPACT_POINTS = [
+    ("parked_aside", 1), ("renamed_in", 1), ("partition_published", 1),
+    ("all_swapped", 1), ("staging_deleted", 1),
+]
+
+
+@pytest.mark.parametrize("point,nth", _COMPACT_POINTS)
+def test_compact_partitions_crash_at_every_publish_point(
+    spark, tmp_path, monkeypatch, point, nth
+):
+    """Compaction rides the same publish protocol as upserts: a crash
+    at ANY fault point leaves a recoverable state, recover() finishes
+    the commit, and the row set is byte-identical."""
+    from tests.test_crash_recovery import Boom, _inject
+
+    from rds_to_datalake_project_spark.operators.compact import compact_partitions
+
+    t = _frag_table(spark, tmp_path, name=f"cc_{point}_{nth}")
+    before_rows = sorted(map(tuple, t.read().collect()))
+    state = _inject(monkeypatch, point, nth)
+    with pytest.raises(Boom):
+        compact_partitions(t, target_file_bytes=64 * 1024 * 1024)
+    assert state["fired"]
+    t.recover()
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
