@@ -266,3 +266,33 @@ def compact_partitions(
     table._write_ready_flag(staging)
     table._publish(staging)
     return sorted(plan)
+
+
+def migrate_partition_granularity(
+    table: KeyedTable, new_granularity: str | None, dest_path: str
+) -> KeyedTable:
+    """Rewrite a table under a different partition granularity (e.g.
+    the reference's minute-level layout → the engine's day default,
+    SURVEY.md §4 small-files note), returning the new KeyedTable.
+
+    One read → one partitioned write into ``dest_path`` (never in
+    place: readers of the old layout are unaffected until the caller
+    swaps paths/catalog entries). Partition VALUES derive from the
+    same immutable source column, so no data moves between logical
+    keys — only the directory sharding changes. Old derived partition
+    columns are dropped and re-derived at the new granularity.
+    """
+    from dataclasses import replace
+
+    from rds_to_datalake_project_spark.operators.enrich import partition_columns
+
+    new_spec = replace(table.spec, partition_granularity=new_granularity)
+    df = table.read().drop(*table.partition_cols)
+    out = KeyedTable(
+        table.spark,
+        dest_path,
+        new_spec,
+        zonemap_columns=table.zonemap_columns or None,
+    )
+    out.initial_load(df)
+    return out

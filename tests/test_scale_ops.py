@@ -458,3 +458,31 @@ def test_compact_partitions_crash_at_every_publish_point(
     t.recover()
     assert sorted(map(tuple, t.read().collect())) == before_rows
     assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
+
+
+def test_migrate_partition_granularity(spark, tmp_path):
+    """minute-layout table → day layout: same rows, coarser dirs."""
+    from rds_to_datalake_project_spark.operators.compact import (
+        migrate_partition_granularity,
+    )
+
+    spec = TableSpec("mg", record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="minute")
+    t = KeyedTable(spark, str(tmp_path / "mg"), spec)
+    rows = [(f"k{i}", f"2024-01-01T00:{i % 30:02d}:00", "2024-01-01T01:00:00", 0)
+            for i in range(60)]
+    t.initial_load(spark.createDataFrame(rows, ["id", "create_at", "update_at", "v"]))
+    minute_dirs = sum(1 for _r, d, _f in os.walk(t.path) for x in d if x.startswith("create_minute="))
+    assert minute_dirs == 30
+
+    out = migrate_partition_granularity(t, "day", str(tmp_path / "mg_day"))
+    assert out.partition_cols == ["create_year", "create_month", "create_day"]
+    assert sorted(r.id for r in out.read().collect()) == sorted(r.id for r in t.read().collect())
+    day_dirs = sum(1 for _r, d, _f in os.walk(out.path) for x in d if x.startswith("create_day="))
+    assert day_dirs == 1
+    # upserts keep working against the migrated layout
+    out.upsert(spark.createDataFrame(
+        [("k0", "2024-01-01T00:00:00", "2024-02-01T00:00:00", 9)],
+        ["id", "create_at", "update_at", "v"],
+    ))
+    assert {r.v for r in out.read().filter("id = 'k0'").collect()} == {9}
