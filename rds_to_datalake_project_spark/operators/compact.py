@@ -45,6 +45,7 @@ def compact_table(
     sort_by_key: bool = True,
     cluster_by: tuple[str, str] | None = None,
     curve: str = "hilbert",
+    range_by_key: bool = False,
 ) -> int:
     """Rewrite the table with right-sized files; returns file count.
 
@@ -115,6 +116,17 @@ def compact_table(
             .sortWithinPartitions(*range_cols)
             .drop("__curve")
         )
+    elif range_by_key:
+        # Primary-key clustering: each output file owns a contiguous
+        # record-key range, so the zone map answers point lookups by
+        # opening O(1) files (hash bucketing would spread every key
+        # range across every file and defeat skipping).
+        range_cols = [F.col(c) for c in table.partition_cols] + [
+            F.col(k) for k in table.spec.record_key
+        ]
+        out = df.repartitionByRange(n_files, *range_cols).sortWithinPartitions(
+            *range_cols
+        )
     elif table.partition_cols:
         # Hash rows of each partition into n_files buckets; repartition
         # on (partition cols + bucket) keeps partition dirs intact
@@ -137,6 +149,9 @@ def compact_table(
     if table.partition_cols:
         writer = writer.partitionBy(*table.partition_cols)
     writer.parquet(table.path)
+    # The rewrite replaced every live file — reconcile the skipping
+    # index (no-op for tables without zonemap_columns).
+    table._maintain_zonemap()
     return n_files
 
 

@@ -475,6 +475,15 @@ class KeyedTable:
 
         refresh_zonemap(self.spark, self.path, self.zonemap_columns)
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup by the leading record-key column through the
+        zone-map index: on a key-clustered layout (compact_table
+        ``range_by_key=True``) this opens O(1) files. Composite keys:
+        filter the result on the remaining key columns."""
+        return self.read_where(
+            {self.spec.record_key[0]: (key_value, key_value)}
+        )
+
     def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
         """Range/point-filtered read through the zone-map index
         (operators/zonemap.pruned_read): opens only files whose

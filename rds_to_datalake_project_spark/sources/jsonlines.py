@@ -18,14 +18,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
 def read_jsonlines(
     spark: SparkSession,
     path: str | list[str],
     schema: T.StructType | None = None,
+    quarantine_dir: str | None = None,
 ) -> DataFrame:
+    """JSON-lines read, optionally with dead-letter quarantine.
+
+    ``quarantine_dir`` arms malformed-record handling (a real CDC feed
+    WILL ship torn lines — half-written files, encoding bugs): the
+    read runs PERMISSIVE with a corrupt-record column, bad lines are
+    appended verbatim (plus their source file) to ``quarantine_dir``
+    for replay/audit, and only clean rows are returned. Requires an
+    explicit ``schema`` — with inference Spark would silently shape
+    the schema around the garbage instead of flagging it.
+    """
     reader = spark.read
+    if schema is not None and quarantine_dir is not None:
+        from pyspark.sql import functions as F
+
+        schema_q = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+        df = (
+            reader.schema(schema_q)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+            # input_file_name() must be captured BEFORE the cache —
+            # evaluated above the cached scan it returns ''. And
+            # corrupt-record reads must materialize the full row
+            # before the split (Spark rejects a filter referencing
+            # only the corrupt column).
+            .withColumn("__source_file", F.input_file_name())
+            .cache()
+        )
+        bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw_line"),
+            F.col("__source_file").alias("source_file"),
+        )
+        bad.write.mode("append").parquet(quarantine_dir)
+        return (
+            df.filter(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL, "__source_file")
+        )
     if schema is not None:
         reader = reader.schema(schema)
+    elif quarantine_dir is not None:
+        raise ValueError("quarantine_dir requires an explicit schema")
     return reader.json(path)
 
 

@@ -486,3 +486,39 @@ def test_migrate_partition_granularity(spark, tmp_path):
         ["id", "create_at", "update_at", "v"],
     ))
     assert {r.v for r in out.read().filter("id = 'k0'").collect()} == {9}
+
+
+def test_jsonlines_quarantine_dead_letters(spark, tmp_path):
+    """Torn CDC lines land in the quarantine sink with their source
+    file; clean rows flow through untouched."""
+    import pyspark.sql.types as T
+
+    from rds_to_datalake_project_spark.sources.jsonlines import read_jsonlines
+
+    src = tmp_path / "cdc"
+    os.makedirs(src)
+    with open(src / "batch1.json", "w") as f:
+        f.write('{"id": "a", "amount": 1}\n')
+        f.write('{"id": "b", "amount": 2}\n')
+        f.write('{"id": "c", "amount": ???TORN\n')
+    with open(src / "batch2.json", "w") as f:
+        f.write('{"id": "d", "amount": 4}\n')
+        f.write("not json at all\n")
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("amount", T.LongType())]
+    )
+    q = str(tmp_path / "quarantine")
+    clean = read_jsonlines(spark, str(src), schema=schema, quarantine_dir=q)
+    assert {(r.id, r.amount) for r in clean.collect()} == {
+        ("a", 1), ("b", 2), ("d", 4)
+    }
+    dead = spark.read.parquet(q).collect()
+    assert len(dead) == 2
+    assert {r.raw_line for r in dead} == {
+        '{"id": "c", "amount": ???TORN', "not json at all"
+    }
+    assert all(r.source_file.endswith((".json",)) for r in dead)
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_jsonlines(spark, str(src), quarantine_dir=q)

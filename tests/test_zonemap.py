@@ -213,3 +213,26 @@ def test_fast_count_metadata_only_and_fallback(spark, sf_dir, tmp_path):
         "append"
     ).parquet(path)
     assert fast_count(spark, path) == expected + 9
+
+
+def test_key_clustered_lookup_opens_few_files(spark, tmp_path):
+    """range_by_key compaction + zone map = Hudi-style record lookup:
+    a point read opens O(1) files, not the table."""
+    from rds_to_datalake_project_spark.operators.compact import compact_table
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("lk", record_key=("id",), precombine_key="update_at",
+                     partition_granularity=None)
+    t = KeyedTable(
+        spark, str(tmp_path / "lk"), spec, zonemap_columns=["id"]
+    )
+    t.initial_load(_kv_rows(spark, range(2000), "v0"))
+    compact_table(t, target_file_bytes=4 * 1024, range_by_key=True)
+    total = len(spark.read.parquet(t.path).inputFiles())
+    assert total > 3, "fixture must produce several files"
+
+    out = t.lookup("k150")
+    assert [r.val for r in out.collect()] == ["v0"]
+    assert len(set(out.inputFiles())) < total
+    assert t.lookup("missing").count() == 0
