@@ -236,3 +236,49 @@ def test_key_clustered_lookup_opens_few_files(spark, tmp_path):
     assert [r.val for r in out.collect()] == ["v0"]
     assert len(set(out.inputFiles())) < total
     assert t.lookup("missing").count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chunks=st.lists(_vals, min_size=1, max_size=4),
+    lo=st.one_of(st.none(), st.integers(-60, 60)),
+    hi=st.one_of(st.none(), st.integers(-60, 60)),
+)
+def test_property_pruned_read_equals_full_filter(
+    spark, tmp_path_factory, chunks, lo, hi
+):
+    """For ANY file layout (nulls, all-null files, empty-ish chunks)
+    and ANY bound combination, the zoned read is exactly the full-scan
+    filter — pruning may only drop provably-unmatchable files."""
+    if lo is not None and hi is not None and lo > hi:
+        lo, hi = hi, lo
+    path = str(tmp_path_factory.mktemp("zm") / "t")
+    for i, vals in enumerate(chunks):
+        spark.createDataFrame(
+            [Row(k=i * 100 + j, v=v) for j, v in enumerate(vals)], "k int, v int"
+        ).coalesce(1).write.mode("append").parquet(path)
+    build_zonemap(spark, path, ["v"])
+
+    got = sorted(r.k for r in pruned_read(spark, path, {"v": (lo, hi)}).collect())
+    full = spark.read.parquet(path)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("v") >= lo)
+    if hi is not None:
+        cond = cond & (F.col("v") <= hi)
+    want = sorted(r.k for r in full.filter(cond).collect())
+    assert got == want
