@@ -90,6 +90,7 @@ _OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
+_ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
@@ -100,6 +101,8 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       compaction (operators/compact.compact_partitions)
     - ``VACUUM <t> RETAIN <k> VERSIONS`` → snapshot-history expiry
       (KeyedTable.vacuum_versions)
+    - ``ANALYZE <t>``                   → per-column table profile
+      (operators/profile.profile_table)
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -131,6 +134,11 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         return spark.createDataFrame(
             [(m.group(1), expired)], "table_name string, versions_expired int"
         )
+    m = _ANALYZE_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark.operators.profile import profile_table
+
+        return profile_table(_resolve(m.group(1)).read())
     return None
 
 

@@ -134,3 +134,21 @@ def test_unload_orc_roundtrip(spark, tmp_path):
     assert {
         (r.o_orderpriority, r.n, round(r.total, 2)) for r in back.collect()
     } == _expected(spark)
+
+
+def test_sql_facade_analyze_statement(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("a", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "a"), spec)
+    t.initial_load(spark.createDataFrame(
+        [("k1", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 5),
+         ("k2", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 7)],
+        ["id", "create_at", "update_at", "v"],
+    ))
+    prof = run_query(spark, "ANALYZE a", tables={"a": t})
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["v"]["n_rows"] == 2
