@@ -163,26 +163,33 @@ def data_file_count(path: str) -> int:
 
 
 def _leaf_partition_stats(table: KeyedTable) -> list[tuple[str, int, int]]:
-    """(rel_path, n_data_files, bytes) per leaf partition dir — pure
-    local/driver listing, no file reads."""
+    """(rel_path, n_data_files, bytes) per leaf partition dir — a
+    driver-side metadata listing through the Hadoop FileSystem API
+    (works on local FS, HDFS, and object stores alike), no file
+    reads."""
     depth = len(table.partition_cols)
     out: list[tuple[str, int, int]] = []
+    fs, _ = table._fs(table.path)
 
     def walk(path: str, level: int, rel: str):
-        for name in sorted(os.listdir(path)):
-            if name.startswith((".", "_")):
+        for st in sorted(
+            fs.listStatus(table._fs(path)[1]),
+            key=lambda s: s.getPath().getName(),
+        ):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")) or not st.isDirectory():
                 continue
-            sub = os.path.join(path, name)
-            if not os.path.isdir(sub):
-                continue
+            sub = f"{path}/{name}"
             r = f"{rel}/{name}" if rel else name
             if level == depth - 1:
                 files = [
                     f
-                    for f in os.listdir(sub)
-                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                    for f in fs.listStatus(table._fs(sub)[1])
+                    if not f.isDirectory()
+                    and f.getPath().getName().endswith(".parquet")
+                    and not f.getPath().getName().startswith((".", "_"))
                 ]
-                size = sum(os.path.getsize(os.path.join(sub, f)) for f in files)
+                size = sum(f.getLen() for f in files)
                 out.append((r, len(files), size))
             else:
                 walk(sub, level + 1, r)
@@ -225,12 +232,15 @@ def compact_partitions(
 
     spark = table.spark
     if not table.partition_cols:
+        fs, root = table._fs(table.path)
         files = [
-            f
-            for f in os.listdir(table.path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
+            st
+            for st in fs.listStatus(root)
+            if not st.isDirectory()
+            and st.getPath().getName().endswith(".parquet")
+            and not st.getPath().getName().startswith((".", "_"))
         ]
-        size = sum(os.path.getsize(os.path.join(table.path, f)) for f in files)
+        size = sum(st.getLen() for st in files)
         n_right = plan_target_files(size, target_file_bytes)
         if len(files) <= max(n_right, min_files):
             return []

@@ -36,6 +36,11 @@ def read_jsonlines(
     for replay/audit, and only clean rows are returned. Requires an
     explicit ``schema`` — with inference Spark would silently shape
     the schema around the garbage instead of flagging it.
+
+    The split caches the parsed batch so good and bad rows come from
+    ONE parse; sized for micro-batch inputs (the CDC path's bounded
+    batches — maxFilesPerTrigger / tracker limits), not unbounded
+    backfills. The caller may ``unpersist()`` after materializing.
     """
     reader = spark.read
     if schema is not None and quarantine_dir is not None:
