@@ -144,14 +144,22 @@ def compact_table(
         out = df.repartition(n_files)
     if cluster_by is None and sort_by_key:
         out = out.sortWithinPartitions(*table.spec.record_key)
-    out = out.localCheckpoint(eager=True)  # rewrite source path safely
-    writer = out.write.mode("overwrite")
+    # Commit through the table's staged publish protocol, exactly like
+    # an upsert: an in-place overwrite would clear the whole path —
+    # including .meta/.retired, silently destroying the commit log and
+    # every snapshot of a retained table — and had no crash story.
+    # Staging inside the table dir never collides with the lazy read
+    # feeding `out`, and _publish gives rename-swaps, recover(), and
+    # (with retention on) a numbered, content-identical commit.
+    import uuid as _uuid
+
+    staging = f"{table.path}/.staging-{_uuid.uuid4().hex}"
+    writer = out.write
     if table.partition_cols:
         writer = writer.partitionBy(*table.partition_cols)
-    writer.parquet(table.path)
-    # The rewrite replaced every live file — reconcile the skipping
-    # index (no-op for tables without zonemap_columns).
-    table._maintain_zonemap()
+    writer.parquet(staging)
+    table._write_ready_flag(staging)
+    table._publish(staging)
     return n_files
 
 
@@ -260,7 +268,14 @@ def compact_partitions(
         return []
 
     # Selected partitions only — pruned read with partition columns
-    # restored from the hive paths.
+    # restored from the hive paths. Partition values must round-trip
+    # as the zero-padded STRINGS the layout encodes (a fresh
+    # maintenance session has not run table.read() yet, and inference
+    # would rewrite create_month=03 as create_month=3 — a NEW dir
+    # family, duplicating every compacted row).
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
     src = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", table.path)
@@ -294,7 +309,10 @@ def compact_partitions(
 
 
 def migrate_partition_granularity(
-    table: KeyedTable, new_granularity: str | None, dest_path: str
+    table: KeyedTable,
+    new_granularity: str | None,
+    dest_path: str,
+    changes_feed_dir: str | None = None,
 ) -> KeyedTable:
     """Rewrite a table under a different partition granularity (e.g.
     the reference's minute-level layout → the engine's day default,
@@ -313,10 +331,18 @@ def migrate_partition_granularity(
 
     new_spec = replace(table.spec, partition_granularity=new_granularity)
     df = table.read().drop(*table.partition_cols)
+    # Retention carries over (history restarts at the migrated v0 —
+    # old snapshots describe the old layout and stay readable at the
+    # old path until the caller drops it). The changes feed does NOT
+    # silently carry: the old feed dir holds the old table's commit
+    # batches, so the migrated table needs its own (pass
+    # ``changes_feed_dir`` explicitly to re-arm auto-publish).
     out = KeyedTable(
         table.spark,
         dest_path,
         new_spec,
+        retain_versions=table.retain_versions,
+        changes_feed_dir=changes_feed_dir,
         zonemap_columns=table.zonemap_columns or None,
     )
     out.initial_load(df)

@@ -185,4 +185,14 @@ class RollupTable:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            # Returning with the query still running would hand the
+            # caller a half-refreshed rollup AND leave the checkpoint
+            # locked against the next maintenance call. Stop and
+            # surface it; consumed batches are checkpointed, so the
+            # next call resumes where this one stopped.
+            q.stop()
+            raise TimeoutError(
+                f"changes-feed drain exceeded {timeout_s}s; "
+                "rollup partially refreshed — re-run to resume"
+            )

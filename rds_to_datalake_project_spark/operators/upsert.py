@@ -392,7 +392,46 @@ class KeyedTable:
             else:
                 self._fs_delete(staging)
             repaired = True
+        repaired = self._rollback_uncommitted_drops() or repaired
         return repaired
+
+    def _rollback_uncommitted_drops(self) -> bool:
+        """Undo a vacuum_partitions drop that crashed between its
+        retire renames and its commit record: a ``.retired/v{n}`` with
+        n ABOVE the newest committed version holds partitions whose
+        drop never committed — rename them back to live and remove the
+        orphan. (Versions BELOW the committed range are vacuum_versions
+        leftovers — expired history, deleted not restored.) Without
+        this, those partitions would silently vanish from every
+        snapshot despite no commit recording the drop."""
+        if not self.retain_versions:
+            return False
+        latest = (self.versions() or [0])[-1]
+        fs, retired_root = self._fs(f"{self.path}/.retired")
+        if not fs.exists(retired_root):
+            return False
+        rolled = False
+        for st in fs.listStatus(retired_root):
+            name = st.getPath().getName()
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            n = int(name[1:])
+            if n <= latest:
+                continue
+            vdir = f"{self.path}/.retired/{name}"
+            for rel in self._staged_partition_dirs(vdir):
+                _, src_p = self._fs(f"{vdir}/{rel}")
+                _, dst_p = self._fs(f"{self.path}/{rel}")
+                if fs.exists(dst_p):
+                    # live dir reappeared (should not happen for a
+                    # drop-in-flight) — keep live, discard the copy
+                    fs.delete(src_p, True)
+                else:
+                    fs.mkdirs(dst_p.getParent())
+                    self._rename(fs, src_p, dst_p)
+            fs.delete(self._fs(vdir)[1], True)
+            rolled = True
+        return rolled
 
     def _publish(self, staging: str) -> None:
         """Swap a publish-ready staging dir into the live tree.
@@ -915,15 +954,27 @@ class KeyedTable:
         """Retention: drop whole partitions whose values fail
         ``keep_predicate`` (a callable over the partition-value tuple,
         values as the strings the layout encodes; hive-null dirs come
-        back as None). Pure directory listing + deletes — no data
-        files or footers are read (a ``distinct`` over partition
+        back as None). Pure directory listing + renames/deletes — no
+        data files or footers are read (a ``distinct`` over partition
         columns would scan row groups), which is what makes retention
         O(partitions) at 100 TB. Returns the number of partitions
-        dropped."""
+        dropped.
+
+        On a RETAINED table the drop is a numbered COMMIT: every
+        dropped dir is retired under ``.retired/v{k}`` (one rename,
+        no data copied) and a commit record lands in ``.meta``, so
+        earlier snapshots keep reconstructing exactly and the changes
+        feed reports the drop as row deletes. A plain delete here
+        would have read_as_of silently lose the partition's rows —
+        the contract is raise-or-exact, never approximate. Crash
+        posture: renames-then-record; an interrupted drop (retired
+        dirs, no record yet) is rolled BACK by ``recover()`` — an
+        uncommitted drop never happened.
+        """
         if not self.partition_cols:
             raise ValueError("vacuum_partitions requires a partitioned table")
         u = self.spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        dropped = 0
+        to_drop: list[str] = []
         for rel in self._staged_partition_dirs(self.path):
             raw = [seg.split("=", 1)[1] for seg in rel.split("/")]
             values = tuple(
@@ -933,9 +984,38 @@ class KeyedTable:
                 for v in raw
             )
             if not keep_predicate(values):
+                to_drop.append(rel)
+        if not to_drop:
+            return 0
+        if not self.retain_versions:
+            for rel in to_drop:
                 self._fs_delete(f"{self.path}/{rel}")
-                dropped += 1
-        return dropped
+            return len(to_drop)
+
+        fs = self._fs(self.path)[0]
+        version = (self.versions() or [0])[-1] + 1
+        for rel in to_drop:
+            _, src_p = self._fs(f"{self.path}/{rel}")
+            _, dst_p = self._fs(f"{self.path}/.retired/v{version}/{rel}")
+            fs.mkdirs(dst_p.getParent())
+            fs.delete(dst_p, True)  # re-entry leftovers
+            self._rename(fs, src_p, dst_p)
+            self._fault("vacuum_retired")
+        # Commit record (tmp + rename, same shape as a publish flag).
+        _, meta_dir = self._fs(f"{self.path}/.meta")
+        fs.mkdirs(meta_dir)
+        _, tmp_p = self._fs(f"{self.path}/.meta/.v{version}.flag.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(f"#version={version}\n#created=".encode("utf-8"))
+        out.close()
+        _, rec_p = self._fs(f"{self.path}/.meta/v{version}.flag")
+        fs.delete(rec_p, True)
+        self._rename(fs, tmp_p, rec_p)
+        self._fault("vacuum_committed")
+        if self.changes_feed_dir:
+            self.write_changes_feed(self.changes_feed_dir)
+        self.vacuum_versions(keep_last=self.retain_versions)
+        return len(to_drop)
 
     # -- filesystem commit layer (Hadoop FileSystem API: portable
     # across local/HDFS/S3A schemes) ------------------------------------------

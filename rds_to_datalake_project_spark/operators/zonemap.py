@@ -68,7 +68,7 @@ def build_zonemap(
     Written with overwrite into a dot-dir, which every table reader
     skips, so the index never shadows table data.
     """
-    df = spark.read.option("mergeSchema", "true").parquet(table_path)
+    df, _live = _resolve_table(spark, table_path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -103,21 +103,36 @@ def _zone_intersects(col: str, lo, hi) -> F.Column:
     return cond
 
 
+def _resolve_table(spark: SparkSession, table_path: str):
+    """One listing+schema resolution of the table, shared by every
+    zoned operation (a second resolution would double the metadata
+    cost the index exists to avoid). Partition values must round-trip
+    as the strings the layout encodes — mirror KeyedTable.read()."""
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    full = spark.read.option("mergeSchema", "true").parquet(table_path)
+    live = {_norm(f): f for f in full.inputFiles()}
+    return full, live
+
+
 def prune_files(
     spark: SparkSession,
     table_path: str,
     predicates: dict[str, tuple],
     index_dir: str | None = None,
+    _resolved=None,
 ) -> tuple[list[str], int]:
     """Resolve the file list for a zoned read.
 
     Returns ``(files_to_read, n_skipped)``. Files not covered by the
-    index are unconditionally included (advisory contract); indexed
-    files are included iff every predicate interval intersects their
+    index are unconditionally included, and predicates on columns the
+    index does not cover contribute NO pruning (advisory contract —
+    the residual filter still applies them); indexed files are
+    included iff every covered predicate interval intersects their
     zone. Paths come back in Spark-readable form.
     """
-    full = spark.read.option("mergeSchema", "true").parquet(table_path)
-    live = {_norm(f): f for f in full.inputFiles()}
+    full, live = _resolved or _resolve_table(spark, table_path)
 
     idx = index_dir or _index_dir(table_path)
     try:
@@ -127,7 +142,8 @@ def prune_files(
 
     cond = F.lit(True)
     for col, (lo, hi) in predicates.items():
-        cond = cond & _zone_intersects(col, lo, hi)
+        if f"min_{col}" in stats.columns and f"max_{col}" in stats.columns:
+            cond = cond & _zone_intersects(col, lo, hi)
     indexed = {_norm(r[0]) for r in stats.select(_FILE).collect()}
     kept = {_norm(r[0]) for r in stats.filter(cond).select(_FILE).collect()}
 
@@ -150,7 +166,7 @@ def pruned_read(
     whose zones can match. The residual predicate is still applied —
     zones over-approximate — so the result is EXACTLY the full-scan
     filter, independent of index state."""
-    full = spark.read.option("mergeSchema", "true").parquet(table_path)
+    full, live = _resolve_table(spark, table_path)
     residual = F.lit(True)
     for col, (lo, hi) in predicates.items():
         if lo is not None:
@@ -158,11 +174,18 @@ def pruned_read(
         if hi is not None:
             residual = residual & (F.col(col) <= F.lit(hi))
 
-    files, _skipped = prune_files(spark, table_path, predicates, index_dir)
+    files, _skipped = prune_files(
+        spark, table_path, predicates, index_dir, _resolved=(full, live)
+    )
     if not files:
         return full.filter(residual).limit(0)
+    # basePath keeps hive partition columns alive when reading leaf
+    # files directly — without it every partition column reads NULL.
     return (
-        spark.read.schema(full.schema).parquet(*files).filter(residual)
+        spark.read.schema(full.schema)
+        .option("basePath", table_path)
+        .parquet(*files)
+        .filter(residual)
     )
 
 
@@ -185,8 +208,7 @@ def refresh_zonemap(
     """
     idx = index_dir or _index_dir(table_path)
     try:
-        full = spark.read.option("mergeSchema", "true").parquet(table_path)
-        live = {_norm(f): f for f in full.inputFiles()}
+        full, live = _resolve_table(spark, table_path)
     except Exception:
         live = {}
     if not live:
@@ -222,8 +244,12 @@ def refresh_zonemap(
         for c in columns:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
+        # basePath: an indexed column may BE a hive partition column —
+        # reading leaf files without it would record all-NULL zones
+        # and pruned_read would then skip live matches (row loss).
         fresh = (
             spark.read.schema(full.schema)
+            .option("basePath", table_path)
             .parquet(*new)
             .select(*columns)
             .withColumn(_FILE, F.input_file_name())
@@ -252,8 +278,7 @@ def fast_count(spark: SparkSession, table_path: str, index_dir: str | None = Non
     scanned. Exact under the advisory contract: stale index rows
     (files gone) are ignored via the live-set intersection, unindexed
     files fall back to a real (column-less, footer-only) count."""
-    full = spark.read.option("mergeSchema", "true").parquet(table_path)
-    live = {_norm(f): f for f in full.inputFiles()}
+    full, live = _resolve_table(spark, table_path)
     idx = index_dir or _index_dir(table_path)
     try:
         stats = spark.read.parquet(idx).select(_FILE, "n_rows").collect()
@@ -264,6 +289,9 @@ def fast_count(spark: SparkSession, table_path: str, index_dir: str | None = Non
     unindexed = [orig for p, orig in live.items() if p not in indexed]
     if unindexed:
         total += (
-            spark.read.schema(full.schema).parquet(*unindexed).count()
+            spark.read.schema(full.schema)
+            .option("basePath", table_path)
+            .parquet(*unindexed)
+            .count()
         )
     return int(total)

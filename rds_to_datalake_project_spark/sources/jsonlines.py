@@ -31,9 +31,11 @@ def read_jsonlines(
 
     ``quarantine_dir`` arms malformed-record handling (a real CDC feed
     WILL ship torn lines — half-written files, encoding bugs): the
-    read runs PERMISSIVE with a corrupt-record column, bad lines are
-    appended verbatim (plus their source file) to ``quarantine_dir``
-    for replay/audit, and only clean rows are returned. Requires an
+    read runs PERMISSIVE with a corrupt-record column, bad lines land
+    verbatim (plus their source file) under one quarantine batch dir
+    per input file set (read the sink with ``recursiveFileLookup``;
+    retries overwrite their own batch — no duplicate dead letters),
+    and only clean rows are returned. Requires an
     explicit ``schema`` — with inference Spark would silently shape
     the schema around the garbage instead of flagging it.
 
@@ -66,7 +68,19 @@ def read_jsonlines(
             F.col(CORRUPT_COL).alias("raw_line"),
             F.col("__source_file").alias("source_file"),
         )
-        bad.write.mode("append").parquet(quarantine_dir)
+        # Idempotent dead-lettering: the batch writes to a subdir
+        # keyed by its resolved input file set, with overwrite — a
+        # tracker RETRY of the same micro-batch replaces its own
+        # quarantine batch instead of appending duplicate copies of
+        # every corrupt line.
+        import hashlib
+
+        batch_key = hashlib.md5(
+            "\n".join(sorted(df.inputFiles())).encode("utf-8")
+        ).hexdigest()[:16]
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_dir.rstrip('/')}/batch-{batch_key}"
+        )
         return (
             df.filter(F.col(CORRUPT_COL).isNull())
             .drop(CORRUPT_COL, "__source_file")

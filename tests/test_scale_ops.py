@@ -513,12 +513,17 @@ def test_jsonlines_quarantine_dead_letters(spark, tmp_path):
     assert {(r.id, r.amount) for r in clean.collect()} == {
         ("a", 1), ("b", 2), ("d", 4)
     }
-    dead = spark.read.parquet(q).collect()
+    dead = spark.read.option("recursiveFileLookup", "true").parquet(q).collect()
     assert len(dead) == 2
     assert {r.raw_line for r in dead} == {
         '{"id": "c", "amount": ???TORN', "not json at all"
     }
     assert all(r.source_file.endswith((".json",)) for r in dead)
+
+    # a tracker RETRY of the same batch must not duplicate dead letters
+    read_jsonlines(spark, str(src), schema=schema, quarantine_dir=q).count()
+    dead2 = spark.read.option("recursiveFileLookup", "true").parquet(q).collect()
+    assert len(dead2) == 2
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_jsonlines(spark, str(src), quarantine_dir=q)

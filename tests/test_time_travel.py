@@ -395,3 +395,51 @@ def test_crash_during_retained_publish(spark, tmp_path, monkeypatch, point, nth)
     assert _vals(t.read_as_of(1)) == S1
     assert _vals(t.read_as_of(t.versions()[-1])) == S2
     _assert_clean(str(tmp_path / "tt"))
+
+
+def test_vacuum_partitions_is_a_commit_on_retained_tables(spark, tmp_path):
+    """Dropping partitions on a retained table must be a numbered
+    commit: old snapshots still reconstruct exactly and the feed
+    reports the drop as deletes — never a silent row loss."""
+    t = _mk(spark, tmp_path)  # months 01 (r1), 02 (r2); retain 5
+    dropped = t.vacuum_partitions(lambda vals: vals[1] >= "02")
+    assert dropped == 1
+    assert t.versions() == [1]
+    assert _vals(t.read()) == {"r2": "a2"}
+    assert _vals(t.read_as_of(0)) == S0  # dropped month still readable
+    changes = {
+        r.id: r._change_type
+        for r in t.table_changes(0, 1).select("id", "_change_type").collect()
+    }
+    assert changes == {"r1": "delete"}
+
+
+def test_vacuum_partitions_crash_rolls_back_uncommitted_drop(
+    spark, tmp_path, monkeypatch
+):
+    t = _mk(spark, tmp_path)
+    state = _inject(monkeypatch, "vacuum_retired", 1)
+    with pytest.raises(Boom):
+        t.vacuum_partitions(lambda vals: False)  # try to drop both
+    assert state["fired"]
+    # uncommitted: recover() restores the retired dirs; nothing lost
+    assert t.recover() is True
+    assert _vals(t.read()) == S0
+    assert t.versions() == []
+    # and the drop can then be applied cleanly
+    assert t.vacuum_partitions(lambda vals: False) == 2
+    assert t.read().count() == 0
+    assert _vals(t.read_as_of(0)) == S0
+
+
+def test_vacuum_partitions_crash_after_commit_stands(spark, tmp_path, monkeypatch):
+    t = _mk(spark, tmp_path)
+    state = _inject(monkeypatch, "vacuum_committed", 1)
+    with pytest.raises(Boom):
+        t.vacuum_partitions(lambda vals: vals[1] >= "02")
+    assert state["fired"]
+    t.recover()
+    # record landed before the crash → the drop is durable
+    assert t.versions() == [1]
+    assert _vals(t.read()) == {"r2": "a2"}
+    assert _vals(t.read_as_of(0)) == S0

@@ -282,3 +282,35 @@ def test_property_pruned_read_equals_full_filter(
         cond = cond & (F.col("v") <= hi)
     want = sorted(r.k for r in full.filter(cond).collect())
     assert got == want
+
+
+def test_partitioned_read_where_keeps_partition_columns(spark, tmp_path):
+    """Leaf-file reads must carry basePath: partition columns stay
+    populated, predicates ON partition columns work, and indexing a
+    partition column records real zones (review findings r5)."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("p", record_key=("id",), precombine_key="update_at",
+                     partition_source="create_at", partition_granularity="month")
+    t = KeyedTable(
+        spark, str(tmp_path / "p"), spec,
+        zonemap_columns=["score", "create_month"],
+    )
+    rows = _kv_rows(spark, range(40), "v0", day="2024-01-05").unionByName(
+        _kv_rows(spark, range(40, 80), "v0", day="2024-03-05")
+    )
+    t.initial_load(rows)
+
+    out = t.read_where({"score": (10, 12)})
+    got = {(r.id, r.create_month) for r in out.collect()}
+    assert got == {(f"k{i}", "01") for i in (10, 11, 12)}
+
+    # predicate on the partition column itself
+    march = t.read_where({"create_month": ("03", "03")})
+    assert march.count() == 40
+    assert {r.create_month for r in march.collect()} == {"03"}
+
+    # predicate on an UNINDEXED column must degrade, not crash
+    both = t.read_where({"score": (10, 12), "val": ("v0", "v0")})
+    assert both.count() == 3
