@@ -527,3 +527,31 @@ def test_jsonlines_quarantine_dead_letters(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_jsonlines(spark, str(src), quarantine_dir=q)
+
+
+def test_compact_table_preserves_history_on_retained_tables(spark, tmp_path):
+    """compact_table now commits through the staged publish: the
+    commit log and every snapshot survive a full-table rewrite (the
+    in-place overwrite used to wipe .meta/.retired)."""
+    spec = TableSpec("rt", record_key=("id",), precombine_key="v",
+                     partition_source="create_at", partition_granularity="day")
+    t = KeyedTable(spark, str(tmp_path / "rt"), spec, retain_versions=5)
+
+    def mk(ids, v):
+        return spark.createDataFrame(
+            [(f"k{i}", "2024-01-01T00:00:00", f"2024-01-01T00:00:{v:02d}", v)
+             for i in ids],
+            ["id", "create_at", "update_at", "v"],
+        )
+
+    t.initial_load(mk(range(20), 0))
+    t.upsert(mk(range(10), 1))  # commit 1
+    s1 = sorted(map(tuple, t.read().collect()))
+
+    compact_table(t, target_file_bytes=64 * 1024 * 1024, range_by_key=True)
+    assert t.versions() == [1, 2]  # the rewrite is commit 2
+    assert sorted(map(tuple, t.read().collect())) == s1
+    assert t.table_changes(1, 2).count() == 0
+    # snapshot BEFORE the compaction (and before commit 1) still exact
+    assert {r.v for r in t.read_as_of(0).collect()} == {0}
+    assert sorted(map(tuple, t.read_as_of(1).collect())) == s1
