@@ -58,6 +58,7 @@ def compact_table(
     Local/HDFS sizing uses directory stats; on object stores you would
     take the file index's size metadata instead (same arithmetic).
     """
+    table.recover()  # a crashed publish owns the next commit number
     df = table.read()
     n_files = plan_target_files(_dir_bytes(table.path), target_file_bytes)
     if cluster_by is not None:
@@ -239,6 +240,7 @@ def compact_partitions(
     from pyspark.sql import functions as F  # noqa: F811
 
     spark = table.spark
+    table.recover()  # a crashed publish owns the next commit number
     if not table.partition_cols:
         fs, root = table._fs(table.path)
         files = [

@@ -404,7 +404,10 @@ class KeyedTable:
         leftovers — expired history, deleted not restored.) Without
         this, those partitions would silently vanish from every
         snapshot despite no commit recording the drop."""
-        if not self.retain_versions:
+        if not self.retain_versions or not self.partition_cols:
+            # only vacuum_partitions (partitioned-only) creates
+            # retire-before-record states; unpartitioned retires
+            # always ride a flagged staging handled above
             return False
         latest = (self.versions() or [0])[-1]
         fs, retired_root = self._fs(f"{self.path}/.retired")
@@ -992,6 +995,11 @@ class KeyedTable:
                 self._fs_delete(f"{self.path}/{rel}")
             return len(to_drop)
 
+        # Complete any interrupted publish FIRST: a crashed flagged
+        # staging carries its own pre-assigned version — committing a
+        # drop at latest+1 beside it would give two commits the same
+        # number when recovery finishes the older one.
+        self.recover()
         fs = self._fs(self.path)[0]
         version = (self.versions() or [0])[-1] + 1
         for rel in to_drop:
