@@ -87,6 +87,11 @@ def run_query(
 
 
 _OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_ZORDER_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
@@ -99,6 +104,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
 
     - ``OPTIMIZE <t>``                  → incremental small-file
       compaction (operators/compact.compact_partitions)
+    - ``OPTIMIZE <t> ZORDER BY (a, b)`` → curve-clustered full rewrite
+      (operators/compact.compact_table cluster_by)
+    - ``DESCRIBE HISTORY <t>``          → commit-log introspection
+      (KeyedTable.describe_history)
     - ``VACUUM <t> RETAIN <k> VERSIONS`` → snapshot-history expiry
       (KeyedTable.vacuum_versions)
     - ``ANALYZE <t>``                   → per-column table profile
@@ -117,6 +126,16 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             )
         return t
 
+    m = _OPTIMIZE_ZORDER_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark.operators.compact import compact_table
+
+        n = compact_table(
+            _resolve(m.group(1)), cluster_by=(m.group(2), m.group(3))
+        )
+        return spark.createDataFrame(
+            [(m.group(1), n)], "table_name string, target_files int"
+        )
     m = _OPTIMIZE_RE.match(sql)
     if m:
         from rds_to_datalake_project_spark.operators.compact import (
@@ -127,6 +146,22 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         return spark.createDataFrame(
             [(m.group(1), len(rewritten))],
             "table_name string, partitions_rewritten int",
+        )
+    m = _HISTORY_RE.match(sql)
+    if m:
+        hist = _resolve(m.group(1)).describe_history()
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["readable"],
+                    h["created_partitions"],
+                    h["retired_partitions"],
+                )
+                for h in hist
+            ],
+            "version int, readable boolean, "
+            "created_partitions array<string>, retired_partitions array<string>",
         )
     m = _VACUUM_RE.match(sql)
     if m:

@@ -152,3 +152,29 @@ def test_sql_facade_analyze_statement(spark, tmp_path):
     prof = run_query(spark, "ANALYZE a", tables={"a": t})
     rows = {r["column"]: r for r in prof.collect()}
     assert rows["v"]["n_rows"] == 2
+
+
+def test_sql_facade_zorder_and_history_statements(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("z", record_key=("id",), precombine_key="update_at",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "z"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [(f"k{i}", "2024-01-01T00:00:00", "2024-01-01T00:00:00",
+          (i * 37) % 100, (i * 91) % 100) for i in range(500)],
+        ["id", "create_at", "update_at", "a", "b"],
+    ))
+    t.upsert(spark.createDataFrame(
+        [("k0", "2024-01-01T00:00:00", "2024-02-01T00:00:00", 1, 1)],
+        ["id", "create_at", "update_at", "a", "b"],
+    ))  # commit 1
+
+    out = run_query(spark, "OPTIMIZE z ZORDER BY (a, b)", tables={"z": t}).collect()[0]
+    assert out.table_name == "z" and out.target_files >= 1
+    assert t.read().count() == 500  # lossless
+    hist = run_query(spark, "DESCRIBE HISTORY z", tables={"z": t}).collect()
+    assert [h.version for h in hist] == [1, 2]  # zorder rewrite = commit 2
+    assert all(h.readable for h in hist)
