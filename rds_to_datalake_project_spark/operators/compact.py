@@ -28,11 +28,26 @@ from pyspark.sql import DataFrame, functions as F
 from rds_to_datalake_project_spark.operators.upsert import KeyedTable
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if not f.startswith(("_", ".")))
-    return total
+def _live_bytes(table: "KeyedTable") -> int:
+    """Bytes of LIVE data files only — hidden trees (.retired
+    snapshots, .meta, .zonemap, staging) are pruned, so a retained
+    table is not sized several-fold too large; Hadoop FileSystem API,
+    so remote paths size correctly instead of returning 0 (which
+    would funnel the whole table into one output file)."""
+    fs, root = table._fs(table.path)
+    if not fs.exists(root):
+        return 0
+
+    def walk(p) -> int:
+        total = 0
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            total += walk(st.getPath()) if st.isDirectory() else st.getLen()
+        return total
+
+    return walk(root)
 
 
 def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
@@ -55,12 +70,12 @@ def compact_table(
     Hudi/Delta run at compaction time, so point/range predicates on
     either column get file-level min/max skipping after the pass.
 
-    Local/HDFS sizing uses directory stats; on object stores you would
-    take the file index's size metadata instead (same arithmetic).
+    Sizing walks live data files through the Hadoop FileSystem API
+    (local, HDFS, and object stores alike), skipping hidden trees.
     """
     table.recover()  # a crashed publish owns the next commit number
     df = table.read()
-    n_files = plan_target_files(_dir_bytes(table.path), target_file_bytes)
+    n_files = plan_target_files(_live_bytes(table), target_file_bytes)
     if cluster_by is not None:
         # A sort within round-robin partitions orders rows but every
         # file still spans the whole value range; real clustering

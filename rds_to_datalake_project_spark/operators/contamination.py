@@ -23,16 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rds_to_datalake_project_spark.operators.minhash import shingles
+from rds_to_datalake_project_spark.operators.minhash import md5long60, shingles
 from rds_to_datalake_project_spark.operators.sampling import deterministic_split
 
-
-def _shingle_key(col) -> F.Column:
-    """60-bit integer key from the md5 of a shingle string: small
-    enough to stay an exact BIGINT in any engine, wide enough that
-    accidental collisions are ~0 at corpus scale (and deterministic,
-    so a collision affects engine and oracle identically)."""
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+# 60-bit integer key from the md5 of a shingle string: exact BIGINT in
+# any engine, collision-negligible at corpus scale, and ONE shared
+# implementation (a drifted copy here would silently diverge the
+# contamination keys from every other md5-mode hashing path).
+_shingle_key = md5long60
 
 
 def contamination_report(

@@ -56,7 +56,20 @@ def exact_dedup(
     decides which duplicate survives (default: arbitrary deterministic
     via remaining columns ascending).
     """
-    fingerprint = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    # Injective over the column tuple: each field is length-prefixed
+    # ("V<len>:<value>", "N:" for NULL), so nulls in different
+    # positions — concat_ws silently SKIPS nulls, colliding
+    # ('x',NULL,'y') with ('x','y',NULL) — and separator bytes inside
+    # values can never alias two different contents to one hash.
+    parts = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N:")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    fingerprint = F.md5(F.concat(*parts))
     with_fp = df.withColumn("__fp", fingerprint)
     order = [F.col(c).asc() if isinstance(c, str) else c for c in keep_order]
     if not order:

@@ -32,12 +32,21 @@ def range_join(
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start <= point < end`` (end exclusive). Columns of both inputs
-    are kept (names must not collide apart from the bin internals)."""
+    are kept (names must not collide apart from the bin internals).
+
+    ``how`` ∈ {"inner", "left"}. The exact range predicate rides the
+    JOIN CONDITION, not a post-filter — a post-filter evaluates NULL
+    on a left join's unmatched rows and silently degrades it to
+    inner. Right/full are rejected: the interval side is exploded per
+    bin, so its unmatched rows would surface once per covered bin.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
     p_us = F.unix_micros(F.col(point_ts))
     s_us = F.unix_micros(F.col(start_ts))
     e_us = F.unix_micros(F.col(end_ts))
 
-    p = points.withColumn(_BIN, F.floor(p_us / bin_micros))
+    p = points.withColumn(_BIN, F.floor(p_us / bin_micros)).alias("p")
     i = intervals.withColumn(
         _BIN,
         F.explode(
@@ -47,10 +56,10 @@ def range_join(
                 F.floor((e_us - 1) / bin_micros),
             )
         ),
-    )
-    joined = p.join(i, on=_BIN, how=how)
-    refined = joined.filter(
-        (F.unix_micros(F.col(point_ts)) >= F.unix_micros(F.col(start_ts)))
+    ).alias("i")
+    cond = (
+        (F.col(f"p.{_BIN}") == F.col(f"i.{_BIN}"))
+        & (F.unix_micros(F.col(point_ts)) >= F.unix_micros(F.col(start_ts)))
         & (F.unix_micros(F.col(point_ts)) < F.unix_micros(F.col(end_ts)))
     )
-    return refined.drop(_BIN)
+    return p.join(i, on=cond, how=how).drop(_BIN)

@@ -127,9 +127,14 @@ class KeyedTable:
         # RETAINED table emptied by deletes (every row tombstoned):
         # its commit log (.meta) is the table — routing the next batch
         # through initial_load would silently reset history.
-        if not os.path.isdir(self.path):
+        # Hadoop FileSystem API, NOT os.path: on hdfs://-/s3a://-style
+        # paths the local check is always False, and a False here
+        # routes the next batch through initial_load's static
+        # overwrite — destroying the remote table.
+        fs, root = self._fs(self.path)
+        if not fs.exists(root) or not fs.getFileStatus(root).isDirectory():
             return False
-        names = os.listdir(self.path)
+        names = [st.getPath().getName() for st in fs.listStatus(root)]
         return (
             any(not n.startswith(("_", ".")) for n in names)
             or any(n.startswith((".staging-", _ASIDE_PREFIX)) for n in names)
@@ -141,6 +146,17 @@ class KeyedTable:
             return df
         missing = [c for c in self.partition_cols if c not in df.columns]
         if missing:
+            # A PARTIALLY pre-enriched batch (some partition columns
+            # present, some not) must drop the present subset first:
+            # add_time_partitions appends all derived columns, and a
+            # second create_year next to an existing one makes every
+            # later partitionBy/select fail with AMBIGUOUS_REFERENCE.
+            # Re-deriving the full set from the immutable source is
+            # also the safe choice — a half-enriched feed's values
+            # cannot disagree with the contract derivation.
+            present = [c for c in self.partition_cols if c in df.columns]
+            if present:
+                df = df.drop(*present)
             df = add_time_partitions(
                 df, self.spec.partition_source, self.spec.partition_granularity
             )
@@ -176,13 +192,22 @@ class KeyedTable:
         last row of a partition removes its leaf dir but can leave
         empty parent levels (create_year=...), so entry names alone
         can't answer this."""
-        if not os.path.isdir(self.path):
+        fs, root_p = self._fs(self.path)
+        if not fs.exists(root_p):
             return False
-        for root, dirs, files in os.walk(self.path):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            if any(not f.startswith((".", "_")) for f in files):
-                return False
-        return True
+
+        def has_data(path) -> bool:
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith((".", "_")):
+                    continue
+                if not st.isDirectory():
+                    return True
+                if has_data(st.getPath()):
+                    return True
+            return False
+
+        return not has_data(root_p)
 
     def _empty_from_retired(self) -> DataFrame | None:
         """Zero-row frame with the table's schema, recovered from the

@@ -131,7 +131,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.compact import compact_table
 
         n = compact_table(
-            _resolve(m.group(1)), cluster_by=(m.group(2), m.group(3))
+            _resolve(m.group(1)),
+            cluster_by=(m.group(2), m.group(3)),
+            curve="zorder",  # the verb names Z-order, not the default Hilbert
         )
         return spark.createDataFrame(
             [(m.group(1), n)], "table_name string, target_files int"

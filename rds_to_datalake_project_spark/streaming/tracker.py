@@ -73,8 +73,16 @@ class CDCTracker:
     # CDC trickles into fewer, larger upserts without unbounded delay.
     min_files: int = 1
     max_buffer_age: timedelta | None = None
+    # Stale-run lease: ``running`` refuses concurrent starts, but a
+    # SIGKILL mid-batch never clears it — without a lease the flag
+    # would stall ingestion FOREVER. A holder older than ``lease`` is
+    # presumed dead and its flag is reclaimed; the idempotent upsert
+    # (ST7) makes the replayed batch converge even if the old process
+    # was somehow still mid-write.
+    lease: timedelta = timedelta(minutes=30)
     tables: dict[str, TableState] = field(default_factory=dict)
     running: bool = False
+    running_since: datetime | None = None
 
     @classmethod
     def load(cls, path: str, **kwargs) -> CDCTracker:
@@ -94,8 +102,14 @@ class CDCTracker:
                 # caller's values on reload
                 min_files=kwargs.get("min_files", 1),
                 max_buffer_age=kwargs.get("max_buffer_age"),
+                lease=kwargs.get("lease", timedelta(minutes=30)),
                 tables={k: TableState.from_dict(v) for k, v in d["tables"].items()},
                 running=d.get("running", False),
+                running_since=(
+                    datetime.fromisoformat(d["running_since"])
+                    if d.get("running_since")
+                    else None
+                ),
             )
         return cls(path=path, **kwargs)
 
@@ -109,6 +123,9 @@ class CDCTracker:
             ),
             "tables": {k: v.to_dict() for k, v in self.tables.items()},
             "running": self.running,
+            "running_since": (
+                self.running_since.isoformat() if self.running_since else None
+            ),
         }
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(self.path)))
         with os.fdopen(fd, "w") as f:
@@ -145,7 +162,21 @@ class CDCTracker:
 
         st = self.state(table)
         files = discover_cdc_files(cdc_dir, after=st.last_processed)
-        files = files[: self.max_files]
+        chosen = files[: self.max_files]
+        if len(files) > len(chosen):
+            # NEVER cut inside a group of files sharing one encoded
+            # commit time: the watermark commits at that timestamp and
+            # discovery's strict ts > after filter would then skip the
+            # excluded members of the group forever (silent loss on a
+            # bursty writer). max_files is a soft bound at
+            # commit-timestamp granularity.
+            boundary = decode_commit_ts(chosen[-1])
+            for f in files[len(chosen):]:
+                if decode_commit_ts(f) == boundary:
+                    chosen.append(f)
+                else:
+                    break
+        files = chosen
         if not files:
             if self.max_interval is None:
                 return [], None
@@ -153,15 +184,17 @@ class CDCTracker:
                 now = datetime.now(timezone.utc).replace(tzinfo=None)
             idle_wm = now - self.max_interval
             return [], (idle_wm if idle_wm > st.last_processed else None)
-        if len(files) < self.min_files and self.max_buffer_age is not None:
+        if len(files) < self.min_files:
             if now is None:
                 now = datetime.now(timezone.utc).replace(tzinfo=None)
             oldest = min(
                 t for t in (decode_commit_ts(f) for f in files) if t is not None
             )
-            if oldest > now - self.max_buffer_age:
-                # still buffering: under-filled AND younger than the
-                # age bound — defer without advancing anything
+            if self.max_buffer_age is None or oldest > now - self.max_buffer_age:
+                # still buffering: under-filled and (with an age bound
+                # set) younger than it — defer without advancing.
+                # With no age bound only filling up releases the
+                # batch; min_files alone must not be silently inert.
                 return [], None
         next_wm = max(t for t in (decode_commit_ts(f) for f in files) if t is not None)
         return files, next_wm
@@ -197,9 +230,15 @@ def run_incremental_once(
     Returns the number of CDC files processed (0 = idle tick). The
     serialized-runs guard mirrors MaxConcurrentRuns=1 (glue_job.py:110).
     """
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
     if tracker.running:
-        return 0
+        held = now - tracker.running_since if tracker.running_since else None
+        if held is None or held < tracker.lease:
+            return 0
+        # lease expired: the flag's holder died mid-batch (SIGKILL —
+        # its finally never ran). Reclaim instead of stalling forever.
     tracker.running = True
+    tracker.running_since = now
     tracker.save()
     try:
         files, next_wm = tracker.plan_batch(table.spec.name, cdc_dir)
@@ -217,6 +256,7 @@ def run_incremental_once(
         return len(files)
     finally:
         tracker.running = False
+        tracker.running_since = None
         tracker.save()
 
 

@@ -555,3 +555,23 @@ def test_compact_table_preserves_history_on_retained_tables(spark, tmp_path):
     # snapshot BEFORE the compaction (and before commit 1) still exact
     assert {r.v for r in t.read_as_of(0).collect()} == {0}
     assert sorted(map(tuple, t.read_as_of(1).collect())) == s1
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    """how='left' must keep points with NO containing interval (the
+    range predicate rides the join condition, not a post-filter)."""
+    from datetime import datetime as d
+
+    from rds_to_datalake_project_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 10)), (2, d(2024, 1, 5, 10))], ["pid", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(100, d(2024, 1, 1), d(2024, 1, 2))], ["iid", "w_start", "w_end"]
+    )
+    out = range_join(points, intervals, "ts", "w_start", "w_end", how="left")
+    rows = {r.pid: r.iid for r in out.collect()}
+    assert rows == {1: 100, 2: None}  # point 2 kept with nulls
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(points, intervals, "ts", "w_start", "w_end", how="full")

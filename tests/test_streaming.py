@@ -330,3 +330,60 @@ def test_run_incremental_all_multi_table(spark, tmp_path):
         assert {r.id for r in kt.read().collect()} == {f"{name}-k"}
     # second tick: both idle
     assert run_incremental_all(spark, tracker, tables) == {"t_a": 0, "t_b": 0}
+
+
+def test_tracker_lease_reclaims_stale_running_flag(spark, tmp_path, table):
+    """A SIGKILLed run leaves running=True on disk; the lease lets the
+    next process reclaim it instead of stalling ingestion forever."""
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"),
+                              lease=timedelta(minutes=30))
+    # simulate the crashed holder: flag persisted, finally never ran
+    tracker.running = True
+    tracker.running_since = datetime(2024, 1, 1, 0, 0, 0)  # long dead
+    tracker.save()
+
+    fresh = CDCTracker.load(str(tmp_path / "tracker.json"),
+                            lease=timedelta(minutes=30))
+    assert fresh.running is True
+    assert run_incremental_once(spark, fresh, cdc_dir, table) == 1
+    assert {r.id: r.val for r in table.read().collect()} == {"a": "a0"}
+    # a LIVE holder (young flag) is still respected
+    fresh.running = True
+    fresh.running_since = datetime.now().replace(tzinfo=None)
+    assert run_incremental_once(spark, fresh, cdc_dir, table) == 0
+
+
+def test_tracker_min_files_defers_without_age_bound(spark, tmp_path, table):
+    """min_files alone must defer an under-filled batch (it used to be
+    silently inert unless max_buffer_age was also set)."""
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"),
+                              max_files=4, min_files=2)
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 0  # buffering
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 1, 0),
+                    [_row("b", "2024-01-01", "2024-01-01", "b0")])
+    assert run_incremental_once(spark, tracker, cdc_dir, table) == 2  # filled
+
+
+def test_plan_batch_never_splits_a_commit_timestamp_group(tmp_path, monkeypatch):
+    """Truncating inside a group of files sharing one encoded commit
+    time would commit a watermark that skips the rest of the group
+    forever — the bound must stretch to the group boundary."""
+    from rds_to_datalake_project_spark.streaming import tracker as trk
+
+    files = [
+        "/cdc/20240101-100000000.parquet",
+        "/cdc/a/20240101-100001000.parquet",
+        "/cdc/b/20240101-100001000.parquet",
+        "/cdc/c/20240101-100002000.parquet",
+    ]
+    monkeypatch.setattr(trk, "discover_cdc_files", lambda d, after: files)
+    t = CDCTracker(path=str(tmp_path / "x.json"), max_files=2)
+    chosen, wm = t.plan_batch("t", "/cdc")
+    assert len(chosen) == 3  # stretched to include the whole 10:00:01 group
+    assert wm == datetime(2024, 1, 1, 10, 0, 1)
