@@ -96,6 +96,14 @@ _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
 _ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+# Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
+# every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
+# (format='parquet'|'csv'|'json'|'orc')
+_UNLOAD_RE = re.compile(
+    r"^\s*UNLOAD\s*\((?P<q>.*)\)\s*TO\s*'(?P<path>[^']+)'\s*"
+    r"WITH\s*\(\s*format\s*=\s*'(?P<fmt>\w+)'\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
@@ -108,6 +116,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       (operators/compact.compact_table cluster_by)
     - ``DESCRIBE HISTORY <t>``          → commit-log introspection
       (KeyedTable.describe_history)
+    - ``UNLOAD (<query>) TO '<path>' WITH (format='<f>')`` → result
+      export (unload_query; the reference's Athena UNLOAD shape,
+      vendor/aws_athena.py:50-55 — the inner query flows through
+      run_query, so session-registered ``FOR VERSION AS OF`` works)
     - ``VACUUM <t> RETAIN <k> VERSIONS`` → snapshot-history expiry
       (KeyedTable.vacuum_versions)
     - ``ANALYZE <t>``                   → per-column table profile
@@ -176,6 +188,15 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _UNLOAD_RE.match(sql)
+    if m:
+        unload_query(
+            spark, m.group("q"), m.group("path"), fmt=m.group("fmt").lower()
+        )
+        return spark.createDataFrame(
+            [(m.group("path"), m.group("fmt").lower())],
+            "path string, format string",
+        )
     return None
 
 

@@ -178,3 +178,19 @@ def test_sql_facade_zorder_and_history_statements(spark, tmp_path):
     hist = run_query(spark, "DESCRIBE HISTORY z", tables={"z": t}).collect()
     assert [h.version for h in hist] == [1, 2]  # zorder rewrite = commit 2
     assert all(h.readable for h in hist)
+
+
+def test_sql_facade_unload_statement(spark, tmp_path):
+    """The reference's Athena UNLOAD shape parses as a statement and
+    exports through unload_query."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    out = str(tmp_path / "unloaded")
+    res = run_query(
+        spark, f"UNLOAD ({SQL}) TO '{out}' WITH (format='parquet')"
+    ).collect()[0]
+    assert (res.path, res.format) == (out, "parquet")
+    back = spark.read.parquet(out)
+    assert {
+        (r.o_orderpriority, r.n, round(r.total, 2)) for r in back.collect()
+    } == _expected(spark)
