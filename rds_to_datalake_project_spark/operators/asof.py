@@ -30,17 +30,26 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str] | None = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """left rows + latest right payload as of ``left_ts`` (inclusive).
+    """left rows + the right payload as of ``left_ts`` (inclusive).
 
     ``on``: equality key column name present on both sides.
     ``payload_cols``: right columns to carry (default: all right
     columns except the key and ``right_ts``).
     ``how``: "left" keeps unmatched left rows (payload null);
     "inner" drops them.
+    ``direction`` (pandas merge_asof parity, same one-shuffle plan):
+    "backward" = latest version with ts <= probe (the CDC default),
+    "forward" = earliest version with ts >= probe, "nearest" =
+    whichever of the two is closer in time (ties → backward).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -59,21 +68,46 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # version rows sort before probe rows at equal ts → a version
-    # effective exactly at the probe ts is visible (inclusive bound).
-    w = (
+    # the version payload is carried as ONE struct so a version with a
+    # null column can never be mixed with an earlier version's value;
+    # __vts rides inside it so "nearest" can compare distances.
+    version = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col("__ts").alias("__vts"),
+            *[F.col(f"__r_{c}").alias(c) for c in payload_cols],
+        ),
+    )
+    # Backward: version rows sort BEFORE probe rows at equal ts → a
+    # version effective exactly at the probe ts is visible (inclusive).
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # the version payload is carried as ONE struct so a version with a
-    # null column can never be mixed with an earlier version's value.
-    version = F.when(
-        F.col(_SIDE) == 0, F.struct(*[F.col(f"__r_{c}").alias(c) for c in payload_cols])
+    # Forward: the tie order flips (probe first) so an equal-ts version
+    # falls INSIDE the following frame — still inclusive.
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    carried = unioned.select(
-        "*", F.last(version, ignorenulls=True).over(w).alias("__ver")
-    )
+    back = F.last(version, ignorenulls=True).over(wb)
+    fwd = F.first(version, ignorenulls=True).over(wf)
+    if direction == "backward":
+        picked = back
+    elif direction == "forward":
+        picked = fwd
+    else:  # nearest — both windows share the one shuffle on `on`
+        d_back = F.col("__ts") - back["__vts"]
+        d_fwd = fwd["__vts"] - F.col("__ts")
+        picked = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)
+            .otherwise(back)  # ties → backward, pandas semantics
+        )
+    carried = unioned.select("*", picked.alias("__ver"))
     out = carried.filter(F.col(_SIDE) == 1)
     if how == "inner":
         out = out.filter(F.col("__ver").isNotNull())

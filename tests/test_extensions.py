@@ -621,3 +621,46 @@ def test_lsh_mega_bucket_cap(spark):
     }
     assert (100, 101) in capped
     assert all(a >= 100 for a, _ in capped)  # no clone pairs survive
+
+
+def test_asof_join_directions_match_bruteforce(spark):
+    """backward/forward/nearest vs a brute-force reference over every
+    probe — including equal-ts inclusivity and no-candidate edges."""
+    from rds_to_datalake_project_spark.operators.asof import asof_join
+
+    versions = [("k", t, f"v{t}") for t in (10, 20, 30)]
+    probes = [("k", t) for t in (5, 10, 14, 16, 20, 25, 35)]
+    right = spark.createDataFrame(versions, "id string, vts long, val string")
+    left = spark.createDataFrame(probes, "id string, ts long")
+
+    def brute(direction, ts):
+        cands = [v for v in (10, 20, 30)]
+        b = max((v for v in cands if v <= ts), default=None)
+        f = min((v for v in cands if v >= ts), default=None)
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        else:
+            if b is None or (f is not None and f - ts < ts - b):
+                pick = f
+            else:
+                pick = b
+        return f"v{pick}" if pick is not None else None
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.ts: r.val
+            for r in asof_join(
+                left, right, on="id", left_ts="ts", right_ts="vts",
+                direction=direction,
+            ).collect()
+        }
+        want = {ts: brute(direction, ts) for _k, ts in probes}
+        assert got == want, (direction, got, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backward/forward/nearest"):
+        asof_join(left, right, on="id", left_ts="ts", right_ts="vts",
+                  direction="sideways")
