@@ -158,7 +158,9 @@ def compact_table(
         ).drop("__bucket")
     else:
         out = df.repartition(n_files)
-    if cluster_by is None and sort_by_key:
+    if cluster_by is None and not range_by_key and sort_by_key:
+        # (range_by_key already sorted by partition cols + record key;
+        # a second sort would be pure wasted work)
         out = out.sortWithinPartitions(*table.spec.record_key)
     # Commit through the table's staged publish protocol, exactly like
     # an upsert: an in-place overwrite would clear the whole path —
@@ -303,7 +305,14 @@ def compact_partitions(
     key_of = {}
     for rel in plan:
         vals = [seg.split("=", 1)[1] for seg in rel.split("/")]
-        key_of[rel] = "/".join(unescape(v) for v in vals)
+        # Mirror _partition_key_col() EXACTLY: concat_ws skips NULL
+        # segments entirely, so hive-null dirs must contribute nothing
+        # (rendering __HIVE_DEFAULT_PARTITION__ literally would miss
+        # the map lookup → NULL modulus → the whole partition collapses
+        # into one oversized file through one straggler task).
+        key_of[rel] = "/".join(
+            unescape(v) for v in vals if v != "__HIVE_DEFAULT_PARTITION__"
+        )
     n_map = F.create_map(
         *[
             x

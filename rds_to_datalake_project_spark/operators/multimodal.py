@@ -346,6 +346,10 @@ def _decode_image_rows(b: bytes, mime: str) -> tuple[int, int, "np.ndarray"]:
         (offset,) = struct.unpack_from("<I", b, 10)
         width, height = struct.unpack_from("<ii", b, 18)
         (bpp,) = struct.unpack_from("<H", b, 28)
+        if bpp != 24:
+            raise ValueError(
+                f"resize supports 24-bpp BMP only, got {bpp}-bpp"
+            )
         flip = height > 0  # positive height = bottom-up storage
         height = abs(height)
         row_bytes = width * (bpp // 8)

@@ -68,7 +68,13 @@ def build_zonemap(
     Written with overwrite into a dot-dir, which every table reader
     skips, so the index never shadows table data.
     """
-    df, _live = _resolve_table(spark, table_path)
+    # Only the conf + the frame — no file-map here (the inputFiles()
+    # enumeration _resolve_table does would be a wasted full listing
+    # on every index build).
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(table_path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs.append(F.min(c).alias(f"min_{c}"))

@@ -39,10 +39,14 @@ def read_jsonlines(
     explicit ``schema`` — with inference Spark would silently shape
     the schema around the garbage instead of flagging it.
 
-    The split caches the parsed batch so good and bad rows come from
-    ONE parse; sized for micro-batch inputs (the CDC path's bounded
-    batches — maxFilesPerTrigger / tracker limits), not unbounded
-    backfills. The caller may ``unpersist()`` after materializing.
+    The split caches the parsed batch (Spark's analyzer requires a
+    materialized relation to filter on the corrupt column — the rule
+    re-fires on any recompute, so the cache cannot be dropped early).
+    Sized for micro-batch inputs, but a LONG-LIVED driver must not
+    pin one batch per tick: the returned frame carries a
+    ``quarantine_release()`` handle — call it after materializing the
+    clean rows to free the cached batch (``.unpersist()`` on the
+    returned frame itself would not match the cached plan).
     """
     reader = spark.read
     if schema is not None and quarantine_dir is not None:
@@ -51,20 +55,18 @@ def read_jsonlines(
         schema_q = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
         )
-        df = (
+        parsed = (
             reader.schema(schema_q)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
             .json(path)
-            # input_file_name() must be captured BEFORE the cache —
-            # evaluated above the cached scan it returns ''. And
-            # corrupt-record reads must materialize the full row
-            # before the split (Spark rejects a filter referencing
-            # only the corrupt column).
+            # input_file_name() must be captured below the cache, and
+            # Spark's analyzer rejects filters referencing the corrupt
+            # column over a bare file scan — the cache satisfies both.
             .withColumn("__source_file", F.input_file_name())
             .cache()
         )
-        bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_line"),
             F.col("__source_file").alias("source_file"),
         )
@@ -76,15 +78,16 @@ def read_jsonlines(
         import hashlib
 
         batch_key = hashlib.md5(
-            "\n".join(sorted(df.inputFiles())).encode("utf-8")
+            "\n".join(sorted(parsed.inputFiles())).encode("utf-8")
         ).hexdigest()[:16]
         bad.write.mode("overwrite").parquet(
             f"{quarantine_dir.rstrip('/')}/batch-{batch_key}"
         )
-        return (
-            df.filter(F.col(CORRUPT_COL).isNull())
-            .drop(CORRUPT_COL, "__source_file")
+        clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(
+            CORRUPT_COL, "__source_file"
         )
+        clean.quarantine_release = parsed.unpersist
+        return clean
     if schema is not None:
         reader = reader.schema(schema)
     elif quarantine_dir is not None:

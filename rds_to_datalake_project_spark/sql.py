@@ -138,8 +138,15 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             )
         return t
 
+    # Table-bound verbs engage only when KeyedTables are registered —
+    # with an empty registry the statement passes through untouched
+    # (same contract as the AS OF rewrite: a native Delta/Iceberg
+    # catalog may own this syntax). UNLOAD is not table-bound and is
+    # handled below regardless.
+    table_bound = bool(known)
+
     m = _OPTIMIZE_ZORDER_RE.match(sql)
-    if m:
+    if m and table_bound:
         from rds_to_datalake_project_spark.operators.compact import compact_table
 
         n = compact_table(
@@ -151,7 +158,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             [(m.group(1), n)], "table_name string, target_files int"
         )
     m = _OPTIMIZE_RE.match(sql)
-    if m:
+    if m and table_bound:
         from rds_to_datalake_project_spark.operators.compact import (
             compact_partitions,
         )
@@ -162,7 +169,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             "table_name string, partitions_rewritten int",
         )
     m = _HISTORY_RE.match(sql)
-    if m:
+    if m and table_bound:
         hist = _resolve(m.group(1)).describe_history()
         return spark.createDataFrame(
             [
@@ -178,13 +185,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             "created_partitions array<string>, retired_partitions array<string>",
         )
     m = _VACUUM_RE.match(sql)
-    if m:
+    if m and table_bound:
         expired = _resolve(m.group(1)).vacuum_versions(keep_last=int(m.group(2)))
         return spark.createDataFrame(
             [(m.group(1), expired)], "table_name string, versions_expired int"
         )
     m = _ANALYZE_RE.match(sql)
-    if m:
+    if m and table_bound:
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())

@@ -73,7 +73,7 @@ class CDCTracker:
     # CDC trickles into fewer, larger upserts without unbounded delay.
     min_files: int = 1
     max_buffer_age: timedelta | None = None
-    # Stale-run lease: ``running`` refuses concurrent starts, but a
+    # Stale-run lease (see __post_init__ for the min_files contract): ``running`` refuses concurrent starts, but a
     # SIGKILL mid-batch never clears it — without a lease the flag
     # would stall ingestion FOREVER. A holder older than ``lease`` is
     # presumed dead and its flag is reclaimed; the idempotent upsert
@@ -83,6 +83,17 @@ class CDCTracker:
     tables: dict[str, TableState] = field(default_factory=dict)
     running: bool = False
     running_since: datetime | None = None
+
+    def __post_init__(self) -> None:
+        if self.min_files > 1 and self.max_buffer_age is None:
+            # Without an age bound, an under-filled tail batch would
+            # defer FOREVER (the source stops two files short and those
+            # rows never land) — and silently ignoring min_files was
+            # the bug this replaces. Make the contract explicit.
+            raise ValueError(
+                "min_files > 1 requires max_buffer_age (the age bound "
+                "that releases an under-filled tail batch)"
+            )
 
     @classmethod
     def load(cls, path: str, **kwargs) -> CDCTracker:
@@ -105,10 +116,18 @@ class CDCTracker:
                 lease=kwargs.get("lease", timedelta(minutes=30)),
                 tables={k: TableState.from_dict(v) for k, v in d["tables"].items()},
                 running=d.get("running", False),
+                # A pre-lease state file has running=true with no
+                # timestamp; stamp FIRST OBSERVATION so the lease
+                # countdown starts now instead of never (a dead
+                # legacy holder must not stall ingestion forever).
                 running_since=(
                     datetime.fromisoformat(d["running_since"])
                     if d.get("running_since")
-                    else None
+                    else (
+                        datetime.now(timezone.utc).replace(tzinfo=None)
+                        if d.get("running", False)
+                        else None
+                    )
                 ),
             )
         return cls(path=path, **kwargs)

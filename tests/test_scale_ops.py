@@ -520,6 +520,9 @@ def test_jsonlines_quarantine_dead_letters(spark, tmp_path):
     }
     assert all(r.source_file.endswith((".json",)) for r in dead)
 
+    # releasing the cached batch via the attached handle works
+    clean.quarantine_release()
+
     # a tracker RETRY of the same batch must not duplicate dead letters
     read_jsonlines(spark, str(src), schema=schema, quarantine_dir=q).count()
     dead2 = spark.read.option("recursiveFileLookup", "true").parquet(q).collect()

@@ -356,18 +356,28 @@ def test_tracker_lease_reclaims_stale_running_flag(spark, tmp_path, table):
     assert run_incremental_once(spark, fresh, cdc_dir, table) == 0
 
 
-def test_tracker_min_files_defers_without_age_bound(spark, tmp_path, table):
-    """min_files alone must defer an under-filled batch (it used to be
-    silently inert unless max_buffer_age was also set)."""
-    cdc_dir = str(tmp_path / "cdc")
-    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
-                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
-    tracker = CDCTracker.load(str(tmp_path / "tracker.json"),
-                              max_files=4, min_files=2)
-    assert run_incremental_once(spark, tracker, cdc_dir, table) == 0  # buffering
-    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 1, 0),
-                    [_row("b", "2024-01-01", "2024-01-01", "b0")])
-    assert run_incremental_once(spark, tracker, cdc_dir, table) == 2  # filled
+def test_tracker_min_files_requires_age_bound(tmp_path):
+    """min_files alone would strand a tail batch forever — the
+    contract requires the releasing age bound (it used to be
+    silently inert instead, which was worse)."""
+    with pytest.raises(ValueError, match="requires max_buffer_age"):
+        CDCTracker.load(str(tmp_path / "tracker.json"),
+                        max_files=4, min_files=2)
+
+
+def test_tracker_min_files_buffers_then_age_releases(tmp_path, monkeypatch):
+    """plan_batch defers an under-filled young batch and releases it
+    once its oldest file exceeds max_buffer_age."""
+    from rds_to_datalake_project_spark.streaming import tracker as trk
+
+    files = ["/cdc/20240101-100000000.parquet"]
+    monkeypatch.setattr(trk, "discover_cdc_files", lambda d, after: files)
+    t = CDCTracker(path=str(tmp_path / "x.json"), max_files=4,
+                   min_files=2, max_buffer_age=timedelta(minutes=10))
+    got, wm = t.plan_batch("t", "/cdc", now=datetime(2024, 1, 1, 10, 5))
+    assert (got, wm) == ([], None)  # young + under-filled: defer
+    got, wm = t.plan_batch("t", "/cdc", now=datetime(2024, 1, 1, 10, 20))
+    assert got == files and wm == datetime(2024, 1, 1, 10, 0)  # aged out
 
 
 def test_plan_batch_never_splits_a_commit_timestamp_group(tmp_path, monkeypatch):
