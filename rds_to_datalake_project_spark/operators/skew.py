@@ -52,3 +52,28 @@ def salted_join(
     cond = cond & (big_salted[SALT] == small_rep[SALT])
     joined = big_salted.join(small_rep, cond, how)
     return joined.drop(SALT)
+
+
+def hot_keys(
+    df: DataFrame,
+    cols: list[str],
+    min_count: int = 1000,
+    top_k: int = 100,
+) -> DataFrame:
+    """Skew report: join/group keys whose row count reaches
+    ``min_count``, heaviest first (top-k, TakeOrderedAndProject).
+
+    The advisory feeding ``salted_join``/AQE tuning: run it on the
+    fact side's join columns before a big join; keys it surfaces are
+    the ones that melt a hash partition at scale. One partial-agg
+    shuffle over the key columns — the same cost class as the join's
+    own shuffle, but runnable on a sample first."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+        .orderBy(F.col("n_rows").desc(), *[F.col(c) for c in cols])
+        .limit(top_k)
+    )

@@ -1348,6 +1348,26 @@ ORDER BY a_id, b_id
 """
 
 
+def hot_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report over the orders fact's join key
+    (operators/skew.py hot_keys): the customers whose order counts
+    would dominate a hash partition of a customer join."""
+    from rds_to_datalake_project_spark.operators.skew import hot_keys
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hot_keys(orders, ["o_custkey"], min_count=5, top_k=50)
+
+
+HOT_KEYS_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 5
+ORDER BY n_rows DESC, o_custkey
+LIMIT 50
+"""
+
+
 def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage SQ8 ANN (operators/similarity.py sq8_topk): 8-bit
     scalar-quantized approximate scan → exact cosine rerank. Both
@@ -1451,6 +1471,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "sq8_ann_topk": sq8_ann_topk,
+    "hot_order_customers": hot_order_customers,
     "ngram_containment_md5": ngram_containment_md5,
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
@@ -1496,6 +1517,7 @@ ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "sq8_ann_topk": SQ8_ANN_SQL,
+    "hot_order_customers": HOT_KEYS_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,

@@ -32,6 +32,7 @@ _PRIORITY = (
     "zonemap_pruned_scan",
     "tfidf_top_terms",
     "sq8_ann_topk",
+    "hot_order_customers",
     "ngram_containment_md5",
     "ngram_containment_neardup",
     "media_resize_stats",

@@ -664,3 +664,13 @@ def test_asof_join_directions_match_bruteforce(spark):
     with _pytest.raises(ValueError, match="backward/forward/nearest"):
         asof_join(left, right, on="id", left_ts="ts", right_ts="vts",
                   direction="sideways")
+
+
+def test_hot_keys_surfaces_planted_skew(spark):
+    from rds_to_datalake_project_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 0)], ["k", "x"]
+    )
+    out = hot_keys(df, ["k"], min_count=10, top_k=5).collect()
+    assert [(r.k, r.n_rows) for r in out] == [(1, 500)]
