@@ -99,8 +99,23 @@ def asof_join(
     elif direction == "forward":
         picked = fwd
     else:  # nearest — both windows share the one shuffle on `on`
-        d_back = F.col("__ts") - back["__vts"]
-        d_fwd = fwd["__vts"] - F.col("__ts")
+        from pyspark.sql.types import StringType
+
+        if isinstance(unioned.schema["__ts"].dataType, StringType):
+            # The engine's canonical timestamps are ISO-8601 STRINGS
+            # (SURVEY §1.2): their lexicographic order IS chronological,
+            # so the window sort above is already correct — but a
+            # binary minus on StringType fails analysis. Compute the
+            # distances on parsed instants (micros since epoch) while
+            # the ordering stays on the raw column.
+            def _us(c):
+                return F.unix_micros(c.cast("timestamp"))
+
+            d_back = _us(F.col("__ts")) - _us(back["__vts"])
+            d_fwd = _us(fwd["__vts"]) - _us(F.col("__ts"))
+        else:
+            d_back = F.col("__ts") - back["__vts"]
+            d_fwd = fwd["__vts"] - F.col("__ts")
         picked = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

@@ -54,6 +54,40 @@ def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
     return max(1, math.ceil(total_bytes / max(target_file_bytes, 1)))
 
 
+# Position-preserving partition-tuple encoding for the per-partition
+# file-count map (compact_partitions). Every segment contributes —
+# nulls as a control-char marker, segments joined by a control-char
+# separator; both are impossible in real values (which hive-escape on
+# disk and unescape back here). A null-SKIPPING encoding (concat_ws)
+# would collapse a=1/b=NULL and a=NULL/b=1 onto one key — duplicate
+# create_map keys abort under mapKeyDedupPolicy=EXCEPTION, and an
+# unmatched runtime key yields a NULL modulus that funnels the whole
+# partition through one straggler task into a single oversized file.
+_NULL_SEG = "\x00"
+_SEG_SEP = "\x01"
+
+
+def _partition_map_key(path_vals: list[str], unescape) -> str:
+    """Hive path segment values (escaped, as listed on disk) → map key."""
+    return _SEG_SEP.join(
+        _NULL_SEG if v == "__HIVE_DEFAULT_PARTITION__" else unescape(v)
+        for v in path_vals
+    )
+
+
+def _runtime_partition_key(partition_cols: list[str]) -> F.Column:
+    """The same encoding built from the partition COLUMNS at runtime —
+    must stay bit-identical to ``_partition_map_key`` for every
+    possible partition tuple (test_scale_ops pins this)."""
+    return F.concat_ws(
+        _SEG_SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SEG))
+            for c in partition_cols
+        ],
+    )
+
+
 def compact_table(
     table: KeyedTable,
     target_file_bytes: int = 128 * 1024 * 1024,
@@ -302,17 +336,12 @@ def compact_partitions(
     )
     # rel path (as the writer escapes it) → right-sized file count.
     unescape = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
-    key_of = {}
-    for rel in plan:
-        vals = [seg.split("=", 1)[1] for seg in rel.split("/")]
-        # Mirror _partition_key_col() EXACTLY: concat_ws skips NULL
-        # segments entirely, so hive-null dirs must contribute nothing
-        # (rendering __HIVE_DEFAULT_PARTITION__ literally would miss
-        # the map lookup → NULL modulus → the whole partition collapses
-        # into one oversized file through one straggler task).
-        key_of[rel] = "/".join(
-            unescape(v) for v in vals if v != "__HIVE_DEFAULT_PARTITION__"
+    key_of = {
+        rel: _partition_map_key(
+            [seg.split("=", 1)[1] for seg in rel.split("/")], unescape
         )
+        for rel in plan
+    }
     n_map = F.create_map(
         *[
             x
@@ -322,7 +351,7 @@ def compact_partitions(
     )
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in table.spec.record_key]),
-        F.element_at(n_map, table._partition_key_col()),
+        F.element_at(n_map, _runtime_partition_key(table.partition_cols)),
     )
     staged = src.select("*", bucket.alias("__bucket")).repartition(
         *[F.col(c) for c in table.partition_cols], F.col("__bucket")

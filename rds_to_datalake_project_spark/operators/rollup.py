@@ -166,8 +166,18 @@ class RollupTable:
         drains several commits the result converges to the latest
         snapshot (endpoint semantics, same as table_changes).
         """
+        from pyspark.errors import AnalysisException
+
         batch_reader = self.spark.read.option("recursiveFileLookup", "true")
-        schema = batch_reader.parquet(feed_dir).schema
+        try:
+            schema = batch_reader.parquet(feed_dir).schema
+        except AnalysisException:
+            # Feed dir missing or holding no batches yet (a maintenance
+            # tick scheduled before the base table's first retained
+            # commit): nothing to drain — a clean no-op, not a crash.
+            # The hidden _floor marker alone also lands here (hidden
+            # files don't carry a schema).
+            return
         stream = (
             self.spark.readStream.schema(schema)
             .option("recursiveFileLookup", "true")

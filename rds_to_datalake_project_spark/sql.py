@@ -15,15 +15,60 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Table identifiers as users coming from the reference's Athena layer
+# type them: bare (`orders`), qualified (`lake.orders`, any depth), and
+# backtick-quoted per segment (`` `lake`.`orders` ``). The registry is
+# keyed on the UNQUOTED dotted name (see _unquote_ident).
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+_QNAME = rf"{_IDENT}(?:\.{_IDENT})*"
+
 # `<table> FOR VERSION AS OF <k>` — the public time-travel SQL syntax
 # (Delta/Iceberg's spelling), rewritten by run_query into a snapshot
 # temp view so the one SQL facade reaches everything the Python API
 # can (reference parity: ALL queries flow through one SQL layer,
 # athena.py:16-64).
 _AS_OF_RE = re.compile(
-    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+    rf"({_QNAME})\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
     re.IGNORECASE,
 )
+
+_IDENT_RE = re.compile(_IDENT)
+
+
+def _unquote_ident(name: str) -> str:
+    """``` `lake`.`orders` ``` → ``lake.orders`` — the registry key."""
+    return ".".join(
+        seg[1:-1] if seg.startswith("`") else seg
+        for seg in _IDENT_RE.findall(name)
+    )
+
+
+def _mask_string_literals(sql: str) -> str:
+    """A copy of ``sql`` with the CONTENTS of single-quoted string
+    literals blanked (length-preserving, '' escapes respected), so
+    regex matching never fires inside a literal — ``SELECT 'x FOR
+    VERSION AS OF 1'`` must pass through untouched. Spans align 1:1
+    with the original, so match positions transfer directly (the
+    minimal tokenizer the facade needs; full parsing stays in Spark).
+    """
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
 
 # Session-level registry of retained KeyedTables, so SQL users get
 # time travel without threading table objects through every call —
@@ -70,32 +115,44 @@ def run_query(
         return spark.sql(sql).cache() if cache else spark.sql(sql)
 
     def _rewrite(m: re.Match) -> str:
-        name, version = m.group(1), int(m.group(2))
+        name, version = _unquote_ident(m.group(1)), int(m.group(2))
         t = known.get(name)
         if t is None:
             raise ValueError(
                 f"FOR VERSION AS OF on unknown table {name!r}; "
                 f"known: {sorted(known)}"
             )
-        view = f"__asof_{name}_v{version}"
+        view = f"__asof_{re.sub(r'[^A-Za-z0-9_]', '_', name)}_v{version}"
         t.read_as_of(version).createOrReplaceTempView(view)
         return view
 
-    sql = _AS_OF_RE.sub(_rewrite, sql)
+    # Match on the literal-masked text (an AS-OF inside a string
+    # literal is data, not syntax) but splice replacements into the
+    # ORIGINAL — the mask is length-preserving so spans line up.
+    masked = _mask_string_literals(sql)
+    pieces, last = [], 0
+    for m in _AS_OF_RE.finditer(masked):
+        pieces.append(sql[last : m.start()])
+        pieces.append(_rewrite(m))
+        last = m.end()
+    pieces.append(sql[last:])
+    sql = "".join(pieces)
     df = spark.sql(sql)
     return df.cache() if cache else df
 
 
-_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(rf"^\s*OPTIMIZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
 _OPTIMIZE_ZORDER_RE = re.compile(
-    r"^\s*OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$",
+    rf"^\s*OPTIMIZE\s+({_QNAME})\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
-_HISTORY_RE = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE)
-_VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(\w+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
+_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
-_ANALYZE_RE = re.compile(r"^\s*ANALYZE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
+)
+_ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
 # (format='parquet'|'csv'|'json'|'orc')
@@ -130,6 +187,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     silently no-op."""
 
     def _resolve(name: str):
+        name = _unquote_ident(name)
         t = known.get(name)
         if t is None:
             raise ValueError(

@@ -24,7 +24,10 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import tempfile
+import threading
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
@@ -76,13 +79,23 @@ class CDCTracker:
     # Stale-run lease (see __post_init__ for the min_files contract): ``running`` refuses concurrent starts, but a
     # SIGKILL mid-batch never clears it — without a lease the flag
     # would stall ingestion FOREVER. A holder older than ``lease`` is
-    # presumed dead and its flag is reclaimed; the idempotent upsert
-    # (ST7) makes the replayed batch converge even if the old process
-    # was somehow still mid-write.
+    # presumed dead and its flag is reclaimed. Three fences keep a
+    # LIVE-but-slow holder (a batch legitimately outrunning the lease)
+    # from being reclaimed into a concurrent double-write:
+    # - run_incremental_once heartbeats ``running_since`` during the
+    #   batch, so a live holder's lease never looks expired;
+    # - the reclaimer checks holder liveness (same-host pid probe)
+    #   before presuming death;
+    # - the holder fences on its ``running_token`` before the upsert
+    #   and before the watermark commit — if another process DID take
+    #   the lease, the loser aborts instead of double-committing.
     lease: timedelta = timedelta(minutes=30)
     tables: dict[str, TableState] = field(default_factory=dict)
     running: bool = False
     running_since: datetime | None = None
+    running_pid: int | None = None
+    running_host: str | None = None
+    running_token: str | None = None
 
     def __post_init__(self) -> None:
         if self.min_files > 1 and self.max_buffer_age is None:
@@ -129,6 +142,9 @@ class CDCTracker:
                         else None
                     )
                 ),
+                running_pid=d.get("running_pid"),
+                running_host=d.get("running_host"),
+                running_token=d.get("running_token"),
             )
         return cls(path=path, **kwargs)
 
@@ -145,6 +161,9 @@ class CDCTracker:
             "running_since": (
                 self.running_since.isoformat() if self.running_since else None
             ),
+            "running_pid": self.running_pid,
+            "running_host": self.running_host,
+            "running_token": self.running_token,
         }
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(self.path)))
         with os.fdopen(fd, "w") as f:
@@ -153,6 +172,32 @@ class CDCTracker:
 
     def state(self, table: str) -> TableState:
         return self.tables.setdefault(table, TableState())
+
+    # -- lease fencing --------------------------------------------------------
+
+    def _disk_token(self) -> str | None:
+        """The lease token currently persisted in the state file —
+        the fencing ground truth a holder compares its own token to."""
+        try:
+            with open(self.path) as f:
+                return json.load(f).get("running_token")
+        except (OSError, ValueError):
+            return None
+
+    def _holder_alive(self) -> bool:
+        """True iff the recorded holder is VERIFIABLY still running:
+        same host and its pid answers a signal-0 probe. Cross-host
+        holders can't be probed — they return False and rely on the
+        heartbeat to keep their lease fresh."""
+        if self.running_pid is None or self.running_host != socket.gethostname():
+            return False
+        try:
+            os.kill(self.running_pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
 
     # -- batch planning (get_todo twin, :129-161) ----------------------------
 
@@ -254,11 +299,40 @@ def run_incremental_once(
         held = now - tracker.running_since if tracker.running_since else None
         if held is None or held < tracker.lease:
             return 0
-        # lease expired: the flag's holder died mid-batch (SIGKILL —
-        # its finally never ran). Reclaim instead of stalling forever.
+        if tracker._holder_alive():
+            # Lease expired but the holder is verifiably still running
+            # (a legitimately slow batch whose heartbeat we raced, or a
+            # pre-heartbeat writer): reclaiming would put two writers
+            # on one single-writer table. Back off; a DEAD holder's pid
+            # probe fails and the reclaim proceeds next tick.
+            return 0
+        # lease expired and the holder is not provably alive: it died
+        # mid-batch (SIGKILL — its finally never ran). Reclaim instead
+        # of stalling forever.
     tracker.running = True
     tracker.running_since = now
+    tracker.running_pid = os.getpid()
+    tracker.running_host = socket.gethostname()
+    tracker.running_token = uuid.uuid4().hex
+    token = tracker.running_token
     tracker.save()
+
+    # Heartbeat: refresh running_since while the batch runs so a LIVE
+    # holder's lease never expires under a concurrent reclaimer, no
+    # matter how slow the batch. Stops touching the file the moment
+    # the on-disk token is no longer ours (we lost a race anyway).
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        interval = max(tracker.lease.total_seconds() / 3.0, 0.05)
+        while not stop_beat.wait(interval):
+            if tracker._disk_token() != token:
+                return
+            tracker.running_since = datetime.now(timezone.utc).replace(tzinfo=None)
+            tracker.save()
+
+    beat = threading.Thread(target=_beat, daemon=True)
+    beat.start()
     try:
         files, next_wm = tracker.plan_batch(table.spec.name, cdc_dir)
         if not files:
@@ -270,13 +344,32 @@ def run_incremental_once(
         batch = read_cdc_files(spark, files, schema=table.spec.schema, fmt=fmt)
         if batch_fn is not None:
             batch = batch_fn(batch)
+        if tracker._disk_token() != token:
+            raise RuntimeError(
+                "CDC lease lost before upsert (another process reclaimed "
+                "the running flag); aborting — the new holder replays "
+                "this batch"
+            )
         table.upsert(batch, delete_mode=delete_mode)
+        if tracker._disk_token() != token:
+            # The table write is idempotent (ST7) so the thief's replay
+            # converges; but the WATERMARK must have exactly one owner.
+            raise RuntimeError(
+                "CDC lease lost during upsert; watermark not committed — "
+                "the new holder replays this batch (idempotent)"
+            )
         tracker.commit(table.spec.name, next_wm)
         return len(files)
     finally:
-        tracker.running = False
-        tracker.running_since = None
-        tracker.save()
+        stop_beat.set()
+        beat.join(timeout=5)
+        if tracker._disk_token() == token:
+            tracker.running = False
+            tracker.running_since = None
+            tracker.running_pid = None
+            tracker.running_host = None
+            tracker.running_token = None
+            tracker.save()
 
 
 def run_incremental_all(

@@ -623,15 +623,28 @@ def test_lsh_mega_bucket_cap(spark):
     assert all(a >= 100 for a, _ in capped)  # no clone pairs survive
 
 
-def test_asof_join_directions_match_bruteforce(spark):
+import pytest as _pt
+
+
+@_pt.mark.parametrize("ts_dtype", ["long", "iso_string"])
+def test_asof_join_directions_match_bruteforce(spark, ts_dtype):
     """backward/forward/nearest vs a brute-force reference over every
-    probe — including equal-ts inclusivity and no-candidate edges."""
+    probe — including equal-ts inclusivity and no-candidate edges.
+    Parametrized over long AND ISO-8601-string timestamps: the engine
+    canonically stores timestamps as ISO strings (SURVEY §1.2), so
+    every direction must run over them (r5 verdict: ``nearest`` raised
+    DATATYPE_MISMATCH on the string minus)."""
     from rds_to_datalake_project_spark.operators.asof import asof_join
 
-    versions = [("k", t, f"v{t}") for t in (10, 20, 30)]
-    probes = [("k", t) for t in (5, 10, 14, 16, 20, 25, 35)]
-    right = spark.createDataFrame(versions, "id string, vts long, val string")
-    left = spark.createDataFrame(probes, "id string, ts long")
+    def enc(t):
+        # seconds-of-minute encoding keeps string order == time order
+        return f"2024-03-01T00:00:{t:02d}" if ts_dtype == "iso_string" else t
+
+    sql_t = "long" if ts_dtype == "long" else "string"
+    versions = [("k", enc(t), f"v{t}") for t in (10, 20, 30)]
+    probes = [("k", enc(t), t) for t in (5, 10, 14, 16, 20, 25, 35)]
+    right = spark.createDataFrame(versions, f"id string, vts {sql_t}, val string")
+    left = spark.createDataFrame(probes, f"id string, ts {sql_t}, t long")
 
     def brute(direction, ts):
         cands = [v for v in (10, 20, 30)]
@@ -650,13 +663,13 @@ def test_asof_join_directions_match_bruteforce(spark):
 
     for direction in ("backward", "forward", "nearest"):
         got = {
-            r.ts: r.val
+            r.t: r.val
             for r in asof_join(
                 left, right, on="id", left_ts="ts", right_ts="vts",
                 direction=direction,
             ).collect()
         }
-        want = {ts: brute(direction, ts) for _k, ts in probes}
+        want = {t: brute(direction, t) for _k, _ts, t in probes}
         assert got == want, (direction, got, want)
 
     import pytest as _pytest

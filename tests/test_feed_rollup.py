@@ -112,6 +112,36 @@ def test_feed_driven_rollup_converges_and_tombstones(spark, tmp_path):
     assert {r.bucket_start.hour for r in roll.read().collect()} == {10, 11, 12}
 
 
+def test_maintain_from_feed_noop_on_missing_or_empty_feed(spark, tmp_path):
+    """A maintenance tick scheduled before the base table's first
+    retained commit must be a clean no-op, not a schema-inference
+    crash (r5 advice): missing feed dir, empty feed dir, and a feed
+    dir holding only the hidden _floor marker."""
+    roll = RollupTable(
+        spark,
+        str(tmp_path / "roll"),
+        ts_col="ts",
+        window="1 hour",
+        aggs={"n": F.count("*")},
+    )
+    base = KeyedTable(spark, str(tmp_path / "base"), SPEC, retain_versions=5)
+    ckpt = str(tmp_path / "ckpt")
+    feed = str(tmp_path / "feed")
+
+    # missing dir
+    roll.maintain_from_feed(base, feed, ckpt)
+    # empty dir
+    import os
+
+    os.makedirs(feed)
+    roll.maintain_from_feed(base, feed, ckpt)
+    # only the hidden floor marker (all batches vacuumed)
+    with open(os.path.join(feed, "_floor"), "w") as f:
+        f.write("3")
+    roll.maintain_from_feed(base, feed, ckpt)
+    assert not roll.table.exists()  # nothing was refreshed
+
+
 def test_plain_incremental_refresh_still_appends_without_change_types(
     spark, tmp_path
 ):

@@ -355,6 +355,43 @@ def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
 
 
+def test_partition_map_key_preserves_null_positions(spark):
+    """The per-partition file-count map key must distinguish a=1/b=NULL
+    from a=NULL/b=1 (r5 advice: a null-skipping concat_ws collapsed
+    them — duplicate create_map keys abort under
+    mapKeyDedupPolicy=EXCEPTION) and must stay bit-identical between
+    the path-derived and the column-derived encodings."""
+    from rds_to_datalake_project_spark.operators.compact import (
+        _partition_map_key,
+        _runtime_partition_key,
+    )
+
+    unescape = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    )
+    HN = "__HIVE_DEFAULT_PARTITION__"
+    k_a1 = _partition_map_key(["1", HN], unescape)
+    k_b1 = _partition_map_key([HN, "1"], unescape)
+    assert k_a1 != k_b1  # null position survives the encoding
+    # escaped special chars round-trip ('/' inside a VALUE can no
+    # longer alias two tuples either — the separator is a control char)
+    assert _partition_map_key(["x%2Fy", HN], unescape) != _partition_map_key(
+        ["x", "y"], unescape
+    )
+
+    df = spark.createDataFrame(
+        [("1", None), (None, "1"), ("x/y", None)], "a string, b string"
+    )
+    got = [
+        r.k for r in df.select(_runtime_partition_key(["a", "b"]).alias("k")).collect()
+    ]
+    assert got == [
+        k_a1,
+        k_b1,
+        _partition_map_key(["x%2Fy", HN], unescape),
+    ]
+
+
 def test_compact_partitions_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
     from tests.test_crash_recovery import Boom, _inject
 

@@ -356,6 +356,82 @@ def test_tracker_lease_reclaims_stale_running_flag(spark, tmp_path, table):
     assert run_incremental_once(spark, fresh, cdc_dir, table) == 0
 
 
+def test_tracker_live_holder_not_reclaimed(spark, tmp_path, table):
+    """An expired lease alone must not evict a VERIFIABLY live holder
+    (a batch legitimately slower than the lease): same-host pid probe
+    blocks the reclaim, so two writers never share the single-writer
+    table (r5 advice)."""
+    import os
+    import socket
+
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    tracker = CDCTracker.load(str(tmp_path / "tracker.json"),
+                              lease=timedelta(minutes=30))
+    tracker.running = True
+    tracker.running_since = datetime(2024, 1, 1, 0, 0, 0)  # lease long gone
+    tracker.running_pid = os.getpid()          # ...but the holder LIVES
+    tracker.running_host = socket.gethostname()
+    tracker.running_token = "live-holder"
+    tracker.save()
+
+    fresh = CDCTracker.load(str(tmp_path / "tracker.json"),
+                            lease=timedelta(minutes=30))
+    assert run_incremental_once(spark, fresh, cdc_dir, table) == 0
+    assert CDCTracker.load(str(tmp_path / "tracker.json")).running is True
+
+
+def test_tracker_heartbeat_keeps_slow_batch_leased(spark, tmp_path, table):
+    """A live holder heartbeats running_since during the batch, so its
+    lease never looks expired to a concurrent tick even when the batch
+    outruns the configured lease."""
+    import json as _json
+    import time as _time
+
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    path = str(tmp_path / "tracker.json")
+    tracker = CDCTracker.load(path, lease=timedelta(seconds=1))
+    seen = {}
+
+    def slow(df):
+        seen["at_start"] = _json.load(open(path))["running_since"]
+        _time.sleep(2.5)  # > 2 lease periods; heartbeat fires ~every 1/3 s
+        seen["at_end"] = _json.load(open(path))["running_since"]
+        return df
+
+    assert run_incremental_once(spark, tracker, cdc_dir, table,
+                                batch_fn=slow) == 1
+    assert seen["at_end"] > seen["at_start"]  # lease stayed fresh
+    final = _json.load(open(path))
+    assert final["running"] is False and final["running_token"] is None
+
+
+def test_tracker_lost_lease_aborts_watermark_commit(spark, tmp_path, table):
+    """If another process DOES take the lease mid-batch, the loser
+    fences on its token and aborts instead of double-committing the
+    watermark."""
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "a0")])
+    path = str(tmp_path / "tracker.json")
+    tracker = CDCTracker.load(path)
+
+    def thief(df):
+        stolen = CDCTracker.load(path)
+        stolen.running_token = "thief"
+        stolen.save()
+        return df
+
+    with pytest.raises(RuntimeError, match="lease lost"):
+        run_incremental_once(spark, tracker, cdc_dir, table, batch_fn=thief)
+    assert tracker.state("t").last_processed == datetime(1970, 1, 1)
+    # the loser must NOT clobber the thief's flag on exit
+    assert CDCTracker.load(path).running_token == "thief"
+
+
 def test_tracker_min_files_requires_age_bound(tmp_path):
     """min_files alone would strand a tail batch forever — the
     contract requires the releasing age bound (it used to be
