@@ -285,6 +285,10 @@ class KeyedTable:
             # with the path; be explicit in case of scheme quirks).
             self._fs_delete(f"{self.path}/.meta")
             self._fs_delete(f"{self.path}/.retired")
+        # Token AFTER the table reset (the overwrite clears .meta with
+        # the path): a crash before this leaves no _SEQ, which reads
+        # treat as "never trust the manifest" — conservative.
+        self._bump_seq()
         self._maintain_zonemap()
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
@@ -470,6 +474,10 @@ class KeyedTable:
         (already-published partitions are simply no longer in staging).
         Staging is deleted only after every swap succeeded.
         """
+        # State token FIRST — before any swap becomes visible — so a
+        # zone-map manifest stamped with the PREVIOUS token can never
+        # be mistaken for current mid-publish (see _bump_seq).
+        self._bump_seq()
         version = None
         if self.retain_versions:
             version = self._flag_meta(f"{staging}/{_READY_FLAG}").get("version")
@@ -540,7 +548,46 @@ class KeyedTable:
             return
         from rds_to_datalake_project_spark.operators.zonemap import refresh_zonemap
 
-        refresh_zonemap(self.spark, self.path, self.zonemap_columns)
+        # The token is read BEFORE refresh lists the live set: if a
+        # later mutation bumps it mid-refresh, the stamped manifest
+        # simply mismatches and reads fall back to a listing.
+        refresh_zonemap(
+            self.spark,
+            self.path,
+            self.zonemap_columns,
+            sync_token=self._read_seq(),
+        )
+
+    # -- live-state token (zone-map manifest freshness) -----------------------
+    #
+    # Every mutation of the LIVE file set (publish swaps, initial-load
+    # overwrite, partition drops) first writes a fresh opaque token to
+    # ``.meta/_SEQ``. refresh_zonemap stamps the token it observed into
+    # the index sidecar after reconciling — matching tokens prove the
+    # sidecar's file list IS the current live set (single-writer
+    # protocol), letting zoned reads and fast_count skip the O(files)
+    # directory listing entirely; any mismatch, absence, or
+    # out-of-band write falls back to a real listing (the advisory
+    # contract is unchanged). Bump-BEFORE-mutate is what makes a crash
+    # at any point conservative: the manifest can only ever look
+    # STALE, never fresher than the tree.
+
+    def _read_seq(self) -> str | None:
+        fs, p = self._fs(f"{self.path}/.meta/_SEQ")
+        if not fs.exists(p):
+            return None
+        return self._read_flag_text(f"{self.path}/.meta/_SEQ").strip() or None
+
+    def _bump_seq(self) -> None:
+        fs, meta_dir = self._fs(f"{self.path}/.meta")
+        fs.mkdirs(meta_dir)
+        _, tmp_p = self._fs(f"{self.path}/.meta/._SEQ.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(uuid.uuid4().hex.encode("utf-8"))
+        out.close()
+        _, seq_p = self._fs(f"{self.path}/.meta/_SEQ")
+        fs.delete(seq_p, True)
+        self._rename(fs, tmp_p, seq_p)
 
     def lookup(self, key_value) -> DataFrame:
         """Point lookup by the leading record-key column through the
@@ -886,23 +933,33 @@ class KeyedTable:
             and st.getPath().getName()[1:].isdigit()
         )
         expired = versions[:-keep_last]
+        if expired:
+            # Persist the retention floor BEFORE deleting anything —
+            # the same crash posture as _write_floor for table
+            # retention: a crash between the two steps leaves
+            # undeleted-but-expired batch dirs (the next vacuum
+            # re-deletes them) instead of deleted batches with no
+            # floor, which write_changes_feed would re-materialize
+            # under fresh part-file names and the streaming file
+            # source would re-deliver as duplicates.
+            self._write_feed_floor(feed_dir, max(expired))
         for v in expired:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/v{v}"), True)
-        if expired:
-            # Persist the retention floor (tmp + rename, monotonic) so
-            # the next write_changes_feed never RE-materializes what
-            # retention deleted — without it the feed grows back at
-            # every publish.
-            floor = max(expired)
-            if floor > self._read_feed_floor(feed_dir):
-                tmp = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/._floor.tmp")
-                out = fs.create(tmp, True)
-                out.write(str(floor).encode("utf-8"))
-                out.close()
-                dst = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/_floor")
-                fs.delete(dst, True)
-                self._rename(fs, tmp, dst)
         return expired
+
+    def _write_feed_floor(self, feed_dir: str, floor: int) -> None:
+        """Persist the feed retention floor (tmp + rename, monotonic)."""
+        if floor <= self._read_feed_floor(feed_dir):
+            return
+        jvm = self.spark._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/._floor.tmp")
+        fs = tmp.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        out = fs.create(tmp, True)
+        out.write(str(floor).encode("utf-8"))
+        out.close()
+        dst = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/_floor")
+        fs.delete(dst, True)
+        self._rename(fs, tmp, dst)
 
     def _read_feed_floor(self, feed_dir: str) -> int:
         jvm = self.spark._jvm
@@ -1015,9 +1072,11 @@ class KeyedTable:
                 to_drop.append(rel)
         if not to_drop:
             return 0
+        self._bump_seq()  # live tree about to mutate — invalidate manifests
         if not self.retain_versions:
             for rel in to_drop:
                 self._fs_delete(f"{self.path}/{rel}")
+            self._maintain_zonemap()
             return len(to_drop)
 
         # Complete any interrupted publish FIRST: a crashed flagged
@@ -1048,6 +1107,7 @@ class KeyedTable:
         if self.changes_feed_dir:
             self.write_changes_feed(self.changes_feed_dir)
         self.vacuum_versions(keep_last=self.retain_versions)
+        self._maintain_zonemap()  # re-sync the manifest after the drop
         return len(to_drop)
 
     # -- filesystem commit layer (Hadoop FileSystem API: portable

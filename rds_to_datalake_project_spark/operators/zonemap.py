@@ -122,6 +122,94 @@ def _resolve_table(spark: SparkSession, table_path: str):
     return full, live
 
 
+def _read_small(spark: SparkSession, path: str) -> str | None:
+    """Tiny marker-file read via the Hadoop FileSystem API (portable
+    across local/HDFS/S3A — never os.path)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(text.encode("utf-8"))
+    out.close()
+
+
+def _index_is_synced(spark: SparkSession, table_path: str, index_dir: str) -> bool:
+    """True when the sidecar PROVABLY reflects the current live file
+    set, making its file list a manifest that replaces the O(files)
+    directory listing: the table writes a fresh opaque token to
+    ``.meta/_SEQ`` BEFORE any live-tree mutation
+    (KeyedTable._bump_seq), and refresh_zonemap stamps the token it
+    observed into ``<index>/_SYNC`` after reconciling. Matching tokens
+    ⇒ no mutation since the reconcile ⇒ index rows == live files
+    (single-writer publish protocol). Any mismatch or absence — plain
+    directories, crashed publishes, out-of-band file drops — falls
+    back to a real listing, so the advisory correctness contract is
+    unchanged; only the metadata cost differs."""
+    seq = _read_small(spark, f"{table_path.rstrip('/')}/.meta/_SEQ")
+    if seq is None or not seq.strip():
+        return False
+    sync = _read_small(spark, f"{index_dir}/_SYNC")
+    return sync is not None and sync.strip() == seq.strip()
+
+
+def _plan_zoned_read(
+    spark: SparkSession,
+    table_path: str,
+    predicates: dict[str, tuple],
+    index_dir: str | None = None,
+    _resolved=None,
+):
+    """Shared planner: ``(files_to_read, n_skipped, full_df_or_None)``.
+
+    ONE collect of ``(file, kept)`` pairs resolves the whole index —
+    the kept flag and the indexed set come from the same pass. When
+    the index is token-synced (see _index_is_synced) the indexed set
+    doubles as the live-set manifest and no directory listing happens
+    at all; ``full`` comes back None in that case."""
+    idx = index_dir or _index_dir(table_path)
+    try:
+        stats = spark.read.parquet(idx)
+    except Exception:
+        full, live = _resolved or _resolve_table(spark, table_path)
+        return sorted(live.values()), 0, full  # no index → full scan
+
+    cond = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        if f"min_{col}" in stats.columns and f"max_{col}" in stats.columns:
+            cond = cond & _zone_intersects(col, lo, hi)
+    rows = stats.select(F.col(_FILE), cond.alias("__kept")).collect()
+    indexed = {_norm(r[0]): r[0] for r in rows}
+    kept = {_norm(r[0]) for r in rows if r[1]}
+
+    full = None
+    if _resolved is not None:
+        full, live = _resolved
+    elif _index_is_synced(spark, table_path, idx):
+        live = indexed  # the reconciled index IS the live set
+    else:
+        full, live = _resolve_table(spark, table_path)
+
+    files = [
+        orig
+        for path, orig in sorted(live.items())
+        if path not in indexed or path in kept
+    ]
+    return files, len(live) - len(files), full
+
+
 def prune_files(
     spark: SparkSession,
     table_path: str,
@@ -138,27 +226,10 @@ def prune_files(
     included iff every covered predicate interval intersects their
     zone. Paths come back in Spark-readable form.
     """
-    full, live = _resolved or _resolve_table(spark, table_path)
-
-    idx = index_dir or _index_dir(table_path)
-    try:
-        stats = spark.read.parquet(idx)
-    except Exception:
-        return sorted(live.values()), 0  # no index → full scan
-
-    cond = F.lit(True)
-    for col, (lo, hi) in predicates.items():
-        if f"min_{col}" in stats.columns and f"max_{col}" in stats.columns:
-            cond = cond & _zone_intersects(col, lo, hi)
-    indexed = {_norm(r[0]) for r in stats.select(_FILE).collect()}
-    kept = {_norm(r[0]) for r in stats.filter(cond).select(_FILE).collect()}
-
-    files = [
-        orig
-        for path, orig in sorted(live.items())
-        if path not in indexed or path in kept
-    ]
-    return files, len(live) - len(files)
+    files, skipped, _full = _plan_zoned_read(
+        spark, table_path, predicates, index_dir, _resolved
+    )
+    return files, skipped
 
 
 def pruned_read(
@@ -172,7 +243,6 @@ def pruned_read(
     whose zones can match. The residual predicate is still applied —
     zones over-approximate — so the result is EXACTLY the full-scan
     filter, independent of index state."""
-    full, live = _resolve_table(spark, table_path)
     residual = F.lit(True)
     for col, (lo, hi) in predicates.items():
         if lo is not None:
@@ -180,19 +250,29 @@ def pruned_read(
         if hi is not None:
             residual = residual & (F.col(col) <= F.lit(hi))
 
-    files, _skipped = prune_files(
-        spark, table_path, predicates, index_dir, _resolved=(full, live)
+    files, _skipped, full = _plan_zoned_read(
+        spark, table_path, predicates, index_dir
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
     if not files:
+        if full is None:  # trusted-manifest path pruned everything:
+            # one listing only for the empty frame's schema (rare —
+            # the predicate matched no zone at all)
+            full, _live = _resolve_table(spark, table_path)
         return full.filter(residual).limit(0)
     # basePath keeps hive partition columns alive when reading leaf
     # files directly — without it every partition column reads NULL.
-    return (
-        spark.read.schema(full.schema)
-        .option("basePath", table_path)
-        .parquet(*files)
-        .filter(residual)
+    reader = spark.read.option("basePath", table_path)
+    # Pin the resolved schema when a full resolution happened anyway;
+    # on the manifest path merge from the pruned files themselves.
+    reader = (
+        reader.schema(full.schema)
+        if full is not None
+        else reader.option("mergeSchema", "true")
     )
+    return reader.parquet(*files).filter(residual)
 
 
 def refresh_zonemap(
@@ -200,6 +280,7 @@ def refresh_zonemap(
     table_path: str,
     columns: list[str],
     index_dir: str | None = None,
+    sync_token: str | None = None,
 ) -> tuple[int, int]:
     """Incrementally reconcile the index with the live file set.
 
@@ -211,8 +292,21 @@ def refresh_zonemap(
     falls back to a full build; an emptied table drops the index.
     Correctness never depends on this running (advisory contract) —
     it restores pruning EFFECTIVENESS after the live set changes.
+
+    ``sync_token``: the table's ``.meta/_SEQ`` value as read BEFORE
+    this call (KeyedTable._maintain_zonemap passes it). After the
+    reconcile the token is stamped into ``<index>/_SYNC``, turning the
+    index into a trusted live-set manifest for reads until the next
+    mutation bumps the table token (see _index_is_synced). Callers
+    without a token (plain directories) simply never get the trusted
+    fast path.
     """
     idx = index_dir or _index_dir(table_path)
+
+    def _stamp() -> None:
+        if sync_token is not None:
+            _write_small(spark, f"{idx}/_SYNC", sync_token)
+
     try:
         full, live = _resolve_table(spark, table_path)
     except Exception:
@@ -229,6 +323,7 @@ def refresh_zonemap(
         stats = spark.read.parquet(idx)
     except Exception:
         build_zonemap(spark, table_path, columns, idx)
+        _stamp()
         return (len(live), 0)
     want = (
         {_FILE, "n_rows"}
@@ -237,12 +332,16 @@ def refresh_zonemap(
     )
     if set(stats.columns) != want:
         build_zonemap(spark, table_path, columns, idx)
+        _stamp()
         return (len(live), 0)
 
     indexed = {_norm(r[0]): r[0] for r in stats.select(_FILE).collect()}
     new = [orig for p, orig in sorted(live.items()) if p not in indexed]
     stale = [orig for p, orig in sorted(indexed.items()) if p not in live]
     if not new and not stale:
+        # index already matches the live set — just re-stamp (the
+        # mutation that bumped the token touched no data files)
+        _stamp()
         return (0, 0)
     kept = stats.filter(~F.col(_FILE).isin(stale)) if stale else stats
     if new:
@@ -264,9 +363,12 @@ def refresh_zonemap(
         )
         kept = kept.unionByName(fresh.select(*stats.columns))
     # The new index is derived from the old one lazily — materialize
-    # before overwriting the directory it reads from.
+    # before overwriting the directory it reads from. The overwrite
+    # clears any previous _SYNC with the dir — correct: the stamp must
+    # postdate the index contents.
     out = kept.localCheckpoint(eager=True)
     out.coalesce(1).write.mode("overwrite").parquet(idx)
+    _stamp()
     return (len(new), len(stale))
 
 
@@ -283,13 +385,17 @@ def fast_count(spark: SparkSession, table_path: str, index_dir: str | None = Non
     zero data reads — and only files the index has never seen are
     scanned. Exact under the advisory contract: stale index rows
     (files gone) are ignored via the live-set intersection, unindexed
-    files fall back to a real (column-less, footer-only) count."""
-    full, live = _resolve_table(spark, table_path)
+    files fall back to a real (column-less, footer-only) count. On a
+    token-synced index (see _index_is_synced) the count is PURE
+    metadata — one sidecar read, no directory listing, no footers."""
     idx = index_dir or _index_dir(table_path)
     try:
         stats = spark.read.parquet(idx).select(_FILE, "n_rows").collect()
     except Exception:
         stats = []
+    if stats and _index_is_synced(spark, table_path, idx):
+        return int(sum(r[1] for r in stats))
+    full, live = _resolve_table(spark, table_path)
     indexed = {_norm(r[0]): r[1] for r in stats}
     total = sum(n for p, n in indexed.items() if p in live)
     unindexed = [orig for p, orig in live.items() if p not in indexed]

@@ -331,3 +331,42 @@ def test_vacuum_changes_feed_keeps_newest(spark, tmp_path):
     assert t.vacuum_changes_feed(feed, keep_last=1) == []
     assert t.write_changes_feed(feed) == []
     assert dirs() == ["v3"]
+
+
+def test_vacuum_changes_feed_floor_written_before_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """Crash posture (r5 advice): the feed floor persists BEFORE any
+    batch dir is deleted, so a crash mid-vacuum can only leave
+    undeleted-but-expired dirs — never deleted batches that the next
+    write_changes_feed re-materializes (and re-delivers to streaming
+    consumers as duplicates)."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    feed = str(tmp_path / "feed")
+    assert t.write_changes_feed(feed) == [1, 2, 3]
+
+    orig = KeyedTable._write_feed_floor
+
+    def crash_after_floor(self, feed_dir, floor):
+        orig(self, feed_dir, floor)
+        raise RuntimeError("injected: crash after floor, before deletes")
+
+    def dirs():
+        return sorted(n for n in os.listdir(feed) if n.startswith("v"))
+
+    with monkeypatch.context() as m:
+        m.setattr(KeyedTable, "_write_feed_floor", crash_after_floor)
+        with pytest.raises(RuntimeError, match="injected"):
+            t.vacuum_changes_feed(feed, keep_last=1)
+
+    # nothing deleted yet, but the floor is already durable: the next
+    # publish path must not treat the expired batches as re-writable
+    assert dirs() == ["v1", "v2", "v3"]
+    assert t._read_feed_floor(feed) == 2
+    assert t.write_changes_feed(feed) == []
+    # the next vacuum finishes the interrupted deletes
+    assert t.vacuum_changes_feed(feed, keep_last=1) == [1, 2]
+    assert dirs() == ["v3"]

@@ -8,6 +8,7 @@ files — the read's inputFiles set shrinks.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from rds_to_datalake_project_spark.catalog import load_table
@@ -213,6 +214,84 @@ def test_fast_count_metadata_only_and_fallback(spark, sf_dir, tmp_path):
         "append"
     ).parquet(path)
     assert fast_count(spark, path) == expected + 9
+
+
+def test_synced_index_is_live_manifest_no_listing(spark, tmp_path, monkeypatch):
+    """On a KeyedTable whose zone map the publish protocol maintains,
+    a zoned read/count derives the live file set from the token-synced
+    index — NO directory listing (r5 verdict #1: the O(files)
+    inputFiles() round trip per read was the last per-query
+    driver-side metadata cost). The seam: _resolve_table is the only
+    listing path; poison it and the synced read must still work."""
+    from rds_to_datalake_project_spark.operators import zonemap as zm
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.operators.zonemap import fast_count
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("mt", record_key=("id",), precombine_key="update_at")
+    t = KeyedTable(spark, str(tmp_path / "mt"), spec, zonemap_columns=["score"])
+    t.initial_load(_kv_rows(spark, range(100), "v0"))
+    t.upsert(_kv_rows(spark, range(50, 150), "v1"))
+    expect = sorted(
+        (r.id, r.val)
+        for r in t.read().filter(F.col("score").between(120, 130)).collect()
+    )
+    total = t.read().count()
+
+    def boom(*_a, **_k):
+        raise AssertionError("zoned read paid a directory listing")
+
+    with monkeypatch.context() as m:
+        m.setattr(zm, "_resolve_table", boom)
+        got = sorted(
+            (r.id, r.val)
+            for r in t.read_where({"score": (120, 130)}).collect()
+        )
+        assert got == expect
+        assert fast_count(spark, t.path) == total
+
+    # out-of-band mutation (no refresh ran): the token mismatch must
+    # revoke trust and route back through a real listing
+    t._bump_seq()
+    with monkeypatch.context() as m:
+        m.setattr(zm, "_resolve_table", boom)
+        with pytest.raises(AssertionError, match="directory listing"):
+            t.read_where({"score": (120, 130)}).collect()
+    # ...and with the real listing the read is still exact (advisory)
+    got = sorted(
+        (r.id, r.val) for r in t.read_where({"score": (120, 130)}).collect()
+    )
+    assert got == expect
+    assert fast_count(spark, t.path) == total
+
+    # the next publish re-syncs the manifest
+    t.upsert(_kv_rows(spark, range(150, 160), "v2"))
+    with monkeypatch.context() as m:
+        m.setattr(zm, "_resolve_table", boom)
+        assert fast_count(spark, t.path) == total + 10
+
+
+def test_plain_directory_never_trusts_manifest(spark, sf_dir, tmp_path):
+    """A zone map built on a plain directory (no KeyedTable, no _SEQ
+    token) keeps the old behavior: listing every read, so out-of-band
+    appends stay visible (the advisory contract)."""
+    from rds_to_datalake_project_spark.operators.zonemap import (
+        _index_is_synced,
+        fast_count,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "orders")
+    _write_clustered(spark, sf_dir, path, n_files=4)
+    build_zonemap(spark, path, ["o_orderdate"])
+    assert not _index_is_synced(spark, path, path + "/.zonemap")
+    expected = load_table(spark, sf_dir, "orders").count()
+    load_table(spark, sf_dir, "orders").limit(9).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert fast_count(spark, path) == expected + 9  # appended rows visible
+    n_all = pruned_read(spark, path, {"o_orderdate": (None, None)}).count()
+    assert n_all == expected + 9
 
 
 def test_key_clustered_lookup_opens_few_files(spark, tmp_path):
