@@ -612,6 +612,83 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(docs, top_k=50)
 
 
+_BPE_TABLE_MERGES = 10
+
+
+def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL iterative BPE trainer loop (operators/text.
+    bpe_merge_table): apply the top merge, re-count, repeat — the
+    ordered merge table a tokenizer replays. The oracle is the same
+    loop unrolled into a DuckDB CTE chain, so every rank, pair, and
+    count is hash-checked cross-engine."""
+    from rds_to_datalake_project_spark.operators.text import bpe_merge_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, n_merges=_BPE_TABLE_MERGES)
+
+
+def _bpe_merge_table_sql(k: int) -> str:
+    """The trainer loop unrolled to ``k`` merges as one DuckDB query —
+    each iteration mirrors the Spark operator exactly: double-separator
+    symbol encoding, pair counts weighted by word frequency, top-1 by
+    (count DESC, lhs, rhs), merge applied by non-overlapping string
+    replace (= greedy left-to-right application; see
+    operators/text.BPE_SYM_SEP)."""
+    # AS MATERIALIZED on every multiply-referenced CTE: s{i} feeds both
+    # y{i+1} and s{i+1}, and b{i} is referenced four times by s{i} —
+    # without the hint DuckDB inlines the chain exponentially (the
+    # 10-deep chain re-opened the parquet file thousands of times).
+    ss = "(chr(31) || chr(31))"
+    parts = [
+        r"""WITH w0 AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS tok
+        FROM documents)
+  WHERE len(tok) >= 2 AND NOT contains(tok, chr(31))
+  GROUP BY tok
+), s0 AS MATERIALIZED (
+  SELECT """
+        + ss
+        + " || array_to_string(list_transform(range(1, len(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), "
+        + ss
+        + ") || "
+        + ss
+        + """ AS seq, n
+  FROM w0
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", y{i} AS (
+  SELECT list_filter(string_split(seq, chr(31) || chr(31)), x -> x <> '') AS syms, n
+  FROM s{i - 1}
+), p{i} AS (
+  SELECT struct_extract(pr, 'a') AS a, struct_extract(pr, 'b') AS b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), j ->
+             struct_pack(a := syms[CAST(j AS INT)], b := syms[CAST(j AS INT) + 1]))) AS pr, n
+    FROM y{i} WHERE len(syms) >= 2
+  )
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT {i} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count
+  FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT replace(seq,
+                 chr(31) || (SELECT lhs FROM b{i}) || chr(31) || chr(31) || (SELECT rhs FROM b{i}) || chr(31),
+                 chr(31) || (SELECT lhs FROM b{i}) || (SELECT rhs FROM b{i}) || chr(31)) AS seq, n
+  FROM s{i - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+BPE_MERGE_TABLE_SQL = _bpe_merge_table_sql(_BPE_TABLE_MERGES)
+
+
 BPE_MERGE_SQL = r"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS tok
@@ -1476,6 +1553,7 @@ QUERIES = {
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
+    "bpe_merge_table": bpe_merge_table_q,
     "curate_documents_decisions": curate_documents_decisions,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
@@ -1521,6 +1599,7 @@ ORACLES = {
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
+    "bpe_merge_table": BPE_MERGE_TABLE_SQL,
     "curate_documents_decisions": CURATE_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

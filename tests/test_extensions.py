@@ -601,6 +601,76 @@ def test_bpe_merge_candidates_hand_checked(spark):
     assert got == {"aa": 6, "ab": 3, " a": 1}
 
 
+def test_bpe_merge_table_matches_reference_trainer(spark):
+    """The iterative trainer against a pure-Python greedy BPE
+    reference (HF-style: count weighted adjacent pairs over the word
+    table, merge the top pair left-to-right non-overlapping, repeat) —
+    including the odd-run case 'aaaaa' where a naive single-separator
+    replace would strand the middle symbol."""
+    import re as _re
+
+    from rds_to_datalake_project_spark.operators.text import (
+        BPE_SPLIT_RE,
+        bpe_merge_table,
+    )
+
+    texts = [
+        "aaaaa aaaaa banana bandana",
+        "banana band anab anddd",
+        "aaaaa the band the banana",
+    ]
+
+    def ref_merges(texts, k):
+        words: dict[tuple, int] = {}
+        for t in texts:
+            for tok in _re.findall(BPE_SPLIT_RE, t):
+                if len(tok) >= 2:
+                    key = tuple(tok)
+                    words[key] = words.get(key, 0) + 1
+        out = []
+        for rank in range(1, k + 1):
+            counts: dict[tuple, int] = {}
+            for syms, n in words.items():
+                for j in range(len(syms) - 1):
+                    counts[(syms[j], syms[j + 1])] = (
+                        counts.get((syms[j], syms[j + 1]), 0) + n
+                    )
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, a, b, cnt))
+            new_words: dict[tuple, int] = {}
+            for syms, n in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                new_words[key] = new_words.get(key, 0) + n
+            words = new_words
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_merge_table(df, n_merges=8, checkpoint_every=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == ref_merges(texts, 8)
+    # the odd-run invariant directly: 'aaaaa' under merge (a,a) must
+    # contribute aa·aa·a (two pairs both merged), which shows up as the
+    # (aa, aa) count in a later iteration — guaranteed by the reference
+    # equality above, pinned here for readability
+    assert got[0][3] >= 6  # ('a','a') appears 4x per 'aaaaa' word
+
+
 def test_lsh_mega_bucket_cap(spark):
     """max_bucket_size drops quadratic-candidate mega-buckets (viral
     template text) while small genuine-near-dup buckets survive."""
