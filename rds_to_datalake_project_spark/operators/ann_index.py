@@ -1,12 +1,14 @@
 """Persisted SQ8 ANN index — similarity search as a TABLE SERVICE.
 
-r5 verdict "what's missing" #3: ``sq8_topk`` (operators/similarity.py)
-retrains bounds and re-codes the corpus on every call — right as an
-operator, wrong for a SERVED workload, where a 100-TB corpus must be
-coded once and queries must touch only the index. This module gives
-SQ8 the same treatment the zone map got (operators/upsert.py
-``_maintain_zonemap``): a sidecar under the table, maintained
-incrementally from the lake's own commit history.
+``sq8_topk`` (operators/similarity.py) retrains bounds and re-codes
+the corpus on every call — right as an operator, wrong for a SERVED
+workload, where a 100-TB corpus must be coded once and queries must
+touch only the index. This module gives SQ8 the same treatment the
+zone map got (operators/upsert.py ``_maintain_zonemap``): a sidecar
+under the table, maintained incrementally from the lake's own commit
+history. Reference analog: the always-queryable Athena lake
+(reference rds_to_datalake/athena.py:16-64) — an index you call, not
+a job you rerun.
 
 Sidecar layout under ``<table>/.annindex``:
 
@@ -18,20 +20,39 @@ Sidecar layout under ``<table>/.annindex``:
   codes) and ``qvec array<long>`` (the 1e-6 fixed-point vector the
   exact rerank uses) — the index holds everything a query needs, so
   serving NEVER scans the base table.
-- ``_VERSION`` the base-table commit version the codes reflect.
+- ``_VERSION`` ``"<base-table commit version> <build epoch>"``.
+
+Crash atomicity — the three writes (bounds, codes, _VERSION) are not
+one transaction, so every build stamps one fresh EPOCH (a uuid) into
+``bounds/_EPOCH``, ``codes/_EPOCH`` (written only AFTER the parquet
+overwrite completes; underscore files are invisible to
+``spark.read.parquet``) and ``_VERSION``. ``refresh_ann_index``
+verifies all three epochs agree before taking the incremental path —
+a crash between any two writes leaves a mismatch (or a missing
+marker) and forces a full rebuild, so NEW bounds can never silently
+pair with OLD codes (a mixed codebook would corrupt the stage-1
+approx ranking). An unreadable codes/bounds dir falls back the same
+way.
 
 Incremental maintenance consumes ``KeyedTable.table_changes(indexed,
 latest)`` — cost ∝ rows changed, not corpus size; deletes anti-join
-out, upserts re-code with the persisted bounds. If the indexed version
-has already been vacuumed out of the readable window the refresh falls
-back to a full rebuild (correct, just not incremental).
+out, upserts re-code with the persisted bounds. If the indexed
+version has already been vacuumed out of the readable window the
+refresh falls back to a full rebuild (correct, just not incremental).
+A crash after the refresh's codes overwrite but before its _VERSION
+stamp replays the same change window on the next refresh — recoding
+is idempotent (same vectors, same fixed bounds → same codes), so the
+replay converges.
 
 Query path (``ann_index_topk``) is the same two integer-exact stages
-as ``sq8_topk`` — centered int64 surrogate over codes, exact quantized
-cosine rerank — so the DuckDB oracle replays it bit-for-bit.
+as ``sq8_topk`` — centered int64 surrogate over codes, exact
+quantized cosine rerank — so the DuckDB oracle replays it
+bit-for-bit.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,18 +81,36 @@ def _read_bounds(table: KeyedTable) -> list[tuple[float, float]]:
     return [(r["lo"], r["hi"]) for r in sorted(rows, key=lambda r: r["pos"])]
 
 
-def _indexed_version(table: KeyedTable) -> int | None:
+def _index_state(table: KeyedTable) -> tuple[int, str] | None:
+    """(indexed version, build epoch) from _VERSION, or None when the
+    marker is missing/unparsable (pre-epoch layouts rebuild too)."""
     txt = _read_small(table.spark, f"{_idx(table)}/_VERSION")
-    return int(txt.strip()) if txt and txt.strip() else None
+    parts = (txt or "").split()
+    if len(parts) != 2:
+        return None
+    try:
+        return int(parts[0]), parts[1]
+    except ValueError:
+        return None
 
 
-def _write_codes(table: KeyedTable, codes: DataFrame) -> None:
-    # Derived-from-previous codes are lazy — materialize before
-    # overwriting the directory they read from (same pattern as
-    # refresh_zonemap).
-    codes.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        f"{_idx(table)}/codes"
-    )
+def _epoch_of(table: KeyedTable, part: str) -> str | None:
+    txt = _read_small(table.spark, f"{_idx(table)}/{part}/_EPOCH")
+    return txt.strip() if txt and txt.strip() else None
+
+
+def _write_codes(table: KeyedTable, codes: DataFrame, epoch: str) -> DataFrame:
+    """Overwrite the codes dir, then stamp its epoch marker. Returns
+    the MATERIALIZED codes (derived-from-previous codes are lazy —
+    checkpoint before overwriting the directory they read from, same
+    pattern as refresh_zonemap; counting the checkpoint costs no
+    second disk read)."""
+    out = codes.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(f"{_idx(table)}/codes")
+    # Marker AFTER the data: a partial overwrite has no _EPOCH and
+    # the next refresh rebuilds instead of trusting truncated codes.
+    _write_small(table.spark, f"{_idx(table)}/codes/_EPOCH", epoch)
+    return out
 
 
 def _code_rows(
@@ -88,8 +127,10 @@ def build_ann_index(
     table: KeyedTable, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> int:
     """Full (re)build: train bounds on the current corpus, code every
-    row, stamp the commit version. Returns rows coded."""
+    row, stamp the commit version + a fresh build epoch. Returns rows
+    coded."""
     spark = table.spark
+    epoch = uuid.uuid4().hex
     corpus = table.read()
     version = (table.versions() or [0])[-1]
     bounds = sq8_train(corpus, vec_col)
@@ -97,13 +138,13 @@ def build_ann_index(
         [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
         "pos int, lo double, hi double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{_idx(table)}/bounds")
-    codes = _code_rows(corpus, bounds, id_col, vec_col)
-    _write_codes(table, codes)
-    # version LAST: a crash before this leaves the old (or no) marker
-    # and the next refresh replays/rebuilds — never a fresher-than-
-    # reality stamp.
-    _write_small(spark, f"{_idx(table)}/_VERSION", str(version))
-    return spark.read.parquet(f"{_idx(table)}/codes").count()
+    _write_small(spark, f"{_idx(table)}/bounds/_EPOCH", epoch)
+    coded = _write_codes(table, _code_rows(corpus, bounds, id_col, vec_col), epoch)
+    # version+epoch LAST: a crash before this leaves the old (or no)
+    # marker, whose epoch no longer matches the new bounds/codes —
+    # the next refresh rebuilds; never a fresher-than-reality stamp.
+    _write_small(spark, f"{_idx(table)}/_VERSION", f"{version} {epoch}")
+    return coded.count()
 
 
 def refresh_ann_index(
@@ -113,27 +154,36 @@ def refresh_ann_index(
     version: deletes anti-join out, inserts/updates re-code with the
     PERSISTED bounds. Returns ``(n_recoded, n_deleted)`` — cost ∝ the
     change set, never the corpus. Falls back to a full rebuild when
-    the indexed version is no longer reconstructible (vacuumed) or no
-    index exists yet."""
+    the indexed version is no longer reconstructible (vacuumed), no
+    index exists yet, or the sidecar's epochs disagree / a dir is
+    unreadable (torn build — see module docstring)."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
-    v0 = _indexed_version(table)
-    readable = table.readable_versions()
-    if v0 is None or v0 not in readable:
+    state = _index_state(table)
+    if (
+        state is None
+        or state[0] not in table.readable_versions()
+        or _epoch_of(table, "bounds") != state[1]
+        or _epoch_of(table, "codes") != state[1]
+    ):
         return (build_ann_index(table, id_col, vec_col), 0)
+    v0, epoch = state
     if v0 == latest:
         return (0, 0)
+    try:
+        bounds = _read_bounds(table)
+        old = spark.read.parquet(f"{_idx(table)}/codes")
+    except Exception:
+        return (build_ann_index(table, id_col, vec_col), 0)
     changes = table.table_changes(v0, latest)
     upserts = changes.filter(F.col("_change_type") != "delete")
     deleted_or_replaced = changes.select(id_col)  # every touched key
-    bounds = _read_bounds(table)
-    old = spark.read.parquet(f"{_idx(table)}/codes")
     survivors = old.join(deleted_or_replaced, id_col, "left_anti")
     fresh = _code_rows(upserts, bounds, id_col, vec_col)
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
-    _write_codes(table, survivors.unionByName(fresh))
-    _write_small(spark, f"{_idx(table)}/_VERSION", str(latest))
+    _write_codes(table, survivors.unionByName(fresh), epoch)
+    _write_small(spark, f"{_idx(table)}/_VERSION", f"{latest} {epoch}")
     return (n_up, n_del)
 
 

@@ -579,6 +579,13 @@ class KeyedTable:
         return self._read_flag_text(f"{self.path}/.meta/_SEQ").strip() or None
 
     def _bump_seq(self) -> None:
+        # Unversioned plain tables (retain_versions=0, no zone-map
+        # columns) carry no manifest sidecar to synchronize with, and
+        # their documented contract is "no snapshot debris" — a
+        # missing _SEQ is already the conservative "never trust the
+        # manifest" state, so skip the token entirely for them.
+        if not (self.retain_versions or self.zonemap_columns):
+            return
         fs, meta_dir = self._fs(f"{self.path}/.meta")
         fs.mkdirs(meta_dir)
         _, tmp_p = self._fs(f"{self.path}/.meta/._SEQ.tmp")

@@ -788,6 +788,105 @@ ORDER BY o_orderkey
 """
 
 
+def ann_index_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN as a TABLE SERVICE (operators/ann_index.py): build the SQ8
+    sidecar index on a versioned embeddings lake table, commit a CDC
+    batch (reversed-vector updates, deletes, negated-vector inserts —
+    all bit-exact transforms), ``refresh_ann_index`` incrementally
+    (cost ∝ change set; bounds stay the v0 codebook), then serve
+    top-k ENTIRELY from the sidecar — no base-table scan. The oracle
+    replays the whole lifecycle in closed form: bounds over the
+    initial corpus, codes over the post-commit corpus, the same two
+    integer-exact ranking stages as sq8_ann_topk."""
+    from rds_to_datalake_project_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+        refresh_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spec = TableSpec(
+        "emb_ann",
+        record_key=("vec_id",),
+        precombine_key="update_at",
+        partition_granularity=None,  # unpartitioned vector corpus
+    )
+    t = KeyedTable(spark, _scratch("ann_idx") + "/t", spec, retain_versions=3)
+    t.initial_load(emb.withColumn("update_at", F.lit("v0")))  # v0
+    build_ann_index(t)  # bounds (FIXED codebook) + codes @ v0
+    k = F.col("vec_id")
+    updates = (
+        emb.filter(k % 7 == 0)
+        .withColumn("embedding", F.reverse("embedding"))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = emb.filter((k % 13 == 0) & (k % 7 != 0)).withColumn("Op", F.lit("D"))
+    inserts = (
+        emb.filter(k % 11 == 0)
+        .withColumn("vec_id", k + F.lit(1_000_000))
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .withColumn("Op", F.lit("I"))
+    )
+    batch = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(batch, delete_mode="apply")  # commit 1
+    refresh_ann_index(t)  # incremental: deletes out, changed rows recoded
+    return ann_index_topk(t, query_vec_id=1, k=10, rerank=64)
+
+
+ANN_INDEX_SQL = """
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT p.i AS pos, MIN(e0.v[p.i]) AS lo, MAX(e0.v[p.i]) AS hi
+  FROM e0, unnest(range(1, len(e0.v) + 1)) AS p(i)
+  GROUP BY p.i
+), b AS (
+  SELECT list(lo ORDER BY pos) AS lo_l, list(hi ORDER BY pos) AS hi_l FROM dims
+), final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0 THEN list_reverse(v) ELSE v END AS v
+  FROM e0
+  WHERE NOT (vec_id % 13 = 0 AND vec_id % 7 <> 0)
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> -x) AS v
+  FROM e0 WHERE vec_id % 11 = 0
+), codes AS (
+  SELECT f.vec_id,
+         list_transform(range(1, len(f.v) + 1), i ->
+           CASE WHEN b.hi_l[i] = b.lo_l[i] THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(255 * (f.v[i] - b.lo_l[i])
+                                / (b.hi_l[i] - b.lo_l[i])) AS BIGINT)
+           END) AS code,
+         list_transform(f.v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qvec
+  FROM final f CROSS JOIN b
+), q AS (
+  SELECT code AS qcode, qvec AS qv FROM codes WHERE vec_id = 1
+), cand AS (
+  SELECT c.vec_id, c.qvec,
+         CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+              i -> (c.code[i] - 128) * (q.qcode[i] - 128))) AS BIGINT)
+           AS approx_score
+  FROM codes c CROSS JOIN q
+  ORDER BY approx_score DESC, c.vec_id
+  LIMIT 64
+)
+SELECT cand.vec_id, cand.approx_score,
+       CAST(list_sum(list_transform(range(1, len(cand.qvec) + 1),
+            i -> cand.qvec[i] * q.qv[i])) AS DOUBLE)
+       / sqrt(CAST(list_sum(list_transform(cand.qvec, x -> x * x)) AS DOUBLE)
+            * CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+         AS cosine_sim
+FROM cand CROSS JOIN q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
@@ -807,10 +906,12 @@ QUERIES = {
     "asof_user_state": asof_user_state,
     "hypertable_rollup": hypertable_rollup,
     "zonemap_pruned_scan": zonemap_pruned_scan,
+    "ann_index_served_topk": ann_index_served_topk,
 }
 
 ORACLES = {
     "zonemap_pruned_scan": ZONEMAP_SQL,
+    "ann_index_served_topk": ANN_INDEX_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

@@ -22,61 +22,62 @@ _MODULES = (relational, cdc, extensions, tpch_extra, curation)
 # they land inside that window; long-green queries rotate to the tail (their
 # r1/r2 rows remain on record and pytest still covers them every round).
 _PRIORITY = (
-    # new round 5, oracle-backed — no driver-green row yet
-    "media_decode_stats",
-    "lake_table_changes",
-    "sql_timetravel_changed_counts",
-    "hilbert_key_orders",
-    "chunk_documents_windows",
-    "mixture_sample_counts",
-    "zonemap_pruned_scan",
-    "tfidf_top_terms",
-    "sq8_ann_topk",
-    "hot_order_customers",
-    "ngram_containment_md5",
-    "ngram_containment_neardup",
-    "media_resize_stats",
-    "bpe_merge_pairs",
-    "curate_documents_decisions",
-    # implementation changed in round 5 (shared versioned fixture /
-    # scratch dirs / publish-protocol rework) — re-confirm even though
-    # r4-green
+    # new round 7 — no driver-green row yet
+    "ann_index_served_topk",
+    "bpe_merge_table",
+    # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
+    # zonemap schema pinning, sql facade escapes) — re-confirm even
+    # though r6-green
     "time_travel_roundtrip",
     "cdc_upsert_roundtrip",
-    "jsonl_roundtrip",
     "delete_apply_roundtrip",
+    "zonemap_pruned_scan",
     "hypertable_rollup",
-    # rows-only by contract; keep the weaker check in-window
-    "ivf_trained_topk",
-    # stalest greens (r1/r2 windows only) — rotate through for fresh rows
-    "lang_id",
-    "doc_fingerprint",
-    "text_quality",
-    "repetition_quality",
-    "pii_scrub",
-    "token_count_by_source",
-    "exact_dedup_docs",
-    "ann_topk_cosine",
-    "neardup_cosine_pairs",
-    "neardup_components",
-    "zorder_key_orders",
-    "media_feature_extract",
-    "video_frame_plan",
-    "ivf_probe_topk",
-    # r3-green only — next stalest tier
-    "sample_docs_per_source",
-    "train_test_split_counts",
-    "pack_documents",
-    "contamination_docs",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q13_customer_distribution",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_sole_return_supplier",
-    "q22_inactive_high_balance",
+    "lake_table_changes",
+    "sql_timetravel_changed_counts",
+    "jsonl_roundtrip",
+    "sql_facade_forecast_revenue",
+    # stalest greens (r3/r4 rows only) — rotate for fresh rows
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_shipping_classes",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "table_diff_report",
+    "srp_neardup_embeddings",
+    "bpe_token_stats",
+    "rolling_fingerprint",
+    "profile_orders",
+    "dynamodb_decode",
+    "scalar_functions",
+    "revenue_rollup",
+    "quantity_percentiles",
+    "asof_user_state",
+    "range_join_promo_windows",
+    "customers_without_orders",
+    "suppliers_with_returns",
+    "customer_order_balance",
+    # r1/r2-stale tier — next rotation band
+    "dedup_latest_per_key",
+    "partition_enrich",
+    "partition_enrich_string",
+    "windowed_counts",
+    "watermark_per_day",
+    "events_json_props",
+    "commit_key_codec",
+    "order_priority_stats",
+    "orders_except_filtered",
+    "orders_intersect_urgent",
+    "part_brand_stats",
+    "minhash_neardup_md5",
+    "minhash_lsh_candidates_md5",
+    "simhash_neardup_md5",
+    "ngram_jaccard_neardup_md5",
+    "jaccard_allpairs_sample",
+    "q5_region_revenue",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

@@ -1,0 +1,151 @@
+"""Persisted SQ8 ANN index (operators/ann_index.py): build/refresh
+lifecycle, incremental-maintenance cost, and torn-build fallbacks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.ann_index import (
+    _epoch_of,
+    _idx,
+    _index_state,
+    ann_index_topk,
+    build_ann_index,
+    refresh_ann_index,
+)
+from rds_to_datalake_project_spark.operators.similarity import sq8_topk
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.operators.zonemap import _write_small
+from rds_to_datalake_project_spark.schema import TableSpec
+
+SPEC = TableSpec(
+    "emb_ann_t",
+    record_key=("vec_id",),
+    precombine_key="update_at",
+    partition_granularity=None,
+)
+
+
+def _vec(seed: int, dim: int = 8) -> list[float]:
+    # Deterministic, exactly-representable values (k/32).
+    return [((seed * 7 + i * 13) % 64 - 32) / 32.0 for i in range(dim)]
+
+
+def _corpus(spark, n: int, tag: str):
+    return spark.createDataFrame(
+        [(i, _vec(i), tag) for i in range(n)],
+        "vec_id bigint, embedding array<float>, update_at string",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "emb"), SPEC, retain_versions=4)
+    t.initial_load(_corpus(spark, 60, "v0"))
+    return t
+
+
+def _codes_map(table):
+    rows = table.spark.read.parquet(f"{_idx(table)}/codes").collect()
+    return {r["vec_id"]: (tuple(r["code"]), tuple(r["qvec"])) for r in rows}
+
+
+def test_build_matches_retrained_sq8(spark, table):
+    n = build_ann_index(table)
+    assert n == 60
+    served = ann_index_topk(table, query_vec_id=3, k=5, rerank=16).collect()
+    fresh = sq8_topk(table.read(), query_vec_id=3, k=5, rerank=16).collect()
+    assert [(r["vec_id"], r["approx_score"]) for r in served] == [
+        (r["vec_id"], r["approx_score"]) for r in fresh
+    ]
+    assert [r["cosine_sim"] for r in served] == pytest.approx(
+        [r["cosine_sim"] for r in fresh]
+    )
+
+
+def test_refresh_is_incremental_and_survivors_untouched(spark, table):
+    build_ann_index(table)
+    before = _codes_map(table)
+    epoch0 = _index_state(table)[1]
+    batch = spark.createDataFrame(
+        [(2, _vec(200), "v1", "U"), (5, _vec(5), "v1", "D"), (100, _vec(100), "v1", "I")],
+        "vec_id bigint, embedding array<float>, update_at string, Op string",
+    )
+    table.upsert(batch, delete_mode="apply")
+    n_up, n_del = refresh_ann_index(table)
+    # cost ∝ change set: 2 recodes (update + insert), 1 delete
+    assert (n_up, n_del) == (2, 1)
+    after = _codes_map(table)
+    assert 5 not in after and 100 in after
+    assert after[2] != before[2]
+    # every untouched id keeps BIT-IDENTICAL codes (fixed codebook)
+    for vid, codes in before.items():
+        if vid not in (2, 5):
+            assert after[vid] == codes
+    # epoch survives an incremental refresh; version advances
+    v, epoch1 = _index_state(table)
+    assert epoch1 == epoch0 and v == (table.versions()[-1])
+    # idempotent: nothing to do at head
+    assert refresh_ann_index(table) == (0, 0)
+
+
+def test_refresh_rebuilds_when_indexed_version_vacuumed(spark, table):
+    build_ann_index(table)
+    for tag in ("v1", "v2", "v3"):
+        table.upsert(
+            spark.createDataFrame(
+                [(1, _vec(300), tag, "U")],
+                "vec_id bigint, embedding array<float>, update_at string, Op string",
+            )
+        )
+    table.vacuum_versions(keep_last=1)  # v0 no longer reconstructible
+    n_up, n_del = refresh_ann_index(table)
+    assert (n_up, n_del) == (60, 0)  # full rebuild path
+    assert _index_state(table)[0] == table.versions()[-1]
+
+
+def test_torn_build_epoch_mismatch_forces_rebuild(spark, table):
+    """Crash between the bounds overwrite and the codes overwrite:
+    bounds carry a NEW epoch while codes + _VERSION still hold the
+    old one. The refresh must NOT take the incremental path (which
+    would mix codebooks) — it rebuilds."""
+    build_ann_index(table)
+    table.upsert(
+        spark.createDataFrame(
+            [(7, _vec(700), "v1", "U")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    _write_small(spark, f"{_idx(table)}/bounds/_EPOCH", "torn-new-epoch")
+    n_up, n_del = refresh_ann_index(table)
+    assert (n_up, n_del) == (60, 0)  # rebuild, not a 1-row recode
+    # rebuilt sidecar is self-consistent again
+    _, epoch = _index_state(table)
+    assert _epoch_of(table, "bounds") == epoch == _epoch_of(table, "codes")
+
+
+def test_partial_codes_overwrite_forces_rebuild(spark, table):
+    """Crash mid-codes-overwrite: the marker (written after the data)
+    is absent, so the refresh rebuilds instead of trusting a
+    truncated codes dir."""
+    build_ann_index(table)
+    table.upsert(
+        spark.createDataFrame(
+            [(9, _vec(900), "v1", "U")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{_idx(table)}/codes/_EPOCH")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+    assert refresh_ann_index(table) == (60, 0)
+
+
+def test_topk_serves_from_sidecar_only(spark, table):
+    """The query plan reads the codes dir, never the base table: the
+    scan's input files all live under .annindex."""
+    build_ann_index(table)
+    df = ann_index_topk(table, query_vec_id=0, k=3, rerank=8)
+    files = df.inputFiles()
+    assert files and all("/.annindex/" in f for f in files)
