@@ -37,10 +37,12 @@ file, the same driver-side footprint as Delta's log replay.
 
 from __future__ import annotations
 
+import json
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _FILE = "file_uri"
 
@@ -265,14 +267,32 @@ def pruned_read(
     # basePath keeps hive partition columns alive when reading leaf
     # files directly — without it every partition column reads NULL.
     reader = spark.read.option("basePath", table_path)
-    # Pin the resolved schema when a full resolution happened anyway;
-    # on the manifest path merge from the pruned files themselves.
-    reader = (
-        reader.schema(full.schema)
-        if full is not None
-        else reader.option("mergeSchema", "true")
-    )
-    return reader.parquet(*files).filter(residual)
+    # Pin the resolved schema when a full resolution happened anyway.
+    if full is not None:
+        return reader.schema(full.schema).parquet(*files).filter(residual)
+    # Trusted-manifest path (no listing happened): pin the schema the
+    # refresh persisted in the sidecar. Merging over only the PRUNED
+    # files is wrong after schema evolution — a subset of old files
+    # can lack a column the full-table schema surfaces as NULL, and
+    # the residual filter would then fail to resolve (r6 ADVICE).
+    idx = index_dir or _index_dir(table_path)
+    pinned = _read_small(spark, f"{idx}/_SCHEMA")
+    if pinned:
+        schema = T.StructType.fromJson(json.loads(pinned))
+        return reader.schema(schema).parquet(*files).filter(residual)
+    # Legacy sidecar without a schema pin: merge, but fall back to a
+    # real full resolution if any predicate column is absent from the
+    # merged subset.
+    out = reader.option("mergeSchema", "true").parquet(*files)
+    if any(c not in out.columns for c in predicates):
+        full, _live = _resolve_table(spark, table_path)
+        return (
+            spark.read.option("basePath", table_path)
+            .schema(full.schema)
+            .parquet(*files)
+            .filter(residual)
+        )
+    return out.filter(residual)
 
 
 def refresh_zonemap(
@@ -305,6 +325,12 @@ def refresh_zonemap(
 
     def _stamp() -> None:
         if sync_token is not None:
+            # Schema BEFORE the token: a manifest is only trusted once
+            # _SYNC matches, and by then the full-table schema pin the
+            # listing-free read path needs is already in place (see
+            # pruned_read — merging over pruned files alone breaks
+            # after schema evolution).
+            _write_small(spark, f"{idx}/_SCHEMA", full.schema.json())
             _write_small(spark, f"{idx}/_SYNC", sync_token)
 
     try:

@@ -9,6 +9,7 @@ and "UNLOAD to parquet" is just ``df.write.parquet``.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import time
 from dataclasses import dataclass, field
@@ -45,11 +46,15 @@ def _unquote_ident(name: str) -> str:
 
 def _mask_string_literals(sql: str) -> str:
     """A copy of ``sql`` with the CONTENTS of single-quoted string
-    literals blanked (length-preserving, '' escapes respected), so
-    regex matching never fires inside a literal — ``SELECT 'x FOR
-    VERSION AS OF 1'`` must pass through untouched. Spans align 1:1
-    with the original, so match positions transfer directly (the
-    minimal tokenizer the facade needs; full parsing stays in Spark).
+    literals blanked (length-preserving, '' and backslash escapes
+    respected), so regex matching never fires inside a literal —
+    ``SELECT 'x FOR VERSION AS OF 1'`` must pass through untouched.
+    Spans align 1:1 with the original, so match positions transfer
+    directly (the minimal tokenizer the facade needs; full parsing
+    stays in Spark). Backslash handling matches Spark's default
+    ``escapedStringLiterals=false`` mode, where ``'it\\'s'`` is one
+    literal — a ``\\'`` must not terminate the scan, or the mask
+    desynchronizes and an AS-OF inside the literal gets rewritten.
     """
     out = list(sql)
     i, n = 0, len(sql)
@@ -57,6 +62,9 @@ def _mask_string_literals(sql: str) -> str:
         if sql[i] == "'":
             j = i + 1
             while j < n:
+                if sql[j] == "\\":  # backslash escape: skip escaped char
+                    j += 2
+                    continue
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":  # '' escape
                         j += 2
@@ -122,7 +130,14 @@ def run_query(
                 f"FOR VERSION AS OF on unknown table {name!r}; "
                 f"known: {sorted(known)}"
             )
-        view = f"__asof_{re.sub(r'[^A-Za-z0-9_]', '_', name)}_v{version}"
+        # Sanitizing alone would collide distinct registry keys
+        # ('lake.orders' vs 'lake_orders') onto one view name, and
+        # the second createOrReplaceTempView would silently win for
+        # both references — disambiguate with a hash of the raw key.
+        tag = hashlib.md5(name.encode("utf-8")).hexdigest()[:8]
+        view = (
+            f"__asof_{re.sub(r'[^A-Za-z0-9_]', '_', name)}_{tag}_v{version}"
+        )
         t.read_as_of(version).createOrReplaceTempView(view)
         return view
 

@@ -183,6 +183,50 @@ def test_sql_facade_qualified_and_quoted_identifiers(spark, tmp_path):
         "SELECT 'it''s FOR VERSION AS OF 7' AS note", tables=reg
     ).collect()[0]["note"]
     assert lit2 == "it's FOR VERSION AS OF 7"
+    # ...and with backslash-escaped quotes (Spark's default
+    # escapedStringLiterals=false mode): the \' must not terminate
+    # the literal scan and desynchronize the mask
+    lit3 = run_query(
+        spark,
+        "SELECT 'it\\'s orders FOR VERSION AS OF 3' AS note, "
+        "COUNT(*) AS n FROM lake.orders_q FOR VERSION AS OF 1",
+        tables=reg,
+    ).collect()[0]
+    assert lit3["note"] == "it's orders FOR VERSION AS OF 3"
+    assert lit3["n"] == 5
+
+
+def test_sql_facade_asof_view_names_do_not_collide(spark, tmp_path):
+    """Distinct registry keys that sanitize to the same identifier
+    ('lake.orders' vs 'lake_orders') must get distinct AS-OF temp
+    views — one query referencing both at the same version must read
+    each table's own snapshot."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    def mk_table(path, n_rows):
+        spec = TableSpec("c", record_key=("id",), precombine_key="v",
+                         partition_granularity=None)
+        t = KeyedTable(spark, path, spec, retain_versions=3)
+        t.initial_load(spark.createDataFrame(
+            [(f"k{i}", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 0)
+             for i in range(n_rows)],
+            ["id", "create_at", "update_at", "v"],
+        ))
+        return t
+
+    reg = {
+        "lake.orders_c": mk_table(str(tmp_path / "dotted"), 2),
+        "lake_orders_c": mk_table(str(tmp_path / "flat"), 5),
+    }
+    row = run_query(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM lake.orders_c FOR VERSION AS OF 0) AS a,"
+        " (SELECT COUNT(*) FROM lake_orders_c FOR VERSION AS OF 0) AS b",
+        tables=reg,
+    ).collect()[0]
+    assert (row["a"], row["b"]) == (2, 5)
 
 
 def test_unload_orc_roundtrip(spark, tmp_path):

@@ -393,3 +393,51 @@ def test_partitioned_read_where_keeps_partition_columns(spark, tmp_path):
     # predicate on an UNINDEXED column must degrade, not crash
     both = t.read_where({"score": (10, 12), "val": ("v0", "v0")})
     assert both.count() == 3
+
+
+def test_manifest_path_pins_schema_across_evolution(spark, tmp_path, monkeypatch):
+    """Trusted-manifest reads must resolve the FULL table schema, not
+    a merge over only the pruned files: after schema evolution a
+    pruned subset of old files can lack a column newer files carry,
+    and a downstream select on it must surface NULLs, not an
+    unresolved-column error (r6 ADVICE)."""
+    from rds_to_datalake_project_spark.operators import zonemap as zm
+    from rds_to_datalake_project_spark.operators.zonemap import (
+        _index_is_synced,
+        _write_small,
+        refresh_zonemap,
+    )
+
+    path = str(tmp_path / "evo")
+    # old file: no 'extra' column; new file: evolved schema
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "key int, val string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(50, 100)],
+        "key int, val string, extra int",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    # simulate the KeyedTable publish protocol on this directory:
+    # token first, then a reconcile that stamps _SYNC (+ _SCHEMA)
+    _write_small(spark, f"{path}/.meta/_SEQ", "tok-1")
+    refresh_zonemap(spark, path, ["key"], sync_token="tok-1")
+    assert _index_is_synced(spark, path, f"{path}/.zonemap")
+
+    def boom(*_a, **_k):
+        raise AssertionError("manifest read paid a directory listing")
+
+    with monkeypatch.context() as m:
+        m.setattr(zm, "_resolve_table", boom)
+        out = pruned_read(spark, path, {"key": (0, 10)})
+        # prunes down to the OLD file only — 'extra' must still exist
+        rows = out.select("key", "extra").collect()
+    assert len(rows) == 11
+    assert all(r.extra is None for r in rows)
+    # and the evolved rows keep their values through the same path
+    with monkeypatch.context() as m:
+        m.setattr(zm, "_resolve_table", boom)
+        got = pruned_read(spark, path, {"key": (60, 61)}).select(
+            "key", "extra"
+        ).collect()
+    assert sorted((r.key, r.extra) for r in got) == [(60, 600), (61, 610)]
