@@ -107,6 +107,92 @@ def test_salted_join_matches_plain_join(spark, how):
            sorted(map(tuple, expected.select("k", "payload", "sk", "dim").collect()))
 
 
+def _skewed_frames(spark):
+    # one melting key (1: 4000 rows), a warm key (2: 40), cold tail
+    big = spark.createDataFrame(
+        [(1, f"r{i}") for i in range(4000)]
+        + [(2, f"w{i}") for i in range(40)]
+        + [(k, "cold") for k in range(3, 30)]
+        + [(99, "no-match")],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 30)], ["sk", "dim"]
+    )
+    return big, small
+
+
+def test_derive_salt_factor_measures_skew(spark):
+    from rds_to_datalake_project_spark.operators.skew import derive_salt_factor
+
+    big, _ = _skewed_frames(spark)
+    # whole-frame measurement (fraction=1): key 1 mass 4000 over a
+    # 500-row budget → factor ceil(4000/500)=8; only key 1 is hot
+    factor, hot = derive_salt_factor(
+        big, ["k"], sample_fraction=1.0, rows_per_salt=500, max_factor=64
+    )
+    assert factor == 8 and hot == [(1,)]
+    # budget above the hottest mass → no salting at all
+    assert derive_salt_factor(
+        big, ["k"], sample_fraction=1.0, rows_per_salt=10_000
+    ) == (1, [])
+    # degenerate distribution still clamps to max_factor
+    factor, _hot = derive_salt_factor(
+        big, ["k"], sample_fraction=1.0, rows_per_salt=10, max_factor=16
+    )
+    assert factor == 16
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_auto_salted_join_matches_plain_join(spark, how):
+    big, small = _skewed_frames(spark)
+    expected = big.join(small, big["k"] == small["sk"], how)
+    got = salted_join(
+        big, small, on=[("k", "sk")], how=how,
+        auto_salt=True, sample_fraction=1.0, rows_per_salt=500,
+    )
+    assert sorted(map(tuple, got.select("k", "payload", "sk", "dim").collect())) == \
+           sorted(map(tuple, expected.select("k", "payload", "sk", "dim").collect()))
+
+
+def test_auto_salt_replicates_hot_keys_only(spark):
+    """Cold-key replication stays 1: the replicated small side grows
+    by (factor-1) rows PER HOT KEY, not per key."""
+    from rds_to_datalake_project_spark.operators.skew import (
+        _salted_sides,
+        derive_salt_factor,
+    )
+
+    big, small = _skewed_frames(spark)
+    factor, hot = derive_salt_factor(
+        big, ["k"], sample_fraction=1.0, rows_per_salt=500
+    )
+    assert factor == 8 and hot == [(1,)]
+    big_salted, small_rep = _salted_sides(
+        big, small, [("k", "sk")], factor, hot
+    )
+    n_small = small.count()
+    assert small_rep.count() == n_small + (factor - 1) * len(hot)
+    # hot big rows spread over several salts; cold big rows keep salt 0
+    from pyspark.sql import functions as F
+    salts_hot = {r["__salt"] for r in big_salted.filter(F.col("k") == 1).collect()}
+    salts_cold = {r["__salt"] for r in big_salted.filter(F.col("k") != 1).collect()}
+    assert len(salts_hot) > 1 and salts_cold == {0}
+
+
+def test_auto_salt_no_skew_runs_plain_join(spark):
+    big = spark.createDataFrame([(k, "p") for k in range(100)], ["k", "payload"])
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(100)], ["sk", "dim"])
+    got = salted_join(
+        big, small, on=[("k", "sk")],
+        auto_salt=True, sample_fraction=1.0, rows_per_salt=1000,
+    )
+    assert got.count() == 100
+    # no salt machinery in the plan at all
+    assert "__salt" not in got.columns
+    assert "explode" not in got._jdf.queryExecution().executedPlan().toString().lower()
+
+
 def test_read_manifest_export_and_decode(spark, tmp_path):
     # synthesize a DynamoDB export: 2 gzipped JSON-lines data files + manifest
     import gzip
