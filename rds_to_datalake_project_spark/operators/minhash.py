@@ -272,6 +272,116 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def containment_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    input_partitions: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Containment-biased candidates via PREFIX FILTERING — the
+    dedicated index the Jaccard-banded path lacks (r6 verdict #7: a
+    tiny doc quoted inside a huge one rarely shares a minhash band,
+    because bands sample the UNION and the big doc's shingles dominate
+    it).
+
+    Guarantee (pigeonhole, the classic set-similarity-join prefix
+    filter): if C(A→B) = |A∩B|/|A| ≥ t then |A\\B| ≤ |A| − ⌈t·|A|⌉,
+    so ANY (|A| − ⌈t·|A|⌉ + 1)-subset of A's shingles intersects B.
+    Each doc therefore probes with only that short prefix of its
+    hash-ordered shingle keys, while the inverted index holds every
+    doc's full key set; one equi-join on the shingle key yields every
+    pair whose containment (in EITHER direction — each side probes
+    with its own prefix) can clear ``t``. 100% candidate recall; the
+    exact verify kernel (``ngram_containment_pairs``) prunes the rest.
+
+    Scale shape: probe side is |doc|·(1−t)+1 keys per doc (small for
+    high t), index side is the full shingle explosion — one shuffle
+    join keyed by a 64-bit shingle hash, never all-pairs.
+    ``max_shingle_df`` drops shingle keys indexed by more than that
+    many docs (boilerplate grams — the mega-bucket analog; bounded
+    recall trade, off by default so the oracle stays exact). Hash
+    collisions only ADD candidates, never lose them.
+    """
+    key = (
+        (lambda s: F.xxhash64(s)) if hash_mode == "xxhash64" else md5long60
+    )
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
+    docs = fan_out(df, current=input_partitions).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    keyed = (
+        docs.filter(F.size("__sh") >= 1)
+        .select(
+            F.col(id_col),
+            F.array_sort(F.transform("__sh", key)).alias("__keys"),
+        )
+        # Staged once: both the probe and index explosions read it.
+        .localCheckpoint(eager=True)
+    )
+    # prefix_len = |A| − ⌈t·|A|⌉ + 1. The 1e-9 nudge keeps the exact-
+    # threshold edge (t·|A| integral) from losing its +1 to float
+    # error; it can only ever GROW the prefix (recall-safe) and both
+    # engines replay the same IEEE double math.
+    prefix_len = (
+        F.size("__keys")
+        - F.ceil(F.size("__keys") * F.lit(float(threshold)) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    probe = keyed.select(
+        F.col(id_col).alias("a_id"),
+        F.explode(F.slice("__keys", 1, prefix_len)).alias("__k"),
+    )
+    index = keyed.select(
+        F.col(id_col).alias("b_id"), F.explode("__keys").alias("__k")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            index.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_shingle_df)
+            .drop("__n")
+        )
+        index = index.join(hot, "__k", "left_anti")
+    return (
+        probe.join(index, "__k")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def containment_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-subset duplicate pairs at full recall: prefix-filter
+    candidates (``containment_candidate_pairs``) verified by the exact
+    containment kernel. Because candidate recall is total (and the
+    kernel exact), the result EQUALS brute-force all-pairs containment
+    — which is what the DuckDB oracle states in closed form."""
+    n_parts = probe_partitions(df)
+    cand = containment_candidate_pairs(
+        df, id_col, text_col, shingle_n, threshold, hash_mode, n_parts,
+        max_shingle_df,
+    )
+    return ngram_containment_pairs(
+        df, cand, id_col, text_col, shingle_n, threshold, n_parts
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -294,9 +404,9 @@ def ngram_containment_pairs(
 
     Boundary: with ``pairs`` from minhash LSH, candidate recall is
     Jaccard-biased (a tiny doc inside a huge one may never share a
-    band); a dedicated containment index would band over the smaller
-    set's shingles. Documented trade-off — the verify kernel itself
-    is exact for whatever pairs it is given.
+    band). For full containment recall feed it
+    ``containment_candidate_pairs`` (prefix-filter index) — the verify
+    kernel itself is exact for whatever pairs it is given.
     """
     docs = fan_out(df, current=input_partitions).select(
         F.col(id_col), shingles(text_col, shingle_n).alias("__sh")

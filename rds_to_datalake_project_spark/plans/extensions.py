@@ -1425,6 +1425,47 @@ ORDER BY a_id, b_id
 """
 
 
+def containment_prefix_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-RECALL near-subset detection: prefix-filter containment
+    index (operators/minhash.py containment_candidate_pairs) + exact
+    verify. Candidate recall is total by the pigeonhole guarantee, so
+    the DuckDB twin is simply brute-force all-pairs containment — no
+    index replay needed; any missing or extra pair hash-fails."""
+    from rds_to_datalake_project_spark.operators.minhash import containment_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_neardup(docs, threshold=0.5, hash_mode="md5").orderBy(
+        "a_id", "b_id"
+    )
+
+
+CONTAINMENT_PREFIX_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  )
+)
+SELECT a_id, b_id, containment_a_in_b, containment_b_in_a FROM (
+  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(sa.shingles) AS containment_a_in_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(sb.shingles) AS containment_b_in_a
+  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+  WHERE len(sa.shingles) >= 1 AND len(sb.shingles) >= 1
+)
+WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
 def hot_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew report over the orders fact's join key
     (operators/skew.py hot_keys): the customers whose order counts
@@ -1550,6 +1591,7 @@ QUERIES = {
     "sq8_ann_topk": sq8_ann_topk,
     "hot_order_customers": hot_order_customers,
     "ngram_containment_md5": ngram_containment_md5,
+    "containment_prefix_md5": containment_prefix_md5,
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
@@ -1597,6 +1639,7 @@ ORACLES = {
     "sq8_ann_topk": SQ8_ANN_SQL,
     "hot_order_customers": HOT_KEYS_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
+    "containment_prefix_md5": CONTAINMENT_PREFIX_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
     "bpe_merge_table": BPE_MERGE_TABLE_SQL,

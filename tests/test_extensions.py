@@ -757,3 +757,108 @@ def test_hot_keys_surfaces_planted_skew(spark):
     )
     out = hot_keys(df, ["k"], min_count=10, top_k=5).collect()
     assert [(r.k, r.n_rows) for r in out] == [(1, 500)]
+
+
+# -- containment prefix-filter index (r6 verdict #7) ----------------------
+
+
+def _containment_corpus(spark):
+    """A tiny doc embedded VERBATIM inside a huge one — the case
+    Jaccard banding structurally misses (the big doc's shingles
+    dominate every band's sample), plus filler docs."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    tiny = "alpha beta gamma delta epsilon zeta"
+    huge = " ".join(
+        [" ".join(rng.choice(words) for _ in range(150)), tiny,
+         " ".join(rng.choice(words) for _ in range(150))]
+    )
+    rows = [(0, tiny), (1, huge)] + [
+        (i, " ".join(rng.choice(words) for _ in range(40))) for i in range(2, 8)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_prefix_index_catches_contained_doc_lsh_misses(spark):
+    from rds_to_datalake_project_spark.operators.minhash import (
+        containment_candidate_pairs,
+        containment_neardup,
+    )
+
+    corpus = _containment_corpus(spark)
+    # the Jaccard-banded path structurally misses the planted pair
+    lsh = {(r.a_id, r.b_id) for r in lsh_candidate_pairs(corpus).collect()}
+    assert (0, 1) not in lsh
+    # the prefix index guarantees it as a candidate...
+    cand = {
+        (r.a_id, r.b_id)
+        for r in containment_candidate_pairs(corpus, threshold=0.8).collect()
+    }
+    assert (0, 1) in cand
+    # ...and the verified result reports full containment of 0 in 1
+    got = {
+        (r.a_id, r.b_id): r.containment_a_in_b
+        for r in containment_neardup(corpus, threshold=0.8).collect()
+    }
+    assert got.get((0, 1)) == 1.0
+
+
+def test_prefix_index_equals_bruteforce_allpairs(spark):
+    from rds_to_datalake_project_spark.operators.minhash import (
+        containment_neardup,
+        ngram_containment_pairs,
+    )
+
+    corpus = _containment_corpus(spark)
+    for t in (0.5, 0.8):
+        indexed = {
+            (r.a_id, r.b_id, r.containment_a_in_b, r.containment_b_in_a)
+            for r in containment_neardup(corpus, threshold=t).collect()
+        }
+        brute = {
+            (r.a_id, r.b_id, r.containment_a_in_b, r.containment_b_in_a)
+            for r in ngram_containment_pairs(corpus, None, threshold=t).collect()
+        }
+        assert indexed == brute
+
+
+def test_prefix_len_exact_threshold_edge(spark):
+    """|A|·t integral is the float-fuzz edge: A has 5 shingles, B
+    holds exactly 4 of them → C(A→B) = 0.8 must be found at t=0.8
+    (prefix must be 2 shingles, not 1)."""
+    from rds_to_datalake_project_spark.operators.minhash import containment_neardup
+
+    # 7 tokens → 5 trigram shingles; B drops the last token → keeps 4
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b_txt = "x1 x2 x3 x4 t1 t2 t3 t4 t5 t6 y1 y2 y3"
+    corpus = spark.createDataFrame([(0, a), (1, b_txt)], ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id): r.containment_a_in_b
+        for r in containment_neardup(corpus, threshold=0.8).collect()
+    }
+    assert got.get((0, 1)) == pytest.approx(0.8)
+
+
+def test_prefix_index_hot_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles from the INDEX side
+    only — candidates via rare shingles survive."""
+    from rds_to_datalake_project_spark.operators.minhash import (
+        containment_candidate_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over"
+    rows = [(i, f"{boiler} doc{i} filler{i} tail{i}") for i in range(6)]
+    rows += [(10, "rare unique signal phrase here today"),
+             (11, "prefix words then rare unique signal phrase here today and more")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = {
+        (r.a_id, r.b_id)
+        for r in containment_candidate_pairs(
+            corpus, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    assert (10, 11) in cand  # rare-shingle pair survives the cap
+    # boilerplate-only pairs are suppressed by the df cut
+    assert not any(a < 6 and b < 6 for a, b in cand)
