@@ -1425,6 +1425,47 @@ ORDER BY a_id, b_id
 """
 
 
+def auto_salted_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-salted skew join, end-to-end (operators/skew.py
+    salted_join(auto_salt=True)): o_orderpriority has ~5 values over
+    the whole fact, so with a small per-salt budget every key is
+    measured hot, derive_salt_factor picks a bounded factor, and the
+    hot-only salting machinery (spread big side, replicated small
+    side) must still reproduce EXACTLY the plain join the oracle
+    states."""
+    from rds_to_datalake_project_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("pr_key"))
+        .distinct()
+        .withColumn("pr_label", F.concat(F.lit("P-"), F.col("pr_key")))
+    )
+    return (
+        salted_join(
+            orders,
+            dim,
+            on=[("o_orderpriority", "pr_key")],
+            auto_salt=True,
+            sample_fraction=1.0,  # deterministic measurement
+            rows_per_salt=200,
+        )
+        .select("o_orderkey", "o_orderpriority", "pr_label", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+AUTO_SALT_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       'P-' || o_orderpriority AS pr_label,
+       o_totalprice
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def containment_prefix_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-RECALL near-subset detection: prefix-filter containment
     index (operators/minhash.py containment_candidate_pairs) + exact
@@ -1592,6 +1633,7 @@ QUERIES = {
     "hot_order_customers": hot_order_customers,
     "ngram_containment_md5": ngram_containment_md5,
     "containment_prefix_md5": containment_prefix_md5,
+    "auto_salted_priority_join": auto_salted_priority_join,
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
@@ -1640,6 +1682,7 @@ ORACLES = {
     "hot_order_customers": HOT_KEYS_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "containment_prefix_md5": CONTAINMENT_PREFIX_SQL,
+    "auto_salted_priority_join": AUTO_SALT_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
     "bpe_merge_table": BPE_MERGE_TABLE_SQL,
