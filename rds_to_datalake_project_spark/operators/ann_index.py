@@ -187,6 +187,22 @@ def refresh_ann_index(
     return (n_up, n_del)
 
 
+def attach_ann_maintenance(
+    table: KeyedTable, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Enroll the index as a TABLE SERVICE: every commit the table
+    publishes triggers ``refresh_ann_index`` in the post-commit
+    maintenance slot (KeyedTable.add_maintenance_hook — the same slot
+    the zone-map reconcile runs in), so the served index follows the
+    lake automatically instead of by out-of-band job. Attach before
+    the first load and the hook's first run performs the initial
+    ``build_ann_index`` too (refresh falls back to build when no
+    index exists)."""
+    table.add_maintenance_hook(
+        lambda t: refresh_ann_index(t, id_col, vec_col)
+    )
+
+
 def ann_index_topk(
     table: KeyedTable,
     query_vec_id,

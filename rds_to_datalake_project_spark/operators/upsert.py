@@ -102,6 +102,11 @@ class KeyedTable:
         # "table services" analog. Advisory: reads stay correct if
         # maintenance never ran (unindexed files are always scanned).
         self.zonemap_columns = list(zonemap_columns or [])
+        # Post-commit maintenance hooks (table services beyond the
+        # zone map — e.g. operators/ann_index.attach_ann_maintenance).
+        # Each runs after every successful commit, in the same
+        # advisory slot as the zone-map reconcile.
+        self._maintenance_hooks: list = []
         self._fs_handle = None
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
@@ -289,7 +294,7 @@ class KeyedTable:
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
         self._bump_seq()
-        self._maintain_zonemap()
+        self._run_maintenance()
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
 
@@ -541,7 +546,21 @@ class KeyedTable:
         # failure here leaves a stale-but-advisory index, never a bad
         # table): reconcile the skipping index with the new live set —
         # cost ∝ files this publish touched, not table size.
+        self._run_maintenance()
+
+    def add_maintenance_hook(self, fn) -> None:
+        """Register ``fn(table)`` to run after every successful commit
+        (post-publish, outside the crash-critical span — a failure
+        leaves a stale-but-advisory service, never a bad table). The
+        engine's extension point for derived table services: the SQ8
+        ANN index attaches here (operators/ann_index.py), the same
+        slot the built-in zone-map reconcile occupies."""
+        self._maintenance_hooks.append(fn)
+
+    def _run_maintenance(self) -> None:
         self._maintain_zonemap()
+        for fn in self._maintenance_hooks:
+            fn(self)
 
     def _maintain_zonemap(self) -> None:
         if not self.zonemap_columns:
@@ -1083,7 +1102,7 @@ class KeyedTable:
         if not self.retain_versions:
             for rel in to_drop:
                 self._fs_delete(f"{self.path}/{rel}")
-            self._maintain_zonemap()
+            self._run_maintenance()
             return len(to_drop)
 
         # Complete any interrupted publish FIRST: a crashed flagged
@@ -1114,7 +1133,7 @@ class KeyedTable:
         if self.changes_feed_dir:
             self.write_changes_feed(self.changes_feed_dir)
         self.vacuum_versions(keep_last=self.retain_versions)
-        self._maintain_zonemap()  # re-sync the manifest after the drop
+        self._run_maintenance()  # re-sync the manifest after the drop
         return len(to_drop)
 
     # -- filesystem commit layer (Hadoop FileSystem API: portable

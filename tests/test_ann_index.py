@@ -149,3 +149,34 @@ def test_topk_serves_from_sidecar_only(spark, table):
     df = ann_index_topk(table, query_vec_id=0, k=3, rerank=8)
     files = df.inputFiles()
     assert files and all("/.annindex/" in f for f in files)
+
+
+def test_attached_maintenance_follows_commits(spark, tmp_path):
+    """attach_ann_maintenance makes the index a table service: the
+    first commit builds it, later commits refresh it incrementally —
+    no explicit build/refresh calls anywhere."""
+    from rds_to_datalake_project_spark.operators.ann_index import (
+        attach_ann_maintenance,
+    )
+
+    t = KeyedTable(spark, str(tmp_path / "svc"), SPEC, retain_versions=4)
+    attach_ann_maintenance(t)
+    t.initial_load(_corpus(spark, 30, "v0"))
+    v, _ = _index_state(t)
+    assert v == 0  # built by the initial-load hook
+    before = _codes_map(t)
+    assert set(before) == set(range(30))
+    t.upsert(
+        spark.createDataFrame(
+            [(3, _vec(303), "v1", "U"), (40, _vec(40), "v1", "I")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    v, _ = _index_state(t)
+    assert v == t.versions()[-1]  # refreshed by the publish hook
+    after = _codes_map(t)
+    assert 40 in after and after[3] != before[3]
+    assert after[7] == before[7]  # survivor codes bit-identical
+    # a served query right after the commit sees the new row
+    ids = {r["vec_id"] for r in ann_index_topk(t, query_vec_id=40, k=1).collect()}
+    assert ids == {40}
