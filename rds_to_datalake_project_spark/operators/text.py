@@ -433,6 +433,59 @@ def bpe_merge_table(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED merge table — the tokenizer-side half of BPE
+    (bpe_merge_table trains it; this encodes with it). Per document:
+    pre-tokenize with the GPT-2-family regex, expand each pre-token to
+    its double-separator character sequence, replay the merges in
+    rank order (each one plain non-overlapping string replace = exact
+    greedy left-to-right application, see BPE_SYM_SEP), and count the
+    resulting symbols. Returns ``id, n_pretokens, n_tokens, n_chars``
+    — the corpus token-budget profile a training-data pipeline needs
+    per document.
+
+    Scale shape: the merge table rides the plan as ``2·k`` string
+    literals (k is tokenizer-sized, driver-tiny), so the whole encode
+    is one map-only pass of codegen'd string expressions — no shuffle,
+    no UDF, no join.
+    """
+    sep, sep2 = BPE_SYM_SEP, BPE_SYM_SEP * 2
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_SPLIT_RE), 0
+    )
+
+    def n_syms(tok):
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.substr(tok, i, F.lit(1)),
+        )
+        seq = F.concat(F.lit(sep2), F.array_join(chars, sep2), F.lit(sep2))
+        for a, b in merges:
+            seq = F.replace(
+                seq,
+                F.lit(f"{sep}{a}{sep}{sep}{b}{sep}"),
+                F.lit(f"{sep}{a}{b}{sep}"),
+            )
+        return F.size(F.filter(F.split(seq, sep2), lambda x: x != ""))
+
+    zero = F.lit(0).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        F.aggregate(
+            F.transform(toks, n_syms), zero, lambda acc, x: acc + x
+        ).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, F.length), zero, lambda acc, x: acc + x
+        ).alias("n_chars"),
+    )
+
+
 def bpe_merge_candidates(
     df: DataFrame, text_col: str = "text", top_k: int = 50
 ) -> DataFrame:

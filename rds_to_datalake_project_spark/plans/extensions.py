@@ -689,6 +689,77 @@ def _bpe_merge_table_sql(k: int) -> str:
 BPE_MERGE_TABLE_SQL = _bpe_merge_table_sql(_BPE_TABLE_MERGES)
 
 
+def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: train the merge table
+    (operators/text.bpe_merge_table), then encode every document with
+    it (operators/text.bpe_encode) — per-doc pre-token, BPE-token and
+    char counts, the token-budget profile of the corpus. The oracle
+    replays training AND encoding (same unrolled CTE chain as
+    bpe_merge_table plus a nested-replace encode), so every count is
+    hash-checked cross-engine."""
+    from rds_to_datalake_project_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_merge_table(docs, n_merges=_BPE_TABLE_MERGES)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in mt.orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_sql(k: int) -> str:
+    """Training chain (shared shape with _bpe_merge_table_sql) + a
+    per-document encode: each pre-token's symbol sequence replays the
+    k merges as nested non-overlapping replaces, then symbols are
+    counted and summed per doc."""
+    ss = "(chr(31) || chr(31))"
+    head = _bpe_merge_table_sql(k)
+    # keep only the WITH-chain (drop the final SELECT of the trainer)
+    chain = head[: head.rindex("\nSELECT * FROM (")]
+    enc = (
+        ss
+        + " || array_to_string(list_transform(range(1, len(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), "
+        + ss
+        + ") || "
+        + ss
+    )
+    for i in range(1, k + 1):
+        lhs, rhs = f"(SELECT lhs FROM b{i})", f"(SELECT rhs FROM b{i})"
+        enc = (
+            f"replace({enc}, chr(31) || {lhs} || chr(31) || chr(31) || {rhs} || chr(31),"
+            f" chr(31) || {lhs} || {rhs} || chr(31))"
+        )
+    return (
+        chain
+        + f""", dt AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS tok
+  FROM documents
+), enc AS (
+  SELECT doc_id, len(tok) AS n_chars,
+         len(list_filter(string_split({enc}, chr(31) || chr(31)), x -> x <> '')) AS n_syms
+  FROM dt
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+         CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_pretokens, 0) AS n_pretokens,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_chars, 0) AS n_chars
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql(_BPE_TABLE_MERGES)
+
+
 BPE_MERGE_SQL = r"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS tok
@@ -1638,6 +1709,7 @@ QUERIES = {
     "media_resize_stats": media_resize_stats,
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_merge_table": bpe_merge_table_q,
+    "bpe_encode_counts": bpe_encode_counts,
     "curate_documents_decisions": curate_documents_decisions,
     "doc_fingerprint": doc_fingerprint,
     "text_quality": text_quality,
@@ -1686,6 +1758,7 @@ ORACLES = {
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
     "bpe_merge_table": BPE_MERGE_TABLE_SQL,
+    "bpe_encode_counts": BPE_ENCODE_SQL,
     "curate_documents_decisions": CURATE_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -862,3 +862,49 @@ def test_prefix_index_hot_shingle_cap(spark):
     assert (10, 11) in cand  # rare-shingle pair survives the cap
     # boilerplate-only pairs are suppressed by the df cut
     assert not any(a < 6 and b < 6 for a, b in cand)
+
+
+def test_bpe_encode_hand_checked(spark):
+    """Greedy left-to-right merge application, hand-traced:
+    merges [(a,a), (aa,b)] on 'aaab': a·a·a·b → aa·a·b → (aa,b no
+    adjacency with 'a' between) — then 'aaaab': a·a·a·a·b →
+    aa·aa·b → aa applied non-overlapping, then (aa,b) fuses the
+    second pair → aa·aab = 2 tokens."""
+    from rds_to_datalake_project_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "aaab"), (1, "aaaab"), (2, "xy"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_pretokens, r.n_tokens, r.n_chars)
+        for r in bpe_encode(docs, [("a", "a"), ("aa", "b")]).collect()
+    }
+    # 'aaab': aa·a·b → 3 symbols (the lone middle 'a' blocks (aa,b))
+    assert got[0] == (1, 3, 4)
+    # 'aaaab': aa·aa·b → (aa,b) merges the SECOND aa with b → aa·aab
+    assert got[1] == (1, 2, 5)
+    # no merge applies
+    assert got[2] == (1, 2, 2)
+    # empty text → zero everything
+    assert got[3] == (0, 0, 0)
+
+
+def test_bpe_encode_roundtrip_with_trainer(spark):
+    """Encoding with the table the trainer just produced must shrink
+    token counts monotonically with more merges."""
+    from rds_to_datalake_project_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    mt = [(r.lhs, r.rhs) for r in bpe_merge_table(docs, n_merges=6).collect()]
+    assert len(mt) >= 1
+    n0 = bpe_encode(docs, []).agg({"n_tokens": "sum"}).collect()[0][0]
+    n3 = bpe_encode(docs, mt[:3]).agg({"n_tokens": "sum"}).collect()[0][0]
+    n6 = bpe_encode(docs, mt).agg({"n_tokens": "sum"}).collect()[0][0]
+    assert n0 > n3 >= n6
