@@ -1443,20 +1443,18 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production fast path of the containment verify: xxhash64 LSH
-    candidates (no cross-engine twin → rows-only driver check; the
-    md5 twin below is the hash-checked replay of the same kernel)."""
-    from rds_to_datalake_project_spark.operators.minhash import (
-        lsh_candidate_pairs,
-        ngram_containment_pairs,
-        probe_partitions,
-    )
+    """Production fast path of the containment detector, now on the
+    full-recall prefix-filter index with the xxhash64 key family
+    (operators/minhash.py containment_neardup). Because candidate
+    recall is total regardless of which hash orders the prefix, the
+    verified output equals brute-force all-pairs containment — so the
+    formerly rows-only xxhash64 path now earns the SAME closed-form
+    oracle as the md5 twin (hash ordering provably doesn't matter)."""
+    from rds_to_datalake_project_spark.operators.minhash import containment_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = probe_partitions(docs)
-    cand = lsh_candidate_pairs(docs, input_partitions=n_parts)
-    return ngram_containment_pairs(
-        docs, cand, threshold=0.5, input_partitions=n_parts
+    return containment_neardup(
+        docs, threshold=0.5, hash_mode="xxhash64"
     ).orderBy("a_id", "b_id")
 
 
@@ -1754,6 +1752,7 @@ ORACLES = {
     "hot_order_customers": HOT_KEYS_SQL,
     "ngram_containment_md5": NGRAM_CONTAINMENT_MD5_SQL,
     "containment_prefix_md5": CONTAINMENT_PREFIX_SQL,
+    "ngram_containment_neardup": CONTAINMENT_PREFIX_SQL,
     "auto_salted_priority_join": AUTO_SALT_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
