@@ -516,3 +516,68 @@ def bpe_merge_candidates(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+    weights: list[int] | None = None,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE at corpus scale — the
+    fasttext-style quality-model pattern (hashing-trick unigram +
+    bigram features, one weight lookup per feature, sum, threshold),
+    expressed entirely as codegen'd expressions: no UDF, no shuffle,
+    no model server.
+
+    Features are lowercased word unigrams and adjacent bigrams hashed
+    into ``dims`` buckets with the 60-bit md5 family (cross-engine
+    exact). ``weights`` is the trained weight vector as INTEGERS
+    (fixed-point — int64 sums are order-independent, so the logit is
+    bit-stable under any partitioning; a float model is quantized the
+    same way embeddings are in operators/similarity.py). It rides the
+    plan as one array literal consulted via ``element_at`` — model
+    deployment is literally shipping a plan. ``weights=None`` uses a
+    deterministic formula-derived pseudo-model ``w(b) = b % 1001 −
+    500`` (the shape the oracle replays; real deployments pass their
+    vector).
+
+    Emits ``id, n_features, logit, keep_doc`` (logit ≥ 0).
+    """
+    from rds_to_datalake_project_spark.operators.minhash import md5long60
+
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9']+"),
+        0,
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda j: F.concat_ws(
+                " ", F.element_at(toks, j), F.element_at(toks, j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    buckets = F.transform(feats, lambda f: F.pmod(md5long60(f), F.lit(dims)))
+    if weights is None:
+        w = lambda b: (b % F.lit(1001)) - F.lit(500)  # noqa: E731
+    else:
+        if len(weights) != dims:
+            raise ValueError(f"weights must have len {dims}, got {len(weights)}")
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in weights])
+        w = lambda b: F.element_at(arr, (b + F.lit(1)).cast("int"))  # noqa: E731
+    logit = F.aggregate(
+        F.transform(buckets, w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(feats).cast("bigint").alias("n_features"),
+        logit.alias("logit"),
+        (logit >= 0).alias("keep_doc"),
+    )

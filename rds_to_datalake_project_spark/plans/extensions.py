@@ -1787,3 +1787,54 @@ ORACLES = {
     "sample_docs_per_source": SAMPLE_SQL,
     "train_test_split_counts": SPLIT_SQL,
 }
+
+
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier inference over the corpus
+    (operators/text.hashed_linear_score): fasttext-style
+    unigram+bigram hashing-trick features, integer weights, exact
+    int64 logits — the "apply a trained quality model at 100 TB"
+    pattern as one map-only codegen'd pass. The oracle replays
+    features, buckets, and weights bit-for-bit."""
+    from rds_to_datalake_project_spark.operators.text import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, dims=1024).orderBy("doc_id")
+
+
+QUALITY_MODEL_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    j -> toks[j] || ' ' || toks[j + 1])
+                ELSE [] END
+         ) AS feats
+  FROM t
+), b AS (
+  SELECT doc_id,
+         list_transform(feats, ft ->
+           CAST(('0x' || substring(md5(ft), 1, 15)) AS BIGINT) % 1024
+         ) AS buckets
+  FROM f
+), s AS (
+  SELECT doc_id,
+         CAST(len(buckets) AS BIGINT) AS n_features,
+         CAST(coalesce(
+           list_sum(list_transform(buckets, bk -> (bk % 1001) - 500)), 0
+         ) AS BIGINT) AS logit
+  FROM b
+)
+SELECT doc_id, n_features, logit, (logit >= 0) AS keep_doc
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["quality_model_scores"] = quality_model_scores
+ORACLES["quality_model_scores"] = QUALITY_MODEL_SQL

@@ -28,6 +28,7 @@ _PRIORITY = (
     "containment_prefix_md5",
     "auto_salted_priority_join",
     "bpe_encode_counts",
+    "quality_model_scores",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -77,7 +78,6 @@ _PRIORITY = (
     "part_brand_stats",
     "minhash_neardup_md5",
     "minhash_lsh_candidates_md5",
-    "simhash_neardup_md5",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

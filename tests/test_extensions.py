@@ -908,3 +908,37 @@ def test_bpe_encode_roundtrip_with_trainer(spark):
     n3 = bpe_encode(docs, mt[:3]).agg({"n_tokens": "sum"}).collect()[0][0]
     n6 = bpe_encode(docs, mt).agg({"n_tokens": "sum"}).collect()[0][0]
     assert n0 > n3 >= n6
+
+
+def test_hashed_linear_score_explicit_weights(spark):
+    """The weights-array path (model as plan literal): a one-hot
+    weight vector scores exactly the docs containing a feature that
+    hashes into that bucket; logits are exact int sums."""
+    from rds_to_datalake_project_spark.operators.minhash import md5long60
+    from rds_to_datalake_project_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(0, "good text here"), (1, "bad stuff"), (2, "")],
+        ["doc_id", "text"],
+    )
+    dims = 64
+    # find the bucket 'good' hashes to, weight only that bucket
+    bucket = (
+        spark.range(1)
+        .select(F.pmod(md5long60(F.lit("good")), F.lit(dims)).alias("b"))
+        .collect()[0]["b"]
+    )
+    weights = [0] * dims
+    weights[bucket] = 7
+    got = {
+        r.doc_id: (r.n_features, r.logit, r.keep_doc)
+        for r in hashed_linear_score(docs, dims=dims, weights=weights).collect()
+    }
+    # doc 0: unigrams good/text/here + bigrams "good text"/"text here"
+    assert got[0][0] == 5
+    assert got[0][1] >= 7 and got[0][2] is True  # 'good' bucket fired
+    assert got[2] == (0, 0, True)  # empty doc: zero features, logit 0
+    # formula path and weights path agree on feature counts
+    from rds_to_datalake_project_spark.operators.text import hashed_linear_score as h
+    formula = {r.doc_id: r.n_features for r in h(docs, dims=dims).collect()}
+    assert formula == {k: v[0] for k, v in got.items()}
