@@ -63,11 +63,14 @@ from rds_to_datalake_project_spark.operators.similarity import (
     sq8_code,
     sq8_train,
 )
-from rds_to_datalake_project_spark.operators.upsert import KeyedTable
-from rds_to_datalake_project_spark.operators.zonemap import (
-    _read_small,
-    _write_small,
+from rds_to_datalake_project_spark.operators.sidecar import (
+    epoch_of,
+    parts_consistent,
+    read_state,
+    write_part,
+    write_state,
 )
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
 
 _DIR = ".annindex"
 
@@ -82,35 +85,13 @@ def _read_bounds(table: KeyedTable) -> list[tuple[float, float]]:
 
 
 def _index_state(table: KeyedTable) -> tuple[int, str] | None:
-    """(indexed version, build epoch) from _VERSION, or None when the
-    marker is missing/unparsable (pre-epoch layouts rebuild too)."""
-    txt = _read_small(table.spark, f"{_idx(table)}/_VERSION")
-    parts = (txt or "").split()
-    if len(parts) != 2:
-        return None
-    try:
-        return int(parts[0]), parts[1]
-    except ValueError:
-        return None
+    """(indexed version, build epoch), or None when missing/unparsable
+    (operators/sidecar.py protocol)."""
+    return read_state(table.spark, _idx(table))
 
 
 def _epoch_of(table: KeyedTable, part: str) -> str | None:
-    txt = _read_small(table.spark, f"{_idx(table)}/{part}/_EPOCH")
-    return txt.strip() if txt and txt.strip() else None
-
-
-def _write_codes(table: KeyedTable, codes: DataFrame, epoch: str) -> DataFrame:
-    """Overwrite the codes dir, then stamp its epoch marker. Returns
-    the MATERIALIZED codes (derived-from-previous codes are lazy —
-    checkpoint before overwriting the directory they read from, same
-    pattern as refresh_zonemap; counting the checkpoint costs no
-    second disk read)."""
-    out = codes.localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(f"{_idx(table)}/codes")
-    # Marker AFTER the data: a partial overwrite has no _EPOCH and
-    # the next refresh rebuilds instead of trusting truncated codes.
-    _write_small(table.spark, f"{_idx(table)}/codes/_EPOCH", epoch)
-    return out
+    return epoch_of(table.spark, _idx(table), part)
 
 
 def _code_rows(
@@ -134,16 +115,24 @@ def build_ann_index(
     corpus = table.read()
     version = (table.versions() or [0])[-1]
     bounds = sq8_train(corpus, vec_col)
-    spark.createDataFrame(
-        [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
-        "pos int, lo double, hi double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{_idx(table)}/bounds")
-    _write_small(spark, f"{_idx(table)}/bounds/_EPOCH", epoch)
-    coded = _write_codes(table, _code_rows(corpus, bounds, id_col, vec_col), epoch)
+    write_part(
+        spark,
+        _idx(table),
+        "bounds",
+        spark.createDataFrame(
+            [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
+            "pos int, lo double, hi double",
+        ),
+        epoch,
+        coalesce=1,
+    )
+    coded = write_part(
+        spark, _idx(table), "codes", _code_rows(corpus, bounds, id_col, vec_col), epoch
+    )
     # version+epoch LAST: a crash before this leaves the old (or no)
     # marker, whose epoch no longer matches the new bounds/codes —
     # the next refresh rebuilds; never a fresher-than-reality stamp.
-    _write_small(spark, f"{_idx(table)}/_VERSION", f"{version} {epoch}")
+    write_state(spark, _idx(table), version, epoch)
     return coded.count()
 
 
@@ -159,13 +148,8 @@ def refresh_ann_index(
     unreadable (torn build — see module docstring)."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
-    state = _index_state(table)
-    if (
-        state is None
-        or state[0] not in table.readable_versions()
-        or _epoch_of(table, "bounds") != state[1]
-        or _epoch_of(table, "codes") != state[1]
-    ):
+    state = parts_consistent(spark, _idx(table), ["bounds", "codes"])
+    if state is None or state[0] not in table.readable_versions():
         return (build_ann_index(table, id_col, vec_col), 0)
     v0, epoch = state
     if v0 == latest:
@@ -182,8 +166,8 @@ def refresh_ann_index(
     fresh = _code_rows(upserts, bounds, id_col, vec_col)
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
-    _write_codes(table, survivors.unionByName(fresh), epoch)
-    _write_small(spark, f"{_idx(table)}/_VERSION", f"{latest} {epoch}")
+    write_part(spark, _idx(table), "codes", survivors.unionByName(fresh), epoch)
+    write_state(spark, _idx(table), latest, epoch)
     return (n_up, n_del)
 
 

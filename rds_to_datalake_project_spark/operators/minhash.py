@@ -97,6 +97,49 @@ def minhash_signature(
     )
 
 
+def band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The banded-signature table: one ``(id, band, bucket)`` row per
+    (doc, band). This IS the LSH index relation — the self-join form
+    (``lsh_candidate_pairs``) and the persisted table service
+    (operators/lsh_index.py) both consume it. Map-only: shingle →
+    signature → band hashes in one pass, exploded."""
+    rows_per_band = num_hashes // bands
+    sig_df = df.select(
+        F.col(id_col),
+        minhash_signature(
+            shingles(text_col, shingle_n), num_hashes, hash_mode
+        ).alias("__sig"),
+    )
+
+    def _bucket(b):
+        band_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return (
+            F.xxhash64(band_str) if hash_mode == "xxhash64" else md5long60(band_str)
+        )
+
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
+    )
+    return sig_df.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -128,45 +171,23 @@ def lsh_candidate_pairs(
     partition count (avoids a per-stage DataFrame→RDD translation;
     see operators/fanout.py).
     """
-    rows_per_band = num_hashes // bands
     # Conditional fan-out before the expensive map stage: a corpus
     # read from few files would otherwise compute every signature in a
     # handful of tasks; an already-well-split 100 TB scan is passed
-    # through with no shuffle.
-    df = fan_out(df, current=input_partitions)
-    # Stage the signature as a real column, then band it with one
-    # nested HOF — each stage's expression appears exactly once in the
-    # plan (vs. bands× copies if the per-band structs inlined it).
-    sig_df = df.select(
-        F.col(id_col),
-        minhash_signature(
-            shingles(text_col, shingle_n), num_hashes, hash_mode
-        ).alias("__sig"),
-    )
-
-    def _bucket(b):
-        band_str = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return (
-            F.xxhash64(band_str) if hash_mode == "xxhash64" else md5long60(band_str)
-        )
-
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
-    )
-    # Materialized once — the self-join would recompute the signature
-    # scan per side (same pattern as the simhash fingerprint table).
-    banded = (
-        sig_df.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-        .select(id_col, "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)
-    )
+    # through with no shuffle. The banding itself (signature staged as
+    # a real column, one nested HOF — each stage's expression appears
+    # exactly once in the plan) lives in band_rows. Materialized once —
+    # the self-join would recompute the signature scan per side (same
+    # pattern as the simhash fingerprint table).
+    banded = band_rows(
+        fan_out(df, current=input_partitions),
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        hash_mode,
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         # One extra agg + anti-join on the SAME (band, bucket) key the
         # self-join shuffles on — no new partitioning, and it removes

@@ -887,6 +887,114 @@ LIMIT 10
 """
 
 
+def lsh_index_screen_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dedup TABLE SERVICE, full lifecycle (operators/
+    lsh_index.py): index a versioned documents lake table (md5 hash
+    family), commit a CDC batch (appended-text updates, deletes,
+    exact-copy inserts), ``refresh_lsh_index`` incrementally, then
+    screen a probe batch against the index — banding the PROBE only
+    and joining the persisted signature relation; the corpus is never
+    re-signed. The oracle replays the final corpus in closed form,
+    re-derives every minhash band cross-engine (60-bit md5 family)
+    and verifies candidates with exact Jaccard."""
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_neardups_for,
+        refresh_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = TableSpec(
+        "docs_lsh",
+        record_key=("doc_id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("lsh_idx") + "/t", spec, retain_versions=3)
+    t.initial_load(docs.withColumn("update_at", F.lit("v0")))  # v0
+    build_lsh_index(t, hash_mode="md5")
+    k = F.col("doc_id")
+    updates = (
+        docs.filter(k % 7 == 0)
+        .withColumn("text", F.concat("text", F.lit(" appended marker words here")))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = docs.filter((k % 13 == 0) & (k % 7 != 0)).withColumn("Op", F.lit("D"))
+    inserts = (
+        docs.filter(k % 11 == 0)
+        .withColumn("doc_id", k + F.lit(1_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    batch = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(batch, delete_mode="apply")  # commit 1
+    refresh_lsh_index(t, hash_mode="md5")  # deletes out, changed re-banded
+    probe = docs.filter(k % 17 == 0).withColumn("doc_id", k + F.lit(2_000_000))
+    return lsh_neardups_for(t, probe, threshold=0.5).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
+LSH_INDEX_SCREEN_SQL = r"""
+WITH final AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' appended marker words here'
+              ELSE text END AS text
+  FROM documents
+  WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+), probe AS MATERIALIZED (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+), allr AS MATERIALIZED (
+  SELECT * FROM final UNION ALL SELECT * FROM probe
+), sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM allr
+  )
+), ex AS (
+  SELECT doc_id, s.sh AS sh FROM sh, unnest(shingles) AS s(sh)
+), mh AS MATERIALIZED (
+  SELECT doc_id, r.seed AS seed,
+         MIN(CAST(('0x' || substring(md5(CAST(r.seed AS VARCHAR) || '|' || ex.sh), 1, 15)) AS BIGINT)) AS h
+  FROM ex, range(0, 64) AS r(seed)
+  GROUP BY doc_id, r.seed
+), bandstr AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bs
+  FROM mh GROUP BY doc_id, seed // 4
+), buckets AS MATERIALIZED (
+  SELECT doc_id, band, CAST(('0x' || substring(md5(bs), 1, 15)) AS BIGINT) AS bucket
+  FROM bandstr
+), cand AS MATERIALIZED (
+  SELECT DISTINCT p.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM buckets p JOIN buckets c ON p.band = c.band AND p.bucket = c.bucket
+  WHERE p.doc_id >= 2000000 AND c.doc_id < 2000000
+)
+SELECT batch_id, corpus_id, jaccard FROM (
+  SELECT cand.batch_id, cand.corpus_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.batch_id
+  JOIN sh sb ON sb.doc_id = cand.corpus_id
+)
+WHERE jaccard >= 0.5
+ORDER BY batch_id, corpus_id
+"""
+
+
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
@@ -907,11 +1015,13 @@ QUERIES = {
     "hypertable_rollup": hypertable_rollup,
     "zonemap_pruned_scan": zonemap_pruned_scan,
     "ann_index_served_topk": ann_index_served_topk,
+    "lsh_index_screen_md5": lsh_index_screen_md5,
 }
 
 ORACLES = {
     "zonemap_pruned_scan": ZONEMAP_SQL,
     "ann_index_served_topk": ANN_INDEX_SQL,
+    "lsh_index_screen_md5": LSH_INDEX_SCREEN_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

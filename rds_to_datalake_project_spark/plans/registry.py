@@ -29,6 +29,7 @@ _PRIORITY = (
     "auto_salted_priority_join",
     "bpe_encode_counts",
     "quality_model_scores",
+    "lsh_index_screen_md5",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -77,7 +78,6 @@ _PRIORITY = (
     "orders_intersect_urgent",
     "part_brand_stats",
     "minhash_neardup_md5",
-    "minhash_lsh_candidates_md5",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
