@@ -473,3 +473,46 @@ def test_plan_batch_never_splits_a_commit_timestamp_group(tmp_path, monkeypatch)
     chosen, wm = t.plan_batch("t", "/cdc")
     assert len(chosen) == 3  # stretched to include the whole 10:00:01 group
     assert wm == datetime(2024, 1, 1, 10, 0, 1)
+
+
+def test_streaming_upserts_maintain_attached_index(spark, tmp_path):
+    """A table service attached via add_maintenance_hook follows a
+    STREAMING ingest too: every foreachBatch upsert commit refreshes
+    the LSH index, so batch-vs-corpus screening is fresh the moment
+    the stream drains — no out-of-band job."""
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        _idx,
+        attach_lsh_maintenance,
+        lsh_neardups_for,
+    )
+    from rds_to_datalake_project_spark.operators.sidecar import read_state
+
+    spec = TableSpec("t", record_key=("id",), precombine_key="update_at",
+                     partition_source="create_at", partition_granularity="day",
+                     schema=CDC_SCHEMA)
+    table = KeyedTable(
+        spark, str(tmp_path / "table"), spec, retain_versions=4
+    )
+    attach_lsh_maintenance(table, id_col="id", text_col="val")
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps in the warm sun")
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", base, "I"),
+                     _row("b", "2024-01-01", "2024-01-01", "unrelated words entirely", "I")])
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 1, 0),
+                    [_row("c", "2024-01-02", "2024-01-02",
+                          base.replace("lazy dog", "sleepy dog"), "I")])
+    ckpt = str(tmp_path / "ckpt")
+    stream_cdc_to_table(spark, cdc_dir, table, ckpt, CDC_SCHEMA,
+                        max_files_per_trigger=1)
+    # index followed the stream to the head commit
+    assert read_state(spark, _idx(table))[0] == table.versions()[-1]
+    probe = spark.createDataFrame([("p1", base)], ["id", "val"])
+    hits = {
+        r.corpus_id
+        for r in lsh_neardups_for(
+            table, probe, id_col="id", text_col="val", threshold=0.5
+        ).collect()
+    }
+    assert hits == {"a", "c"}
