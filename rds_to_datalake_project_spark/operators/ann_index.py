@@ -95,21 +95,62 @@ def _epoch_of(table: KeyedTable, part: str) -> str | None:
 
 
 def _code_rows(
-    df: DataFrame, bounds, id_col: str, vec_col: str
+    df: DataFrame, bounds, id_col: str, vec_col: str, centroids=None
 ) -> DataFrame:
-    return df.select(
+    """Index rows for ``df``. With ``centroids`` each row also carries
+    its IVF cell (integer-exact assignment — similarity.py
+    assign_ivf_cells), so serving can prune stage 1 to probed cells."""
+    cols = [
         F.col(id_col),
         sq8_code(vec_col, bounds).alias("code"),
         quantize(vec_col).alias("qvec"),
-    )
+    ]
+    if centroids is not None:
+        from rds_to_datalake_project_spark.operators.similarity import (
+            assign_ivf_cells,
+        )
+
+        df = assign_ivf_cells(df, centroids, id_col, vec_col)
+        cols.append(F.col("ivf_cell").alias("cell"))
+    return df.select(*cols)
+
+
+def _read_centroids(table: KeyedTable) -> list[tuple[int, list[float]]] | None:
+    """Persisted centroid list in its original (tie-break) order, or
+    None if the part is absent/unreadable."""
+    try:
+        rows = table.spark.read.parquet(f"{_idx(table)}/centroids").collect()
+    except Exception:
+        return None
+    return [
+        (r["cid"], list(r["cvec"]))
+        for r in sorted(rows, key=lambda r: r["pos"])
+    ]
+
+
+def _delete_part(table: KeyedTable, part: str) -> None:
+    jvm = table.spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{_idx(table)}/{part}")
+    p.getFileSystem(table.spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def build_ann_index(
-    table: KeyedTable, id_col: str = "vec_id", vec_col: str = "embedding"
+    table: KeyedTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> int:
     """Full (re)build: train bounds on the current corpus, code every
     row, stamp the commit version + a fresh build epoch. Returns rows
-    coded."""
+    coded.
+
+    ``centroids`` turns on IVF cell pruning: every code row is tagged
+    with its nearest centroid (integer-exact assignment), the centroid
+    list persists as a sidecar part (in order — assignment ties take
+    the FIRST centroid, so order is part of the codebook), and
+    ``ann_index_topk(probe_cells=N)`` scans only the N cells nearest
+    the query — stage-1 cost becomes ∝ probed cells, not the corpus.
+    Like the SQ8 bounds, centroids are FIXED across refreshes."""
     spark = table.spark
     epoch = uuid.uuid4().hex
     corpus = table.read()
@@ -126,8 +167,31 @@ def build_ann_index(
         epoch,
         coalesce=1,
     )
+    if centroids is not None:
+        write_part(
+            spark,
+            _idx(table),
+            "centroids",
+            spark.createDataFrame(
+                [
+                    (pos, cid, [float(x) for x in vec])
+                    for pos, (cid, vec) in enumerate(centroids)
+                ],
+                "pos int, cid int, cvec array<double>",
+            ),
+            epoch,
+            coalesce=1,
+        )
+    else:
+        # a lingering centroids dir from an earlier IVF build would
+        # look torn forever — a non-IVF build removes it outright
+        _delete_part(table, "centroids")
     coded = write_part(
-        spark, _idx(table), "codes", _code_rows(corpus, bounds, id_col, vec_col), epoch
+        spark,
+        _idx(table),
+        "codes",
+        _code_rows(corpus, bounds, id_col, vec_col, centroids),
+        epoch,
     )
     # version+epoch LAST: a crash before this leaves the old (or no)
     # marker, whose epoch no longer matches the new bounds/codes —
@@ -149,8 +213,22 @@ def refresh_ann_index(
     spark = table.spark
     latest = (table.versions() or [0])[-1]
     state = parts_consistent(spark, _idx(table), ["bounds", "codes"])
+    # IVF mode is detected from the sidecar itself: a centroids part
+    # whose epoch matches _VERSION. A torn centroids part (epoch
+    # mismatch while bounds/codes agree) forces a rebuild REUSING the
+    # persisted centroid list — any fixed list is a valid codebook as
+    # long as stored cells and query probing share it, which a full
+    # reassignment restores.
+    centroids = _read_centroids(table)
+    ivf_ok = (
+        state is not None
+        and centroids is not None
+        and epoch_of(spark, _idx(table), "centroids") == state[1]
+    )
+    if centroids is not None and state is not None and not ivf_ok:
+        return (build_ann_index(table, id_col, vec_col, centroids), 0)
     if state is None or state[0] not in table.readable_versions():
-        return (build_ann_index(table, id_col, vec_col), 0)
+        return (build_ann_index(table, id_col, vec_col, centroids), 0)
     v0, epoch = state
     if v0 == latest:
         return (0, 0)
@@ -158,12 +236,14 @@ def refresh_ann_index(
         bounds = _read_bounds(table)
         old = spark.read.parquet(f"{_idx(table)}/codes")
     except Exception:
-        return (build_ann_index(table, id_col, vec_col), 0)
+        return (build_ann_index(table, id_col, vec_col, centroids), 0)
     changes = table.table_changes(v0, latest)
     upserts = changes.filter(F.col("_change_type") != "delete")
     deleted_or_replaced = changes.select(id_col)  # every touched key
     survivors = old.join(deleted_or_replaced, id_col, "left_anti")
-    fresh = _code_rows(upserts, bounds, id_col, vec_col)
+    fresh = _code_rows(
+        upserts, bounds, id_col, vec_col, centroids if ivf_ok else None
+    )
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
     write_part(spark, _idx(table), "codes", survivors.unionByName(fresh), epoch)
@@ -193,14 +273,48 @@ def ann_index_topk(
     k: int = 10,
     rerank: int = 64,
     id_col: str = "vec_id",
+    probe_cells: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN served ENTIRELY from the sidecar: stage 1 scores
     the 8-bit codes with the centered int64 surrogate and keeps the
     top ``rerank``; stage 2 reranks those rows by exact quantized
     cosine on the stored qvec. No training, no base-table scan — the
     plan is one index scan against a broadcast 1-row query, the same
-    map-only + TakeOrderedAndProject shape as sq8_topk."""
+    map-only + TakeOrderedAndProject shape as sq8_topk.
+
+    ``probe_cells=N`` (IVF-built index only) restricts stage 1 to the
+    N cells nearest the query — the sublinear serving path: the probe
+    set is computed driver-side from the tiny centroid part with the
+    SAME integer-exact distance as the stored assignment, and the cell
+    filter is a partition-prunable predicate on the codes scan."""
     codes = table.spark.read.parquet(f"{_idx(table)}/codes")
+    if probe_cells is not None:
+        centroids = _read_centroids(table)
+        if centroids is None:
+            raise ValueError(
+                "probe_cells requires an index built with centroids"
+            )
+        qrow = codes.filter(F.col(id_col) == query_vec_id).select("qvec").collect()
+        if not qrow:
+            raise ValueError(f"query id {query_vec_id!r} not in index")
+        qv = list(qrow[0]["qvec"])
+
+        def _q(x: float) -> int:
+            # HALF_UP (away from zero), matching Spark's F.round in
+            # quantize() — Python's round() banker-rounds and would
+            # disagree on .5 boundaries.
+            import math
+
+            return int(math.copysign(math.floor(abs(x) * 1_000_000 + 0.5), x))
+
+        scored = []  # exact int distance; tie-break = centroid LIST order,
+        # the same first-wins rule the stored assignment used — so the
+        # query's own cell is always probe[0].
+        for pos, (cid, vec) in enumerate(centroids):
+            qc = [_q(x) for x in vec]
+            scored.append((sum((a - b) * (a - b) for a, b in zip(qv, qc)), pos, cid))
+        probe = [cid for _d, _p, cid in sorted(scored)[:probe_cells]]
+        codes = codes.filter(F.col("cell").isin(probe))
     q = codes.filter(F.col(id_col) == query_vec_id).select(
         F.col("code").alias("__qcode"), F.col("qvec").alias("__qv")
     )

@@ -887,6 +887,105 @@ LIMIT 10
 """
 
 
+def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned serving from the persisted ANN index (operators/
+    ann_index.py): build with 4 fixed axis centroids (integer-exact
+    cell assignment), then top-k probing only the 2 cells nearest the
+    query — stage 1 never scans the other cells. The oracle replays
+    cells, probe selection, and both ranking stages bit-for-bit."""
+    from rds_to_datalake_project_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spec = TableSpec(
+        "emb_ivf",
+        record_key=("vec_id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("ann_ivf") + "/t", spec, retain_versions=2)
+    t.initial_load(emb.withColumn("update_at", F.lit("v0")))
+    dim = 64
+
+    def axis(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    build_ann_index(t, centroids=[(i, axis(i)) for i in range(4)])
+    return ann_index_topk(t, query_vec_id=1, k=10, rerank=64, probe_cells=2)
+
+
+ANN_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT p.i AS pos, MIN(e.v[p.i]) AS lo, MAX(e.v[p.i]) AS hi
+  FROM e, unnest(range(1, len(e.v) + 1)) AS p(i)
+  GROUP BY p.i
+), b AS (
+  SELECT list(lo ORDER BY pos) AS lo_l, list(hi ORDER BY pos) AS hi_l FROM dims
+), cents AS (
+  SELECT c.cid AS cid,
+         list_transform(range(1, 65),
+                        i -> CASE WHEN i = c.cid + 1 THEN CAST(1000000 AS BIGINT)
+                                  ELSE CAST(0 AS BIGINT) END) AS qc
+  FROM (SELECT unnest(range(0, 4)) AS cid) c
+), coded AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.v) + 1), i ->
+           CASE WHEN b.hi_l[i] = b.lo_l[i] THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(255 * (e.v[i] - b.lo_l[i])
+                                / (b.hi_l[i] - b.lo_l[i])) AS BIGINT)
+           END) AS code,
+         list_transform(e.v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qvec
+  FROM e CROSS JOIN b
+), dists AS (
+  SELECT coded.vec_id, cents.cid,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (coded.qvec[i] - cents.qc[i]) * (coded.qvec[i] - cents.qc[i])))
+           AS BIGINT) AS d
+  FROM coded CROSS JOIN cents
+), celled AS (
+  SELECT coded.vec_id, coded.code, coded.qvec, a.cid AS cell
+  FROM coded JOIN (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+  ) a ON a.vec_id = coded.vec_id AND a.rn = 1
+), q AS (
+  SELECT code AS qcode, qvec AS qv FROM celled WHERE vec_id = 1
+), probe AS (
+  SELECT cents.cid FROM cents CROSS JOIN q
+  ORDER BY CAST(list_sum(list_transform(range(1, 65),
+            i -> (q.qv[i] - cents.qc[i]) * (q.qv[i] - cents.qc[i]))) AS BIGINT),
+           cents.cid
+  LIMIT 2
+), cand AS (
+  SELECT c.vec_id, c.qvec,
+         CAST(list_sum(list_transform(range(1, len(c.code) + 1),
+              i -> (c.code[i] - 128) * (q.qcode[i] - 128))) AS BIGINT)
+           AS approx_score
+  FROM celled c CROSS JOIN q
+  WHERE c.cell IN (SELECT cid FROM probe)
+  ORDER BY approx_score DESC, c.vec_id
+  LIMIT 64
+)
+SELECT cand.vec_id, cand.approx_score,
+       CAST(list_sum(list_transform(range(1, len(cand.qvec) + 1),
+            i -> cand.qvec[i] * q.qv[i])) AS DOUBLE)
+       / sqrt(CAST(list_sum(list_transform(cand.qvec, x -> x * x)) AS DOUBLE)
+            * CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+         AS cosine_sim
+FROM cand CROSS JOIN q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
 def lsh_index_screen_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dedup TABLE SERVICE, full lifecycle (operators/
     lsh_index.py): index a versioned documents lake table (md5 hash
@@ -1016,12 +1115,14 @@ QUERIES = {
     "zonemap_pruned_scan": zonemap_pruned_scan,
     "ann_index_served_topk": ann_index_served_topk,
     "lsh_index_screen_md5": lsh_index_screen_md5,
+    "ann_index_ivf_topk": ann_index_ivf_topk,
 }
 
 ORACLES = {
     "zonemap_pruned_scan": ZONEMAP_SQL,
     "ann_index_served_topk": ANN_INDEX_SQL,
     "lsh_index_screen_md5": LSH_INDEX_SCREEN_SQL,
+    "ann_index_ivf_topk": ANN_IVF_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

@@ -30,6 +30,7 @@ _PRIORITY = (
     "bpe_encode_counts",
     "quality_model_scores",
     "lsh_index_screen_md5",
+    "ann_index_ivf_topk",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -76,7 +77,6 @@ _PRIORITY = (
     "order_priority_stats",
     "orders_except_filtered",
     "orders_intersect_urgent",
-    "part_brand_stats",
     "minhash_neardup_md5",
 )
 

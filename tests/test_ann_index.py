@@ -180,3 +180,66 @@ def test_attached_maintenance_follows_commits(spark, tmp_path):
     # a served query right after the commit sees the new row
     ids = {r["vec_id"] for r in ann_index_topk(t, query_vec_id=40, k=1).collect()}
     assert ids == {40}
+
+
+def _axis_centroids(dim=8, k=4):
+    out = []
+    for c in range(k):
+        v = [0.0] * dim
+        v[c] = 1.0
+        out.append((c, v))
+    return out
+
+
+def test_ivf_index_prunes_cells_and_matches_full_scan(spark, table):
+    """An IVF-built index serves from probed cells only; with enough
+    probes the answer equals the full-scan index, and with 1 probe the
+    scanned row count shrinks to the query's cell."""
+    cents = _axis_centroids()
+    build_ann_index(table, centroids=cents)
+    codes = spark.read.parquet(f"{_idx(table)}/codes")
+    assert "cell" in codes.columns
+    cell_sizes = {r["cell"]: r["n"] for r in
+                  codes.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(cell_sizes.values()) == 60 and len(cell_sizes) >= 2
+    # all-cells probe == unpruned result
+    full = ann_index_topk(table, query_vec_id=3, k=5, rerank=16).collect()
+    probed = ann_index_topk(
+        table, query_vec_id=3, k=5, rerank=16, probe_cells=len(cents)
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in probed] == [
+        (r["vec_id"], r["cosine_sim"]) for r in full
+    ]
+    # 1-cell probe returns only rows from the query's own cell
+    qcell = codes.filter(F.col("vec_id") == 3).collect()[0]["cell"]
+    one = ann_index_topk(table, query_vec_id=3, k=50, rerank=64, probe_cells=1)
+    got_ids = [r["vec_id"] for r in one.collect()]
+    cell_ids = {r["vec_id"] for r in codes.filter(F.col("cell") == qcell).collect()}
+    assert set(got_ids) <= cell_ids and 3 in got_ids
+
+
+def test_ivf_refresh_keeps_centroids_and_assigns_cells(spark, table):
+    cents = _axis_centroids()
+    build_ann_index(table, centroids=cents)
+    table.upsert(
+        spark.createDataFrame(
+            [(70, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0], "v1", "I")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    assert refresh_ann_index(table) == (1, 0)
+    codes = spark.read.parquet(f"{_idx(table)}/codes")
+    row = codes.filter(F.col("vec_id") == 70).collect()[0]
+    assert row["cell"] == 2  # exactly on centroid e_2
+    # centroid part untouched (fixed codebook across refreshes)
+    from rds_to_datalake_project_spark.operators.ann_index import _read_centroids
+    assert _read_centroids(table) == cents
+
+
+def test_non_ivf_rebuild_clears_centroids(spark, table):
+    build_ann_index(table, centroids=_axis_centroids())
+    build_ann_index(table)  # explicit retrain WITHOUT ivf
+    from rds_to_datalake_project_spark.operators.ann_index import _read_centroids
+    assert _read_centroids(table) is None
+    with pytest.raises(ValueError, match="centroids"):
+        ann_index_topk(table, query_vec_id=0, probe_cells=1).collect()
