@@ -111,7 +111,10 @@ def _code_rows(
         )
 
         df = assign_ivf_cells(df, centroids, id_col, vec_col)
-        cols.append(F.col("ivf_cell").alias("cell"))
+        # STRING cell: the codes part is hive-partitioned by cell and
+        # the engine session disables partition type inference, so the
+        # value must round-trip as a string (memory: zero-padded dirs).
+        cols.append(F.col("ivf_cell").cast("string").alias("cell"))
     return df.select(*cols)
 
 
@@ -192,6 +195,10 @@ def build_ann_index(
         "codes",
         _code_rows(corpus, bounds, id_col, vec_col, centroids),
         epoch,
+        # IVF codes are hive-partitioned by cell: a probed query's
+        # cell filter prunes whole directories, so stage-1 I/O is
+        # ∝ probed cells even at 100-TB index size.
+        partition_by=["cell"] if centroids is not None else None,
     )
     # version+epoch LAST: a crash before this leaves the old (or no)
     # marker, whose epoch no longer matches the new bounds/codes —
@@ -246,7 +253,14 @@ def refresh_ann_index(
     )
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
-    write_part(spark, _idx(table), "codes", survivors.unionByName(fresh), epoch)
+    write_part(
+        spark,
+        _idx(table),
+        "codes",
+        survivors.unionByName(fresh),
+        epoch,
+        partition_by=["cell"] if ivf_ok else None,
+    )
     write_state(spark, _idx(table), latest, epoch)
     return (n_up, n_del)
 
@@ -313,7 +327,7 @@ def ann_index_topk(
         for pos, (cid, vec) in enumerate(centroids):
             qc = [_q(x) for x in vec]
             scored.append((sum((a - b) * (a - b) for a, b in zip(qv, qc)), pos, cid))
-        probe = [cid for _d, _p, cid in sorted(scored)[:probe_cells]]
+        probe = [str(cid) for _d, _p, cid in sorted(scored)[:probe_cells]]
         codes = codes.filter(F.col("cell").isin(probe))
     q = codes.filter(F.col(id_col) == query_vec_id).select(
         F.col("code").alias("__qcode"), F.col("qvec").alias("__qv")

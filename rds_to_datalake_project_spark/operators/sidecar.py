@@ -54,15 +54,24 @@ def write_part(
     df: DataFrame,
     epoch: str,
     coalesce: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Overwrite ``<index>/<part>`` with ``df``, then stamp its epoch
     marker. Returns the MATERIALIZED frame (derived-from-previous
     state is lazy — checkpoint before overwriting the directory it
     reads from; recounting the checkpoint costs no second disk
-    read)."""
+    read). ``partition_by`` hive-partitions the part so consumers'
+    partition filters prune at the directory level (keep such columns
+    STRING-typed: the engine session disables partition type
+    inference, so values read back as strings)."""
     out = df.localCheckpoint(eager=True)
     writer = out.coalesce(coalesce) if coalesce else out
-    writer.write.mode("overwrite").parquet(f"{index_dir}/{part}")
+    w = writer.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"  # part replace = full reset
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{index_dir}/{part}")
     # Marker AFTER the data: a partial overwrite has no _EPOCH and the
     # next consumer rebuilds instead of trusting truncated state.
     _write_small(spark, f"{index_dir}/{part}/_EPOCH", epoch)

@@ -230,7 +230,7 @@ def test_ivf_refresh_keeps_centroids_and_assigns_cells(spark, table):
     assert refresh_ann_index(table) == (1, 0)
     codes = spark.read.parquet(f"{_idx(table)}/codes")
     row = codes.filter(F.col("vec_id") == 70).collect()[0]
-    assert row["cell"] == 2  # exactly on centroid e_2
+    assert row["cell"] == "2"  # exactly on centroid e_2
     # centroid part untouched (fixed codebook across refreshes)
     from rds_to_datalake_project_spark.operators.ann_index import _read_centroids
     assert _read_centroids(table) == cents
@@ -243,3 +243,19 @@ def test_non_ivf_rebuild_clears_centroids(spark, table):
     assert _read_centroids(table) is None
     with pytest.raises(ValueError, match="centroids"):
         ann_index_topk(table, query_vec_id=0, probe_cells=1).collect()
+
+
+def test_ivf_probe_prunes_at_file_level(spark, table):
+    """The codes part is hive-partitioned by cell, so a probed query's
+    scan carries a PartitionFilter on cell — directory-level pruning,
+    not just a row filter. (inputFiles() reports the pre-pruning file
+    index, so the assertion reads the executed plan.)"""
+    build_ann_index(table, centroids=_axis_centroids())
+    codes = spark.read.parquet(f"{_idx(table)}/codes")
+    qcell = codes.filter(F.col("vec_id") == 3).collect()[0]["cell"]
+    df = ann_index_topk(table, query_vec_id=3, k=5, rerank=16, probe_cells=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any(f"= {qcell}" in p or f"IN ({qcell}" in p for p in pf)
