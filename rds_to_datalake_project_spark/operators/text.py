@@ -581,3 +581,66 @@ def hashed_linear_score(
         logit.alias("logit"),
         (logit >= 0).alias("keep_doc"),
     )
+
+
+def lexical_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Corpus-relative lexical novelty — the curation signal that
+    separates boilerplate (every token common) from gibberish (most
+    tokens unseen elsewhere): per document, the share of token
+    OCCURRENCES whose corpus-wide frequency is below ``min_freq``
+    occurrences in OTHER documents' text plus this one's (i.e. plain
+    corpus term frequency).
+
+    Two-pass shape that scales: pass 1 builds the corpus vocabulary
+    ``(term, freq)`` (one partial-agg shuffle); pass 2 explodes each
+    doc's tokens and joins the vocabulary on the term key (hash join
+    on a string key — at 100 TB the vocab side is Zipf-small relative
+    to the corpus and AQE broadcast-joins it). Counts are exact
+    integers; the rate is one double division — deterministic
+    cross-engine.
+
+    Emits ``id, n_tokens, n_rare, rare_rate`` (empty docs: 0, 0, 0.0).
+    """
+    toks = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(r"[a-z0-9']+"),
+            0,
+        )
+    ).alias("term")
+    occurrences = df.select(F.col(id_col), toks)
+    vocab = occurrences.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
+    per_doc = (
+        occurrences.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__freq") < min_freq, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("n_rare", zero).alias("n_rare"),
+            F.when(
+                F.coalesce("n_tokens", zero) > 0,
+                F.coalesce("n_rare", zero).cast("double")
+                / F.coalesce("n_tokens", zero).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rare_rate"),
+        )
+    )

@@ -1838,3 +1838,42 @@ ORDER BY doc_id
 
 QUERIES["quality_model_scores"] = quality_model_scores
 ORACLES["quality_model_scores"] = QUALITY_MODEL_SQL
+
+
+def lexical_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative OOV/novelty rates per document
+    (operators/text.lexical_novelty): vocabulary pass + token-level
+    frequency join, exact integer counts, one double division."""
+    from rds_to_datalake_project_spark.operators.text import lexical_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_novelty(docs, min_freq=3).orderBy("doc_id")
+
+
+LEXICAL_NOVELTY_SQL = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term, COUNT(*) AS freq FROM occ GROUP BY term
+), per_doc AS (
+  SELECT occ.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN vocab.freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM occ JOIN vocab ON occ.term = vocab.term
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_rare, 0) AS n_rare,
+       CASE WHEN COALESCE(p.n_tokens, 0) > 0
+            THEN CAST(COALESCE(p.n_rare, 0) AS DOUBLE)
+                 / CAST(p.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS rare_rate
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["lexical_novelty_scores"] = lexical_novelty_scores
+ORACLES["lexical_novelty_scores"] = LEXICAL_NOVELTY_SQL

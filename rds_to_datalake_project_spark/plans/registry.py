@@ -29,6 +29,7 @@ _PRIORITY = (
     "auto_salted_priority_join",
     "bpe_encode_counts",
     "quality_model_scores",
+    "lexical_novelty_scores",
     "lsh_index_screen_md5",
     "ann_index_ivf_topk",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
@@ -76,7 +77,6 @@ _PRIORITY = (
     "commit_key_codec",
     "order_priority_stats",
     "orders_except_filtered",
-    "orders_intersect_urgent",
     "minhash_neardup_md5",
 )
 

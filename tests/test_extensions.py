@@ -942,3 +942,20 @@ def test_hashed_linear_score_explicit_weights(spark):
     from rds_to_datalake_project_spark.operators.text import hashed_linear_score as h
     formula = {r.doc_id: r.n_features for r in h(docs, dims=dims).collect()}
     assert formula == {k: v[0] for k, v in got.items()}
+
+
+def test_lexical_novelty_hand_checked(spark):
+    from rds_to_datalake_project_spark.operators.text import lexical_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "common common rare1"), (1, "common again here"), (2, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_rare, r.rare_rate)
+        for r in lexical_novelty(docs, min_freq=2).collect()
+    }
+    # corpus freqs: common=3, rare1/again/here=1
+    assert got[0] == (3, 1, pytest.approx(1 / 3))
+    assert got[1] == (3, 2, pytest.approx(2 / 3))
+    assert got[2] == (0, 0, 0.0)
