@@ -143,3 +143,88 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_ingest_with_dedup(
+    spark: SparkSession,
+    cdc_dir: str,
+    table: KeyedTable,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    quarantine_dir: str | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 2,
+    trigger: dict | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Document ingest with DEDUP AT THE DOOR: every micro-batch is
+    screened against the corpus's persisted LSH signature index
+    (operators/lsh_index.py) before it is committed — near-duplicates
+    of already-ingested documents are dropped (optionally appended to
+    ``quarantine_dir`` with their match), survivors upsert, and the
+    post-commit maintenance hook folds the survivors into the index so
+    the NEXT batch screens against them. The standing shape of a
+    training-data intake pipeline: screening cost per batch is banding
+    the batch + one equi-join against the index — the corpus is never
+    re-read.
+
+    Within-batch duplicates are NOT collapsed here (precombine dedup
+    in the upsert handles same-key rows; cross-key within-batch
+    near-dups surface on the next batch once the first copy is
+    indexed) — the screen is against COMMITTED state, which is what
+    makes replays idempotent: a re-run batch screens against the same
+    index state its first run committed, drops the same rows, and the
+    upsert converges.
+
+    The table must have ``attach_lsh_maintenance`` (this function
+    attaches it if absent — id/text/params default) and
+    ``retain_versions > 0`` so the index can refresh from
+    ``table_changes``.
+    """
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        _stored_params,
+        attach_lsh_maintenance,
+        lsh_neardups_for,
+    )
+
+    if not table.retain_versions:
+        raise ValueError("stream_ingest_with_dedup requires retain_versions > 0")
+    if not table._maintenance_hooks:
+        attach_lsh_maintenance(table, id_col=id_col, text_col=text_col)
+    stream = read_cdc_stream(spark, cdc_dir, schema, fmt, max_files_per_trigger)
+
+    def _screen_and_upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        survivors = batch
+        if table.exists() and _stored_params(table) is not None:
+            hits = lsh_neardups_for(
+                table, batch, id_col=id_col, text_col=text_col,
+                threshold=threshold,
+            ).localCheckpoint(eager=True)  # one screening pass, reused below
+            dup_ids = hits.select(
+                F.col("batch_id").alias(id_col)
+            ).distinct()
+            if quarantine_dir is not None:
+                (
+                    hits.withColumn("__batch", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+        if survivors.isEmpty():
+            return
+        table.upsert(survivors)  # maintenance hook refreshes the index
+
+    writer = (
+        stream.writeStream.foreachBatch(_screen_and_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -516,3 +516,81 @@ def test_streaming_upserts_maintain_attached_index(spark, tmp_path):
         ).collect()
     }
     assert hits == {"a", "c"}
+
+
+def test_stream_ingest_with_dedup_drops_known_neardups(spark, tmp_path):
+    """Dedup at the door: batch 2's near-dup of an already-ingested
+    doc is dropped (and quarantined with its match + score); novel
+    docs commit and enter the index for the NEXT batch's screen."""
+    from rds_to_datalake_project_spark.streaming.pipeline import (
+        stream_ingest_with_dedup,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("create_at", T.StringType()),
+        T.StructField("update_at", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("Op", T.StringType()),
+    ])
+    spec = TableSpec("d", record_key=("doc_id",), precombine_key="update_at",
+                     partition_source="create_at", partition_granularity="day",
+                     schema=schema)
+    table = KeyedTable(spark, str(tmp_path / "docs"), spec, retain_versions=4)
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps in the warm sun and the birds sing")
+
+    def doc_row(i, txt):
+        return (i, "2024-01-01T00:00:00.000000+00:00",
+                "2024-01-01T00:00:00.000000+00:00", txt, "I")
+
+    cdc_dir = str(tmp_path / "in")
+    f1 = os.path.join(cdc_dir, "2024/01/01/10")
+    os.makedirs(f1)
+    spark.createDataFrame(
+        [doc_row("a", base), doc_row("b", "unrelated words entirely different")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    import shutil as sh
+    part = next(p for p in os.listdir(str(tmp_path / "s1")) if p.endswith(".parquet"))
+    sh.copy(str(tmp_path / "s1" / part), os.path.join(f1, "20240101-100000000.parquet"))
+
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    stream_ingest_with_dedup(
+        spark, cdc_dir, table, ckpt, schema,
+        id_col="doc_id", text_col="text", threshold=0.5,
+        quarantine_dir=quarantine, max_files_per_trigger=1,
+    )
+    assert {r.doc_id for r in table.read().collect()} == {"a", "b"}
+
+    # batch 2: near-dup of a + novel doc
+    spark.createDataFrame(
+        [doc_row("c", base.replace("lazy dog", "sleepy dog")),
+         doc_row("d", "a genuinely novel document about glaciers")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s2"))
+    part = next(p for p in os.listdir(str(tmp_path / "s2")) if p.endswith(".parquet"))
+    sh.copy(str(tmp_path / "s2" / part), os.path.join(f1, "20240101-100100000.parquet"))
+    stream_ingest_with_dedup(
+        spark, cdc_dir, table, ckpt, schema,
+        id_col="doc_id", text_col="text", threshold=0.5,
+        quarantine_dir=quarantine, max_files_per_trigger=1,
+    )
+    assert {r.doc_id for r in table.read().collect()} == {"a", "b", "d"}
+    q = spark.read.parquet(quarantine).collect()
+    assert {(r.batch_id, r.corpus_id) for r in q} == {("c", "a")}
+    assert all(r.jaccard >= 0.5 for r in q)
+    # d entered the index: a later copy of d is screened out too
+    spark.createDataFrame(
+        [doc_row("e", "a genuinely novel document about glaciers")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s3"))
+    part = next(p for p in os.listdir(str(tmp_path / "s3")) if p.endswith(".parquet"))
+    sh.copy(str(tmp_path / "s3" / part), os.path.join(f1, "20240101-100200000.parquet"))
+    stream_ingest_with_dedup(
+        spark, cdc_dir, table, ckpt, schema,
+        id_col="doc_id", text_col="text", threshold=0.5,
+        quarantine_dir=quarantine, max_files_per_trigger=1,
+    )
+    assert "e" not in {r.doc_id for r in table.read().collect()}
