@@ -286,3 +286,6 @@ def attach_lsh_maintenance(
             t, id_col, text_col, num_hashes, bands, shingle_n, hash_mode
         )
     )
+    # Marker so composing call sites (streaming dedup-at-ingest) can
+    # tell "LSH service attached" apart from "has some other hook".
+    table._lsh_attached = True

@@ -192,7 +192,10 @@ def stream_ingest_with_dedup(
 
     if not table.retain_versions:
         raise ValueError("stream_ingest_with_dedup requires retain_versions > 0")
-    if not table._maintenance_hooks:
+    # Marker-based, not "has any hook": a table carrying only OTHER
+    # services (e.g. the ANN index) must still get the LSH service, or
+    # screening would silently never engage.
+    if not getattr(table, "_lsh_attached", False):
         attach_lsh_maintenance(table, id_col=id_col, text_col=text_col)
     stream = read_cdc_stream(spark, cdc_dir, schema, fmt, max_files_per_trigger)
 
@@ -209,10 +212,14 @@ def stream_ingest_with_dedup(
                 F.col("batch_id").alias(id_col)
             ).distinct()
             if quarantine_dir is not None:
+                # Idempotent per micro-batch (same pattern as the
+                # JSON-lines dead-letter dirs): a crash-replay of this
+                # batch OVERWRITES its own quarantine slice instead of
+                # appending duplicates.
                 (
                     hits.withColumn("__batch", F.lit(batch_id))
-                    .write.mode("append")
-                    .parquet(quarantine_dir)
+                    .write.mode("overwrite")
+                    .parquet(f"{quarantine_dir.rstrip('/')}/batch={batch_id}")
                 )
             survivors = batch.join(dup_ids, id_col, "left_anti")
         if survivors.isEmpty():
