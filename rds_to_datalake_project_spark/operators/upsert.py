@@ -837,6 +837,57 @@ class KeyedTable:
             return self.read().limit(0)
         return self.spark.read.option("mergeSchema", "true").parquet(root)
 
+    # -- row-level DML (Delta DELETE/UPDATE analog) ---------------------------
+
+    def delete_where(self, condition) -> int:
+        """Row-level DELETE: tombstone every live row matching
+        ``condition`` (a SQL expression string or Column) through the
+        standard merge (``Op = D``, delete_mode="apply") — so the
+        rewrite is pruned to touched partitions, retained tables get a
+        numbered commit + changes-feed entries, and attached table
+        services refresh, exactly as for any other commit. Returns
+        rows deleted. The tombstones carry each row's CURRENT
+        precombine value; the merge's batch-wins-on-tie rule is what
+        makes same-version deletes land."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        victims = self.read().filter(cond)
+        n = victims.count()
+        if n == 0:
+            return 0
+        self.upsert(victims.withColumn(_OP_COL, F.lit("D")), delete_mode="apply")
+        return n
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """Row-level UPDATE via read-modify-merge: rows matching
+        ``condition`` get ``assignments`` (column → SQL expression
+        string or Column, evaluated against the current row) applied
+        and re-merged. Returns rows updated.
+
+        Record-key and partition-source columns are immutable by the
+        table contract (a key must never move partitions) — assigning
+        one raises. Assignments may bump the precombine column; when
+        they don't, the merge's batch-wins-on-tie rule applies the
+        change at the row's current version."""
+        frozen = set(self.spec.record_key) | set(self.partition_cols)
+        if self.spec.partition_granularity:
+            frozen.add(self.spec.partition_source)
+        bad = sorted(frozen & set(assignments))
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE immutable key/partition columns: {bad}"
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        rows = self.read().filter(cond)
+        n = rows.count()
+        if n == 0:
+            return 0
+        for col, expr in assignments.items():
+            rows = rows.withColumn(
+                col, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        self.upsert(rows.withColumn(_OP_COL, F.lit("U")))
+        return n
+
     def describe_history(self) -> list[dict]:
         """Commit-log introspection (Delta ``DESCRIBE HISTORY``
         analog): one record per retained commit — version, whether it

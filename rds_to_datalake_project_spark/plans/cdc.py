@@ -887,6 +887,49 @@ LIMIT 10
 """
 
 
+def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML through the one SQL layer (sql.py DELETE/UPDATE
+    verbs → KeyedTable.delete_where/update_where): load orders as a
+    retained lake table, DELETE a key class, UPDATE another, read the
+    final state. Both statements are real numbered commits riding the
+    tombstone/precombine merge — the oracle states the net effect in
+    closed form over orders."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_dml",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("sql_dml") + "/t", spec, retain_versions=3)
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    reg = {"orders_dml": t}
+    run_query(
+        spark, "DELETE FROM orders_dml WHERE o_orderkey % 7 = 0", tables=reg
+    ).collect()
+    run_query(
+        spark,
+        "UPDATE orders_dml SET o_totalprice = o_totalprice + 50.0, "
+        "update_at = 'v1' WHERE o_orderkey % 5 = 0",
+        tables=reg,
+    ).collect()
+    return t.read().select(*cols).orderBy("o_orderkey")
+
+
+SQL_DML_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
 def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned serving from the persisted ANN index (operators/
     ann_index.py): build with 4 fixed axis centroids (integer-exact
@@ -1116,6 +1159,7 @@ QUERIES = {
     "ann_index_served_topk": ann_index_served_topk,
     "lsh_index_screen_md5": lsh_index_screen_md5,
     "ann_index_ivf_topk": ann_index_ivf_topk,
+    "sql_dml_roundtrip": sql_dml_roundtrip,
 }
 
 ORACLES = {
@@ -1123,6 +1167,7 @@ ORACLES = {
     "ann_index_served_topk": ANN_INDEX_SQL,
     "lsh_index_screen_md5": LSH_INDEX_SCREEN_SQL,
     "ann_index_ivf_topk": ANN_IVF_SQL,
+    "sql_dml_roundtrip": SQL_DML_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

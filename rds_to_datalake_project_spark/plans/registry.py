@@ -32,6 +32,7 @@ _PRIORITY = (
     "lexical_novelty_scores",
     "lsh_index_screen_md5",
     "ann_index_ivf_topk",
+    "sql_dml_roundtrip",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -76,7 +77,6 @@ _PRIORITY = (
     "events_json_props",
     "commit_key_codec",
     "order_priority_stats",
-    "orders_except_filtered",
     "minhash_neardup_md5",
 )
 

@@ -168,6 +168,14 @@ _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_QNAME})\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_QNAME})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
 # (format='parquet'|'csv'|'json'|'orc')
@@ -176,6 +184,39 @@ _UNLOAD_RE = re.compile(
     r"WITH\s*\(\s*format\s*=\s*'(?P<fmt>\w+)'\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split a SET clause on commas OUTSIDE quotes/parens — so
+    ``a = f(x, y), b = 'v,w'`` yields two assignments. Honors the same
+    '' / backslash escapes as the literal mask."""
+    parts, depth, i, start, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
@@ -196,6 +237,11 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       (KeyedTable.vacuum_versions)
     - ``ANALYZE <t>``                   → per-column table profile
       (operators/profile.profile_table)
+    - ``DELETE FROM <t> WHERE <expr>``  → row-level delete
+      (KeyedTable.delete_where — tombstones through the merge)
+    - ``UPDATE <t> SET a = e, ... WHERE <expr>`` → row-level update
+      (KeyedTable.update_where — read-modify-merge; key/partition
+      columns are immutable and raise)
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -268,6 +314,24 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _DELETE_RE.match(sql)
+    if m and table_bound:
+        n = _resolve(m.group(1)).delete_where(m.group(2))
+        return spark.createDataFrame(
+            [(m.group(1), n)], "table_name string, rows_deleted bigint"
+        )
+    m = _UPDATE_RE.match(sql)
+    if m and table_bound:
+        assignments = {}
+        for part in _split_top_level(m.group(2)):
+            col, _eq, expr = part.partition("=")
+            if not _eq or not col.strip() or not expr.strip():
+                raise ValueError(f"malformed SET assignment: {part!r}")
+            assignments[_unquote_ident(col.strip())] = expr.strip()
+        n = _resolve(m.group(1)).update_where(m.group(3), assignments)
+        return spark.createDataFrame(
+            [(m.group(1), n)], "table_name string, rows_updated bigint"
+        )
     m = _UNLOAD_RE.match(sql)
     if m:
         unload_query(

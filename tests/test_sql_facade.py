@@ -296,3 +296,78 @@ def test_sql_facade_unload_statement(spark, tmp_path):
     assert {
         (r.o_orderpriority, r.n, round(r.total, 2)) for r in back.collect()
     } == _expected(spark)
+
+
+def test_sql_facade_delete_and_update_dml(spark, tmp_path):
+    """Row-level DML through the facade: DELETE tombstones through the
+    merge, UPDATE is read-modify-merge, both are numbered commits on a
+    retained table (time travel still sees the pre-DML state), and
+    key/partition assignments are refused."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("dml", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "dml"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [(f"k{i}", "2024-01-01T00:00:00", "2024-01-01T00:00:00", i)
+         for i in range(10)],
+        ["id", "create_at", "update_at", "v"],
+    ))
+    reg = {"dml": t}
+
+    out = run_query(
+        spark, "DELETE FROM dml WHERE v % 3 = 0", tables=reg
+    ).collect()[0]
+    assert out.rows_deleted == 4  # v in {0,3,6,9}
+    assert {r.v for r in t.read().collect()} == {1, 2, 4, 5, 7, 8}
+
+    out = run_query(
+        spark,
+        "UPDATE dml SET v = v + 100, update_at = '2024-02-01T00:00:00' "
+        "WHERE v >= 5",
+        tables=reg,
+    ).collect()[0]
+    assert out.rows_updated == 3  # 5, 7, 8
+    got = {r.id: (r.v, r.update_at) for r in t.read().collect()}
+    assert got["k5"] == (105, "2024-02-01T00:00:00")
+    assert got["k1"] == (1, "2024-01-01T00:00:00")
+
+    # DML steps are commits: version 0 still reads the pre-DML state
+    assert {r.v for r in t.read_as_of(0).collect()} == set(range(10))
+    assert t.readable_versions() == [0, 1, 2]
+
+    # immutable columns refuse assignment
+    with pytest.raises(ValueError, match="immutable"):
+        run_query(spark, "UPDATE dml SET id = 'x' WHERE v = 1", tables=reg)
+    # empty registry: native catalogs keep ownership of DML syntax
+    import pyspark.sql.utils as _u
+    try:
+        run_query(spark, "DELETE FROM nonexistent_native WHERE x = 1")
+        raise AssertionError("expected Spark to reject the passthrough")
+    except Exception as e:
+        assert "nonexistent_native" in str(e) or "TABLE_OR_VIEW_NOT_FOUND" in str(e)
+
+
+def test_sql_facade_update_set_clause_parsing(spark, tmp_path):
+    """SET-clause splitting respects parens and quoted commas."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("s", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "s"), spec)
+    t.initial_load(spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "x")],
+        ["id", "create_at", "update_at", "v", "note"],
+    ))
+    out = run_query(
+        spark,
+        "UPDATE s SET v = greatest(v, 2, 3), note = 'a,b''c' WHERE v = 1",
+        tables={"s": t},
+    ).collect()[0]
+    assert out.rows_updated == 1
+    r = t.read().collect()[0]
+    assert r.v == 3 and r.note == "a,b'c"
