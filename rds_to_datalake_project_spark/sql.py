@@ -168,6 +168,10 @@ _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_QNAME})\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     rf"^\s*DELETE\s+FROM\s+({_QNAME})\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -237,6 +241,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       (KeyedTable.vacuum_versions)
     - ``ANALYZE <t>``                   → per-column table profile
       (operators/profile.profile_table)
+    - ``INSERT INTO <t> <query>``       → upsert of the query result
+      (merge semantics; the inner query flows through run_query, so
+      AS-OF and registered names work — unregistered target names
+      pass through to a native catalog)
     - ``DELETE FROM <t> WHERE <expr>``  → row-level delete
       (KeyedTable.delete_where — tombstones through the merge)
     - ``UPDATE <t> SET a = e, ... WHERE <expr>`` → row-level update
@@ -314,6 +322,17 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _INSERT_RE.match(sql)
+    if m and table_bound and _unquote_ident(m.group(1)) in known:
+        t = _resolve(m.group(1))
+        rows = run_query(spark, m.group(2), tables=known)
+        n = rows.count()
+        if n:
+            t.upsert(rows)  # merge semantics: same-key rows take the
+            # incoming version per the precombine rule (idempotent)
+        return spark.createDataFrame(
+            [(m.group(1), n)], "table_name string, rows_inserted bigint"
+        )
     m = _DELETE_RE.match(sql)
     if m and table_bound:
         n = _resolve(m.group(1)).delete_where(m.group(2))

@@ -371,3 +371,31 @@ def test_sql_facade_update_set_clause_parsing(spark, tmp_path):
     assert out.rows_updated == 1
     r = t.read().collect()[0]
     assert r.v == 3 and r.note == "a,b'c"
+
+
+def test_sql_facade_insert_into(spark, tmp_path):
+    """INSERT INTO upserts the query result: new keys append, existing
+    keys take the incoming version (merge semantics), and unregistered
+    targets pass through to the native catalog."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("ins", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "ins"), spec)
+    t.initial_load(spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1)],
+        ["id", "create_at", "update_at", "v"],
+    ))
+    spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 10),
+         ("b", "2024-01-02T00:00:00", "2024-01-02T00:00:00", 2)],
+        ["id", "create_at", "update_at", "v"],
+    ).createOrReplaceTempView("staged_rows")
+    out = run_query(
+        spark, "INSERT INTO ins SELECT * FROM staged_rows", tables={"ins": t}
+    ).collect()[0]
+    assert (out.table_name, out.rows_inserted) == ("ins", 2)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 10, "b": 2}  # a replaced (newer v), b appended
