@@ -930,6 +930,67 @@ ORDER BY o_orderkey
 """
 
 
+def sql_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hudi/Delta CDC-apply verb end-to-end (sql.py MERGE INTO →
+    precombine merge): one statement applies whole-row updates, a
+    conditional delete class, and inserts from a CDC source view onto
+    a retained orders lake table. The oracle states the net state in
+    closed form."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_mg",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("sql_merge") + "/t", spec, retain_versions=2)
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    k = F.col("o_orderkey")
+    updates = base.filter(k % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    deletes = base.filter((k % 11 == 0) & (k % 3 != 0))
+    inserts = base.filter(k % 13 == 0).withColumn(
+        "o_orderkey", k + F.lit(10_000_000)
+    )
+    (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("update_at", F.lit("v1"))
+        .withColumn(
+            "is_tombstone", (k % 11 == 0) & (k % 3 != 0) & (k < 10_000_000)
+        )
+        .createOrReplaceTempView("orders_cdc_src")
+    )
+    run_query(
+        spark,
+        "MERGE INTO orders_mg USING orders_cdc_src AS s "
+        "ON orders_mg.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND is_tombstone THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"orders_mg": t},
+    ).collect()
+    return t.read().select(*cols).orderBy("o_orderkey")
+
+
+SQL_MERGE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 3 <> 0)
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 13 = 0
+ORDER BY o_orderkey
+"""
+
+
 def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned serving from the persisted ANN index (operators/
     ann_index.py): build with 4 fixed axis centroids (integer-exact
@@ -1160,6 +1221,7 @@ QUERIES = {
     "lsh_index_screen_md5": lsh_index_screen_md5,
     "ann_index_ivf_topk": ann_index_ivf_topk,
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_merge_roundtrip": sql_merge_roundtrip,
 }
 
 ORACLES = {
@@ -1168,6 +1230,7 @@ ORACLES = {
     "lsh_index_screen_md5": LSH_INDEX_SCREEN_SQL,
     "ann_index_ivf_topk": ANN_IVF_SQL,
     "sql_dml_roundtrip": SQL_DML_SQL,
+    "sql_merge_roundtrip": SQL_MERGE_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

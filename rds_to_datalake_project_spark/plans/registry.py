@@ -33,6 +33,7 @@ _PRIORITY = (
     "lsh_index_screen_md5",
     "ann_index_ivf_topk",
     "sql_dml_roundtrip",
+    "sql_merge_roundtrip",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -73,7 +74,6 @@ _PRIORITY = (
     "partition_enrich",
     "partition_enrich_string",
     "windowed_counts",
-    "watermark_per_day",
     "events_json_props",
     "commit_key_codec",
     "order_priority_stats",

@@ -168,6 +168,22 @@ _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
+# Restricted MERGE grammar — the star forms Hudi/Delta users run for
+# CDC apply. Clause order: optional matched-DELETE, then the two star
+# clauses (both optional, at least one required).
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<t>{_QNAME})\s+USING\s+"
+    rf"(?:\((?P<subq>.+?)\)|(?P<src>{_QNAME}))"
+    rf"(?:\s+AS\s+\w+|\s+(?!ON\b)\w+)?"
+    rf"\s+ON\s+(?P<on>.+?)"
+    rf"(?P<clauses>(?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*?)+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<act>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_QNAME})\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -188,6 +204,95 @@ _UNLOAD_RE = re.compile(
     r"WITH\s*\(\s*format\s*=\s*'(?P<fmt>\w+)'\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
+    """Restricted ``MERGE INTO`` — the Hudi/Delta CDC-apply shape,
+    mapped onto the engine's precombine merge:
+
+    - ``WHEN MATCHED [AND <cond>] THEN DELETE`` → source rows meeting
+      <cond> become tombstones (Op = D)
+    - ``WHEN MATCHED THEN UPDATE SET *`` + ``WHEN NOT MATCHED THEN
+      INSERT *`` → remaining source rows upsert whole-row (Op = U)
+
+    Only the star forms are supported (CDC streams carry full row
+    images); column-level SET belongs to ``UPDATE``. The ON clause
+    must equate exactly the table's record key (``t.id = s.id`` per
+    key column) — the engine merges BY KEY, so any other predicate
+    would silently change semantics; a mismatch raises."""
+    from pyspark.sql import functions as F
+
+    name = _unquote_ident(m.group("t"))
+    t = known[name]
+    src = (
+        run_query(spark, m.group("subq"), tables=known)
+        if m.group("subq")
+        else spark.table(_unquote_ident(m.group("src")))
+    )
+    # ON must be the record-key equality (any alias spelling):
+    # split on AND, each side's last identifier segment must name a
+    # key column; all key columns must be covered.
+    key_cols = set(t.spec.record_key)
+    seen = set()
+    for conj in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE):
+        sides = [x.strip() for x in conj.split("=")]
+        if len(sides) != 2:
+            raise ValueError(f"MERGE ON must be key equality, got {conj!r}")
+        names = {
+            _unquote_ident(side).split(".")[-1] for side in sides
+        }
+        if len(names) != 1 or not (names & key_cols):
+            raise ValueError(
+                f"MERGE ON clause {conj!r} does not equate a record-key "
+                f"column of {sorted(key_cols)}"
+            )
+        seen |= names
+    if seen != key_cols:
+        raise ValueError(
+            f"MERGE ON must cover the full record key {sorted(key_cols)}; "
+            f"covered {sorted(seen)}"
+        )
+    clauses = list(_WHEN_RE.finditer(m.group("clauses")))
+    if not clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    delete_cond = None
+    star_update = star_insert = False
+    for c in clauses:
+        act = re.sub(r"\s+", " ", c.group("act").upper())
+        if act == "DELETE":
+            if c.group("not"):
+                raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
+            delete_cond = c.group("cond") or "true"
+        elif act == "UPDATE SET *":
+            if c.group("cond"):
+                raise ValueError(
+                    "conditional UPDATE SET * is not supported — "
+                    "put the condition in the source query"
+                )
+            star_update = True
+        elif act == "INSERT *":
+            star_insert = True
+    if not (star_update or star_insert or delete_cond):
+        raise ValueError("MERGE needs UPDATE SET * / INSERT * / DELETE")
+    batch = src
+    keys = list(t.spec.record_key)
+    if star_update and not star_insert:
+        # matched-only: restrict the batch to keys already in the table
+        batch = batch.join(t.read().select(*keys), keys, "left_semi")
+    elif star_insert and not star_update:
+        # not-matched-only: restrict to keys NOT in the table
+        batch = batch.join(t.read().select(*keys), keys, "left_anti")
+    if delete_cond is not None:
+        batch = batch.withColumn(
+            "Op",
+            F.when(F.expr(delete_cond), F.lit("D")).otherwise(F.lit("U")),
+        )
+    n = batch.count()
+    if n:
+        t.upsert(batch, delete_mode="apply" if delete_cond is not None else "ignore")
+    return spark.createDataFrame(
+        [(name, n)], "table_name string, rows_merged bigint"
+    )
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -322,6 +427,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _MERGE_RE.match(sql)
+    if m and table_bound and _unquote_ident(m.group("t")) in known:
+        return _merge_statement(spark, m, known)
     m = _INSERT_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group(1)) in known:
         t = _resolve(m.group(1))

@@ -399,3 +399,84 @@ def test_sql_facade_insert_into(spark, tmp_path):
     assert (out.table_name, out.rows_inserted) == ("ins", 2)
     got = {r.id: r.v for r in t.read().collect()}
     assert got == {"a": 10, "b": 2}  # a replaced (newer v), b appended
+
+
+def test_sql_facade_merge_into(spark, tmp_path):
+    """Restricted MERGE INTO — the Hudi/Delta CDC-apply star forms:
+    matched rows update whole-row, unmatched insert, a matched-AND
+    condition deletes; matched-only / not-matched-only restrict the
+    batch; non-key ON clauses raise."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("mg", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mg"), spec)
+    t.initial_load(spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "keep"),
+         ("b", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "kill")],
+        ["id", "create_at", "update_at", "v", "tag"],
+    ))
+    spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 2, "keep"),
+         ("b", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 2, "kill"),
+         ("c", "2024-01-03T00:00:00", "2024-01-03T00:00:00", 2, "keep")],
+        ["id", "create_at", "update_at", "v", "tag"],
+    ).createOrReplaceTempView("cdc_src")
+
+    out = run_query(
+        spark,
+        "MERGE INTO mg USING cdc_src AS s ON mg.id = s.id "
+        "WHEN MATCHED AND tag = 'kill' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"mg": t},
+    ).collect()[0]
+    assert (out.table_name, out.rows_merged) == ("mg", 3)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 2, "c": 2}  # b deleted, a updated, c inserted
+
+    # matched-only: new keys in the source are ignored
+    spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-04T00:00:00", 3, "keep"),
+         ("z", "2024-01-04T00:00:00", "2024-01-04T00:00:00", 3, "keep")],
+        ["id", "create_at", "update_at", "v", "tag"],
+    ).createOrReplaceTempView("upd_src")
+    out = run_query(
+        spark,
+        "MERGE INTO mg USING upd_src ON mg.id = upd_src.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables={"mg": t},
+    ).collect()[0]
+    assert out.rows_merged == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 3, "c": 2} and "z" not in got
+
+    # not-matched-only: existing keys are ignored
+    out = run_query(
+        spark,
+        "MERGE INTO mg USING upd_src ON mg.id = upd_src.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"mg": t},
+    ).collect()[0]
+    assert out.rows_merged == 1
+    assert {r.id for r in t.read().collect()} == {"a", "c", "z"}
+
+    # subquery source works and flows through run_query
+    out = run_query(
+        spark,
+        "MERGE INTO mg USING (SELECT * FROM upd_src WHERE v = 3) ON "
+        "mg.id = upd_src.id WHEN MATCHED THEN UPDATE SET *",
+        tables={"mg": t},
+    ).collect()[0]
+    assert out.rows_merged == 2  # a and z now both exist
+
+    # a non-key ON clause must raise, not silently change semantics
+    with pytest.raises(ValueError, match="record-key"):
+        run_query(
+            spark,
+            "MERGE INTO mg USING upd_src ON mg.v = upd_src.v "
+            "WHEN MATCHED THEN UPDATE SET *",
+            tables={"mg": t},
+        )
