@@ -1,0 +1,190 @@
+"""Per-file Bloom-filter index — point-lookup file skipping.
+
+The reference's lake is Hudi, whose default record index IS a
+per-file bloom filter (upsert tagging reads only files whose bloom
+may contain the key). Zone maps (operators/zonemap.py) skip files by
+RANGE — great for clustered layouts, useless for point lookups of
+high-cardinality keys scattered across an unclustered table. This
+module adds the membership complement: a per-(file, column) bloom
+sidecar, so an equality/IN probe opens only files whose filter may
+contain one of the probed values.
+
+Build is fully distributed and expression-only: each row emits its
+column value's k seeded-hash bit positions (xxhash64 — JVM intrinsic),
+positions explode to ``(file, word_idx, bit mask)`` and one
+``bit_or`` aggregation per (file, word) folds the filter — no driver
+state, no UDF, cost one shuffle keyed by (file, word). The sidecar
+stores ``file, col, word_idx, bits`` rows (m/64 longs per file·col).
+
+Probing hashes the VALUES through the same Spark expressions (a
+values-sized local job — the probe set is driver-small by
+definition), then one aggregation over the sidecar keeps files where
+EVERY bit of at least one probed value is present. The advisory
+contract matches the zone map's: files not covered by the index are
+always read, the residual filter always applies, so the result is
+EXACTLY the full-scan filter regardless of index state; only I/O
+differs. False positives cost a read, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.zonemap import (
+    _norm,
+    _resolve_table,
+)
+
+_FILE = "__file"
+M_BITS_DEFAULT = 16384  # 2 KiB per file·column
+K_HASHES_DEFAULT = 5
+
+
+def _index_dir(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/.bloomindex"
+
+
+def _positions(col, m_bits: int, k: int):
+    """array of k bit positions for a value — seeded xxhash64 family,
+    identical expressions at build and probe time."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(F.xxhash64(col, i), F.lit(m_bits)),
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    index_dir: str | None = None,
+    m_bits: int = M_BITS_DEFAULT,
+    k_hashes: int = K_HASHES_DEFAULT,
+) -> int:
+    """Build per-file bloom filters for ``columns``. Returns the
+    number of (file, col, word) rows written."""
+    idx = index_dir or _index_dir(table_path)
+    full, _live = _resolve_table(spark, table_path)
+    base = full.select(*columns).withColumn(_FILE, F.input_file_name())
+    parts = []
+    for c in columns:
+        pos = F.explode(_positions(F.col(c), m_bits, k_hashes)).alias("__pos")
+        parts.append(
+            base.select(_FILE, pos)
+            .select(
+                F.col(_FILE),
+                F.lit(c).alias("col"),
+                (F.col("__pos") / 64).cast("int").alias("word_idx"),
+                # shiftleft needs a column shift amount — SQL form
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+                ).alias("__bit"),
+            )
+            .groupBy(_FILE, "col", "word_idx")
+            .agg(F.bit_or("__bit").alias("bits"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(idx)
+    # params ride a marker so probes use the same (m, k)
+    from rds_to_datalake_project_spark.operators.zonemap import _write_small
+
+    _write_small(spark, f"{idx}/_PARAMS", f"{m_bits} {k_hashes}")
+    return out.count()
+
+
+def _stored_mk(spark: SparkSession, idx: str) -> tuple[int, int]:
+    from rds_to_datalake_project_spark.operators.zonemap import _read_small
+
+    txt = _read_small(spark, f"{idx}/_PARAMS")
+    if not txt:
+        return (M_BITS_DEFAULT, K_HASHES_DEFAULT)
+    m, k = txt.split()
+    return int(m), int(k)
+
+
+def bloom_prune_files(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+    index_dir: str | None = None,
+) -> tuple[list[str], int]:
+    """Files that MAY contain any of ``values`` in ``col`` (plus every
+    file the index does not cover — advisory). Returns
+    ``(files_to_read, n_skipped)``."""
+    idx = index_dir or _index_dir(table_path)
+    full, live = _resolve_table(spark, table_path)
+    try:
+        stats = spark.read.parquet(idx).filter(F.col("col") == col)
+    except Exception:
+        return sorted(live.values()), 0  # no index → full scan
+    m_bits, k = _stored_mk(spark, idx)
+    # hash the probe values through the SAME expressions (tiny job)
+    probe_rows = (
+        spark.createDataFrame(
+            [(v,) for v in values],
+            f"__v: {full.schema[col].dataType.simpleString()}",
+        )
+        .select("__v", F.explode(_positions(F.col("__v"), m_bits, k)).alias("__pos"))
+        .collect()
+    )
+    by_value: dict = {}
+    for r in probe_rows:
+        pos = r["__pos"]
+        mask = 1 << (pos % 64)
+        if mask >= 1 << 63:  # bit 63: wrap to the SIGNED long the
+            mask -= 1 << 64  # build side's shiftleft produced
+        by_value.setdefault(r["__v"], []).append((pos // 64, mask))
+    # a file survives if for SOME value, ALL k (word, bit) pairs hit —
+    # evaluated as one aggregation over the sidecar rows
+    checks = []
+    for vid, wm in by_value.items():
+        hits = sum(
+            F.max(
+                F.when(
+                    (F.col("word_idx") == w) & (F.col("bits").bitwiseAND(F.lit(m)) != 0),
+                    1,
+                ).otherwise(0)
+            )
+            for w, m in wm
+        )
+        checks.append((hits == len(wm)).cast("int"))
+    kept_rows = (
+        stats.groupBy(_FILE)
+        .agg(sum(checks, F.lit(0)).alias("__hits"))
+        .select(_FILE, (F.col("__hits") > 0).alias("__kept"))
+        .collect()
+    )
+    indexed = {_norm(r[0]): r[1] for r in kept_rows}
+    files = [
+        orig
+        for path, orig in sorted(live.items())
+        if path not in indexed or indexed[path]
+    ]
+    return files, len(live) - len(files)
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Read rows where ``col`` IN ``values``, opening only files whose
+    bloom may match (advisory — EXACTLY the full-scan filter)."""
+    full, _live = _resolve_table(spark, table_path)
+    files, _skipped = bloom_prune_files(spark, table_path, col, values, index_dir)
+    residual = F.col(col).isin(values)
+    if not files:
+        return full.filter(residual).limit(0)
+    return (
+        spark.read.option("basePath", table_path)
+        .schema(full.schema)
+        .parquet(*files)
+        .filter(residual)
+    )

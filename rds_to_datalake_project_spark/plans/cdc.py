@@ -887,6 +887,42 @@ LIMIT 10
 """
 
 
+def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-index point lookup (operators/bloomfilter.py —
+    the reference's Hudi bloom-index analog): cluster orders into
+    files, build the membership sidecar, probe a deterministic key
+    set; the pruned read must be EXACTLY the plain IN-filter the
+    oracle states (advisory contract, same as the zone map)."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _scratch("bloom") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(root)
+    build_bloom_index(spark, root, ["o_orderkey"])
+    keys = [
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 1499 == 1)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return bloom_pruned_read(spark, root, "o_orderkey", keys).orderBy(
+        "o_orderkey"
+    )
+
+
+BLOOM_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 1499 = 1
+ORDER BY o_orderkey
+"""
+
+
 def sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DML through the one SQL layer (sql.py DELETE/UPDATE
     verbs → KeyedTable.delete_where/update_where): load orders as a
@@ -1222,6 +1258,7 @@ QUERIES = {
     "ann_index_ivf_topk": ann_index_ivf_topk,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_merge_roundtrip": sql_merge_roundtrip,
+    "bloom_pruned_lookup": bloom_pruned_lookup,
 }
 
 ORACLES = {
@@ -1231,6 +1268,7 @@ ORACLES = {
     "ann_index_ivf_topk": ANN_IVF_SQL,
     "sql_dml_roundtrip": SQL_DML_SQL,
     "sql_merge_roundtrip": SQL_MERGE_SQL,
+    "bloom_pruned_lookup": BLOOM_LOOKUP_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

@@ -34,6 +34,7 @@ _PRIORITY = (
     "ann_index_ivf_topk",
     "sql_dml_roundtrip",
     "sql_merge_roundtrip",
+    "bloom_pruned_lookup",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -74,7 +75,6 @@ _PRIORITY = (
     "partition_enrich",
     "partition_enrich_string",
     "windowed_counts",
-    "events_json_props",
     "commit_key_codec",
     "order_priority_stats",
     "minhash_neardup_md5",

@@ -441,3 +441,47 @@ def test_manifest_path_pins_schema_across_evolution(spark, tmp_path, monkeypatch
             "key", "extra"
         ).collect()
     assert sorted((r.key, r.extra) for r in got) == [(60, 600), (61, 610)]
+
+
+def test_bloom_index_point_lookup_skips_files(spark, sf_dir, tmp_path):
+    """Per-file bloom filters prune point lookups on an unclustered
+    high-cardinality key, and the pruned read is EXACTLY the
+    full-scan filter (advisory contract)."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    path = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    n_rows = build_bloom_index(spark, path, ["o_orderkey"])
+    assert n_rows > 0
+
+    keys = [r.o_orderkey for r in orders.orderBy("o_orderkey").limit(3).collect()]
+    keys += [r.o_orderkey for r in orders.orderBy(F.desc("o_orderkey")).limit(2).collect()]
+    expect = sorted(
+        map(tuple, orders.filter(F.col("o_orderkey").isin(keys)).collect())
+    )
+    files, skipped = bloom_prune_files(spark, path, "o_orderkey", keys)
+    assert skipped >= 1  # clustered keys live in few files
+    got = sorted(
+        map(tuple, bloom_pruned_read(spark, path, "o_orderkey", keys).collect())
+    )
+    assert got == expect
+
+    # absent values: (almost) everything prunes; result is exactly empty
+    absent = [10**9 + 7, 10**9 + 11]
+    _files2, skipped2 = bloom_prune_files(spark, path, "o_orderkey", absent)
+    assert skipped2 >= 4  # false positives possible, wholesale reads are not
+    assert bloom_pruned_read(spark, path, "o_orderkey", absent).count() == 0
+
+    # out-of-band append: new file not in the index is ALWAYS read
+    orders.limit(5).coalesce(1).write.mode("append").parquet(path)
+    some_key = orders.limit(5).collect()[0].o_orderkey
+    got3 = bloom_pruned_read(spark, path, "o_orderkey", [some_key]).count()
+    want3 = (
+        spark.read.parquet(path).filter(F.col("o_orderkey") == some_key).count()
+    )
+    assert got3 == want3 >= 2  # original + appended copy both visible
