@@ -188,3 +188,89 @@ def bloom_pruned_read(
         .parquet(*files)
         .filter(residual)
     )
+
+
+def refresh_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    columns: list[str],
+    index_dir: str | None = None,
+    m_bits: int = M_BITS_DEFAULT,
+    k_hashes: int = K_HASHES_DEFAULT,
+) -> tuple[int, int]:
+    """Reconcile the bloom sidecar with the live file set — the same
+    incremental shape as refresh_zonemap: filter rows for files no
+    longer live are dropped, files the index has never seen are
+    scanned (ONLY those files) and their filters appended. Returns
+    ``(files_added, files_dropped)``. Column-set/parameter changes and
+    a missing index fall back to a full build; cost is otherwise ∝
+    files touched since the last reconcile."""
+    idx = index_dir or _index_dir(table_path)
+    full, live = _resolve_table(spark, table_path)
+    try:
+        stats = spark.read.parquet(idx)
+    except Exception:
+        build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
+        return (len(live), 0)
+    if (
+        set(stats.columns) != {_FILE, "col", "word_idx", "bits"}
+        or {r["col"] for r in stats.select("col").distinct().collect()}
+        != set(columns)
+        or _stored_mk(spark, idx) != (m_bits, k_hashes)
+    ):
+        build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
+        return (len(live), 0)
+    indexed = {
+        _norm(r[0]): r[0] for r in stats.select(_FILE).distinct().collect()
+    }
+    new = [orig for p, orig in sorted(live.items()) if p not in indexed]
+    stale = [orig for p, orig in sorted(indexed.items()) if p not in live]
+    if not new and not stale:
+        return (0, 0)
+    kept = stats.filter(~F.col(_FILE).isin(stale)) if stale else stats
+    if new:
+        base = (
+            spark.read.option("basePath", table_path)
+            .schema(full.schema)
+            .parquet(*new)
+            .select(*columns)
+            .withColumn(_FILE, F.input_file_name())
+        )
+        for c in columns:
+            pos = F.explode(_positions(F.col(c), m_bits, k_hashes)).alias("__pos")
+            fresh = (
+                base.select(_FILE, pos)
+                .select(
+                    F.col(_FILE),
+                    F.lit(c).alias("col"),
+                    (F.col("__pos") / 64).cast("int").alias("word_idx"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+                    ).alias("__bit"),
+                )
+                .groupBy(_FILE, "col", "word_idx")
+                .agg(F.bit_or("__bit").alias("bits"))
+            )
+            kept = kept.unionByName(fresh)
+    out = kept.localCheckpoint(eager=True)  # derived from the dir it replaces
+    out.write.mode("overwrite").parquet(idx)
+    from rds_to_datalake_project_spark.operators.zonemap import _write_small
+
+    _write_small(spark, f"{idx}/_PARAMS", f"{m_bits} {k_hashes}")
+    return (len(new), len(stale))
+
+
+def attach_bloom_maintenance(
+    table,
+    columns: list[str],
+    m_bits: int = M_BITS_DEFAULT,
+    k_hashes: int = K_HASHES_DEFAULT,
+) -> None:
+    """Enroll the bloom index as a table service: every commit the
+    KeyedTable publishes reconciles the sidecar in the post-commit
+    maintenance slot — cost ∝ files the commit touched."""
+    table.add_maintenance_hook(
+        lambda t: refresh_bloom_index(
+            t.spark, t.path, columns, m_bits=m_bits, k_hashes=k_hashes
+        )
+    )

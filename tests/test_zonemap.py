@@ -485,3 +485,30 @@ def test_bloom_index_point_lookup_skips_files(spark, sf_dir, tmp_path):
         spark.read.parquet(path).filter(F.col("o_orderkey") == some_key).count()
     )
     assert got3 == want3 >= 2  # original + appended copy both visible
+
+
+def test_bloom_index_service_follows_commits(spark, tmp_path):
+    """attach_bloom_maintenance keeps the bloom sidecar reconciled
+    through KeyedTable commits: refresh touches only new files, stale
+    file rows drop, and lookups stay exact throughout."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        attach_bloom_maintenance,
+        bloom_pruned_read,
+        refresh_bloom_index,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("b", record_key=("id",), precombine_key="update_at",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "b"), spec)
+    attach_bloom_maintenance(t, ["id"])
+    t.initial_load(_kv_rows(spark, range(200), "v0"))
+    # index exists and serves (built by the initial-load hook)
+    got = bloom_pruned_read(spark, t.path, "id", ["k17", "k181"]).count()
+    assert got == 2
+    # a commit reconciles: upsert rewrites the (unpartitioned) file set
+    t.upsert(_kv_rows(spark, range(200, 260), "v1"))
+    assert refresh_bloom_index(spark, t.path, ["id"]) == (0, 0)  # hook already ran
+    assert bloom_pruned_read(spark, t.path, "id", ["k250"]).count() == 1
+    assert bloom_pruned_read(spark, t.path, "id", ["nope"]).count() == 0
