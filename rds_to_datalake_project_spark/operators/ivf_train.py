@@ -84,3 +84,99 @@ def train_ivf_centroids(
             (cid, by_cell.get(cid, vec)) for cid, vec in centroids
         ]
     return centroids
+
+
+def _assign_cells_quantized(
+    qdf: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment over PRE-QUANTIZED vectors and
+    INTEGER centroids (``__qv`` column) — pure int64 distances, so the
+    assignment is bit-identical across engines. Ties take the
+    lexicographically-(d, cid)-smallest pair, matching an
+    ``ORDER BY d, cid`` twin."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in vec]).alias("qc"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__qv"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = F.transform(
+        carr, lambda c: F.struct(dist(c["qc"]).alias("d"), c["cid"].alias("cid"))
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit((1 << 63) - 1).cast("long").alias("d"),
+            F.lit((1 << 31) - 1).alias("cid"),
+        ),
+        lambda acc, p: F.when(
+            (p["d"] < acc["d"]) | ((p["d"] == acc["d"]) & (p["cid"] < acc["cid"])),
+            p,
+        ).otherwise(acc),
+    )
+    return qdf.withColumn("cell", best["cid"])
+
+
+def train_ivf_centroids_quantized(
+    corpus: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Lloyd iterations in FIXED-POINT integer arithmetic — the
+    hash-checkable twin of ``train_ivf_centroids``: vectors quantize
+    to 1e-6 ints, distances are exact int64 sums, and each centroid
+    update is ``floor(double(SUM)/COUNT)`` per dimension (the double
+    division is safe: the fractional gap to the next integer is at
+    least 1/COUNT, orders of magnitude above double error at this
+    scale, so both engines floor identically). Seeds are the k
+    smallest ids (cid = rank in id order); empty cells keep their
+    previous centroid. The full trainer therefore replays bit-for-bit
+    in the DuckDB oracle — closing the one rows-only check the float
+    trainer carries by contract.
+
+    Scale shape per iteration: map-only assignment (centroids ride as
+    plan literals) + one (cell, dim) aggregation whose k×dim result is
+    the only driver state."""
+    import math
+
+    from rds_to_datalake_project_spark.operators.similarity import quantize
+
+    q = corpus.select(F.col(id_col), quantize(vec_col).alias("__qv"))
+    seeds = q.orderBy(id_col).limit(k).collect()
+    seeds.sort(key=lambda r: r[id_col])
+    cents = [(i, [int(v) for v in r["__qv"]]) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(iterations):
+        stats = (
+            _assign_cells_quantized(q, cents)
+            .select("cell", F.posexplode("__qv").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in stats:
+            # floor(double(s)/n) — the SAME operation the SQL twin runs
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = math.floor(
+                r["s"] / r["n"]
+            )
+        cents = [
+            (
+                cid,
+                [by_cell[cid][d] for d in range(dim)]
+                if cid in by_cell
+                else prev,
+            )
+            for cid, prev in cents
+        ]
+    return cents

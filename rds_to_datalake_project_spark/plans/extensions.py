@@ -1877,3 +1877,123 @@ ORDER BY d.doc_id
 
 QUERIES["lexical_novelty_scores"] = lexical_novelty_scores
 ORACLES["lexical_novelty_scores"] = LEXICAL_NOVELTY_SQL
+
+
+_IVFQ_K, _IVFQ_ITERS = 4, 3
+
+
+def ivf_quantized_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END hash-checked IVF: fixed-point k-means training
+    (operators/ivf_train.train_ivf_centroids_quantized — integer
+    distances, floored-mean updates), integer cell assignment, 2-cell
+    probe, exact quantized-cosine top-k. Unlike ivf_trained_topk
+    (float Lloyd, rows-only by contract) every stage here replays
+    bit-for-bit in the DuckDB twin — the trainer loop unrolled as
+    CTEs."""
+    from rds_to_datalake_project_spark.operators.ivf_train import (
+        _assign_cells_quantized,
+        train_ivf_centroids_quantized,
+    )
+    from rds_to_datalake_project_spark.operators.similarity import (
+        cosine_q,
+        quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids_quantized(
+        emb, k=_IVFQ_K, iterations=_IVFQ_ITERS
+    )
+    q = emb.select(F.col("vec_id"), quantize("embedding").alias("__qv"))
+    assigned = _assign_cells_quantized(q, cents)
+    qv = [
+        int(v)
+        for v in q.filter(F.col("vec_id") == 1).collect()[0]["__qv"]
+    ]
+    scored = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, vec)), cid)
+        for cid, vec in cents
+    )
+    probe = [cid for _d, cid in scored[:2]]
+    qarr = F.array(*[F.lit(v).cast("long") for v in qv])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(
+            "vec_id",
+            F.col("cell").alias("ivf_cell"),
+            cosine_q(F.col("__qv"), qarr).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_quantized_sql(k: int, iters: int) -> str:
+    """The quantized trainer + probe unrolled as one DuckDB query —
+    every CTE mirrors the Spark operator exactly (seeds by smallest
+    id, (d, cid) argmin ties, floor(double(SUM)/COUNT) updates, empty
+    cells keep their centroid, 2-cell probe, exact cosine)."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(e.qv) + 1), "
+        "j -> (e.qv[j] - c.qc[j]) * (e.qv[j] - c.qc[j]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS qc
+  FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+), s{i} AS (
+  SELECT a.cid, p.j,
+         CAST(floor(CAST(SUM(e.qv[p.j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, len(e.qv) + 1)) AS p(j)
+  GROUP BY a.cid, p.j
+), l{i} AS (
+  SELECT cid, list(m ORDER BY j) AS qc FROM s{i} GROUP BY cid
+), c{i} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(l.qc, p.qc) AS qc
+  FROM c{i - 1} p LEFT JOIN l{i} l ON l.cid = p.cid
+)"""
+        )
+    parts.append(
+        f""", fin AS MATERIALIZED (
+  SELECT vec_id, cid AS ivf_cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+), q AS (
+  SELECT qv FROM e WHERE vec_id = 1
+), probe AS (
+  SELECT c.cid FROM c{iters} c CROSS JOIN q
+  ORDER BY CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+            j -> (q.qv[j] - c.qc[j]) * (q.qv[j] - c.qc[j]))) AS BIGINT), c.cid
+  LIMIT 2
+)
+SELECT e.vec_id, fin.ivf_cell,
+       CAST(list_sum(list_transform(range(1, len(e.qv) + 1), j -> e.qv[j] * q.qv[j])) AS DOUBLE)
+       / sqrt(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS DOUBLE)
+            * CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE)) AS cosine_sim
+FROM e JOIN fin ON fin.vec_id = e.vec_id CROSS JOIN q
+WHERE fin.ivf_cell IN (SELECT cid FROM probe)
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+IVF_QUANTIZED_SQL = _ivf_quantized_sql(_IVFQ_K, _IVFQ_ITERS)
+
+QUERIES["ivf_quantized_trained_topk"] = ivf_quantized_trained_topk
+ORACLES["ivf_quantized_trained_topk"] = IVF_QUANTIZED_SQL

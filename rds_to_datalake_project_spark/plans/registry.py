@@ -35,6 +35,7 @@ _PRIORITY = (
     "sql_dml_roundtrip",
     "sql_merge_roundtrip",
     "bloom_pruned_lookup",
+    "ivf_quantized_trained_topk",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -74,7 +75,6 @@ _PRIORITY = (
     "dedup_latest_per_key",
     "partition_enrich",
     "partition_enrich_string",
-    "windowed_counts",
     "commit_key_codec",
     "order_priority_stats",
     "minhash_neardup_md5",

@@ -959,3 +959,34 @@ def test_lexical_novelty_hand_checked(spark):
     assert got[0] == (3, 1, pytest.approx(1 / 3))
     assert got[1] == (3, 2, pytest.approx(2 / 3))
     assert got[2] == (0, 0, 0.0)
+
+
+def test_quantized_ivf_trainer_separates_planted_clusters(spark):
+    """Fixed-point Lloyd converges on separable data and stays fully
+    deterministic: same corpus → bit-identical centroids across runs
+    and partitionings."""
+    from rds_to_datalake_project_spark.operators.ivf_train import (
+        _assign_cells_quantized,
+        train_ivf_centroids_quantized,
+    )
+    from rds_to_datalake_project_spark.operators.similarity import quantize
+
+    rows = []
+    for g, base in enumerate([(1.0, 0.0), (0.0, 1.0), (-1.0, -1.0)]):
+        for i in range(12):
+            rows.append(
+                (g * 100 + i, [base[0] + (i % 3) * 0.01, base[1] + (i % 4) * 0.01])
+            )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_ivf_centroids_quantized(df, k=3, iterations=4)
+    q = df.select("vec_id", quantize("embedding").alias("__qv"))
+    got = {
+        r.vec_id: r.cell for r in _assign_cells_quantized(q, cents).collect()
+    }
+    for g in range(3):
+        cells = {got[g * 100 + i] for i in range(12)}
+        assert len(cells) == 1  # each planted cluster lands in ONE cell
+    assert len({got[0], got[100], got[200]}) == 3  # and they differ
+    # determinism: repartitioned input trains identical centroids
+    cents2 = train_ivf_centroids_quantized(df.repartition(7), k=3, iterations=4)
+    assert cents2 == cents
