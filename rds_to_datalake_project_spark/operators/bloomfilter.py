@@ -112,12 +112,15 @@ def bloom_prune_files(
     col: str,
     values: list,
     index_dir: str | None = None,
+    _resolved=None,
 ) -> tuple[list[str], int]:
     """Files that MAY contain any of ``values`` in ``col`` (plus every
     file the index does not cover — advisory). Returns
-    ``(files_to_read, n_skipped)``."""
+    ``(files_to_read, n_skipped)``. ``_resolved``: a caller's prior
+    ``_resolve_table`` result, so composed lookups (KeyedTable.lookup
+    intersecting zone map + bloom) pay ONE directory listing."""
     idx = index_dir or _index_dir(table_path)
-    full, live = _resolve_table(spark, table_path)
+    full, live = _resolved or _resolve_table(spark, table_path)
     try:
         stats = spark.read.parquet(idx).filter(F.col("col") == col)
     except Exception:

@@ -61,3 +61,57 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
         for f in df.schema.fields
     ]
     return reduce(DataFrame.unionByName, per_col)
+
+
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram over a FIXED [lo, hi) range — the
+    ANALYZE-grade distribution sketch optimizers and skew advisories
+    consume. Bucket edges are caller-fixed (not data-derived), so the
+    bucket function is one deterministic expression and counts are
+    exact integers — cross-engine replayable, unlike approx_percentile
+    sketches. Values below lo clamp to bucket 0, at/above hi to the
+    last bucket; NULLs are excluded. One partial-agg shuffle; emits
+    every bucket (empty ones as 0) so the shape is fixed.
+
+    Output: ``bucket, lo_edge, hi_edge, n_rows``.
+    """
+    spark = df.sparkSession
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    frame = spark.createDataFrame(
+        [
+            (b, lo + b * width, lo + (b + 1) * width)
+            for b in range(n_buckets)
+        ],
+        "bucket int, lo_edge double, hi_edge double",
+    )
+    return (
+        frame.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            "lo_edge",
+            "hi_edge",
+            F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

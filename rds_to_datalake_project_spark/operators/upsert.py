@@ -616,12 +616,50 @@ class KeyedTable:
         self._rename(fs, tmp_p, seq_p)
 
     def lookup(self, key_value) -> DataFrame:
-        """Point lookup by the leading record-key column through the
-        zone-map index: on a key-clustered layout (compact_table
-        ``range_by_key=True``) this opens O(1) files. Composite keys:
-        filter the result on the remaining key columns."""
-        return self.read_where(
-            {self.spec.record_key[0]: (key_value, key_value)}
+        """Point lookup by the leading record-key column.
+
+        File pruning composes BOTH indexes when present: the zone map
+        cuts by key RANGE (O(1) files on a key-clustered layout), and
+        a bloom sidecar (operators/bloomfilter — attach via
+        attach_bloom_maintenance) cuts by MEMBERSHIP, which is what
+        survives on unclustered layouts where every file's key range
+        spans the table. The candidate set is the intersection; both
+        indexes are advisory, so the result is exactly the full-scan
+        filter. Composite keys: filter the result on the remaining
+        key columns."""
+        key_col = self.spec.record_key[0]
+        from rds_to_datalake_project_spark.operators.bloomfilter import (
+            _index_dir as _bloom_dir,
+        )
+        from rds_to_datalake_project_spark.operators.bloomfilter import (
+            bloom_prune_files,
+        )
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            _resolve_table,
+            prune_files,
+        )
+
+        fs, bloom_p = self._fs(_bloom_dir(self.path))
+        if not fs.exists(bloom_p):
+            return self.read_where({key_col: (key_value, key_value)})
+        resolved = _resolve_table(self.spark, self.path)
+        zone_files, _ = prune_files(
+            self.spark, self.path, {key_col: (key_value, key_value)},
+            _resolved=resolved,
+        )
+        bloom_files, _ = bloom_prune_files(
+            self.spark, self.path, key_col, [key_value], _resolved=resolved
+        )
+        files = sorted(set(zone_files) & set(bloom_files))
+        residual = F.col(key_col) == F.lit(key_value)
+        full, _live = resolved
+        if not files:
+            return full.filter(residual).limit(0)
+        return (
+            self.spark.read.option("basePath", self.path)
+            .schema(full.schema)
+            .parquet(*files)
+            .filter(residual)
         )
 
     def read_where(self, predicates: dict[str, tuple]) -> DataFrame:

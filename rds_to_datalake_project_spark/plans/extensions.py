@@ -1997,3 +1997,41 @@ IVF_QUANTIZED_SQL = _ivf_quantized_sql(_IVFQ_K, _IVFQ_ITERS)
 
 QUERIES["ivf_quantized_trained_topk"] = ivf_quantized_trained_topk
 ORACLES["ivf_quantized_trained_topk"] = IVF_QUANTIZED_SQL
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-grade equi-width histogram of order totals
+    (operators/profile.column_histogram): fixed [0, 600000) range, 24
+    buckets, exact integer counts — the distribution sketch a cost
+    model or skew advisory reads."""
+    from rds_to_datalake_project_spark.operators.profile import column_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_histogram(orders, "o_totalprice", 0.0, 600_000.0, 24)
+
+
+PRICE_HISTOGRAM_SQL = """
+WITH params AS (
+  SELECT 0.0 AS lo, 600000.0 AS hi, 24 AS nb
+), buckets AS (
+  SELECT CAST(b.b AS INT) AS bucket,
+         p.lo + b.b * (p.hi - p.lo) / p.nb AS lo_edge,
+         p.lo + (b.b + 1) * (p.hi - p.lo) / p.nb AS hi_edge
+  FROM params p, unnest(range(0, 24)) AS b(b)
+), counts AS (
+  SELECT LEAST(p.nb - 1, GREATEST(0,
+           CAST(floor((CAST(o.o_totalprice AS DOUBLE) - p.lo)
+                      / ((p.hi - p.lo) / p.nb)) AS INT))) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders o CROSS JOIN params p
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1
+)
+SELECT b.bucket, b.lo_edge, b.hi_edge,
+       COALESCE(c.n_rows, 0) AS n_rows
+FROM buckets b LEFT JOIN counts c ON c.bucket = b.bucket
+ORDER BY b.bucket
+"""
+
+QUERIES["price_histogram"] = price_histogram
+ORACLES["price_histogram"] = PRICE_HISTOGRAM_SQL

@@ -36,6 +36,7 @@ _PRIORITY = (
     "sql_merge_roundtrip",
     "bloom_pruned_lookup",
     "ivf_quantized_trained_topk",
+    "price_histogram",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -75,7 +76,6 @@ _PRIORITY = (
     "dedup_latest_per_key",
     "partition_enrich",
     "partition_enrich_string",
-    "commit_key_codec",
     "order_priority_stats",
     "minhash_neardup_md5",
 )

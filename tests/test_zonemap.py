@@ -512,3 +512,43 @@ def test_bloom_index_service_follows_commits(spark, tmp_path):
     assert refresh_bloom_index(spark, t.path, ["id"]) == (0, 0)  # hook already ran
     assert bloom_pruned_read(spark, t.path, "id", ["k250"]).count() == 1
     assert bloom_pruned_read(spark, t.path, "id", ["nope"]).count() == 0
+
+
+def test_lookup_intersects_zonemap_and_bloom(spark, tmp_path):
+    """On a table carrying BOTH sidecars, lookup reads the
+    intersection of zone-map and bloom candidates — on an unclustered
+    layout the zone map prunes nothing (every file spans the key
+    range) while the bloom still cuts to the containing file(s); the
+    result stays exact either way."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        attach_bloom_maintenance,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        build_bloom_index,
+    )
+    from rds_to_datalake_project_spark.operators.zonemap import build_zonemap
+
+    spec = TableSpec("lk", record_key=("id",), precombine_key="update_at",
+                     partition_granularity=None)
+    path = str(tmp_path / "lk")
+    # 6 physical files with INTERLEAVED string ids ("k0".."k299" spread
+    # round-robin) → every file's zone spans the whole key range, so
+    # the zone map alone prunes nothing; the bloom must do the cutting
+    for i in range(6):
+        _kv_rows(spark, range(i, 300, 6), "v0").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    build_zonemap(spark, path, ["id"])
+    build_bloom_index(spark, path, ["id"])
+    t = KeyedTable(spark, path, spec, zonemap_columns=["id"])
+    assert attach_bloom_maintenance  # service attach covered elsewhere
+    got = t.lookup("k123").collect()
+    assert len(got) == 1 and got[0].id == "k123"
+    assert t.lookup("absent-key").count() == 0
+    # the probed plan reads fewer files than the table holds
+    files = {f for f in t.lookup("k123").inputFiles()}
+    all_files = {f for f in t.read().inputFiles()}
+    assert len(files) < len(all_files)
