@@ -552,13 +552,17 @@ def hashed_linear_score(
         F.lit(r"[a-z0-9']+"),
         0,
     )
+    # Bigrams by zipping the token list with its own tail — NOT
+    # element_at(toks, j) inside a per-index lambda, which would
+    # re-evaluate the regex extraction once per element (observed 25×
+    # slowdown; same pitfall minhash_signature documents).
+    n = F.size(toks)
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda j: F.concat_ws(
-                " ", F.element_at(toks, j), F.element_at(toks, j + 1)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)
