@@ -990,3 +990,53 @@ def test_quantized_ivf_trainer_separates_planted_clusters(spark):
     # determinism: repartitioned input trains identical centroids
     cents2 = train_ivf_centroids_quantized(df.repartition(7), k=3, iterations=4)
     assert cents2 == cents
+
+
+def test_containment_prefix_full_recall_property(spark):
+    """PROPERTY: for random corpora, the prefix-filter index's
+    verified output equals brute-force all-pairs containment at every
+    threshold — the pigeonhole recall guarantee, not just planted
+    cases."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rds_to_datalake_project_spark.operators.minhash import (
+        containment_neardup,
+        ngram_containment_pairs,
+    )
+
+    words = [f"w{i}" for i in range(12)]  # small vocab → real overlaps
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=12),
+            min_size=2,
+            max_size=8,
+        ),
+        threshold=st.sampled_from([0.4, 0.6, 0.8, 1.0]),
+    )
+    def check(docs, threshold):
+        corpus = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        indexed = {
+            (r.a_id, r.b_id, round(r.containment_a_in_b, 9),
+             round(r.containment_b_in_a, 9))
+            for r in containment_neardup(corpus, threshold=threshold).collect()
+        }
+        brute = {
+            (r.a_id, r.b_id, round(r.containment_a_in_b, 9),
+             round(r.containment_b_in_a, 9))
+            for r in ngram_containment_pairs(
+                corpus, None, threshold=threshold
+            ).collect()
+        }
+        assert indexed == brute
+
+    check()

@@ -552,3 +552,38 @@ def test_lookup_intersects_zonemap_and_bloom(spark, tmp_path):
     files = {f for f in t.lookup("k123").inputFiles()}
     all_files = {f for f in t.read().inputFiles()}
     assert len(files) < len(all_files)
+
+
+def test_bloom_refresh_survives_corrupted_sidecar(spark, sf_dir, tmp_path):
+    """A torn/garbage bloom sidecar must route refresh into a full
+    rebuild, and reads degrade to full scans in the meantime — never
+    a crash, never a wrong answer."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        _index_dir,
+        bloom_pruned_read,
+        build_bloom_index,
+        refresh_bloom_index,
+    )
+
+    path = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders").limit(400)
+    orders.coalesce(2).write.mode("overwrite").parquet(path)
+    build_bloom_index(spark, path, ["o_orderkey"])
+    key = orders.collect()[0].o_orderkey
+
+    # corrupt: replace the sidecar with a non-parquet file
+    import shutil
+
+    idx = _index_dir(path)
+    shutil.rmtree(idx)
+    import os
+
+    os.makedirs(idx)
+    with open(os.path.join(idx, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    # read degrades to a full scan but stays exact
+    assert bloom_pruned_read(spark, path, "o_orderkey", [key]).count() == 1
+    # refresh detects the unreadable index and rebuilds
+    added, dropped = refresh_bloom_index(spark, path, ["o_orderkey"])
+    assert added >= 1 and dropped == 0
+    assert bloom_pruned_read(spark, path, "o_orderkey", [key]).count() == 1
