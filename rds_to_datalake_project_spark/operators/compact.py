@@ -92,17 +92,19 @@ def compact_table(
     table: KeyedTable,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by_key: bool = True,
-    cluster_by: tuple[str, str] | None = None,
+    cluster_by: tuple[str, ...] | None = None,
     curve: str = "hilbert",
     range_by_key: bool = False,
 ) -> int:
     """Rewrite the table with right-sized files; returns file count.
 
-    ``cluster_by=(col_a, col_b)`` additionally orders rows along a
-    space-filling curve of the two columns during the rewrite
-    (``curve`` ∈ {"hilbert", "zorder"}) — the clustering service
-    Hudi/Delta run at compaction time, so point/range predicates on
-    either column get file-level min/max skipping after the pass.
+    ``cluster_by=(col_a, col_b[, ...])`` additionally orders rows
+    along a space-filling curve of the listed columns during the
+    rewrite (``curve`` ∈ {"hilbert", "zorder"}; hilbert is 2-D,
+    zorder accepts any arity via the N-dim Morton interleave) — the
+    clustering service Hudi/Delta run at compaction time, so
+    point/range predicates on EVERY listed column get file-level
+    min/max skipping after the pass.
 
     Sizing walks live data files through the Hadoop FileSystem API
     (local, HDFS, and object stores alike), skipping hidden trees.
@@ -117,20 +119,25 @@ def compact_table(
         # file owns a contiguous curve segment (what Delta's OPTIMIZE
         # ZORDER does). Partition columns lead the range keys so hive
         # dirs stay intact and each dir's files split the curve.
-        col_a, col_b = cluster_by
-        # Scale both columns onto the full curve grid first (min/max
+        cols = list(cluster_by)
+        # Scale every column onto the full curve grid first (min/max
         # from one 1-row aggregate). Raw values mod 2^bits leave the
         # occupied box misaligned with the curve's quadrants — e.g. a
         # narrow key range beside a wide one degenerates to a thin
         # strip the curve sweeps end-to-end, and range-partitioning
         # the key separates neither dimension. Normalized, the box IS
-        # the grid and every curve range is a tight 2-D cell.
-        lo_a, hi_a, lo_b, hi_b = df.agg(
-            F.min(F.col(col_a).cast("double")),
-            F.max(F.col(col_a).cast("double")),
-            F.min(F.col(col_b).cast("double")),
-            F.max(F.col(col_b).cast("double")),
+        # the grid and every curve range is a tight N-D cell.
+        bounds = df.agg(
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.min(F.col(c).cast("double")),
+                    F.max(F.col(c).cast("double")),
+                )
+            ]
         ).first()
+        lohi = [(bounds[2 * i], bounds[2 * i + 1]) for i in range(len(cols))]
 
         def scaled(col: str, lo, hi, bits: int):
             if lo is None or hi is None or hi == lo:
@@ -141,21 +148,26 @@ def compact_table(
             ).cast("long")
 
         if curve == "hilbert":
+            if len(cols) != 2:
+                raise ValueError("hilbert clustering is 2-D; use curve='zorder'")
             from rds_to_datalake_project_spark.operators.hilbert import (
                 BITS,
                 hilbert_key,
             )
 
             key = hilbert_key(
-                scaled(col_a, lo_a, hi_a, BITS),
-                scaled(col_b, lo_b, hi_b, BITS),
+                scaled(cols[0], *lohi[0], BITS),
+                scaled(cols[1], *lohi[1], BITS),
                 BITS,
             )
         elif curve == "zorder":
-            from rds_to_datalake_project_spark.operators.zorder import morton_key
+            from rds_to_datalake_project_spark.operators.zorder import (
+                morton_key_n,
+            )
 
-            key = morton_key(
-                scaled(col_a, lo_a, hi_a, 16), scaled(col_b, lo_b, hi_b, 16)
+            bits = min(16, 63 // len(cols))
+            key = morton_key_n(
+                [scaled(c, *lh, bits) for c, lh in zip(cols, lohi)], bits
             )
         else:
             raise ValueError(f"curve must be 'hilbert' or 'zorder', got {curve!r}")

@@ -59,3 +59,54 @@ def cluster_by_zorder(
         bits,
     )
     return df.sortWithinPartitions(zkey)
+
+
+def morton_key_n(cols: list, bits: int | None = None) -> Column:
+    """N-dimensional Morton interleave: bit i of column j lands at
+    position ``i·n + j`` — the generalization ``OPTIMIZE ... ZORDER BY
+    (a, b, c)`` needs. ``bits`` defaults to ``63 // n`` (the most bits
+    per dimension that keep the key inside a signed int64). Pass plain
+    or pre-staged columns — an expensive expression would inline once
+    per bit. Exact integer arithmetic, cross-engine deterministic."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_key_n needs at least 2 columns")
+    if bits is None:
+        bits = 63 // n
+    if bits * n > 63:
+        raise ValueError(f"{n} dims × {bits} bits exceeds a signed int64")
+    staged = [F.col(c) if isinstance(c, str) else c for c in cols]
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def bit_at(col: Column, i: Column) -> Column:
+        return (
+            F.call_function("shiftrightunsigned", col, i)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        out = acc
+        for j, col in enumerate(staged):
+            out = out + F.call_function(
+                "shiftleft", bit_at(col, i), i * n + F.lit(j)
+            )
+        return out
+
+    return F.aggregate(idx, F.lit(0).cast("long"), step)
+
+
+def cluster_by_zorder_n(
+    df: DataFrame, cols: list[str], bits: int | None = None
+) -> DataFrame:
+    """Order rows along the N-dimensional Z-curve of ``cols`` within
+    their partitions (no shuffle) — file-level min/max skipping on
+    EVERY listed column after the write. Values fold into the per-dim
+    bit space by modulus; pre-bucket skewed domains first."""
+    n = len(cols)
+    b = bits if bits is not None else 63 // n
+    span = F.lit(1 << b)
+    zkey = morton_key_n(
+        [F.pmod(F.col(c).cast("long"), span) for c in cols], b
+    )
+    return df.sortWithinPartitions(zkey)

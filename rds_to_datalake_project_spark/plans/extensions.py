@@ -2035,3 +2035,41 @@ ORDER BY b.bucket
 
 QUERIES["price_histogram"] = price_histogram
 ORACLES["price_histogram"] = PRICE_HISTOGRAM_SQL
+
+
+def zorder3_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-dimensional Morton key over (custkey, orderkey, price-bucket)
+    — the N-dim generalization behind cluster_by_zorder_n
+    (operators/zorder.py), emitted per row so the full interleave is
+    oracle-checked."""
+    from rds_to_datalake_project_spark.operators.zorder import morton_key_n
+
+    orders = load_table(spark, sf_dir, "orders")
+    bits = 21  # 3 dims × 21 bits = 63
+    span = F.lit(1 << bits)
+    dims = [
+        F.pmod(F.col("o_custkey").cast("long"), span),
+        F.pmod(F.col("o_orderkey").cast("long"), span),
+        F.pmod(F.floor(F.col("o_totalprice")).cast("long"), span),
+    ]
+    return orders.select(
+        "o_orderkey", morton_key_n(dims, bits).alias("zkey")
+    ).orderBy("o_orderkey")
+
+
+ZORDER3_SQL = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 21), i ->
+           (CAST(((o_custkey % 2097152) >> CAST(i AS INTEGER)) & 1 AS BIGINT)
+             << (3 * CAST(i AS INTEGER)))
+         + (CAST(((o_orderkey % 2097152) >> CAST(i AS INTEGER)) & 1 AS BIGINT)
+             << (3 * CAST(i AS INTEGER) + 1))
+         + (CAST(((CAST(floor(o_totalprice) AS BIGINT) % 2097152) >> CAST(i AS INTEGER)) & 1 AS BIGINT)
+             << (3 * CAST(i AS INTEGER) + 2))
+       )) AS BIGINT) AS zkey
+FROM orders
+ORDER BY o_orderkey
+"""
+
+QUERIES["zorder3_key_orders"] = zorder3_key_orders
+ORACLES["zorder3_key_orders"] = ZORDER3_SQL

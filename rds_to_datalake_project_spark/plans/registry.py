@@ -37,6 +37,7 @@ _PRIORITY = (
     "bloom_pruned_lookup",
     "ivf_quantized_trained_topk",
     "price_histogram",
+    "zorder3_key_orders",
     # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
     # zonemap schema pinning, sql facade escapes) — re-confirm even
     # though r6-green
@@ -76,7 +77,6 @@ _PRIORITY = (
     "dedup_latest_per_key",
     "partition_enrich",
     "partition_enrich_string",
-    "order_priority_stats",
     "minhash_neardup_md5",
 )
 

@@ -158,7 +158,8 @@ def run_query(
 
 _OPTIMIZE_RE = re.compile(rf"^\s*OPTIMIZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
 _OPTIMIZE_ZORDER_RE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_QNAME})\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*;?\s*$",
+    rf"^\s*OPTIMIZE\s+({_QNAME})\s+ZORDER\s+BY\s*"
+    r"\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
@@ -381,9 +382,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     if m and table_bound:
         from rds_to_datalake_project_spark.operators.compact import compact_table
 
+        cols = tuple(c.strip() for c in m.group(2).split(","))
         n = compact_table(
             _resolve(m.group(1)),
-            cluster_by=(m.group(2), m.group(3)),
+            cluster_by=cols,  # any arity — N-dim Morton interleave
             curve="zorder",  # the verb names Z-order, not the default Hilbert
         )
         return spark.createDataFrame(

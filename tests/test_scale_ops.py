@@ -701,3 +701,51 @@ def test_range_join_left_keeps_unmatched_points(spark):
     assert rows == {1: 100, 2: None}  # point 2 kept with nulls
     with pytest.raises(ValueError, match="inner/left"):
         range_join(points, intervals, "ts", "w_start", "w_end", how="full")
+
+
+def test_compact_with_3d_zorder_clustering(spark, tmp_path):
+    """N-dim ZORDER: a 3-column clustered rewrite shrinks per-file
+    min/max spans on ALL THREE columns, through the facade verb."""
+    import duckdb
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("z3", record_key=("id",), precombine_key="u",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "z3"), spec)
+    rows = [
+        (i, "2024-01-01", "2024-01-01", i % 1000, (i * 37) % 1000, (i * 911) % 1000)
+        for i in range(20000)
+    ]
+    t.initial_load(spark.createDataFrame(
+        rows, ["id", "create_at", "u", "a", "b", "c"]
+    ))
+    # facade verb parses any arity and routes through the rewrite
+    out = run_query(
+        spark, "OPTIMIZE z3 ZORDER BY (a, b, c)", tables={"z3": t}
+    ).collect()[0]
+    assert out.target_files >= 1
+    # re-run directly with a tiny file target to force multiple files
+    compact_table(
+        t, target_file_bytes=8 * 1024, cluster_by=("a", "b", "c"),
+        curve="zorder",
+    )
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(t.path)
+        for f in fs
+        if f.endswith(".parquet") and "/." not in r
+    ]
+    assert len(files) > 1, "need multiple files to measure clustering"
+    con = duckdb.connect()
+    spans = []
+    for f in files:
+        vals = con.execute(
+            f"SELECT min(a), max(a), min(b), max(b), min(c), max(c) "
+            f"FROM read_parquet('{f}')"
+        ).fetchone()
+        spans.append((vals[1] - vals[0]) + (vals[3] - vals[2]) + (vals[5] - vals[4]))
+    # clustered files must cover far less than the full 3×1000 span
+    assert sum(spans) / len(spans) < 2200, spans
