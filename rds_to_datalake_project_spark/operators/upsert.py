@@ -926,6 +926,67 @@ class KeyedTable:
         self.upsert(rows.withColumn(_OP_COL, F.lit("U")))
         return n
 
+    def purge_rows(self, condition) -> int:
+        """GDPR-class HARD delete: tombstone every row matching
+        ``condition`` AND expire every lake representation that could
+        reconstruct it. Soft ``delete_where`` removes rows from the
+        LIVE state only — on a retained table the purged rows remain
+        readable via ``read_as_of`` and ride the changes feed with
+        their full image. This erases those too:
+
+        1. ``delete_where(condition)`` — the delete commit (feed entry
+           included, written before expiry so consumer checkpoints
+           stay consistent);
+        2. ``vacuum_versions(keep_last=1)`` + floor pinned to the
+           delete commit + the retired tree dropped — ONLY the
+           post-delete snapshot stays readable; every earlier version
+           RAISES, and no retired file can reconstruct one;
+        3. the changes feed drops ALL batch dirs (the delete commit's
+           own batch carries the purged images) with the floor
+           persisted BEFORE the deletes, so later publishes cannot
+           re-materialize expired batches.
+
+        Attached sidecar services (zone map, bloom, ANN, LSH) refresh
+        with the delete commit and derive from live data only, so the
+        purged rows leave them in the same pass. Returns rows purged.
+        """
+        n = self.delete_where(condition)
+        if n == 0:
+            return 0
+        if self.retain_versions:
+            self.vacuum_versions(keep_last=1)
+            # keep_last=1 still leaves the delete commit's own retired
+            # files on disk — they reconstruct the PRE-delete snapshot,
+            # i.e. the purged rows. Pin the floor to the delete commit
+            # (every earlier version now raises) and drop the retired
+            # tree outright; live reads and later commits are
+            # unaffected (reconstruction only ever looks backwards).
+            latest = (self.versions() or [0])[-1]
+            self._write_floor(latest)
+            self._fs_delete(f"{self.path}/.retired")
+        if self.changes_feed_dir:
+            feed = self.changes_feed_dir
+            jvm = self.spark._jvm
+            root = jvm.org.apache.hadoop.fs.Path(feed)
+            fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if fs.exists(root):
+                versions = sorted(
+                    int(st.getPath().getName()[1:])
+                    for st in fs.listStatus(root)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith("v")
+                    and st.getPath().getName()[1:].isdigit()
+                )
+                if versions:
+                    # floor FIRST (crash posture of vacuum_changes_feed),
+                    # then drop every batch including the delete's own
+                    self._write_feed_floor(feed, max(versions))
+                    for v in versions:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(f"{feed}/v{v}"), True
+                        )
+        return n
+
     def describe_history(self) -> list[dict]:
         """Commit-log introspection (Delta ``DESCRIBE HISTORY``
         analog): one record per retained commit — version, whether it

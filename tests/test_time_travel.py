@@ -443,3 +443,41 @@ def test_vacuum_partitions_crash_after_commit_stands(spark, tmp_path, monkeypatc
     assert t.versions() == [1]
     assert _vals(t.read()) == {"r2": "a2"}
     assert _vals(t.read_as_of(0)) == S0
+
+
+def test_purge_rows_erases_history_and_feed(spark, tmp_path):
+    """purge_rows is a HARD delete: live state loses the rows, every
+    pre-delete snapshot raises (floor enforced), and no changes-feed
+    batch retains the purged images; later commits work normally."""
+    import pyspark.sql.functions as F
+
+    feed = str(tmp_path / "feed")
+    t = KeyedTable(
+        spark, str(tmp_path / "p"), SPEC, retain_versions=5,
+        changes_feed_dir=feed,
+    )
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS))  # v1 (feed batch)
+    victim_ids = [r.id for r in t.read().limit(1).collect()]
+    n = t.purge_rows(F.col("id").isin(victim_ids))
+    assert n == 1
+    # live state clean
+    assert not set(victim_ids) & {r.id for r in t.read().collect()}
+    # every pre-purge snapshot is gone
+    assert t.readable_versions() == [t.versions()[-1]]
+    with pytest.raises(ValueError):
+        t.read_as_of(0)
+    # the feed holds NO batch dirs (purged images included)
+    import os
+    dirs = [d for d in os.listdir(feed) if d.startswith("v")] if os.path.exists(feed) else []
+    assert dirs == []
+    # and a later commit does not resurrect expired batches
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS))
+    dirs = sorted(d for d in os.listdir(feed) if d.startswith("v"))
+    assert len(dirs) == 1  # only the NEW commit's batch
+    feed_rows = spark.read.format("json").load(f"{feed}/{dirs[0]}") if dirs else None
+    # no purged id appears in any remaining feed content
+    if feed_rows is not None and "id" in feed_rows.columns:
+        assert feed_rows.filter(F.col("id").isin(victim_ids)).count() == 0
+    # purge with no matches is a no-op
+    assert t.purge_rows(F.col("id") == "no-such-key") == 0
