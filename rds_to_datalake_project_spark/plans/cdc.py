@@ -887,6 +887,57 @@ LIMIT 10
 """
 
 
+def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed record-lookup path (KeyedTable.lookup): a lake
+    table carrying BOTH sidecars — zone map (range) and bloom
+    (membership) — serves point reads from the intersection of their
+    candidates. Five deterministic keys are looked up through the real
+    table service; the oracle is the plain key filter (advisory
+    contract: pruning never changes results)."""
+    from functools import reduce
+
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        attach_bloom_maintenance,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spec = TableSpec(
+        "orders_lkp",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(
+        spark,
+        _scratch("idx_lookup") + "/t",
+        spec,
+        zonemap_columns=["o_orderkey"],
+    )
+    attach_bloom_maintenance(t, ["o_orderkey"])
+    t.initial_load(orders.withColumn("update_at", F.lit("v0")))
+    keys = [
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_orderkey") % 2999 == 1)
+        .select("o_orderkey")
+        .collect()
+    ]
+    outs = [
+        t.lookup(k).select("o_orderkey", "o_custkey", "o_totalprice")
+        for k in keys
+    ]
+    return reduce(DataFrame.unionByName, outs).orderBy("o_orderkey")
+
+
+INDEXED_LOOKUP_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 2999 = 1
+ORDER BY o_orderkey
+"""
+
+
 def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file bloom-index point lookup (operators/bloomfilter.py —
     the reference's Hudi bloom-index analog): cluster orders into
@@ -1259,6 +1310,7 @@ QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_merge_roundtrip": sql_merge_roundtrip,
     "bloom_pruned_lookup": bloom_pruned_lookup,
+    "indexed_point_lookup": indexed_point_lookup,
 }
 
 ORACLES = {
@@ -1269,6 +1321,7 @@ ORACLES = {
     "sql_dml_roundtrip": SQL_DML_SQL,
     "sql_merge_roundtrip": SQL_MERGE_SQL,
     "bloom_pruned_lookup": BLOOM_LOOKUP_SQL,
+    "indexed_point_lookup": INDEXED_LOOKUP_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

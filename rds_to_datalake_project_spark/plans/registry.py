@@ -35,6 +35,7 @@ _PRIORITY = (
     "sql_dml_roundtrip",
     "sql_merge_roundtrip",
     "bloom_pruned_lookup",
+    "indexed_point_lookup",
     "ivf_quantized_trained_topk",
     "price_histogram",
     "zorder3_key_orders",
@@ -76,7 +77,6 @@ _PRIORITY = (
     # r1/r2-stale tier — next rotation band
     "dedup_latest_per_key",
     "partition_enrich",
-    "partition_enrich_string",
     "minhash_neardup_md5",
 )
 
