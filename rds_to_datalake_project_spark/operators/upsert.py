@@ -43,6 +43,8 @@ Physical strategy (scale-first):
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 import uuid
 
@@ -55,6 +57,8 @@ from rds_to_datalake_project_spark.operators.enrich import (
     partition_columns,
 )
 from rds_to_datalake_project_spark.schema import TableSpec
+
+_LOG = logging.getLogger(__name__)
 
 _OP_COL = "Op"  # DMS CDC envelope (reference incremental.py:210)
 _PRIORITY = "__src_priority"
@@ -107,6 +111,9 @@ class KeyedTable:
         # Each runs after every successful commit, in the same
         # advisory slot as the zone-map reconcile.
         self._maintenance_hooks: list = []
+        # The most recent commit's post-commit service failures (see
+        # _run_maintenance) — [] after a clean run.
+        self.last_maintenance_errors: list[dict] = []
         self._fs_handle = None
         self.partition_cols: list[str] = (
             partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
@@ -558,9 +565,76 @@ class KeyedTable:
         self._maintenance_hooks.append(fn)
 
     def _run_maintenance(self) -> None:
-        self._maintain_zonemap()
-        for fn in self._maintenance_hooks:
-            fn(self)
+        """Run the zone-map reconcile plus every registered hook,
+        FAILURE-ISOLATED: each service is wrapped so one raising hook
+        (a) never propagates a failure into the caller of a
+        successfully COMMITTED write and (b) never starves later
+        hooks. The epoch/token protocols already make a *skipped*
+        refresh safe (the service goes stale-but-advisory and
+        consumers fall back / rebuild); isolation extends that to a
+        *raising* one. Failures are logged, kept on
+        ``last_maintenance_errors``, persisted under
+        ``.meta/_MAINT_ERRORS`` and surfaced by
+        ``describe_history()``. Mirrors the reference's contract that
+        a hive_sync failure never corrupts the committed Hudi write
+        (glue_jobs/initial_load.py:168-183 — sync is post-write)."""
+        failures: list[dict] = []
+        services = [("zonemap", self._maintain_zonemap)]
+        services += [
+            (getattr(fn, "__name__", repr(fn)), (lambda fn=fn: fn(self)))
+            for fn in self._maintenance_hooks
+        ]
+        for hook_name, run in services:
+            try:
+                run()
+            except Exception as exc:  # advisory services must not
+                # fail the committed write or starve later hooks
+                _LOG.warning(
+                    "post-commit maintenance hook %r failed "
+                    "(service left stale-but-advisory): %s",
+                    hook_name,
+                    exc,
+                )
+                failures.append(
+                    {
+                        "hook": hook_name,
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                )
+        self.last_maintenance_errors = failures
+        self._persist_maint_errors(failures)
+
+    def _persist_maint_errors(self, failures: list[dict]) -> None:
+        """Persist (or clear) the latest commit's maintenance-failure
+        record — tmp + rename so readers never see a torn file; a
+        clean run deletes the record (stale errors don't outlive the
+        run that healed them)."""
+        fs, p = self._fs(f"{self.path}/.meta/_MAINT_ERRORS")
+        if not failures:
+            fs.delete(p, True)
+            return
+        fs, meta_dir = self._fs(f"{self.path}/.meta")
+        fs.mkdirs(meta_dir)
+        payload = json.dumps(
+            {"version": (self.versions() or [0])[-1], "failures": failures}
+        )
+        _, tmp_p = self._fs(f"{self.path}/.meta/._MAINT_ERRORS.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(payload.encode("utf-8"))
+        out.close()
+        fs.delete(p, True)
+        self._rename(fs, tmp_p, p)
+
+    def _read_maint_errors(self) -> dict | None:
+        fs, p = self._fs(f"{self.path}/.meta/_MAINT_ERRORS")
+        if not fs.exists(p):
+            return None
+        try:
+            return json.loads(
+                self._read_flag_text(f"{self.path}/.meta/_MAINT_ERRORS")
+            )
+        except ValueError:
+            return None
 
     def _maintain_zonemap(self) -> None:
         if not self.zonemap_columns:
@@ -888,11 +962,19 @@ class KeyedTable:
         precombine value; the merge's batch-wins-on-tie rule is what
         makes same-version deletes land."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        victims = self.read().filter(cond)
-        n = victims.count()
-        if n == 0:
-            return 0
-        self.upsert(victims.withColumn(_OP_COL, F.lit("D")), delete_mode="apply")
+        # Cache the victim set: the count that sizes the return value
+        # and the merge that consumes the rows share ONE scan of the
+        # matched rows instead of re-deriving them per action.
+        victims = self.read().filter(cond).cache()
+        try:
+            n = victims.count()
+            if n == 0:
+                return 0
+            self.upsert(
+                victims.withColumn(_OP_COL, F.lit("D")), delete_mode="apply"
+            )
+        finally:
+            victims.unpersist()
         return n
 
     def update_where(self, condition, assignments: dict) -> int:
@@ -915,15 +997,36 @@ class KeyedTable:
                 f"cannot UPDATE immutable key/partition columns: {bad}"
             )
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        rows = self.read().filter(cond)
-        n = rows.count()
-        if n == 0:
-            return 0
-        for col, expr in assignments.items():
-            rows = rows.withColumn(
-                col, F.expr(expr) if isinstance(expr, str) else expr
+        rows = self.read().filter(cond).cache()  # one scan: count + merge
+        try:
+            unknown = sorted(set(assignments) - set(rows.columns))
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown columns: {unknown}"
+                )
+            n = rows.count()
+            if n == 0:
+                return 0
+            # SQL UPDATE evaluates every SET right-hand side against
+            # the ORIGINAL row (``SET a = b, b = a`` swaps), so all
+            # assignments go into ONE select over the unmodified row —
+            # a sequential withColumn loop would let later assignments
+            # observe earlier results.
+            updated = rows.select(
+                *[
+                    (
+                        F.expr(assignments[c])
+                        if isinstance(assignments[c], str)
+                        else assignments[c]
+                    ).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in rows.columns
+                ]
             )
-        self.upsert(rows.withColumn(_OP_COL, F.lit("U")))
+            self.upsert(updated.withColumn(_OP_COL, F.lit("U")))
+        finally:
+            rows.unpersist()
         return n
 
     def purge_rows(self, condition) -> int:
@@ -995,6 +1098,7 @@ class KeyedTable:
         (one flag read + one listing per commit, bounded by the
         retention policy)."""
         floor = self._read_floor()
+        merr = self._read_maint_errors()
         out = []
         for v in self.versions():
             meta = self._flag_meta(f"{self.path}/.meta/v{v}.flag")
@@ -1004,6 +1108,15 @@ class KeyedTable:
                     "readable": v >= floor,
                     "created_partitions": sorted(meta["created"]),
                     "retired_partitions": sorted(self._retired_rels(v)),
+                    # Post-commit service failures recorded against
+                    # this commit (stale-but-advisory services — the
+                    # table data itself is good).
+                    "maintenance_errors": [
+                        f"{f['hook']}: {f['error']}"
+                        for f in merr.get("failures", [])
+                    ]
+                    if merr and merr.get("version") == v
+                    else [],
                 }
             )
         return out

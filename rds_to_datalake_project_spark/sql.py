@@ -211,10 +211,19 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
     """Restricted ``MERGE INTO`` — the Hudi/Delta CDC-apply shape,
     mapped onto the engine's precombine merge:
 
-    - ``WHEN MATCHED [AND <cond>] THEN DELETE`` → source rows meeting
-      <cond> become tombstones (Op = D)
-    - ``WHEN MATCHED THEN UPDATE SET *`` + ``WHEN NOT MATCHED THEN
-      INSERT *`` → remaining source rows upsert whole-row (Op = U)
+    - ``WHEN MATCHED [AND <cond>] THEN DELETE`` → source rows whose
+      key exists in the table AND meet <cond> become tombstones (Op =
+      D); matched rows failing <cond> fall through to UPDATE SET *
+      when present, else are left untouched
+    - ``WHEN MATCHED THEN UPDATE SET *`` → matched source rows upsert
+      whole-row (Op = U)
+    - ``WHEN NOT MATCHED THEN INSERT *`` → unmatched source rows are
+      always inserted (the delete condition never applies to them)
+
+    Any subset of the three clauses composes with standard MERGE
+    semantics — the source is partitioned by matched/not-matched
+    against the target's record keys and each half sees only its own
+    clauses.
 
     Only the star forms are supported (CDC streams carry full row
     images); column-level SET belongs to ``UPDATE``. The ON clause
@@ -275,19 +284,43 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
             star_insert = True
     if not (star_update or star_insert or delete_cond):
         raise ValueError("MERGE needs UPDATE SET * / INSERT * / DELETE")
-    batch = src
     keys = list(t.spec.record_key)
-    if star_update and not star_insert:
-        # matched-only: restrict the batch to keys already in the table
-        batch = batch.join(t.read().select(*keys), keys, "left_semi")
-    elif star_insert and not star_update:
-        # not-matched-only: restrict to keys NOT in the table
-        batch = batch.join(t.read().select(*keys), keys, "left_anti")
-    if delete_cond is not None:
-        batch = batch.withColumn(
-            "Op",
-            F.when(F.expr(delete_cond), F.lit("D")).otherwise(F.lit("U")),
-        )
+    # Standard MERGE semantics partition the SOURCE by matched /
+    # not-matched against the target: matched rows see the WHEN
+    # MATCHED clauses (DELETE where its condition holds, else UPDATE
+    # SET * if present, else untouched); unmatched rows see only WHEN
+    # NOT MATCHED THEN INSERT * — never the delete condition. Fast
+    # path: UPDATE * + INSERT * with no DELETE is exactly the engine's
+    # whole-row upsert, no join needed.
+    if star_update and star_insert and delete_cond is None:
+        batch = src
+    else:
+        # One key-join flags matched-ness (target keys are unique by
+        # the table contract, so no fan-out); both halves reuse it.
+        marker = t.read().select(*keys).withColumn("__matched", F.lit(True))
+        flagged = src.join(marker, keys, "left")
+        matched = flagged.filter(F.col("__matched")).drop("__matched")
+        unmatched = flagged.filter(F.col("__matched").isNull()).drop("__matched")
+        parts = []
+        if delete_cond is not None:
+            # SQL three-valued logic: the DELETE clause fires only
+            # where the condition is TRUE; FALSE/NULL rows fall
+            # through to the (unconditional) UPDATE SET * if present.
+            hit = F.coalesce(F.expr(delete_cond).cast("boolean"), F.lit(False))
+            parts.append(matched.filter(hit).withColumn("Op", F.lit("D")))
+            if star_update:
+                parts.append(matched.filter(~hit).withColumn("Op", F.lit("U")))
+        elif star_update:
+            parts.append(matched.withColumn("Op", F.lit("U")))
+        if star_insert:
+            parts.append(unmatched.withColumn("Op", F.lit("U")))
+        if not parts:
+            return spark.createDataFrame(
+                [(name, 0)], "table_name string, rows_merged bigint"
+            )
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
     n = batch.count()
     if n:
         t.upsert(batch, delete_mode="apply" if delete_cond is not None else "ignore")
@@ -412,11 +445,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                     h["readable"],
                     h["created_partitions"],
                     h["retired_partitions"],
+                    h["maintenance_errors"],
                 )
                 for h in hist
             ],
             "version int, readable boolean, "
-            "created_partitions array<string>, retired_partitions array<string>",
+            "created_partitions array<string>, retired_partitions array<string>, "
+            "maintenance_errors array<string>",
         )
     m = _VACUUM_RE.match(sql)
     if m and table_bound:
@@ -444,13 +479,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             [(m.group(1), n)], "table_name string, rows_inserted bigint"
         )
     m = _DELETE_RE.match(sql)
-    if m and table_bound:
+    if m and table_bound and _unquote_ident(m.group(1)) in known:
         n = _resolve(m.group(1)).delete_where(m.group(2))
         return spark.createDataFrame(
             [(m.group(1), n)], "table_name string, rows_deleted bigint"
         )
     m = _UPDATE_RE.match(sql)
-    if m and table_bound:
+    if m and table_bound and _unquote_ident(m.group(1)) in known:
         assignments = {}
         for part in _split_top_level(m.group(2)):
             col, _eq, expr = part.partition("=")

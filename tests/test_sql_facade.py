@@ -480,3 +480,135 @@ def test_sql_facade_merge_into(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET *",
             tables={"mg": t},
         )
+
+
+def _mk_merge_table(spark, path):
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("mc", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, path, spec)
+    t.initial_load(spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "keep"),
+         ("b", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "kill"),
+         ("d", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, "keep")],
+        ["id", "create_at", "update_at", "v", "tag"],
+    ))
+    return t
+
+
+def test_sql_facade_merge_clause_combinations(spark, tmp_path):
+    """Standard MERGE semantics for every WHEN-clause subset: the
+    source is partitioned by matched/not-matched, matched rows see the
+    DELETE condition (failing rows fall through to UPDATE SET * when
+    present, else stay untouched), and unmatched rows are governed by
+    INSERT * alone — the delete condition never tombstones them."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    # src: a matched (tag keep), b matched (tag kill),
+    #      c unmatched (tag kill), e unmatched (tag keep)
+    spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 2, "keep"),
+         ("b", "2024-01-01T00:00:00", "2024-01-02T00:00:00", 2, "kill"),
+         ("c", "2024-01-03T00:00:00", "2024-01-03T00:00:00", 2, "kill"),
+         ("e", "2024-01-03T00:00:00", "2024-01-03T00:00:00", 2, "keep")],
+        ["id", "create_at", "update_at", "v", "tag"],
+    ).createOrReplaceTempView("mc_src")
+
+    # DELETE-only: ONLY matched rows meeting the condition are touched
+    t = _mk_merge_table(spark, str(tmp_path / "mc1"))
+    out = run_query(
+        spark,
+        "MERGE INTO mc USING mc_src AS s ON mc.id = s.id "
+        "WHEN MATCHED AND tag = 'kill' THEN DELETE",
+        tables={"mc": t},
+    ).collect()[0]
+    assert out.rows_merged == 1  # just b
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "d": 1}  # b deleted; a NOT updated; c/e NOT inserted
+
+    # DELETE + INSERT *: delete applies to matched rows, unmatched
+    # rows are INSERTED regardless of the delete condition
+    t = _mk_merge_table(spark, str(tmp_path / "mc2"))
+    out = run_query(
+        spark,
+        "MERGE INTO mc USING mc_src AS s ON mc.id = s.id "
+        "WHEN MATCHED AND tag = 'kill' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables={"mc": t},
+    ).collect()[0]
+    assert out.rows_merged == 3  # b (D), c + e (inserted)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "c": 2, "d": 1, "e": 2}
+
+    # DELETE + UPDATE * (no INSERT): matched rows failing the delete
+    # condition update; unmatched rows are ignored
+    t = _mk_merge_table(spark, str(tmp_path / "mc3"))
+    out = run_query(
+        spark,
+        "MERGE INTO mc USING mc_src AS s ON mc.id = s.id "
+        "WHEN MATCHED AND tag = 'kill' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tables={"mc": t},
+    ).collect()[0]
+    assert out.rows_merged == 2  # b (D), a (U)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {"a": 2, "d": 1}
+
+
+def test_update_where_evaluates_set_against_original_row(spark, tmp_path):
+    """SQL UPDATE semantics: every SET right-hand side sees the
+    UNMODIFIED row, so ``SET x = y, y = x`` swaps (a sequential
+    apply would make both columns equal)."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("sw", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "sw"), spec)
+    t.initial_load(spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", "2024-01-01T00:00:00", 1, 10, 20)],
+        ["id", "create_at", "update_at", "v", "x", "y"],
+    ))
+    n = t.update_where("id = 'a'", {"x": "y", "y": "x"})
+    assert n == 1
+    r = t.read().collect()[0]
+    assert (r.x, r.y) == (20, 10)  # swapped, not collapsed
+
+    # assignments to columns the table doesn't have are refused
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where("id = 'a'", {"nope": "1"})
+
+
+def test_dml_verbs_merge_from_cached_victims(spark, tmp_path):
+    """delete_where/update_where hand the merge a CACHED victim frame:
+    the count that sizes the return value and the rewrite share one
+    scan of the matched rows instead of re-deriving them per action."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec("pl", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "pl"), spec)
+    t.initial_load(spark.createDataFrame(
+        [(f"k{i}", "2024-01-01T00:00:00", "2024-01-01T00:00:00", i)
+         for i in range(6)],
+        ["id", "create_at", "update_at", "v"],
+    ))
+    plans = []
+    orig = t.upsert
+
+    def spy(batch, **kw):
+        plans.append(batch._jdf.queryExecution().optimizedPlan().toString())
+        return orig(batch, **kw)
+
+    t.upsert = spy
+    try:
+        assert t.delete_where("v >= 4") == 2
+        assert t.update_where("v <= 1", {"v": "v + 100"}) == 2
+    finally:
+        t.upsert = orig
+    assert len(plans) == 2
+    for p in plans:
+        assert "InMemoryRelation" in p  # merge consumes the cached scan
