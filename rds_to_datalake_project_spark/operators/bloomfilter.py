@@ -54,6 +54,42 @@ def _positions(col, m_bits: int, k: int):
     )
 
 
+def _filter_rows(base: DataFrame, columns: list[str], m_bits: int, k: int):
+    """``(file, col, word_idx, bits)`` sidecar rows from ONE scan of
+    ``base``: every row emits its (column name, bit position) pairs
+    for ALL indexed columns as one flattened struct array, a single
+    explode fans them out, and one ``bit_or`` aggregation keyed by
+    (file, col, word) folds the filters. Indexing k columns this way
+    costs one table read + one shuffle — a per-column loop would
+    re-scan the table (and re-shuffle) once per column, multiplying
+    the dominant cost at scale."""
+    def _col_entries(c: str):
+        # single-arg lambda only: a 2-arg transform lambda receives
+        # (element, index), which would shadow the closed-over name
+        return F.transform(
+            _positions(F.col(c), m_bits, k),
+            lambda p: F.struct(F.lit(c).alias("col"), p.alias("pos")),
+        )
+
+    entries = F.explode(
+        F.flatten(F.array(*[_col_entries(c) for c in columns]))
+    ).alias("__e")
+    return (
+        base.select(_FILE, entries)
+        .select(
+            F.col(_FILE),
+            F.col("__e.col").alias("col"),
+            (F.col("__e.pos") / 64).cast("int").alias("word_idx"),
+            # shiftleft needs a column shift amount — SQL form
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__e.pos % 64 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy(_FILE, "col", "word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
 def build_bloom_index(
     spark: SparkSession,
     table_path: str,
@@ -63,31 +99,14 @@ def build_bloom_index(
     k_hashes: int = K_HASHES_DEFAULT,
 ) -> int:
     """Build per-file bloom filters for ``columns``. Returns the
-    number of (file, col, word) rows written."""
+    number of (file, col, word) rows written. One table scan and one
+    shuffle regardless of how many columns are indexed."""
     idx = index_dir or _index_dir(table_path)
     full, _live = _resolve_table(spark, table_path)
     base = full.select(*columns).withColumn(_FILE, F.input_file_name())
-    parts = []
-    for c in columns:
-        pos = F.explode(_positions(F.col(c), m_bits, k_hashes)).alias("__pos")
-        parts.append(
-            base.select(_FILE, pos)
-            .select(
-                F.col(_FILE),
-                F.lit(c).alias("col"),
-                (F.col("__pos") / 64).cast("int").alias("word_idx"),
-                # shiftleft needs a column shift amount — SQL form
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-                ).alias("__bit"),
-            )
-            .groupBy(_FILE, "col", "word_idx")
-            .agg(F.bit_or("__bit").alias("bits"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out = out.localCheckpoint(eager=True)
+    out = _filter_rows(base, columns, m_bits, k_hashes).localCheckpoint(
+        eager=True
+    )
     out.write.mode("overwrite").parquet(idx)
     # params ride a marker so probes use the same (m, k)
     from rds_to_datalake_project_spark.operators.zonemap import _write_small
@@ -239,22 +258,10 @@ def refresh_bloom_index(
             .select(*columns)
             .withColumn(_FILE, F.input_file_name())
         )
-        for c in columns:
-            pos = F.explode(_positions(F.col(c), m_bits, k_hashes)).alias("__pos")
-            fresh = (
-                base.select(_FILE, pos)
-                .select(
-                    F.col(_FILE),
-                    F.lit(c).alias("col"),
-                    (F.col("__pos") / 64).cast("int").alias("word_idx"),
-                    F.expr(
-                        "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-                    ).alias("__bit"),
-                )
-                .groupBy(_FILE, "col", "word_idx")
-                .agg(F.bit_or("__bit").alias("bits"))
-            )
-            kept = kept.unionByName(fresh)
+        # one scan of the NEW files covers every indexed column
+        kept = kept.unionByName(
+            _filter_rows(base, columns, m_bits, k_hashes)
+        )
     out = kept.localCheckpoint(eager=True)  # derived from the dir it replaces
     out.write.mode("overwrite").parquet(idx)
     from rds_to_datalake_project_spark.operators.zonemap import _write_small

@@ -587,3 +587,32 @@ def test_bloom_refresh_survives_corrupted_sidecar(spark, sf_dir, tmp_path):
     added, dropped = refresh_bloom_index(spark, path, ["o_orderkey"])
     assert added >= 1 and dropped == 0
     assert bloom_pruned_read(spark, path, "o_orderkey", [key]).count() == 1
+
+
+def test_bloom_build_is_single_scan_for_multi_column(spark, sf_dir):
+    """Indexing k columns costs ONE scan of the table (one flattened
+    struct-array explode + one (file,col,word) shuffle), not one scan
+    per column — the build-time cost that dominates at scale."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.catalog import register_parquet_dir
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        _FILE,
+        _filter_rows,
+    )
+
+    register_parquet_dir(spark, sf_dir, tables=["orders"])
+    base = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .withColumn(_FILE, F.input_file_name())
+    )
+    df = _filter_rows(
+        base, ["o_orderkey", "o_custkey", "o_orderpriority"], 1024, 3
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1  # one table scan for all columns
+    # and the rows are what the per-column form would have produced:
+    # every (col, file) pair present, bits non-empty
+    cols = {r["col"] for r in df.select("col").distinct().collect()}
+    assert cols == {"o_orderkey", "o_custkey", "o_orderpriority"}
