@@ -48,7 +48,42 @@ HEADLINE = [
     "bpe_merge_pairs",
     "curate_documents_decisions",
     "media_resize_stats",
+    # round-7 index/DML services (full lifecycle: build + CDC commit +
+    # incremental refresh + serve) — the reference's always-on Athena
+    # point-query surface (rds_to_datalake/athena.py:67-87)
+    "bloom_pruned_lookup",
+    "indexed_point_lookup",
+    "lsh_index_screen_md5",
+    "ann_index_served_topk",
+    "ann_index_ivf_topk",
+    "sql_dml_roundtrip",
 ]
+
+
+def _skip_stats() -> dict:
+    """Per-query I/O-avoided counters, read from the operator modules'
+    last-probe recorders. Wall time at sf0.1 can't show what an index
+    buys at 100× — files/cells skipped can."""
+    from rds_to_datalake_project_spark.operators import (
+        ann_index,
+        bloomfilter,
+        zonemap,
+    )
+
+    def _reset_all():
+        bloomfilter.reset_prune_stats()
+        zonemap.reset_prune_stats()
+        ann_index.reset_probe_stats()
+
+    return _reset_all, {
+        "bloom_pruned_lookup": lambda: dict(bloomfilter.LAST_PRUNE),
+        "indexed_point_lookup": lambda: {
+            "bloom": dict(bloomfilter.LAST_PRUNE),
+            "zone": dict(zonemap.LAST_PRUNE),
+        },
+        "zonemap_pruned_scan": lambda: dict(zonemap.LAST_PRUNE),
+        "ann_index_ivf_topk": lambda: dict(ann_index.LAST_PROBE),
+    }
 
 
 def main() -> int:
@@ -81,12 +116,17 @@ def main() -> int:
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
+    skips: dict[str, dict] = {}
+    reset_skip_stats, skip_sources = _skip_stats()
     for name in HEADLINE:
         fn = QUERIES[name]
+        reset_skip_stats()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if name in skip_sources:
+            skips[name] = skip_sources[name]()
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -98,6 +138,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skips": skips,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

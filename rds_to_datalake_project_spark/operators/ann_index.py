@@ -74,6 +74,15 @@ from rds_to_datalake_project_spark.operators.upsert import KeyedTable
 
 _DIR = ".annindex"
 
+# Diagnostics: CUMULATIVE IVF cell-pruning verdicts since
+# reset_probe_stats() — what bench.py reports as the index's
+# I/O-avoided metric.
+LAST_PROBE: dict = {}
+
+
+def reset_probe_stats() -> None:
+    LAST_PROBE.clear()
+
 
 def _idx(table: KeyedTable) -> str:
     return f"{table.path.rstrip('/')}/{_DIR}"
@@ -328,6 +337,16 @@ def ann_index_topk(
             qc = [_q(x) for x in vec]
             scored.append((sum((a - b) * (a - b) for a, b in zip(qv, qc)), pos, cid))
         probe = [str(cid) for _d, _p, cid in sorted(scored)[:probe_cells]]
+        LAST_PROBE["probes"] = LAST_PROBE.get("probes", 0) + 1
+        LAST_PROBE["cells_total"] = (
+            LAST_PROBE.get("cells_total", 0) + len(centroids)
+        )
+        LAST_PROBE["cells_probed"] = (
+            LAST_PROBE.get("cells_probed", 0) + len(probe)
+        )
+        LAST_PROBE["cells_skipped"] = (
+            LAST_PROBE["cells_total"] - LAST_PROBE["cells_probed"]
+        )
         codes = codes.filter(F.col("cell").isin(probe))
     q = codes.filter(F.col(id_col) == query_vec_id).select(
         F.col("code").alias("__qcode"), F.col("qvec").alias("__qv")

@@ -40,6 +40,25 @@ _FILE = "__file"
 M_BITS_DEFAULT = 16384  # 2 KiB per file·column
 K_HASHES_DEFAULT = 5
 
+# Diagnostics: CUMULATIVE pruning verdicts since reset_prune_stats()
+# (point-lookup flows probe once per key, so per-probe numbers alone
+# would under-report) — what bench.py reports as the index's
+# I/O-avoided metric.
+LAST_PRUNE: dict = {}
+
+
+def reset_prune_stats() -> None:
+    LAST_PRUNE.clear()
+
+
+def _record_prune(files_total: int, files_read: int) -> None:
+    LAST_PRUNE["probes"] = LAST_PRUNE.get("probes", 0) + 1
+    LAST_PRUNE["files_total"] = LAST_PRUNE.get("files_total", 0) + files_total
+    LAST_PRUNE["files_read"] = LAST_PRUNE.get("files_read", 0) + files_read
+    LAST_PRUNE["files_skipped"] = (
+        LAST_PRUNE["files_total"] - LAST_PRUNE["files_read"]
+    )
+
 
 def _index_dir(table_path: str) -> str:
     return f"{table_path.rstrip('/')}/.bloomindex"
@@ -187,6 +206,7 @@ def bloom_prune_files(
         for path, orig in sorted(live.items())
         if path not in indexed or indexed[path]
     ]
+    _record_prune(len(live), len(files))
     return files, len(live) - len(files)
 
 

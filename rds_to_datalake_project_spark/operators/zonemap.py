@@ -46,6 +46,24 @@ from pyspark.sql import types as T
 
 _FILE = "file_uri"
 
+# Diagnostics: CUMULATIVE zoned-read pruning verdicts since
+# reset_prune_stats() — what bench.py reports as the index's
+# I/O-avoided metric, which wall time at small SF can't show.
+LAST_PRUNE: dict = {}
+
+
+def reset_prune_stats() -> None:
+    LAST_PRUNE.clear()
+
+
+def _record_prune(files_total: int, files_read: int) -> None:
+    LAST_PRUNE["probes"] = LAST_PRUNE.get("probes", 0) + 1
+    LAST_PRUNE["files_total"] = LAST_PRUNE.get("files_total", 0) + files_total
+    LAST_PRUNE["files_read"] = LAST_PRUNE.get("files_read", 0) + files_read
+    LAST_PRUNE["files_skipped"] = (
+        LAST_PRUNE["files_total"] - LAST_PRUNE["files_read"]
+    )
+
 
 def _index_dir(table_path: str) -> str:
     return f"{table_path.rstrip('/')}/.zonemap"
@@ -209,6 +227,7 @@ def _plan_zoned_read(
         for path, orig in sorted(live.items())
         if path not in indexed or path in kept
     ]
+    _record_prune(len(live), len(files))
     return files, len(live) - len(files), full
 
 

@@ -22,62 +22,64 @@ _MODULES = (relational, cdc, extensions, tpch_extra, curation)
 # they land inside that window; long-green queries rotate to the tail (their
 # r1/r2 rows remain on record and pytest still covers them every round).
 _PRIORITY = (
-    # new round 7 — no driver-green row yet
-    "ann_index_served_topk",
-    "bpe_merge_table",
-    "containment_prefix_md5",
-    "auto_salted_priority_join",
-    "bpe_encode_counts",
-    "quality_model_scores",
-    "lexical_novelty_scores",
-    "lsh_index_screen_md5",
-    "ann_index_ivf_topk",
-    "sql_dml_roundtrip",
+    # engine paths edited in round 8 (MERGE clause-subset semantics,
+    # simultaneous UPDATE SET, cached DML victims, failure-isolated
+    # maintenance hooks, single-scan bloom build) — re-confirm even
+    # though r7-green
     "sql_merge_roundtrip",
-    "bloom_pruned_lookup",
-    "indexed_point_lookup",
-    "ivf_quantized_trained_topk",
-    "price_histogram",
-    "zorder3_key_orders",
-    # engine paths edited in round 7 (_bump_seq gating, ann sidecar,
-    # zonemap schema pinning, sql facade escapes) — re-confirm even
-    # though r6-green
-    "time_travel_roundtrip",
+    "sql_dml_roundtrip",
     "cdc_upsert_roundtrip",
     "delete_apply_roundtrip",
+    "time_travel_roundtrip",
     "zonemap_pruned_scan",
+    "bloom_pruned_lookup",
+    "indexed_point_lookup",
+    "ann_index_served_topk",
+    "lsh_index_screen_md5",
     "hypertable_rollup",
     "lake_table_changes",
-    "sql_timetravel_changed_counts",
-    "jsonl_roundtrip",
-    "sql_facade_forecast_revenue",
-    # stalest greens (r3/r4 rows only) — rotate for fresh rows
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_shipping_classes",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "table_diff_report",
-    "srp_neardup_embeddings",
-    "bpe_token_stats",
-    "rolling_fingerprint",
-    "profile_orders",
-    "dynamodb_decode",
-    "scalar_functions",
-    "revenue_rollup",
-    "quantity_percentiles",
-    "asof_user_state",
-    "range_join_promo_windows",
-    "customers_without_orders",
-    "suppliers_with_returns",
-    "customer_order_balance",
-    # r1/r2-stale tier — next rotation band
-    "dedup_latest_per_key",
-    "partition_enrich",
-    "minhash_neardup_md5",
+    "ann_index_ivf_topk",
+    # r1/r2-stale tier — rows last refreshed 5+ rounds ago
+    "windowed_counts",
+    "sessionize_events",
+    "orders_except_filtered",
+    "part_brand_stats",
+    "events_json_props",
+    "watermark_per_day",
+    "commit_key_codec",
+    "hot_order_customers",
+    "partition_enrich_string",
+    # r6-only text/curation rows — second-stalest band
+    "lang_id",
+    "pii_scrub",
+    "repetition_quality",
+    "doc_fingerprint",
+    "exact_dedup_docs",
+    "curate_documents_decisions",
+    "chunk_documents_windows",
+    "mixture_sample_counts",
+    # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
+    # re-confirm correctness while re-benching it)
+    "media_resize_stats",
+    "media_decode_stats",
+    "media_feature_extract",
+    "tfidf_top_terms",
+    "neardup_components",
+    "ann_topk_cosine",
+    "sq8_ann_topk",
+    "ivf_probe_topk",
+    "text_quality",
+    "token_count_by_source",
+    "pack_documents",
+    "sample_docs_per_source",
+    "train_test_split_counts",
+    "contamination_docs",
+    "neardup_cosine_pairs",
+    "zorder_key_orders",
+    "hilbert_key_orders",
+    "orders_intersect_urgent",
+    "order_priority_stats",
+    "q13_customer_distribution",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
