@@ -217,7 +217,11 @@ def build_ann_index(
 
 
 def refresh_ann_index(
-    table: KeyedTable, id_col: str = "vec_id", vec_col: str = "embedding"
+    table: KeyedTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_rebuild_ratio: float | None = None,
+    drift_train_iterations: int = 5,
 ) -> tuple[int, int]:
     """Reconcile codes with the table's commits since the last index
     version: deletes anti-join out, inserts/updates re-code with the
@@ -225,7 +229,21 @@ def refresh_ann_index(
     change set, never the corpus. Falls back to a full rebuild when
     the indexed version is no longer reconstructible (vacuumed), no
     index exists yet, or the sidecar's epochs disagree / a dir is
-    unreadable (torn build — see module docstring)."""
+    unreadable (torn build — see module docstring).
+
+    ``drift_rebuild_ratio`` (IVF mode) arms the CENTROID-DRIFT
+    trigger: centroids are deliberately fixed across refreshes
+    (codebook stability), so after heavy corpus drift cell populations
+    skew and probe recall decays silently. After each incremental
+    refresh one tiny aggregation over the codes sidecar (k rows out)
+    checks cell balance; when ``max_count > ratio * mean_count`` or
+    any centroid's cell is EMPTY, the fixed-point Lloyd trainer
+    (operators/ivf_train.train_ivf_centroids) re-learns k centroids
+    from the live corpus and the index fully rebuilds under the new
+    codebook (epoch-stamped — probes never see a mixed codebook).
+    Opt-in (None = never retrain) because a rebuild changes cell
+    assignments, which callers replaying the codebook externally must
+    opt into."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
     state = parts_consistent(spark, _idx(table), ["bounds", "codes"])
@@ -271,11 +289,53 @@ def refresh_ann_index(
         partition_by=["cell"] if ivf_ok else None,
     )
     write_state(spark, _idx(table), latest, epoch)
+    if ivf_ok and drift_rebuild_ratio is not None:
+        if _cells_drifted(table, centroids, drift_rebuild_ratio):
+            from rds_to_datalake_project_spark.operators.ivf_train import (
+                train_ivf_centroids,
+            )
+
+            retrained = train_ivf_centroids(
+                table.read(),
+                k=len(centroids),
+                iterations=drift_train_iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            build_ann_index(table, id_col, vec_col, retrained)
     return (n_up, n_del)
 
 
+def _cells_drifted(
+    table: KeyedTable,
+    centroids: list[tuple[int, list[float]]],
+    ratio: float,
+) -> bool:
+    """One k-row aggregation over the codes sidecar: True when the
+    most populated cell exceeds ``ratio`` × the mean population, or
+    any centroid's cell holds ZERO codes (a probe of that cell would
+    return nothing while its would-be members crowd other cells)."""
+    counts = {
+        r["cell"]: r["n"]
+        for r in table.spark.read.parquet(f"{_idx(table)}/codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_cell = [counts.get(str(cid), 0) for cid, _vec in centroids]
+    total = sum(per_cell)
+    if total == 0:
+        return False  # empty index — nothing to learn from
+    if any(n == 0 for n in per_cell):
+        return True
+    return max(per_cell) > ratio * (total / len(per_cell))
+
+
 def attach_ann_maintenance(
-    table: KeyedTable, id_col: str = "vec_id", vec_col: str = "embedding"
+    table: KeyedTable,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_rebuild_ratio: float | None = None,
 ) -> None:
     """Enroll the index as a TABLE SERVICE: every commit the table
     publishes triggers ``refresh_ann_index`` in the post-commit
@@ -286,7 +346,9 @@ def attach_ann_maintenance(
     ``build_ann_index`` too (refresh falls back to build when no
     index exists)."""
     table.add_maintenance_hook(
-        lambda t: refresh_ann_index(t, id_col, vec_col)
+        lambda t: refresh_ann_index(
+            t, id_col, vec_col, drift_rebuild_ratio=drift_rebuild_ratio
+        )
     )
 
 

@@ -259,3 +259,101 @@ def test_ivf_probe_prunes_at_file_level(spark, table):
     import re
     pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and any(f"= {qcell}" in p or f"IN ({qcell}" in p for p in pf)
+
+
+def test_centroid_drift_triggers_retrain_and_recovers(spark, table):
+    """Centroid-drift trigger: centroids stay FIXED across normal
+    refreshes, but with drift_rebuild_ratio armed a skewed cell
+    population (here: a batch of far-away inserts crowding one cell)
+    forces a full rebuild through the fixed-point Lloyd trainer —
+    after which cells are balanced again and a 1-cell probe of the
+    drifted region returns the same answer as the exhaustive index."""
+    from rds_to_datalake_project_spark.operators.ann_index import (
+        _cells_drifted,
+        _read_centroids,
+    )
+
+    cents = [(0, _vec(0)), (1, _vec(15)), (2, _vec(30)), (3, _vec(45))]
+    build_ann_index(table, centroids=cents)
+    epoch0 = _index_state(table)[1]
+
+    # a balanced change set does NOT retrain (fixed codebook holds)
+    table.upsert(
+        spark.createDataFrame(
+            [(2, _vec(201), "v1", "U")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    refresh_ann_index(table, drift_rebuild_ratio=2.0)
+    assert _index_state(table)[1] == epoch0  # incremental, same epoch
+    assert [cid for cid, _v in _read_centroids(table)] == [0, 1, 2, 3]
+
+    # drifted inserts: 40 vectors far outside the corpus, one cell
+    drift = spark.createDataFrame(
+        [
+            (1000 + i, [x + 100.0 for x in _vec(i)], "v2", "I")
+            for i in range(40)
+        ],
+        "vec_id bigint, embedding array<float>, update_at string, Op string",
+    )
+    table.upsert(drift)
+    refresh_ann_index(table, drift_rebuild_ratio=2.0, drift_train_iterations=3)
+
+    # the rebuild happened: new epoch, retrained centroids, and the
+    # drifted region now owns at least one centroid of its own (the
+    # fixed codebook had none within 100 units of it)
+    assert _index_state(table)[1] != epoch0
+    new_cents = _read_centroids(table)
+    assert new_cents is not None and len(new_cents) == 4
+    assert new_cents != [(cid, [float(x) for x in v]) for cid, v in cents]
+    assert any(all(x > 50 for x in vec) for _cid, vec in new_cents)
+
+    # probe recall: a drifted query probing ONE cell finds itself and
+    # only drifted neighbors (pre-drift the region had no centroid, so
+    # its members were quantization noise in a foreign cell)
+    probed = ann_index_topk(
+        table, query_vec_id=1005, k=5, rerank=16, probe_cells=1
+    ).collect()
+    assert len(probed) == 5
+    assert probed[0]["vec_id"] == 1005  # self is the cosine-1.0 top hit
+    assert all(r["vec_id"] >= 1000 for r in probed)  # drifted neighbors
+
+
+def test_empty_cell_triggers_retrain_and_rebalances(spark, table):
+    """The empty-cell arm of the drift trigger: when every member of
+    a probed cell is deleted, a probe of that cell returns NOTHING
+    while its would-be members crowd other cells — the armed refresh
+    must retrain and leave no empty cell."""
+    from rds_to_datalake_project_spark.operators.ann_index import (
+        _cells_drifted,
+        _read_centroids,
+    )
+
+    far = spark.createDataFrame(
+        [
+            (2000 + i, [x + 100.0 for x in _vec(i)], "v1", "I")
+            for i in range(10)
+        ],
+        "vec_id bigint, embedding array<float>, update_at string, Op string",
+    )
+    table.upsert(far)
+    cents = [
+        (0, _vec(0)),
+        (1, _vec(30)),
+        (2, [x + 100.0 for x in _vec(0)]),
+    ]
+    build_ann_index(table, centroids=cents)  # cell 2 = the far ten
+    epoch0 = _index_state(table)[1]
+
+    deletes = spark.createDataFrame(
+        [(2000 + i, _vec(0), "v2", "D") for i in range(10)],
+        "vec_id bigint, embedding array<float>, update_at string, Op string",
+    )
+    table.upsert(deletes, delete_mode="apply")
+    # ratio set huge: ONLY the empty-cell branch can fire
+    refresh_ann_index(table, drift_rebuild_ratio=1000.0)
+
+    assert _index_state(table)[1] != epoch0  # rebuilt
+    new_cents = _read_centroids(table)
+    assert new_cents is not None and len(new_cents) == 3
+    assert not _cells_drifted(table, new_cents, 1000.0)  # no empty cell
