@@ -1029,13 +1029,22 @@ class KeyedTable:
             rows.unpersist()
         return n
 
-    def purge_rows(self, condition) -> int:
+    def purge_rows(self, condition, keep_history: bool = False) -> int:
         """GDPR-class HARD delete: tombstone every row matching
         ``condition`` AND expire every lake representation that could
         reconstruct it. Soft ``delete_where`` removes rows from the
         LIVE state only — on a retained table the purged rows remain
         readable via ``read_as_of`` and ride the changes feed with
-        their full image. This erases those too:
+        their full image. This erases those too.
+
+        ``keep_history=True`` selects the HISTORY-PRESERVING variant:
+        instead of flooring all history, every retained snapshot and
+        every changes-feed batch is REWRITTEN minus the purged keys —
+        as-of reads at pre-purge versions keep serving the old
+        snapshot for unrelated rows, while the purged rows are
+        irrecoverable at every version (see ``_purge_keep_history``
+        for the crash protocol). Default (False) is the cheap
+        floor-everything variant:
 
         1. ``delete_where(condition)`` — the delete commit (feed entry
            included, written before expiry so consumer checkpoints
@@ -1053,6 +1062,8 @@ class KeyedTable:
         with the delete commit and derive from live data only, so the
         purged rows leave them in the same pass. Returns rows purged.
         """
+        if keep_history:
+            return self._purge_keep_history(condition)
         n = self.delete_where(condition)
         if n == 0:
             return 0
@@ -1089,6 +1100,152 @@ class KeyedTable:
                             jvm.org.apache.hadoop.fs.Path(f"{feed}/v{v}"), True
                         )
         return n
+
+    # -- history-preserving purge ---------------------------------------------
+
+    _PURGE_PENDING = ".meta/purge_pending"  # persisted victim keys
+
+    def _purge_keep_history(self, condition) -> int:
+        """Purge that REWRITES history instead of flooring it.
+
+        Crash protocol — the victim KEY SET is persisted under
+        ``.meta/purge_pending`` BEFORE any mutation, and every scrub
+        is an idempotent anti-join with an aside/stage/swap rewrite
+        (``_scrub_dir``), so the sequence converges under re-run:
+
+        1. persist victim keys (resume: a pending set from a crashed
+           purge is completed FIRST — its keys are already gone from
+           the live table, so a fresh condition scan could never
+           rediscover them);
+        2. scrub every retained snapshot dir and feed batch;
+        3. tombstone the victims from the live table (the standard
+           delete commit — feed entry, maintenance, retention all
+           apply);
+        4. scrub the snapshot dir + feed batch THAT DELETE created
+           (its pre-image holds the purged rows);
+        5. drop the pending marker.
+
+        A crash at any point leaves the pending marker, and the next
+        ``purge_rows(..., keep_history=True)`` call finishes the job
+        before starting its own. Returns live rows purged by this
+        call (a resumed purge counts only the rows still live)."""
+        self._finish_pending_purge()
+        keys = list(self.spec.record_key)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        victims = self.read().filter(cond).select(*keys).distinct()
+        pend = f"{self.path}/{self._PURGE_PENDING}"
+        victims.write.mode("overwrite").parquet(pend)
+        n = self._purge_by_pending_keys()
+        return n
+
+    def _finish_pending_purge(self) -> None:
+        fs, p = self._fs(f"{self.path}/{self._PURGE_PENDING}")
+        if fs.exists(p):
+            self._purge_by_pending_keys()
+
+    def _purge_by_pending_keys(self) -> int:
+        keys = list(self.spec.record_key)
+        pend = f"{self.path}/{self._PURGE_PENDING}"
+        victims = self.spark.read.parquet(pend)
+        if victims.isEmpty():
+            self._fs_delete(pend)
+            return 0
+        # 2. scrub existing history + feed batches (idempotent)
+        self._scrub_history(victims, keys)
+        # 3. delete the victims still live — BY KEY, so a resume works
+        # after the original condition rows are already gone
+        live_vic = self.read().join(victims, keys, "left_semi").cache()
+        try:
+            n = live_vic.count()
+            if n:
+                self.upsert(
+                    live_vic.withColumn(_OP_COL, F.lit("D")),
+                    delete_mode="apply",
+                )
+        finally:
+            live_vic.unpersist()
+        # 4. the delete commit parked the pre-delete copies (which
+        # hold the purged rows) and appended a feed batch with their
+        # images — scrub those too
+        if n:
+            self._scrub_history(victims, keys)
+        # 5. done — drop the marker
+        self._fs_delete(pend)
+        return n
+
+    _PURGE_ASIDE = ".__purge-old-"
+    _PURGE_STAGE = ".__purge-new-"
+
+    def _scrub_targets(self, fs, root_path) -> list[str]:
+        """Version-dir names to scrub under ``root_path`` — the live
+        ``v*`` dirs PLUS the targets of orphaned purge asides (a crash
+        mid-swap leaves the original fully swung aside, so it would be
+        invisible to a plain listing; _scrub_dir restores it first)."""
+        names: set[str] = set()
+        for st in fs.listStatus(root_path):
+            n = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if n.startswith("v"):
+                names.add(n)
+            elif n.startswith(self._PURGE_ASIDE):
+                names.add(n[len(self._PURGE_ASIDE):])
+        return sorted(names)
+
+    def _scrub_history(self, victims: DataFrame, keys: list[str]) -> None:
+        fs, retired_p = self._fs(f"{self.path}/.retired")
+        if fs.exists(retired_p):
+            for name in self._scrub_targets(fs, retired_p):
+                self._scrub_dir(f"{self.path}/.retired/{name}", victims, keys)
+        if self.changes_feed_dir:
+            feed = self.changes_feed_dir
+            jvm = self.spark._jvm
+            froot = jvm.org.apache.hadoop.fs.Path(feed)
+            ffs = froot.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if ffs.exists(froot):
+                for name in self._scrub_targets(ffs, froot):
+                    self._scrub_dir(f"{feed}/{name}", victims, keys)
+
+    def _scrub_dir(self, root: str, victims: DataFrame, keys: list[str]) -> None:
+        """Rewrite one parquet dir minus the victim keys, crash-safe:
+        write the scrubbed copy to a stage dir, swing the original
+        ASIDE, swing the stage in, drop the aside. Re-running after a
+        crash at any step converges (the aside is restored first when
+        the root is missing), and dot-prefixed stage/aside names are
+        invisible to every reader."""
+        jvm = self.spark._jvm
+        rp = jvm.org.apache.hadoop.fs.Path(root)
+        fs = rp.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        parent = root.rsplit("/", 1)[0]
+        name = root.rsplit("/", 1)[1]
+        aside = f"{parent}/{self._PURGE_ASIDE}{name}"
+        stage = f"{parent}/{self._PURGE_STAGE}{name}"
+        ap = jvm.org.apache.hadoop.fs.Path(aside)
+        sp = jvm.org.apache.hadoop.fs.Path(stage)
+        if fs.exists(ap):
+            if fs.exists(rp):
+                fs.delete(ap, True)  # prior scrub completed its swap
+            else:
+                self._rename(fs, ap, rp)  # crashed mid-swap — restore
+        fs.delete(sp, True)
+        if not fs.exists(rp):
+            return
+        has_files = any(
+            not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(rp)
+        )
+        if not has_files:
+            return
+        df = self.spark.read.option("mergeSchema", "true").parquet(root)
+        remaining = df.join(victims, keys, "left_anti")
+        writer = remaining.write.mode("overwrite")
+        part_cols = [c for c in self.partition_cols if c in df.columns]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(stage)
+        self._rename(fs, rp, ap)
+        self._rename(fs, sp, rp)
+        fs.delete(ap, True)
 
     def describe_history(self) -> list[dict]:
         """Commit-log introspection (Delta ``DESCRIBE HISTORY``

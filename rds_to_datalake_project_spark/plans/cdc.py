@@ -1085,6 +1085,46 @@ ORDER BY o_orderkey
 """
 
 
+def purge_keep_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTORY-PRESERVING GDPR purge (operators/upsert.py
+    purge_rows(keep_history=True)): load orders as a retained lake
+    table, commit a repricing, then hard-purge a key class — every
+    retained snapshot is REWRITTEN minus the purged keys instead of
+    flooring history. The as-of read at the PRE-purge commit must
+    serve the old snapshot for every unrelated row while the purged
+    keys are irrecoverable at every version; the oracle states that
+    surviving snapshot in closed form over orders."""
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_pg",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("purge_hist") + "/t", spec, retain_versions=5)
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    b1 = (
+        base.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(b1)  # commit 1 — the pre-purge snapshot under test
+    t.purge_rows("o_orderkey % 13 = 0", keep_history=True)  # commit 2 + scrub
+    return t.read_as_of(1).select(*cols).orderBy("o_orderkey")
+
+
+PURGE_KEEP_HISTORY_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 13 <> 0
+ORDER BY o_orderkey
+"""
+
+
 def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned serving from the persisted ANN index (operators/
     ann_index.py): build with 4 fixed axis centroids (integer-exact
@@ -1315,6 +1355,7 @@ QUERIES = {
     "lsh_index_screen_md5": lsh_index_screen_md5,
     "ann_index_ivf_topk": ann_index_ivf_topk,
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "purge_keep_history_asof": purge_keep_history_asof,
     "sql_merge_roundtrip": sql_merge_roundtrip,
     "bloom_pruned_lookup": bloom_pruned_lookup,
     "indexed_point_lookup": indexed_point_lookup,
@@ -1326,6 +1367,7 @@ ORACLES = {
     "lsh_index_screen_md5": LSH_INDEX_SCREEN_SQL,
     "ann_index_ivf_topk": ANN_IVF_SQL,
     "sql_dml_roundtrip": SQL_DML_SQL,
+    "purge_keep_history_asof": PURGE_KEEP_HISTORY_SQL,
     "sql_merge_roundtrip": SQL_MERGE_SQL,
     "bloom_pruned_lookup": BLOOM_LOOKUP_SQL,
     "indexed_point_lookup": INDEXED_LOOKUP_SQL,

@@ -79,7 +79,8 @@ _PRIORITY = (
     "hilbert_key_orders",
     "orders_intersect_urgent",
     "order_priority_stats",
-    "q13_customer_distribution",
+    # new round 8 — no driver-green row yet
+    "purge_keep_history_asof",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
