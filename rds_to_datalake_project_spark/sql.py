@@ -197,6 +197,14 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_QNAME})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Engine extension (no ANSI/native spelling): GDPR hard delete.
+# `PURGE FROM t WHERE cond` floors history (cheap); the KEEP HISTORY
+# suffix selects the snapshot-rewriting variant.
+_PURGE_RE = re.compile(
+    rf"^\s*PURGE\s+FROM\s+({_QNAME})\s+WHERE\s+(.+?)"
+    r"(\s+KEEP\s+HISTORY)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
 # (format='parquet'|'csv'|'json'|'orc')
@@ -389,6 +397,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     - ``UPDATE <t> SET a = e, ... WHERE <expr>`` → row-level update
       (KeyedTable.update_where — read-modify-merge; key/partition
       columns are immutable and raise)
+    - ``PURGE FROM <t> WHERE <expr> [KEEP HISTORY]`` → GDPR hard
+      delete (KeyedTable.purge_rows — plain form floors history;
+      KEEP HISTORY rewrites retained snapshots minus the purged keys)
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -483,6 +494,15 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         n = _resolve(m.group(1)).delete_where(m.group(2))
         return spark.createDataFrame(
             [(m.group(1), n)], "table_name string, rows_deleted bigint"
+        )
+    m = _PURGE_RE.match(sql)
+    if m and table_bound and _unquote_ident(m.group(1)) in known:
+        n = _resolve(m.group(1)).purge_rows(
+            m.group(2), keep_history=bool(m.group(3))
+        )
+        return spark.createDataFrame(
+            [(m.group(1), n, bool(m.group(3)))],
+            "table_name string, rows_purged bigint, kept_history boolean",
         )
     m = _UPDATE_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group(1)) in known:

@@ -129,3 +129,30 @@ def test_purge_keep_history_noop_condition(spark, tmp_path):
     assert _vals(t.read()) == S3  # untouched
     assert t.versions() == [1, 2, 3]  # no extra commit
     assert not os.path.exists(f"{t.path}/.meta/purge_pending")
+
+
+def test_sql_facade_purge_statement(spark, tmp_path):
+    """PURGE FROM t WHERE cond [KEEP HISTORY] through the one SQL
+    layer: plain form floors history, KEEP HISTORY rewrites it."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    out = run_query(
+        spark,
+        "PURGE FROM tt WHERE id = 'r1' KEEP HISTORY",
+        tables={"tt": t},
+    ).collect()[0]
+    assert (out.table_name, out.rows_purged, out.kept_history) == ("tt", 1, True)
+    assert "r1" not in _vals(t.read())
+    assert _vals(t.read_as_of(1)) == {k: v for k, v in S1.items() if k != "r1"}
+
+    # plain (flooring) form on a second table
+    t2 = _mk(spark, tmp_path / "two")
+    _apply_all(spark, t2)
+    out = run_query(
+        spark, "PURGE FROM tt2 WHERE id = 'r3'", tables={"tt2": t2}
+    ).collect()[0]
+    assert (out.rows_purged, out.kept_history) == (1, False)
+    assert "r3" not in _vals(t2.read())
+    assert t2.readable_versions() == [t2.versions()[-1]]  # history floored
