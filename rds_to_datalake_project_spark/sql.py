@@ -329,9 +329,18 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
-    n = batch.count()
-    if n:
-        t.upsert(batch, delete_mode="apply" if delete_cond is not None else "ignore")
+        # the matched/unmatched key join feeds the count AND the
+        # merge's several actions — one materialization serves all
+        batch = batch.cache()
+    try:
+        n = batch.count()
+        if n:
+            t.upsert(
+                batch,
+                delete_mode="apply" if delete_cond is not None else "ignore",
+            )
+    finally:
+        batch.unpersist()
     return spark.createDataFrame(
         [(name, n)], "table_name string, rows_merged bigint"
     )
