@@ -145,6 +145,26 @@ def windowed_event_counts(
     )
 
 
+def _lsh_signature_params(table: KeyedTable) -> dict:
+    """Signature-family kwargs for attaching the LSH service to
+    ``table``: an EXISTING index's stored parameters win over the
+    defaults — attaching with defaults over an index built with, say,
+    ``hash_mode='md5'`` would make the first post-commit refresh see a
+    params mismatch and silently rebuild the entire index under
+    xxhash64 defaults, discarding the caller's chosen family."""
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        _stored_params,
+    )
+
+    stored = (_stored_params(table) if table.exists() else None) or {}
+    return {
+        "num_hashes": stored.get("num_hashes", 64),
+        "bands": stored.get("bands", 16),
+        "shingle_n": stored.get("shingle_n", 3),
+        "hash_mode": stored.get("hash_mode", "xxhash64"),
+    }
+
+
 def stream_ingest_with_dedup(
     spark: SparkSession,
     cdc_dir: str,
@@ -196,24 +216,10 @@ def stream_ingest_with_dedup(
     # services (e.g. the ANN index) must still get the LSH service, or
     # screening would silently never engage.
     if not getattr(table, "_lsh_attached", False):
-        # Honor an EXISTING index's signature family: attaching with
-        # defaults over an index built with different params (e.g.
-        # hash_mode='md5') would make the first post-commit refresh
-        # see a params mismatch and silently rebuild the whole index
-        # under the defaults, discarding the caller's choice.
-        stored = _stored_params(table) if table.exists() else None
-        if stored:
-            attach_lsh_maintenance(
-                table,
-                id_col=id_col,
-                text_col=text_col,
-                num_hashes=stored.get("num_hashes", 64),
-                bands=stored.get("bands", 16),
-                shingle_n=stored.get("shingle_n", 3),
-                hash_mode=stored.get("hash_mode", "xxhash64"),
-            )
-        else:
-            attach_lsh_maintenance(table, id_col=id_col, text_col=text_col)
+        attach_lsh_maintenance(
+            table, id_col=id_col, text_col=text_col,
+            **_lsh_signature_params(table),
+        )
     stream = read_cdc_stream(spark, cdc_dir, schema, fmt, max_files_per_trigger)
 
     def _screen_and_upsert(batch: DataFrame, batch_id: int) -> None:

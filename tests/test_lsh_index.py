@@ -136,3 +136,29 @@ def test_attached_maintenance_follows_commits(spark, tmp_path):
     probe = spark.createDataFrame([(300, BASE)], "doc_id bigint, text string")
     hits = {r.corpus_id for r in lsh_neardups_for(t, probe, threshold=0.5).collect()}
     assert hits == {0, 20}
+
+
+def test_stream_attach_honors_stored_signature_params(spark, table):
+    """streaming.pipeline attaches the LSH service with the EXISTING
+    index's stored parameters — not the defaults — so a table indexed
+    under md5/32-hash does not get silently rebuilt under xxhash64
+    defaults by the first post-commit refresh."""
+    from rds_to_datalake_project_spark.streaming.pipeline import (
+        _lsh_signature_params,
+    )
+
+    # no index yet → defaults
+    assert _lsh_signature_params(table) == {
+        "num_hashes": 64,
+        "bands": 16,
+        "shingle_n": 3,
+        "hash_mode": "xxhash64",
+    }
+    build_lsh_index(table, num_hashes=32, bands=8, shingle_n=2,
+                    hash_mode="md5")
+    assert _lsh_signature_params(table) == {
+        "num_hashes": 32,
+        "bands": 8,
+        "shingle_n": 2,
+        "hash_mode": "md5",
+    }
