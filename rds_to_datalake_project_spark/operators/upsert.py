@@ -1278,7 +1278,9 @@ class KeyedTable:
             )
         return out
 
-    def table_changes(self, v_from: int, v_to: int) -> DataFrame:
+    def table_changes(
+        self, v_from: int, v_to: int, include_preimage: bool = False
+    ) -> DataFrame:
         """Row-level CDC feed of the lake table itself between two
         retained snapshots — the public equivalent of Delta CDF's
         ``table_changes`` applied to the reference's core CDC concept
@@ -1294,6 +1296,15 @@ class KeyedTable:
         key touched at several intermediate commits surfaces once,
         with the net change (insert+delete inside the window cancel
         out), exactly like a compacted CDF read.
+
+        ``include_preimage=True`` switches updates to the Delta-CDF
+        split form — TWO rows per updated key, ``update_preimage``
+        (old values) and ``update_postimage`` (new values) — which
+        downstream incremental maintainers need whenever a maintained
+        dimension can MOVE under an update (e.g. a materialized view
+        grouped on a mutable column must refresh both the group the
+        row left and the one it joined; operators/matview.py). Same
+        single full-outer shuffle; the split is a map-side explode.
         """
         if v_to < v_from:
             raise ValueError(f"v_to {v_to} < v_from {v_from}")
@@ -1314,18 +1325,38 @@ class KeyedTable:
             .when(F.col("__post").isNull(), F.lit("delete"))
             .when(~F.col("__pre").eqNullSafe(F.col("__post")), F.lit("update"))
         )
-        image = F.when(
-            F.col("__post").isNull(), F.col("__pre")
-        ).otherwise(F.col("__post"))
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .withColumn("__img", image)
-            .select(
+        tagged = j.withColumn("_change_type", change).filter(
+            F.col("_change_type").isNotNull()
+        )
+        if not include_preimage:
+            image = F.when(
+                F.col("__post").isNull(), F.col("__pre")
+            ).otherwise(F.col("__post"))
+            return tagged.withColumn("__img", image).select(
                 *keys,
                 "_change_type",
                 *[F.col(f"__img.{c}").alias(c) for c in vals],
             )
+        pre = F.struct(F.lit("update_preimage").alias("t"), F.col("__pre").alias("img"))
+        post = F.struct(
+            F.lit("update_postimage").alias("t"), F.col("__post").alias("img")
+        )
+        images = (
+            F.when(
+                F.col("_change_type") == "insert",
+                F.array(F.struct(F.lit("insert").alias("t"), F.col("__post").alias("img"))),
+            )
+            .when(
+                F.col("_change_type") == "delete",
+                F.array(F.struct(F.lit("delete").alias("t"), F.col("__pre").alias("img"))),
+            )
+            .otherwise(F.array(pre, post))
+        )
+        ex = tagged.select(*keys, F.explode(images).alias("__e"))
+        return ex.select(
+            *keys,
+            F.col("__e.t").alias("_change_type"),
+            *[F.col(f"__e.img.{c}").alias(c) for c in vals],
         )
 
     def write_changes_feed(self, feed_dir: str) -> list[int]:
