@@ -1,0 +1,353 @@
+"""Governance query surface: declarative expectations, the gated
+ingest, incremental materialized views, and stats-driven join
+planning — round-8 first-class services, each with a DuckDB oracle
+twin (conventions: plans/extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+from rds_to_datalake_project_spark.operators import expectations as X
+from rds_to_datalake_project_spark.operators import stats as ST
+from rds_to_datalake_project_spark.operators.matview import MaterializedView
+from rds_to_datalake_project_spark.operators.profile import profile_table
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.plans.cdc import _scratch
+from rds_to_datalake_project_spark.plans.relational import _dsum
+from rds_to_datalake_project_spark.schema import TableSpec
+
+# --- declarative expectations: validation report -----------------------------
+
+_ORDER_RULES = [
+    X.not_null("o_custkey"),
+    X.accepted_values("o_orderstatus", ["O", "F"]),
+    X.in_range("o_totalprice", 0, 300000),
+    X.matches("o_orderpriority", "^[1-5]-"),
+    X.unique(["o_orderkey"]),
+]
+
+
+def expectations_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule violation counts over orders — the declared-contract
+    twin of the reference's eyeballed per-stage checks
+    (glue_jobs/initial_load.py:77-85). One map-side annotate + one
+    aggregation (operators/expectations.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return X.expectations_report(orders, _ORDER_RULES).orderBy("rule")
+
+
+EXPECTATIONS_SQL = """
+WITH dup AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM (
+    SELECT COUNT(*) AS c FROM orders
+    WHERE o_orderkey IS NOT NULL
+    GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT * FROM (
+  SELECT 'accepted_values_o_orderstatus' AS rule,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+             o_orderstatus IS NULL OR o_orderstatus IN ('O','F'), FALSE)
+           THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         (SELECT n_rows FROM n) AS n_rows
+  FROM orders
+  UNION ALL
+  SELECT 'in_range_o_totalprice',
+         CAST(SUM(CASE WHEN NOT COALESCE(
+             o_totalprice IS NULL OR (o_totalprice >= 0 AND o_totalprice <= 300000),
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'matches_o_orderpriority',
+         CAST(SUM(CASE WHEN NOT COALESCE(
+             o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'),
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'not_null_o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         (SELECT n_rows FROM n)
+  FROM orders
+  UNION ALL
+  SELECT 'unique_o_orderkey', (SELECT v FROM dup), (SELECT n_rows FROM n)
+)
+ORDER BY rule
+"""
+
+# --- gated ingest ------------------------------------------------------------
+
+_GATE_SPEC = TableSpec(
+    "gated_orders",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",  # scratch table: unpartitioned
+)
+_GATE_RULES = [
+    X.in_range("o_totalprice", 0, 450000),
+    X.accepted_values("o_orderstatus", ["O", "F"]),
+]
+
+
+def gated_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations as an ingest gate in front of the CDC merge:
+    initial-load a keyed scratch table from 3/4 of orders, push the
+    even-keyed half back through ``gated_ingest`` with repriced rows —
+    violators (overpriced or non-O/F status) quarantine, clean rows
+    merge. Emits per-(segment, status) counts over live ∪ quarantine
+    so the oracle checks both routing AND merge results."""
+    root = _scratch("gated_upsert")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base_cols = [key.alias("o_orderkey"), "o_orderstatus", "o_totalprice"]
+    init = orders.filter(key % 4 != 0).select(
+        *base_cols, F.lit("a").alias("update_at")
+    )
+    t = KeyedTable(spark, f"{root}/t", _GATE_SPEC)
+    t.initial_load(init)
+    batch = orders.filter(key % 2 == 0).select(
+        key.alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(150000.0)).alias("o_totalprice"),
+        F.lit("b").alias("update_at"),
+        F.lit("U").alias("Op"),
+    )
+    X.gated_ingest(t, batch, _GATE_RULES, f"{root}/quarantine", "b1")
+    live = t.read().select(
+        F.lit("live").alias("segment"), "o_orderstatus", "o_totalprice"
+    )
+    quar = spark.read.parquet(f"{root}/quarantine").select(
+        F.lit("quarantined").alias("segment"), "o_orderstatus", "o_totalprice"
+    )
+    return (
+        live.unionByName(quar)
+        .groupBy("segment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("segment", "o_orderstatus")
+    )
+
+
+GATED_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+), batch AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 150000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), clean AS (
+  SELECT * FROM batch
+  WHERE (o_totalprice >= 0 AND o_totalprice <= 450000)
+    AND o_orderstatus IN ('O','F')
+), quar AS (
+  SELECT * FROM batch
+  WHERE NOT ((o_totalprice >= 0 AND o_totalprice <= 450000)
+             AND o_orderstatus IN ('O','F'))
+), live AS (
+  SELECT * FROM init WHERE o_orderkey NOT IN (SELECT o_orderkey FROM clean)
+  UNION ALL
+  SELECT * FROM clean
+)
+SELECT segment, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT 'live' AS segment, o_orderstatus, o_totalprice FROM live
+  UNION ALL
+  SELECT 'quarantined', o_orderstatus, o_totalprice FROM quar
+)
+GROUP BY segment, o_orderstatus
+ORDER BY segment, o_orderstatus
+"""
+
+# --- incremental materialized view -------------------------------------------
+
+_MV_SPEC = TableSpec(
+    "mv_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+_MV_AGGS = {
+    "n_orders": "count(*)",
+    "sum_price": "cast(sum(cast(o_totalprice as decimal(38,6))) as double)",
+    "max_price": "max(o_totalprice)",
+}
+
+
+def matview_incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General incremental materialized view, end to end: full
+    refresh over the initial load, then a CDC batch whose updates
+    ROTATE rows between status groups (P→O→F→P, the case needing
+    split pre/post images) and whose deletes shrink groups; the
+    incremental refresh recomputes only touched groups
+    (operators/matview.py). Returns the final view contents."""
+    root = _scratch("matview_status")
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    init = orders.filter(key % 4 != 0).select(
+        key.alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("a").alias("update_at"),
+    )
+    t = KeyedTable(spark, f"{root}/t", _MV_SPEC, retain_versions=3)
+    t.initial_load(init)
+    mv = MaterializedView(t, f"{root}/mv", ["o_orderstatus"], _MV_AGGS)
+    mv.refresh()
+
+    rotated = (
+        F.when(F.col("o_orderstatus") == "P", "O")
+        .when(F.col("o_orderstatus") == "O", "F")
+        .otherwise("P")
+    )
+    updates = orders.filter(key % 3 == 0).select(
+        key.alias("o_orderkey"),
+        rotated.alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit("b").alias("update_at"),
+        F.lit("U").alias("Op"),
+    )
+    deletes = orders.filter((key % 5 == 1) & (key % 3 != 0)).select(
+        key.alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("b").alias("update_at"),
+        F.lit("D").alias("Op"),
+    )
+    t.upsert(updates.unionByName(deletes), delete_mode="apply")
+    mv.refresh()
+    return mv.read().orderBy("o_orderstatus")
+
+
+MATVIEW_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+), upd AS (
+  SELECT o_orderkey,
+         CASE o_orderstatus WHEN 'P' THEN 'O' WHEN 'O' THEN 'F' ELSE 'P' END
+           AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+), del AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 <> 0
+), merged AS (
+  SELECT * FROM init WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+), final AS (
+  SELECT * FROM merged WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       MAX(o_totalprice) AS max_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# --- stats-driven join planning ----------------------------------------------
+
+_BCAST_MAX_ROWS = 2000
+_SKEW_ROWS_PER_KEY = 4
+
+_ADVISORY_PAIRS = [
+    # (pair label, left table, left key, right table, right key)
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_rflag_orders_status", "lineitem", "l_returnflag", "orders", "o_orderstatus"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def stats_join_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy decisions from exact table statistics — the
+    static cost-model twin of AQE's runtime choices
+    (operators/stats.advise_join): broadcast the under-threshold
+    side, salt when the big side's rows-per-key says the keyspace
+    can't hash-partition evenly, else plain shuffle. The oracle
+    recomputes counts, NDVs, and the same decision rules in SQL, so
+    the decision procedure itself is hash-checked."""
+    rows = []
+    for pair, lt, lk, rt, rk in _ADVISORY_PAIRS:
+        lstats = profile_table(
+            load_table(spark, sf_dir, lt).select(lk), exact_distinct=True
+        )
+        rstats = profile_table(
+            load_table(spark, sf_dir, rt).select(rk), exact_distinct=True
+        )
+        a = ST.advise_join(
+            lstats,
+            rstats,
+            lk,
+            rk,
+            broadcast_max_rows=_BCAST_MAX_ROWS,
+            skew_rows_per_key=_SKEW_ROWS_PER_KEY,
+        )
+        rows.append(
+            (
+                pair,
+                a["left_rows"],
+                a["right_rows"],
+                a["left_key_ndv"],
+                a["right_key_ndv"],
+                a["strategy"],
+                a["broadcast_side"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "pair string, left_rows bigint, right_rows bigint, "
+        "left_key_ndv bigint, right_key_ndv bigint, "
+        "strategy string, broadcast_side string",
+    ).orderBy("pair")
+
+
+def _advisory_pair_sql(pair: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+  SELECT '{pair}' AS pair, lr AS left_rows, rr AS right_rows,
+         lndv AS left_key_ndv, rndv AS right_key_ndv,
+         CASE WHEN LEAST(lr, rr) <= {_BCAST_MAX_ROWS} THEN 'broadcast'
+              WHEN (CASE WHEN lr >= rr THEN lr ELSE rr END)
+                   // GREATEST(CASE WHEN lr >= rr THEN lndv ELSE rndv END, 1)
+                   > {_SKEW_ROWS_PER_KEY} THEN 'salted'
+              ELSE 'shuffle' END AS strategy,
+         CASE WHEN LEAST(lr, rr) <= {_BCAST_MAX_ROWS}
+              THEN CASE WHEN lr <= rr THEN 'left' ELSE 'right' END
+              ELSE NULL END AS broadcast_side
+  FROM (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS lr,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS rr,
+               (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS lndv,
+               (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS rndv)
+"""
+
+
+ADVISORY_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        _advisory_pair_sql(*p) for p in _ADVISORY_PAIRS
+    )
+    + "\n) ORDER BY pair"
+)
+
+
+QUERIES = {
+    "expectations_orders_report": expectations_orders_report,
+    "gated_upsert_roundtrip": gated_upsert_roundtrip,
+    "matview_incremental_status": matview_incremental_status,
+    "stats_join_advisory": stats_join_advisory,
+}
+
+ORACLES = {
+    "expectations_orders_report": EXPECTATIONS_SQL,
+    "gated_upsert_roundtrip": GATED_SQL,
+    "matview_incremental_status": MATVIEW_SQL,
+    "stats_join_advisory": ADVISORY_SQL,
+}

@@ -11,11 +11,12 @@ from rds_to_datalake_project_spark.plans import (
     cdc,
     curation,
     extensions,
+    governance,
     relational,
     tpch_extra,
 )
 
-_MODULES = (relational, cdc, extensions, tpch_extra, curation)
+_MODULES = (relational, cdc, extensions, tpch_extra, curation, governance)
 
 # The driver's correctness report covers the FIRST 50 registry entries only.
 # Queries that have not yet earned a driver-side green row are listed here so
@@ -75,12 +76,14 @@ _PRIORITY = (
     "train_test_split_counts",
     "contamination_docs",
     "neardup_cosine_pairs",
-    "zorder_key_orders",
-    "hilbert_key_orders",
-    "orders_intersect_urgent",
-    "order_priority_stats",
-    # new round 8 — no driver-green row yet
+    # new round 8 — no driver-green row yet (displacing four filler
+    # rows green on record since r2/r5: zorder_key_orders,
+    # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)
     "purge_keep_history_asof",
+    "expectations_orders_report",
+    "gated_upsert_roundtrip",
+    "matview_incremental_status",
+    "stats_join_advisory",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
