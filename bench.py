@@ -53,7 +53,10 @@ HEADLINE = [
     # point-query surface (rds_to_datalake/athena.py:67-87)
     "bloom_pruned_lookup",
     "indexed_point_lookup",
-    "lsh_index_screen_md5",
+    # the xxhash64 prod path (the md5 twin exists for the correctness
+    # window; its hash family costs ~10x and would bench the oracle
+    # compatibility layer, not the service)
+    "lsh_index_screen",
     "ann_index_served_topk",
     "ann_index_ivf_topk",
     "sql_dml_roundtrip",

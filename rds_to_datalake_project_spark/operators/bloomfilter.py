@@ -37,8 +37,25 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 )
 
 _FILE = "__file"
-M_BITS_DEFAULT = 16384  # 2 KiB per file·column
+# Auto-sizing targets (build_bloom_index m_bits=None): ~10 bits per
+# key with 2x slack for file-size skew keeps the false-positive rate
+# ~1e-3 at the AVERAGE file and <~1% at a 2x-overfull one. A fixed m
+# is wrong at every scale at once — 2 KiB/file saturates (>70% FP)
+# past ~2k keys/file while wasting space on tiny files.
+BITS_PER_KEY = 10
+M_BITS_MIN = 16384  # 2 KiB floor per file·column
+M_BITS_MAX = 1 << 24  # 2 MiB cap per file·column (≈1.6M keys/file)
+M_BITS_DEFAULT = M_BITS_MIN  # legacy fallback when _PARAMS is missing
 K_HASHES_DEFAULT = 5
+
+
+def _auto_m_bits(n_rows: int, n_files: int) -> int:
+    """Index size from measured shape: bits for 2x the average
+    keys-per-file, rounded up to whole 64-bit words, clamped."""
+    per_file = max(1, (n_rows + max(n_files, 1) - 1) // max(n_files, 1))
+    want = BITS_PER_KEY * per_file * 2
+    want = max(M_BITS_MIN, min(M_BITS_MAX, want))
+    return ((want + 63) // 64) * 64
 
 # Diagnostics: CUMULATIVE pruning verdicts since reset_prune_stats()
 # (point-lookup flows probe once per key, so per-probe numbers alone
@@ -114,14 +131,21 @@ def build_bloom_index(
     table_path: str,
     columns: list[str],
     index_dir: str | None = None,
-    m_bits: int = M_BITS_DEFAULT,
+    m_bits: int | None = None,
     k_hashes: int = K_HASHES_DEFAULT,
 ) -> int:
     """Build per-file bloom filters for ``columns``. Returns the
     number of (file, col, word) rows written. One table scan and one
-    shuffle regardless of how many columns are indexed."""
+    shuffle regardless of how many columns are indexed.
+
+    ``m_bits=None`` (default) sizes the filter from the table itself
+    (parquet-metadata row count / live file count — no data read);
+    pass an explicit value to pin it. Probes always use the stored
+    ``_PARAMS``, so differently-sized generations never mix."""
     idx = index_dir or _index_dir(table_path)
-    full, _live = _resolve_table(spark, table_path)
+    full, live = _resolve_table(spark, table_path)
+    if m_bits is None:
+        m_bits = _auto_m_bits(full.count(), len(live))
     base = full.select(*columns).withColumn(_FILE, F.input_file_name())
     out = _filter_rows(base, columns, m_bits, k_hashes).localCheckpoint(
         eager=True
@@ -157,12 +181,44 @@ def bloom_prune_files(
     ``(files_to_read, n_skipped)``. ``_resolved``: a caller's prior
     ``_resolve_table`` result, so composed lookups (KeyedTable.lookup
     intersecting zone map + bloom) pay ONE directory listing."""
-    idx = index_dir or _index_dir(table_path)
     full, live = _resolved or _resolve_table(spark, table_path)
+    covered, survives = bloom_value_survivors(
+        spark, table_path, col, values, index_dir, _resolved=(full, live)
+    )
+    if covered is None:
+        return sorted(live.values()), 0  # no index → full scan
+    any_hit = set().union(*survives.values()) if survives else set()
+    files = [
+        orig
+        for path, orig in sorted(live.items())
+        if path not in covered or path in any_hit
+    ]
+    _record_prune(len(live), len(files))
+    return files, len(live) - len(files)
+
+
+def bloom_value_survivors(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+    index_dir: str | None = None,
+    _resolved=None,
+) -> tuple[set | None, dict]:
+    """Per-VALUE file survivorship from ONE sidecar aggregation:
+    ``(covered, survives)`` where ``covered`` is the set of indexed
+    (normalized) file paths — files outside it must always be read —
+    and ``survives[value]`` is the subset whose filter MAY contain
+    that value. ``covered is None`` means no readable index (callers
+    fall back to a full scan). Batched lookups
+    (KeyedTable.lookup_many) intersect these per key with the zone
+    intervals instead of re-running the aggregation per key."""
+    idx = index_dir or _index_dir(table_path)
+    full, _live = _resolved or _resolve_table(spark, table_path)
     try:
         stats = spark.read.parquet(idx).filter(F.col("col") == col)
     except Exception:
-        return sorted(live.values()), 0  # no index → full scan
+        return None, {}
     m_bits, k = _stored_mk(spark, idx)
     # hash the probe values through the SAME expressions (tiny job)
     probe_rows = (
@@ -179,11 +235,17 @@ def bloom_prune_files(
         mask = 1 << (pos % 64)
         if mask >= 1 << 63:  # bit 63: wrap to the SIGNED long the
             mask -= 1 << 64  # build side's shiftleft produced
-        by_value.setdefault(r["__v"], []).append((pos // 64, mask))
-    # a file survives if for SOME value, ALL k (word, bit) pairs hit —
-    # evaluated as one aggregation over the sidecar rows
-    checks = []
-    for vid, wm in by_value.items():
+        by_value.setdefault(r["__v"], set()).add((pos // 64, mask))
+    order = list(by_value)
+    if len(order) > 16:
+        return _survivors_by_join(spark, stats, by_value, order)
+    # few values: one aggregation over the sidecar with a per-value
+    # flag column each — a value survives a file iff ALL its k
+    # (word, bit) pairs hit. Lowest latency, but the expression count
+    # is |values|·k, so big probe sets take the join path instead.
+    aggs = []
+    for i, v in enumerate(order):
+        wm = by_value[v]
         hits = sum(
             F.max(
                 F.when(
@@ -193,21 +255,58 @@ def bloom_prune_files(
             )
             for w, m in wm
         )
-        checks.append((hits == len(wm)).cast("int"))
-    kept_rows = (
-        stats.groupBy(_FILE)
-        .agg(sum(checks, F.lit(0)).alias("__hits"))
-        .select(_FILE, (F.col("__hits") > 0).alias("__kept"))
+        aggs.append((hits == len(wm)).alias(f"__v{i}"))
+    kept_rows = stats.groupBy(_FILE).agg(*aggs).collect()
+    covered = {_norm(r[0]) for r in kept_rows}
+    survives: dict = {v: set() for v in order}
+    for r in kept_rows:
+        path = _norm(r[0])
+        for i, v in enumerate(order):
+            if r[i + 1]:
+                survives[v].add(path)
+    return covered, survives
+
+
+def _survivors_by_join(
+    spark: SparkSession, stats: DataFrame, by_value: dict, order: list
+) -> tuple[set, dict]:
+    """Probe as data, not as expressions: the (value, word, mask)
+    triples become a small broadcast frame equi-joined to the sidecar
+    on word_idx; a value survives a file iff its distinct (word,
+    mask) hit count equals its requirement. Cost is one broadcast
+    join + one aggregation ∝ sidecar rows — independent of the probe
+    set size, where the expression path's |values|·k aggregate
+    columns over the sidecar stop compiling/performing (100 probed
+    keys → 500 conditional aggs). Also the 100-TB shape: a sidecar
+    of millions of (file, word) rows meets any probe set in one
+    shuffle-free pass."""
+    probe = spark.createDataFrame(
+        [
+            (i, w, m, len(by_value[v]))
+            for i, v in enumerate(order)
+            for (w, m) in by_value[v]
+        ],
+        "vid int, word_idx int, mask bigint, needed int",
+    )
+    hits = (
+        stats.join(F.broadcast(probe), "word_idx")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy(_FILE, "vid")
+        .agg(
+            F.countDistinct("word_idx", "mask").alias("got"),
+            F.max("needed").alias("needed"),
+        )
+        .filter(F.col("got") == F.col("needed"))
+        .select(_FILE, "vid")
         .collect()
     )
-    indexed = {_norm(r[0]): r[1] for r in kept_rows}
-    files = [
-        orig
-        for path, orig in sorted(live.items())
-        if path not in indexed or indexed[path]
-    ]
-    _record_prune(len(live), len(files))
-    return files, len(live) - len(files)
+    covered = {
+        _norm(r[0]) for r in stats.select(_FILE).distinct().collect()
+    }
+    survives: dict = {v: set() for v in order}
+    for r in hits:
+        survives[order[r[1]]].add(_norm(r[0]))
+    return covered, survives
 
 
 def bloom_pruned_read(
@@ -237,7 +336,7 @@ def refresh_bloom_index(
     table_path: str,
     columns: list[str],
     index_dir: str | None = None,
-    m_bits: int = M_BITS_DEFAULT,
+    m_bits: int | None = None,
     k_hashes: int = K_HASHES_DEFAULT,
 ) -> tuple[int, int]:
     """Reconcile the bloom sidecar with the live file set — the same
@@ -246,7 +345,10 @@ def refresh_bloom_index(
     scanned (ONLY those files) and their filters appended. Returns
     ``(files_added, files_dropped)``. Column-set/parameter changes and
     a missing index fall back to a full build; cost is otherwise ∝
-    files touched since the last reconcile."""
+    files touched since the last reconcile. ``m_bits=None`` adopts
+    the index's STORED size for appended filters (a refresh must
+    never silently re-size a generation — mixed sizes can't probe);
+    an explicit mismatching value forces the rebuild."""
     idx = index_dir or _index_dir(table_path)
     full, live = _resolve_table(spark, table_path)
     try:
@@ -254,14 +356,16 @@ def refresh_bloom_index(
     except Exception:
         build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
         return (len(live), 0)
+    stored_m, stored_k = _stored_mk(spark, idx)
     if (
         set(stats.columns) != {_FILE, "col", "word_idx", "bits"}
         or {r["col"] for r in stats.select("col").distinct().collect()}
         != set(columns)
-        or _stored_mk(spark, idx) != (m_bits, k_hashes)
+        or (m_bits is not None and (stored_m, stored_k) != (m_bits, k_hashes))
     ):
         build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
         return (len(live), 0)
+    m_bits, k_hashes = stored_m, stored_k
     indexed = {
         _norm(r[0]): r[0] for r in stats.select(_FILE).distinct().collect()
     }
@@ -293,7 +397,7 @@ def refresh_bloom_index(
 def attach_bloom_maintenance(
     table,
     columns: list[str],
-    m_bits: int = M_BITS_DEFAULT,
+    m_bits: int | None = None,
     k_hashes: int = K_HASHES_DEFAULT,
 ) -> None:
     """Enroll the bloom index as a table service: every commit the

@@ -736,6 +736,73 @@ class KeyedTable:
             .filter(residual)
         )
 
+    def lookup_many(self, key_values: list) -> DataFrame:
+        """Batched point lookups by the leading record-key column —
+        the multi-get form of :meth:`lookup`. One zone-sidecar read,
+        one bloom-sidecar aggregation, and ONE candidate-file read
+        serve the whole key set; per-key pruning is evaluated
+        driver-side against the collected intervals/survivor sets, so
+        the candidate files are ``∪_k (zone(k) ∩ bloom(k))`` — as
+        tight as k separate lookups at the job cost of one (k
+        sequential lookups pay ~4 Spark jobs each; at 51 keys that is
+        a 40s-vs-2s difference at sf0.1, see bench indexed_point_
+        lookup). Advisory like every index path: uncovered files are
+        always read and the IN residual always applies, so the result
+        is exactly the full-scan filter."""
+        key_col = self.spec.record_key[0]
+        from rds_to_datalake_project_spark.operators import (
+            bloomfilter as _bf,
+        )
+        from rds_to_datalake_project_spark.operators import zonemap as _zm
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            _resolve_table,
+            zone_intervals,
+        )
+
+        key_values = list(key_values)
+        resolved = _resolve_table(self.spark, self.path)
+        full, live = resolved
+        residual = F.col(key_col).isin(key_values)
+        if not key_values:
+            return full.filter(residual).limit(0)
+        zones = zone_intervals(self.spark, self.path, key_col)
+        covered, survives = _bf.bloom_value_survivors(
+            self.spark, self.path, key_col, key_values, _resolved=resolved
+        )
+        files: set = set()
+        for k in key_values:
+            zone_ok = [
+                (p, orig)
+                for p, orig in live.items()
+                if zones is None
+                or p not in zones
+                or (
+                    zones[p][0] is not None
+                    and zones[p][1] is not None
+                    and zones[p][0] <= k <= zones[p][1]
+                )
+            ]
+            cand = [
+                orig
+                for p, orig in zone_ok
+                if covered is None
+                or p not in covered
+                or p in survives.get(k, ())
+            ]
+            if zones is not None:
+                _zm._record_prune(len(live), len(zone_ok))
+            if covered is not None:
+                _bf._record_prune(len(live), len(cand))
+            files.update(cand)
+        if not files:
+            return full.filter(residual).limit(0)
+        return (
+            self.spark.read.option("basePath", self.path)
+            .schema(full.schema)
+            .parquet(*sorted(files))
+            .filter(residual)
+        )
+
     def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
         """Range/point-filtered read through the zone-map index
         (operators/zonemap.pruned_read): opens only files whose

@@ -253,6 +253,34 @@ def prune_files(
     return files, skipped
 
 
+def zone_intervals(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    index_dir: str | None = None,
+) -> dict | None:
+    """Per-file ``{normalized path: (min, max)}`` zones for ``col``,
+    or None when the index (or the column's zones) is missing. ONE
+    sidecar read; batched point-lookup planners
+    (KeyedTable.lookup_many) evaluate many point predicates against
+    it driver-side instead of re-aggregating the sidecar per key.
+    (None, None) zones mean the file holds only NULLs in ``col`` —
+    skippable for equality/range probes, same as _zone_intersects."""
+    idx = index_dir or _index_dir(table_path)
+    try:
+        stats = spark.read.parquet(idx)
+    except Exception:
+        return None
+    if f"min_{col}" not in stats.columns or f"max_{col}" not in stats.columns:
+        return None
+    return {
+        _norm(r[0]): (r[1], r[2])
+        for r in stats.select(
+            F.col(_FILE), F.col(f"min_{col}"), F.col(f"max_{col}")
+        ).collect()
+    }
+
+
 def pruned_read(
     spark: SparkSession,
     table_path: str,

@@ -888,14 +888,12 @@ LIMIT 10
 
 
 def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed record-lookup path (KeyedTable.lookup): a lake
-    table carrying BOTH sidecars — zone map (range) and bloom
-    (membership) — serves point reads from the intersection of their
-    candidates. Five deterministic keys are looked up through the real
-    table service; the oracle is the plain key filter (advisory
-    contract: pruning never changes results)."""
-    from functools import reduce
-
+    """The composed record-lookup path (KeyedTable.lookup_many): a
+    lake table carrying BOTH sidecars — zone map (range) and bloom
+    (membership) — serves point reads from the per-key intersection
+    of their candidates, batched into one sidecar pass each and ONE
+    candidate read for the whole key set. The oracle is the plain key
+    filter (advisory contract: pruning never changes results)."""
     from rds_to_datalake_project_spark.operators.bloomfilter import (
         attach_bloom_maintenance,
     )
@@ -930,11 +928,11 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .collect()
     ]
-    outs = [
-        t.lookup(k).select("o_orderkey", "o_custkey", "o_totalprice")
-        for k in keys
-    ]
-    return reduce(DataFrame.unionByName, outs).orderBy("o_orderkey")
+    return (
+        t.lookup_many(keys)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
 
 
 INDEXED_LOOKUP_SQL = """
@@ -1275,6 +1273,56 @@ def lsh_index_screen_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of :func:`lsh_index_screen_md5`: the
+    identical index lifecycle (build → CDC commit → incremental
+    refresh → probe screening) under the xxhash64 signature family —
+    the fast path deployments run, benched as the service's headline
+    number (bench.py). Rows-only driver check by declared contract:
+    xxhash64 has no DuckDB twin; the md5 variant is the hash-checked
+    oracle of the same code path (same convention as
+    minhash_neardup / minhash_neardup_md5)."""
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_neardups_for,
+        refresh_lsh_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = TableSpec(
+        "docs_lsh_prod",
+        record_key=("doc_id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("lsh_idx_prod") + "/t", spec, retain_versions=3)
+    t.initial_load(docs.withColumn("update_at", F.lit("v0")))
+    build_lsh_index(t)
+    k = F.col("doc_id")
+    updates = (
+        docs.filter(k % 7 == 0)
+        .withColumn("text", F.concat("text", F.lit(" appended marker words here")))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = docs.filter((k % 13 == 0) & (k % 7 != 0)).withColumn("Op", F.lit("D"))
+    inserts = (
+        docs.filter(k % 11 == 0)
+        .withColumn("doc_id", k + F.lit(1_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    batch = (
+        updates.unionByName(deletes)
+        .unionByName(inserts)
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(batch, delete_mode="apply")
+    refresh_lsh_index(t)
+    probe = docs.filter(k % 17 == 0).withColumn("doc_id", k + F.lit(2_000_000))
+    return lsh_neardups_for(t, probe, threshold=0.5).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
 LSH_INDEX_SCREEN_SQL = r"""
 WITH final AS MATERIALIZED (
   SELECT doc_id,
@@ -1353,6 +1401,7 @@ QUERIES = {
     "zonemap_pruned_scan": zonemap_pruned_scan,
     "ann_index_served_topk": ann_index_served_topk,
     "lsh_index_screen_md5": lsh_index_screen_md5,
+    "lsh_index_screen": lsh_index_screen,
     "ann_index_ivf_topk": ann_index_ivf_topk,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "purge_keep_history_asof": purge_keep_history_asof,

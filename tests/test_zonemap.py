@@ -616,3 +616,81 @@ def test_bloom_build_is_single_scan_for_multi_column(spark, sf_dir):
     # every (col, file) pair present, bits non-empty
     cols = {r["col"] for r in df.select("col").distinct().collect()}
     assert cols == {"o_orderkey", "o_custkey", "o_orderpriority"}
+
+
+def test_bloom_auto_sizing_tracks_table_shape(spark, tmp_path):
+    """m_bits=None sizes the filter from measured rows-per-file: a
+    dense table gets a proportionally larger filter (the fixed 2 KiB
+    legacy size saturates past ~2k keys/file → >70% false positives),
+    refresh adopts the STORED size, and an explicit mismatching size
+    forces a rebuild."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        M_BITS_MIN,
+        _auto_m_bits,
+        _stored_mk,
+        bloom_prune_files,
+        build_bloom_index,
+        refresh_bloom_index,
+    )
+
+    path = str(tmp_path / "dense")
+    spark.range(40_000).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(
+        2, "k"
+    ).write.mode("overwrite").parquet(path)
+    build_bloom_index(spark, path, ["k"])
+    idx = f"{path}/.bloomindex"
+    m, _k = _stored_mk(spark, idx)
+    assert m == _auto_m_bits(40_000, 2) > M_BITS_MIN * 10
+    # properly sized: a burst of absent probes skips everything
+    absent = [10**9 + i for i in range(25)]
+    _files, skipped = bloom_prune_files(spark, path, "k", absent)
+    assert skipped == 2
+    # incremental refresh keeps the stored generation size
+    spark.range(40_000, 40_050).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).coalesce(1).write.mode("append").parquet(path)
+    refresh_bloom_index(spark, path, ["k"])
+    assert _stored_mk(spark, idx)[0] == m
+    # explicit mismatch → full rebuild under the requested size
+    refresh_bloom_index(spark, path, ["k"], m_bits=M_BITS_MIN)
+    assert _stored_mk(spark, idx)[0] == M_BITS_MIN
+
+
+def test_lookup_many_matches_per_key_lookups(spark, tmp_path):
+    """lookup_many == the union of per-key lookups == the plain IN
+    filter, at ONE candidate read; its per-key pruning still opens
+    fewer files than the table holds."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        build_bloom_index,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.operators.zonemap import build_zonemap
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec(
+        "lkm",
+        record_key=("id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    path = str(tmp_path / "lkm")
+    for i in range(6):
+        _kv_rows(spark, range(i, 300, 6), "v0").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    build_zonemap(spark, path, ["id"])
+    build_bloom_index(spark, path, ["id"])
+    t = KeyedTable(spark, path, spec, zonemap_columns=["id"])
+
+    keys = ["k3", "k123", "k250", "absent-1", "absent-2"]
+    got = sorted(r.id for r in t.lookup_many(keys).collect())
+    want = sorted(
+        r.id for r in t.read().filter(F.col("id").isin(keys)).collect()
+    )
+    assert got == want == ["k123", "k250", "k3"]
+    assert len(set(t.lookup_many(keys).inputFiles())) < len(
+        set(t.read().inputFiles())
+    )
+    # empty key set and all-absent set both return exactly nothing
+    assert t.lookup_many([]).count() == 0
+    assert t.lookup_many(["absent-9"]).count() == 0
