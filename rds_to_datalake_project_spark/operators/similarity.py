@@ -284,3 +284,70 @@ def sq8_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each block
+    (typically an IVF/k-means cell), a vector is DROPPED when any
+    lower-id vector in the same block has cosine similarity >=
+    ``threshold`` — keeping exactly one representative per
+    near-duplicate neighborhood without a transitive-closure pass
+    (the cluster bound makes the survivor set deterministic).
+
+    Emits one row per input vector: ``(id_col, block_col, keep,
+    dup_of, n_similar)`` where ``dup_of`` is the smallest qualifying
+    lower id (NULL for survivors) and ``n_similar`` counts the
+    qualifying lower-id neighbors.
+
+    ``quantized=True`` means ``vec_col`` already holds fixed-point
+    ``array<long>`` (the trainer's ``__qv``); otherwise it is
+    quantized here. Similarities are exact integer dot products + one
+    double division — deterministic across engines.
+
+    Scale shape: the pairing is an equi-join on the block key (one
+    hash shuffle, never a corpus cross product) and the per-pair
+    kernel runs only inside blocks — cost Σ|cell|², the SemDeDup
+    contract (pick k so cells stay bounded; the drift trigger in
+    operators/ann_index.py is the rebalance lever). The keep decision
+    is one groupBy over the qualifying pairs plus a broadcast-size
+    left join back.
+    """
+    vec = F.col(vec_col) if quantized else quantize(vec_col)
+    q = corpus.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), vec.alias("__q")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    dup = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .withColumn("__sim", cosine_q(F.col("a.__q"), F.col("b.__q")))
+        .filter(F.col("__sim") >= F.lit(threshold))
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(
+            F.min(F.col(f"a.{id_col}")).alias("dup_of"),
+            F.count(F.lit(1)).alias("n_similar"),
+        )
+    )
+    return (
+        q.select(F.col(id_col), F.col("__blk").alias(block_col))
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(block_col),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
+            F.coalesce("n_similar", F.lit(0).cast("bigint")).alias("n_similar"),
+        )
+    )

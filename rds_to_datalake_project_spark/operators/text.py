@@ -648,3 +648,114 @@ def lexical_novelty(
             .alias("rare_rate"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    min_known: int = 2,
+    round_dp: int = 4,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: train a
+    Laplace-smoothed bigram LM on ``train`` (default: ``df`` itself,
+    the self-scoring mode) and emit each document's cross-entropy
+    under it — the classic "how much does this doc look like the
+    corpus" curation signal (low = fluent/templated, high =
+    gibberish/foreign).
+
+    Per document: ``n_bigrams``, ``n_unseen`` (bigrams whose corpus
+    count is below ``min_known`` — in self-scoring mode a count of 1
+    means "unique to this document"), and ``xent`` =
+    ``round(-avg(ln((c_bigram + alpha) / (c_prefix + alpha * V))),
+    round_dp)`` where V is the training vocabulary size. Documents
+    with < 2 tokens get ``n_bigrams = 0`` and NULL ``xent``.
+
+    Determinism / oracle parity: every count is an exact integer, each
+    probability is ONE double division of integers (IEEE-exact), and
+    only the final avg-of-logs crosses rows — ``round_dp`` absorbs
+    summation-order jitter, keeping the result hash-stable across
+    engines.
+
+    Scale shape: bigram extraction is map-side (``zip_with`` over two
+    shifted slices — no shuffle); the model is two partial-agg
+    shuffles over the TRAIN corpus (bigram + prefix counts, Zipf-
+    distributed so AQE handles the head); scoring is two hash joins
+    whose build sides are the Zipf-small model tables (AQE broadcasts
+    them when they fit) and one final per-doc aggregation.
+    """
+
+    def _bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+            lambda x: x != F.lit(""),
+        )
+        n = F.size(F.col("__toks"))
+        pairs = F.zip_with(
+            F.slice(F.col("__toks"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("__toks"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        out = (
+            frame.withColumn("__toks", toks)
+            .select(*cols, F.explode_outer(pairs).alias("__bg"))
+            .select(*cols, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        )
+        return out
+
+    train_bg = _bigrams(train if train is not None else df, with_id=False).filter(
+        F.col("w1").isNotNull()
+    )
+    c_big = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c_big"))
+    c_pre = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c_pre"))
+    vocab = (
+        (train if train is not None else df)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("__w")
+        )
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+
+    doc_bg = _bigrams(df, with_id=True)
+    scored = (
+        doc_bg.join(c_big, ["w1", "w2"], "left")
+        .join(c_pre, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__cb", F.coalesce("__c_big", F.lit(0)))
+        .withColumn("__cp", F.coalesce("__c_pre", F.lit(0)))
+        .withColumn(
+            "__nlp",
+            F.when(
+                F.col("w1").isNotNull(),
+                -F.log(
+                    (F.col("__cb") + F.lit(alpha))
+                    / (F.col("__cp") + F.lit(alpha) * F.col("__v"))
+                ),
+            ),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return scored.groupBy(id_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("w1").isNotNull(), 1)), zero
+        ).alias("n_bigrams"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("w1").isNotNull() & (F.col("__cb") < min_known), 1
+                ).otherwise(F.when(F.col("w1").isNotNull(), 0))
+            ),
+            zero,
+        ).alias("n_unseen"),
+        F.round(F.avg("__nlp"), round_dp).alias("xent"),
+    )

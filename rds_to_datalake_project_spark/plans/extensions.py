@@ -1695,8 +1695,95 @@ ORDER BY doc_id, term_rank
 """
 
 
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style passage-level boilerplate removal: 10-word
+    windows, strip windows shared by >1 distinct document, reassemble
+    (operators/passages.py). clean_text is hash-compared verbatim."""
+    from rds_to_datalake_project_spark.operators.passages import passage_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, window=10, max_docs=1).orderBy("doc_id")
+
+
+PASSAGE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS widx,
+         array_to_string(
+           list_slice(toks, CAST(i*10+1 AS BIGINT), CAST(i*10+10 AS BIGINT)),
+           ' ') AS passage
+  FROM toks,
+       UNNEST(range(0, greatest(CAST(ceil(len(toks)/10.0) AS BIGINT), 1))) AS t(i)
+), shared AS (
+  SELECT passage FROM seg GROUP BY passage
+  HAVING COUNT(DISTINCT doc_id) > 1
+), flagged AS (
+  SELECT seg.doc_id, seg.widx, seg.passage,
+         shared.passage IS NOT NULL AS removed
+  FROM seg LEFT JOIN shared ON seg.passage = shared.passage
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(coalesce(sum(CAST(removed AS INT)), 0) AS BIGINT) AS n_removed,
+  coalesce(string_agg(CASE WHEN NOT removed THEN passage END,
+                      ' ' ORDER BY widx), '') AS clean_text
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM cross-entropy quality scores, self-scored
+    over the documents corpus (operators/text.py bigram_lm_score —
+    Laplace alpha=1, xent rounded to 4dp for cross-engine parity)."""
+    from rds_to_datalake_project_spark.operators.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
+BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS w FROM toks)
+), big AS (
+  SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1, toks[CAST(i+1 AS BIGINT)] AS w2
+  FROM toks, UNNEST(range(1, len(toks))) AS t(i)
+), cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big FROM big GROUP BY w1, w2
+), cp AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c_pre FROM big GROUP BY w1
+), scored AS (
+  SELECT b.doc_id, cb.c_big, cp.c_pre
+  FROM big b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+             JOIN cp ON b.w1 = cp.w1
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c_big < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         round(-avg(ln((c_big + 1.0) / (c_pre + 1.0 * v))), 4) AS xent
+  FROM scored CROSS JOIN vocab GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.n_unseen, 0) AS n_unseen,
+       a.xent AS xent
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
+    "passage_dedup_docs": passage_dedup_docs,
+    "bigram_lm_quality": bigram_lm_quality,
     "tfidf_top_terms": tfidf_top_terms,
     "sq8_ann_topk": sq8_ann_topk,
     "hot_order_customers": hot_order_customers,
@@ -1747,6 +1834,8 @@ QUERIES = {
 # records rows-only checks for them, per the contract).
 ORACLES = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "passage_dedup_docs": PASSAGE_DEDUP_SQL,
+    "bigram_lm_quality": BIGRAM_LM_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "sq8_ann_topk": SQ8_ANN_SQL,
     "hot_order_customers": HOT_KEYS_SQL,
@@ -1927,11 +2016,13 @@ def ivf_quantized_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_quantized_sql(k: int, iters: int) -> str:
-    """The quantized trainer + probe unrolled as one DuckDB query —
-    every CTE mirrors the Spark operator exactly (seeds by smallest
-    id, (d, cid) argmin ties, floor(double(SUM)/COUNT) updates, empty
-    cells keep their centroid, 2-cell probe, exact cosine)."""
+def _ivfq_assign_chain(k: int, iters: int) -> str:
+    """Shared DuckDB CTE chain replaying the fixed-point trainer +
+    final cell assignment (``fin``) — every CTE mirrors the Spark
+    operator exactly (seeds by smallest id, (d, cid) argmin ties,
+    floor(double(SUM)/COUNT) updates, empty cells keep their
+    centroid). Consumed by the trained-IVF probe and semantic-dedup
+    oracles."""
     dist = (
         "CAST(list_sum(list_transform(range(1, len(e.qv) + 1), "
         "j -> (e.qv[j] - c.qc[j]) * (e.qv[j] - c.qc[j]))) AS BIGINT)"
@@ -1973,7 +2064,14 @@ def _ivf_quantized_sql(k: int, iters: int) -> str:
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
     FROM e CROSS JOIN c{iters} c
   ) WHERE rn = 1
-), q AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_quantized_sql(k: int, iters: int) -> str:
+    """Trained-IVF 2-cell probe on top of the shared assignment chain."""
+    return _ivfq_assign_chain(k, iters) + f""", q AS (
   SELECT qv FROM e WHERE vec_id = 1
 ), probe AS (
   SELECT c.cid FROM c{iters} c CROSS JOIN q
@@ -1989,14 +2087,82 @@ FROM e JOIN fin ON fin.vec_id = e.vec_id CROSS JOIN q
 WHERE fin.ivf_cell IN (SELECT cid FROM probe)
 ORDER BY cosine_sim DESC, e.vec_id
 LIMIT 10"""
-    )
-    return "".join(parts)
 
 
 IVF_QUANTIZED_SQL = _ivf_quantized_sql(_IVFQ_K, _IVFQ_ITERS)
 
 QUERIES["ivf_quantized_trained_topk"] = ivf_quantized_trained_topk
 ORACLES["ivf_quantized_trained_topk"] = IVF_QUANTIZED_SQL
+
+
+# The synthetic embeddings have no planted >0.5-cosine twins, so the
+# driver query runs SemDeDup in its aggressive diversity-pruning mode
+# (the paper prunes up to ~50% of web corpora) — 0.40 exercises real
+# drop decisions at every SF; the operator default stays 0.95.
+_SEMDEDUP_THRESHOLD = 0.40
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: fixed-point k-means cells (the hash-checked
+    trainer) + within-cell cosine pruning — drop any vector whose cell
+    holds a lower-id vector with cosine >= 0.95
+    (operators/similarity.py semantic_dedup). Every stage replays
+    bit-for-bit in the DuckDB twin."""
+    from rds_to_datalake_project_spark.operators.ivf_train import (
+        _assign_cells_quantized,
+        train_ivf_centroids_quantized,
+    )
+    from rds_to_datalake_project_spark.operators.similarity import (
+        quantize,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids_quantized(emb, k=_IVFQ_K, iterations=_IVFQ_ITERS)
+    q = emb.select(F.col("vec_id"), quantize("embedding").alias("__qv"))
+    assigned = _assign_cells_quantized(q, cents).withColumnRenamed(
+        "cell", "ivf_cell"
+    )
+    return semantic_dedup(
+        assigned,
+        block_col="ivf_cell",
+        threshold=_SEMDEDUP_THRESHOLD,
+        vec_col="__qv",
+        quantized=True,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_sql(k: int, iters: int, threshold: float) -> str:
+    """Within-cell SemDeDup pruning on top of the shared trained-cell
+    assignment chain."""
+    return _ivfq_assign_chain(k, iters) + f""", pairs AS (
+  SELECT fb.vec_id AS bid, fa.vec_id AS aid,
+         CAST(list_sum(list_transform(range(1, len(ea.qv) + 1),
+              j -> ea.qv[j] * eb.qv[j])) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(ea.qv, x -> x * x)) AS DOUBLE)
+              * CAST(list_sum(list_transform(eb.qv, x -> x * x)) AS DOUBLE)) AS sim
+  FROM fin fa JOIN fin fb
+    ON fa.ivf_cell = fb.ivf_cell AND fa.vec_id < fb.vec_id
+  JOIN e ea ON ea.vec_id = fa.vec_id
+  JOIN e eb ON eb.vec_id = fb.vec_id
+), dup AS (
+  SELECT bid, CAST(MIN(aid) AS BIGINT) AS dup_of,
+         CAST(COUNT(*) AS BIGINT) AS n_similar
+  FROM pairs WHERE sim >= {threshold} GROUP BY bid
+)
+SELECT fin.vec_id, CAST(fin.ivf_cell AS INTEGER) AS ivf_cell,
+       dup.dup_of IS NULL AS keep, dup.dup_of,
+       COALESCE(dup.n_similar, 0) AS n_similar
+FROM fin LEFT JOIN dup ON dup.bid = fin.vec_id
+ORDER BY fin.vec_id"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql(
+    _IVFQ_K, _IVFQ_ITERS, _SEMDEDUP_THRESHOLD
+)
+
+QUERIES["semantic_dedup_embeddings"] = semantic_dedup_embeddings
+ORACLES["semantic_dedup_embeddings"] = SEMANTIC_DEDUP_SQL
 
 
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,13 +62,10 @@ _PRIORITY = (
     # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
     # re-confirm correctness while re-benching it)
     "media_resize_stats",
-    "media_decode_stats",
-    "media_feature_extract",
     "tfidf_top_terms",
     "neardup_components",
     "ann_topk_cosine",
     "sq8_ann_topk",
-    "ivf_probe_topk",
     "text_quality",
     "token_count_by_source",
     "pack_documents",
@@ -84,6 +81,12 @@ _PRIORITY = (
     "gated_upsert_roundtrip",
     "matview_incremental_status",
     "stats_join_advisory",
+    # round-8 second wave (displacing media_decode_stats,
+    # media_feature_extract, ivf_probe_topk — r6-green on record):
+    # passage-level boilerplate dedup, bigram-LM quality, SemDeDup
+    "passage_dedup_docs",
+    "bigram_lm_quality",
+    "semantic_dedup_embeddings",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
