@@ -254,6 +254,79 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+def sql_matview_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view lifecycle driven ENTIRELY through the SQL
+    facade verbs (sql.py): CREATE MATERIALIZED VIEW ... GROUP BY over
+    a registered KeyedTable, row-level DELETE + UPDATE DML on the
+    base, REFRESH MATERIALIZED VIEW (incremental: only the touched
+    status groups recompute), SELECT from the published temp view,
+    DROP. Returns the refreshed view contents."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    root = _scratch("sql_matview")
+    orders = load_table(spark, sf_dir, "orders")
+    init = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("a").alias("update_at"),
+    )
+    t = KeyedTable(spark, f"{root}/t", _MV_SPEC, retain_versions=4)
+    t.initial_load(init)
+    reg = {"mv_base": t}
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW status_rev AS SELECT o_orderstatus, "
+            "count(*) AS n_orders, "
+            "cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS sum_price "
+            "FROM mv_base GROUP BY o_orderstatus",
+            tables=reg,
+        )
+        run_query(
+            spark,
+            "DELETE FROM mv_base WHERE o_orderstatus = 'P'",
+            tables=reg,
+        )
+        run_query(
+            spark,
+            "UPDATE mv_base SET o_totalprice = o_totalprice + 500.0, "
+            "update_at = 'b' WHERE o_orderkey % 10 = 4",
+            tables=reg,
+        )
+        run_query(spark, "REFRESH MATERIALIZED VIEW status_rev", tables=reg)
+        out = run_query(
+            spark,
+            "SELECT o_orderstatus, n_orders, sum_price FROM status_rev",
+            tables=reg,
+        ).orderBy("o_orderstatus")
+        rows = out.collect()  # materialize before DROP unbinds the view
+        run_query(spark, "DROP MATERIALIZED VIEW status_rev", tables=reg)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        MATVIEWS.pop("status_rev", None)
+
+
+SQL_MATVIEW_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), kept AS (
+  SELECT * FROM init WHERE o_orderstatus <> 'P'
+), final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM kept
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 # --- stats-driven join planning ----------------------------------------------
 
 _BCAST_MAX_ROWS = 2000
@@ -342,10 +415,12 @@ QUERIES = {
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
     "matview_incremental_status": matview_incremental_status,
+    "sql_matview_roundtrip": sql_matview_roundtrip,
     "stats_join_advisory": stats_join_advisory,
 }
 
 ORACLES = {
+    "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,
     "matview_incremental_status": MATVIEW_SQL,

@@ -70,7 +70,6 @@ _PRIORITY = (
     "token_count_by_source",
     "pack_documents",
     "sample_docs_per_source",
-    "train_test_split_counts",
     "contamination_docs",
     "neardup_cosine_pairs",
     # new round 8 — no driver-green row yet (displacing four filler
@@ -87,6 +86,9 @@ _PRIORITY = (
     "passage_dedup_docs",
     "bigram_lm_quality",
     "semantic_dedup_embeddings",
+    # SQL-facade matview verbs (displacing train_test_split_counts,
+    # r6-green on record)
+    "sql_matview_roundtrip",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

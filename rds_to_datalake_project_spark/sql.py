@@ -83,6 +83,32 @@ def _mask_string_literals(sql: str) -> str:
 # KeyedTable.register() enrolls retained tables here automatically.
 TIME_TRAVEL_TABLES: dict[str, object] = {}
 
+# Session-level registry of facade-created materialized views
+# (CREATE MATERIALIZED VIEW ... populates it; REFRESH/DROP resolve
+# against it). Values are operators.matview.MaterializedView.
+MATVIEWS: dict[str, object] = {}
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a select list on commas outside parentheses/quotes."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 2 if s[i] == "\\" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
 
 def register_time_travel(name: str, table) -> None:
     """Make ``<name> FOR VERSION AS OF k`` resolvable in any
@@ -204,6 +230,23 @@ _PURGE_RE = re.compile(
     rf"^\s*PURGE\s+FROM\s+({_QNAME})\s+WHERE\s+(.+?)"
     r"(\s+KEEP\s+HISTORY)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+# Engine extension: incremental materialized views over registered
+# KeyedTables (operators/matview.py) through the SQL layer. The AS
+# body is the one maintainable shape — SELECT <group cols + aliased
+# aggregates> FROM <registered table> GROUP BY <group cols>.
+_CREATE_MV_RE = re.compile(
+    rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
+    r"(?P<auto>\s+WITH\s+AUTO\s+REFRESH)?"
+    rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
+    r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
+)
+_DROP_MV_RE = re.compile(
+    rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
@@ -379,6 +422,86 @@ def _split_top_level(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _publish_matview(spark: SparkSession, name: str, mv) -> None:
+    """Expose the view's current contents to plain SELECTs. Re-run
+    after every refresh: the temp view pins the snapshot plan that
+    existed at registration time, so it must track the store's head."""
+    if re.fullmatch(r"\w+", name):
+        mv.read().createOrReplaceTempView(name)
+
+
+def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
+    """``CREATE MATERIALIZED VIEW v [WITH AUTO REFRESH] AS SELECT
+    <group cols + aliased aggregates> FROM <registered table> GROUP BY
+    <group cols>`` → an incrementally-maintained
+    operators/matview.MaterializedView stored under the base table's
+    ``.matviews/`` directory, initially refreshed, registered for
+    REFRESH/DROP and (for simple names) as a temp view for SELECTs.
+
+    WITH AUTO REFRESH additionally attaches the refresh as a
+    post-commit maintenance hook on the base — the view then follows
+    every upsert with no further statements (advisory slot: a failed
+    refresh leaves the view stale, never wrong).
+    """
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+        attach_matview_maintenance,
+    )
+
+    name = _unquote_ident(m.group(1))
+    base = known[_unquote_ident(m.group("base"))]
+    group_cols = []
+    for item in _split_top_level(m.group("grp")):
+        if not re.fullmatch(r"\w+", item):
+            raise ValueError(
+                f"GROUP BY supports plain columns only, got {item!r}"
+            )
+        group_cols.append(item)
+    aggs: dict[str, str] = {}
+    seen_group = []
+    for item in _split_top_level(m.group("sel")):
+        alias = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", item)
+        if alias:
+            aggs[alias.group(2)] = alias.group(1).strip()
+        elif re.fullmatch(r"\w+", item) and item in group_cols:
+            seen_group.append(item)
+        else:
+            raise ValueError(
+                f"select item {item!r} must be a GROUP BY column or an "
+                "aliased aggregate (<expr> AS <name>)"
+            )
+    missing = [c for c in group_cols if c not in seen_group]
+    if missing:
+        raise ValueError(
+            f"select list must include every GROUP BY column; missing {missing}"
+        )
+    mv = MaterializedView(
+        base,
+        f"{base.path}/.matviews/{re.sub(r'[^A-Za-z0-9_]', '_', name)}",
+        group_cols,
+        aggs,
+        name=re.sub(r"[^A-Za-z0-9_]", "_", name),
+    )
+    if m.group("auto"):
+        attach_matview_maintenance(base, mv)
+    info = mv.refresh()
+    MATVIEWS[name] = mv
+    _publish_matview(spark, name, mv)
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                info["mode"],
+                info["base_version"],
+                info["groups_refreshed"],
+                bool(m.group("auto")),
+            )
+        ],
+        "view_name string, mode string, base_version int, "
+        "groups_refreshed bigint, auto_refresh boolean",
+    )
+
+
 def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     """Lake-maintenance statements through the one SQL layer (the
     public Delta SQL surface, resolved against registered KeyedTables):
@@ -409,6 +532,12 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     - ``PURGE FROM <t> WHERE <expr> [KEEP HISTORY]`` → GDPR hard
       delete (KeyedTable.purge_rows — plain form floors history;
       KEEP HISTORY rewrites retained snapshots minus the purged keys)
+    - ``CREATE MATERIALIZED VIEW <v> [WITH AUTO REFRESH] AS SELECT
+      ... FROM <t> GROUP BY ...`` → incrementally-maintained view
+      (operators/matview.MaterializedView; AUTO REFRESH attaches a
+      post-commit hook on the base)
+    - ``REFRESH MATERIALIZED VIEW <v>`` / ``DROP MATERIALIZED VIEW
+      <v>`` → bring the view to the base's head / unbind it
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -484,6 +613,41 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _CREATE_MV_RE.match(sql)
+    if m and table_bound and _unquote_ident(m.group("base")) in known:
+        return _create_matview_statement(spark, m, known)
+    # REFRESH/DROP MATERIALIZED VIEW is engine-only syntax (no native
+    # Spark spelling — its REFRESH takes resource paths), so these
+    # intercept unconditionally and an unknown name raises.
+    m = _REFRESH_MV_RE.match(sql)
+    if m:
+        name = _unquote_ident(m.group(1))
+        mv = MATVIEWS.get(name)
+        if mv is None:
+            raise ValueError(
+                f"REFRESH MATERIALIZED VIEW on unknown view {name!r}; "
+                f"known: {sorted(MATVIEWS)}"
+            )
+        info = mv.refresh()
+        _publish_matview(spark, name, mv)
+        return spark.createDataFrame(
+            [(name, info["mode"], info["base_version"], info["groups_refreshed"])],
+            "view_name string, mode string, base_version int, groups_refreshed bigint",
+        )
+    m = _DROP_MV_RE.match(sql)
+    if m:
+        name = _unquote_ident(m.group(1))
+        if name not in MATVIEWS:
+            raise ValueError(
+                f"DROP MATERIALIZED VIEW on unknown view {name!r}; "
+                f"known: {sorted(MATVIEWS)}"
+            )
+        del MATVIEWS[name]
+        # The store directory is left on disk (re-CREATE reuses or
+        # full-refreshes over it); only the name binding goes away.
+        if re.fullmatch(r"\w+", name):
+            spark.catalog.dropTempView(name)
+        return spark.createDataFrame([(name, True)], "view_name string, dropped boolean")
     m = _MERGE_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("t")) in known:
         return _merge_statement(spark, m, known)

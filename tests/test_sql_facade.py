@@ -612,3 +612,130 @@ def test_dml_verbs_merge_from_cached_victims(spark, tmp_path):
     assert len(plans) == 2
     for p in plans:
         assert "InMemoryRelation" in p  # merge consumes the cached scan
+
+
+def test_sql_facade_materialized_view_lifecycle(spark, tmp_path):
+    """CREATE / SELECT / REFRESH / DROP MATERIALIZED VIEW through the
+    facade: create runs the initial full refresh and registers a temp
+    view, base DML + REFRESH recomputes only touched groups, AUTO
+    REFRESH follows base commits with no further statements, DROP
+    unbinds the name."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    spec = TableSpec("mvb", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mvb"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [(f"k{i}", "g%d" % (i % 3), float(i), i) for i in range(9)],
+        ["id", "grp", "amount", "v"],
+    ))
+    reg = {"mvb": t}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_rev AS "
+            "SELECT grp, sum(amount) AS revenue, count(*) AS n "
+            "FROM mvb GROUP BY grp",
+            tables=reg,
+        ).collect()[0]
+        assert out.mode == "full" and out.groups_refreshed == 3
+        assert not out.auto_refresh
+
+        got = {
+            (r.grp, r.revenue, r.n)
+            for r in run_query(
+                spark, "SELECT grp, revenue, n FROM mv_rev", tables=reg
+            ).collect()
+        }
+        assert got == {("g0", 0.0 + 3 + 6, 3), ("g1", 1.0 + 4 + 7, 3),
+                       ("g2", 2.0 + 5 + 8, 3)}
+
+        # DML on the base, then REFRESH: only touched groups recompute
+        run_query(spark, "DELETE FROM mvb WHERE grp = 'g2'", tables=reg)
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW mv_rev", tables=reg
+        ).collect()[0]
+        assert out.mode == "incremental" and out.groups_refreshed == 1
+        got = {(r.grp, r.n) for r in
+               run_query(spark, "SELECT grp, n FROM mv_rev", tables=reg).collect()}
+        assert got == {("g0", 3), ("g1", 3)}
+
+        # noop refresh
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW mv_rev", tables=reg
+        ).collect()[0]
+        assert out.mode == "noop" and out.groups_refreshed == 0
+
+        out = run_query(
+            spark, "DROP MATERIALIZED VIEW mv_rev", tables=reg
+        ).collect()[0]
+        assert out.dropped and "mv_rev" not in MATVIEWS
+        with pytest.raises(ValueError, match="unknown view"):
+            run_query(spark, "REFRESH MATERIALIZED VIEW mv_rev", tables=reg)
+    finally:
+        MATVIEWS.clear()
+
+
+def test_sql_facade_materialized_view_auto_refresh(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    spec = TableSpec("mvb2", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mvb2"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [("a", "x", 1.0, 1), ("b", "y", 2.0, 1)],
+        ["id", "grp", "amount", "v"],
+    ))
+    reg = {"mvb2": t}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_auto WITH AUTO REFRESH AS "
+            "SELECT grp, sum(amount) AS total FROM mvb2 GROUP BY grp",
+            tables=reg,
+        ).collect()[0]
+        assert out.auto_refresh
+        # base upsert triggers the hook; the VIEW OBJECT is fresh with
+        # no REFRESH statement (the temp view needs re-publish, so read
+        # through the registry)
+        t.upsert(spark.createDataFrame([("c", "x", 10.0, 1)],
+                                       ["id", "grp", "amount", "v"]))
+        got = {(r.grp, r.total) for r in MATVIEWS["mv_auto"].read().collect()}
+        assert got == {("x", 11.0), ("y", 2.0)}
+        assert not t.last_maintenance_errors
+    finally:
+        MATVIEWS.clear()
+
+
+def test_sql_facade_matview_rejects_bad_shapes(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    spec = TableSpec("mvb3", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mvb3"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame([("a", "x", 1.0, 1)],
+                                         ["id", "grp", "amount", "v"]))
+    reg = {"mvb3": t}
+    try:
+        with pytest.raises(ValueError, match="aliased aggregate"):
+            run_query(
+                spark,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT grp, sum(amount) FROM mvb3 GROUP BY grp",
+                tables=reg,
+            )
+        with pytest.raises(ValueError, match="every GROUP BY column"):
+            run_query(
+                spark,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT sum(amount) AS s FROM mvb3 GROUP BY grp",
+                tables=reg,
+            )
+    finally:
+        MATVIEWS.clear()
