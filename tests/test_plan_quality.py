@@ -369,3 +369,42 @@ def test_curate_single_shuffle(spark):
 
     assert len(_re.findall(r"Exchange hashpartitioning\(fp", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_no_cartesian_two_shuffles(spark):
+    """Passage dedup: segmentation is map-side (no shuffle before the
+    passage count), the over-shared flag joins back as an equi-join
+    (never a cartesian), reassembly is the only other shuffle."""
+    df = QUERIES["passage_dedup_docs"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # count-by-passage + reassemble-by-doc (+ the orderBy range
+    # exchange in the driver query) — no extra data shuffles
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_bigram_lm_model_sides_equi_joined(spark):
+    """Bigram LM scoring: model tables join on (w1,w2)/(w1) keys as
+    hash joins; the vocab scalar is broadcast; bigram extraction is
+    map-side zip_with (no shuffle before the model aggregation)."""
+    plan = _executed_plan(QUERIES["bigram_lm_quality"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row vocab scalar
+    # corpus-count + prefix-count + per-doc agg + two model joins can
+    # share partitioning; bound total hash exchanges
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 6
+
+
+def test_semantic_dedup_blocked_equi_join(spark):
+    """SemDeDup: the within-cell pairing is an equi-join on the block
+    key — never a corpus cross product."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    blocked = emb.withColumn("blk", (F.col("vec_id") % 8).cast("int"))
+    df = semantic_dedup(blocked, block_col="blk", threshold=0.9)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
