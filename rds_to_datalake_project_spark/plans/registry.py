@@ -13,10 +13,11 @@ from rds_to_datalake_project_spark.plans import (
     extensions,
     governance,
     relational,
+    sketches,
     tpch_extra,
 )
 
-_MODULES = (relational, cdc, extensions, tpch_extra, curation, governance)
+_MODULES = (relational, cdc, extensions, tpch_extra, curation, governance, sketches)
 
 # The driver's correctness report covers the FIRST 50 registry entries only.
 # Queries that have not yet earned a driver-side green row are listed here so
@@ -62,16 +63,19 @@ _PRIORITY = (
     # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
     # re-confirm correctness while re-benching it)
     "media_resize_stats",
-    "tfidf_top_terms",
-    "neardup_components",
-    "ann_topk_cosine",
     "sq8_ann_topk",
     "text_quality",
     "token_count_by_source",
     "pack_documents",
     "sample_docs_per_source",
     "contamination_docs",
-    "neardup_cosine_pairs",
+    # round-8 third wave: mergeable sketch layer (displacing
+    # tfidf_top_terms, neardup_components, ann_topk_cosine,
+    # neardup_cosine_pairs — all r6-green on record)
+    "hll_registers_users_md5",
+    "hll_estimate_users_md5",
+    "cms_heavy_hitters_md5",
+    "sketch_cms_after_cdc_md5",
     # new round 8 — no driver-green row yet (displacing four filler
     # rows green on record since r2/r5: zorder_key_orders,
     # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)

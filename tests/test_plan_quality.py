@@ -408,3 +408,41 @@ def test_semantic_dedup_blocked_equi_join(spark):
     df = semantic_dedup(blocked, block_col="blk", threshold=0.9)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_hll_build_one_scan_one_small_shuffle(spark):
+    """HLL register build: map-side partial max collapses before the
+    single ≤2^p-row shuffle; the events scan reads only the sketched
+    column."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.sketch import hll_registers
+
+    ev = load_table(spark, SF, "events")
+    df = hll_registers(ev, "user_id", p=10)
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    fplan = _formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fplan)
+    assert m and m.group(1).strip() == "user_id:bigint"
+
+
+def test_cms_probe_joins_counters_no_corpus_reread(spark):
+    """CMS point estimates: the probe plan equi-joins the counter
+    table — no cartesian, no second full-corpus aggregation beyond
+    the probe set's own distinct."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.operators.sketch import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    ev = load_table(spark, SF, "events")
+    cms = cms_counters(ev, "user_id", depth=4, width=256)
+    probes = ev.filter(F.col("user_id") % 7 == 0).select("user_id")
+    df = cms_point_estimates(cms, probes, "user_id", depth=4, width=256)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
