@@ -1,0 +1,147 @@
+"""Time-bucket gap-fill and interpolation — dense, analysis-ready
+series from sparse event aggregates.
+
+The TimescaleDB surface (``time_bucket_gapfill`` + ``locf()`` +
+``interpolate()``) the hypertable rollup (operators/rollup.py) stops
+short of: a bucketed aggregate only has rows for buckets that saw
+events, but downstream consumers (charting, anomaly scoring, feature
+windows for training) need one row per bucket per series, with the
+holes filled by an explicit policy. The reference has no analog — its
+Athena consumers re-derive density ad hoc.
+
+Plan shape, sized for 100 TB of events:
+
+1. one scan → ``groupBy(bucket, dims)`` aggregate (map-side partial,
+   output rows = occupied buckets × series — tiny vs input);
+2. the dense spine is generated from the aggregate's own per-series
+   ``[min, max]`` bucket range (or a caller-pinned ``[start, end)``)
+   via ``sequence`` + ``explode`` — spine size = series × buckets,
+   never a function of raw event count, and it joins back on the
+   (dims, bucket) equi-key;
+3. fills are window functions partitioned by series, ordered by
+   bucket — ONE shuffle for every fill column together, and the
+   partition key is the series key, so a 1000-executor cluster
+   spreads series, not time.
+
+Buckets are integer epoch seconds throughout (exact arithmetic, no
+timezone trapdoors, cross-engine hashable); ``bucket_ts`` offers the
+timestamp rendering.
+
+Fill policies per value column: ``"locf"`` (last observation carried
+forward, leading edge stays null), ``"linear"`` (interpolate between
+the nearest observed neighbors, both edges stay null outside the
+observed envelope — Timescale ``interpolate()`` semantics), ``"zero"``
+(absence means zero: counts/sums), ``"null"`` (leave the hole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET = "bucket_s"
+
+_POLICIES = ("locf", "linear", "zero", "null")
+
+
+def time_bucket_s(ts: Column, width_s: int) -> Column:
+    """Integer epoch-second bucket start: exact long arithmetic
+    (``us - us mod width``), no float rounding at any scale."""
+    us = F.unix_micros(ts)
+    w_us = int(width_s) * 1_000_000
+    return ((us - F.pmod(us, F.lit(w_us))) / F.lit(1_000_000)).cast("long")
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str,
+    width_s: int,
+    dims: list[str],
+    aggs: dict[str, Column],
+    fill: dict[str, str],
+    start_s: int | None = None,
+    end_s: int | None = None,
+) -> DataFrame:
+    """Dense per-series time grid with policy-filled aggregate columns.
+
+    ``aggs`` maps output column → aggregate over the raw rows;
+    ``fill`` maps each aggregate column → policy (see module doc).
+    ``start_s``/``end_s`` pin the grid (end exclusive); default is
+    each series' own observed ``[min, max]`` bucket envelope.
+
+    Output: ``dims + [bucket_s, bucket_ts] + list(aggs)``, one row per
+    series × grid bucket.
+    """
+    unknown = {c: p for c, p in fill.items() if p not in _POLICIES}
+    if unknown:
+        raise ValueError(f"unknown fill policies: {unknown} (use {_POLICIES})")
+    missing = set(fill) - set(aggs)
+    if missing:
+        raise ValueError(f"fill for columns not in aggs: {sorted(missing)}")
+    w = int(width_s)
+
+    bucketed = (
+        df.withColumn(BUCKET, time_bucket_s(F.col(ts_col), w))
+        .groupBy(*dims, BUCKET)
+        .agg(*[a.alias(c) for c, a in aggs.items()])
+    )
+
+    # Per-series dense spine from the aggregate itself (rows ∝
+    # series × buckets). With a pinned range the envelope is constant
+    # so the spine is the same sequence for every series.
+    if start_s is not None and end_s is not None:
+        lo = F.lit(int(start_s) - int(start_s) % w)
+        hi = F.lit(int(end_s - 1) - int(end_s - 1) % w)
+        envelope = bucketed.select(*dims).distinct().select(
+            *dims, lo.alias("__lo"), hi.alias("__hi")
+        )
+    else:
+        envelope = bucketed.groupBy(*dims).agg(
+            F.min(BUCKET).alias("__lo"), F.max(BUCKET).alias("__hi")
+        )
+    spine = envelope.select(
+        *dims,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(w).cast("long"))
+        ).alias(BUCKET),
+    )
+
+    dense = spine.join(bucketed, [*dims, BUCKET], "left")
+
+    wprev = (
+        Window.partitionBy(*dims)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(*dims)
+        .orderBy(BUCKET)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    b = F.col(BUCKET)
+    out_cols: dict[str, Column] = {}
+    for c in aggs:
+        v = F.col(c)
+        policy = fill.get(c, "null")
+        if policy == "locf":
+            out_cols[c] = F.last(v, ignorenulls=True).over(wprev)
+        elif policy == "zero":
+            out_cols[c] = F.coalesce(v, F.lit(0).cast(dense.schema[c].dataType))
+        elif policy == "linear":
+            pv = F.last(v, ignorenulls=True).over(wprev)
+            pb = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wprev)
+            nv = F.first(v, ignorenulls=True).over(wnext)
+            nb = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(wnext)
+            frac = (b - pb).cast("double") / (nb - pb).cast("double")
+            out_cols[c] = F.when(v.isNotNull(), v.cast("double")).otherwise(
+                pv.cast("double") + (nv.cast("double") - pv.cast("double")) * frac
+            )
+        else:  # "null"
+            out_cols[c] = v
+
+    return dense.select(
+        *dims,
+        b,
+        F.timestamp_seconds(b).alias("bucket_ts"),
+        *[expr.alias(c) for c, expr in out_cols.items()],
+    )

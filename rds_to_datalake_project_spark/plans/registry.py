@@ -14,10 +14,20 @@ from rds_to_datalake_project_spark.plans import (
     governance,
     relational,
     sketches,
+    timeseries,
     tpch_extra,
 )
 
-_MODULES = (relational, cdc, extensions, tpch_extra, curation, governance, sketches)
+_MODULES = (
+    relational,
+    cdc,
+    extensions,
+    tpch_extra,
+    curation,
+    governance,
+    sketches,
+    timeseries,
+)
 
 # The driver's correctness report covers the FIRST 50 registry entries only.
 # Queries that have not yet earned a driver-side green row are listed here so
@@ -63,7 +73,6 @@ _PRIORITY = (
     # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
     # re-confirm correctness while re-benching it)
     "media_resize_stats",
-    "sq8_ann_topk",
     "text_quality",
     "token_count_by_source",
     "pack_documents",
@@ -76,6 +85,8 @@ _PRIORITY = (
     "hll_estimate_users_md5",
     "cms_heavy_hitters_md5",
     "sketch_cms_after_cdc_md5",
+    # hypertable gap-fill (displacing sq8_ann_topk, r6-green on record)
+    "gapfill_hourly_events",
     # new round 8 — no driver-green row yet (displacing four filler
     # rows green on record since r2/r5: zorder_key_orders,
     # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)

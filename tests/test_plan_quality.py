@@ -446,3 +446,16 @@ def test_cms_probe_joins_counters_no_corpus_reread(spark):
     df = cms_point_estimates(cms, probes, "user_id", depth=4, width=256)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_gapfill_no_cartesian_bounded_shuffles(spark):
+    """Gap-fill: spine joins the aggregate on the (dims, bucket)
+    equi-key — never a cartesian — and all fill windows share one
+    series-keyed sort."""
+    df = QUERIES["gapfill_hourly_events"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # agg, spine side of the join, window repartition (+ driver orderBy
+    # range exchange is not hashpartitioning)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4
+    assert plan.count("Window") <= 2  # wprev + wnext, not per-column

@@ -1,0 +1,103 @@
+"""Gap-fill / interpolation semantics (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.timeseries import (
+    gapfill,
+    time_bucket_s,
+)
+
+
+def _series(spark, points):
+    """points: list of (series, epoch_s, value)."""
+    rows = [
+        (s, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=e), v)
+        for s, e, v in points
+    ]
+    return spark.createDataFrame(rows, "s string, ts timestamp, v double")
+
+
+def test_bucket_is_exact_long_floor(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 59, 59),), (dt.datetime(2024, 1, 1, 11, 0, 0),)],
+        "ts timestamp",
+    )
+    got = [r[0] for r in df.select(time_bucket_s(F.col("ts"), 3600)).collect()]
+    assert got == [1704103200, 1704106800]
+
+
+def test_zero_and_null_fill(spark):
+    df = _series(spark, [("a", 0, 1.0), ("a", 7200, 3.0)])
+    out = gapfill(
+        df,
+        "ts",
+        3600,
+        ["s"],
+        {"n": F.count("*").cast("long"), "mx": F.max("v")},
+        {"n": "zero", "mx": "null"},
+    ).orderBy("bucket_s")
+    rows = out.collect()
+    assert [r["bucket_s"] for r in rows] == [0, 3600, 7200]
+    assert [r["n"] for r in rows] == [1, 0, 1]
+    assert [r["mx"] for r in rows] == [1.0, None, 3.0]
+
+
+def test_locf_carries_only_forward(spark):
+    df = _series(spark, [("a", 3600, 5.0), ("a", 14400, 9.0)])
+    out = gapfill(
+        df, "ts", 3600, ["s"], {"mx": F.max("v")}, {"mx": "locf"}
+    ).orderBy("bucket_s")
+    assert [r["mx"] for r in out.collect()] == [5.0, 5.0, 5.0, 9.0]
+
+
+def test_linear_interpolates_between_neighbors_only(spark):
+    df = _series(
+        spark, [("a", 0, 0.0), ("a", 10800, 9.0), ("a", 14400, 1.0)]
+    )
+    out = gapfill(
+        df, "ts", 3600, ["s"], {"mx": F.max("v")}, {"mx": "linear"}
+    ).orderBy("bucket_s")
+    got = [r["mx"] for r in out.collect()]
+    assert got == [0.0, 3.0, 6.0, 9.0, 1.0]
+
+
+def test_pinned_range_and_multiple_series(spark):
+    df = _series(spark, [("a", 3600, 1.0), ("b", 7200, 2.0)])
+    out = gapfill(
+        df,
+        "ts",
+        3600,
+        ["s"],
+        {"n": F.count("*").cast("long")},
+        {"n": "zero"},
+        start_s=0,
+        end_s=10800,
+    )
+    rows = out.orderBy("s", "bucket_s").collect()
+    assert [(r["s"], r["bucket_s"], r["n"]) for r in rows] == [
+        ("a", 0, 0),
+        ("a", 3600, 1),
+        ("a", 7200, 0),
+        ("b", 0, 0),
+        ("b", 3600, 0),
+        ("b", 7200, 1),
+    ]
+
+
+def test_edges_stay_null_for_linear_and_locf_leading(spark):
+    df = _series(spark, [("a", 3600, 4.0)])
+    out = gapfill(
+        df,
+        "ts",
+        3600,
+        ["s"],
+        {"mx": F.max("v")},
+        {"mx": "linear"},
+        start_s=0,
+        end_s=10800,
+    ).orderBy("bucket_s")
+    assert [r["mx"] for r in out.collect()] == [None, 4.0, None]
