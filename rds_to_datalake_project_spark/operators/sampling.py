@@ -83,6 +83,46 @@ def mixture_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    quota: int,
+) -> DataFrame:
+    """Weighted sample without replacement, ``quota`` rows per group:
+    the Efraimidis–Spirakis exponential-sort scheme (A-ES) with a
+    deterministic md5 uniform, so inclusion probability scales with
+    the row's weight but the chosen set is identical on any engine,
+    partitioning, or rerun.
+
+    Each row draws ``u = (md5_60(key)+1) / 2^60 ∈ (0, 1]`` and ranks
+    by priority ``-ln(u) / weight`` ascending (one exponential draw
+    with rate = weight — the classic one-pass weighted reservoir
+    order). Rows with ``weight <= 0`` or null never qualify.
+
+    Scale: map-side hash + one per-group window rank — the same cost
+    class as the unweighted quota sample above, and distributable as
+    a bounded per-partition top-k by the window's partial
+    TakeOrdered push-down.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    weight = F.col(weight_col).cast("double")
+    priority = -F.log(u) / weight
+    w = Window.partitionBy(group_col).orderBy(priority, F.col(key_col))
+    return (
+        df.filter(weight > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     key_col: str,

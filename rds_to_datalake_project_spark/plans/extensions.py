@@ -1395,6 +1395,39 @@ ORDER BY doc_id
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample: 25 docs per source drawn with
+    probability ∝ n_chars (Efraimidis–Spirakis order with the
+    deterministic md5 uniform) — the importance-sampling step of a
+    mixture recipe, reproducible across engines."""
+    from rds_to_datalake_project_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample_per_group(docs, "source", "doc_id", "n_chars", quota=25)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY -ln((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE),
+                    doc_id) AS rk
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+)
+WHERE rk <= 25
+ORDER BY doc_id
+"""
+
+
 def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rds_to_datalake_project_spark.operators.sampling import deterministic_split
 
@@ -1826,6 +1859,7 @@ QUERIES = {
     "rolling_fingerprint": rolling_fingerprint,
     "jaccard_allpairs_sample": jaccard_allpairs_sample,
     "sample_docs_per_source": sample_docs_per_source,
+    "weighted_sample_docs": weighted_sample_docs,
     "train_test_split_counts": train_test_split_counts,
     "ivf_trained_topk": ivf_trained_topk,
 }
@@ -1874,6 +1908,7 @@ ORACLES = {
     "media_decode_stats": MEDIA_DECODE_SQL,
     "video_frame_plan": VIDEO_FRAME_SQL,
     "sample_docs_per_source": SAMPLE_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "train_test_split_counts": SPLIT_SQL,
 }
 

@@ -76,7 +76,6 @@ _PRIORITY = (
     "text_quality",
     "token_count_by_source",
     "pack_documents",
-    "sample_docs_per_source",
     "contamination_docs",
     # round-8 third wave: mergeable sketch layer (displacing
     # tfidf_top_terms, neardup_components, ann_topk_cosine,
@@ -85,8 +84,10 @@ _PRIORITY = (
     "hll_estimate_users_md5",
     "cms_heavy_hitters_md5",
     "sketch_cms_after_cdc_md5",
-    # hypertable gap-fill (displacing sq8_ann_topk, r6-green on record)
+    # hypertable gap-fill + weighted sampling (displacing sq8_ann_topk
+    # and orders_intersect_urgent-class fillers, r6-green on record)
     "gapfill_hourly_events",
+    "weighted_sample_docs",
     # new round 8 — no driver-green row yet (displacing four filler
     # rows green on record since r2/r5: zorder_key_orders,
     # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)

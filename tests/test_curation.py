@@ -158,3 +158,36 @@ def test_curate_pipeline_gates_and_dedup(spark, sf_dir):
     out = apply_curation(corpus, dec)
     assert out.count() == dec.filter("keep").count()
     assert {r.doc_id for r in out.select("doc_id").collect()} == kept
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES weighted sampling: quota ≥ group size keeps everything;
+    with a binding quota, heavy rows are overrepresented and the
+    choice is deterministic across reruns."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    # 200 light rows (w=1) + 50 heavy rows (w=100) in one group
+    df = spark.range(250).select(
+        F.lit("g").alias("g"),
+        F.col("id"),
+        F.when(F.col("id") < 50, 100.0).otherwise(1.0).alias("w"),
+    )
+    kept = weighted_sample_per_group(df, "g", "id", "w", quota=40)
+    rows = kept.collect()
+    assert len(rows) == 40
+    heavy = sum(1 for r in rows if r["id"] < 50)
+    # heavy rows are 20% of the pool but carry ~96% of the weight;
+    # expect a clear majority of the sample (loose bound, no flake)
+    assert heavy > 20
+    again = weighted_sample_per_group(df, "g", "id", "w", quota=40).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in rows)
+    # quota covers the pool -> everything with positive weight kept
+    all_kept = weighted_sample_per_group(df, "g", "id", "w", quota=500)
+    assert all_kept.count() == 250
+    # non-positive weights never qualify
+    zw = df.withColumn("w", F.when(F.col("id") == 0, 0.0).otherwise(F.col("w")))
+    assert weighted_sample_per_group(zw, "g", "id", "w", quota=500).count() == 249
