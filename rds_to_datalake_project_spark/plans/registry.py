@@ -73,8 +73,6 @@ _PRIORITY = (
     # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
     # re-confirm correctness while re-benching it)
     "media_resize_stats",
-    "text_quality",
-    "token_count_by_source",
     "pack_documents",
     "contamination_docs",
     # round-8 third wave: mergeable sketch layer (displacing
@@ -88,6 +86,8 @@ _PRIORITY = (
     # and orders_intersect_urgent-class fillers, r6-green on record)
     "gapfill_hourly_events",
     "weighted_sample_docs",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     # new round 8 — no driver-green row yet (displacing four filler
     # rows green on record since r2/r5: zorder_key_orders,
     # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)

@@ -98,5 +98,99 @@ ORDER BY event_type, bucket_s
 """
 
 
-QUERIES = {"gapfill_hourly_events": gapfill_hourly_events}
-ORACLES = {"gapfill_hourly_events": GAPFILL_SQL}
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_S = 86400  # 1 day
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the event stream: first view → first
+    later click → first later purchase, all within one day of the
+    view. k chained step-filtered joins — never a per-user array."""
+    from rds_to_datalake_project_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS, within_s=FUNNEL_WITHIN_S
+    ).orderBy("step")
+
+
+_WIN_US = FUNNEL_WITHIN_S * 1_000_000
+
+FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t0 FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT s1.user_id, s1.t0, MIN(e.ts_us) AS t1
+  FROM s1 LEFT JOIN e
+    ON e.user_id = s1.user_id AND e.event_type = '{FUNNEL_STEPS[1]}'
+   AND e.ts_us > s1.t0 AND e.ts_us <= s1.t0 + {_WIN_US}
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT s2.user_id, s2.t0, s2.t1, MIN(e.ts_us) AS t2
+  FROM s2 LEFT JOIN e
+    ON e.user_id = s2.user_id AND e.event_type = '{FUNNEL_STEPS[2]}'
+   AND s2.t1 IS NOT NULL
+   AND e.ts_us > s2.t1 AND e.ts_us <= s2.t0 + {_WIN_US}
+  GROUP BY 1, 2, 3
+), depth AS (
+  SELECT user_id,
+         CASE WHEN t2 IS NOT NULL THEN 3
+              WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS d
+  FROM s3
+)
+SELECT CAST(t.step AS INTEGER) AS step,
+       CASE t.step WHEN 1 THEN '{FUNNEL_STEPS[0]}'
+                   WHEN 2 THEN '{FUNNEL_STEPS[1]}'
+                   ELSE '{FUNNEL_STEPS[2]}' END AS step_name,
+       COUNT(*) AS n_users
+FROM depth JOIN range(1, 4) t(step) ON t.step <= depth.d
+GROUP BY 1, 2
+ORDER BY step
+"""
+
+COHORT_PERIOD_S = 7 * 86400
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events — first-touch
+    cohorts × active periods, all shuffles on the user key."""
+    from rds_to_datalake_project_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period_s=COHORT_PERIOD_S).orderBy(
+        "cohort_s", "period"
+    )
+
+
+COHORT_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) // {COHORT_PERIOD_S * 1_000_000}) * {COHORT_PERIOD_S} AS p
+  FROM events
+), f AS (
+  SELECT user_id, MIN(p) AS cohort_s FROM b GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, p FROM b
+)
+SELECT cohort_s,
+       CAST((p - cohort_s) / {COHORT_PERIOD_S} AS INTEGER) AS period,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_s, period
+"""
+
+
+QUERIES = {
+    "gapfill_hourly_events": gapfill_hourly_events,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cohort_weekly_retention": cohort_weekly_retention,
+}
+ORACLES = {
+    "gapfill_hourly_events": GAPFILL_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "cohort_weekly_retention": COHORT_SQL,
+}

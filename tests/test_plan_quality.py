@@ -459,3 +459,14 @@ def test_gapfill_no_cartesian_bounded_shuffles(spark):
     # range exchange is not hashpartitioning)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4
     assert plan.count("Window") <= 2  # wprev + wnext, not per-column
+
+
+def test_funnel_step_scans_are_filtered(spark):
+    """Funnel: each chained round scans only ONE step's events (the
+    event-type predicate reaches the scan) and joins on the user
+    equi-key — no cartesian, no full-stream window."""
+    df = QUERIES["funnel_view_click_purchase"](spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    fplan = _formatted_plan(df)
+    assert "PushedFilters" in fplan and "event_type" in fplan
