@@ -63,3 +63,48 @@ def range_join(
         & (F.unix_micros(F.col(point_ts)) < F.unix_micros(F.col(end_ts)))
     )
     return p.join(i, on=cond, how=how).drop(_BIN)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_micros: int = 86_400_000_000,  # 1 day
+) -> DataFrame:
+    """Interval × interval overlap join (half-open semantics:
+    ``l.start < r.end AND r.start < l.end``) in the same binned
+    equi-join form as :func:`range_join`.
+
+    Both sides explode into the bins they cover; candidate pairs meet
+    on the bin equi-key and re-check the exact overlap predicate. A
+    pair of overlapping intervals shares EVERY bin of the overlap
+    region, so the candidate join would emit it once per shared bin —
+    the dedup rides in the join condition itself: a pair is kept only
+    in the FIRST bin both cover (``bin == max(l_bin0, r_bin0)``),
+    which keeps the join one-shuffle and collapse-free (no distinct
+    over the pair blowup).
+
+    Cost: |L|·(len/bin+1) + |R|·(len/bin+1) exploded rows, one hash
+    shuffle, per-bin compares — vs. the BroadcastNestedLoopJoin O(L×R)
+    Spark would pick for the raw predicate.
+    """
+    ls, le = F.unix_micros(F.col(left_start)), F.unix_micros(F.col(left_end))
+    rs, re_ = F.unix_micros(F.col(right_start)), F.unix_micros(F.col(right_end))
+
+    l = left.withColumn("__bin0", F.floor(ls / bin_micros)).withColumn(
+        _BIN, F.explode(F.sequence(F.col("__bin0"), F.floor((le - 1) / bin_micros)))
+    ).alias("l")
+    r = right.withColumn("__bin0", F.floor(rs / bin_micros)).withColumn(
+        _BIN, F.explode(F.sequence(F.col("__bin0"), F.floor((re_ - 1) / bin_micros)))
+    ).alias("r")
+    overlap = (
+        F.unix_micros(F.col(left_start)) < F.unix_micros(F.col(right_end))
+    ) & (F.unix_micros(F.col(right_start)) < F.unix_micros(F.col(left_end)))
+    first_shared = F.col(f"l.{_BIN}") == F.greatest(
+        F.col("l.__bin0"), F.col("r.__bin0")
+    )
+    cond = (F.col(f"l.{_BIN}") == F.col(f"r.{_BIN}")) & overlap & first_shared
+    return l.join(r, on=cond, how="inner").drop(_BIN, "__bin0")

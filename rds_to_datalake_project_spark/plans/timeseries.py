@@ -184,13 +184,81 @@ ORDER BY cohort_s, period
 """
 
 
+def overlap_user_promo_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: per-user daily activity
+    spans (every 10th user) × per-event-type weekly promo windows
+    (first occurrence + 2 days), via the binned one-shuffle form —
+    the raw predicate would be a BroadcastNestedLoopJoin."""
+    from rds_to_datalake_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    from rds_to_datalake_project_spark.operators.timeseries import time_bucket_s
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    left = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", time_bucket_s(F.col("ts"), 86400).alias("day_s"))
+        .agg(
+            F.timestamp_micros(F.min(us)).alias("ls"),
+            F.timestamp_micros(F.max(us) + 1).alias("le"),
+        )
+    )
+    right = (
+        ev.groupBy(
+            "event_type", time_bucket_s(F.col("ts"), 7 * 86400).alias("week_s")
+        )
+        .agg(F.min(us).alias("w0"))
+        .select(
+            "event_type",
+            "week_s",
+            F.timestamp_micros(F.col("w0")).alias("rs"),
+            F.timestamp_micros(F.col("w0") + 2 * 86400 * 1_000_000).alias("re"),
+        )
+    )
+    j = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_micros=86_400_000_000
+    )
+    ov = F.least(F.unix_micros("le"), F.unix_micros("re")) - F.greatest(
+        F.unix_micros("ls"), F.unix_micros("rs")
+    )
+    return j.select(
+        "user_id", "day_s", "event_type", "week_s", ov.alias("overlap_us")
+    ).orderBy("user_id", "day_s", "event_type", "week_s")
+
+
+OVERLAP_SQL = """
+WITH l AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+         MIN(epoch_us(ts)) AS ls,
+         MAX(epoch_us(ts)) + 1 AS le
+  FROM events WHERE user_id % 10 = 0
+  GROUP BY 1, 2
+), r AS (
+  SELECT event_type,
+         (epoch_us(ts) // 604800000000) * 604800 AS week_s,
+         MIN(epoch_us(ts)) AS rs,
+         MIN(epoch_us(ts)) + 172800000000 AS re
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT l.user_id, l.day_s, r.event_type, r.week_s,
+       least(l.le, r.re) - greatest(l.ls, r.rs) AS overlap_us
+FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+ORDER BY user_id, day_s, event_type, week_s
+"""
+
+
 QUERIES = {
     "gapfill_hourly_events": gapfill_hourly_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_weekly_retention": cohort_weekly_retention,
+    "overlap_user_promo_spans": overlap_user_promo_spans,
 }
 ORACLES = {
     "gapfill_hourly_events": GAPFILL_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_weekly_retention": COHORT_SQL,
+    "overlap_user_promo_spans": OVERLAP_SQL,
 }

@@ -107,3 +107,40 @@ def test_cohort_retention_triangle(spark):
     assert out[(c0, 2)] == 2
     assert out[(c1, 0)] == 1
     assert (c1, 1) not in out
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Binned interval×interval join = brute-force cross+filter, each
+    qualifying pair exactly once (incl. multi-bin overlaps)."""
+    import datetime as dt
+
+    from rds_to_datalake_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), ts(5)), (2, ts(10), ts(60)), (3, ts(100), ts(101))],
+        "lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, ts(4), ts(11)), (20, ts(30), ts(90)), (30, ts(200), ts(201)),
+         (40, ts(0), ts(120))],
+        "rid long, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_micros=3_600_000_000
+        ).collect()
+    )
+    brute = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect()
+    )
+    assert got == brute
+    assert (1, 10) in got and (2, 20) in got and (3, 30) not in got

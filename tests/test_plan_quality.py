@@ -470,3 +470,13 @@ def test_funnel_step_scans_are_filtered(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     fplan = _formatted_plan(df)
     assert "PushedFilters" in fplan and "event_type" in fplan
+
+
+def test_interval_overlap_join_is_hash_not_nestedloop(spark):
+    """Overlap join: the binned form must execute as a hash join on
+    the bin key — the raw predicate alone would pick
+    BroadcastNestedLoopJoin (the O(L×R) scale-killer)."""
+    df = QUERIES["overlap_user_promo_spans"](spark, SF)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
