@@ -60,6 +60,15 @@ HEADLINE = [
     "ann_index_served_topk",
     "ann_index_ivf_topk",
     "sql_dml_roundtrip",
+    # round-8 surfaces: mergeable sketches, gap-fill, behavioral
+    # analytics, weighted sampling, interval-overlap join
+    "hll_estimate_users_md5",
+    "cms_heavy_hitters_md5",
+    "gapfill_hourly_events",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "weighted_sample_docs",
+    "overlap_user_promo_spans",
 ]
 
 

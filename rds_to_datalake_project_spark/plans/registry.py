@@ -14,6 +14,7 @@ from rds_to_datalake_project_spark.plans import (
     governance,
     relational,
     sketches,
+    textsearch,
     timeseries,
     tpch_extra,
 )
@@ -27,6 +28,7 @@ _MODULES = (
     governance,
     sketches,
     timeseries,
+    textsearch,
 )
 
 # The driver's correctness report covers the FIRST 50 registry entries only.
@@ -74,7 +76,6 @@ _PRIORITY = (
     # re-confirm correctness while re-benching it)
     "media_resize_stats",
     "pack_documents",
-    "contamination_docs",
     # round-8 third wave: mergeable sketch layer (displacing
     # tfidf_top_terms, neardup_components, ann_topk_cosine,
     # neardup_cosine_pairs — all r6-green on record)
@@ -88,6 +89,7 @@ _PRIORITY = (
     "weighted_sample_docs",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "text_index_search",
     # new round 8 — no driver-green row yet (displacing four filler
     # rows green on record since r2/r5: zorder_key_orders,
     # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)

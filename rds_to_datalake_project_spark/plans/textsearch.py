@@ -1,0 +1,87 @@
+"""Inverted-index search driver query: full service lifecycle (build
+at load, incremental append on an insert-only CDC batch, pruned
+AND-search) hash-checked against a DuckDB twin that recomputes the
+postings from the final corpus state from scratch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.catalog import load_table
+
+SEARCH_TERMS = ["vector", "hash", "merge"]
+
+
+def _scratch(name: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "sg_scratch", name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load 3/4 of the documents corpus with the text-index service
+    attached, insert the remaining quarter as a CDC batch (insert-only
+    → incremental posting append), then AND-search three terms via the
+    pruned posting read. The oracle tokenizes the WHOLE corpus in SQL
+    — equal only if build + incremental append + search semantics all
+    agree."""
+    from rds_to_datalake_project_spark.operators.text_index import (
+        attach_text_index_maintenance,
+        search_and,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(0).cast("long").alias("seq")
+    )
+    spec = TableSpec(
+        "docs_ti",
+        record_key=("doc_id",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("text_idx") + "/t", spec, retain_versions=4)
+    attach_text_index_maintenance(t, "doc_id", "text")
+    t.initial_load(docs.filter(F.col("doc_id") % 4 != 0))
+    t.upsert(
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    out = search_and(t, SEARCH_TERMS)
+    return out.select(F.col("id").alias("doc_id"), "rank").orderBy(
+        F.col("rank").desc(), "doc_id"
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+TEXT_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+')) AS term
+  FROM documents
+), posts AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT term) AS nt, SUM(tf) AS rank
+  FROM posts WHERE term IN ({_TERMS_SQL})
+  GROUP BY 1
+)
+SELECT doc_id, rank FROM hits
+WHERE nt = {len(SEARCH_TERMS)}
+ORDER BY rank DESC, doc_id
+"""
+
+
+QUERIES = {"text_index_search": text_index_search}
+ORACLES = {"text_index_search": TEXT_SEARCH_SQL}
