@@ -83,5 +83,46 @@ ORDER BY rank DESC, doc_id
 """
 
 
-QUERIES = {"text_index_search": text_index_search}
-ORACLES = {"text_index_search": TEXT_SEARCH_SQL}
+def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join: BUILDING-segment customer names within
+    1 edit of each other, via the FastSS deletion-neighborhood
+    equi-join (operators/fuzzyjoin.py) — never an all-pairs kernel.
+    The oracle IS the all-pairs levenshtein (exact by construction),
+    so hash-equality proves the banded plan has 100% recall AND
+    precision; the hash mode only shapes candidates, which the exact
+    verify collapses, so the prod xxhash64 path is directly
+    oracle-checkable (unlike the MinHash family)."""
+    from rds_to_datalake_project_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    pairs = fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1)
+    return pairs.select(
+        F.col("a_id").alias("a_custkey"),
+        F.col("b_id").alias("b_custkey"),
+        "dist",
+    ).orderBy("a_custkey", "b_custkey")
+
+
+FUZZY_CUSTOMER_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT a.c_custkey AS a_custkey,
+       b.c_custkey AS b_custkey,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_custkey, b_custkey
+"""
+
+
+QUERIES = {
+    "text_index_search": text_index_search,
+    "fuzzy_customer_pairs": fuzzy_customer_pairs,
+}
+ORACLES = {
+    "text_index_search": TEXT_SEARCH_SQL,
+    "fuzzy_customer_pairs": FUZZY_CUSTOMER_SQL,
+}
