@@ -145,3 +145,57 @@ def gapfill(
         F.timestamp_seconds(b).alias("bucket_ts"),
         *[expr.alias(c) for c, expr in out_cols.items()],
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    dims: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int,
+    z: int = 2,
+) -> DataFrame:
+    """Rolling z-score anomaly flags in EXACT integer arithmetic.
+
+    For each row x ordered by ``order_col`` within a series (``dims``),
+    compare x against the mean/stddev of the previous ``lookback``
+    rows:  |x - mean| > z * stddev_pop  is evaluated as the
+    cross-multiplied integer identity
+
+        (n*x - S)^2  >  z^2 * (n*SS - S^2)
+
+    (n = frame row count, S = frame sum, SS = frame sum of squares),
+    so there is NO floating point anywhere — the flag is bit-stable
+    across engines, partition counts, and summation orders, unlike a
+    ``stddev_samp`` formulation. Rows with an incomplete frame
+    (n < lookback) are never flagged.
+
+    Preconditions: ``value_col`` integral; (``dims``, ``order_col``)
+    unique per row (a ROWS frame over ties is nondeterministic);
+    values within the int64 envelope ``lookback * |x| < 3.0e9`` (hourly
+    counts of ~1.2e8 per series at lookback 24) — pre-scale coarser
+    series before flagging past that.
+
+    Plan shape: ONE window shuffle partitioned by the series key —
+    1000 executors spread series, not time; all four statistics share
+    the same frame so Spark computes them in a single pass.
+    """
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col).cast("long")
+    n = F.count(value_col).over(w)
+    s = F.coalesce(F.sum(x).over(w), F.lit(0).cast("long"))
+    ss = F.coalesce(F.sum(x * x).over(w), F.lit(0).cast("long"))
+    dev = n * x - s
+    flagged = (n == F.lit(lookback)) & (
+        dev * dev > F.lit(int(z) * int(z)) * (n * ss - s * s)
+    )
+    return (
+        df.withColumn("win_n", n)
+        .withColumn("win_sum", s)
+        .withColumn("win_ss", ss)
+        .withColumn("is_anomaly", flagged)
+    )

@@ -250,14 +250,66 @@ ORDER BY user_id, day_s, event_type, week_s
 """
 
 
+_LOOKBACK = 24
+_Z = 2
+
+
+def rolling_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type counts flagged against the trailing
+    24-hour mean/stddev — the cross-multiplied integer z-score of
+    operators/timeseries.py:rolling_anomaly, so the flag is exact and
+    hash-stable (no stddev floats cross the engine boundary)."""
+    from rds_to_datalake_project_spark.operators.timeseries import (
+        rolling_anomaly,
+        time_bucket_s,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", time_bucket_s(F.col("ts"), WIDTH_S).alias("bucket_s")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    out = rolling_anomaly(
+        hourly, ["event_type"], "bucket_s", "n_events", _LOOKBACK, _Z
+    )
+    return out.select(
+        "event_type", "bucket_s", "n_events", "win_n", "is_anomaly"
+    ).orderBy("event_type", "bucket_s")
+
+
+ROLLING_ANOMALY_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         (epoch_us(ts) // {WIDTH_S * 1_000_000}) * {WIDTH_S} AS bucket_s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, bucket_s, n_events,
+         COUNT(n_events) OVER w AS win_n,
+         COALESCE(SUM(n_events) OVER w, 0) AS s,
+         COALESCE(SUM(n_events * n_events) OVER w, 0) AS ss
+  FROM agg
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+               ROWS BETWEEN {_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_s, n_events, win_n,
+       (win_n = {_LOOKBACK} AND
+        (win_n * n_events - s) * (win_n * n_events - s)
+          > {_Z * _Z} * (win_n * ss - s * s)) AS is_anomaly
+FROM win
+ORDER BY event_type, bucket_s
+"""
+
+
 QUERIES = {
     "gapfill_hourly_events": gapfill_hourly_events,
+    "rolling_anomaly_hours": rolling_anomaly_hours,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_weekly_retention": cohort_weekly_retention,
     "overlap_user_promo_spans": overlap_user_promo_spans,
 }
 ORACLES = {
     "gapfill_hourly_events": GAPFILL_SQL,
+    "rolling_anomaly_hours": ROLLING_ANOMALY_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_weekly_retention": COHORT_SQL,
     "overlap_user_promo_spans": OVERLAP_SQL,

@@ -101,3 +101,39 @@ def test_edges_stay_null_for_linear_and_locf_leading(spark):
         end_s=10800,
     ).orderBy("bucket_s")
     assert [r["mx"] for r in out.collect()] == [None, 4.0, None]
+
+
+def test_rolling_anomaly_exact_flags(spark):
+    from rds_to_datalake_project_spark.operators.timeseries import rolling_anomaly
+
+    # series a: flat 10s then a spike; lookback 4
+    pts = [("a", i, 10) for i in range(6)] + [("a", 6, 50)]
+    # series b: too short for a full frame anywhere after the ramp
+    pts += [("b", 0, 5), ("b", 1, 5), ("b", 2, 500)]
+    df = spark.createDataFrame(pts, "s string, t long, v long")
+    out = rolling_anomaly(df, ["s"], "t", "v", lookback=4, z=2)
+    rows = {(r["s"], r["t"]): r for r in out.collect()}
+    # flat region: dev=0 -> not anomalous (note: 0 > 0 is false)
+    assert not rows[("a", 5)]["is_anomaly"]
+    # spike: frame = [10,10,10,10], n=4, S=40, SS=400, x=50
+    # (4*50-40)^2 = 25600 > 4*(4*400-1600) = 0 -> anomaly
+    assert rows[("a", 6)]["is_anomaly"]
+    # incomplete frames never flag, even with a huge spike
+    assert not rows[("b", 2)]["is_anomaly"]
+    assert rows[("b", 2)]["win_n"] == 2
+    # leading rows: empty/partial frame, not flagged
+    assert not rows[("a", 0)]["is_anomaly"]
+
+
+def test_rolling_anomaly_boundary_is_strict(spark):
+    from rds_to_datalake_project_spark.operators.timeseries import rolling_anomaly
+
+    # frame [0, 2], x must satisfy (2x-2)^2 > 4*(2*4-4) = 16
+    # x=3: (4)^2=16 -> NOT anomalous (strict); x=4: 36 > 16 -> anomalous
+    pts = [("s", 0, 0), ("s", 1, 2), ("s", 2, 3), ("s", 3, 4)]
+    df = spark.createDataFrame(pts, "s string, t long, v long")
+    out = rolling_anomaly(df, ["s"], "t", "v", lookback=2, z=2)
+    rows = {r["t"]: r["is_anomaly"] for r in out.collect()}
+    assert rows[2] is False
+    # t=3 frame is [2,3]: (2*4-5)^2=9 > 4*(2*13-25)=4 -> anomalous
+    assert rows[3] is True
