@@ -709,6 +709,61 @@ ORDER BY o_orderkey, _change_type
 """
 
 
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval view of the versioned fixture
+    (operators/scd.py): one row per (o_orderkey, o_totalprice) run
+    across commits 0..2 with valid_from/valid_to commit bounds. The
+    oracle restates the three snapshots in closed form over orders and
+    collapses them with the same break/segment window — equal only if
+    read_as_of, gap-break (delete then re-insert), and interval
+    bounds all agree."""
+    from rds_to_datalake_project_spark.operators.scd import scd2_history
+
+    t = _versioned_orders(spark, sf_dir)
+    return scd2_history(t, ["o_totalprice"]).orderBy("o_orderkey", "valid_from")
+
+
+SCD2_SQL = """
+WITH s0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+), s1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), s2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+              WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+), u AS (
+  SELECT 0 AS v, * FROM s0
+  UNION ALL SELECT 1, * FROM s1
+  UNION ALL SELECT 2, * FROM s2
+), m AS (
+  SELECT *,
+         CASE WHEN lag(v) OVER w IS NULL
+                OR lag(v) OVER w <> v - 1
+                OR lag(o_totalprice) OVER w IS DISTINCT FROM o_totalprice
+              THEN 1 ELSE 0 END AS brk
+  FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY o_orderkey ORDER BY v) AS seg FROM m
+)
+SELECT o_orderkey, o_totalprice,
+       MIN(v) AS valid_from,
+       CASE WHEN MAX(v) < 2 THEN MAX(v) + 1 END AS valid_to,
+       MAX(v) = 2 AS is_current
+FROM g GROUP BY o_orderkey, o_totalprice, seg
+ORDER BY o_orderkey, valid_from
+"""
+
+
 def sql_timetravel_changed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the SQL FACADE: one run_query joining two
     ``FOR VERSION AS OF`` snapshots of the same lake table (sql.py
@@ -1383,6 +1438,7 @@ ORDER BY batch_id, corpus_id
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
+    "scd2_orders_history": scd2_orders_history,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
     "dedup_latest_per_key": dedup_latest_per_key,
@@ -1422,6 +1478,7 @@ ORACLES = {
     "indexed_point_lookup": INDEXED_LOOKUP_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
+    "scd2_orders_history": SCD2_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,
     "dedup_latest_per_key": DEDUP_SQL,

@@ -1,0 +1,69 @@
+"""SCD Type-2 reconstruction from retained snapshots (operators/scd.py)."""
+
+from __future__ import annotations
+
+from rds_to_datalake_project_spark.operators.scd import scd2_history
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+from tests.test_crash_recovery import BATCH_COLS, INIT_COLS
+
+SPEC = TableSpec(
+    "scd",
+    record_key=("id",),
+    precombine_key="update_at",
+    partition_source="create_at",
+    partition_granularity="month",
+)
+
+V0 = [
+    ("r1", "2024-01-05T00:00:00", "2024-01-05T00:00:00", "a1"),
+    ("r2", "2024-02-05T00:00:00", "2024-02-05T00:00:00", "a2"),
+]
+B1 = [  # r1 value changes; r2 deleted
+    ("r1", "2024-01-05T00:00:00", "2024-05-01T00:00:00", "b1", "U"),
+    ("r2", "2024-02-05T00:00:00", "2024-05-01T00:00:00", "x", "D"),
+]
+B2 = [  # r2 re-inserted with its ORIGINAL value; r1 unchanged
+    ("r2", "2024-02-05T00:00:00", "2024-06-01T00:00:00", "a2", "I"),
+]
+
+
+def _hist(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "scd"), SPEC, retain_versions=5)
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    for b in (B1, B2):
+        t.upsert(spark.createDataFrame(b, BATCH_COLS), delete_mode="apply")
+    return scd2_history(t, ["val"])
+
+
+def test_scd2_intervals(spark, tmp_path):
+    rows = {
+        (r["id"], r["valid_from"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in _hist(spark, tmp_path).collect()
+    }
+    # r1: a1 held [0, 1), b1 held [1, current)
+    assert rows[("r1", 0)] == ("a1", 1, False)
+    assert rows[("r1", 1)] == ("b1", None, True)
+    # r2: a2 held [0, 1) — DELETED at 1 — re-inserted (same value!) at 2.
+    # The gap must split the history into TWO segments, not one.
+    assert rows[("r2", 0)] == ("a2", 1, False)
+    assert rows[("r2", 2)] == ("a2", None, True)
+    assert len(rows) == 4
+
+
+def test_scd2_respects_explicit_version_subset(spark, tmp_path):
+    df = _hist(spark, tmp_path)  # builds the table
+    # restricting to the last two commits: r2 appears only at commit 2
+    from rds_to_datalake_project_spark.operators.scd import scd2_history as h
+
+    # re-open the table from the first call via the DataFrame's lineage is
+    # not possible; rebuild the handle instead
+    t = KeyedTable(spark, str(tmp_path / "scd"), SPEC, retain_versions=5)
+    rows = {
+        (r["id"], r["valid_from"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in h(t, ["val"], versions=[1, 2]).collect()
+    }
+    assert rows[("r1", 1)] == ("b1", None, True)
+    assert rows[("r2", 2)] == ("a2", None, True)
+    assert len(rows) == 2
