@@ -748,7 +748,80 @@ ORDER BY s_name
 """
 
 
+# --- PageRank over the customer↔supplier trade graph ------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_SUPP_OFF = 1_000_000  # supplier node-id offset (disjoint from custkeys)
+
+
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/pagerank.py) on the symmetrized
+    customer↔supplier graph induced by orders ⋈ lineitem. Integer
+    micro-unit ranks make the iterative result bit-identical to the
+    oracle's three hand-unrolled CTE iterations — a float PageRank
+    could never hash-match across engines."""
+    from rds_to_datalake_project_spark.operators.pagerank import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _SUPP_OFF).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("s") + _SUPP_OFF).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE).orderBy("node")
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT nd.node,
+         (SELECT (15 * {_PR_SCALE}) // (100 * n) FROM p)
+           + COALESCE(s.m, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.outdeg)) AS m
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON nd.node = s.node
+)"""
+
+
+PAGERANK_SQL = (
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT c AS src, s + {_SUPP_OFF} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {_SUPP_OFF} AS src, c AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes, p
+), """
+    + ",\n".join(
+        _pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    + f"""
+SELECT node, r FROM r{_PR_ITERS} ORDER BY node
+"""
+)
+
+
 QUERIES = {
+    "pagerank_trade_graph": pagerank_trade_graph,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q11_important_part_value": q11_important_part_value,
@@ -767,6 +840,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pagerank_trade_graph": PAGERANK_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q11_important_part_value": Q11_SQL,
