@@ -677,7 +677,83 @@ ORDER BY l_returnflag
 """
 
 
+# --- pivot / unpivot (wide <-> long reshaping) -------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _nation_priority_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = orders.join(
+        F.broadcast(cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    # pinned pivot values: no extra distinct-scan pass, stable schema
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(_dsum(F.col("o_totalprice")))
+    )
+
+
+def pivot_nation_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with PINNED values (skipping Spark's extra
+    distinct pass — mandatory at 100 TB) over a broadcast dim join;
+    decimal-accumulated sums keep the wide cells bit-stable."""
+    return _nation_priority_wide(spark, sf_dir).orderBy("n_name")
+
+
+PIVOT_SQL = """
+SELECT n_name,
+       {cells}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""".format(
+    cells=",\n       ".join(
+        "CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN "
+        "CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS \"{p}\"".format(p=p)
+        for p in _PRIORITIES
+    )
+)
+
+
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt() is pivot's inverse: reshape the wide table back to long
+    and the result must equal the direct long aggregate the oracle
+    states — pivot, unpivot, column naming, and null-cell semantics
+    all have to agree for the hash to match."""
+    wide = _nation_priority_wide(spark, sf_dir)
+    long = wide.melt(
+        ids=["n_name"],
+        values=_PRIORITIES,
+        variableColumnName="priority",
+        valueColumnName="revenue",
+    )
+    return long.filter(F.col("revenue").isNotNull()).orderBy("n_name", "priority")
+
+
+UNPIVOT_SQL = """
+SELECT n_name,
+       o_orderpriority AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name, o_orderpriority
+ORDER BY n_name, priority
+"""
+
+
 QUERIES = {
+    "pivot_nation_priority_revenue": pivot_nation_priority_revenue,
+    "unpivot_roundtrip": unpivot_roundtrip,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -700,6 +776,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pivot_nation_priority_revenue": PIVOT_SQL,
+    "unpivot_roundtrip": UNPIVOT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,

@@ -1040,3 +1040,30 @@ def test_containment_prefix_full_recall_property(spark):
         assert indexed == brute
 
     check()
+
+
+def test_pivot_unpivot_roundtrip_consistent(spark, sf_dir):
+    """melt(pivot(x)) must equal the direct long aggregate."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.plans.relational import (
+        _PRIORITIES,
+        unpivot_roundtrip,
+    )
+    from rds_to_datalake_project_spark.catalog import load_table
+    from rds_to_datalake_project_spark.plans.relational import _dsum
+
+    got = unpivot_roundtrip(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    direct = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.col("o_orderpriority").alias("priority"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+    assert set(got.select("priority").distinct().toPandas()["priority"]) <= set(
+        _PRIORITIES
+    )
