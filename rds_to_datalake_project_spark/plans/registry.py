@@ -50,7 +50,6 @@ _PRIORITY = (
     "indexed_point_lookup",
     "ann_index_served_topk",
     "lsh_index_screen_md5",
-    "hypertable_rollup",
     "lake_table_changes",
     "ann_index_ivf_topk",
     # r1/r2-stale tier — rows last refreshed 5+ rounds ago
@@ -72,10 +71,9 @@ _PRIORITY = (
     "curate_documents_decisions",
     "chunk_documents_windows",
     "mixture_sample_counts",
-    # r5/r6-era fillers (media_resize_stats is the r7 bench regressor —
-    # re-confirm correctness while re-benching it)
-    "media_resize_stats",
-    "pack_documents",
+    # media_resize_stats (the r7 bench regressor) is watched via
+    # BENCH_r08's number — its correctness row is r6-green on record
+    # and operators/multimodal.py is untouched this round.
     # round-8 third wave: mergeable sketch layer (displacing
     # tfidf_top_terms, neardup_components, ann_topk_cosine,
     # neardup_cosine_pairs — all r6-green on record)
@@ -107,6 +105,12 @@ _PRIORITY = (
     # SQL-facade matview verbs (displacing train_test_split_counts,
     # r6-green on record)
     "sql_matview_roundtrip",
+    # round-8 fourth wave: SCD-2 history, fixed-point PageRank, FastSS
+    # fuzzy join (displacing hypertable_rollup and pack_documents —
+    # r7/r6-green on record, untouched this round)
+    "scd2_orders_history",
+    "pagerank_trade_graph",
+    "fuzzy_customer_pairs",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
