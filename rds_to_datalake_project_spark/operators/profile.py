@@ -115,3 +115,69 @@ def column_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Fold per-slice equi-width histograms (same bin spec) into one —
+    counts are trivially mergeable, which is the whole point of the
+    fixed-edge design: per-file histograms in a sidecar roll up to the
+    table histogram without touching data."""
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionByName(h)
+    return (
+        u.groupBy("bucket", "lo_edge", "hi_edge")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    percents: list[int],
+) -> DataFrame:
+    """Approximate quantiles by histogram-CDF inversion — the SCALE
+    path next to the exact-percentile query (which needs a full sort):
+    ONE aggregate pass builds fixed-edge bucket counts; the p-th
+    quantile estimate is the first bucket whose cumulative count
+    reaches ``ceil(N * p / 100)``, reported as that bucket's
+    ``[lo_edge, hi_edge)`` bracket — error bounded by one bucket
+    width, and DETERMINISTIC (integer rank + fixed edges), unlike
+    ``approx_percentile``'s sketch, so it cross-engine hash-checks.
+
+    Everything after the single data-scan aggregate runs over
+    ``n_buckets`` rows (driver-small). Output:
+    ``p, total, rank, bucket, lo_edge, hi_edge``.
+    """
+    from pyspark.sql import Window
+
+    h = column_histogram(df, col, lo, hi, n_buckets)
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("cum", F.sum("n_rows").over(w_cum)).withColumn(
+        "total",
+        F.sum("n_rows").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    x = cum.select(
+        "bucket",
+        "cum",
+        "total",
+        F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p"),
+    ).withColumn("rank", F.expr("(total * p + 99) DIV 100"))
+    hit = (
+        x.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("p", "total", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        hit.join(h.select("bucket", "lo_edge", "hi_edge"), "bucket")
+        .select("p", "total", "rank", "bucket", "lo_edge", "hi_edge")
+        .orderBy("p")
+    )

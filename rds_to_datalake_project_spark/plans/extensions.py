@@ -2238,6 +2238,65 @@ QUERIES["price_histogram"] = price_histogram
 ORACLES["price_histogram"] = PRICE_HISTOGRAM_SQL
 
 
+_HQ_PCTS = (25, 50, 75, 90, 99)
+
+
+def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-CDF quantile brackets of order totals
+    (operators/profile.histogram_quantiles) — the mergeable,
+    one-scan scale path beside the exact-sort percentile query.
+    Integer rank inversion over fixed edges makes the sketch
+    deterministic enough to hash-check cross-engine, which
+    approx_percentile never could."""
+    from rds_to_datalake_project_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_quantiles(
+        orders, "o_totalprice", 0.0, 600_000.0, 24, list(_HQ_PCTS)
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH params AS (
+  SELECT 0.0 AS lo, 600000.0 AS hi, 24 AS nb
+), counts AS (
+  SELECT LEAST(p.nb - 1, GREATEST(0,
+           CAST(floor((CAST(o.o_totalprice AS DOUBLE) - p.lo)
+                      / ((p.hi - p.lo) / p.nb)) AS INT))) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders o CROSS JOIN params p
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1
+), buckets AS (
+  SELECT CAST(b.b AS INT) AS bucket,
+         p.lo + b.b * (p.hi - p.lo) / p.nb AS lo_edge,
+         p.lo + (b.b + 1) * (p.hi - p.lo) / p.nb AS hi_edge,
+         COALESCE(c.n_rows, 0) AS n_rows
+  FROM params p, unnest(range(0, 24)) AS b(b)
+  LEFT JOIN counts c ON c.bucket = CAST(b.b AS INT)
+), cum AS (
+  SELECT bucket, lo_edge, hi_edge,
+         SUM(n_rows) OVER (ORDER BY bucket) AS cum,
+         SUM(n_rows) OVER () AS total
+  FROM buckets
+), pts AS (
+  SELECT p, (c.total * p + 99) // 100 AS rank, c.total, c.bucket, c.cum
+  FROM cum c CROSS JOIN (SELECT unnest({list(_HQ_PCTS)}) AS p)
+), hit AS (
+  SELECT p, total, rank, MIN(bucket) AS bucket
+  FROM pts WHERE cum >= rank GROUP BY p, total, rank
+)
+SELECT h.p, h.total, h.rank, h.bucket, b.lo_edge, b.hi_edge
+FROM hit h JOIN buckets b ON b.bucket = h.bucket
+ORDER BY h.p
+"""
+
+QUERIES["histogram_quantiles_price"] = histogram_quantiles_price
+ORACLES["histogram_quantiles_price"] = HISTOGRAM_QUANTILES_SQL
+
+
 def zorder3_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-dimensional Morton key over (custkey, orderkey, price-bucket)
     — the N-dim generalization behind cluster_by_zorder_n

@@ -159,3 +159,37 @@ def test_attach_maintenance_follows_commits(spark, tmp_path):
     assert est[0] == pytest.approx(3, abs=1)
     fresh = cms_counters(t.read(), "cat", depth=4, width=256)
     assert cms.exceptAll(fresh).count() == 0 and fresh.exceptAll(cms).count() == 0
+
+
+def test_histogram_quantiles_brackets_exact_quantile(spark):
+    """The p-quantile bracket must contain the true p-quantile, and
+    per-slice histograms must merge to the whole-table answer."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.profile import (
+        column_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    vals = list(range(1000))  # uniform 0..999
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {
+        r["p"]: (r["lo_edge"], r["hi_edge"], r["rank"])
+        for r in histogram_quantiles(df, "x", 0.0, 1000.0, 20, [50, 90, 99]).collect()
+    }
+    import math
+
+    for p, (lo, hi, rank) in out.items():
+        assert rank == math.ceil(1000 * p / 100)
+        true_q = sorted(vals)[rank - 1]
+        assert lo <= true_q < hi, (p, lo, hi, true_q)
+
+    # mergeability: two halves fold to the whole
+    h_all = column_histogram(df, "x", 0.0, 1000.0, 20)
+    h1 = column_histogram(df.filter(F.col("x") < 500), "x", 0.0, 1000.0, 20)
+    h2 = column_histogram(df.filter(F.col("x") >= 500), "x", 0.0, 1000.0, 20)
+    merged = merge_histograms(h1, h2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, h_all.collect())
+    )
