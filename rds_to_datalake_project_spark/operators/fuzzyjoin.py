@@ -46,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_join", "fuzzy_self_join"]
+__all__ = [
+    "deletion_variants",
+    "fuzzy_join",
+    "fuzzy_self_join",
+    "resolve_entities",
+]
 
 
 def _del1(s: str) -> str:
@@ -165,3 +170,37 @@ def fuzzy_join(
     return cand.withColumn(
         "dist", F.levenshtein("left_str", "right_str")
     ).filter(F.col("dist") <= max_dist)
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Entity resolution: cluster rows whose strings are transitively
+    within ``max_dist`` edits and label each row with its canonical
+    ``entity_id`` (the minimum id in its cluster; singletons keep
+    their own id).
+
+    Composition of two exact primitives — the FastSS fuzzy self-join
+    (pairwise edges, equi-join shaped) and min-label connected
+    components (operators/components.py, pointer-jumping) — so the
+    result is deterministic and cross-engine checkable end to end.
+    A chain a~b~c lands in ONE entity even when ed(a, c) > max_dist
+    (transitive closure, the standard record-linkage semantics).
+    """
+    from rds_to_datalake_project_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = fuzzy_self_join(df, id_col, str_col, max_dist, hash_mode)
+    comp = connected_components(pairs.select("a_id", "b_id")).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("entity_id", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+    )

@@ -118,11 +118,53 @@ ORDER BY a_custkey, b_custkey
 """
 
 
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage end to end: FastSS fuzzy edges + min-label
+    connected components (operators/fuzzyjoin.py:resolve_entities) —
+    every BUILDING customer labeled with its canonical entity. The
+    oracle recomputes the all-pairs edge set and closes it with a
+    recursive CTE, so candidate recall, the exact verify, AND the
+    transitive closure are all hash-proved together."""
+    from rds_to_datalake_project_spark.operators.fuzzyjoin import resolve_entities
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    out = resolve_entities(cust, "c_custkey", "c_name", max_dist=1)
+    return out.select("c_custkey", "entity_id").orderBy("c_custkey")
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+), pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM sym GROUP BY src
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+)
+SELECT c.c_custkey, COALESCE(comp.comp, c.c_custkey) AS entity_id
+FROM c LEFT JOIN comp ON c.c_custkey = comp.id
+ORDER BY c.c_custkey
+"""
+
+
 QUERIES = {
     "text_index_search": text_index_search,
     "fuzzy_customer_pairs": fuzzy_customer_pairs,
+    "entity_resolution_customers": entity_resolution_customers,
 }
 ORACLES = {
     "text_index_search": TEXT_SEARCH_SQL,
     "fuzzy_customer_pairs": FUZZY_CUSTOMER_SQL,
+    "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
 }

@@ -101,3 +101,14 @@ def test_short_strings_excluded_not_crashing(spark):
     got = {(r["a_id"], r["b_id"]) for r in rows}
     # length-1 strings are documented as excluded; "ab"/"ba" is ed=2
     assert got == set()
+
+
+def test_resolve_entities_transitive_chain(spark):
+    from rds_to_datalake_project_spark.operators.fuzzyjoin import resolve_entities
+
+    # chain: aaaa ~ aaab ~ aabb (ed(aaaa, aabb) = 2 > max_dist) + singleton
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "aabb"), (9, "zzzz")], ["id", "s"]
+    )
+    out = {r["id"]: r["entity_id"] for r in resolve_entities(df, "id", "s", 1).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
