@@ -199,3 +199,62 @@ def rolling_anomaly(
         .withColumn("win_ss", ss)
         .withColumn("is_anomaly", flagged)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    dims: list[str],
+    ts_col: str,
+    value_col: str,
+    end_us: int | None = None,
+) -> DataFrame:
+    """LOCF time-weighted average per series (TimescaleDB
+    ``time_weight('LOCF', ...)`` semantics): each observation holds
+    from its timestamp to the next one; the average weights values by
+    how long they held, not how often they were sampled — the right
+    mean for irregularly-sampled gauges.
+
+    Exact arithmetic: durations are integer epoch-µs deltas from one
+    ``lead`` window pass, the numerator is the int64 sum of
+    ``value * duration`` (``value_col`` must be integral — fix-point
+    floats first), and only the FINAL ``num / den`` division is
+    floating point — one identical op on any engine, so results are
+    hash-stable. Envelope: ``max|value| * window_µs < 9.2e18``
+    (a ×1000-fixed-point gauge over a century is still inside).
+
+    The window ends at ``end_us`` when pinned (callers pin "now";
+    pre-filter observations to ``ts <= end_us`` — a later one's
+    duration clamps to 0) or at each series' last observation
+    otherwise (which then carries zero weight, the Timescale
+    convention).
+
+    Output: ``dims..., twa_num, twa_den_us, twa`` (twa null for
+    single-observation series with no pinned end). Precondition:
+    (``dims``, ``ts_col``) unique — ``lead`` over tied timestamps is
+    nondeterministic. ONE window shuffle
+    partitioned by the series key + one partial aggregation.
+    """
+    w = Window.partitionBy(*dims).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    nxt = F.lead(us).over(w)
+    if end_us is None:
+        end = F.max(us).over(
+            Window.partitionBy(*dims).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    else:
+        end = F.lit(int(end_us)).cast("long")
+    dur = F.greatest(F.coalesce(nxt, end) - us, F.lit(0).cast("long"))
+    v = F.col(value_col).cast("long")
+    per = df.select(*dims, (v * dur).alias("__vd"), dur.alias("__d"))
+    out = per.groupBy(*dims).agg(
+        F.sum("__vd").alias("twa_num"), F.sum("__d").alias("twa_den_us")
+    )
+    return out.withColumn(
+        "twa",
+        F.when(
+            F.col("twa_den_us") > 0,
+            F.col("twa_num").cast("double") / F.col("twa_den_us").cast("double"),
+        ),
+    )

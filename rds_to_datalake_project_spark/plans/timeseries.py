@@ -300,9 +300,54 @@ ORDER BY event_type, bucket_s
 """
 
 
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of the (×1000 fixed-point) event
+    value per event_type (operators/timeseries.py:time_weighted_avg):
+    integer µs durations × integer values, one float division at the
+    end — irregular sampling weighted by holding time, hash-stable."""
+    from rds_to_datalake_project_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_fx"),
+    )
+    return time_weighted_avg(ev, ["event_type"], "ts", "v_fx").orderBy(
+        "event_type"
+    )
+
+
+TIME_WEIGHTED_SQL = """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v_fx
+  FROM events
+), d AS (
+  SELECT event_type, v_fx,
+         GREATEST(COALESCE(lead(us) OVER w, MAX(us) OVER (PARTITION BY event_type)) - us,
+                  0) AS dur
+  FROM obs WINDOW w AS (PARTITION BY event_type ORDER BY us)
+), agg AS (
+  SELECT event_type,
+         SUM(v_fx * dur) AS twa_num,
+         SUM(dur) AS twa_den_us
+  FROM d GROUP BY event_type
+)
+SELECT event_type, CAST(twa_num AS BIGINT) AS twa_num,
+       CAST(twa_den_us AS BIGINT) AS twa_den_us,
+       CASE WHEN twa_den_us > 0
+            THEN CAST(twa_num AS DOUBLE) / CAST(twa_den_us AS DOUBLE) END AS twa
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "gapfill_hourly_events": gapfill_hourly_events,
     "rolling_anomaly_hours": rolling_anomaly_hours,
+    "time_weighted_value": time_weighted_value,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_weekly_retention": cohort_weekly_retention,
     "overlap_user_promo_spans": overlap_user_promo_spans,
@@ -310,6 +355,7 @@ QUERIES = {
 ORACLES = {
     "gapfill_hourly_events": GAPFILL_SQL,
     "rolling_anomaly_hours": ROLLING_ANOMALY_SQL,
+    "time_weighted_value": TIME_WEIGHTED_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_weekly_retention": COHORT_SQL,
     "overlap_user_promo_spans": OVERLAP_SQL,

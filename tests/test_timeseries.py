@@ -137,3 +137,29 @@ def test_rolling_anomaly_boundary_is_strict(spark):
     assert rows[2] is False
     # t=3 frame is [2,3]: (2*4-5)^2=9 > 4*(2*13-25)=4 -> anomalous
     assert rows[3] is True
+
+
+def test_time_weighted_avg_locf(spark):
+    from rds_to_datalake_project_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = _series(
+        spark, [("a", 0, 10.0), ("a", 10, 30.0), ("a", 40, 50.0), ("b", 5, 7.0)]
+    ).selectExpr("s", "ts", "CAST(v AS LONG) AS v")
+    out = {r["s"]: r for r in time_weighted_avg(df, ["s"], "ts", "v").collect()}
+    # a: 10 held 10s, 30 held 30s, 50 held 0s -> twa = (100+900)/40 = 25
+    assert out["a"]["twa_num"] == 10 * 10_000_000 + 30 * 30_000_000
+    assert out["a"]["twa_den_us"] == 40_000_000
+    assert out["a"]["twa"] == 25.0
+    # single observation, no pinned end: zero duration -> null twa
+    assert out["b"]["twa_den_us"] == 0 and out["b"]["twa"] is None
+
+    pinned = {
+        r["s"]: r
+        for r in time_weighted_avg(df, ["s"], "ts", "v", end_us=60_000_000).collect()
+    }
+    # a: 50 now holds 20s -> (100+900+1000)/60
+    assert pinned["a"]["twa"] == (2_000_000_000) / 60_000_000
+    # b: 7 holds 55s
+    assert pinned["b"]["twa"] == 7.0
