@@ -394,6 +394,35 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all 2^k dimension subsets in ONE pass + grouping_id) —
+    rollup's big sibling; one map-side-expanded aggregate instead of
+    four separate group-bys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 # --- Q14: promo revenue (lineitem ⨝ part, conditional agg over a join) -------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +783,7 @@ ORDER BY n_name, priority
 QUERIES = {
     "pivot_nation_priority_revenue": pivot_nation_priority_revenue,
     "unpivot_roundtrip": unpivot_roundtrip,
+    "revenue_cube": revenue_cube,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -778,6 +808,7 @@ QUERIES = {
 ORACLES = {
     "pivot_nation_priority_revenue": PIVOT_SQL,
     "unpivot_roundtrip": UNPIVOT_SQL,
+    "revenue_cube": REVENUE_CUBE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
