@@ -69,6 +69,15 @@ HEADLINE = [
     "cohort_weekly_retention",
     "weighted_sample_docs",
     "overlap_user_promo_spans",
+    # round-8 fourth wave: fuzzy matching / graph / temporal / reshaping
+    "fuzzy_customer_pairs",
+    "entity_resolution_customers",
+    "pagerank_trade_graph",
+    "scd2_orders_history",
+    "rolling_anomaly_hours",
+    "time_weighted_value",
+    "histogram_quantiles_price",
+    "revenue_cube",
 ]
 
 
