@@ -96,3 +96,160 @@ def scd2_history(
         ).alias("valid_to"),
         (F.col("__to_pos") == F.lit(last_pos)).alias("is_current"),
     )
+
+
+_SEQ_COL = "_scd_seq"
+
+
+class Scd2Store:
+    """Incrementally-maintained SCD-2 dimension table.
+
+    ``scd2_history`` recomputes intervals from EVERY retained snapshot
+    — fine ad hoc, wrong as a standing service (cost ∝ versions ×
+    table). This store materializes the interval table once and then
+    advances it per commit from ``table_changes`` — cost ∝ the change
+    set, the same incremental contract as the matview / LSH / ANN
+    services (operators/matview.py pattern: version-marker cursor,
+    idempotent re-apply, stale-never-wrong post-commit hook).
+
+    Per commit v (pre/post split images):
+    - keys whose TRACKED values changed, and deletes: the current row
+      (record key = base key + valid_from) is closed with
+      ``valid_to = v`` — an upsert of the same record, precombine-won
+      by the higher commit seq;
+    - inserts and changed-value updates: a new current row opens at
+      ``valid_from = v``.
+    Updates that only touch untracked columns are ignored entirely,
+    matching ``scd2_history``'s value_cols-only change detection.
+
+    Re-applying a commit is idempotent (same rows, same seq), so a
+    crash between upsert and marker write heals on the next refresh.
+    """
+
+    def __init__(self, base, path: str, value_cols: list[str], name: str = "scd2"):
+        from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+        from rds_to_datalake_project_spark.schema import TableSpec
+
+        if not base.retain_versions:
+            raise ValueError(
+                "Scd2Store requires a versioned base table (retain_versions > 0)"
+            )
+        self.base = base
+        self.spark = base.spark
+        self.path = path
+        self.value_cols = list(value_cols)
+        self.keys = list(base.spec.record_key)
+        self.store = KeyedTable(
+            self.spark,
+            path,
+            TableSpec(
+                name,
+                record_key=tuple(self.keys) + ("valid_from",),
+                precombine_key=_SEQ_COL,
+                partition_granularity="",
+            ),
+        )
+
+    def _marker_path(self) -> str:
+        return f"{self.path}/.scd/_BASE_VERSION"
+
+    def refreshed_version(self) -> int | None:
+        from rds_to_datalake_project_spark.operators.zonemap import _read_small
+
+        txt = _read_small(self.spark, self._marker_path())
+        try:
+            return int((txt or "").strip())
+        except ValueError:
+            return None
+
+    def read(self) -> DataFrame:
+        return self.store.read().drop(_SEQ_COL)
+
+    def build(self, version: int | None = None) -> int:
+        """Full (re)build of the interval table as of base commit
+        ``version`` (default latest). Returns the version built."""
+        from rds_to_datalake_project_spark.operators.zonemap import _write_small
+
+        latest = (self.base.versions() or [0])[-1]
+        v = latest if version is None else int(version)
+        vs = [x for x in self.base.readable_versions() if x <= v]
+        full = scd2_history(self.base, self.value_cols, versions=vs).withColumn(
+            _SEQ_COL, F.lit(v).cast("long")
+        )
+        self.store.initial_load(full)
+        _write_small(self.spark, self._marker_path(), str(v))
+        return v
+
+    def refresh(self) -> dict:
+        """Advance to the base's latest commit. Full rebuild when the
+        cursor is missing or expired; per-commit incremental apply
+        otherwise."""
+        from rds_to_datalake_project_spark.operators.zonemap import _write_small
+
+        latest = (self.base.versions() or [0])[-1]
+        since = self.refreshed_version()
+        if since is not None and since == latest:
+            return {"mode": "noop", "base_version": latest, "commits_applied": 0}
+        if since is None or since not in self.base.readable_versions():
+            self.build(latest)
+            return {"mode": "full", "base_version": latest, "commits_applied": 0}
+        for v in range(since + 1, latest + 1):
+            self._apply(v)
+            _write_small(self.spark, self._marker_path(), str(v))
+        return {
+            "mode": "incremental",
+            "base_version": latest,
+            "commits_applied": latest - since,
+        }
+
+    def _apply(self, v: int) -> None:
+        ch = self.base.table_changes(v - 1, v, include_preimage=True)
+        keys, vals = self.keys, self.value_cols
+        vstruct = F.struct(*[F.col(c) for c in vals])
+        pre = ch.filter(F.col("_change_type") == "update_preimage").select(
+            *keys, vstruct.alias("__pre")
+        )
+        post = ch.filter(F.col("_change_type") == "update_postimage").select(
+            *keys, *vals, vstruct.alias("__post")
+        )
+        changed = pre.join(post, keys).filter(
+            ~F.col("__pre").eqNullSafe(F.col("__post"))
+        )
+        deletes = ch.filter(F.col("_change_type") == "delete").select(*keys)
+        inserts = ch.filter(F.col("_change_type") == "insert").select(*keys, *vals)
+
+        to_close = (
+            changed.select(*keys).unionByName(deletes).distinct().localCheckpoint(
+                eager=True
+            )
+        )
+        cur = self.read().filter(F.col("is_current"))
+        closes = (
+            cur.join(F.broadcast(to_close), keys, "left_semi")
+            .withColumn("valid_to", F.lit(v).cast("int"))
+            .withColumn("is_current", F.lit(False))
+        )
+        opens = (
+            inserts.unionByName(changed.select(*keys, *vals))
+            .withColumn("valid_from", F.lit(v).cast("int"))
+            .withColumn("valid_to", F.lit(None).cast("int"))
+            .withColumn("is_current", F.lit(True))
+        )
+        batch = (
+            closes.unionByName(opens)
+            .withColumn(_SEQ_COL, F.lit(v).cast("long"))
+            .withColumn("Op", F.lit("U"))
+        )
+        self.store.upsert(batch)
+
+
+def attach_scd2_maintenance(base, store: Scd2Store) -> None:
+    """Keep the interval table fresh after every base commit — same
+    advisory post-commit slot as the matview / zone-map / ANN
+    services: a failed refresh leaves a stale cursor, never a wrong
+    interval, and the next refresh catches up."""
+
+    def scd2_refresh(_table) -> None:
+        store.refresh()
+
+    base.add_maintenance_hook(scd2_refresh)

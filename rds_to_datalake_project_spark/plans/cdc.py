@@ -764,6 +764,26 @@ ORDER BY o_orderkey, valid_from
 """
 
 
+def scd2_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED SCD-2 service (operators/scd.py:Scd2Store):
+    interval table built at commit 0, then advanced commit-by-commit
+    from the pre/post change feed — cost ∝ change set, never a
+    re-read of every snapshot. The oracle is the SAME closed form as
+    scd2_orders_history, so a hash match proves incremental
+    maintenance ≡ full recomputation across updates, deletes, AND
+    re-keyed inserts."""
+    from rds_to_datalake_project_spark.operators.scd import Scd2Store
+
+    t = _versioned_orders(spark, sf_dir)
+    s = Scd2Store(t, _scratch("scd2_store") + "/s", ["o_totalprice"])
+    s.build(0)
+    r = s.refresh()
+    assert r["mode"] == "incremental" and r["commits_applied"] == 2, r
+    return s.read().select(
+        "o_orderkey", "o_totalprice", "valid_from", "valid_to", "is_current"
+    ).orderBy("o_orderkey", "valid_from")
+
+
 def sql_timetravel_changed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the SQL FACADE: one run_query joining two
     ``FOR VERSION AS OF`` snapshots of the same lake table (sql.py
@@ -1439,6 +1459,7 @@ QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
     "scd2_orders_history": scd2_orders_history,
+    "scd2_store_incremental": scd2_store_incremental,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
     "dedup_latest_per_key": dedup_latest_per_key,
@@ -1479,6 +1500,7 @@ ORACLES = {
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "scd2_orders_history": SCD2_SQL,
+    "scd2_store_incremental": SCD2_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,
     "dedup_latest_per_key": DEDUP_SQL,

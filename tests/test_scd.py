@@ -67,3 +67,72 @@ def test_scd2_respects_explicit_version_subset(spark, tmp_path):
     assert rows[("r1", 1)] == ("b1", None, True)
     assert rows[("r2", 2)] == ("a2", None, True)
     assert len(rows) == 2
+
+
+def _mk_base(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "base"), SPEC, retain_versions=5)
+    t.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    return t
+
+
+def test_scd2_store_incremental_matches_recompute(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.scd import Scd2Store
+
+    t = _mk_base(spark, tmp_path)
+    s = Scd2Store(t, str(tmp_path / "scd_store"), ["val"])
+    s.build(0)
+    assert s.refreshed_version() == 0
+
+    for b in (B1, B2):
+        t.upsert(spark.createDataFrame(b, BATCH_COLS), delete_mode="apply")
+    r = s.refresh()
+    assert r["mode"] == "incremental" and r["commits_applied"] == 2
+
+    want = sorted(map(tuple, scd2_history(t, ["val"]).collect()))
+    got = sorted(
+        map(tuple, s.read().select(*scd2_history(t, ["val"]).columns).collect())
+    )
+    assert got == want
+    # second refresh is a no-op
+    assert s.refresh()["mode"] == "noop"
+
+
+def test_scd2_store_ignores_untracked_column_churn(spark, tmp_path):
+    """An upsert that only bumps the precombine column must NOT open a
+    new interval for the tracked value."""
+    from rds_to_datalake_project_spark.operators.scd import Scd2Store
+
+    t = _mk_base(spark, tmp_path)
+    s = Scd2Store(t, str(tmp_path / "scd_store2"), ["val"])
+    s.build(0)
+    # same val, newer update_at -> table_changes reports an update,
+    # but the TRACKED value is unchanged
+    churn = [("r1", "2024-01-05T00:00:00", "2024-08-01T00:00:00", "a1", "U")]
+    t.upsert(spark.createDataFrame(churn, BATCH_COLS), delete_mode="apply")
+    s.refresh()
+    rows = s.read().filter("id = 'r1'").collect()
+    assert len(rows) == 1
+    assert rows[0]["valid_from"] == 0 and rows[0]["is_current"]
+
+
+def test_scd2_store_maintenance_hook(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.scd import (
+        Scd2Store,
+        attach_scd2_maintenance,
+    )
+
+    t = _mk_base(spark, tmp_path)
+    s = Scd2Store(t, str(tmp_path / "scd_store3"), ["val"])
+    s.build(0)
+    attach_scd2_maintenance(t, s)
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    # hook ran inside the commit: store already reflects v1
+    # (B1 = r1 value change + r2 delete)
+    assert s.refreshed_version() == 1
+    cur = {r["id"]: r["val"] for r in s.read().filter("is_current").collect()}
+    assert cur == {"r1": "b1"}
+    closed = {
+        (r["id"], r["valid_from"]): r["valid_to"]
+        for r in s.read().filter("NOT is_current").collect()
+    }
+    assert closed == {("r1", 0): 1, ("r2", 0): 1}
