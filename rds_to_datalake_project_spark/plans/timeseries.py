@@ -344,10 +344,58 @@ FROM agg ORDER BY event_type
 """
 
 
+_ATTR_WITHIN_S = 1800
+
+
+def click_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join's batch twin
+    (streaming/pipeline.py:stream_interval_join — the same plan that
+    runs watermarked stream-stream in the test suite): view → click by
+    the same user within 30 minutes. Equi-key shuffle + range
+    residual; the gap is reported in integer seconds."""
+    from rds_to_datalake_project_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = stream_interval_join(
+        views, clicks, "user_id", "ts", "ts", within=f"{_ATTR_WITHIN_S} seconds"
+    )
+    return j.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        ((F.unix_micros("r_ts") - F.unix_micros("l_ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_s"),
+    ).orderBy("view_id", "click_id")
+
+
+CLICK_ATTRIBUTION_SQL = f"""
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + {_ATTR_WITHIN_S * 1_000_000}
+ORDER BY view_id, click_id
+"""
+
+
 QUERIES = {
     "gapfill_hourly_events": gapfill_hourly_events,
     "rolling_anomaly_hours": rolling_anomaly_hours,
     "time_weighted_value": time_weighted_value,
+    "click_attribution_pairs": click_attribution_pairs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_weekly_retention": cohort_weekly_retention,
     "overlap_user_promo_spans": overlap_user_promo_spans,
@@ -356,6 +404,7 @@ ORACLES = {
     "gapfill_hourly_events": GAPFILL_SQL,
     "rolling_anomaly_hours": ROLLING_ANOMALY_SQL,
     "time_weighted_value": TIME_WEIGHTED_SQL,
+    "click_attribution_pairs": CLICK_ATTRIBUTION_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "cohort_weekly_retention": COHORT_SQL,
     "overlap_user_promo_spans": OVERLAP_SQL,

@@ -258,3 +258,47 @@ def stream_ingest_with_dedup(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    prefixes: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Event-time stream-stream INNER join (ST-family): a right row
+    matches a left row with the same ``key`` and
+    ``right_ts ∈ [left_ts, left_ts + within]`` — the canonical
+    attribution join (impression → conversion inside the window).
+
+    On streaming inputs both sides are watermarked and the range
+    condition bounds the join STATE Spark must hold: a buffered left
+    row can be dropped once the watermark passes
+    ``left_ts + within`` (Structured Streaming derives the state
+    cleanup bound from the time-interval predicate — without it the
+    state grows without bound and a 100-TB stream eventually OOMs).
+    On batch inputs the same plan is an equi-key sort-merge join with
+    a range residual (one shuffle per side on the key), which is the
+    oracle-checkable twin.
+
+    Output: all left columns prefixed ``l_``, all right columns
+    prefixed ``r_`` (join key and timestamps included, disambiguated).
+    """
+    l = left.select([F.col(c).alias(prefixes[0] + c) for c in left.columns])
+    r = right.select([F.col(c).alias(prefixes[1] + c) for c in right.columns])
+    lk, rk = prefixes[0] + key, prefixes[1] + key
+    lt, rt = prefixes[0] + left_ts, prefixes[1] + right_ts
+    if l.isStreaming:
+        l = l.withWatermark(lt, watermark_delay)
+    if r.isStreaming:
+        r = r.withWatermark(rt, watermark_delay)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

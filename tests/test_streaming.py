@@ -594,3 +594,54 @@ def test_stream_ingest_with_dedup_drops_known_neardups(spark, tmp_path):
         quarantine_dir=quarantine, max_files_per_trigger=1,
     )
     assert "e" not in {r.doc_id for r in table.read().collect()}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Real stream-stream join: two file sources, watermarks on both
+    sides, time-interval condition -> bounded state, append sink."""
+    from rds_to_datalake_project_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    views = [
+        (1, 7, datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 7, datetime(2024, 1, 1, 11, 0, 0)),
+        (3, 8, datetime(2024, 1, 1, 10, 0, 0)),
+        (4, 9, datetime(2024, 1, 1, 23, 0, 0)),  # advances both watermarks
+    ]
+    clicks = [
+        (101, 7, datetime(2024, 1, 1, 10, 10, 0)),  # joins view 1
+        (102, 7, datetime(2024, 1, 1, 10, 45, 0)),  # outside 30 min of view 1
+        (103, 8, datetime(2024, 1, 1, 10, 29, 0)),  # joins view 3
+        (104, 9, datetime(2024, 1, 1, 23, 30, 0)),  # joins view 4 (boundary)
+    ]
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, schema).write.parquet(vdir)
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    joined = stream_interval_join(
+        vs, cs, "user_id", "ts", "ts", within="30 minutes"
+    )
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == {(1, 101), (3, 103), (4, 104)}
+
+    # batch twin produces the identical pair set through the same plan
+    batch = stream_interval_join(
+        spark.createDataFrame(views, schema),
+        spark.createDataFrame(clicks, schema),
+        "user_id", "ts", "ts", within="30 minutes",
+    )
+    assert {(r.l_event_id, r.r_event_id) for r in batch.collect()} == got
