@@ -423,6 +423,41 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def balance_quartiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family depth: ntile(4) buckets + percent_rank
+    over customer balances per nation (unique tie-break so the frame
+    is deterministic); percent_rank's (rank-1)/(n-1) is one exact
+    rational division, hash-stable cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .filter(F.col("quartile") == 1)
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+BALANCE_QUARTILES_SQL = """
+SELECT c_custkey, c_nationkey, quartile, pct_rank
+FROM (
+  SELECT c_custkey, c_nationkey,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pct_rank
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+)
+WHERE quartile = 1
+ORDER BY c_nationkey, c_custkey
+"""
+
+
 # --- Q14: promo revenue (lineitem ⨝ part, conditional agg over a join) -------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,6 +819,7 @@ QUERIES = {
     "pivot_nation_priority_revenue": pivot_nation_priority_revenue,
     "unpivot_roundtrip": unpivot_roundtrip,
     "revenue_cube": revenue_cube,
+    "balance_quartiles_by_nation": balance_quartiles_by_nation,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -809,6 +845,7 @@ ORACLES = {
     "pivot_nation_priority_revenue": PIVOT_SQL,
     "unpivot_roundtrip": UNPIVOT_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
+    "balance_quartiles_by_nation": BALANCE_QUARTILES_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
