@@ -458,6 +458,41 @@ ORDER BY c_nationkey, c_custkey
 """
 
 
+def above_brand_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL layer: parts priced
+    above their own brand's average. Catalyst decorrelates this into
+    a brand-aggregate + equi-join (never a per-row re-scan); the
+    average is the exact-decimal SUM / COUNT division from the module
+    determinism rules."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_v p
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM part_v p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+ABOVE_BRAND_AVG_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (
+    SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*)
+    FROM part p2
+    WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+
 # --- Q14: promo revenue (lineitem ⨝ part, conditional agg over a join) -------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +855,7 @@ QUERIES = {
     "unpivot_roundtrip": unpivot_roundtrip,
     "revenue_cube": revenue_cube,
     "balance_quartiles_by_nation": balance_quartiles_by_nation,
+    "above_brand_average_parts": above_brand_average_parts,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -846,6 +882,7 @@ ORACLES = {
     "unpivot_roundtrip": UNPIVOT_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "balance_quartiles_by_nation": BALANCE_QUARTILES_SQL,
+    "above_brand_average_parts": ABOVE_BRAND_AVG_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,

@@ -480,3 +480,52 @@ def test_interval_overlap_join_is_hash_not_nestedloop(spark):
     plan = _executed_plan(df)
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the per-row scalar subquery into a
+    brand-aggregate + join — two scans of part, no per-row re-scan."""
+    plan = _formatted_plan(QUERIES["above_brand_average_parts"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # two physical scans of part (each named once in the tree and once
+    # in the detail section) — a correlated re-scan would add more
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_pivot_pinned_values_single_aggregate(spark):
+    """pivot() with pinned values must not add a distinct-values job:
+    exactly one pair of aggregate stages (partial + final), one fact
+    scan."""
+    plan = _formatted_plan(QUERIES["pivot_nation_priority_revenue"](spark, SF))
+    # exactly three scans — the pinned values mean NO extra
+    # distinct-values job re-reading orders
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    # the standard two-level pivot aggregate: (group, pivot-key)
+    # partial+final, then the pivot step partial+final — and no more
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+
+
+def test_fuzzy_join_plan_shape(spark):
+    plan = _formatted_plan(QUERIES["fuzzy_customer_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_join_not_nested_loop(spark):
+    """Equi-key + range residual must plan as a hash/sort-merge join
+    on the key, never a nested loop."""
+    plan = _formatted_plan(QUERIES["click_attribution_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_weighted_single_window_shuffle(spark):
+    """lead + per-series max share ONE window shuffle on the series
+    key; the aggregate adds the only other exchange."""
+    df = QUERIES["time_weighted_value"](spark, SF)
+    plan = _formatted_plan(df)
+    # exactly 2 physical exchanges: ONE hash shuffle on the series key
+    # feeding BOTH window passes (lead + per-series max) AND the
+    # groupBy (which reuses the partitioning), plus the output sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
