@@ -223,7 +223,9 @@ class Scd2Store:
                 eager=True
             )
         )
-        cur = self.read().filter(F.col("is_current"))
+        # valid_from < v: a row opened AT v must not be closed by a
+        # re-application of v (crash-replay idempotence)
+        cur = self.read().filter(F.col("is_current") & (F.col("valid_from") < v))
         closes = (
             cur.join(F.broadcast(to_close), keys, "left_semi")
             .withColumn("valid_to", F.lit(v).cast("int"))

@@ -136,3 +136,21 @@ def test_scd2_store_maintenance_hook(spark, tmp_path):
         for r in s.read().filter("NOT is_current").collect()
     }
     assert closed == {("r1", 0): 1, ("r2", 0): 1}
+
+
+def test_scd2_store_reapply_is_idempotent(spark, tmp_path):
+    """Crash between the interval upsert and the marker write: the
+    re-run re-applies the same commit — same rows, same seq — and the
+    store converges to the identical state."""
+    from rds_to_datalake_project_spark.operators.scd import Scd2Store
+
+    t = _mk_base(spark, tmp_path)
+    s = Scd2Store(t, str(tmp_path / "scd_store4"), ["val"])
+    s.build(0)
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    s._apply(1)  # crash here: marker still says 0
+    before = sorted(map(tuple, s.read().collect()))
+    s.refresh()  # re-applies commit 1, then moves the marker
+    after = sorted(map(tuple, s.read().collect()))
+    assert before == after
+    assert s.refreshed_version() == 1
