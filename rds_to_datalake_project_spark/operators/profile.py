@@ -69,6 +69,7 @@ def column_histogram(
     lo: float,
     hi: float,
     n_buckets: int = 20,
+    dims: list[str] | None = None,
 ) -> DataFrame:
     """Equi-width histogram over a FIXED [lo, hi) range — the
     ANALYZE-grade distribution sketch optimizers and skew advisories
@@ -79,9 +80,13 @@ def column_histogram(
     last bucket; NULLs are excluded. One partial-agg shuffle; emits
     every bucket (empty ones as 0) so the shape is fixed.
 
-    Output: ``bucket, lo_edge, hi_edge, n_rows``.
+    ``dims`` produces one histogram PER GROUP (the dense bucket spine
+    is exploded per observed group — spine rows = groups × buckets,
+    never a function of input size; no crossJoin).
+
+    Output: ``dims..., bucket, lo_edge, hi_edge, n_rows``.
     """
-    spark = df.sparkSession
+    dims = list(dims or [])
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.lit(n_buckets - 1),
@@ -94,26 +99,38 @@ def column_histogram(
     )
     counts = (
         df.filter(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        .select(*dims, bucket.alias("bucket"))
+        .groupBy(*dims, "bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    frame = spark.createDataFrame(
-        [
-            (b, lo + b * width, lo + (b + 1) * width)
-            for b in range(n_buckets)
-        ],
-        "bucket int, lo_edge double, hi_edge double",
+    spine = (
+        counts.select(*dims)
+        .distinct()
+        .select(
+            *dims,
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+        )
+        if dims
+        else df.sparkSession.range(n_buckets).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    edged = spine.select(
+        *dims,
+        "bucket",
+        (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
     )
     return (
-        frame.join(counts, "bucket", "left")
+        edged.join(counts, [*dims, "bucket"], "left")
         .select(
+            *dims,
             "bucket",
             "lo_edge",
             "hi_edge",
             F.coalesce("n_rows", F.lit(0).cast("bigint")).alias("n_rows"),
         )
-        .orderBy("bucket")
+        .orderBy(*dims, "bucket")
     )
 
 
@@ -139,6 +156,7 @@ def histogram_quantiles(
     hi: float,
     n_buckets: int,
     percents: list[int],
+    dims: list[str] | None = None,
 ) -> DataFrame:
     """Approximate quantiles by histogram-CDF inversion — the SCALE
     path next to the exact-percentile query (which needs a full sort):
@@ -149,23 +167,30 @@ def histogram_quantiles(
     width, and DETERMINISTIC (integer rank + fixed edges), unlike
     ``approx_percentile``'s sketch, so it cross-engine hash-checks.
 
-    Everything after the single data-scan aggregate runs over
-    ``n_buckets`` rows (driver-small). Output:
-    ``p, total, rank, bucket, lo_edge, hi_edge``.
+    With ``dims``, quantiles are computed PER GROUP: the cumulative
+    window partitions by the group key, so a 1000-executor cluster
+    spreads groups and each group's CDF inversion touches only its
+    own ``n_buckets`` rows.
+
+    Output: ``dims..., p, total, rank, bucket, lo_edge, hi_edge``.
     """
     from pyspark.sql import Window
 
-    h = column_histogram(df, col, lo, hi, n_buckets)
-    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    dims = list(dims or [])
+    h = column_histogram(df, col, lo, hi, n_buckets, dims=dims)
+    w_cum = (
+        Window.partitionBy(*dims)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*dims).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = h.withColumn("cum", F.sum("n_rows").over(w_cum)).withColumn(
-        "total",
-        F.sum("n_rows").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
+        "total", F.sum("n_rows").over(w_all)
     )
     x = cum.select(
+        *dims,
         "bucket",
         "cum",
         "total",
@@ -173,11 +198,11 @@ def histogram_quantiles(
     ).withColumn("rank", F.expr("(total * p + 99) DIV 100"))
     hit = (
         x.filter(F.col("cum") >= F.col("rank"))
-        .groupBy("p", "total", "rank")
+        .groupBy(*dims, "p", "total", "rank")
         .agg(F.min("bucket").alias("bucket"))
     )
     return (
-        hit.join(h.select("bucket", "lo_edge", "hi_edge"), "bucket")
-        .select("p", "total", "rank", "bucket", "lo_edge", "hi_edge")
-        .orderBy("p")
+        hit.join(h.select(*dims, "bucket", "lo_edge", "hi_edge"), [*dims, "bucket"])
+        .select(*dims, "p", "total", "rank", "bucket", "lo_edge", "hi_edge")
+        .orderBy(*dims, "p")
     )

@@ -2297,6 +2297,71 @@ QUERIES["histogram_quantiles_price"] = histogram_quantiles_price
 ORACLES["histogram_quantiles_price"] = HISTOGRAM_QUANTILES_SQL
 
 
+def grouped_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP histogram-CDF quantiles (dims=o_orderpriority): the
+    cumulative window partitions by the group key — groups spread
+    across executors, each CDF inversion over its own 24 buckets."""
+    from rds_to_datalake_project_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_quantiles(
+        orders,
+        "o_totalprice",
+        0.0,
+        600_000.0,
+        24,
+        [50, 90],
+        dims=["o_orderpriority"],
+    )
+
+
+GROUPED_QUANTILES_SQL = """
+WITH params AS (
+  SELECT 0.0 AS lo, 600000.0 AS hi, 24 AS nb
+), counts AS (
+  SELECT o.o_orderpriority,
+         LEAST(p.nb - 1, GREATEST(0,
+           CAST(floor((CAST(o.o_totalprice AS DOUBLE) - p.lo)
+                      / ((p.hi - p.lo) / p.nb)) AS INT))) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders o CROSS JOIN params p
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), spine AS (
+  SELECT DISTINCT c.o_orderpriority, CAST(b.b AS INT) AS bucket,
+         p.lo + b.b * (p.hi - p.lo) / p.nb AS lo_edge,
+         p.lo + (b.b + 1) * (p.hi - p.lo) / p.nb AS hi_edge
+  FROM counts c, params p, unnest(range(0, 24)) AS b(b)
+), dense AS (
+  SELECT s.o_orderpriority, s.bucket, s.lo_edge, s.hi_edge,
+         COALESCE(c.n_rows, 0) AS n_rows
+  FROM spine s LEFT JOIN counts c
+    ON c.o_orderpriority = s.o_orderpriority AND c.bucket = s.bucket
+), cum AS (
+  SELECT o_orderpriority, bucket, lo_edge, hi_edge,
+         SUM(n_rows) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+         SUM(n_rows) OVER (PARTITION BY o_orderpriority) AS total
+  FROM dense
+), pts AS (
+  SELECT o_orderpriority, p, (total * p + 99) // 100 AS rank, total, bucket, cum
+  FROM cum CROSS JOIN (SELECT unnest([50, 90]) AS p)
+), hit AS (
+  SELECT o_orderpriority, p, total, rank, MIN(bucket) AS bucket
+  FROM pts WHERE cum >= rank GROUP BY 1, 2, 3, 4
+)
+SELECT h.o_orderpriority, h.p, h.total, h.rank, h.bucket, d.lo_edge, d.hi_edge
+FROM hit h JOIN (SELECT DISTINCT o_orderpriority, bucket, lo_edge, hi_edge
+                 FROM dense) d
+  ON d.o_orderpriority = h.o_orderpriority AND d.bucket = h.bucket
+ORDER BY h.o_orderpriority, h.p
+"""
+
+QUERIES["grouped_quantiles_by_priority"] = grouped_quantiles_by_priority
+ORACLES["grouped_quantiles_by_priority"] = GROUPED_QUANTILES_SQL
+
+
 def zorder3_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-dimensional Morton key over (custkey, orderkey, price-bucket)
     — the N-dim generalization behind cluster_by_zorder_n

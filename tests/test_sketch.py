@@ -193,3 +193,31 @@ def test_histogram_quantiles_brackets_exact_quantile(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, h_all.collect())
     )
+
+
+def test_grouped_histogram_quantiles(spark):
+    """Per-group CDF inversion: each group's bracket contains that
+    group's true quantile."""
+    import math
+
+    from rds_to_datalake_project_spark.operators.profile import (
+        histogram_quantiles,
+    )
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v * 10)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["g"], r["p"]): (r["lo_edge"], r["hi_edge"], r["rank"], r["total"])
+        for r in histogram_quantiles(
+            df, "x", 0.0, 1000.0, 20, [50, 90], dims=["g"]
+        ).collect()
+    }
+    data = {"a": list(range(100)), "b": [v * 10 for v in range(100)]}
+    for (g, p), (lo, hi, rank, total) in out.items():
+        assert total == 100
+        assert rank == math.ceil(100 * p / 100)
+        true_q = sorted(data[g])[rank - 1]
+        assert lo <= true_q < hi, (g, p, lo, hi, true_q)
+    assert len(out) == 4
