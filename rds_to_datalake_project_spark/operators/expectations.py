@@ -203,3 +203,34 @@ def gated_ingest(
     if n_clean:
         table.upsert(clean)
     return n_clean, n_dirty
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: dict[str, str],
+) -> DataFrame:
+    """Child rows whose foreign key references no parent row — the
+    lake-side FOREIGN KEY check an RDBMS-fed datalake loses when rows
+    replicate table-by-table (the reference replicates each table
+    independently with no cross-table guarantee,
+    /root/reference/glue_jobs/incremental.py).
+
+    ``fk`` maps child column -> parent column (composite keys
+    supported). SQL FK semantics: rows with any NULL key column are
+    NOT violations (skipped). Plan: one left-anti equi-join on the key
+    — both sides shuffle-partitioned on it, no broadcast assumption
+    (the parent is a full table, not a dim)."""
+    cond = None
+    for c, p in fk.items():
+        this = child[c] == parent[p]
+        cond = this if cond is None else (cond & this)
+    nn = None
+    for c in fk:
+        this = F.col(c).isNotNull()
+        nn = this if nn is None else (nn & this)
+    return child.filter(nn).join(
+        parent.select(*[F.col(p) for p in fk.values()]).distinct(),
+        cond,
+        "left_anti",
+    )

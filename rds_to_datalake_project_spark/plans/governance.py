@@ -411,7 +411,48 @@ ADVISORY_SQL = (
 )
 
 
+def fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit
+    (operators/expectations.py:referential_violations): count child
+    rows whose FK resolves to no parent, against parents with
+    deterministic gaps punched in (custkey%3==0 and partkey%5==0
+    dropped) so the violation sets are non-trivial and closed-form."""
+    from rds_to_datalake_project_spark.operators.expectations import (
+        referential_violations,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 != 0)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    v1 = referential_violations(orders, cust, {"o_custkey": "c_custkey"})
+    v2 = referential_violations(li, part, {"l_partkey": "p_partkey"})
+    out1 = v1.agg(
+        F.lit("orders->customer").alias("relation"),
+        F.count("*").alias("n_violations"),
+    )
+    out2 = v2.agg(
+        F.lit("lineitem->part").alias("relation"),
+        F.count("*").alias("n_violations"),
+    )
+    return out1.unionByName(out2).orderBy("relation")
+
+
+FK_VIOLATIONS_SQL = """
+SELECT 'lineitem->part' AS relation, COUNT(*) AS n_violations
+FROM lineitem WHERE l_partkey IS NOT NULL AND l_partkey % 5 = 0
+UNION ALL
+SELECT 'orders->customer', COUNT(*)
+FROM orders WHERE o_custkey IS NOT NULL AND o_custkey % 3 = 0
+ORDER BY relation
+"""
+
+
 QUERIES = {
+    "fk_violation_counts": fk_violation_counts,
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
     "matview_incremental_status": matview_incremental_status,
@@ -420,6 +461,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fk_violation_counts": FK_VIOLATIONS_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,

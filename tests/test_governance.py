@@ -286,3 +286,31 @@ def test_stats_informed_join_applies_broadcast(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert joined.count() == 4
+
+
+def test_referential_violations_semantics(spark):
+    from rds_to_datalake_project_spark.operators.expectations import (
+        referential_violations,
+    )
+
+    parent = spark.createDataFrame([(1, "x"), (2, "y")], ["pk", "sub"])
+    child = spark.createDataFrame(
+        [
+            (10, 1, "x"),   # ok
+            (11, 2, "z"),   # composite mismatch -> violation
+            (12, 3, "x"),   # missing parent -> violation
+            (13, None, "x"),  # NULL FK: skipped per SQL semantics
+        ],
+        ["id", "fk", "fsub"],
+    )
+    # single-column key
+    v1 = {r["id"] for r in referential_violations(child, parent, {"fk": "pk"}).collect()}
+    assert v1 == {12}
+    # composite key
+    v2 = {
+        r["id"]
+        for r in referential_violations(
+            child, parent, {"fk": "pk", "fsub": "sub"}
+        ).collect()
+    }
+    assert v2 == {11, 12}
