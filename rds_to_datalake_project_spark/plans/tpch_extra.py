@@ -748,6 +748,71 @@ ORDER BY s_name
 """
 
 
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top 20 by support. The pair space is generated by an
+    equi-join on the order key — fan-out per order is C(items, 2),
+    bounded by basket size (≈4 here), NEVER a corpus cross join; the
+    global top-k is one TakeOrdered, no full sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "pa", "pb"
+    ).limit(20)
+
+
+COPURCHASE_SQL = """
+SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, pa, pb
+LIMIT 20
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: per-user next-event bigram counts
+    (the Markov transition matrix of the event stream). ONE window
+    shuffle on the user key (lead over ts) + one partial-agg count;
+    ties broken by event_id so the sequence is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("from_type", "next_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT from_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, next_type
+"""
+
+
 # --- PageRank over the customer↔supplier trade graph ------------------------
 
 _PR_SCALE = 10**12
@@ -822,6 +887,8 @@ SELECT node, r FROM r{_PR_ITERS} ORDER BY node
 
 QUERIES = {
     "pagerank_trade_graph": pagerank_trade_graph,
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "event_transition_matrix": event_transition_matrix,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q11_important_part_value": q11_important_part_value,
@@ -841,6 +908,8 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_trade_graph": PAGERANK_SQL,
+    "copurchase_part_pairs": COPURCHASE_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q11_important_part_value": Q11_SQL,
