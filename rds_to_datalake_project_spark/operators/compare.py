@@ -89,3 +89,38 @@ def compare_tables(
             .collect()
         )
     return CompareResult(n_src, n_lake, n_os, n_ol, diffs)
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent content checksum for anti-entropy table
+    comparison at 100 TB: full-row diff (``compare_tables``) moves both
+    tables through a shuffle; this moves ONE ROW PER GROUP — hash each
+    row to a 60-bit md5-derived integer and XOR them per group (XOR is
+    commutative/associative, so the result is partition- and
+    order-independent), alongside a row count. Two replicas agree iff
+    every (group, n_rows, xor_sig) row matches; a mismatched group
+    localizes the diff so only that slice needs the full compare.
+
+    NULLs are significant (explicit sentinel before concat — concat_ws
+    would silently drop them and 'a'|NULL would collide with 'a').
+    Cross-engine note: only use columns whose string rendering is
+    engine-stable (ints/strings/bools) when oracle-checking; float
+    formatting differs between engines.
+    """
+    sentinel = F.lit("∅")
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), sentinel))
+        parts.append(F.lit("|"))
+    row = F.concat(*parts[:-1])
+    sig = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    gs = list(group_cols or [])
+    out = df.select(*gs, sig.alias("__sig")).groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__sig)").alias("xor_sig"),
+    )
+    return out.orderBy(*gs) if gs else out

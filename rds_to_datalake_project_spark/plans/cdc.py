@@ -784,6 +784,36 @@ def scd2_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey", "valid_from")
 
 
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy checksums (operators/compare.py:table_checksum):
+    per-priority XOR of 60-bit row hashes + counts over orders — the
+    replica-comparison primitive that moves one row per group instead
+    of the table. XOR's commutativity makes the signature identical
+    under any partitioning/order, which the oracle proves."""
+    from rds_to_datalake_project_spark.operators.compare import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        group_cols=["o_orderpriority"],
+    )
+
+
+CHECKSUM_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(
+           COALESCE(CAST(o_orderkey AS VARCHAR), '∅') || '|' ||
+           COALESCE(CAST(o_custkey AS VARCHAR), '∅') || '|' ||
+           COALESCE(o_orderstatus, '∅')
+       ), 1, 15)) AS BIGINT)) AS xor_sig
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def sql_timetravel_changed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the SQL FACADE: one run_query joining two
     ``FOR VERSION AS OF`` snapshots of the same lake table (sql.py
@@ -1460,6 +1490,7 @@ QUERIES = {
     "time_travel_roundtrip": time_travel_roundtrip,
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
+    "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
     "dedup_latest_per_key": dedup_latest_per_key,
@@ -1501,6 +1532,7 @@ ORACLES = {
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
+    "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,
     "dedup_latest_per_key": DEDUP_SQL,

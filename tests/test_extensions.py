@@ -1067,3 +1067,33 @@ def test_pivot_unpivot_roundtrip_consistent(spark, sf_dir):
     assert set(got.select("priority").distinct().toPandas()["priority"]) <= set(
         _PRIORITIES
     )
+
+
+def test_table_checksum_detects_and_localizes_diffs(spark):
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.compare import table_checksum
+
+    a = spark.createDataFrame(
+        [(1, "x", "g1"), (2, "y", "g1"), (3, "z", "g2"), (4, None, "g2")],
+        ["id", "v", "g"],
+    )
+    # same content, different order/partitioning -> identical signatures
+    b = a.orderBy(F.col("id").desc()).repartition(7)
+    ca = sorted(map(tuple, table_checksum(a, ["id", "v"], ["g"]).collect()))
+    cb = sorted(map(tuple, table_checksum(b, ["id", "v"], ["g"]).collect()))
+    assert ca == cb
+
+    # one changed row flips ONLY its group's signature
+    c = a.withColumn("v", F.when(F.col("id") == 3, "Z").otherwise(F.col("v")))
+    cc = {r["g"]: (r["n_rows"], r["xor_sig"]) for r in table_checksum(c, ["id", "v"], ["g"]).collect()}
+    orig = {r["g"]: (r["n_rows"], r["xor_sig"]) for r in table_checksum(a, ["id", "v"], ["g"]).collect()}
+    assert cc["g1"] == orig["g1"] and cc["g2"] != orig["g2"]
+
+    # NULL vs the string sentinel must NOT collide silently with a
+    # neighboring-column shift ('a', None) != ('a|∅' as one col)
+    d = spark.createDataFrame([("a", None)], "x string, y string")
+    e = spark.createDataFrame([(None, "a")], "x string, y string")
+    sd = table_checksum(d, ["x", "y"]).collect()[0]["xor_sig"]
+    se = table_checksum(e, ["x", "y"]).collect()[0]["xor_sig"]
+    assert sd != se
