@@ -206,3 +206,40 @@ def histogram_quantiles(
         .select(*dims, "p", "total", "rank", "bucket", "lo_edge", "hi_edge")
         .orderBy(*dims, "p")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    tiebreak: str,
+    dims: list[str] | None = None,
+) -> DataFrame:
+    """Equi-DEPTH (equal-height) histogram: ``ntile(n)`` splits the
+    (per-group) value distribution into buckets of near-equal row
+    count and reports each bucket's [min, max] envelope — the
+    histogram form optimizers prefer for skewed columns, where
+    equi-width buckets collapse into one hot bin. ``tiebreak`` must
+    make the sort order total (ntile over ties is otherwise
+    nondeterministic).
+
+    One window shuffle (group key, or single-partition sort for the
+    global form — use dims at scale) + one partial aggregation.
+
+    Output: ``dims..., bucket, n_rows, lo, hi``.
+    """
+    from pyspark.sql import Window
+
+    dims = list(dims or [])
+    w = Window.partitionBy(*dims).orderBy(F.col(col), F.col(tiebreak))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(*dims, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+        .orderBy(*dims, "bucket")
+    )

@@ -2362,6 +2362,40 @@ QUERIES["grouped_quantiles_by_priority"] = grouped_quantiles_by_priority
 ORACLES["grouped_quantiles_by_priority"] = GROUPED_QUANTILES_SQL
 
 
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (operators/profile.equidepth_histogram):
+    ntile(10) over order totals per priority — the skew-proof
+    histogram form; totally-ordered by (value, orderkey) so bucket
+    assignment is deterministic and hash-checkable."""
+    from rds_to_datalake_project_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        orders, "o_totalprice", 10, "o_orderkey", dims=["o_orderpriority"]
+    )
+
+
+EQUIDEPTH_SQL = """
+SELECT o_orderpriority, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+"""
+
+QUERIES["equidepth_price_histogram"] = equidepth_price_histogram
+ORACLES["equidepth_price_histogram"] = EQUIDEPTH_SQL
+
+
 def zorder3_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-dimensional Morton key over (custkey, orderkey, price-bucket)
     — the N-dim generalization behind cluster_by_zorder_n
