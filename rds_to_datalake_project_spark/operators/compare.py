@@ -55,7 +55,12 @@ def diff_report(source: DataFrame, lake: DataFrame) -> DataFrame:
     exactly one side, tagged ``side`` ∈ {source, lake}. The
     distributed whole of what ``compare_tables`` samples — kept lazy
     so a 100 TB audit can write the report instead of collecting it.
-    One co-partitioned anti-join shuffle per direction."""
+    One co-partitioned anti-join shuffle per direction.
+
+    Meta/partition columns are stripped from BOTH sides — the source
+    may itself be a partitioned lake read (backup/restore audits
+    compare two lake tables)."""
+    source = strip_meta_columns(source)
     lake = strip_meta_columns(lake).select(*source.columns)
     return (
         source.exceptAll(lake)
@@ -71,7 +76,9 @@ def compare_tables(
     sample: int = 10,
 ) -> CompareResult:
     """Multiset-compare two tables; report counts and ≤``sample``
-    differing keys (reference compare.py:56-79 semantics, distributed)."""
+    differing keys (reference compare.py:56-79 semantics, distributed).
+    Both sides are meta-stripped so lake-vs-lake audits work."""
+    source = strip_meta_columns(source)
     lake = strip_meta_columns(lake).select(*source.columns)
     only_src = source.exceptAll(lake)
     only_lake = lake.exceptAll(source)

@@ -183,7 +183,8 @@ def stats_informed_join(
         else:
             joined = left.join(F.broadcast(right), cond, how)
     elif advice["strategy"] == "salted" and (
-        how == "inner" or advice["left_rows"] >= advice["right_rows"]
+        how == "inner"
+        or (how == "left" and advice["left_rows"] >= advice["right_rows"])
     ):
         # salted_join replicates its SECOND argument and preserves
         # left semantics for its FIRST — an outer join whose preserved

@@ -170,11 +170,17 @@ def rolling_anomaly(
     ``stddev_samp`` formulation. Rows with an incomplete frame
     (n < lookback) are never flagged.
 
-    Preconditions: ``value_col`` integral; (``dims``, ``order_col``)
-    unique per row (a ROWS frame over ties is nondeterministic);
-    values within the int64 envelope ``lookback * |x| < 3.0e9`` (hourly
-    counts of ~1.2e8 per series at lookback 24) — pre-scale coarser
-    series before flagging past that.
+    The comparison itself is evaluated in DECIMAL(38,0) (the int64
+    sums are exact, then both sides get 128-bit headroom — dev² at the
+    envelope bound reaches ~9e20, past int64), so the only remaining
+    overflow surface is the int64 frame sum of squares: exact while
+    ``lookback * x_max² < 9.2e18``, i.e. ``x_max < sqrt(9.2e18 /
+    lookback)`` (~6.2e8 at lookback 24). Pre-scale coarser series
+    before flagging past that.
+
+    Preconditions: ``value_col`` integral within that envelope;
+    (``dims``, ``order_col``) unique per row (a ROWS frame over ties
+    is nondeterministic).
 
     Plan shape: ONE window shuffle partitioned by the series key —
     1000 executors spread series, not time; all four statistics share
@@ -189,9 +195,14 @@ def rolling_anomaly(
     n = F.count(value_col).over(w)
     s = F.coalesce(F.sum(x).over(w), F.lit(0).cast("long"))
     ss = F.coalesce(F.sum(x * x).over(w), F.lit(0).cast("long"))
-    dev = n * x - s
+    # dev fits int64 easily (|dev| ≤ 2·n·x_max), but dev² and n·SS−S²
+    # do not at the documented envelope — square in DECIMAL(38,0).
+    dec = "decimal(38,0)"
+    dev = (n * x - s).cast(dec)
+    n_d, s_d, ss_d = n.cast(dec), s.cast(dec), ss.cast(dec)
     flagged = (n == F.lit(lookback)) & (
-        dev * dev > F.lit(int(z) * int(z)) * (n * ss - s * s)
+        dev * dev
+        > F.lit(int(z) * int(z)).cast(dec) * (n_d * ss_d - s_d * s_d)
     )
     return (
         df.withColumn("win_n", n)

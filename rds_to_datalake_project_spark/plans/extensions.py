@@ -82,11 +82,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUALITY_SQL = """
 SELECT doc_id,
-       length(text) AS q_chars,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
-       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS q_alpha,
-       length(regexp_replace(text, '[^0-9]', '', 'g')) AS q_digits,
-       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS q_punct,
+       CAST(length(text) AS INTEGER) AS q_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS q_tokens,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS q_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS q_digits,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS q_punct,
        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS q_alpha_ratio,
        CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS q_avg_token_len,
        CAST((CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 1 ELSE 0 END
@@ -2288,7 +2288,8 @@ WITH params AS (
   SELECT p, total, rank, MIN(bucket) AS bucket
   FROM pts WHERE cum >= rank GROUP BY p, total, rank
 )
-SELECT h.p, h.total, h.rank, h.bucket, b.lo_edge, b.hi_edge
+SELECT h.p, CAST(h.total AS BIGINT) AS total, CAST(h.rank AS BIGINT) AS rank,
+       h.bucket, b.lo_edge, b.hi_edge
 FROM hit h JOIN buckets b ON b.bucket = h.bucket
 ORDER BY h.p
 """
@@ -2351,7 +2352,8 @@ WITH params AS (
   SELECT o_orderpriority, p, total, rank, MIN(bucket) AS bucket
   FROM pts WHERE cum >= rank GROUP BY 1, 2, 3, 4
 )
-SELECT h.o_orderpriority, h.p, h.total, h.rank, h.bucket, d.lo_edge, d.hi_edge
+SELECT h.o_orderpriority, h.p, CAST(h.total AS BIGINT) AS total,
+       CAST(h.rank AS BIGINT) AS rank, h.bucket, d.lo_edge, d.hi_edge
 FROM hit h JOIN (SELECT DISTINCT o_orderpriority, bucket, lo_edge, hi_edge
                  FROM dense) d
   ON d.o_orderpriority = h.o_orderpriority AND d.bucket = h.bucket
@@ -2378,7 +2380,7 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EQUIDEPTH_SQL = """
-SELECT o_orderpriority, bucket,
+SELECT o_orderpriority, CAST(bucket AS INTEGER) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(o_totalprice) AS lo,
        MAX(o_totalprice) AS hi

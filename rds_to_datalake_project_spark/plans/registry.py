@@ -36,81 +36,56 @@ _MODULES = (
 # they land inside that window; long-green queries rotate to the tail (their
 # r1/r2 rows remain on record and pytest still covers them every round).
 _PRIORITY = (
-    # engine paths edited in round 8 (MERGE clause-subset semantics,
-    # simultaneous UPDATE SET, cached DML victims, failure-isolated
-    # maintenance hooks, single-scan bloom build) — re-confirm even
-    # though r7-green
+    # --- round-9 tier A: oracles FIXED this round (r8 hash-reds from
+    # DuckDB SUM->HUGEINT typing, now CAST ... AS BIGINT; plus the two
+    # latent copies and the ntile-width fix) — must re-green
+    "gapfill_hourly_events",
+    "text_index_search",
+    "pagerank_trade_graph",
+    "histogram_quantiles_price",
+    "grouped_quantiles_by_priority",
+    "equidepth_price_histogram",
+    # --- tier B: round-8 additions that outgrew the 50-slot window —
+    # never held a driver row (VERDICT r8 "What's missing" #1)
+    "entity_resolution_customers",
+    "scd2_store_incremental",
+    "revenue_cube",
+    "pivot_nation_priority_revenue",
+    "unpivot_roundtrip",
+    "above_brand_average_parts",
+    "fk_violation_counts",
+    "orders_partition_checksums",
+    "time_weighted_value",
+    "rolling_anomaly_hours",
+    "copurchase_part_pairs",
+    "event_transition_matrix",
+    "click_attribution_pairs",
+    "balance_quartiles_by_nation",
+    "overlap_user_promo_spans",
+    "lsh_index_screen",  # rows-only by contract (xxhash64 prod twin)
+    # --- tier C: engine paths TOUCHED in round 9 (compare.py both-side
+    # meta strip; delta-publish refresh in lsh/ann/text index services;
+    # rolling_anomaly decimal comparison) — re-confirm
+    "table_diff_report",
+    "lsh_index_screen_md5",
+    "ann_index_served_topk",
+    "ann_index_ivf_topk",
+    "indexed_point_lookup",
+    "bloom_pruned_lookup",
+    # --- tier D: core CDC/SQL round-trips — kept in-window every round
+    # (these are the reference's §2 heart; cheap insurance)
+    "cdc_upsert_roundtrip",
     "sql_merge_roundtrip",
     "sql_dml_roundtrip",
-    "cdc_upsert_roundtrip",
     "delete_apply_roundtrip",
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
-    "bloom_pruned_lookup",
-    "indexed_point_lookup",
-    "ann_index_served_topk",
-    "lsh_index_screen_md5",
     "lake_table_changes",
-    "ann_index_ivf_topk",
-    # r1/r2-stale tier — rows last refreshed 5+ rounds ago
-    "windowed_counts",
-    "sessionize_events",
-    "orders_except_filtered",
-    "part_brand_stats",
-    "events_json_props",
-    "watermark_per_day",
-    "commit_key_codec",
-    "hot_order_customers",
-    "partition_enrich_string",
-    # r6-only text/curation rows — second-stalest band
-    "lang_id",
-    "pii_scrub",
-    "repetition_quality",
-    "doc_fingerprint",
-    "exact_dedup_docs",
-    "curate_documents_decisions",
-    "chunk_documents_windows",
-    "mixture_sample_counts",
-    # media_resize_stats (the r7 bench regressor) is watched via
-    # BENCH_r08's number — its correctness row is r6-green on record
-    # and operators/multimodal.py is untouched this round.
-    # round-8 third wave: mergeable sketch layer (displacing
-    # tfidf_top_terms, neardup_components, ann_topk_cosine,
-    # neardup_cosine_pairs — all r6-green on record)
-    "hll_registers_users_md5",
-    "hll_estimate_users_md5",
-    "cms_heavy_hitters_md5",
-    "sketch_cms_after_cdc_md5",
-    # hypertable gap-fill + weighted sampling (displacing sq8_ann_topk
-    # and orders_intersect_urgent-class fillers, r6-green on record)
-    "gapfill_hourly_events",
-    "weighted_sample_docs",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "text_index_search",
-    # new round 8 — no driver-green row yet (displacing four filler
-    # rows green on record since r2/r5: zorder_key_orders,
-    # hilbert_key_orders, orders_intersect_urgent, order_priority_stats)
-    "purge_keep_history_asof",
-    "expectations_orders_report",
-    "gated_upsert_roundtrip",
-    "matview_incremental_status",
-    "stats_join_advisory",
-    # round-8 second wave (displacing media_decode_stats,
-    # media_feature_extract, ivf_probe_topk — r6-green on record):
-    # passage-level boilerplate dedup, bigram-LM quality, SemDeDup
-    "passage_dedup_docs",
-    "bigram_lm_quality",
-    "semantic_dedup_embeddings",
-    # SQL-facade matview verbs (displacing train_test_split_counts,
-    # r6-green on record)
-    "sql_matview_roundtrip",
-    # round-8 fourth wave: SCD-2 history, fixed-point PageRank, FastSS
-    # fuzzy join (displacing hypertable_rollup and pack_documents —
-    # r7/r6-green on record, untouched this round)
-    "scd2_orders_history",
-    "pagerank_trade_graph",
-    "fuzzy_customer_pairs",
+    # (tail slots intentionally left to round-9 additions registered
+    # below; everything rotated out is green on record r6–r8 and stays
+    # pytest-covered: windowed_counts, sessionize_events, sketches,
+    # curation tier, funnels, scd2_orders_history, fuzzy_customer_pairs,
+    # purge/expectations/matview rows — see CORRECTNESS_r08.json)
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

@@ -193,7 +193,8 @@ WITH spend AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
   FROM orders GROUP BY o_custkey
 )
-SELECT n_name, c_custkey, c_name, total_spend, rank_in_nation
+SELECT n_name, c_custkey, c_name, total_spend,
+       CAST(rank_in_nation AS INTEGER) AS rank_in_nation
 FROM (
   SELECT n_name, c_custkey, c_name, total_spend,
          ROW_NUMBER() OVER (PARTITION BY n_name
@@ -445,7 +446,7 @@ def balance_quartiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BALANCE_QUARTILES_SQL = """
-SELECT c_custkey, c_nationkey, quartile, pct_rank
+SELECT c_custkey, c_nationkey, CAST(quartile AS INTEGER) AS quartile, pct_rank
 FROM (
   SELECT c_custkey, c_nationkey,
          ntile(4) OVER w AS quartile,

@@ -199,7 +199,7 @@ WITH final_state AS (
 ), ex AS (
   SELECT t.j AS row, v FROM items, range({CMS_DEPTH}) t(j)
 )
-SELECT row,
+SELECT CAST(row AS INTEGER) AS row,
        CAST({_H60.format(expr="CAST(row AS VARCHAR) || '|' || v")} % {CMS_WIDTH}
             AS INTEGER) AS bucket,
        COUNT(*) AS cnt

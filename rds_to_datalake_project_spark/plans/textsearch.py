@@ -73,7 +73,8 @@ WITH tok AS (
   SELECT term, doc_id, COUNT(*) AS tf
   FROM tok WHERE term <> '' GROUP BY 1, 2
 ), hits AS (
-  SELECT doc_id, COUNT(DISTINCT term) AS nt, SUM(tf) AS rank
+  SELECT doc_id, COUNT(DISTINCT term) AS nt,
+         CAST(SUM(tf) AS BIGINT) AS rank
   FROM posts WHERE term IN ({_TERMS_SQL})
   GROUP BY 1
 )
@@ -111,7 +112,7 @@ WITH c AS (
 )
 SELECT a.c_custkey AS a_custkey,
        b.c_custkey AS b_custkey,
-       levenshtein(a.c_name, b.c_name) AS dist
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
 FROM c a JOIN c b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY a_custkey, b_custkey

@@ -52,7 +52,7 @@ WITH agg AS (
   SELECT event_type,
          (epoch_us(ts) // {WIDTH_S * 1_000_000}) * {WIDTH_S} AS bucket_s,
          COUNT(*) AS n_events,
-         SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS sum_v
+         CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v
   FROM events
   WHERE value > {_V_CUT!r}
   GROUP BY 1, 2

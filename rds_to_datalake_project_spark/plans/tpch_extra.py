@@ -848,8 +848,8 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_iter_sql(prev: str, this: str) -> str:
     return f"""{this} AS (
   SELECT nd.node,
-         (SELECT (15 * {_PR_SCALE}) // (100 * n) FROM p)
-           + COALESCE(s.m, 0) AS r
+         CAST((SELECT (15 * {_PR_SCALE}) // (100 * n) FROM p)
+              + COALESCE(s.m, 0) AS BIGINT) AS r
   FROM nodes nd LEFT JOIN (
     SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.outdeg)) AS m
     FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON d.node = e.src

@@ -89,27 +89,6 @@ TIME_TRAVEL_TABLES: dict[str, object] = {}
 MATVIEWS: dict[str, object] = {}
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split a select list on commas outside parentheses/quotes."""
-    parts, depth, start, i, n = [], 0, 0, 0, len(s)
-    while i < n:
-        ch = s[i]
-        if ch == "'":
-            i += 1
-            while i < n and s[i] != "'":
-                i += 2 if s[i] == "\\" else 1
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(s[start:i].strip())
-            start = i + 1
-        i += 1
-    parts.append(s[start:].strip())
-    return [p for p in parts if p]
-
-
 def register_time_travel(name: str, table) -> None:
     """Make ``<name> FOR VERSION AS OF k`` resolvable in any
     subsequent ``run_query`` (table must expose ``read_as_of``)."""

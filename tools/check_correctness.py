@@ -33,6 +33,52 @@ def frame_sig(cols, rows):
     return lines
 
 
+# The driver's value hash is TYPE-SENSITIVE (r8 post-mortem: DuckDB
+# HUGEINT vs Spark bigint failed hash at equal values), so beyond
+# string-canonical values we require both engines to agree on a
+# canonical type family per column, exact integer/float width included.
+_DUCK_CANON = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "int128!", "UHUGEINT": "uint128!",
+    "UTINYINT": "uint8!", "USMALLINT": "uint16!", "UINTEGER": "uint32!",
+    "UBIGINT": "uint64!", "FLOAT": "float32", "DOUBLE": "float64",
+    "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "BLOB": "binary",
+}
+_SPARK_CANON = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32",
+    "bigint": "int64", "float": "float32", "double": "float64",
+    "string": "string", "boolean": "bool", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _canon_duck_type(t: str) -> str:
+    t = str(t).upper()
+    return _DUCK_CANON.get(t, t.lower())
+
+
+def _canon_spark_type(t: str) -> str:
+    return _SPARK_CANON.get(t, t)
+
+
+def dtype_mismatches(s_schema, d_cols, d_types):
+    """(col, spark_type, duck_type) rows whose canonical families
+    differ, plus any driver-hash-hostile DuckDB types (int128 etc.)."""
+    duck = {c: _canon_duck_type(t) for c, t in zip(d_cols, d_types)}
+    out = []
+    for f in s_schema.fields:
+        st = _canon_spark_type(f.dataType.simpleString())
+        dt = duck.get(f.name)
+        if dt is None:
+            continue  # column-name diff is reported separately
+        if st != dt or dt.endswith("!"):
+            out.append((f.name, st, dt))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -66,15 +112,19 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(ORACLES[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
 
         problems = []
+        bad_types = dtype_mismatches(sdf.schema, d_cols, d_types)
+        if bad_types:
+            problems.append(f"dtypes differ (spark, duckdb): {bad_types}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         elif len(s_rows) != len(d_rows):
