@@ -64,8 +64,11 @@ from rds_to_datalake_project_spark.operators.similarity import (
     sq8_train,
 )
 from rds_to_datalake_project_spark.operators.sidecar import (
+    clear_delta_log,
     epoch_of,
-    parts_consistent,
+    family_consistent,
+    publish_family_delta,
+    read_family,
     read_state,
     write_part,
     write_state,
@@ -209,6 +212,9 @@ def build_ann_index(
         # ∝ probed cells even at 100-TB index size.
         partition_by=["cell"] if centroids is not None else None,
     )
+    # A rebuild resets the family to flat layout — unlink any prior
+    # delta chain (its epoch is dead).
+    clear_delta_log(spark, _idx(table), "codes")
     # version+epoch LAST: a crash before this leaves the old (or no)
     # marker, whose epoch no longer matches the new bounds/codes —
     # the next refresh rebuilds; never a fresher-than-reality stamp.
@@ -246,7 +252,7 @@ def refresh_ann_index(
     opt into."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
-    state = parts_consistent(spark, _idx(table), ["bounds", "codes"])
+    state = family_consistent(spark, _idx(table), "codes", ["bounds"])
     # IVF mode is detected from the sidecar itself: a centroids part
     # whose epoch matches _VERSION. A torn centroids part (epoch
     # mismatch while bounds/codes agree) forces a rebuild REUSING the
@@ -263,34 +269,39 @@ def refresh_ann_index(
         return (build_ann_index(table, id_col, vec_col, centroids), 0)
     if state is None or state[0] not in table.readable_versions():
         return (build_ann_index(table, id_col, vec_col, centroids), 0)
-    v0, epoch = state
+    v0, epoch, gens = state
     if v0 == latest:
         return (0, 0)
     try:
         bounds = _read_bounds(table)
-        old = spark.read.parquet(f"{_idx(table)}/codes")
     except Exception:
         return (build_ann_index(table, id_col, vec_col, centroids), 0)
     changes = table.table_changes(v0, latest)
     upserts = changes.filter(F.col("_change_type") != "delete")
-    deleted_or_replaced = changes.select(id_col)  # every touched key
-    survivors = old.join(deleted_or_replaced, id_col, "left_anti")
     fresh = _code_rows(
         upserts, bounds, id_col, vec_col, centroids if ivf_ok else None
     )
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
-    write_part(
+    # Delta publish: only the change window's codes + a touched-id
+    # tombstone hit disk — the r8 survivors∪fresh full rewrite is gone
+    # (refresh I/O ∝ batch, compaction folds every
+    # DEFAULT_COMPACT_THRESHOLD refreshes). IVF deltas keep the cell
+    # partitioning so probed queries prune delta dirs too.
+    publish_family_delta(
         spark,
         _idx(table),
         "codes",
-        survivors.unionByName(fresh),
+        fresh,
+        changes.select(id_col),
+        id_col,
+        latest,
         epoch,
+        gens,
         partition_by=["cell"] if ivf_ok else None,
     )
-    write_state(spark, _idx(table), latest, epoch)
     if ivf_ok and drift_rebuild_ratio is not None:
-        if _cells_drifted(table, centroids, drift_rebuild_ratio):
+        if _cells_drifted(table, centroids, drift_rebuild_ratio, id_col):
             from rds_to_datalake_project_spark.operators.ivf_train import (
                 train_ivf_centroids,
             )
@@ -310,6 +321,7 @@ def _cells_drifted(
     table: KeyedTable,
     centroids: list[tuple[int, list[float]]],
     ratio: float,
+    id_col: str = "vec_id",
 ) -> bool:
     """One k-row aggregation over the codes sidecar: True when the
     most populated cell exceeds ``ratio`` × the mean population, or
@@ -317,7 +329,7 @@ def _cells_drifted(
     return nothing while its would-be members crowd other cells)."""
     counts = {
         r["cell"]: r["n"]
-        for r in table.spark.read.parquet(f"{_idx(table)}/codes")
+        for r in read_family(table.spark, _idx(table), "codes", id_col)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -371,8 +383,9 @@ def ann_index_topk(
     N cells nearest the query — the sublinear serving path: the probe
     set is computed driver-side from the tiny centroid part with the
     SAME integer-exact distance as the stored assignment, and the cell
-    filter is a partition-prunable predicate on the codes scan."""
-    codes = table.spark.read.parquet(f"{_idx(table)}/codes")
+    filter is a partition-prunable predicate on the codes scan (base
+    AND delta parts — the merged family keeps hive pruning per leg)."""
+    codes = read_family(table.spark, _idx(table), "codes", id_col)
     if probe_cells is not None:
         centroids = _read_centroids(table)
         if centroids is None:

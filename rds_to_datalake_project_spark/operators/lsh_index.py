@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.minhash import band_rows
 from rds_to_datalake_project_spark.operators.sidecar import (
-    parts_consistent,
+    clear_delta_log,
+    family_consistent,
+    publish_family_delta,
+    read_family,
     write_part,
     write_state,
 )
@@ -100,6 +103,10 @@ def build_lsh_index(
         table.read(), id_col, text_col, num_hashes, bands, shingle_n, hash_mode
     )
     out = write_part(spark, _idx(table), "bands", banded, epoch)
+    # A rebuild starts a fresh flat layout — any prior delta chain is
+    # dead (its epoch no longer matches) and must be unlinked or every
+    # later consistency check would read it as torn.
+    clear_delta_log(spark, _idx(table), "bands")
     # Params BEFORE _VERSION: a refresh only trusts the index once the
     # epoch chain closes, and by then the parameter record is in place.
     _write_small(
@@ -121,13 +128,18 @@ def refresh_lsh_index(
     hash_mode: str = "xxhash64",
 ) -> tuple[int, int]:
     """Reconcile the signature index with commits since the indexed
-    version: deleted/replaced ids anti-join out, upserts re-band.
-    Returns ``(n_rebanded_docs, n_deleted_docs)`` — cost ∝ the change
-    set. Falls back to a full rebuild when no/torn index, parameter
-    mismatch, or the indexed version was vacuumed out."""
+    version — DELTA-PUBLISHED (sidecar.publish_family_delta): the
+    refresh writes only the change window's re-banded rows plus a
+    touched-id tombstone, so maintenance I/O is ∝ the change set, not
+    the signature table (the r8 full-rewrite union is gone). Readers
+    merge base+deltas; the chain folds into the base every
+    ``DEFAULT_COMPACT_THRESHOLD`` refreshes. Returns
+    ``(n_rebanded_docs, n_deleted_docs)``. Falls back to a full
+    rebuild when no/torn index, parameter mismatch, or the indexed
+    version was vacuumed out."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
-    state = parts_consistent(spark, _idx(table), ["bands"])
+    state = family_consistent(spark, _idx(table), "bands")
     if (
         state is None
         or state[0] not in table.readable_versions()
@@ -138,27 +150,27 @@ def refresh_lsh_index(
             table, id_col, text_col, num_hashes, bands, shingle_n, hash_mode
         )
         return (n // max(bands, 1), 0)
-    v0, epoch = state
+    v0, epoch, gens = state
     if v0 == latest:
         return (0, 0)
-    try:
-        old = spark.read.parquet(f"{_idx(table)}/bands")
-    except Exception:
-        n = build_lsh_index(
-            table, id_col, text_col, num_hashes, bands, shingle_n, hash_mode
-        )
-        return (n // max(bands, 1), 0)
     changes = table.table_changes(v0, latest)
     upserts = changes.filter(F.col("_change_type") != "delete")
-    touched = changes.select(id_col)  # every changed key leaves the index
-    survivors = old.join(touched, id_col, "left_anti")
     fresh = band_rows(
         upserts, id_col, text_col, num_hashes, bands, shingle_n, hash_mode
     )
     n_up = upserts.count()
     n_del = changes.filter(F.col("_change_type") == "delete").count()
-    write_part(spark, _idx(table), "bands", survivors.unionByName(fresh), epoch)
-    write_state(spark, _idx(table), latest, epoch)
+    publish_family_delta(
+        spark,
+        _idx(table),
+        "bands",
+        fresh,
+        changes.select(id_col),  # every changed key leaves the index
+        id_col,
+        latest,
+        epoch,
+        gens,
+    )
     return (n_up, n_del)
 
 
@@ -183,7 +195,7 @@ def lsh_candidates_for(
             "no LSH index under this table — run build_lsh_index first"
         )
     spark = table.spark
-    corpus = spark.read.parquet(f"{_idx(table)}/bands")
+    corpus = read_family(spark, _idx(table), "bands", id_col)
     if max_bucket_size is not None:
         big = (
             corpus.groupBy("band", "bucket")

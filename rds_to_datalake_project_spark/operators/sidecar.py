@@ -13,16 +13,49 @@ marker means a torn build and forces a full rebuild. Crash at any
 point therefore leaves the sidecar looking STALE, never torn-but-
 trusted (same conservative posture as the zone map's _SEQ/_SYNC
 tokens).
+
+DELTA FAMILIES — refresh I/O ∝ change set, not index size
+---------------------------------------------------------
+A "family" is one logical relation stored as a BASE part plus an
+ordered chain of DELTA parts, each delta paired with a TOMBSTONE part
+(the ids the delta's change window touched — upserts AND deletes).
+A refresh writes ONLY its fresh rows and touched ids (two small
+parts); it never rewrites the base, so at a 100-TB corpus per-commit
+maintenance moves O(batch) bytes where the flat layout moved the
+whole artifact. Readers merge with generation-aware semantics:
+
+    a row written at generation g survives iff no tombstone with
+    generation > g names its id  (base rows are generation 0)
+
+which makes replays idempotent: re-publishing the same change window
+as a later generation tombstones its earlier copy. The chain is
+recorded in a ``<family>_DELTAS`` JSON marker carrying the build
+epoch; every part in the chain must bear that epoch, so the torn-
+build detection extends unchanged (``family_consistent``). Deltas
+share the BUILD's epoch — a refresh adds parts, it never re-stamps
+existing ones — so a crash anywhere leaves either an unreferenced
+orphan (invisible) or a version-lagged log (replayed and healed by
+the next refresh). When the chain reaches ``compact_threshold`` the
+refresh folds base+deltas into a new base (the merged read), clears
+the log, and deletes the delta dirs — full-rewrite cost amortized to
+1/threshold of commits.
 """
 
 from __future__ import annotations
 
+import json
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.zonemap import (
+    _delete_dir,
     _read_small,
     _write_small,
 )
+
+DEFAULT_COMPACT_THRESHOLD = 8
 
 
 def read_state(spark: SparkSession, index_dir: str) -> tuple[int, str] | None:
@@ -90,3 +123,204 @@ def parts_consistent(
         if epoch_of(spark, index_dir, p) != state[1]:
             return None
     return state
+
+
+# --- delta families ---------------------------------------------------------
+
+
+def _delta_name(family: str, gen: int) -> str:
+    return f"{family}__d{gen:04d}"
+
+
+def _tomb_name(family: str, gen: int) -> str:
+    return f"{family}__t{gen:04d}"
+
+
+def read_delta_log(
+    spark: SparkSession, index_dir: str, family: str
+) -> tuple[str, list[int]] | None:
+    """(epoch, generations) from the family's delta log, or None when
+    absent/unparsable. Absent = flat layout (base only), which every
+    pre-delta index already has — fully back-compatible."""
+    txt = _read_small(spark, f"{index_dir}/{family}_DELTAS")
+    if not txt:
+        return None
+    try:
+        d = json.loads(txt)
+        return str(d["epoch"]), [int(g) for g in d["gens"]]
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_delta_log(
+    spark: SparkSession, index_dir: str, family: str, epoch: str, gens: list[int]
+) -> None:
+    _write_small(
+        spark,
+        f"{index_dir}/{family}_DELTAS",
+        json.dumps({"epoch": epoch, "gens": gens}),
+    )
+
+
+def clear_delta_log(spark: SparkSession, index_dir: str, family: str) -> None:
+    """Reset the family to flat layout (build/compaction) and drop the
+    now-unreferenced delta dirs."""
+    old = read_delta_log(spark, index_dir, family)
+    _write_small(
+        spark, f"{index_dir}/{family}_DELTAS", json.dumps({"epoch": "", "gens": []})
+    )
+    for g in old[1] if old else []:
+        _delete_dir(spark, f"{index_dir}/{_delta_name(family, g)}")
+        _delete_dir(spark, f"{index_dir}/{_tomb_name(family, g)}")
+
+
+def family_consistent(
+    spark: SparkSession, index_dir: str, family: str, extra_parts: list[str] = ()
+) -> tuple[int, str, list[int]] | None:
+    """(version, epoch, delta generations) IF the base part, every
+    delta/tombstone part, any ``extra_parts``, and the delta log all
+    agree on ``_VERSION``'s epoch — else None (torn → rebuild)."""
+    state = read_state(spark, index_dir)
+    if state is None:
+        return None
+    version, epoch = state
+    log = read_delta_log(spark, index_dir, family)
+    gens = log[1] if log else []
+    if gens and log[0] != epoch:
+        return None
+    parts = [family, *extra_parts]
+    for g in gens:
+        parts += [_delta_name(family, g), _tomb_name(family, g)]
+    for p in parts:
+        if epoch_of(spark, index_dir, p) != epoch:
+            return None
+    return version, epoch, gens
+
+
+def read_family(
+    spark: SparkSession,
+    index_dir: str,
+    family: str,
+    id_col: str,
+    gens: list[int] | None = None,
+) -> DataFrame:
+    """The family's merged relation: base ∪ deltas, generation-aware
+    tombstones applied. ``gens`` from ``family_consistent`` (pass it
+    to avoid a second log read); None re-reads the log.
+
+    Scale: the base/delta scans keep their partition pruning (a
+    filter on a hive-partition column pushes into every leg of the
+    union); the tombstone relation is ∝ changes since the last
+    compaction, so AQE broadcasts its side of the anti-filter join.
+    """
+    if gens is None:
+        log = read_delta_log(spark, index_dir, family)
+        gens = log[1] if log else []
+    base = spark.read.parquet(f"{index_dir}/{family}")
+    if not gens:
+        return base
+    # Deltas/tombstones read with EXPLICIT schemas (derived from the
+    # base — identical by construction): a deletes-only window writes
+    # an empty data part, which schema inference cannot read.
+    from pyspark.sql import types as T
+
+    tomb_schema = T.StructType([base.schema[id_col]])
+    frames = [base.withColumn("__gen", F.lit(0))]
+    tombs = []
+    for g in sorted(gens):
+        frames.append(
+            spark.read.schema(base.schema)
+            .parquet(f"{index_dir}/{_delta_name(family, g)}")
+            .withColumn("__gen", F.lit(g))
+        )
+        tombs.append(
+            spark.read.schema(tomb_schema)
+            .parquet(f"{index_dir}/{_tomb_name(family, g)}")
+            .select(F.col(id_col).alias("__tid"), F.lit(g).alias("__tgen"))
+        )
+    rows = reduce(lambda a, b: a.unionByName(b), frames)
+    latest_tomb = (
+        reduce(lambda a, b: a.unionByName(b), tombs)
+        .groupBy("__tid")
+        .agg(F.max("__tgen").alias("__tgen"))
+    )
+    return (
+        rows.join(latest_tomb, rows[id_col] == F.col("__tid"), "left")
+        .filter(F.col("__tgen").isNull() | (F.col("__gen") >= F.col("__tgen")))
+        .drop("__tid", "__tgen", "__gen")
+    )
+
+
+def publish_family_delta(
+    spark: SparkSession,
+    index_dir: str,
+    family: str,
+    fresh: DataFrame,
+    touched_ids: DataFrame,
+    id_col: str,
+    version: int,
+    epoch: str,
+    gens: list[int],
+    partition_by: list[str] | None = None,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+) -> str:
+    """Publish one refresh as a delta: write ``fresh`` (recomputed
+    rows for the change window's upserts) and ``touched_ids`` (EVERY
+    changed id — upserts and deletes) as two new parts under the
+    build epoch, append the generation to the log, then advance
+    ``_VERSION``. Returns ``"delta"``, or ``"compacted"`` when the
+    chain hit ``compact_threshold`` and was folded into the base.
+
+    Write cost: O(change set) — the base and prior deltas are never
+    touched (same-epoch deltas need no re-stamping; see module
+    docstring for the crash matrix)."""
+    gen = (max(gens) + 1) if gens else 1
+    write_part(
+        spark,
+        index_dir,
+        _delta_name(family, gen),
+        fresh,
+        epoch,
+        partition_by=partition_by,
+    )
+    write_part(
+        spark,
+        index_dir,
+        _tomb_name(family, gen),
+        touched_ids.select(id_col).distinct(),
+        epoch,
+        coalesce=1,
+    )
+    new_gens = [*gens, gen]
+    _write_delta_log(spark, index_dir, family, epoch, new_gens)
+    if len(new_gens) >= compact_threshold:
+        compact_family(
+            spark, index_dir, family, id_col, epoch, new_gens, partition_by
+        )
+        write_state(spark, index_dir, version, epoch)
+        return "compacted"
+    write_state(spark, index_dir, version, epoch)
+    return "delta"
+
+
+def compact_family(
+    spark: SparkSession,
+    index_dir: str,
+    family: str,
+    id_col: str,
+    epoch: str,
+    gens: list[int] | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Fold base + deltas into a new base and drop the chain. The
+    merged frame is checkpointed by ``write_part`` before the base
+    overwrite, so reading-while-overwriting is safe; a crash between
+    the base write and the log clear leaves base rows double-covered
+    by still-listed tombstones, which the generation rule resolves to
+    exactly one copy (delta wins) — reads stay correct and the next
+    compaction finishes the cleanup."""
+    merged = read_family(spark, index_dir, family, id_col, gens)
+    write_part(
+        spark, index_dir, family, merged, epoch, partition_by=partition_by
+    )
+    clear_delta_log(spark, index_dir, family)

@@ -14,12 +14,14 @@ lowercase, ``[^a-z]+`` splits, empties dropped — so the DuckDB twin
 (``regexp_split_to_array``) reproduces postings bit-for-bit.
 
 Maintenance: the sidecar follows the epoch-stamped torn-build
-protocol. Insert-only change windows refresh INCREMENTALLY by
-appending the new documents' postings (cost ∝ batch, the common shape
-for append-mostly corpora); updates or deletes force a rebuild —
-removing a document's old postings would mean rewriting every bucket
-its terms touch, which for CDC-sized batches is the same cost class
-as the rebuild, without the code to audit.
+protocol with DELTA FAMILIES (operators/sidecar.py): every change
+window — inserts, updates, AND deletes — refreshes incrementally by
+publishing the window's postings as a new delta part plus a
+touched-id tombstone (cost ∝ batch). A deleted/updated document's old
+postings are removed LOGICALLY: readers merge base+deltas and drop
+rows tombstoned by a later generation, so no bucket is ever
+physically rewritten until the chain compacts (every
+DEFAULT_COMPACT_THRESHOLD refreshes).
 
 AND-search semantics: a document matches when it contains EVERY query
 term; rank = Σ tf over the query terms (ties broken by id). Scale:
@@ -35,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.sidecar import (
-    parts_consistent,
+    clear_delta_log,
+    family_consistent,
+    publish_family_delta,
+    read_family,
     write_part,
     write_state,
 )
@@ -89,6 +94,7 @@ def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
     write_part(
         spark, _idir(table), "postings", posts, epoch, partition_by=["bucket"]
     )
+    clear_delta_log(spark, _idir(table), "postings")  # rebuild = flat layout
     _write_small(spark, f"{_idir(table)}/_PARAMS", f"{id_col} {text_col}")
     write_state(spark, _idir(table), latest, epoch)
 
@@ -100,22 +106,28 @@ def _stored_params(table: KeyedTable) -> tuple[str, str] | None:
 
 
 def read_postings(table: KeyedTable) -> DataFrame | None:
-    """The posting table IF the sidecar is consistent, else None."""
-    if parts_consistent(table.spark, _idir(table), ["postings"]) is None:
+    """The merged posting relation (base ∪ deltas, tombstones applied)
+    IF the sidecar is consistent, else None."""
+    state = family_consistent(table.spark, _idir(table), "postings")
+    if state is None:
         return None
-    return table.spark.read.parquet(f"{_idir(table)}/postings")
+    return read_family(
+        table.spark, _idir(table), "postings", "id", gens=state[2]
+    )
 
 
 def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
-    """Bring the index to the table's latest commit: appends the new
-    postings for insert-only windows, rebuilds otherwise. Returns
-    ``"noop" | "incremental" | "rebuild"``."""
+    """Bring the index to the table's latest commit by publishing the
+    change window as a delta: the window's postings (inserts and the
+    NEW text of updates) plus a tombstone of every touched id — so
+    updates and deletes are as incremental as inserts, and refresh I/O
+    is ∝ batch. Returns ``"noop" | "incremental" | "rebuild"``."""
     spark = table.spark
     if not table.retain_versions:
         build_text_index(table, id_col, text_col)
         return "rebuild"
     latest = (table.versions() or [0])[-1]
-    state = parts_consistent(spark, _idir(table), ["postings"])
+    state = family_consistent(spark, _idir(table), "postings")
     if (
         state is None
         or _stored_params(table) != (id_col, text_col)
@@ -125,25 +137,23 @@ def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
         return "rebuild"
     if state[0] >= latest:
         return "noop"
-    changes = table.table_changes(state[0], latest)
-    kinds = {r[0] for r in changes.select("_change_type").distinct().collect()}
-    if kinds - {"insert"}:
-        build_text_index(table, id_col, text_col)
-        return "rebuild"
-    epoch = uuid.uuid4().hex
-    old = spark.read.parquet(f"{_idir(table)}/postings").select(
-        F.col("bucket").cast("int").alias("bucket"), "term", "id", "tf"
-    )
+    v0, epoch, gens = state
+    changes = table.table_changes(v0, latest)
     added = postings_of(
-        changes.filter(F.col("_change_type") == "insert"), id_col, text_col
+        changes.filter(F.col("_change_type") != "delete"), id_col, text_col
+    ).withColumn("bucket", F.col("bucket").cast("string"))
+    publish_family_delta(
+        spark,
+        _idir(table),
+        "postings",
+        added,
+        changes.select(F.col(id_col).alias("id")),
+        "id",
+        latest,
+        epoch,
+        gens,
+        partition_by=["bucket"],
     )
-    merged = old.unionByName(added).withColumn(
-        "bucket", F.col("bucket").cast("string")
-    )
-    write_part(
-        spark, _idir(table), "postings", merged, epoch, partition_by=["bucket"]
-    )
-    write_state(spark, _idir(table), latest, epoch)
     return "incremental"
 
 

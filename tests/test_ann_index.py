@@ -47,7 +47,12 @@ def table(spark, tmp_path):
 
 
 def _codes_map(table):
-    rows = table.spark.read.parquet(f"{_idx(table)}/codes").collect()
+    # the MERGED family (base ∪ deltas, tombstones applied) is the
+    # index's logical content — raw base files keep dead rows until
+    # compaction by design
+    from rds_to_datalake_project_spark.operators.sidecar import read_family
+
+    rows = read_family(table.spark, _idx(table), "codes", "vec_id").collect()
     return {r["vec_id"]: (tuple(r["code"]), tuple(r["qvec"])) for r in rows}
 
 
@@ -228,7 +233,9 @@ def test_ivf_refresh_keeps_centroids_and_assigns_cells(spark, table):
         )
     )
     assert refresh_ann_index(table) == (1, 0)
-    codes = spark.read.parquet(f"{_idx(table)}/codes")
+    from rds_to_datalake_project_spark.operators.sidecar import read_family
+
+    codes = read_family(spark, _idx(table), "codes", "vec_id")
     row = codes.filter(F.col("vec_id") == 70).collect()[0]
     assert row["cell"] == "2"  # exactly on centroid e_2
     # centroid part untouched (fixed codebook across refreshes)

@@ -93,9 +93,14 @@ def test_refresh_incremental_and_screening_follows(spark, table):
     hits = {r.corpus_id for r in lsh_neardups_for(table, probe, threshold=0.5).collect()}
     assert hits == {0, 1}  # new near-dup copy of doc 1 is indexed
     # deleted doc 3 is out of the index entirely
+    from rds_to_datalake_project_spark.operators.sidecar import read_family
+
     idx_ids = {
         r.doc_id
-        for r in spark.read.parquet(f"{_idx(table)}/bands").select("doc_id").distinct().collect()
+        for r in read_family(spark, _idx(table), "bands", "doc_id")
+        .select("doc_id")
+        .distinct()
+        .collect()
     }
     assert idx_ids == {0, 1, 2, 10}
     assert refresh_lsh_index(table) == (0, 0)  # at head
