@@ -73,6 +73,12 @@ HEADLINE = [
     "fuzzy_customer_pairs",
     "entity_resolution_customers",
     "pagerank_trade_graph",
+    # time_travel_roundtrip FIRST: it shares the session-cached
+    # _versioned_orders fixture with scd2_orders_history, so the table
+    # build (load + two upserts at sf0.1) lands on this row and the
+    # SCD row then measures history reconstruction alone (VERDICT r8
+    # plan-audit note — 17.98 s was ~90% fixture).
+    "time_travel_roundtrip",
     "scd2_orders_history",
     "rolling_anomaly_hours",
     "time_weighted_value",
@@ -152,6 +158,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     print(
         json.dumps(
             {
@@ -160,7 +167,20 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "skips": skips,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Compact repeat LAST: the full line above grew past the driver's
+    # tail-capture window in r8 ("parsed": null) — this one always fits.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
             }
         )
     )

@@ -1065,10 +1065,16 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("bloom") + "/orders"
     orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(root)
     build_bloom_index(spark, root, ["o_orderkey"])
+    # A POINT-lookup probe: the 5 smallest keys ≡ 1 (mod 7) — a handful
+    # of keys clustered low in the keyspace, so against range-clustered
+    # files most files bloom-skip (a keyspace-spanning modulus sweep
+    # legitimately touches every file and demonstrates nothing).
     keys = [
         r["o_orderkey"]
-        for r in orders.filter(F.col("o_orderkey") % 1499 == 1)
+        for r in orders.filter(F.col("o_orderkey") % 7 == 1)
         .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
         .collect()
     ]
     return bloom_pruned_read(spark, root, "o_orderkey", keys).orderBy(
@@ -1079,7 +1085,11 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_LOOKUP_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_orderkey % 1499 = 1
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 7 = 1
+  ORDER BY o_orderkey LIMIT 5
+)
 ORDER BY o_orderkey
 """
 
