@@ -80,6 +80,10 @@ HEADLINE = [
     # plan-audit note — 17.98 s was ~90% fixture).
     "time_travel_roundtrip",
     "scd2_orders_history",
+    # round-9: point-in-time join (shares the versioned fixture) and
+    # M4 downsampling
+    "pit_lineitem_price",
+    "m4_downsample_events",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",

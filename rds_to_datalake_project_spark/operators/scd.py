@@ -30,10 +30,13 @@ driver-side metadata).
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_history"]
+__all__ = ["scd2_history", "pit_join"]
 
 
 def scd2_history(
@@ -95,6 +98,54 @@ def scd2_history(
             F.element_at(varr, F.col("__to_pos") + 2),
         ).alias("valid_to"),
         (F.col("__to_pos") == F.lit(last_pos)).alias("is_current"),
+    )
+
+
+def pit_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    as_of_col: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """POINT-IN-TIME join: enrich each fact row with the dimension
+    attributes that were valid AT the fact's own commit position —
+    the feature-store-correctness join (no leakage of future
+    dimension states into training rows, the reason SCD-2 intervals
+    exist at all).
+
+    ``intervals`` is an SCD-2 interval table (``scd2_history`` /
+    ``Scd2Store.read()``): key columns + ``value_cols`` +
+    ``valid_from`` / ``valid_to`` (half-open, ``valid_to`` null while
+    current). ``facts[as_of_col]`` holds the commit position to
+    resolve against; each fact matches AT MOST one interval
+    (``valid_from <= as_of < coalesce(valid_to, ∞)``), so the output
+    has exactly the fact cardinality under ``how='left'`` (facts
+    whose key did not exist at as_of get nulls).
+
+    Plan shape: ONE equi-join shuffle on the dimension key — Catalyst
+    extracts the key equality as the join key and keeps the interval
+    bounds as a post-join residual; with few intervals per key the
+    residual scans a handful of rows per match. Never a range-bin
+    explosion or a cartesian.
+    """
+    dim = intervals.select(*keys, *value_cols, "valid_from", "valid_to")
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = reduce(
+        operator.and_,
+        [F.col(f"__f.{k}") == F.col(f"__d.{k}") for k in keys],
+    )
+    cond = (
+        cond
+        & (F.col("__d.valid_from") <= F.col(f"__f.{as_of_col}"))
+        & (
+            F.col("__d.valid_to").isNull()
+            | (F.col(f"__f.{as_of_col}") < F.col("__d.valid_to"))
+        )
+    )
+    return f.join(d, cond, how).select(
+        "__f.*", *[F.col(f"__d.{c}") for c in value_cols]
     )
 
 

@@ -269,3 +269,73 @@ def time_weighted_avg(
             F.col("twa_num").cast("double") / F.col("twa_den_us").cast("double"),
         ),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    dims: list[str],
+    ts_col: str,
+    value_col: str,
+    width_s: int,
+    tiebreak: str,
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per time
+    bucket per series, keep the four points a line chart cannot render
+    without — first, last, minimum-value, maximum-value — so a
+    billion-point series plots pixel-identically from width×4 rows.
+    Unlike LTTB this is NOT sequential (bucket k never depends on
+    bucket k-1's selection), so it is one map-side-combinable
+    aggregation — the shape that actually distributes.
+
+    Selection is deterministic: points are compared as lexicographic
+    structs — first/last by (ts, tiebreak, value), min/max by
+    (value, ts, tiebreak) — so equal values resolve by time then by
+    ``tiebreak`` (must make rows unique) and the result is
+    cross-engine hash-stable. ``value_col`` should be integral
+    (fix-point the caller's floats) for bit-stable comparison.
+
+    Output: ``dims..., bucket_s, role ∈ {first,last,min,max}, ts_us,
+    v`` — always exactly 4 rows per occupied bucket (one per role; a
+    single physical point may appear under several roles, which keeps
+    the shape fixed and the oracle trivial).
+
+    Plan: ONE groupBy aggregate (4 struct min/max, all partial-agg
+    friendly) + a 4-element explode. No window, no join, no second
+    scan — at 100 TB the reduce side carries 4 structs per
+    (series, bucket).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col)
+    tb = F.col(tiebreak)
+    by_time = F.struct(us.alias("ts_us"), tb.alias("tb"), v.alias("v"))
+    by_value = F.struct(v.alias("v"), us.alias("ts_us"), tb.alias("tb"))
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(*dims, time_bucket_s(F.col(ts_col), width_s).alias(BUCKET))
+        .agg(
+            F.min(by_time).alias("__first"),
+            F.max(by_time).alias("__last"),
+            F.min(by_value).alias("__min"),
+            F.max(by_value).alias("__max"),
+        )
+    )
+
+    def _pt(role: str, s: str) -> Column:
+        return F.struct(
+            F.lit(role).alias("role"),
+            F.col(f"{s}.ts_us").alias("ts_us"),
+            F.col(f"{s}.v").alias("v"),
+        )
+
+    return agg.select(
+        *dims,
+        BUCKET,
+        F.explode(
+            F.array(
+                _pt("first", "__first"),
+                _pt("last", "__last"),
+                _pt("min", "__min"),
+                _pt("max", "__max"),
+            )
+        ).alias("__p"),
+    ).select(*dims, BUCKET, "__p.role", "__p.ts_us", "__p.v")

@@ -784,6 +784,53 @@ def scd2_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey", "valid_from")
 
 
+def pit_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join (operators/scd.py:pit_join): each lineitem
+    row, assigned a deterministic commit position (l_linenumber mod
+    3), is enriched with its order's total price AS OF that commit —
+    the leakage-free feature join an SCD-2 dimension exists for.
+    Orders deleted by commit 2 resolve to NULL at as_of=2 (no interval
+    covers them), which the oracle's closed-form snapshot CASE states
+    directly. One equi-join shuffle on the order key; the interval
+    bounds are a post-join residual."""
+    from rds_to_datalake_project_spark.operators.scd import (
+        pit_join,
+        scd2_history,
+    )
+
+    t = _versioned_orders(spark, sf_dir)
+    hist = scd2_history(t, ["o_totalprice"]).withColumnRenamed(
+        "o_totalprice", "price_asof"
+    )
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        (F.col("l_linenumber") % 3).cast("int").alias("as_of"),
+    )
+    out = pit_join(facts, hist, ["o_orderkey"], "as_of", ["price_asof"])
+    return out.orderBy("o_orderkey", "l_linenumber")
+
+
+PIT_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       l.l_linenumber,
+       CAST(l.l_linenumber % 3 AS INTEGER) AS as_of,
+       CASE
+         WHEN l.l_linenumber % 3 = 0 THEN o.o_totalprice
+         WHEN l.l_linenumber % 3 = 1 THEN
+           CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice + 100.0
+                ELSE o.o_totalprice END
+         ELSE
+           CASE WHEN o.o_orderkey % 7 = 0 AND o.o_orderkey % 5 <> 0 THEN NULL
+                WHEN o.o_orderkey % 5 = 0 THEN o.o_totalprice + 1000.0
+                WHEN o.o_orderkey % 3 = 0 THEN o.o_totalprice + 100.0
+                ELSE o.o_totalprice END
+       END AS price_asof
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ORDER BY o_orderkey, l_linenumber
+"""
+
+
 def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy checksums (operators/compare.py:table_checksum):
     per-priority XOR of 60-bit row hashes + counts over orders — the
@@ -1500,6 +1547,7 @@ QUERIES = {
     "time_travel_roundtrip": time_travel_roundtrip,
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
+    "pit_lineitem_price": pit_lineitem_price,
     "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
@@ -1542,6 +1590,7 @@ ORACLES = {
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
+    "pit_lineitem_price": PIT_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,

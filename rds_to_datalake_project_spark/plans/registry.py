@@ -81,8 +81,12 @@ _PRIORITY = (
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
     "lake_table_changes",
-    # (tail slots intentionally left to round-9 additions registered
-    # below; everything rotated out is green on record r6–r8 and stays
+    # --- tier E: NEW in round 9 — point-in-time SCD-2 join and M4
+    # visual downsampling
+    "pit_lineitem_price",
+    "m4_downsample_events",
+    # (remaining tail slots fall to the registry's natural order;
+    # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,
     # curation tier, funnels, scd2_orders_history, fuzzy_customer_pairs,
     # purge/expectations/matview rows — see CORRECTNESS_r08.json)

@@ -391,7 +391,63 @@ ORDER BY view_id, click_id
 """
 
 
+_M4_WIDTH_S = 21600  # 6-hour pixels
+
+
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling of the event value series per event_type
+    (operators/timeseries.py:m4_downsample): 4 pixel-defining points
+    per 6-hour bucket, selected by deterministic lexicographic struct
+    order so the DuckDB twin (ROW_NUMBER with matching sort keys)
+    hash-matches point for point."""
+    from rds_to_datalake_project_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v_fx"),
+    )
+    return m4_downsample(
+        ev, ["event_type"], "ts", "v_fx", _M4_WIDTH_S, "event_id"
+    ).orderBy("event_type", "bucket_s", "role")
+
+
+M4_SQL = f"""
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) AS ts_us,
+         event_id,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v,
+         (epoch_us(ts) // {_M4_WIDTH_S * 1_000_000}) * {_M4_WIDTH_S} AS bucket_s
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_s
+                       ORDER BY ts_us, event_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_s
+                       ORDER BY ts_us DESC, event_id DESC) AS rl,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_s
+                       ORDER BY v, ts_us, event_id) AS rmin,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_s
+                       ORDER BY v DESC, ts_us DESC, event_id DESC) AS rmax
+  FROM obs
+)
+SELECT event_type, bucket_s, 'first' AS role, ts_us, v FROM r WHERE rf = 1
+UNION ALL
+SELECT event_type, bucket_s, 'last', ts_us, v FROM r WHERE rl = 1
+UNION ALL
+SELECT event_type, bucket_s, 'min', ts_us, v FROM r WHERE rmin = 1
+UNION ALL
+SELECT event_type, bucket_s, 'max', ts_us, v FROM r WHERE rmax = 1
+ORDER BY event_type, bucket_s, role
+"""
+
+
 QUERIES = {
+    "m4_downsample_events": m4_downsample_events,
     "gapfill_hourly_events": gapfill_hourly_events,
     "rolling_anomaly_hours": rolling_anomaly_hours,
     "time_weighted_value": time_weighted_value,
@@ -401,6 +457,7 @@ QUERIES = {
     "overlap_user_promo_spans": overlap_user_promo_spans,
 }
 ORACLES = {
+    "m4_downsample_events": M4_SQL,
     "gapfill_hourly_events": GAPFILL_SQL,
     "rolling_anomaly_hours": ROLLING_ANOMALY_SQL,
     "time_weighted_value": TIME_WEIGHTED_SQL,
