@@ -80,10 +80,11 @@ HEADLINE = [
     # plan-audit note — 17.98 s was ~90% fixture).
     "time_travel_roundtrip",
     "scd2_orders_history",
-    # round-9: point-in-time join (shares the versioned fixture) and
-    # M4 downsampling
+    # round-9: point-in-time join (shares the versioned fixture), M4
+    # downsampling, non-key point lookup via the secondary index
     "pit_lineitem_price",
     "m4_downsample_events",
+    "secondary_index_lookup",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",

@@ -1,0 +1,211 @@
+"""Row-level secondary index — point lookups on a NON-key column as a
+TABLE SERVICE.
+
+The zone map and bloom sidecars (operators/zonemap.py, bloomfilter.py)
+prune point reads on the RECORD KEY — the column the table is
+physically clustered on. Queries that probe any other column
+(``WHERE o_custkey = 42`` on an orderkey-keyed table) get no help:
+value ranges per file span the whole domain, so every file survives
+zone pruning and the scan is a full pass. The reference has the same
+hole — its Athena consumers full-scan on non-key predicates
+(/root/reference/rds_to_datalake/athena.py:67-87 runs arbitrary SQL).
+
+This sidecar persists the value→record-key mapping itself, under
+``<table>/.secindex_<col>``:
+
+- ``entries``  one row per record: ``bucket`` (md5 of the value, mod
+  256, STRING — hive partition), the indexed value, and the record
+  key. A lookup maps its probe values to buckets driver-side, so the
+  entries scan prunes to ≤ |values| partition directories and pushes
+  the value IN-filter into parquet — index I/O ∝ the probed values'
+  entry lists, never the corpus.
+- maintenance is DELTA-PUBLISHED (operators/sidecar.py family
+  protocol): per commit, the change window's entries are written as a
+  delta part plus a record-key tombstone — a re-keyed value (the row
+  moved to a different indexed value) retires its old entry logically.
+  Refresh I/O ∝ change set; the chain compacts on the shared
+  threshold.
+
+Serving composes with the key-side indexes: the secondary index
+resolves probe values to record keys (a driver-side collect, bounded
+by the probe's selectivity), then ``KeyedTable.lookup_many`` fetches
+the rows through zone∩bloom file pruning — so a non-key point read
+touches the value's entry list plus the candidate files only.
+Advisory contract throughout: results equal the plain filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.sidecar import (
+    clear_delta_log,
+    family_consistent,
+    publish_family_delta,
+    read_family,
+    write_part,
+    write_state,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.operators.zonemap import (
+    _read_small,
+    _write_small,
+)
+
+N_BUCKETS = 256
+
+
+def _idir(table: KeyedTable, col: str) -> str:
+    return f"{table.path.rstrip('/')}/.secindex_{col}"
+
+
+def _bucket_col(value) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(value.cast("string").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+        % N_BUCKETS
+    ).cast("int")
+
+
+def _bucket_py(value) -> int:
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % N_BUCKETS
+
+
+def entries_of(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
+    """``(bucket, <value_col>, <key_col>)`` index entries — one
+    map-side projection, nulls excluded (SQL point predicates never
+    match null anyway)."""
+    return df.filter(F.col(value_col).isNotNull()).select(
+        _bucket_col(F.col(value_col)).cast("string").alias("bucket"),
+        value_col,
+        key_col,
+    )
+
+
+def build_secondary_index(table: KeyedTable, value_col: str) -> None:
+    """Full (re)build over the current snapshot, hive-partitioned by
+    value bucket for directory-level pruning at probe time."""
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    latest = (table.versions() or [0])[-1]
+    epoch = uuid.uuid4().hex
+    write_part(
+        spark,
+        _idir(table, value_col),
+        "entries",
+        entries_of(table.read(), value_col, key_col),
+        epoch,
+        partition_by=["bucket"],
+    )
+    clear_delta_log(spark, _idir(table, value_col), "entries")
+    _write_small(
+        spark, f"{_idir(table, value_col)}/_PARAMS", f"{value_col} {key_col}"
+    )
+    write_state(spark, _idir(table, value_col), latest, epoch)
+
+
+def _stored_params(table: KeyedTable, value_col: str) -> tuple[str, str] | None:
+    txt = _read_small(table.spark, f"{_idir(table, value_col)}/_PARAMS")
+    parts = (txt or "").split()
+    return (parts[0], parts[1]) if len(parts) == 2 else None
+
+
+def refresh_secondary_index(table: KeyedTable, value_col: str) -> str:
+    """Advance the index to the table's latest commit by publishing
+    the change window as a delta (fresh entries + record-key
+    tombstone). Returns ``"noop" | "incremental" | "rebuild"``."""
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    if not table.retain_versions:
+        build_secondary_index(table, value_col)
+        return "rebuild"
+    latest = (table.versions() or [0])[-1]
+    state = family_consistent(spark, _idir(table, value_col), "entries")
+    if (
+        state is None
+        or _stored_params(table, value_col) != (value_col, key_col)
+        or state[0] not in (table.readable_versions() or [])
+    ):
+        build_secondary_index(table, value_col)
+        return "rebuild"
+    if state[0] >= latest:
+        return "noop"
+    v0, epoch, gens = state
+    changes = table.table_changes(v0, latest)
+    fresh = entries_of(
+        changes.filter(F.col("_change_type") != "delete"), value_col, key_col
+    )
+    publish_family_delta(
+        spark,
+        _idir(table, value_col),
+        "entries",
+        fresh,
+        changes.select(key_col),
+        key_col,
+        latest,
+        epoch,
+        gens,
+        partition_by=["bucket"],
+    )
+    return "incremental"
+
+
+def attach_secondary_index_maintenance(table: KeyedTable, value_col: str) -> None:
+    """Enroll the index in the post-commit maintenance slot (same
+    advisory posture as the zone-map/bloom/LSH/ANN services)."""
+    table.add_maintenance_hook(
+        lambda t: refresh_secondary_index(t, value_col)
+    )
+
+
+def secondary_lookup_keys(
+    table: KeyedTable, value_col: str, values: list
+) -> DataFrame:
+    """Record keys whose ``value_col`` is in ``values`` — served from
+    the index alone: the probe's buckets prune partition dirs, the IN
+    filter pushes into the entries scan. Raises when the sidecar is
+    missing/torn (a lookup never silently degrades to a table scan)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    state = family_consistent(spark, _idir(table, value_col), "entries")
+    if state is None:
+        raise ValueError(
+            f"secondary index on {value_col!r} missing or torn — "
+            "build_secondary_index first"
+        )
+    entries = read_family(
+        spark, _idir(table, value_col), "entries", key_col, gens=state[2]
+    )
+    buckets = sorted({str(_bucket_py(v)) for v in values})
+    return (
+        entries.filter(
+            F.col("bucket").isin(buckets) & F.col(value_col).isin(values)
+        )
+        .select(key_col)
+        .distinct()
+    )
+
+
+def secondary_lookup(
+    table: KeyedTable, value_col: str, values: list
+) -> DataFrame:
+    """Full rows whose ``value_col`` is in ``values``, composed
+    index-to-index: secondary entries → record keys (driver-side
+    collect, ∝ probe selectivity) → ``lookup_many`` (zone∩bloom
+    file-pruned candidate read). The base table is never scanned."""
+    keys = [
+        r[0] for r in secondary_lookup_keys(table, value_col, values).collect()
+    ]
+    key_col = table.spec.record_key[0]
+    out = table.lookup_many(keys)
+    # residual on the VALUE: a key may have moved to a non-probed
+    # value in the same commit its old entry was tombstoned — the
+    # lookup re-checks, same advisory contract as zone/bloom.
+    return out.filter(F.col(value_col).isin(values))

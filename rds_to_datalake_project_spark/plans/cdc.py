@@ -831,6 +831,69 @@ ORDER BY o_orderkey, l_linenumber
 """
 
 
+_SEC_PROBES = [7, 21, 42]
+
+
+def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level secondary index lifecycle
+    (operators/secondary_index.py): an orderkey-keyed table indexed on
+    the NON-key o_custkey — service attached, 3/4 of orders loaded,
+    then a CDC commit that both inserts the rest and RE-KEYS some
+    rows' custkeys (so the incremental delta must retire old entries
+    by tombstone). Probing three custkeys serves from the entries
+    sidecar + the pruned key lookup; the oracle is the plain filter
+    over the closed-form final state (advisory contract)."""
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        attach_secondary_index_maintenance,
+        secondary_lookup,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spec = TableSpec(
+        "orders_sec",
+        record_key=("o_orderkey",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(
+        spark, _scratch("sec_index") + "/t", spec, retain_versions=4
+    )
+    attach_secondary_index_maintenance(t, "o_custkey")
+    t.initial_load(
+        base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+            "seq", F.lit(0).cast("long")
+        )
+    )
+    inserts = base.filter(F.col("o_orderkey") % 4 == 0)
+    remaps = base.filter(F.col("o_orderkey") % 10 == 5).withColumn(
+        "o_custkey", F.col("o_custkey") % 50
+    )
+    t.upsert(
+        inserts.unionByName(remaps)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    return (
+        secondary_lookup(t, "o_custkey", _SEC_PROBES)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+SECONDARY_LOOKUP_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 5 THEN o_custkey % 50
+            ELSE o_custkey END AS o_custkey,
+       o_totalprice
+FROM orders
+WHERE (CASE WHEN o_orderkey % 10 = 5 THEN o_custkey % 50
+            ELSE o_custkey END) IN ({", ".join(map(str, _SEC_PROBES))})
+ORDER BY o_orderkey
+"""
+
+
 def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy checksums (operators/compare.py:table_checksum):
     per-priority XOR of 60-bit row hashes + counts over orders — the
@@ -1548,6 +1611,7 @@ QUERIES = {
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
+    "secondary_index_lookup": secondary_index_lookup,
     "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
@@ -1591,6 +1655,7 @@ ORACLES = {
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
+    "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,

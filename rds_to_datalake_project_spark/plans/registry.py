@@ -81,10 +81,11 @@ _PRIORITY = (
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
     "lake_table_changes",
-    # --- tier E: NEW in round 9 — point-in-time SCD-2 join and M4
-    # visual downsampling
+    # --- tier E: NEW in round 9 — point-in-time SCD-2 join, M4
+    # visual downsampling, row-level secondary index
     "pit_lineitem_price",
     "m4_downsample_events",
+    "secondary_index_lookup",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,
