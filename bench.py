@@ -85,6 +85,7 @@ HEADLINE = [
     "pit_lineitem_price",
     "m4_downsample_events",
     "secondary_index_lookup",
+    "bm25_text_search",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",

@@ -263,6 +263,7 @@ def publish_family_delta(
     gens: list[int],
     partition_by: list[str] | None = None,
     compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+    advance_state: bool = True,
 ) -> str:
     """Publish one refresh as a delta: write ``fresh`` (recomputed
     rows for the change window's upserts) and ``touched_ids`` (EVERY
@@ -273,7 +274,16 @@ def publish_family_delta(
 
     Write cost: O(change set) — the base and prior deltas are never
     touched (same-epoch deltas need no re-stamping; see module
-    docstring for the crash matrix)."""
+    docstring for the crash matrix).
+
+    ``advance_state=False`` defers the ``_VERSION`` write: a sidecar
+    holding SEVERAL families (postings + doclens) must publish each
+    family's delta first and stamp the version ONCE after the last —
+    otherwise a crash between publishes would leave _VERSION at the
+    new version with one family missing its window, and the next
+    refresh would no-op forever on half-applied state. Deferred, the
+    crash leaves _VERSION old and the whole window replays (the
+    generation rule makes replays idempotent)."""
     gen = (max(gens) + 1) if gens else 1
     write_part(
         spark,
@@ -293,14 +303,15 @@ def publish_family_delta(
     )
     new_gens = [*gens, gen]
     _write_delta_log(spark, index_dir, family, epoch, new_gens)
+    out = "delta"
     if len(new_gens) >= compact_threshold:
         compact_family(
             spark, index_dir, family, id_col, epoch, new_gens, partition_by
         )
+        out = "compacted"
+    if advance_state:
         write_state(spark, index_dir, version, epoch)
-        return "compacted"
-    write_state(spark, index_dir, version, epoch)
-    return "delta"
+    return out
 
 
 def compact_family(

@@ -82,9 +82,25 @@ def postings_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doclens_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, dl)`` — total token count per document under the same
+    tokenizer as the postings (= Σ tf over the doc's terms). Docs with
+    zero tokens are excluded, matching a postings-derived length
+    relation; they can never match a query anyway. BM25's length
+    normalization reads this slim relation instead of re-aggregating
+    the (much larger) postings."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+")
+    dl = F.size(F.filter(toks, lambda x: x != F.lit("")))
+    return (
+        df.select(F.col(id_col).alias("id"), dl.cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
+
+
 def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
-    """Full (re)build over the current snapshot, partitioned by term
-    bucket for directory-level pruning at query time."""
+    """Full (re)build over the current snapshot: the term-bucketed
+    postings (directory pruning at query time) plus the doclens
+    relation BM25's length normalization needs."""
     spark = table.spark
     latest = (table.versions() or [0])[-1]
     epoch = uuid.uuid4().hex
@@ -95,6 +111,14 @@ def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
         spark, _idir(table), "postings", posts, epoch, partition_by=["bucket"]
     )
     clear_delta_log(spark, _idir(table), "postings")  # rebuild = flat layout
+    write_part(
+        spark,
+        _idir(table),
+        "doclens",
+        doclens_of(table.read(), id_col, text_col),
+        epoch,
+    )
+    clear_delta_log(spark, _idir(table), "doclens")
     _write_small(spark, f"{_idir(table)}/_PARAMS", f"{id_col} {text_col}")
     write_state(spark, _idir(table), latest, epoch)
 
@@ -135,25 +159,49 @@ def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
     ):
         build_text_index(table, id_col, text_col)
         return "rebuild"
+    state_d = family_consistent(spark, _idir(table), "doclens")
+    if state_d is None or state_d[:2] != state[:2]:
+        # pre-BM25 layout (no doclens) or torn — upgrade via rebuild
+        build_text_index(table, id_col, text_col)
+        return "rebuild"
     if state[0] >= latest:
         return "noop"
     v0, epoch, gens = state
     changes = table.table_changes(v0, latest)
-    added = postings_of(
-        changes.filter(F.col("_change_type") != "delete"), id_col, text_col
-    ).withColumn("bucket", F.col("bucket").cast("string"))
+    upserts = changes.filter(F.col("_change_type") != "delete")
+    added = postings_of(upserts, id_col, text_col).withColumn(
+        "bucket", F.col("bucket").cast("string")
+    )
+    touched = changes.select(F.col(id_col).alias("id"))
+    # Both families publish BEFORE the single _VERSION advance — a
+    # crash in between leaves the version old and the window replays
+    # idempotently (sidecar.publish_family_delta advance_state notes).
     publish_family_delta(
         spark,
         _idir(table),
         "postings",
         added,
-        changes.select(F.col(id_col).alias("id")),
+        touched,
         "id",
         latest,
         epoch,
         gens,
         partition_by=["bucket"],
+        advance_state=False,
     )
+    publish_family_delta(
+        spark,
+        _idir(table),
+        "doclens",
+        doclens_of(upserts, id_col, text_col),
+        touched,
+        "id",
+        latest,
+        epoch,
+        state_d[2],
+        advance_state=False,
+    )
+    write_state(spark, _idir(table), latest, epoch)
     return "incremental"
 
 
@@ -201,3 +249,92 @@ def _bucket_py(term: str) -> int:
     import hashlib
 
     return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % N_BUCKETS
+
+
+def bm25_search(
+    table: KeyedTable,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int | None = None,
+) -> DataFrame:
+    """BM25-ranked AND-search served entirely from the sidecar —
+    ``(id, score)`` for documents containing EVERY term, best first
+    (tie-break: id).
+
+    BIT-EXACT cross-engine by construction: the classic ln() idf is
+    replaced with the rational Robertson-Sparck-Jones core
+    ``(N - df + 0.5) / (df + 0.5)`` (no transcendentals — libm's ln
+    differs by ULPs across engines), and every remaining operation is
+    IEEE-754 double +/-/*/÷, which IS exactly specified, evaluated in
+    a FIXED expression tree: per-term scores in sorted-term order,
+    summed left-associatively. An oracle writing the same tree
+    reproduces the doubles bit for bit.
+
+    Scale shape: the postings read prunes to the query terms' bucket
+    directories; df per term is a ≤|terms|-row collect off those
+    posting lists; global (N, Σdl) is ONE aggregate over the slim
+    doclens relation; candidates join doclens on id (broadcast-sized
+    after the AND filter). The corpus is never scanned.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    want = sorted({t.lower() for t in terms})
+    spark = table.spark
+    st_p = family_consistent(spark, _idir(table), "postings")
+    st_d = family_consistent(spark, _idir(table), "doclens")
+    if st_p is None or st_d is None:
+        raise ValueError(
+            "text index missing, torn, or pre-BM25 (no doclens) — "
+            "build_text_index first"
+        )
+    posts = read_family(spark, _idir(table), "postings", "id", gens=st_p[2])
+    dls = read_family(spark, _idir(table), "doclens", "id", gens=st_d[2])
+
+    g = dls.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, total = int(g["n"]), int(g["tot"] or 0)
+    if n_docs == 0:
+        return dls.select(
+            F.col("id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    avgdl = total / n_docs  # python float division == IEEE double
+
+    hits = posts.filter(
+        F.col("bucket").isin([str(_bucket_py(t)) for t in want])
+        & F.col("term").isin(want)
+    )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in hits.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .collect()
+    }
+    agg = (
+        hits.groupBy("id")
+        .agg(
+            F.countDistinct("term").alias("__nt"),
+            *[
+                F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"__tf{i}")
+                for i, t in enumerate(want)
+            ],
+        )
+        .filter(F.col("__nt") == len(want))
+    )
+    cand = agg.join(dls, "id")
+    score = None
+    for i, t in enumerate(want):
+        df_t = dfs.get(t, 0)
+        idf = ((n_docs - df_t) + 0.5) / (df_t + 0.5)  # rational idf, driver-side
+        tf = F.col(f"__tf{i}").cast("double")
+        den = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * (F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        s = F.lit(idf) * ((tf * F.lit(float(k1) + 1.0)) / den)
+        score = s if score is None else score + s
+    out = cand.select("id", score.alias("score")).orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return out.limit(limit) if limit else out

@@ -86,6 +86,7 @@ _PRIORITY = (
     "pit_lineitem_price",
     "m4_downsample_events",
     "secondary_index_lookup",
+    "bm25_text_search",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,

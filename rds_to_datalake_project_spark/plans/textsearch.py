@@ -84,6 +84,97 @@ ORDER BY rank DESC, doc_id
 """
 
 
+_BM25_TERMS = sorted(SEARCH_TERMS)
+
+
+def bm25_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval from the text-index service
+    (operators/text_index.py:bm25_search) after the same
+    build + insert-batch lifecycle as text_index_search. Bit-exact
+    vs the oracle by design: rational idf (no ln), every float op an
+    IEEE double in a fixed expression tree — the SQL twin writes the
+    identical tree over a from-scratch postings/doclens recompute, so
+    the double scores hash-match bit for bit."""
+    from rds_to_datalake_project_spark.operators.text_index import (
+        attach_text_index_maintenance,
+        bm25_search,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(0).cast("long").alias("seq")
+    )
+    spec = TableSpec(
+        "docs_bm25",
+        record_key=("doc_id",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, _scratch("bm25_idx") + "/t", spec, retain_versions=4)
+    attach_text_index_maintenance(t, "doc_id", "text")
+    t.initial_load(docs.filter(F.col("doc_id") % 4 != 0))
+    t.upsert(
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    out = bm25_search(t, _BM25_TERMS)
+    return out.select(F.col("id").alias("doc_id"), "score").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+
+
+def _bm25_term_sql(tf_col: str, term: str) -> str:
+    df_q = f"(SELECT df FROM dfs WHERE term = '{term}')"
+    avgdl = "(CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE))"
+    return (
+        f"((CAST(g.n - {df_q} AS DOUBLE) + 0.5e0)"
+        f" / (CAST({df_q} AS DOUBLE) + 0.5e0))"
+        f" * ((CAST(h.{tf_col} AS DOUBLE) * (1.2e0 + 1.0e0))"
+        f" / (CAST(h.{tf_col} AS DOUBLE)"
+        f" + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(d.dl AS DOUBLE) / {avgdl}))))"
+    )
+
+
+_BM25_TF_CASES = "\n".join(
+    f"         MAX(CASE WHEN term = '{t}' THEN tf END) AS tf{i},"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_SCORE = "\n       + ".join(
+    _bm25_term_sql(f"tf{i}", t) for i, t in enumerate(_BM25_TERMS)
+)
+
+BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+')) AS term
+  FROM documents
+), posts AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM posts GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dls
+), dfs AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM posts WHERE term IN ({_TERMS_SQL}) GROUP BY 1
+), hit AS (
+  SELECT doc_id,
+         COUNT(DISTINCT term) AS nt,
+{_BM25_TF_CASES}
+         1 AS __pad
+  FROM posts WHERE term IN ({_TERMS_SQL}) GROUP BY 1
+)
+SELECT h.doc_id,
+       {_BM25_SCORE} AS score
+FROM hit h JOIN dls d USING (doc_id) CROSS JOIN g
+WHERE h.nt = {len(_BM25_TERMS)}
+ORDER BY score DESC, doc_id
+"""
+
+
 def fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance self-join: BUILDING-segment customer names within
     1 edit of each other, via the FastSS deletion-neighborhood
@@ -161,11 +252,13 @@ ORDER BY c.c_custkey
 
 QUERIES = {
     "text_index_search": text_index_search,
+    "bm25_text_search": bm25_text_search,
     "fuzzy_customer_pairs": fuzzy_customer_pairs,
     "entity_resolution_customers": entity_resolution_customers,
 }
 ORACLES = {
     "text_index_search": TEXT_SEARCH_SQL,
+    "bm25_text_search": BM25_SQL,
     "fuzzy_customer_pairs": FUZZY_CUSTOMER_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
 }

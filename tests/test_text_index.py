@@ -82,3 +82,48 @@ def test_torn_sidecar_refuses_search(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="text index"):
         search_and(t, ["quick"])
+
+
+def test_bm25_ranking_and_length_normalization(spark, tmp_path):
+    """BM25 beats raw-tf rank where it should: a term-stuffed LONG doc
+    scores below a focused short one; AND semantics still hold."""
+    from rds_to_datalake_project_spark.operators.text_index import bm25_search
+
+    rows = [
+        (1, "fox den " + "filler word soup stew broth " * 40, 0),  # long, 1 hit each
+        (2, "fox fox den den", 0),  # short, focused
+        (3, "fox only no match here", 0),
+        (4, "unrelated text entirely", 0),
+    ]
+    t = _mk(spark, tmp_path, rows)
+    build_text_index(t, "id", "text")
+    got = [(r["id"], r["score"]) for r in bm25_search(t, ["fox", "den"]).collect()]
+    assert [i for i, _s in got] == [2, 1]  # AND excludes 3 and 4; short wins
+    assert got[0][1] > got[1][1] > 0.0
+
+
+def test_bm25_follows_incremental_refresh(spark, tmp_path):
+    """doclens and postings advance together through the delta publish:
+    scores over the refreshed index equal a from-scratch rebuild."""
+    from rds_to_datalake_project_spark.operators.text_index import bm25_search
+
+    t = _mk(spark, tmp_path)
+    attach_text_index_maintenance(t, "id", "text")
+    t.upsert(
+        spark.createDataFrame(
+            [(4, "quick quick dog", 1), (2, "the lazy dog naps today", 1)],
+            "id long, text string, seq long",
+        ).withColumn("Op", F.lit("U"))
+    )
+    incremental = [
+        (r["id"], r["score"])
+        for r in bm25_search(t, ["quick", "dog"]).collect()
+    ]
+    # rebuild from scratch over the same final state → identical doubles
+    build_text_index(t, "id", "text")
+    rebuilt = [
+        (r["id"], r["score"])
+        for r in bm25_search(t, ["quick", "dog"]).collect()
+    ]
+    assert incremental == rebuilt
+    assert {i for i, _s in incremental} == {3, 4}
