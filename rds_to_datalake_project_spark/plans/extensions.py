@@ -2434,3 +2434,69 @@ ORDER BY o_orderkey
 
 QUERIES["zorder3_key_orders"] = zorder3_key_orders
 ORACLES["zorder3_key_orders"] = ZORDER3_SQL
+
+
+def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift report (operators/embedding_stats.py)
+    between the embeddings corpus and a deterministically perturbed
+    state (every third vector shifted +0.25 per component — a stand-in
+    for an encoder rev). The drifted flag is cross-multiplied int64,
+    so the oracle's replay is bit-exact; the shift of 0.25/3 ≈ 0.083
+    clears the 0.05 threshold on every dimension."""
+    from rds_to_datalake_project_spark.operators.embedding_stats import (
+        embedding_drift_report,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        )
+    )
+    mod = e.select(
+        F.when(
+            F.col("vec_id") % 3 == 0,
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") + F.lit(0.25)
+            ),
+        )
+        .otherwise(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        .alias("embedding")
+    )
+    return embedding_drift_report(base, mod, "embedding").orderBy("pos")
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH base AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), mod AS (
+  SELECT CASE WHEN vec_id % 3 = 0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25e0)
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+  FROM embeddings
+), sa AS (
+  SELECT CAST(p.i - 1 AS INTEGER) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(CAST(round(b.v[p.i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_a_u
+  FROM base b, unnest(range(1, len(b.v) + 1)) AS p(i)
+  GROUP BY 1
+), sb AS (
+  SELECT CAST(p.i - 1 AS INTEGER) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(round(m.v[p.i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_b_u
+  FROM mod m, unnest(range(1, len(m.v) + 1)) AS p(i)
+  GROUP BY 1
+)
+SELECT sa.pos, n_a, n_b, sum_a_u, sum_b_u,
+       CAST(sum_a_u AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a_u,
+       CAST(sum_b_u AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b_u,
+       abs(sum_a_u * n_b - sum_b_u * n_a) > 50000 * n_a * n_b AS drifted
+FROM sa JOIN sb ON sa.pos = sb.pos
+ORDER BY sa.pos
+"""
+
+QUERIES["embedding_dim_drift"] = embedding_dim_drift
+ORACLES["embedding_dim_drift"] = EMBEDDING_DRIFT_SQL

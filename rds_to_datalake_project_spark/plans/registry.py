@@ -87,6 +87,7 @@ _PRIORITY = (
     "m4_downsample_events",
     "secondary_index_lookup",
     "bm25_text_search",
+    "embedding_dim_drift",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,

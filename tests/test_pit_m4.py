@@ -140,3 +140,25 @@ def test_m4_plan_is_one_aggregate_no_join_no_window(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_embedding_drift_flag_is_exact_and_symmetricish(spark):
+    from rds_to_datalake_project_spark.operators.embedding_stats import (
+        embedding_drift_report,
+    )
+
+    a = spark.createDataFrame(
+        [(i, [0.1, 0.5]) for i in range(30)], "id long, v array<double>"
+    )
+    # dim 0 shifted by +0.06 (> 0.05 threshold), dim 1 by +0.01 (<)
+    b = spark.createDataFrame(
+        [(i, [0.16, 0.51]) for i in range(30)], "id long, v array<double>"
+    )
+    got = {r["pos"]: r["drifted"] for r in
+           embedding_drift_report(a, b, "v").collect()}
+    assert got == {0: True, 1: False}
+    # unequal cardinalities: cross-multiplied compare stays exact
+    b2 = b.limit(10)
+    got2 = {r["pos"]: r["drifted"] for r in
+            embedding_drift_report(a, b2, "v").collect()}
+    assert got2 == {0: True, 1: False}
