@@ -104,21 +104,25 @@ def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
     spark = table.spark
     latest = (table.versions() or [0])[-1]
     epoch = uuid.uuid4().hex
-    posts = postings_of(table.read(), id_col, text_col).withColumn(
-        "bucket", F.col("bucket").cast("string")  # partition cols read as strings
-    )
-    write_part(
-        spark, _idir(table), "postings", posts, epoch, partition_by=["bucket"]
-    )
-    clear_delta_log(spark, _idir(table), "postings")  # rebuild = flat layout
-    write_part(
-        spark,
-        _idir(table),
-        "doclens",
-        doclens_of(table.read(), id_col, text_col),
-        epoch,
-    )
-    clear_delta_log(spark, _idir(table), "doclens")
+    corpus = table.read().select(id_col, text_col).cache()
+    try:
+        posts = postings_of(corpus, id_col, text_col).withColumn(
+            "bucket", F.col("bucket").cast("string")  # partition cols read as strings
+        )
+        write_part(
+            spark, _idir(table), "postings", posts, epoch, partition_by=["bucket"]
+        )
+        clear_delta_log(spark, _idir(table), "postings")  # rebuild = flat layout
+        write_part(
+            spark,
+            _idir(table),
+            "doclens",
+            doclens_of(corpus, id_col, text_col),
+            epoch,
+        )
+        clear_delta_log(spark, _idir(table), "doclens")
+    finally:
+        corpus.unpersist()
     _write_small(spark, f"{_idir(table)}/_PARAMS", f"{id_col} {text_col}")
     write_state(spark, _idir(table), latest, epoch)
 
