@@ -314,6 +314,42 @@ def publish_family_delta(
     return out
 
 
+def vacuum_family(
+    spark: SparkSession, index_dir: str, family: str
+) -> list[str]:
+    """Remove ORPHANED delta/tombstone dirs — parts written by a
+    refresh that crashed before its log update. Orphans are invisible
+    to readers (never listed) and would be overwritten when their
+    generation number is reused, but until then they hold dead bytes;
+    this lists the sidecar dir once and deletes every
+    ``<family>__d*/__t*`` not referenced by the current log. Returns
+    the removed part names."""
+    log = read_delta_log(spark, index_dir, family)
+    live = set()
+    for g in log[1] if log else []:
+        live.add(_delta_name(family, g))
+        live.add(_tomb_name(family, g))
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    removed = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if (
+            status.isDirectory()
+            and (
+                name.startswith(f"{family}__d")
+                or name.startswith(f"{family}__t")
+            )
+            and name not in live
+        ):
+            fs.delete(status.getPath(), True)
+            removed.append(name)
+    return sorted(removed)
+
+
 def compact_family(
     spark: SparkSession,
     index_dir: str,

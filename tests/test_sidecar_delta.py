@@ -212,3 +212,34 @@ def test_ann_refresh_writes_only_the_change_set(spark, tmp_path):
     # are meaningless at toy scale — parquet footers dominate)
     assert spark.read.parquet(f"{_idx(t)}/codes__d0001").count() == 2
     assert spark.read.parquet(f"{_idx(t)}/codes__t0001").count() == 2
+
+
+def test_vacuum_family_removes_only_orphans(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        _idx,
+        build_lsh_index,
+        lsh_candidates_for,
+        refresh_lsh_index,
+    )
+    from rds_to_datalake_project_spark.operators.sidecar import vacuum_family
+
+    t = _mk(spark, tmp_path, n=30)
+    build_lsh_index(t)
+    t.upsert(_batch(spark, [(1, "first rewritten text", 1)]))
+    refresh_lsh_index(t)
+
+    # fabricate a crash orphan: a delta dir at a gen the log never saw
+    orphan = spark.createDataFrame([(999, 0, 0)], "doc_id long, band int, bucket long")
+    orphan.write.parquet(f"{_idx(t)}/bands__d0077")
+
+    removed = vacuum_family(spark, _idx(t), "bands")
+    assert removed == ["bands__d0077"]
+    # the live delta chain is untouched and the service still works
+    import os
+
+    assert os.path.exists(f"{_idx(t)}/bands__d0001")
+    assert os.path.exists(f"{_idx(t)}/bands__t0001")
+    probe = spark.createDataFrame(
+        [(900, "first rewritten text")], "doc_id bigint, text string"
+    )
+    assert 1 in {r.corpus_id for r in lsh_candidates_for(t, probe).collect()}
