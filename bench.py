@@ -100,6 +100,7 @@ def _skip_stats() -> dict:
     from rds_to_datalake_project_spark.operators import (
         ann_index,
         bloomfilter,
+        secondary_index,
         zonemap,
     )
 
@@ -107,6 +108,7 @@ def _skip_stats() -> dict:
         bloomfilter.reset_prune_stats()
         zonemap.reset_prune_stats()
         ann_index.reset_probe_stats()
+        secondary_index.reset_probe_stats()
 
     return _reset_all, {
         "bloom_pruned_lookup": lambda: dict(bloomfilter.LAST_PRUNE),
@@ -116,6 +118,7 @@ def _skip_stats() -> dict:
         },
         "zonemap_pruned_scan": lambda: dict(zonemap.LAST_PRUNE),
         "ann_index_ivf_topk": lambda: dict(ann_index.LAST_PROBE),
+        "secondary_index_lookup": lambda: dict(secondary_index.LAST_PROBE),
     }
 
 

@@ -58,6 +58,15 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 
 N_BUCKETS = 256
 
+# Diagnostics: cumulative bucket-pruning verdicts since reset —
+# bench.py reports these as the index's I/O-avoided metric (wall time
+# at sf0.1 cannot show what directory pruning buys at 100×).
+LAST_PROBE: dict = {}
+
+
+def reset_probe_stats() -> None:
+    LAST_PROBE.clear()
+
 
 def _idir(table: KeyedTable, col: str) -> str:
     return f"{table.path.rstrip('/')}/.secindex_{col}"
@@ -184,6 +193,14 @@ def secondary_lookup_keys(
         spark, _idir(table, value_col), "entries", key_col, gens=state[2]
     )
     buckets = sorted({str(_bucket_py(v)) for v in values})
+    LAST_PROBE["probes"] = LAST_PROBE.get("probes", 0) + 1
+    LAST_PROBE["buckets_total"] = LAST_PROBE.get("buckets_total", 0) + N_BUCKETS
+    LAST_PROBE["buckets_probed"] = LAST_PROBE.get("buckets_probed", 0) + len(
+        buckets
+    )
+    LAST_PROBE["buckets_skipped"] = (
+        LAST_PROBE["buckets_total"] - LAST_PROBE["buckets_probed"]
+    )
     return (
         entries.filter(
             F.col("bucket").isin(buckets) & F.col(value_col).isin(values)
