@@ -211,18 +211,49 @@ def secondary_lookup_keys(
 
 
 def secondary_lookup(
-    table: KeyedTable, value_col: str, values: list
+    table: KeyedTable, value_col: str, values: list, max_keys: int = 100_000
 ) -> DataFrame:
     """Full rows whose ``value_col`` is in ``values``, composed
     index-to-index: secondary entries → record keys (driver-side
     collect, ∝ probe selectivity) → ``lookup_many`` (zone∩bloom
-    file-pruned candidate read). The base table is never scanned."""
-    keys = [
-        r[0] for r in secondary_lookup_keys(table, value_col, values).collect()
-    ]
-    key_col = table.spec.record_key[0]
+    file-pruned candidate read). The base table is never scanned.
+
+    POINT-read path: raises past ``max_keys`` resolved keys rather
+    than ballooning the driver — a low-selectivity probe should use
+    ``secondary_lookup_join`` (fully distributed, one semi-join
+    shuffle) instead."""
+    resolved = (
+        secondary_lookup_keys(table, value_col, values)
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(resolved) > max_keys:
+        raise ValueError(
+            f"probe resolves more than {max_keys} record keys — not a "
+            "point read; use secondary_lookup_join for low-selectivity "
+            "values"
+        )
+    keys = [r[0] for r in resolved]
     out = table.lookup_many(keys)
     # residual on the VALUE: a key may have moved to a non-probed
     # value in the same commit its old entry was tombstoned — the
     # lookup re-checks, same advisory contract as zone/bloom.
     return out.filter(F.col(value_col).isin(values))
+
+
+def secondary_lookup_join(
+    table: KeyedTable, value_col: str, values: list
+) -> DataFrame:
+    """The DISTRIBUTED form of ``secondary_lookup`` — record keys stay
+    a DataFrame and semi-join the base table on the record key (one
+    shuffle; AQE broadcasts the key side when small). No driver
+    materialization anywhere, so a probe that matches millions of rows
+    is fine; the trade is a base-table scan shaped by the key
+    semi-join instead of the file-pruned multi-get."""
+    key_col = table.spec.record_key[0]
+    keys = secondary_lookup_keys(table, value_col, values)
+    return (
+        table.read()
+        .join(keys, key_col, "left_semi")
+        .filter(F.col(value_col).isin(values))
+    )

@@ -111,3 +111,20 @@ def test_torn_sidecar_refuses_lookup_and_refresh_rebuilds(spark, tmp_path):
         secondary_lookup(t, "grp", [3])
     assert refresh_secondary_index(t, "grp") == "rebuild"
     assert secondary_lookup(t, "grp", [3]).count() == 10
+
+
+def test_lookup_join_form_matches_point_form_and_guard_fires(spark, tmp_path):
+    import pytest as _pytest
+
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        secondary_lookup_join,
+    )
+
+    t = _mk(spark, tmp_path)
+    build_secondary_index(t, "grp")
+    point = {r["k"] for r in secondary_lookup(t, "grp", [3, 7]).collect()}
+    joined = {r["k"] for r in secondary_lookup_join(t, "grp", [3, 7]).collect()}
+    assert point == joined and len(point) == 20
+    # low-selectivity guard: the point form refuses to collect past max_keys
+    with _pytest.raises(ValueError, match="point read"):
+        secondary_lookup(t, "grp", [3, 7], max_keys=5)
