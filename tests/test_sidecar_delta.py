@@ -243,3 +243,50 @@ def test_vacuum_family_removes_only_orphans(spark, tmp_path):
         [(900, "first rewritten text")], "doc_id bigint, text string"
     )
     assert 1 in {r.corpus_id for r in lsh_candidates_for(t, probe).collect()}
+
+
+def test_crash_between_family_publishes_replays_and_converges(spark, tmp_path, monkeypatch):
+    """Multi-family atomicity: postings delta published, CRASH before
+    the doclens publish and the _VERSION advance. The sidecar must
+    look stale (not torn), the next refresh must replay the window for
+    BOTH families, and the final state must equal a from-scratch
+    rebuild — the generation rule absorbs the duplicated postings
+    delta."""
+    from rds_to_datalake_project_spark.operators import sidecar as sc
+    from rds_to_datalake_project_spark.operators import text_index as ti
+
+    t = _mk(spark, tmp_path, n=40)
+    build_text_index(t, "doc_id", "text")
+    t.upsert(_batch(spark, [(3, "crashy zebra window", 1)]))
+
+    real_publish = sc.publish_family_delta
+    calls = {"n": 0}
+
+    def exploding_publish(*args, **kwargs):
+        calls["n"] += 1
+        out = real_publish(*args, **kwargs)
+        if calls["n"] == 1:  # postings landed; die before doclens
+            raise RuntimeError("injected crash between family publishes")
+        return out
+
+    monkeypatch.setattr(ti, "publish_family_delta", exploding_publish)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        refresh_text_index(t, "doc_id", "text")
+    monkeypatch.setattr(ti, "publish_family_delta", real_publish)
+
+    # stale, not torn: the replayed refresh is still incremental
+    assert refresh_text_index(t, "doc_id", "text") == "incremental"
+    assert [r["id"] for r in search_and(t, ["zebra"]).collect()] == [3]
+    fresh = postings_of(t.read(), "doc_id", "text")
+    stored = read_postings(t).select(
+        F.col("bucket").cast("int").alias("bucket"), "term", "id", "tf"
+    )
+    assert stored.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(stored).count() == 0
+    # BM25 sees consistent doclens too
+    from rds_to_datalake_project_spark.operators.text_index import bm25_search
+
+    got = [r["id"] for r in bm25_search(t, ["zebra"]).collect()]
+    assert got == [3]
