@@ -96,7 +96,13 @@ def write_part(
     read). ``partition_by`` hive-partitions the part so consumers'
     partition filters prune at the directory level (keep such columns
     STRING-typed: the engine session disables partition type
-    inference, so values read back as strings)."""
+    inference, so values read back as strings). Partitioned parts are
+    repartitioned ON the partition columns first — otherwise every
+    write task emits a sliver into every bucket dir (tasks × buckets
+    small files; a 256-bucket index from a 32-task frame would write
+    ~8k files per build where 256 suffice)."""
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
     out = df.localCheckpoint(eager=True)
     writer = out.coalesce(coalesce) if coalesce else out
     w = writer.write.mode("overwrite").option(
