@@ -290,3 +290,52 @@ def test_crash_between_family_publishes_replays_and_converges(spark, tmp_path, m
 
     got = [r["id"] for r in bm25_search(t, ["zebra"]).collect()]
     assert got == [3]
+
+
+def test_crash_before_log_update_leaves_invisible_orphan(spark, tmp_path, monkeypatch):
+    """Crash AFTER the delta data part lands but BEFORE the log lists
+    it: the orphan is invisible to readers (log unchanged), the next
+    refresh re-publishes the same window AT THE SAME generation
+    (overwriting the orphan), and the merged view converges."""
+    from rds_to_datalake_project_spark.operators import sidecar as sc
+    from rds_to_datalake_project_spark.operators.lsh_index import (
+        _idx,
+        build_lsh_index,
+        lsh_candidates_for,
+        refresh_lsh_index,
+    )
+
+    t = _mk(spark, tmp_path, n=30)
+    build_lsh_index(t)
+    t.upsert(_batch(spark, [(5, "orphaned window text", 1)]))
+
+    real_log = sc._write_delta_log
+    blow = {"armed": True}
+
+    def exploding_log(*args, **kwargs):
+        if blow["armed"]:
+            blow["armed"] = False
+            raise RuntimeError("injected crash before log update")
+        return real_log(*args, **kwargs)
+
+    monkeypatch.setattr(sc, "_write_delta_log", exploding_log)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        refresh_lsh_index(t)
+
+    # log unchanged → reader sees the PRE-window index, consistent
+    log = sc.read_delta_log(spark, _idx(t), "bands")
+    assert log is None or log[1] == []
+    # replay: same gen re-published over the orphan, now visible
+    assert refresh_lsh_index(t) == (1, 0)
+    probe = spark.createDataFrame(
+        [(900, "orphaned window text")], "doc_id bigint, text string"
+    )
+    assert 5 in {r.corpus_id for r in lsh_candidates_for(t, probe).collect()}
+    from rds_to_datalake_project_spark.operators.minhash import band_rows
+
+    merged = read_family(spark, _idx(t), "bands", "doc_id")
+    fresh = band_rows(t.read(), "doc_id", "text", 64, 16, 3, "xxhash64")
+    assert merged.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(merged).count() == 0
