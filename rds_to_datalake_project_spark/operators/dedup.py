@@ -45,6 +45,60 @@ def latest_version_per_key(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: Column | str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """CANONICAL SELECTION within near-duplicate clusters: given a
+    verified duplicate-pair graph, keep the best-scoring member of
+    every connected component (quality-aware dedup — "keep the longest
+    / highest-quality copy", the curation policy corpora actually
+    want, vs. latest/arbitrary winners).
+
+    Returns one row per input row: ``id_col, score, comp, keeper_id,
+    kept``. Rows in no pair are their own singleton component (always
+    kept). Ties break by ascending id, so the outcome is deterministic
+    and cross-engine replayable when ``score_col`` is integral.
+
+    Scale: components are the pointer-jumping loop
+    (operators/components.py — no driver-side graph), then ONE window
+    shuffle partitioned by component label. Cluster sizes are
+    duplicate-group sizes — naturally small; a pathological mega-
+    cluster is a data signal, not a plan hazard."""
+    from rds_to_datalake_project_spark.operators.components import (
+        connected_components,
+    )
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("id").alias(id_col), "comp"
+    )
+    labeled = (
+        df.select(F.col(id_col), score.alias("score"))
+        .join(comp, id_col, "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
+    )
+    w_rank = Window.partitionBy("comp").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy("comp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = labeled.withColumn("__rn", F.row_number().over(w_rank))
+    return (
+        ranked.withColumn(
+            "keeper_id",
+            F.max(F.when(F.col("__rn") == 1, F.col(id_col))).over(w_all),
+        )
+        .withColumn("kept", F.col(id_col) == F.col("keeper_id"))
+        .drop("__rn")
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     content_cols: Sequence[str],

@@ -524,6 +524,63 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.b_id = d.doc_id)
 ORDER BY doc_id
 """
 
+def neardup_keep_best_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.py:
+    dedup_keep_best): verified near-dup clusters (md5 LSH candidates →
+    exact Jaccard ≥ 0.5 → connected components) each keep their
+    LONGEST member — the curation policy corpora want, vs. arbitrary
+    winners. The oracle replays candidates, verify, the recursive
+    closure, AND the argmax, so banding recall, component labels, and
+    the keep policy are all hash-proved together."""
+    from rds_to_datalake_project_spark.operators.dedup import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, hash_mode="md5")
+    pairs = ngram_jaccard_pairs(docs, cand, threshold=0.5).select("a_id", "b_id")
+    out = dedup_keep_best(
+        docs, pairs, "doc_id", F.length("text").cast("long")
+    )
+    return out.select(
+        "doc_id", "score", "comp", "keeper_id", "kept"
+    ).orderBy("doc_id")
+
+
+NEARDUP_KEEP_BEST_MD5_SQL = _MD5_LSH_CTE.replace(
+    "WITH sh AS", "WITH RECURSIVE sh AS"
+) + """
+, pairs AS (
+  SELECT c.a_id, c.b_id FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+), sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM sym GROUP BY src
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+), compx AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+), lab AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+         COALESCE(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN compx c ON d.doc_id = c.id
+), rk AS (
+  SELECT comp, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT l.doc_id, l.score, l.comp, kk.doc_id AS keeper_id,
+       l.doc_id = kk.doc_id AS kept
+FROM lab l JOIN (SELECT comp, doc_id FROM rk WHERE rn = 1) kk
+  ON l.comp = kk.comp
+ORDER BY l.doc_id
+"""
+
+
 NGRAM_JACCARD_NEARDUP_MD5_SQL = _MD5_LSH_CTE + """
 SELECT a_id, b_id, jaccard FROM (
   SELECT c.a_id, c.b_id,
@@ -1845,6 +1902,7 @@ QUERIES = {
     "minhash_lsh_candidates_md5": minhash_lsh_candidates_md5,
     "minhash_neardup_md5": minhash_neardup_md5,
     "ngram_jaccard_neardup_md5": ngram_jaccard_neardup_md5,
+    "neardup_keep_best_md5": neardup_keep_best_md5,
     "simhash_neardup_md5": simhash_neardup_md5,
     "srp_neardup_embeddings": srp_neardup_embeddings,
     "bpe_token_stats": bpe_token_stats,
@@ -1901,6 +1959,7 @@ ORACLES = {
     "minhash_lsh_candidates_md5": MINHASH_LSH_MD5_SQL,
     "minhash_neardup_md5": MINHASH_NEARDUP_MD5_SQL,
     "ngram_jaccard_neardup_md5": NGRAM_JACCARD_NEARDUP_MD5_SQL,
+    "neardup_keep_best_md5": NEARDUP_KEEP_BEST_MD5_SQL,
     "simhash_neardup_md5": SIMHASH_NEARDUP_MD5_SQL,
     "srp_neardup_embeddings": SRP_NEARDUP_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,

@@ -88,6 +88,7 @@ _PRIORITY = (
     "secondary_index_lookup",
     "bm25_text_search",
     "embedding_dim_drift",
+    "neardup_keep_best_md5",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,

@@ -162,3 +162,24 @@ def test_embedding_drift_flag_is_exact_and_symmetricish(spark):
     got2 = {r["pos"]: r["drifted"] for r in
             embedding_drift_report(a, b2, "v").collect()}
     assert got2 == {0: True, 1: False}
+
+
+def test_dedup_keep_best_semantics(spark):
+    from rds_to_datalake_project_spark.operators.dedup import dedup_keep_best
+
+    # clusters: {1,2,3} (chained), {4,5}; 6 is a singleton
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 7), (5, 7), (6, 1)],
+        "id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a_id long, b_id long"
+    )
+    out = {r["id"]: (r["comp"], r["keeper_id"], r["kept"])
+           for r in dedup_keep_best(df, pairs, "id", "q").collect()}
+    assert out[1] == (1, 2, False)   # transitive cluster, best q=30 wins
+    assert out[2] == (1, 2, True)
+    assert out[3] == (1, 2, False)
+    assert out[4] == (4, 4, True)    # score tie → lowest id wins
+    assert out[5] == (4, 4, False)
+    assert out[6] == (6, 6, True)    # singleton keeps itself
