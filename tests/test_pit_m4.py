@@ -183,3 +183,13 @@ def test_dedup_keep_best_semantics(spark):
     assert out[4] == (4, 4, True)    # score tie → lowest id wins
     assert out[5] == (4, 4, False)
     assert out[6] == (6, 6, True)    # singleton keeps itself
+
+
+def test_pit_join_plan_is_key_equi_join_not_nested_loop(spark):
+    facts = spark.range(0, 10000).selectExpr(
+        "CAST(id % 50 AS INT) AS k", "CAST(id % 3 AS INT) AS as_of"
+    )
+    out = pit_join(facts, _intervals(spark), ["k"], "as_of", ["price"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

@@ -127,3 +127,20 @@ def test_bm25_follows_incremental_refresh(spark, tmp_path):
     ]
     assert incremental == rebuilt
     assert {i for i, _s in incremental} == {3, 4}
+
+
+def test_search_scans_carry_bucket_partition_filters(spark, tmp_path):
+    """Both search paths prune the postings read to the query terms'
+    bucket directories — the filter must reach PartitionFilters in the
+    executed plan (directory-level pruning, not a post-scan row
+    filter)."""
+    import re
+
+    from rds_to_datalake_project_spark.operators.text_index import bm25_search
+
+    t = _mk(spark, tmp_path)
+    build_text_index(t, "id", "text")
+    for df in (search_and(t, ["quick", "dog"]), bm25_search(t, ["quick", "dog"])):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and any("bucket" in p and p.strip() for p in pf), plan[:500]
