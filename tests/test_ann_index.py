@@ -364,3 +364,28 @@ def test_empty_cell_triggers_retrain_and_rebalances(spark, table):
     new_cents = _read_centroids(table)
     assert new_cents is not None and len(new_cents) == 3
     assert not _cells_drifted(table, new_cents, 1000.0)  # no empty cell
+
+
+def test_ivf_probe_prunes_after_incremental_refresh(spark, table):
+    """With a delta in the chain, the probed cell filter must still
+    reach PartitionFilters on EVERY leg of the merged codes read (base
+    and delta scans) — pushdown through the union and the tombstone
+    join, not a post-merge row filter."""
+    import re
+
+    cents = _axis_centroids()
+    build_ann_index(table, centroids=cents)
+    table.upsert(
+        spark.createDataFrame(
+            [(71, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0], "v1", "I")],
+            "vec_id bigint, embedding array<float>, update_at string, Op string",
+        )
+    )
+    assert refresh_ann_index(table) == (1, 0)
+    df = ann_index_topk(table, query_vec_id=3, k=5, rerank=16, probe_cells=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    with_cell = [p for p in pf if "cell" in p and p.strip()]
+    assert len(with_cell) >= 2, (len(with_cell), plan[:800])
+    # and the answer still includes the probed query itself
+    assert 3 in {r["vec_id"] for r in df.collect()}
