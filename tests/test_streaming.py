@@ -645,3 +645,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
         "user_id", "ts", "ts", within="30 minutes",
     )
     assert {(r.l_event_id, r.r_event_id) for r in batch.collect()} == got
+
+
+def test_streaming_upserts_maintain_secondary_index(spark, tmp_path):
+    """The row-level secondary index follows a streaming ingest too:
+    each foreachBatch commit publishes a delta, and a non-key point
+    lookup right after the stream drains reflects every batch —
+    including a value re-key in a later batch retiring the old entry."""
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        _idir,
+        attach_secondary_index_maintenance,
+        secondary_lookup,
+    )
+    from rds_to_datalake_project_spark.operators.sidecar import read_state
+
+    spec = TableSpec("t", record_key=("id",), precombine_key="update_at",
+                     partition_source="create_at", partition_granularity="day",
+                     schema=CDC_SCHEMA)
+    table = KeyedTable(
+        spark, str(tmp_path / "table"), spec, retain_versions=4
+    )
+    attach_secondary_index_maintenance(table, "val")
+    cdc_dir = str(tmp_path / "cdc")
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
+                    [_row("a", "2024-01-01", "2024-01-01", "red", "I"),
+                     _row("b", "2024-01-01", "2024-01-01", "blue", "I")])
+    _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 1, 0),
+                    [_row("a", "2024-01-01", "2024-01-02", "green", "U"),
+                     _row("c", "2024-01-02", "2024-01-02", "red", "I")])
+    ckpt = str(tmp_path / "ckpt")
+    stream_cdc_to_table(spark, cdc_dir, table, ckpt, CDC_SCHEMA,
+                        max_files_per_trigger=1)
+    assert read_state(spark, _idir(table, "val"))[0] == table.versions()[-1]
+    red = {r["id"] for r in secondary_lookup(table, "val", ["red"]).collect()}
+    assert red == {"c"}  # a re-keyed to green; its old entry retired
+    green = {r["id"] for r in secondary_lookup(table, "val", ["green"]).collect()}
+    assert green == {"a"}
