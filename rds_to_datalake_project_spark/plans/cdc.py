@@ -894,6 +894,97 @@ ORDER BY o_orderkey
 """
 
 
+def replicated_orders_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lake replication end to end (operators/replicate.py): a
+    source orders table with a live changes feed runs three commits
+    (load → status reprice → delete + re-keyed insert); a replica
+    bootstraps from commit 0 and catches up through the feed in ONE
+    idempotent apply. The emitted rows are the REPLICA's per-priority
+    anti-entropy checksums; the oracle states the source's final state
+    in closed form — a hash match proves feed capture, bootstrap,
+    multi-commit collapse, and delete application all at once."""
+    from rds_to_datalake_project_spark.operators.compare import table_checksum
+    from rds_to_datalake_project_spark.operators.replicate import (
+        apply_changes_feed,
+        bootstrap_replica,
+    )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    root = _scratch("replicate")
+    src_spec = TableSpec(
+        "orders_src",
+        record_key=("o_orderkey",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(
+        spark,
+        root + "/src",
+        src_spec,
+        retain_versions=4,
+        changes_feed_dir=root + "/feed",
+    )
+    t.initial_load(base.withColumn("seq", F.lit(0).cast("long")))
+    k = F.col("o_orderkey")
+    t.upsert(
+        base.filter(k % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = base.filter(k % 7 == 0).withColumn("Op", F.lit("D"))
+    inserts = (
+        base.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + F.lit(10_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    t.upsert(
+        deletes.unionByName(inserts).withColumn("seq", F.lit(2).cast("long")),
+        delete_mode="apply",
+    )
+
+    rep_spec = TableSpec(
+        "orders_rep",
+        record_key=("o_orderkey",),
+        precombine_key="_rep_seq",
+        partition_granularity=None,
+    )
+    r = KeyedTable(spark, root + "/rep", rep_spec, retain_versions=2)
+    bootstrap_replica(t, r, as_of=0)
+    out = apply_changes_feed(r, root + "/feed")
+    assert out["applied"] == [1, 2], out
+    return table_checksum(
+        r.read().select(*cols),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        group_cols=["o_orderpriority"],
+    )
+
+
+REPLICATED_CHECKSUM_SQL = """
+WITH final AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'R' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(
+           COALESCE(CAST(o_orderkey AS VARCHAR), '∅') || '|' ||
+           COALESCE(CAST(o_custkey AS VARCHAR), '∅') || '|' ||
+           COALESCE(o_orderstatus, '∅')
+       ), 1, 15)) AS BIGINT)) AS xor_sig
+FROM final
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy checksums (operators/compare.py:table_checksum):
     per-priority XOR of 60-bit row hashes + counts over orders — the
@@ -1612,6 +1703,7 @@ QUERIES = {
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
     "secondary_index_lookup": secondary_index_lookup,
+    "replicated_orders_checksums": replicated_orders_checksums,
     "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
@@ -1656,6 +1748,7 @@ ORACLES = {
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
     "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
+    "replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,

@@ -1,0 +1,128 @@
+"""Cross-lake replication from the changes feed
+(operators/replicate.py): bootstrap, multi-commit catch-up, crash
+replay, vacuumed-feed refusal, checksum fidelity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.compare import table_checksum
+from rds_to_datalake_project_spark.operators.replicate import (
+    applied_version,
+    apply_changes_feed,
+    bootstrap_replica,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+
+def _specs():
+    src = TableSpec(
+        "src", record_key=("k",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    rep = TableSpec(
+        "rep", record_key=("k",), precombine_key="_rep_seq",
+        partition_granularity=None,
+    )
+    return src, rep
+
+
+def _mk_source(spark, tmp_path):
+    src_spec, _ = _specs()
+    feed = str(tmp_path / "feed")
+    t = KeyedTable(
+        spark, str(tmp_path / "src"), src_spec,
+        retain_versions=8, changes_feed_dir=feed,
+    )
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, f"v0-{i}", 0) for i in range(30)], "k long, val string, seq long"
+        )
+    )
+    return t, feed
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string, seq long, Op string")
+
+
+def _sig(df):
+    return {
+        tuple(r) for r in table_checksum(df, ["k", "val"]).collect()
+    }
+
+
+def test_replica_converges_through_updates_deletes_reinserts(spark, tmp_path):
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+
+    # commit 1: update + insert; commit 2: delete + re-key-style insert
+    t.upsert(_batch(spark, [(3, "v1-3", 1, "U"), (100, "v1-100", 1, "U")]))
+    t.upsert(
+        _batch(spark, [(5, "x", 2, "D"), (101, "v2-101", 2, "U")]),
+        delete_mode="apply",
+    )
+    out = apply_changes_feed(r, feed)
+    assert out["applied"] == [1, 2] and applied_version(r) == 2
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+    # idempotent at head
+    assert apply_changes_feed(r, feed)["applied"] == []
+
+
+def test_update_then_delete_in_one_catchup_collapses_to_tombstone(spark, tmp_path):
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    t.upsert(_batch(spark, [(7, "v1-7", 1, "U")]))
+    t.upsert(_batch(spark, [(7, "x", 2, "D")]), delete_mode="apply")
+    t.upsert(_batch(spark, [(8, "v3-8", 3, "U")]))
+    apply_changes_feed(r, feed)
+    ks = {row["k"] for row in r.read().collect()}
+    assert 7 not in ks and 8 in ks
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+
+
+def test_crash_before_cursor_advance_replays_idempotently(spark, tmp_path, monkeypatch):
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    t.upsert(_batch(spark, [(1, "v1-1", 1, "U")]))
+
+    import rds_to_datalake_project_spark.operators.replicate as rep_mod
+
+    real = rep_mod._write_small
+    blow = {"armed": True}
+
+    def exploding(spark_, path, text):
+        if blow["armed"] and path.endswith("_APPLIED"):
+            blow["armed"] = False
+            raise RuntimeError("injected crash before cursor write")
+        return real(spark_, path, text)
+
+    monkeypatch.setattr(rep_mod, "_write_small", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_changes_feed(r, feed)
+    monkeypatch.setattr(rep_mod, "_write_small", real)
+
+    # cursor still old → replay; upsert idempotence converges
+    assert applied_version(r) == 0
+    assert apply_changes_feed(r, feed)["applied"] == [1]
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+
+
+def test_vacuumed_feed_past_cursor_raises(spark, tmp_path):
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    for v in (1, 2, 3):
+        t.upsert(_batch(spark, [(v, f"v{v}", v, "U")]))
+    t.vacuum_changes_feed(feed, keep_last=1)  # only v3 retained
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        apply_changes_feed(r, feed)
