@@ -86,6 +86,8 @@ HEADLINE = [
     "m4_downsample_events",
     "secondary_index_lookup",
     "bm25_text_search",
+    "embedding_dim_drift",
+    "replicated_orders_checksums",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",
