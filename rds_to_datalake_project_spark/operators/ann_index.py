@@ -64,6 +64,7 @@ from rds_to_datalake_project_spark.operators.similarity import (
     sq8_train,
 )
 from rds_to_datalake_project_spark.operators.sidecar import (
+    DEFAULT_COMPACT_THRESHOLD,
     clear_delta_log,
     epoch_of,
     family_consistent,
@@ -228,6 +229,7 @@ def refresh_ann_index(
     vec_col: str = "embedding",
     drift_rebuild_ratio: float | None = None,
     drift_train_iterations: int = 5,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
 ) -> tuple[int, int]:
     """Reconcile codes with the table's commits since the last index
     version: deletes anti-join out, inserts/updates re-code with the
@@ -299,6 +301,7 @@ def refresh_ann_index(
         epoch,
         gens,
         partition_by=["cell"] if ivf_ok else None,
+        compact_threshold=compact_threshold,
     )
     if ivf_ok and drift_rebuild_ratio is not None:
         if _cells_drifted(table, centroids, drift_rebuild_ratio, id_col):

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.minhash import band_rows
 from rds_to_datalake_project_spark.operators.sidecar import (
+    DEFAULT_COMPACT_THRESHOLD,
     clear_delta_log,
     family_consistent,
     publish_family_delta,
@@ -126,6 +127,7 @@ def refresh_lsh_index(
     bands: int = 16,
     shingle_n: int = 3,
     hash_mode: str = "xxhash64",
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
 ) -> tuple[int, int]:
     """Reconcile the signature index with commits since the indexed
     version — DELTA-PUBLISHED (sidecar.publish_family_delta): the
@@ -170,6 +172,7 @@ def refresh_lsh_index(
         latest,
         epoch,
         gens,
+        compact_threshold=compact_threshold,
     )
     return (n_up, n_del)
 

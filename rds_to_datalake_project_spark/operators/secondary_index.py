@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.sidecar import (
+    DEFAULT_COMPACT_THRESHOLD,
     clear_delta_log,
     family_consistent,
     publish_family_delta,
@@ -124,7 +125,11 @@ def _stored_params(table: KeyedTable, value_col: str) -> tuple[str, str] | None:
     return (parts[0], parts[1]) if len(parts) == 2 else None
 
 
-def refresh_secondary_index(table: KeyedTable, value_col: str) -> str:
+def refresh_secondary_index(
+    table: KeyedTable,
+    value_col: str,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+) -> str:
     """Advance the index to the table's latest commit by publishing
     the change window as a delta (fresh entries + record-key
     tombstone). Returns ``"noop" | "incremental" | "rebuild"``."""
@@ -160,6 +165,7 @@ def refresh_secondary_index(table: KeyedTable, value_col: str) -> str:
         epoch,
         gens,
         partition_by=["bucket"],
+        compact_threshold=compact_threshold,
     )
     return "incremental"
 

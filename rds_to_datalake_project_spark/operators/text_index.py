@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.sidecar import (
+    DEFAULT_COMPACT_THRESHOLD,
     clear_delta_log,
     family_consistent,
     publish_family_delta,
@@ -144,7 +145,12 @@ def read_postings(table: KeyedTable) -> DataFrame | None:
     )
 
 
-def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
+def refresh_text_index(
+    table: KeyedTable,
+    id_col: str,
+    text_col: str,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+) -> str:
     """Bring the index to the table's latest commit by publishing the
     change window as a delta: the window's postings (inserts and the
     NEW text of updates) plus a tombstone of every touched id — so
@@ -192,6 +198,7 @@ def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
         gens,
         partition_by=["bucket"],
         advance_state=False,
+        compact_threshold=compact_threshold,
     )
     publish_family_delta(
         spark,
@@ -204,6 +211,7 @@ def refresh_text_index(table: KeyedTable, id_col: str, text_col: str) -> str:
         epoch,
         state_d[2],
         advance_state=False,
+        compact_threshold=compact_threshold,
     )
     write_state(spark, _idir(table), latest, epoch)
     return "incremental"
