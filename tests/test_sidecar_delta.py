@@ -339,3 +339,55 @@ def test_crash_before_log_update_leaves_invisible_orphan(spark, tmp_path, monkey
     fresh = band_rows(t.read(), "doc_id", "text", 64, 16, 3, "xxhash64")
     assert merged.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(merged).count() == 0
+
+
+def test_randomized_lifecycle_merged_equals_recomputed(spark, tmp_path):
+    """Seeded random upsert/delete windows with a LOW compaction
+    threshold (forces folds mid-sequence): after every refresh, the
+    merged postings AND doclens must equal a from-scratch recompute of
+    the live corpus — the delta protocol's defining invariant under
+    arbitrary interleavings."""
+    import random
+
+    from rds_to_datalake_project_spark.operators.text_index import (
+        doclens_of,
+        refresh_text_index,
+    )
+    from rds_to_datalake_project_spark.operators.sidecar import (
+        family_consistent,
+    )
+    from rds_to_datalake_project_spark.operators.text_index import _idir
+
+    rng = random.Random(20260815)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "zeta", "kappa"]
+
+    def text():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(3, 9)))
+
+    t = _mk(spark, tmp_path, n=25)
+    build_text_index(t, "doc_id", "text")
+    live_ids = set(range(25))
+    for step in range(1, 6):
+        ups = rng.sample(sorted(live_ids), rng.randint(1, 3))
+        ins = [25 + step * 10 + j for j in range(rng.randint(0, 2))]
+        dels = rng.sample(sorted(live_ids - set(ups)), rng.randint(0, 2))
+        rows = [(i, text(), step) for i in ups + ins] + [(i, "", step) for i in dels]
+        t.upsert(_batch(spark, rows), delete_mode="apply")
+        assert refresh_text_index(
+            t, "doc_id", "text", compact_threshold=3
+        ) == "incremental"
+        live_ids = (live_ids | set(ins)) - set(dels)
+
+        fresh_p = postings_of(t.read(), "doc_id", "text")
+        stored_p = read_postings(t).select(
+            F.col("bucket").cast("int").alias("bucket"), "term", "id", "tf"
+        )
+        assert stored_p.exceptAll(fresh_p).count() == 0, step
+        assert fresh_p.exceptAll(stored_p).count() == 0, step
+        from rds_to_datalake_project_spark.operators.sidecar import read_family
+
+        st_d = family_consistent(spark, _idir(t), "doclens")
+        stored_d = read_family(spark, _idir(t), "doclens", "id", gens=st_d[2])
+        fresh_d = doclens_of(t.read(), "doc_id", "text")
+        assert stored_d.exceptAll(fresh_d).count() == 0, step
+        assert fresh_d.exceptAll(stored_d).count() == 0, step
