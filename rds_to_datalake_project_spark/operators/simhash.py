@@ -121,6 +121,61 @@ def simhash_buckets(
     )
 
 
+def hash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Banded-Hamming near-dup join over an EXISTING fingerprint
+    column — the generalized core of ``simhash_neardup_pairs``, usable
+    by any 64-bit perceptual hash (text SimHash, image aHash, …).
+    Pigeonhole recall guarantee: two fingerprints within
+    ``bands - 1`` Hamming bits share at least one band bucket, so with
+    ``bands ≥ max_hamming + 1`` no qualifying pair is missed. One
+    band-bucket equi-join shuffle; never all-pairs."""
+    if bands < max_hamming + 1:
+        raise ValueError("bands must be ≥ max_hamming + 1 for recall guarantee")
+    band_bits = bits // bands
+    bandcols = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.call_function(
+                "shiftrightunsigned", F.col("__fp"), b * band_bits
+            )
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("bucket"),
+        ),
+    )
+    banded = (
+        df.select(F.col(id_col), F.col(hash_col).alias("__fp"))
+        .select(id_col, "__fp", F.explode(bandcols).alias("bb"))
+        .select(id_col, "__fp", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            hamming64(F.col("a.__fp"), F.col("b.__fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

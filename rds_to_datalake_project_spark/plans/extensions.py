@@ -1081,6 +1081,52 @@ ORDER BY media_id
 """
 
 
+def image_ahash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: real encode → decode → perceptual
+    average-hash (operators/multimodal.py:image_ahash) → banded
+    Hamming join (operators/simhash.py:hash_neardup_pairs). The
+    fixture's closed-form gradient images make the hash statable:
+    every column is equal and the threshold is shift-invariant, so the
+    64-bit hash reduces to an 8-row pattern that depends ONLY on the
+    image height — the oracle joins ids on pattern equality (any
+    differing pattern is ≥8 bits apart, past max_hamming=3, so
+    qualifying pairs are exactly the hamming-0 ones)."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_real_media,
+    )
+    from rds_to_datalake_project_spark.operators.simhash import (
+        hash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200  # bound the quadratic same-pattern pair count
+    )
+    media = synthesize_real_media(docs, "doc_id")
+    pairs = hash_neardup_pairs(
+        image_ahash(media), "media_id", "ahash", max_hamming=3, bands=4
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+IMAGE_AHASH_SQL = """
+WITH img AS (
+  SELECT doc_id AS media_id, (doc_id % 13) + 1 AS h
+  FROM documents WHERE doc_id % 3 <> 1 AND doc_id < 200
+), pat AS (
+  SELECT media_id,
+         list_transform(range(0, 8), r ->
+           CASE WHEN 8 * ((r * h) // 8)
+                     > list_sum(list_transform(range(0, 8), q -> (q * h) // 8))
+                THEN 1 ELSE 0 END) AS p
+  FROM img
+)
+SELECT a.media_id AS a_id, b.media_id AS b_id, CAST(0 AS INTEGER) AS hamming
+FROM pat a JOIN pat b ON a.p = b.p AND a.media_id < b.media_id
+ORDER BY a_id, b_id
+"""
+
+
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → fixed-dim features via mapInPandas
     (operators/multimodal.py). The featurizer is the dependency-free
@@ -1882,6 +1928,7 @@ QUERIES = {
     "auto_salted_priority_join": auto_salted_priority_join,
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
+    "image_ahash_neardups": image_ahash_neardups,
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_merge_table": bpe_merge_table_q,
     "bpe_encode_counts": bpe_encode_counts,
@@ -1936,6 +1983,7 @@ ORACLES = {
     "ngram_containment_neardup": CONTAINMENT_PREFIX_SQL,
     "auto_salted_priority_join": AUTO_SALT_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
+    "image_ahash_neardups": IMAGE_AHASH_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
     "bpe_merge_table": BPE_MERGE_TABLE_SQL,
     "bpe_encode_counts": BPE_ENCODE_SQL,

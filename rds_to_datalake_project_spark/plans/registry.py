@@ -90,6 +90,7 @@ _PRIORITY = (
     "embedding_dim_drift",
     "neardup_keep_best_md5",
     "replicated_orders_checksums",
+    "image_ahash_neardups",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,
