@@ -88,6 +88,7 @@ HEADLINE = [
     "bm25_text_search",
     "embedding_dim_drift",
     "replicated_orders_checksums",
+    "image_ahash_neardups",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",
