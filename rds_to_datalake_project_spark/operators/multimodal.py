@@ -467,3 +467,65 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
         .select("media_id", "mime", "content")
         .mapInPandas(_kernel, schema=AHASH_SCHEMA)
     )
+
+
+def _decode_wav_samples(b: bytes) -> "np.ndarray":
+    """int16 sample vector from a RIFF/WAVE payload (chunk walk, no
+    fixed layout beyond the WAVE contract)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        if cid == b"data":
+            return np.frombuffer(b, "<i2", size // 2, pos + 8).astype(np.int64)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAVE without data chunk")
+
+
+AUDIO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("audio_hash", T.LongType(), False),
+    ]
+)
+
+
+def audio_sign_hash(media: DataFrame, n_probes: int = 64) -> DataFrame:
+    """Perceptual audio fingerprint: bit i is set when the waveform is
+    RISING at probe position ``p_i = (i·n)//n_probes`` (strictly
+    ``sample[p_i+1] > sample[p_i]``; probes past the clip end stay 0).
+    Sign-of-delta signatures are amplitude- and offset-invariant
+    (volume changes preserve them) and integer-exact — the audio arm
+    of the dedup family, paired with ``simhash.hash_neardup_pairs``
+    exactly like the image aHash. Arrow-batched ``mapInPandas``;
+    non-audio rows filtered JVM-side."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, hashes = [], [], []
+            for mid, mime, blob in zip(
+                pdf["media_id"], pdf["mime"], pdf["content"]
+            ):
+                s = _decode_wav_samples(bytes(blob))
+                n = len(s)
+                hv = 0
+                for i in range(n_probes):
+                    p = (i * n) // n_probes
+                    if p + 1 < n and s[p + 1] > s[p]:
+                        hv |= 1 << i
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                ids.append(mid)
+                mimes.append(mime)
+                hashes.append(hv)
+            yield pd.DataFrame(
+                {"media_id": ids, "mime": mimes, "audio_hash": hashes}
+            )
+
+    return (
+        media.filter(F.col("mime").startswith("audio/"))
+        .select("media_id", "mime", "content")
+        .mapInPandas(_kernel, schema=AUDIO_HASH_SCHEMA)
+    )

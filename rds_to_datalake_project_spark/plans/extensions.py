@@ -1127,6 +1127,50 @@ ORDER BY a_id, b_id
 """
 
 
+def audio_hash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate pairs: real WAV encode → decode → sign-of-delta
+    fingerprint (operators/multimodal.py:audio_sign_hash) → banded
+    Hamming join at hamming 0 (exact fingerprint match). The fixture's
+    strictly-rising clips make the hash closed-form: bit i is set iff
+    probe i+? stays inside the clip — a pure function of the sample
+    count — so the oracle joins ids on pattern equality, reproducing
+    the byte-level pipeline analytically (same proof shape as
+    image_ahash_neardups)."""
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        audio_sign_hash,
+        synthesize_real_media,
+    )
+    from rds_to_datalake_project_spark.operators.simhash import (
+        hash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200  # bound the same-length pair count
+    )
+    media = synthesize_real_media(docs, "doc_id")
+    pairs = hash_neardup_pairs(
+        audio_sign_hash(media), "media_id", "audio_hash",
+        max_hamming=0, bands=4,
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+AUDIO_HASH_SQL = """
+WITH aud AS (
+  SELECT doc_id AS media_id, (doc_id % 50) + 1 AS n
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 200
+), pat AS (
+  SELECT media_id,
+         list_transform(range(0, 64), i ->
+           CASE WHEN (i * n) // 64 < n - 1 THEN 1 ELSE 0 END) AS p
+  FROM aud
+)
+SELECT a.media_id AS a_id, b.media_id AS b_id, CAST(0 AS INTEGER) AS hamming
+FROM pat a JOIN pat b ON a.p = b.p AND a.media_id < b.media_id
+ORDER BY a_id, b_id
+"""
+
+
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → fixed-dim features via mapInPandas
     (operators/multimodal.py). The featurizer is the dependency-free
@@ -1929,6 +1973,7 @@ QUERIES = {
     "ngram_containment_neardup": ngram_containment_neardup,
     "media_resize_stats": media_resize_stats,
     "image_ahash_neardups": image_ahash_neardups,
+    "audio_hash_neardups": audio_hash_neardups,
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_merge_table": bpe_merge_table_q,
     "bpe_encode_counts": bpe_encode_counts,
@@ -1984,6 +2029,7 @@ ORACLES = {
     "auto_salted_priority_join": AUTO_SALT_SQL,
     "media_resize_stats": MEDIA_RESIZE_SQL,
     "image_ahash_neardups": IMAGE_AHASH_SQL,
+    "audio_hash_neardups": AUDIO_HASH_SQL,
     "bpe_merge_pairs": BPE_MERGE_SQL,
     "bpe_merge_table": BPE_MERGE_TABLE_SQL,
     "bpe_encode_counts": BPE_ENCODE_SQL,

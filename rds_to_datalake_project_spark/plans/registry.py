@@ -91,6 +91,7 @@ _PRIORITY = (
     "neardup_keep_best_md5",
     "replicated_orders_checksums",
     "image_ahash_neardups",
+    "audio_hash_neardups",
     # (remaining tail slots fall to the registry's natural order;
     # everything rotated out is green on record r6–r8 and stays
     # pytest-covered: windowed_counts, sessionize_events, sketches,

@@ -96,3 +96,61 @@ def test_wav_rows_are_filtered_out_jvm_side(spark):
     )
     got = [r["media_id"] for r in image_ahash(media).collect()]
     assert got == [1]
+
+
+def _wav_media(spark, rows):
+    from rds_to_datalake_project_spark.operators.multimodal import encode_wav
+
+    return spark.createDataFrame(
+        [(i, "audio/wav", bytearray(encode_wav(s))) for i, s in rows],
+        "media_id long, mime string, content binary",
+    )
+
+
+def test_audio_hash_volume_and_offset_invariant(spark):
+    from rds_to_datalake_project_spark.operators.multimodal import audio_sign_hash
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-500, 500, size=400).astype(np.int64)
+    louder = base * 3          # volume change preserves deltas' signs
+    shifted = base + 1000      # DC offset too
+    reverse = base[::-1].copy()
+    media = _wav_media(
+        spark, [(1, base), (2, louder), (3, shifted), (4, reverse)]
+    )
+    h = {r["media_id"]: r["audio_hash"] for r in audio_sign_hash(media).collect()}
+    assert h[1] == h[2] == h[3]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[4]) > 16  # reversal flips most rising probes
+
+
+def test_audio_pairs_via_banded_join_and_images_excluded(spark):
+    from rds_to_datalake_project_spark.operators.multimodal import (
+        audio_sign_hash,
+        encode_bmp,
+    )
+    from rds_to_datalake_project_spark.operators.simhash import (
+        hash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(-99, 99, size=300).astype(np.int64)
+    media = _wav_media(spark, [(1, a), (2, a * 2), (3, -a)])
+    media = media.unionByName(
+        spark.createDataFrame(
+            [(9, "image/bmp", bytearray(encode_bmp(32, 32, _img(9))))],
+            "media_id long, mime string, content binary",
+        )
+    )
+    hdf = audio_sign_hash(media)
+    assert {r["media_id"] for r in hdf.collect()} == {1, 2, 3}
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in hash_neardup_pairs(
+            hdf, "media_id", "audio_hash", max_hamming=0, bands=4
+        ).collect()
+    }
+    assert got == {(1, 2)}
