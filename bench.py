@@ -89,6 +89,7 @@ HEADLINE = [
     "embedding_dim_drift",
     "replicated_orders_checksums",
     "image_ahash_neardups",
+    "audio_hash_neardups",
     "rolling_anomaly_hours",
     "time_weighted_value",
     "histogram_quantiles_price",
