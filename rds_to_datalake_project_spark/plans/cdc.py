@@ -34,7 +34,12 @@ def _scratch(name: str) -> str:
     instead. Cleared eagerly (not on exit) because the returned
     DataFrames are lazy — the driver collects them after the query
     function returns, so the files must outlive the call."""
-    root = os.path.join(tempfile.gettempdir(), "sg_scratch", name)
+    # Per-PID root: two engine processes (a bench and a correctness
+    # sweep) sharing one scratch dir would delete each other's live
+    # fixtures mid-read — an orchestration-only hazard, but a real one.
+    root = os.path.join(
+        tempfile.gettempdir(), f"sg_scratch_{os.getpid()}", name
+    )
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     return root

@@ -142,7 +142,12 @@ GROUP BY 1 ORDER BY user_id
 
 
 def _scratch(name: str) -> str:
-    root = os.path.join(tempfile.gettempdir(), "sg_scratch", name)
+    # Per-PID root: two engine processes (a bench and a correctness
+    # sweep) sharing one scratch dir would delete each other's live
+    # fixtures mid-read — an orchestration-only hazard, but a real one.
+    root = os.path.join(
+        tempfile.gettempdir(), f"sg_scratch_{os.getpid()}", name
+    )
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     return root
