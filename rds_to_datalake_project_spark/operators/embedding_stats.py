@@ -9,16 +9,23 @@ anything.
 
 Exactness: values quantize to 1e-6 fixed point (the same HALF_UP
 ``round`` contract as operators/similarity.quantize, which the DuckDB
-twins already replay), all sums/counts are int64, and the drift
-predicate compares means CROSS-MULTIPLIED —
+twins already replay), per-dimension sums/counts are int64, and the
+drift predicate compares means CROSS-MULTIPLIED in DECIMAL(38,0) —
 ``|sum_a·n_b − sum_b·n_a| > threshold_u·n_a·n_b`` — so the flag never
 touches a float and is bit-stable across engines and partitionings.
 
 Scale: ``posexplode`` fans a d-dim vector to d rows map-side, the
 aggregate is partial-agg friendly, and output is d rows per frame —
 at 100 TB the only materialized state is 2·d rows joined on ``pos``.
-Envelope: |x| ≤ ~9e3 per component keeps Σ v_fx² inside int64 at a
-trillion rows; unit-norm embeddings sit orders of magnitude inside.
+
+Envelope (sum·n products, the quantities this module actually
+computes): the int64 stage is Σ|v_u| per dimension — exact while
+n·max|v_u| < 2⁶³, i.e. ~9.2e12 rows/side for unit-norm embeddings
+(|v_u| ≤ 1e6). The cross-multiplied comparison then runs in
+DECIMAL(38,0): |sum_u|·n ≤ 9.2e18·9.2e12 ≈ 8.5e31 and
+threshold_u·n_a·n_b ≤ 1e6·(9.2e12)² ≈ 8.5e31, both far inside 38
+digits — int64 products would have wrapped silently past
+n_a·n_b ≈ 1.8e14 (≈13M rows/side at the default threshold).
 """
 
 from __future__ import annotations
@@ -73,10 +80,16 @@ def embedding_drift_report(
         F.col("sum_u").alias("sum_b_u"),
     )
     j = sa.join(sb, "pos")
+    # DECIMAL(38,0) operands: int64 products wrap silently past
+    # n_a·n_b ≈ 1.8e14 in non-ANSI Spark and would flip `drifted`;
+    # decimal keeps the comparison exact through the full envelope
+    # (same fix as timeseries.rolling_anomaly's dev² comparison).
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     lhs = F.abs(
-        F.col("sum_a_u") * F.col("n_b") - F.col("sum_b_u") * F.col("n_a")
+        dec(F.col("sum_a_u")) * dec(F.col("n_b"))
+        - dec(F.col("sum_b_u")) * dec(F.col("n_a"))
     )
-    rhs = F.lit(int(threshold_u)) * F.col("n_a") * F.col("n_b")
+    rhs = dec(F.lit(int(threshold_u))) * dec(F.col("n_a")) * dec(F.col("n_b"))
     return j.select(
         "pos",
         "n_a",

@@ -10,33 +10,55 @@ zone pruning and the scan is a full pass. The reference has the same
 hole — its Athena consumers full-scan on non-key predicates
 (/root/reference/rds_to_datalake/athena.py:67-87 runs arbitrary SQL).
 
-This sidecar persists the value→record-key mapping itself, under
-``<table>/.secindex_<col>``:
+This sidecar persists the value→record-key mapping itself, in one of
+two layouts:
 
-- ``entries``  one row per record: ``bucket`` (md5 of the value, mod
-  256, STRING — hive partition), the indexed value, and the record
-  key. A lookup maps its probe values to buckets driver-side, so the
-  entries scan prunes to ≤ |values| partition directories and pushes
-  the value IN-filter into parquet — index I/O ∝ the probed values'
-  entry lists, never the corpus.
-- maintenance is DELTA-PUBLISHED (operators/sidecar.py family
-  protocol): per commit, the change window's entries are written as a
-  delta part plus a record-key tombstone — a re-keyed value (the row
-  moved to a different indexed value) retires its old entry logically.
-  Refresh I/O ∝ change set; the chain compacts on the shared
-  threshold.
+- EQUALITY layout (``<table>/.secindex_<col>``): ``entries`` rows of
+  ``bucket`` (md5 of the value, mod 256, STRING — hive partition),
+  the indexed value, and the record key. A lookup maps its probe
+  values to buckets, so the entries scan prunes to ≤ |values|
+  partition directories and pushes the value IN-filter into parquet —
+  index I/O ∝ the probed values' entry lists, never the corpus.
+- RANGE layout (``<table>/.secrange_<col>``): same entries but
+  hive-partitioned by a VALUE BAND — a fixed affine binning
+  ``floor((double(v) − lo) / width)`` clamped to [0, n_bands), with
+  (lo, width) frozen at build time in ``_PARAMS`` so every later
+  delta bands identically. A ``BETWEEN`` probe prunes to the bands
+  overlapping [lo, hi] (out-of-domain values clamp to the edge bands,
+  which a probe crossing that edge always includes — conservative).
+  This is the reference's actual secondary-index shape: its only
+  declared index is ``Index("idx_create_at", "create_at")`` on a
+  timestamp (db_orm.py:45-48), i.e. range scans.
+
+Probe buckets/bands are computed by evaluating the SAME Spark
+expression the entries writer used, over the literal probe values —
+never a Python reimplementation (str(v) and CAST(v AS STRING) render
+booleans, scientific doubles, and decimals differently, which would
+silently probe the wrong bucket and break the exactness contract).
+
+Maintenance for both layouts is DELTA-PUBLISHED (operators/sidecar.py
+family protocol): per commit, the change window's entries are written
+as a delta part plus a record-key tombstone — a re-keyed value (the
+row moved to a different indexed value) retires its old entry
+logically. Refresh I/O ∝ change set; the chain compacts on the shared
+threshold.
 
 Serving composes with the key-side indexes: the secondary index
 resolves probe values to record keys (a driver-side collect, bounded
 by the probe's selectivity), then ``KeyedTable.lookup_many`` fetches
 the rows through zone∩bloom file pruning — so a non-key point read
 touches the value's entry list plus the candidate files only.
-Advisory contract throughout: results equal the plain filter.
+
+Exactness contract: results equal the plain filter — which holds ONLY
+while the index is at the table head. Unlike zone/bloom (whose
+staleness still yields exact results via the residual filter), a
+stale secondary index WOULD return wrong rows, so lookups refuse to
+serve when the indexed version lags the head (e.g. after a swallowed
+maintenance-hook failure), mirroring the torn-index refusal.
 """
 
 from __future__ import annotations
 
-import hashlib
 import uuid
 
 from pyspark.sql import DataFrame
@@ -73,6 +95,10 @@ def _idir(table: KeyedTable, col: str) -> str:
     return f"{table.path.rstrip('/')}/.secindex_{col}"
 
 
+def _rdir(table: KeyedTable, col: str) -> str:
+    return f"{table.path.rstrip('/')}/.secrange_{col}"
+
+
 def _bucket_col(value) -> F.Column:
     return (
         F.conv(
@@ -82,8 +108,33 @@ def _bucket_col(value) -> F.Column:
     ).cast("int")
 
 
-def _bucket_py(value) -> int:
-    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % N_BUCKETS
+def _spark_eval(spark, values: list, dtype, expr_fn) -> list:
+    """Evaluate ``expr_fn(lit(v) CAST AS dtype)`` for each probe value
+    in ONE one-row job — the canonical way to map probe values to
+    buckets/bands: the exact expression the entries writer ran, so the
+    rendering (booleans, scientific doubles, decimals) can never
+    diverge the way a Python ``str(v)`` twin would."""
+    cols = [
+        expr_fn(F.lit(v).cast(dtype)).alias(f"_p{i}") for i, v in enumerate(values)
+    ]
+    return list(spark.range(1).select(*cols).collect()[0])
+
+
+def _require_fresh(table: KeyedTable, state, value_col: str, layout: str) -> None:
+    """A secondary index that lags the table head serves WRONG rows
+    (its exactness is not advisory) — refuse, mirroring the torn-index
+    refusal. Zone/bloom may serve stale because their residual filter
+    re-checks; here the probed value's entry list itself is the
+    answer set."""
+    latest = (table.versions() or [0])[-1]
+    if state[0] < latest:
+        raise ValueError(
+            f"secondary {layout} index on {value_col!r} is STALE "
+            f"(indexed v{state[0]}, table head v{latest}) — lookups would "
+            "return wrong rows; refresh the index first (a swallowed "
+            "maintenance-hook failure leaves it lagging: see "
+            "last_maintenance_errors)"
+        )
 
 
 def entries_of(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
@@ -195,10 +246,19 @@ def secondary_lookup_keys(
             f"secondary index on {value_col!r} missing or torn — "
             "build_secondary_index first"
         )
+    _require_fresh(table, state, value_col, "equality")
     entries = read_family(
         spark, _idir(table, value_col), "entries", key_col, gens=state[2]
     )
-    buckets = sorted({str(_bucket_py(v)) for v in values})
+    dtype = entries.schema[value_col].dataType
+    buckets = sorted(
+        {
+            str(b)
+            for b in _spark_eval(
+                spark, values, dtype, lambda c: _bucket_col(c)
+            )
+        }
+    )
     LAST_PROBE["probes"] = LAST_PROBE.get("probes", 0) + 1
     LAST_PROBE["buckets_total"] = LAST_PROBE.get("buckets_total", 0) + N_BUCKETS
     LAST_PROBE["buckets_probed"] = LAST_PROBE.get("buckets_probed", 0) + len(
@@ -262,4 +322,228 @@ def secondary_lookup_join(
         table.read()
         .join(keys, key_col, "left_semi")
         .filter(F.col(value_col).isin(values))
+    )
+
+
+# --- RANGE layout: band-partitioned entries for BETWEEN probes ---------------
+
+N_BANDS = 64
+
+
+def _to_double(col: F.Column, dtype) -> F.Column:
+    """Monotone value → double mapping for banding. Temporal types
+    route through CAST(ts AS DOUBLE) (epoch seconds); everything else
+    casts directly. Monotone non-strict is all banding needs —
+    rounding at a band edge only widens the probe by one band."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def _band_col(col: F.Column, dtype, lo: float, width: float, n_bands: int) -> F.Column:
+    raw = F.floor((_to_double(col, dtype) - F.lit(lo)) / F.lit(width))
+    return (
+        F.least(F.lit(n_bands - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+    ).cast("int")
+
+
+def _range_entries_of(
+    df: DataFrame, value_col: str, key_col: str, lo: float, width: float, n_bands: int
+) -> DataFrame:
+    dtype = df.schema[value_col].dataType
+    return df.filter(F.col(value_col).isNotNull()).select(
+        _band_col(F.col(value_col), dtype, lo, width, n_bands)
+        .cast("string")
+        .alias("band"),
+        value_col,
+        key_col,
+    )
+
+
+def build_secondary_range_index(
+    table: KeyedTable, value_col: str, n_bands: int = N_BANDS
+) -> None:
+    """Full (re)build of the RANGE layout: one min/max pass fixes the
+    affine band params (frozen in ``_PARAMS`` so deltas band
+    identically), then the snapshot's entries land hive-partitioned by
+    band — a BETWEEN probe later prunes to the overlapping band dirs
+    and pushes the residual range predicate into parquet."""
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    latest = (table.versions() or [0])[-1]
+    snap = table.read().filter(F.col(value_col).isNotNull())
+    dtype = snap.schema[value_col].dataType
+    mm = snap.agg(
+        F.min(_to_double(F.col(value_col), dtype)).alias("lo"),
+        F.max(_to_double(F.col(value_col), dtype)).alias("hi"),
+    ).collect()[0]
+    lo = float(mm["lo"]) if mm["lo"] is not None else 0.0
+    hi = float(mm["hi"]) if mm["hi"] is not None else lo
+    width = (hi - lo) / n_bands
+    if not width > 0.0:
+        width = 1.0  # constant/empty column: every value bands to 0
+    epoch = uuid.uuid4().hex
+    write_part(
+        spark,
+        _rdir(table, value_col),
+        "entries",
+        _range_entries_of(snap, value_col, key_col, lo, width, n_bands),
+        epoch,
+        partition_by=["band"],
+    )
+    clear_delta_log(spark, _rdir(table, value_col), "entries")
+    _write_small(
+        spark,
+        f"{_rdir(table, value_col)}/_PARAMS",
+        f"{value_col} {key_col} {n_bands} {lo!r} {width!r}",
+    )
+    write_state(spark, _rdir(table, value_col), latest, epoch)
+
+
+def _stored_range_params(
+    table: KeyedTable, value_col: str
+) -> tuple[str, str, int, float, float] | None:
+    txt = _read_small(table.spark, f"{_rdir(table, value_col)}/_PARAMS")
+    parts = (txt or "").split()
+    if len(parts) != 5:
+        return None
+    try:
+        return parts[0], parts[1], int(parts[2]), float(parts[3]), float(parts[4])
+    except ValueError:
+        return None
+
+
+def refresh_secondary_range_index(
+    table: KeyedTable,
+    value_col: str,
+    compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+) -> str:
+    """Advance the range index to the table head by publishing the
+    change window under the FROZEN band params (values outside the
+    build-time domain clamp to the edge bands — still correct, see
+    module docstring). Returns ``"noop" | "incremental" | "rebuild"``."""
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    if not table.retain_versions:
+        build_secondary_range_index(table, value_col)
+        return "rebuild"
+    latest = (table.versions() or [0])[-1]
+    state = family_consistent(spark, _rdir(table, value_col), "entries")
+    params = _stored_range_params(table, value_col)
+    if (
+        state is None
+        or params is None
+        or params[:2] != (value_col, key_col)
+        or state[0] not in (table.readable_versions() or [])
+    ):
+        build_secondary_range_index(table, value_col)
+        return "rebuild"
+    if state[0] >= latest:
+        return "noop"
+    v0, epoch, gens = state
+    _, _, n_bands, lo, width = params
+    changes = table.table_changes(v0, latest)
+    fresh = _range_entries_of(
+        changes.filter(F.col("_change_type") != "delete"),
+        value_col,
+        key_col,
+        lo,
+        width,
+        n_bands,
+    )
+    publish_family_delta(
+        spark,
+        _rdir(table, value_col),
+        "entries",
+        fresh,
+        changes.select(key_col),
+        key_col,
+        latest,
+        epoch,
+        gens,
+        partition_by=["band"],
+        compact_threshold=compact_threshold,
+    )
+    return "incremental"
+
+
+def attach_secondary_range_index_maintenance(
+    table: KeyedTable, value_col: str
+) -> None:
+    table.add_maintenance_hook(
+        lambda t: refresh_secondary_range_index(t, value_col)
+    )
+
+
+def secondary_range_lookup_keys(
+    table: KeyedTable, value_col: str, lo, hi
+) -> DataFrame:
+    """Record keys whose ``value_col`` is BETWEEN lo AND hi, served
+    from the range index alone: the probe bounds map to a band
+    interval through the SAME Spark band expression the writer used,
+    the band IN-filter prunes partition dirs, and the residual range
+    predicate pushes into the entries scan. Refuses when the sidecar
+    is missing, torn, or stale."""
+    spark = table.spark
+    key_col = table.spec.record_key[0]
+    state = family_consistent(spark, _rdir(table, value_col), "entries")
+    params = _stored_range_params(table, value_col)
+    if state is None or params is None:
+        raise ValueError(
+            f"secondary range index on {value_col!r} missing or torn — "
+            "build_secondary_range_index first"
+        )
+    _require_fresh(table, state, value_col, "range")
+    _, _, n_bands, blo, bwidth = params
+    entries = read_family(
+        spark, _rdir(table, value_col), "entries", key_col, gens=state[2]
+    )
+    dtype = entries.schema[value_col].dataType
+    b_lo, b_hi = _spark_eval(
+        spark,
+        [lo, hi],
+        dtype,
+        lambda c: _band_col(c, dtype, blo, bwidth, n_bands),
+    )
+    if b_lo is None or b_hi is None or b_lo > b_hi:
+        raise ValueError(f"invalid range probe [{lo!r}, {hi!r}]")
+    bands = [str(b) for b in range(int(b_lo), int(b_hi) + 1)]
+    LAST_PROBE["range_probes"] = LAST_PROBE.get("range_probes", 0) + 1
+    LAST_PROBE["bands_total"] = LAST_PROBE.get("bands_total", 0) + n_bands
+    LAST_PROBE["bands_probed"] = LAST_PROBE.get("bands_probed", 0) + len(bands)
+    LAST_PROBE["bands_skipped"] = (
+        LAST_PROBE["bands_total"] - LAST_PROBE["bands_probed"]
+    )
+    v = F.col(value_col)
+    return (
+        entries.filter(
+            F.col("band").isin(bands)
+            & (v >= F.lit(lo).cast(dtype))
+            & (v <= F.lit(hi).cast(dtype))
+        )
+        .select(key_col)
+        .distinct()
+    )
+
+
+def secondary_range_lookup(
+    table: KeyedTable, value_col: str, lo, hi
+) -> DataFrame:
+    """Full rows whose ``value_col`` is BETWEEN lo AND hi — the
+    DISTRIBUTED form (a range probe is rarely a point read): resolved
+    keys stay a DataFrame and semi-join the base table on the record
+    key (one shuffle; AQE broadcasts the key side when small), with
+    the range predicate re-checked as a residual (a key whose value
+    moved out of range in the same commit its old entry was
+    tombstoned must not leak through)."""
+    key_col = table.spec.record_key[0]
+    keys = secondary_range_lookup_keys(table, value_col, lo, hi)
+    base = table.read()
+    dtype = base.schema[value_col].dataType
+    v = F.col(value_col)
+    return (
+        base.join(keys, key_col, "left_semi")
+        .filter((v >= F.lit(lo).cast(dtype)) & (v <= F.lit(hi).cast(dtype)))
     )

@@ -899,6 +899,75 @@ ORDER BY o_orderkey
 """
 
 
+_RANGE_LO, _RANGE_HI = 1000.0, 25000.0
+
+
+def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE probe on a non-key column via the band-partitioned
+    secondary index (operators/secondary_index.py RANGE layout) — the
+    reference's actual secondary-index shape (db_orm.py:45-48 indexes
+    the ``create_at`` timestamp, i.e. range scans). Lifecycle: an
+    orderkey-keyed table range-indexed on o_totalprice, 3/4 loaded,
+    then one CDC commit that inserts the rest, REPRICES one key class
+    +500 000 (moving it out of the probed range — its old in-range
+    entries must be tombstoned away) and deletes another. The BETWEEN
+    probe serves from the band-pruned entries + key semi-join; the
+    oracle is the plain closed-form filter (exactness contract)."""
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        attach_secondary_range_index_maintenance,
+        secondary_range_lookup,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spec = TableSpec(
+        "orders_rng",
+        record_key=("o_orderkey",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(
+        spark, _scratch("sec_range") + "/t", spec, retain_versions=4
+    )
+    attach_secondary_range_index_maintenance(t, "o_totalprice")
+    k = F.col("o_orderkey")
+    t.initial_load(
+        base.filter(k % 4 != 0).withColumn("seq", F.lit(0).cast("long"))
+    )
+    inserts = base.filter((k % 4 == 0) & (k % 13 != 0) & (k % 10 != 5))
+    remaps = base.filter((k % 10 == 5) & (k % 13 != 0)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(500_000.0)
+    )
+    # %13 keys never loaded (%4 == 0) are simply not inserted; only the
+    # loaded ones need tombstones — same closed-form final state.
+    deletes = base.filter((k % 13 == 0) & (k % 4 != 0))
+    t.upsert(
+        inserts.unionByName(remaps)
+        .withColumn("Op", F.lit("U"))
+        .unionByName(deletes.withColumn("Op", F.lit("D")))
+        .withColumn("seq", F.lit(1).cast("long")),
+        delete_mode="apply",
+    )
+    return (
+        secondary_range_lookup(t, "o_totalprice", _RANGE_LO, _RANGE_HI)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+SECONDARY_RANGE_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500000.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 13 <> 0
+  AND (CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500000.0
+            ELSE o_totalprice END) BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+ORDER BY o_orderkey
+"""
+
+
 def replicated_orders_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lake replication end to end (operators/replicate.py): a
     source orders table with a live changes feed runs three commits
@@ -1708,6 +1777,7 @@ QUERIES = {
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
     "secondary_index_lookup": secondary_index_lookup,
+    "secondary_index_range_scan": secondary_index_range_scan,
     "replicated_orders_checksums": replicated_orders_checksums,
     "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
@@ -1753,6 +1823,7 @@ ORACLES = {
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
     "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
+    "secondary_index_range_scan": SECONDARY_RANGE_SQL,
     "replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,

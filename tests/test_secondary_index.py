@@ -128,3 +128,162 @@ def test_lookup_join_form_matches_point_form_and_guard_fires(spark, tmp_path):
     # low-selectivity guard: the point form refuses to collect past max_keys
     with _pytest.raises(ValueError, match="point read"):
         secondary_lookup(t, "grp", [3, 7], max_keys=5)
+
+
+def test_boolean_and_double_value_columns_probe_correct_bucket(spark, tmp_path):
+    """Probe buckets are computed by the SAME Spark expression the
+    writer used (r9 ADVICE): Python str(True)='True' vs Spark
+    CAST='true' (and '10000000.0' vs '1.0E7') used to hash to the
+    wrong bucket and silently return empty."""
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "bd"), spec, retain_versions=4)
+    rows = [(i, i % 2 == 0, 1e7 if i % 3 == 0 else float(i), 0) for i in range(60)]
+    t.initial_load(
+        spark.createDataFrame(rows, "k long, flag boolean, payload double, seq long")
+    )
+    build_secondary_index(t, "flag")
+    got = {r["k"] for r in secondary_lookup(t, "flag", [True]).collect()}
+    want = {r["k"] for r in t.read().filter(F.col("flag")).collect()}
+    assert got == want and len(got) == 30
+    build_secondary_index(t, "payload")
+    got = {r["k"] for r in secondary_lookup(t, "payload", [1e7]).collect()}
+    want = {r["k"] for r in t.read().filter(F.col("payload") == 1e7).collect()}
+    assert got == want and len(got) == 20
+
+
+def test_stale_index_refuses_lookup(spark, tmp_path):
+    """Exactness holds only at head: a commit the index has not seen
+    (e.g. a swallowed maintenance failure) must refuse, not serve
+    wrong rows (r9 ADVICE)."""
+    t = _mk(spark, tmp_path)
+    build_secondary_index(t, "grp")
+    t.upsert(_batch(spark, [(13, 99, 13.0, 1)]))  # no refresh
+    with pytest.raises(ValueError, match="STALE"):
+        secondary_lookup(t, "grp", [3])
+    assert refresh_secondary_index(t, "grp") == "incremental"
+    assert 13 in {r["k"] for r in secondary_lookup(t, "grp", [99]).collect()}
+
+
+# --- range layout -------------------------------------------------------------
+
+from rds_to_datalake_project_spark.operators.secondary_index import (  # noqa: E402
+    attach_secondary_range_index_maintenance,
+    build_secondary_range_index,
+    refresh_secondary_range_index,
+    secondary_range_lookup,
+    secondary_range_lookup_keys,
+)
+
+
+def test_range_build_and_lookup_equals_plain_between(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=200)
+    build_secondary_range_index(t, "payload", n_bands=16)
+    got = {
+        r["k"]
+        for r in secondary_range_lookup(t, "payload", 25.0, 75.0).collect()
+    }
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("payload").between(25.0, 75.0)).collect()
+    }
+    assert got == want and len(got) == 51
+
+
+def test_range_lookup_prunes_band_partitions(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators import secondary_index as si
+
+    t = _mk(spark, tmp_path, n=200)  # payload uniform on [0, 199]
+    build_secondary_range_index(t, "payload", n_bands=16)
+    si.reset_probe_stats()
+    keys_df = secondary_range_lookup_keys(t, "payload", 0.0, 24.0)
+    files = keys_df.inputFiles()
+    assert files and all("/.secrange_payload/" in f for f in files)
+    plan = keys_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("band" in p and p.strip() for p in pf)
+    # [0, 24] of a [0,199]/16-band domain = bands 0..1 of 16
+    assert si.LAST_PROBE["bands_probed"] <= 3
+    assert si.LAST_PROBE["bands_skipped"] >= 13
+
+
+def test_range_refresh_handles_rekey_delete_and_out_of_domain(spark, tmp_path):
+    """Values moved OUT of the probed range must vanish (tombstone),
+    new in-range rows appear, and values past the build-time max clamp
+    into the edge band yet still match a probe crossing it."""
+    t = _mk(spark, tmp_path, n=100)  # payload 0..99
+    attach_secondary_range_index_maintenance(t, "payload")
+    t.upsert(_batch(spark, [(0, 0, 0.0, 1)]))  # force build via hook
+    t.upsert(
+        _batch(
+            spark,
+            [
+                (10, 0, 500.0, 2),  # re-key: moves out of [0, 99]
+                (200, 0, 50.5, 2),  # new in-range row
+                (201, 0, 1e6, 2),  # out-of-domain: clamps to top band
+            ],
+        ).unionByName(
+            _batch(spark, [(20, 0, 20.0, 2)]).withColumn("Op", F.lit("D"))
+        ),
+        delete_mode="apply",
+    )
+    got = {
+        r["k"]
+        for r in secondary_range_lookup(t, "payload", 0.0, 99.0).collect()
+    }
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("payload").between(0.0, 99.0)).collect()
+    }
+    assert got == want
+    assert 10 not in got and 20 not in got and 200 in got
+    # probe crossing the clamped edge finds the out-of-domain row
+    high = {
+        r["k"]
+        for r in secondary_range_lookup(t, "payload", 400.0, 2e6).collect()
+    }
+    assert high == {10, 201}
+
+
+def test_range_lookup_stale_and_torn_refuse(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    build_secondary_range_index(t, "payload")
+    t.upsert(_batch(spark, [(5, 5, 5.0, 1)]))
+    with pytest.raises(ValueError, match="STALE"):
+        secondary_range_lookup_keys(t, "payload", 0.0, 10.0)
+    assert refresh_secondary_range_index(t, "payload") == "incremental"
+    assert refresh_secondary_range_index(t, "payload") == "noop"
+    from rds_to_datalake_project_spark.operators.secondary_index import _rdir
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{_rdir(t, 'payload')}/entries/_EPOCH")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+    with pytest.raises(ValueError, match="missing or torn"):
+        secondary_range_lookup_keys(t, "payload", 0.0, 10.0)
+    assert refresh_secondary_range_index(t, "payload") == "rebuild"
+
+
+def test_range_index_on_timestamp_column(spark, tmp_path):
+    """The reference's only secondary index is on a timestamp
+    (db_orm.py:45-48 Index('idx_create_at', 'create_at')) — temporal
+    banding routes through epoch seconds."""
+    import datetime as dt
+
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "ts"), spec, retain_versions=4)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i), 0) for i in range(96)]
+    t.initial_load(spark.createDataFrame(rows, "k long, created timestamp, seq long"))
+    build_secondary_range_index(t, "created", n_bands=8)
+    lo, hi = base + dt.timedelta(hours=10), base + dt.timedelta(hours=30)
+    got = {r["k"] for r in secondary_range_lookup(t, "created", lo, hi).collect()}
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("created").between(lo, hi)).collect()
+    }
+    assert got == want and got == set(range(10, 31))

@@ -56,17 +56,37 @@ _SPARK_CANON = {
 
 
 def _canon_duck_type(t: str) -> str:
-    t = str(t).upper()
+    t = str(t).strip().upper()
+    # composite spellings: DuckDB 'BIGINT[]' ≡ Spark 'array<bigint>'
+    if t.endswith("[]"):
+        return f"array<{_canon_duck_type(t[:-2])}>"
     return _DUCK_CANON.get(t, t.lower())
 
 
 def _canon_spark_type(t: str) -> str:
+    t = str(t).strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_canon_spark_type(t[6:-1])}>"
     return _SPARK_CANON.get(t, t)
+
+
+_HASH_HOSTILE = ("int128!", "uint128!", "uint8!", "uint16!", "uint32!", "uint64!")
+
+
+def _is_composite(t: str) -> bool:
+    # struct/map/list-of-struct spellings differ per engine beyond
+    # what the canonicalizer covers ('STRUCT(a INTEGER)' vs
+    # 'struct<a:int>'); the value hash still compares their rendered
+    # rows, so strictness adds nothing there.
+    return "(" in t or "struct<" in t or "map<" in t
 
 
 def dtype_mismatches(s_schema, d_cols, d_types):
     """(col, spark_type, duck_type) rows whose canonical families
-    differ, plus any driver-hash-hostile DuckDB types (int128 etc.)."""
+    differ, plus any driver-hash-hostile DuckDB types (int128 etc.).
+    Arrays canonicalize recursively; struct/map spellings are exempt
+    from the strict comparison (per-engine renderings differ even at
+    equal types) unless they embed a hash-hostile scalar."""
     duck = {c: _canon_duck_type(t) for c, t in zip(d_cols, d_types)}
     out = []
     for f in s_schema.fields:
@@ -74,7 +94,12 @@ def dtype_mismatches(s_schema, d_cols, d_types):
         dt = duck.get(f.name)
         if dt is None:
             continue  # column-name diff is reported separately
-        if st != dt or dt.endswith("!"):
+        hostile = any(h in dt for h in _HASH_HOSTILE)
+        if _is_composite(st) or _is_composite(dt):
+            if hostile:
+                out.append((f.name, st, dt))
+            continue
+        if st != dt or hostile:
             out.append((f.name, st, dt))
     return out
 
