@@ -85,6 +85,7 @@ HEADLINE = [
     "pit_lineitem_price",
     "m4_downsample_events",
     "secondary_index_lookup",
+    "secondary_index_range_scan",
     "bm25_text_search",
     "embedding_dim_drift",
     "replicated_orders_checksums",
@@ -100,11 +101,13 @@ HEADLINE = [
 def _skip_stats() -> dict:
     """Per-query I/O-avoided counters, read from the operator modules'
     last-probe recorders. Wall time at sf0.1 can't show what an index
-    buys at 100× — files/cells skipped can."""
+    buys at 100× — files/cells/buckets skipped can."""
     from rds_to_datalake_project_spark.operators import (
         ann_index,
         bloomfilter,
+        replicate,
         secondary_index,
+        text_index,
         zonemap,
     )
 
@@ -113,6 +116,8 @@ def _skip_stats() -> dict:
         zonemap.reset_prune_stats()
         ann_index.reset_probe_stats()
         secondary_index.reset_probe_stats()
+        text_index.reset_search_stats()
+        replicate.reset_apply_stats()
 
     return _reset_all, {
         "bloom_pruned_lookup": lambda: dict(bloomfilter.LAST_PRUNE),
@@ -123,6 +128,9 @@ def _skip_stats() -> dict:
         "zonemap_pruned_scan": lambda: dict(zonemap.LAST_PRUNE),
         "ann_index_ivf_topk": lambda: dict(ann_index.LAST_PROBE),
         "secondary_index_lookup": lambda: dict(secondary_index.LAST_PROBE),
+        "secondary_index_range_scan": lambda: dict(secondary_index.LAST_PROBE),
+        "bm25_text_search": lambda: dict(text_index.LAST_SEARCH),
+        "replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
     }
 
 
@@ -155,19 +163,47 @@ def main() -> int:
     spark.range(1).write.mode("overwrite").parquet(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    from rds_to_datalake_project_spark.plans.registry import PHASES
+
     timings: dict[str, float] = {}
+    phases: dict[str, dict] = {}
     skips: dict[str, dict] = {}
     reset_skip_stats, skip_sources = _skip_stats()
     for name in HEADLINE:
-        fn = QUERIES[name]
         reset_skip_stats()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # Drift hygiene: drop any cached relations a prior query left
+        # behind so each row starts from the same session state (the
+        # r8→r9 uniform ~1.10x drift tracked suite growth, not code).
+        spark.catalog.clearCache()
+        if name in PHASES:
+            # Lifecycle rows report build (fixture + commits + index
+            # maintenance — one-time, amortized) and serve (the probe
+            # under test — the recurring cost) separately: a serving
+            # regression must not hide inside the build wall.
+            build, serve = PHASES[name]
+            t0 = time.perf_counter()
+            handle = build(spark, sf_dir)
+            build_s = round(time.perf_counter() - t0, 4)
+            t1 = time.perf_counter()
+            df = serve(spark, sf_dir, handle)
+            n = df.count()
+            serve_s = round(time.perf_counter() - t1, 4)
+            timings[name] = round(build_s + serve_s, 4)
+            phases[name] = {"build_s": build_s, "serve_s": serve_s}
+            tail = f" (build {build_s:.3f}s, serve {serve_s:.3f}s)"
+        else:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            tail = ""
         if name in skip_sources:
             skips[name] = skip_sources[name]()
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {timings[name]:.3f}s{tail}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -179,6 +215,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "skips": skips,
                 "sf": sf_val,
             }

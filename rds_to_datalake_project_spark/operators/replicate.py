@@ -49,6 +49,15 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 
 DEFAULT_PRECOMBINE = "_rep_seq"
 
+# Diagnostics: cumulative feed-apply counters since reset — bench.py
+# reports these next to the replication row (catch-up I/O is ∝ feed
+# batches, which the wall time alone cannot attribute).
+LAST_APPLY: dict = {}
+
+
+def reset_apply_stats() -> None:
+    LAST_APPLY.clear()
+
 
 def _cursor_path(replica: KeyedTable) -> str:
     return f"{replica.path.rstrip('/')}/.replica/_APPLIED"
@@ -125,4 +134,9 @@ def apply_changes_feed(replica: KeyedTable, feed_dir: str) -> dict:
     replica.upsert(apply_df, delete_mode="apply")
     new_cur = max(pending)
     _write_small(spark, _cursor_path(replica), str(new_cur))
+    LAST_APPLY["applies"] = LAST_APPLY.get("applies", 0) + 1
+    LAST_APPLY["batches_applied"] = LAST_APPLY.get("batches_applied", 0) + len(
+        pending
+    )
+    LAST_APPLY["cursor"] = new_cur
     return {"applied": pending, "cursor": new_cur}

@@ -54,6 +54,29 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 _INDEX_DIR = ".textindex"
 N_BUCKETS = 256
 
+# Diagnostics: cumulative posting-bucket pruning since reset —
+# bench.py reports these as the search path's I/O-avoided metric
+# (wall time at sf0.1 cannot show what directory pruning buys at
+# 100×; buckets skipped can).
+LAST_SEARCH: dict = {}
+
+
+def reset_search_stats() -> None:
+    LAST_SEARCH.clear()
+
+
+def _record_search(want: list[str]) -> None:
+    buckets = {str(_bucket_py(t)) for t in want}
+    LAST_SEARCH["searches"] = LAST_SEARCH.get("searches", 0) + 1
+    LAST_SEARCH["terms"] = LAST_SEARCH.get("terms", 0) + len(want)
+    LAST_SEARCH["buckets_total"] = LAST_SEARCH.get("buckets_total", 0) + N_BUCKETS
+    LAST_SEARCH["buckets_probed"] = LAST_SEARCH.get("buckets_probed", 0) + len(
+        buckets
+    )
+    LAST_SEARCH["buckets_skipped"] = (
+        LAST_SEARCH["buckets_total"] - LAST_SEARCH["buckets_probed"]
+    )
+
 
 def _idir(table: KeyedTable) -> str:
     return f"{table.path}/{_INDEX_DIR}"
@@ -240,6 +263,7 @@ def search_and(
     if posts is None:
         raise ValueError("text index missing or torn — build_text_index first")
     # bucket filter prunes partition dirs; term filter pushes to parquet
+    _record_search(want)
     hits = posts.filter(
         F.col("bucket").isin([str(_bucket_py(t)) for t in want])
         & F.col("term").isin(want)
@@ -313,6 +337,7 @@ def bm25_search(
         ).limit(0)
     avgdl = total / n_docs  # python float division == IEEE double
 
+    _record_search(want)
     hits = posts.filter(
         F.col("bucket").isin([str(_bucket_py(t)) for t in want])
         & F.col("term").isin(want)

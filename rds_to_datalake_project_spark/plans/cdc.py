@@ -654,7 +654,14 @@ def time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions after it; the snapshot read must reconstruct the
     pre-commit-2 state exactly, which the oracle states directly over
     orders."""
-    t = _versioned_orders(spark, sf_dir)
+    return _time_travel_serve(
+        spark, sf_dir, _versioned_orders(spark, sf_dir)
+    )
+
+
+def _time_travel_serve(
+    spark: SparkSession, sf_dir: str, t: KeyedTable
+) -> DataFrame:
     return (
         t.read_as_of(1)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
@@ -839,18 +846,15 @@ ORDER BY o_orderkey, l_linenumber
 _SEC_PROBES = [7, 21, 42]
 
 
-def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level secondary index lifecycle
-    (operators/secondary_index.py): an orderkey-keyed table indexed on
-    the NON-key o_custkey — service attached, 3/4 of orders loaded,
-    then a CDC commit that both inserts the rest and RE-KEYS some
-    rows' custkeys (so the incremental delta must retire old entries
-    by tombstone). Probing three custkeys serves from the entries
-    sidecar + the pruned key lookup; the oracle is the plain filter
-    over the closed-form final state (advisory contract)."""
+def _secondary_index_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """BUILD phase of :func:`secondary_index_lookup`: keyed table with
+    the index service attached, 3/4 loaded, one CDC commit that both
+    inserts the rest and re-keys some custkeys (index maintenance runs
+    per commit). Split out so the bench can attribute the lifecycle
+    wall to build vs serve (r9 VERDICT: the probe under test was <10%
+    of the row)."""
     from rds_to_datalake_project_spark.operators.secondary_index import (
         attach_secondary_index_maintenance,
-        secondary_lookup,
     )
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -880,10 +884,34 @@ def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.lit(1).cast("long"))
         .withColumn("Op", F.lit("U"))
     )
+    return t
+
+
+def _secondary_index_serve(
+    spark: SparkSession, sf_dir: str, t: KeyedTable
+) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        secondary_lookup,
+    )
+
     return (
         secondary_lookup(t, "o_custkey", _SEC_PROBES)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    )
+
+
+def secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level secondary index lifecycle
+    (operators/secondary_index.py): an orderkey-keyed table indexed on
+    the NON-key o_custkey — service attached, 3/4 of orders loaded,
+    then a CDC commit that both inserts the rest and RE-KEYS some
+    rows' custkeys (so the incremental delta must retire old entries
+    by tombstone). Probing three custkeys serves from the entries
+    sidecar + the pruned key lookup; the oracle is the plain filter
+    over the closed-form final state (exactness contract)."""
+    return _secondary_index_serve(
+        spark, sf_dir, _secondary_index_fixture(spark, sf_dir)
     )
 
 
@@ -913,9 +941,14 @@ def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries must be tombstoned away) and deletes another. The BETWEEN
     probe serves from the band-pruned entries + key semi-join; the
     oracle is the plain closed-form filter (exactness contract)."""
+    return _secondary_range_serve(
+        spark, sf_dir, _secondary_range_fixture(spark, sf_dir)
+    )
+
+
+def _secondary_range_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
     from rds_to_datalake_project_spark.operators.secondary_index import (
         attach_secondary_range_index_maintenance,
-        secondary_range_lookup,
     )
 
     base = load_table(spark, sf_dir, "orders").select(
@@ -949,6 +982,16 @@ def secondary_index_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.lit(1).cast("long")),
         delete_mode="apply",
     )
+    return t
+
+
+def _secondary_range_serve(
+    spark: SparkSession, sf_dir: str, t: KeyedTable
+) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        secondary_range_lookup,
+    )
+
     return (
         secondary_range_lookup(t, "o_totalprice", _RANGE_LO, _RANGE_HI)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -977,14 +1020,21 @@ def replicated_orders_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-entropy checksums; the oracle states the source's final state
     in closed form — a hash match proves feed capture, bootstrap,
     multi-commit collapse, and delete application all at once."""
-    from rds_to_datalake_project_spark.operators.compare import table_checksum
+    return _replicated_serve(
+        spark, sf_dir, _replicated_fixture(spark, sf_dir)
+    )
+
+
+_REPL_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _replicated_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
     from rds_to_datalake_project_spark.operators.replicate import (
         apply_changes_feed,
         bootstrap_replica,
     )
 
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    base = load_table(spark, sf_dir, "orders").select(*cols)
+    base = load_table(spark, sf_dir, "orders").select(*_REPL_COLS)
     root = _scratch("replicate")
     src_spec = TableSpec(
         "orders_src",
@@ -1028,8 +1078,16 @@ def replicated_orders_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap_replica(t, r, as_of=0)
     out = apply_changes_feed(r, root + "/feed")
     assert out["applied"] == [1, 2], out
+    return r
+
+
+def _replicated_serve(
+    spark: SparkSession, sf_dir: str, r: KeyedTable
+) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.compare import table_checksum
+
     return table_checksum(
-        r.read().select(*cols),
+        r.read().select(*_REPL_COLS),
         ["o_orderkey", "o_custkey", "o_orderstatus"],
         group_cols=["o_orderpriority"],
     )
@@ -1178,8 +1236,13 @@ def ann_index_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the whole lifecycle in closed form: bounds over the
     initial corpus, codes over the post-commit corpus, the same two
     integer-exact ranking stages as sq8_ann_topk."""
+    return _ann_index_serve(
+        spark, sf_dir, _ann_index_fixture(spark, sf_dir)
+    )
+
+
+def _ann_index_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
     from rds_to_datalake_project_spark.operators.ann_index import (
-        ann_index_topk,
         build_ann_index,
         refresh_ann_index,
     )
@@ -1214,6 +1277,14 @@ def ann_index_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(batch, delete_mode="apply")  # commit 1
     refresh_ann_index(t)  # incremental: deletes out, changed rows recoded
+    return t
+
+
+def _ann_index_serve(
+    spark: SparkSession, sf_dir: str, t: KeyedTable
+) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.ann_index import ann_index_topk
+
     return ann_index_topk(t, query_vec_id=1, k=10, rerank=64)
 
 
@@ -1274,6 +1345,12 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of their candidates, batched into one sidecar pass each and ONE
     candidate read for the whole key set. The oracle is the plain key
     filter (advisory contract: pruning never changes results)."""
+    return _indexed_lookup_serve(
+        spark, sf_dir, _indexed_lookup_fixture(spark, sf_dir)
+    )
+
+
+def _indexed_lookup_fixture(spark: SparkSession, sf_dir: str):
     from rds_to_datalake_project_spark.operators.bloomfilter import (
         attach_bloom_maintenance,
     )
@@ -1308,6 +1385,11 @@ def indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .collect()
     ]
+    return t, keys
+
+
+def _indexed_lookup_serve(spark: SparkSession, sf_dir: str, fixture) -> DataFrame:
+    t, keys = fixture
     return (
         t.lookup_many(keys)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1329,8 +1411,13 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, build the membership sidecar, probe a deterministic key
     set; the pruned read must be EXACTLY the plain IN-filter the
     oracle states (advisory contract, same as the zone map)."""
+    return _bloom_lookup_serve(
+        spark, sf_dir, _bloom_lookup_fixture(spark, sf_dir)
+    )
+
+
+def _bloom_lookup_fixture(spark: SparkSession, sf_dir: str):
     from rds_to_datalake_project_spark.operators.bloomfilter import (
-        bloom_pruned_read,
         build_bloom_index,
     )
 
@@ -1352,6 +1439,15 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .collect()
     ]
+    return root, keys
+
+
+def _bloom_lookup_serve(spark: SparkSession, sf_dir: str, fixture) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        bloom_pruned_read,
+    )
+
+    root, keys = fixture
     return bloom_pruned_read(spark, root, "o_orderkey", keys).orderBy(
         "o_orderkey"
     )
@@ -1519,10 +1615,11 @@ def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment), then top-k probing only the 2 cells nearest the
     query — stage 1 never scans the other cells. The oracle replays
     cells, probe selection, and both ranking stages bit-for-bit."""
-    from rds_to_datalake_project_spark.operators.ann_index import (
-        ann_index_topk,
-        build_ann_index,
-    )
+    return _ann_ivf_serve(spark, sf_dir, _ann_ivf_fixture(spark, sf_dir))
+
+
+def _ann_ivf_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    from rds_to_datalake_project_spark.operators.ann_index import build_ann_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     spec = TableSpec(
@@ -1541,6 +1638,12 @@ def ann_index_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v
 
     build_ann_index(t, centroids=[(i, axis(i)) for i in range(4)])
+    return t
+
+
+def _ann_ivf_serve(spark: SparkSession, sf_dir: str, t: KeyedTable) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.ann_index import ann_index_topk
+
     return ann_index_topk(t, query_vec_id=1, k=10, rerank=64, probe_cells=2)
 
 
@@ -1672,9 +1775,14 @@ def lsh_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 has no DuckDB twin; the md5 variant is the hash-checked
     oracle of the same code path (same convention as
     minhash_neardup / minhash_neardup_md5)."""
+    return _lsh_index_serve(
+        spark, sf_dir, _lsh_index_fixture(spark, sf_dir)
+    )
+
+
+def _lsh_index_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
     from rds_to_datalake_project_spark.operators.lsh_index import (
         build_lsh_index,
-        lsh_neardups_for,
         refresh_lsh_index,
     )
 
@@ -1707,6 +1815,16 @@ def lsh_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(batch, delete_mode="apply")
     refresh_lsh_index(t)
+    return t
+
+
+def _lsh_index_serve(
+    spark: SparkSession, sf_dir: str, t: KeyedTable
+) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.lsh_index import lsh_neardups_for
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
     probe = docs.filter(k % 17 == 0).withColumn("doc_id", k + F.lit(2_000_000))
     return lsh_neardups_for(t, probe, threshold=0.5).orderBy(
         "batch_id", "corpus_id"
@@ -1841,4 +1959,22 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "asof_user_state": ASOF_SQL,
     "hypertable_rollup": ROLLUP_SQL,
+}
+
+# Lifecycle queries split into (build, serve) so the bench can
+# attribute the wall: build = fixture table + commits + index
+# maintenance (one-time cost, amortized over a table's life);
+# serve = the probe/read under test (the recurring cost a regression
+# would actually hit). QUERIES entries stay the composed function —
+# the driver's correctness path is unchanged.
+PHASES = {
+    "secondary_index_lookup": (_secondary_index_fixture, _secondary_index_serve),
+    "secondary_index_range_scan": (_secondary_range_fixture, _secondary_range_serve),
+    "time_travel_roundtrip": (_versioned_orders, _time_travel_serve),
+    "replicated_orders_checksums": (_replicated_fixture, _replicated_serve),
+    "ann_index_served_topk": (_ann_index_fixture, _ann_index_serve),
+    "ann_index_ivf_topk": (_ann_ivf_fixture, _ann_ivf_serve),
+    "lsh_index_screen": (_lsh_index_fixture, _lsh_index_serve),
+    "indexed_point_lookup": (_indexed_lookup_fixture, _indexed_lookup_serve),
+    "bloom_pruned_lookup": (_bloom_lookup_fixture, _bloom_lookup_serve),
 }

@@ -102,6 +102,14 @@ _PRIORITY = (
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
 ORACLES = {k: v for m in _MODULES for k, v in m.ORACLES.items()}
 
+# (build, serve) phase pairs for lifecycle queries — bench.py times
+# the fixture construction and the probe under test separately so a
+# serving regression is visible inside the lifecycle wall.
+PHASES = {
+    k: v for m in _MODULES for k, v in getattr(m, "PHASES", {}).items()
+}
+assert set(PHASES) <= set(_ALL_QUERIES), "phase entry without a query"
+
 # Every priority name must exist — a typo or an unbuilt promise here
 # would silently fall out of the driver's 50-query window (VERDICT r3
 # "What's wrong" #2).

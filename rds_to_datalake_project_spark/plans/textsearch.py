@@ -100,9 +100,12 @@ def bm25_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE double in a fixed expression tree — the SQL twin writes the
     identical tree over a from-scratch postings/doclens recompute, so
     the double scores hash-match bit for bit."""
+    return _bm25_serve(spark, sf_dir, _bm25_fixture(spark, sf_dir))
+
+
+def _bm25_fixture(spark: SparkSession, sf_dir: str):
     from rds_to_datalake_project_spark.operators.text_index import (
         attach_text_index_maintenance,
-        bm25_search,
     )
     from rds_to_datalake_project_spark.operators.upsert import KeyedTable
     from rds_to_datalake_project_spark.schema import TableSpec
@@ -124,6 +127,12 @@ def bm25_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq", F.lit(1).cast("long"))
         .withColumn("Op", F.lit("U"))
     )
+    return t
+
+
+def _bm25_serve(spark: SparkSession, sf_dir: str, t) -> DataFrame:
+    from rds_to_datalake_project_spark.operators.text_index import bm25_search
+
     out = bm25_search(t, _BM25_TERMS)
     return out.select(F.col("id").alias("doc_id"), "score").orderBy(
         F.col("score").desc(), "doc_id"
@@ -266,4 +275,10 @@ ORACLES = {
     "bm25_text_search": BM25_SQL,
     "fuzzy_customer_pairs": FUZZY_CUSTOMER_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
+}
+
+# build/serve split for the bench's lifecycle attribution (see
+# plans/cdc.py PHASES).
+PHASES = {
+    "bm25_text_search": (_bm25_fixture, _bm25_serve),
 }
