@@ -89,6 +89,7 @@ HEADLINE = [
     "bm25_text_search",
     "embedding_dim_drift",
     "replicated_orders_checksums",
+    "stream_replicated_orders_checksums",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -131,6 +132,7 @@ def _skip_stats() -> dict:
         "secondary_index_range_scan": lambda: dict(secondary_index.LAST_PROBE),
         "bm25_text_search": lambda: dict(text_index.LAST_SEARCH),
         "replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
+        "stream_replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
     }
 
 

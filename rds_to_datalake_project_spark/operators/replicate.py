@@ -39,6 +39,7 @@ silently skipping lost commits.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators.upsert import KeyedTable
@@ -121,17 +122,8 @@ def apply_changes_feed(replica: KeyedTable, feed_dir: str) -> dict:
             f"feed floor v{min(versions)} is past the replica cursor "
             f"v{cur} — commits were vacuumed; re-bootstrap the replica"
         )
-    seq = replica.spec.precombine_key
     batch = spark.read.parquet(*[f"{feed_dir}/v{v}" for v in pending])
-    apply_df = (
-        batch.withColumn(
-            "Op",
-            F.when(F.col("_change_type") == "delete", "D").otherwise("U"),
-        )
-        .withColumn(seq, F.col("_commit_version").cast("long"))
-        .drop("_change_type", "_commit_version")
-    )
-    replica.upsert(apply_df, delete_mode="apply")
+    replica.upsert(_to_cdc_envelope(replica, batch), delete_mode="apply")
     new_cur = max(pending)
     _write_small(spark, _cursor_path(replica), str(new_cur))
     LAST_APPLY["applies"] = LAST_APPLY.get("applies", 0) + 1
@@ -140,3 +132,120 @@ def apply_changes_feed(replica: KeyedTable, feed_dir: str) -> dict:
     )
     LAST_APPLY["cursor"] = new_cur
     return {"applied": pending, "cursor": new_cur}
+
+
+def _to_cdc_envelope(replica: KeyedTable, batch: "DataFrame") -> "DataFrame":
+    """Feed rows → the CDC apply envelope: ``_change_type`` becomes
+    ``Op`` and ``_commit_version`` becomes the replica's integer
+    precombine, so the merge collapses any multi-commit key history
+    in the batch to its newest state."""
+    seq = replica.spec.precombine_key
+    return (
+        batch.withColumn(
+            "Op",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U"),
+        )
+        .withColumn(seq, F.col("_commit_version").cast("long"))
+        .drop("_change_type", "_commit_version")
+    )
+
+
+def _apply_stream_batch(replica: KeyedTable, batch: "DataFrame") -> None:
+    """One micro-batch apply — module-level so tests can inject a
+    crash between the streaming checkpoint and the table commit."""
+    replica.upsert(_to_cdc_envelope(replica, batch), delete_mode="apply")
+
+
+def stream_replicate(
+    replica: KeyedTable,
+    feed_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> dict:
+    """FOLLOW the source's changes feed with Structured Streaming —
+    the continuous form of :func:`apply_changes_feed`: a file source
+    tails ``feed_dir`` (each commit's batch is new files), and every
+    micro-batch lands as ONE idempotent delete-aware upsert through
+    the same CDC envelope as the batch path. ``availableNow`` drains
+    everything pending and returns, so one call per tick follows a
+    live source (the engine's discrete micro-batch posture, same as
+    CDCTracker / RollupTable.maintain_from_feed).
+
+    Exactly-once end to end: the streaming checkpoint records consumed
+    feed FILES; a batch that fails (or a crash mid-upsert, healed by
+    ``recover()``) is not checkpointed and replays on the next call,
+    and the replay is a no-op through the precombine merge (ST7 —
+    same rows, same commit-version precombine). The ``.replica``
+    cursor advances after each applied batch so the batch-mode
+    ``apply_changes_feed`` can interoperate with a streamed replica.
+
+    Two deltas vs the batch path, both inherent to a file tail:
+    - a commit's files may split across micro-batches, so the replica
+      can transiently hold a PREFIX of a commit; it converges once the
+      drain completes (run anti-entropy checksums at quiesce, not
+      mid-drain);
+    - a feed vacuumed past the cursor is checked at START (raises,
+      like the batch path), but batches vacuumed DURING a long drain
+      are the operator's race to avoid — keep feed retention above
+      follower lag.
+
+    Scale: per tick the file source lists ``feed_dir`` and reads only
+    new files (I/O ∝ change set); the upsert is the engine's standard
+    precombine-window shuffle over batch ∪ touched partitions.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = replica.spark
+    cur = applied_version(replica)
+    if cur is None:
+        raise ValueError("replica has no cursor — bootstrap_replica first")
+    versions = _feed_versions(spark, feed_dir)
+    if versions and min(versions) > cur + 1:
+        raise ValueError(
+            f"feed floor v{min(versions)} is past the replica cursor "
+            f"v{cur} — commits were vacuumed; re-bootstrap the replica"
+        )
+    try:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(feed_dir)
+            .schema
+        )
+    except AnalysisException:
+        # No batches published yet — a clean no-op tick.
+        return {"cursor": cur, "batches": 0}
+
+    applied = {"batches": 0}
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _apply_stream_batch(replica, batch_df)
+        applied["batches"] += 1
+        hi = batch_df.agg(F.max("_commit_version")).collect()[0][0]
+        prev = applied_version(replica) or 0
+        if hi is not None and int(hi) > prev:
+            _write_small(replica.spark, _cursor_path(replica), str(int(hi)))
+        LAST_APPLY["stream_batches"] = LAST_APPLY.get("stream_batches", 0) + 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        # Returning with the query live would race the next tick on the
+        # checkpoint lock; consumed batches are checkpointed, so the
+        # next call resumes where this one stopped.
+        q.stop()
+        raise TimeoutError(
+            f"feed drain exceeded {timeout_s}s; replica partially "
+            "caught up — call again to resume"
+        )
+    new_cur = applied_version(replica)
+    LAST_APPLY["cursor"] = new_cur
+    return {"cursor": new_cur, "batches": applied["batches"]}

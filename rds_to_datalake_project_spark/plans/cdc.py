@@ -1093,6 +1093,79 @@ def _replicated_serve(
     )
 
 
+def stream_replicated_orders_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS replication (operators/replicate.py:stream_replicate):
+    the same source lifecycle as :func:`replicated_orders_checksums`,
+    but the replica FOLLOWS live — bootstrapped before the commits
+    exist, then one streaming tick per commit tails the changes feed
+    through a checkpointed file source and applies each micro-batch as
+    one idempotent delete-aware upsert. Same closed-form oracle as the
+    batch path: a hash match proves the followed replica converges to
+    the identical state the one-shot catch-up reaches."""
+    return _stream_replicated_serve(
+        spark, sf_dir, _stream_replicated_fixture(spark, sf_dir)
+    )
+
+
+def _stream_replicated_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    from rds_to_datalake_project_spark.operators.replicate import (
+        bootstrap_replica,
+        stream_replicate,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(*_REPL_COLS)
+    root = _scratch("stream_replicate")
+    src_spec = TableSpec(
+        "orders_ssrc",
+        record_key=("o_orderkey",),
+        precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(
+        spark,
+        root + "/src",
+        src_spec,
+        retain_versions=4,
+        changes_feed_dir=root + "/feed",
+    )
+    t.initial_load(base.withColumn("seq", F.lit(0).cast("long")))
+    rep_spec = TableSpec(
+        "orders_srep",
+        record_key=("o_orderkey",),
+        precombine_key="_rep_seq",
+        partition_granularity=None,
+    )
+    r = KeyedTable(spark, root + "/rep", rep_spec, retain_versions=2)
+    bootstrap_replica(t, r, as_of=0)  # follower starts BEFORE the commits
+    ckpt = root + "/ckpt"
+    k = F.col("o_orderkey")
+    t.upsert(
+        base.filter(k % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    out1 = stream_replicate(r, root + "/feed", ckpt)
+    deletes = base.filter(k % 7 == 0).withColumn("Op", F.lit("D"))
+    inserts = (
+        base.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + F.lit(10_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    t.upsert(
+        deletes.unionByName(inserts).withColumn("seq", F.lit(2).cast("long")),
+        delete_mode="apply",
+    )
+    out2 = stream_replicate(r, root + "/feed", ckpt)
+    assert (out1["cursor"], out2["cursor"]) == (1, 2), (out1, out2)
+    return r
+
+
+_stream_replicated_serve = _replicated_serve
+
+
 REPLICATED_CHECKSUM_SQL = """
 WITH final AS (
   SELECT o_orderkey, o_custkey,
@@ -1897,6 +1970,7 @@ QUERIES = {
     "secondary_index_lookup": secondary_index_lookup,
     "secondary_index_range_scan": secondary_index_range_scan,
     "replicated_orders_checksums": replicated_orders_checksums,
+    "stream_replicated_orders_checksums": stream_replicated_orders_checksums,
     "orders_partition_checksums": orders_partition_checksums,
     "lake_table_changes": lake_table_changes,
     "sql_timetravel_changed_counts": sql_timetravel_changed_counts,
@@ -1943,6 +2017,7 @@ ORACLES = {
     "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
     "secondary_index_range_scan": SECONDARY_RANGE_SQL,
     "replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
+    "stream_replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,
     "lake_table_changes": LAKE_CHANGES_SQL,
     "sql_timetravel_changed_counts": SQL_TIMETRAVEL_SQL,
@@ -1972,6 +2047,10 @@ PHASES = {
     "secondary_index_range_scan": (_secondary_range_fixture, _secondary_range_serve),
     "time_travel_roundtrip": (_versioned_orders, _time_travel_serve),
     "replicated_orders_checksums": (_replicated_fixture, _replicated_serve),
+    "stream_replicated_orders_checksums": (
+        _stream_replicated_fixture,
+        _stream_replicated_serve,
+    ),
     "ann_index_served_topk": (_ann_index_fixture, _ann_index_serve),
     "ann_index_ivf_topk": (_ann_ivf_fixture, _ann_ivf_serve),
     "lsh_index_screen": (_lsh_index_fixture, _lsh_index_serve),

@@ -126,3 +126,102 @@ def test_vacuumed_feed_past_cursor_raises(spark, tmp_path):
     t.vacuum_changes_feed(feed, keep_last=1)  # only v3 retained
     with pytest.raises(ValueError, match="re-bootstrap"):
         apply_changes_feed(r, feed)
+
+
+# --- continuous follower (stream_replicate) ------------------------------------
+
+
+def test_stream_replicate_follows_three_live_commits(spark, tmp_path):
+    """The replica FOLLOWS: one stream_replicate tick per source
+    commit, each draining exactly the new feed batch; replica state
+    equals the source after every tick."""
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    ckpt = str(tmp_path / "ckpt")
+
+    commits = [
+        _batch(spark, [(3, "v1-3", 1, "U"), (100, "v1-100", 1, "U")]),
+        _batch(spark, [(5, "x", 2, "D"), (101, "v2-101", 2, "U")]),
+        _batch(spark, [(3, "x", 3, "D"), (102, "v3-102", 3, "U")]),
+    ]
+    for i, b in enumerate(commits, start=1):
+        t.upsert(b, delete_mode="apply")
+        out = stream_replicate(r, feed, ckpt)
+        assert out["cursor"] == i, out
+        assert _sig(r.read().select("k", "val")) == _sig(
+            t.read().select("k", "val")
+        )
+    # quiet tick: nothing pending, cursor unchanged
+    assert stream_replicate(r, feed, ckpt)["batches"] == 0 or applied_version(r) == 3
+    assert applied_version(r) == 3
+
+
+def test_stream_replicate_drains_backlog_in_one_call_and_interops_with_batch_apply(
+    spark, tmp_path
+):
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    ckpt = str(tmp_path / "ckpt")
+    t.upsert(_batch(spark, [(1, "v1-1", 1, "U")]))
+    t.upsert(_batch(spark, [(1, "x", 2, "D"), (2, "v2-2", 2, "U")]), delete_mode="apply")
+    stream_replicate(r, feed, ckpt)
+    assert applied_version(r) == 2
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+    # batch-mode apply sees the streamed cursor and no-ops
+    assert apply_changes_feed(r, feed)["applied"] == []
+
+
+def test_stream_replicate_crash_mid_apply_replays_and_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the feed read and the table commit: the failed
+    micro-batch is not checkpointed, the cursor stays old, and the
+    next tick replays it idempotently."""
+    import rds_to_datalake_project_spark.operators.replicate as rep_mod
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    ckpt = str(tmp_path / "ckpt")
+    t.upsert(_batch(spark, [(9, "v1-9", 1, "U")]))
+
+    real = rep_mod._apply_stream_batch
+    blow = {"armed": True}
+
+    def exploding(replica, batch):
+        if blow["armed"]:
+            blow["armed"] = False
+            raise RuntimeError("injected crash mid-apply")
+        return real(replica, batch)
+
+    monkeypatch.setattr(rep_mod, "_apply_stream_batch", exploding)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_replicate(r, feed, ckpt)
+    assert applied_version(r) == 0  # cursor never advanced
+    out = stream_replicate(r, feed, ckpt)  # replay
+    assert out["cursor"] == 1
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+
+
+def test_stream_replicate_vacuumed_feed_past_cursor_raises(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    for v in (1, 2, 3):
+        t.upsert(_batch(spark, [(v, f"v{v}", v, "U")]))
+    t.vacuum_changes_feed(feed, keep_last=1)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        stream_replicate(r, feed, str(tmp_path / "ckpt"))
