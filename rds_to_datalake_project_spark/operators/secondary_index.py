@@ -110,14 +110,21 @@ def _bucket_col(value) -> F.Column:
 
 def _spark_eval(spark, values: list, dtype, expr_fn) -> list:
     """Evaluate ``expr_fn(lit(v) CAST AS dtype)`` for each probe value
-    in ONE one-row job — the canonical way to map probe values to
+    as one-row jobs — the canonical way to map probe values to
     buckets/bands: the exact expression the entries writer ran, so the
     rendering (booleans, scientific doubles, decimals) can never
-    diverge the way a Python ``str(v)`` twin would."""
-    cols = [
-        expr_fn(F.lit(v).cast(dtype)).alias(f"_p{i}") for i, v in enumerate(values)
-    ]
-    return list(spark.range(1).select(*cols).collect()[0])
+    diverge the way a Python ``str(v)`` twin would. Chunked so a wide
+    IN-probe never builds a pathologically wide projection (one Spark
+    column per value)."""
+    out: list = []
+    chunk = 500
+    for i0 in range(0, len(values), chunk):
+        cols = [
+            expr_fn(F.lit(v).cast(dtype)).alias(f"_p{i}")
+            for i, v in enumerate(values[i0 : i0 + chunk])
+        ]
+        out.extend(spark.range(1).select(*cols).collect()[0])
+    return out
 
 
 def _require_fresh(table: KeyedTable, state, value_col: str, layout: str) -> None:
