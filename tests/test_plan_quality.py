@@ -529,3 +529,37 @@ def test_time_weighted_single_window_shuffle(spark):
     # groupBy (which reuses the partitioning), plus the output sort
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_secondary_range_lookup_semi_join_and_band_pruning(spark, tmp_path):
+    """The range serve must stay distributed: resolved keys semi-join
+    the base (never a collect), the entries leg prunes band partition
+    dirs, and the residual BETWEEN pushes into the entries scan."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        build_secondary_range_index,
+        secondary_range_lookup,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "t"), spec, retain_versions=4)
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, float(i), 0) for i in range(400)],
+            "k long, payload double, seq long",
+        )
+    )
+    build_secondary_range_index(t, "payload", n_bands=16)
+    df = secondary_range_lookup(t, "payload", 10.0, 60.0)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("band" in p and p.strip() for p in pf)
+    # residual range predicate reaches the entries parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(payload",
+                     _formatted_plan(df))
