@@ -382,6 +382,19 @@ def build_secondary_range_index(
     latest = (table.versions() or [0])[-1]
     snap = table.read().filter(F.col(value_col).isNotNull())
     dtype = snap.schema[value_col].dataType
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        dtype, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    ):
+        # CAST(string AS DOUBLE) is null — banding would silently
+        # build an index that matches nothing. Range order must be the
+        # value's numeric/temporal order; use the equality layout for
+        # everything else.
+        raise ValueError(
+            f"secondary range index requires a numeric or temporal "
+            f"value column; {value_col!r} is {dtype.simpleString()}"
+        )
     mm = snap.agg(
         F.min(_to_double(F.col(value_col), dtype)).alias("lo"),
         F.max(_to_double(F.col(value_col), dtype)).alias("hi"),

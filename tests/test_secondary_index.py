@@ -287,3 +287,20 @@ def test_range_index_on_timestamp_column(spark, tmp_path):
         for r in t.read().filter(F.col("created").between(lo, hi)).collect()
     }
     assert got == want and got == set(range(10, 31))
+
+
+def test_range_index_rejects_non_orderable_dtype(spark, tmp_path):
+    """CAST(string AS DOUBLE) is null — a string range index would
+    silently match nothing; build must refuse."""
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "s"), spec, retain_versions=4)
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, f"name-{i}", 0) for i in range(10)],
+            "k long, name string, seq long",
+        )
+    )
+    with pytest.raises(ValueError, match="numeric or temporal"):
+        build_secondary_range_index(t, "name")
