@@ -161,6 +161,7 @@ def stream_replicate(
     feed_dir: str,
     checkpoint_dir: str,
     timeout_s: int = 120,
+    max_files_per_trigger: int | None = None,
 ) -> dict:
     """FOLLOW the source's changes feed with Structured Streaming —
     the continuous form of :func:`apply_changes_feed`: a file source
@@ -191,7 +192,11 @@ def stream_replicate(
 
     Scale: per tick the file source lists ``feed_dir`` and reads only
     new files (I/O ∝ change set); the upsert is the engine's standard
-    precombine-window shuffle over batch ∪ touched partitions.
+    precombine-window shuffle over batch ∪ touched partitions. A big
+    backlog (replica down for many commits) drains as ONE micro-batch
+    by default — pass ``max_files_per_trigger`` to bound per-batch
+    memory; ``availableNow`` honors the limit and still drains
+    everything before returning, each slice checkpointed.
     """
     from pyspark.errors import AnalysisException
 
@@ -228,10 +233,13 @@ def stream_replicate(
             _write_small(replica.spark, _cursor_path(replica), str(int(hi)))
         LAST_APPLY["stream_batches"] = LAST_APPLY.get("stream_batches", 0) + 1
 
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     q = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+        reader.parquet(feed_dir)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -225,3 +225,22 @@ def test_stream_replicate_vacuumed_feed_past_cursor_raises(spark, tmp_path):
     t.vacuum_changes_feed(feed, keep_last=1)
     with pytest.raises(ValueError, match="re-bootstrap"):
         stream_replicate(r, feed, str(tmp_path / "ckpt"))
+
+
+def test_stream_replicate_bounded_trigger_still_drains_backlog(spark, tmp_path):
+    """max_files_per_trigger=1 slices a 3-commit backlog into several
+    checkpointed micro-batches; availableNow still drains everything
+    and the replica converges in one call."""
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    for v in (1, 2, 3):
+        t.upsert(_batch(spark, [(v, f"v{v}", v, "U"), (40 + v, f"n{v}", v, "U")]))
+    out = stream_replicate(
+        r, feed, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert out["cursor"] == 3 and out["batches"] >= 2
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
