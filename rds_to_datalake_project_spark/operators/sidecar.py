@@ -356,6 +356,54 @@ def vacuum_family(
     return sorted(removed)
 
 
+def service_status(table) -> list[dict]:
+    """Ops inventory of every sidecar service a table carries: one
+    dict per hidden service directory bearing a ``_VERSION`` marker —
+    service name, indexed version, table head, LAG (the number a
+    monitor alarms on: secondary-index lookups REFUSE at lag > 0,
+    zone/bloom merely lose pruning), and per-family delta-chain
+    lengths (compaction pressure).
+
+    Driver-side and metadata-only: one directory listing of the table
+    root plus one tiny marker read per service — bounded by the number
+    of attached services, never by data size. ``table`` is any object
+    with ``spark``/``path``/``versions()`` (KeyedTable-shaped; duck-
+    typed so this module stays import-light)."""
+    spark = table.spark
+    head = (table.versions() or [0])[-1]
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table.path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(".")):
+            continue
+        sdir = f"{table.path.rstrip('/')}/{name}"
+        state = read_state(spark, sdir)
+        if state is None:
+            continue  # .meta, .replica, staging — not a sidecar service
+        families = {}
+        for inner in fs.listStatus(st.getPath()):
+            iname = inner.getPath().getName()
+            if iname.endswith("_DELTAS") and not inner.isDirectory():
+                fam = iname[: -len("_DELTAS")]
+                log = read_delta_log(spark, sdir, fam)
+                families[fam] = len(log[1]) if log else 0
+        out.append(
+            {
+                "service": name,
+                "indexed_version": state[0],
+                "head_version": head,
+                "lag": max(0, head - state[0]),
+                "families": families,
+            }
+        )
+    return sorted(out, key=lambda d: d["service"])
+
+
 def compact_family(
     spark: SparkSession,
     index_dir: str,

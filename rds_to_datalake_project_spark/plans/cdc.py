@@ -999,6 +999,42 @@ def _secondary_range_serve(
     )
 
 
+def sidecar_service_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops inventory surface (operators/sidecar.py:service_status)
+    over the range-index lifecycle fixture: after the maintenance hook
+    has followed both commits, the table carries exactly one service
+    at zero lag with one published delta generation — all metadata the
+    sidecar protocol pins deterministically, so the oracle states the
+    row as constants. Metadata-only: one root listing + marker reads."""
+    from rds_to_datalake_project_spark.operators.sidecar import service_status
+
+    t = _secondary_range_fixture(spark, sf_dir)
+    flat = [
+        (
+            d["service"],
+            int(d["indexed_version"]),
+            int(d["head_version"]),
+            int(d["lag"]),
+            int(sum(d["families"].values())),
+        )
+        for d in service_status(t)
+    ]
+    return spark.createDataFrame(
+        flat,
+        "service string, indexed_version int, head_version int, "
+        "lag int, n_delta_parts int",
+    ).orderBy("service")
+
+
+SERVICE_STATUS_SQL = """
+SELECT '.secrange_o_totalprice' AS service,
+       CAST(1 AS INTEGER) AS indexed_version,
+       CAST(1 AS INTEGER) AS head_version,
+       CAST(0 AS INTEGER) AS lag,
+       CAST(1 AS INTEGER) AS n_delta_parts
+"""
+
+
 SECONDARY_RANGE_SQL = f"""
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500000.0
@@ -1969,6 +2005,7 @@ QUERIES = {
     "pit_lineitem_price": pit_lineitem_price,
     "secondary_index_lookup": secondary_index_lookup,
     "secondary_index_range_scan": secondary_index_range_scan,
+    "sidecar_service_status": sidecar_service_status,
     "replicated_orders_checksums": replicated_orders_checksums,
     "stream_replicated_orders_checksums": stream_replicated_orders_checksums,
     "orders_partition_checksums": orders_partition_checksums,
@@ -2016,6 +2053,7 @@ ORACLES = {
     "pit_lineitem_price": PIT_SQL,
     "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
     "secondary_index_range_scan": SECONDARY_RANGE_SQL,
+    "sidecar_service_status": SERVICE_STATUS_SQL,
     "replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "stream_replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,

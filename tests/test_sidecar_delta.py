@@ -391,3 +391,56 @@ def test_randomized_lifecycle_merged_equals_recomputed(spark, tmp_path):
         fresh_d = doclens_of(t.read(), "doc_id", "text")
         assert stored_d.exceptAll(fresh_d).count() == 0, step
         assert fresh_d.exceptAll(stored_d).count() == 0, step
+
+
+def test_service_status_reports_lag_and_chain_lengths(spark, tmp_path):
+    """One metadata-only row per attached service: lag > 0 exactly for
+    the service that missed a commit; delta-chain lengths surface
+    compaction pressure."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        build_secondary_index,
+        refresh_secondary_index,
+    )
+    from rds_to_datalake_project_spark.operators.sidecar import service_status
+    from rds_to_datalake_project_spark.operators.text_index import (
+        build_text_index,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "svc"), spec, retain_versions=8)
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, i % 5, f"alpha beta doc{i}", 0) for i in range(40)],
+            "k long, grp long, text string, seq long",
+        )
+    )
+    build_secondary_index(t, "grp")
+    build_text_index(t, "k", "text")
+    rows = {r["service"]: r for r in service_status(t)}
+    assert set(rows) == {".secindex_grp", ".textindex"}
+    assert all(r["lag"] == 0 for r in rows.values())
+    assert set(rows[".textindex"]["families"]) == {"postings", "doclens"}
+
+    # a commit NEITHER service saw (no maintenance hooks attached)
+    t.upsert(
+        spark.createDataFrame(
+            [(100, 1, "gamma doc100", 1)],
+            "k long, grp long, text string, seq long",
+        ).withColumn("Op", F.lit("U"))
+    )
+    rows = {r["service"]: r for r in service_status(t)}
+    assert rows[".secindex_grp"]["lag"] == 1
+    assert rows[".textindex"]["lag"] == 1
+
+    # refresh one: its lag clears, its delta chain grows; the other stays
+    assert refresh_secondary_index(t, "grp") == "incremental"
+    rows = {r["service"]: r for r in service_status(t)}
+    assert rows[".secindex_grp"]["lag"] == 0
+    assert rows[".secindex_grp"]["families"]["entries"] == 1
+    assert rows[".textindex"]["lag"] == 1
