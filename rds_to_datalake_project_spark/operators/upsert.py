@@ -803,14 +803,75 @@ class KeyedTable:
             .filter(residual)
         )
 
-    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
-        """Range/point-filtered read through the zone-map index
-        (operators/zonemap.pruned_read): opens only files whose
-        min/max zones can match; exact — the residual filter always
-        applies, and files the index doesn't cover are always read."""
+    def read_where(
+        self, predicates: dict[str, tuple], use_secondary: bool = True
+    ) -> DataFrame:
+        """Range/point-filtered read through the best available access
+        path. Predicates are ``{col: (lo, hi)}`` closed intervals.
+
+        Routing, in order:
+        1. a FRESH secondary index on a predicate's NON-key column —
+           equality layout for a point interval, range layout for a
+           range — resolves record keys index-side and semi-joins the
+           base (the zone map cannot help there: on a key-clustered
+           layout every file's non-key value range spans the domain);
+        2. otherwise the zone-map pruned read (key-side ranges).
+
+        Exact either way: the index path re-applies every predicate as
+        a residual, and a missing/torn/STALE index silently falls back
+        to the scan path — read_where never raises where a plain
+        filter would succeed (unlike the direct secondary_lookup
+        surface, whose contract is index-served-or-refuse)."""
         from rds_to_datalake_project_spark.operators.zonemap import pruned_read
 
+        if use_secondary:
+            routed = self._read_where_secondary(predicates)
+            if routed is not None:
+                return routed
         return pruned_read(self.spark, self.path, predicates)
+
+    def _read_where_secondary(self, predicates: dict[str, tuple]):
+        """Index-served form of read_where, or None when no predicate
+        column carries a usable secondary index (caller falls back)."""
+        from rds_to_datalake_project_spark.operators.secondary_index import (
+            _idir,
+            _rdir,
+            secondary_lookup_keys,
+            secondary_range_lookup_keys,
+        )
+        from rds_to_datalake_project_spark.operators.sidecar import (
+            family_consistent,
+        )
+
+        key_col = self.spec.record_key[0]
+        keys = None
+        for col, (lo, hi) in predicates.items():
+            if col == key_col or lo is None or hi is None:
+                continue  # key side: zone/bloom path is the right tool
+            try:
+                if lo == hi and family_consistent(
+                    self.spark, _idir(self, col), "entries"
+                ):
+                    keys = secondary_lookup_keys(self, col, [lo])
+                elif family_consistent(
+                    self.spark, _rdir(self, col), "entries"
+                ):
+                    keys = secondary_range_lookup_keys(self, col, lo, hi)
+            except ValueError:
+                keys = None  # torn/stale → advisory fallback to scan
+            if keys is not None:
+                break
+        if keys is None:
+            return None
+        out = self.read().join(keys, key_col, "left_semi")
+        schema = {f.name: f.dataType for f in out.schema.fields}
+        for col, (lo, hi) in predicates.items():
+            c = F.col(col)
+            if lo is not None:
+                out = out.filter(c >= F.lit(lo).cast(schema[col]))
+            if hi is not None:
+                out = out.filter(c <= F.lit(hi).cast(schema[col]))
+        return out
 
     def _publish_partition(
         self, staging: str, rel: str, retire_version: int | None = None

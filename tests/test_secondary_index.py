@@ -304,3 +304,57 @@ def test_range_index_rejects_non_orderable_dtype(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="numeric or temporal"):
         build_secondary_range_index(t, "name")
+
+
+def test_read_where_routes_through_secondary_indexes(spark, tmp_path):
+    """read_where picks the index path on non-key predicate columns —
+    range layout for intervals, equality layout for points — and
+    matches the plain filter exactly."""
+    t = _mk(spark, tmp_path, n=200)
+    build_secondary_range_index(t, "payload", n_bands=16)
+    build_secondary_index(t, "grp")
+
+    df = t.read_where({"payload": (25.0, 75.0)})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # index-served, not a scan
+    got = {r["k"] for r in df.collect()}
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("payload").between(25.0, 75.0)).collect()
+    }
+    assert got == want
+
+    dfe = t.read_where({"grp": (3, 3)})
+    assert "LeftSemi" in dfe._jdf.queryExecution().executedPlan().toString()
+    assert {r["k"] for r in dfe.collect()} == {
+        r["k"] for r in t.read().filter(F.col("grp") == 3).collect()
+    }
+
+    # combined predicates: the index resolves one, residuals apply all
+    both = t.read_where({"payload": (25.0, 75.0), "grp": (3, 3)})
+    assert {r["k"] for r in both.collect()} == {
+        r["k"]
+        for r in t.read()
+        .filter(F.col("payload").between(25.0, 75.0) & (F.col("grp") == 3))
+        .collect()
+    }
+
+
+def test_read_where_falls_back_when_index_stale_or_absent(spark, tmp_path):
+    """Unlike the direct lookup surface (index-served-or-refuse),
+    read_where must stay correct without raising: a stale index
+    silently routes to the scan path."""
+    t = _mk(spark, tmp_path)
+    build_secondary_range_index(t, "payload")
+    t.upsert(_batch(spark, [(300, 1, 42.5, 1)]))  # index now stale
+    got = {r["k"] for r in t.read_where({"payload": (40.0, 50.0)}).collect()}
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("payload").between(40.0, 50.0)).collect()
+    }
+    assert got == want and 300 in got
+    # no index at all on this column → scan path, still exact
+    got2 = {r["k"] for r in t.read_where({"grp": (2, 4)}).collect()}
+    assert got2 == {
+        r["k"] for r in t.read().filter(F.col("grp").between(2, 4)).collect()
+    }
