@@ -177,8 +177,16 @@ def stream_replicate(
     ``recover()``) is not checkpointed and replays on the next call,
     and the replay is a no-op through the precombine merge (ST7 —
     same rows, same commit-version precombine). The ``.replica``
-    cursor advances after each applied batch so the batch-mode
-    ``apply_changes_feed`` can interoperate with a streamed replica.
+    cursor advances ONLY after the drain completes — a micro-batch may
+    hold a PREFIX of a commit's files (the file source slices by file,
+    not by commit, under ``max_files_per_trigger``), so advancing
+    mid-drain would let a crash hand the batch-mode
+    ``apply_changes_feed`` a cursor past rows never applied — silent
+    loss. At quiesce every file pending at start is consumed, so the
+    max commit version seen is fully applied; after a mid-drain crash
+    the cursor is simply old, and EITHER resume path converges (the
+    stream replays from its checkpoint; the batch apply re-applies
+    whole commits idempotently).
 
     Two deltas vs the batch path, both inherent to a file tail:
     - a commit's files may split across micro-batches, so the replica
@@ -210,17 +218,17 @@ def stream_replicate(
             f"feed floor v{min(versions)} is past the replica cursor "
             f"v{cur} — commits were vacuumed; re-bootstrap the replica"
         )
+    if not versions:
+        return {"cursor": cur, "batches": 0}  # nothing published yet
     try:
-        schema = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(feed_dir)
-            .schema
-        )
+        # Schema from the NEWEST batch dir only (feed schemas are
+        # uniform) — inferring over the whole retained feed would make
+        # every tick's metadata I/O grow with retention, not change set.
+        schema = spark.read.parquet(f"{feed_dir}/v{max(versions)}").schema
     except AnalysisException:
-        # No batches published yet — a clean no-op tick.
         return {"cursor": cur, "batches": 0}
 
-    applied = {"batches": 0}
+    applied = {"batches": 0, "hi": cur}
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -228,9 +236,8 @@ def stream_replicate(
         _apply_stream_batch(replica, batch_df)
         applied["batches"] += 1
         hi = batch_df.agg(F.max("_commit_version")).collect()[0][0]
-        prev = applied_version(replica) or 0
-        if hi is not None and int(hi) > prev:
-            _write_small(replica.spark, _cursor_path(replica), str(int(hi)))
+        if hi is not None:
+            applied["hi"] = max(applied["hi"], int(hi))
         LAST_APPLY["stream_batches"] = LAST_APPLY.get("stream_batches", 0) + 1
 
     reader = spark.readStream.schema(schema).option(
@@ -248,12 +255,19 @@ def stream_replicate(
     if not q.awaitTermination(timeout_s):
         # Returning with the query live would race the next tick on the
         # checkpoint lock; consumed batches are checkpointed, so the
-        # next call resumes where this one stopped.
+        # next call resumes where this one stopped. The cursor is NOT
+        # advanced — a sliced commit may be half-applied.
         q.stop()
         raise TimeoutError(
             f"feed drain exceeded {timeout_s}s; replica partially "
             "caught up — call again to resume"
         )
-    new_cur = applied_version(replica)
+    # Cap at the highest _SUCCESS-complete batch listed at START: the
+    # file source has no _SUCCESS gate, so a commit mid-write when the
+    # query pinned its file list may be half-consumed — its version
+    # must not enter the cursor until a later tick sees it complete.
+    new_cur = min(applied["hi"], max(versions))
+    if new_cur > cur:
+        _write_small(spark, _cursor_path(replica), str(new_cur))
     LAST_APPLY["cursor"] = new_cur
     return {"cursor": new_cur, "batches": applied["batches"]}

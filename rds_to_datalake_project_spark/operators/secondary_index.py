@@ -108,19 +108,22 @@ def _bucket_col(value) -> F.Column:
     ).cast("int")
 
 
-def _spark_eval(spark, values: list, dtype, expr_fn) -> list:
-    """Evaluate ``expr_fn(lit(v) CAST AS dtype)`` for each probe value
-    as one-row jobs — the canonical way to map probe values to
-    buckets/bands: the exact expression the entries writer ran, so the
-    rendering (booleans, scientific doubles, decimals) can never
-    diverge the way a Python ``str(v)`` twin would. Chunked so a wide
-    IN-probe never builds a pathologically wide projection (one Spark
-    column per value)."""
+def _spark_eval(spark, values: list, expr_fn) -> list:
+    """Evaluate ``expr_fn(lit(v))`` for each probe value as one-row
+    jobs — the canonical way to map probe values to buckets/bands: the
+    exact expression the entries writer ran, so the rendering
+    (booleans, scientific doubles, decimals) can never diverge the way
+    a Python ``str(v)`` twin would. The caller owns any cast inside
+    ``expr_fn`` (equality canonicalizes to the COLUMN dtype; range
+    banding must NOT narrow the literal — cast(10.5 AS BIGINT)
+    truncates and would undershoot the probed band interval). Chunked
+    so a wide IN-probe never builds a pathologically wide projection
+    (one Spark column per value)."""
     out: list = []
     chunk = 500
     for i0 in range(0, len(values), chunk):
         cols = [
-            expr_fn(F.lit(v).cast(dtype)).alias(f"_p{i}")
+            expr_fn(F.lit(v)).alias(f"_p{i}")
             for i, v in enumerate(values[i0 : i0 + chunk])
         ]
         out.extend(spark.range(1).select(*cols).collect()[0])
@@ -262,7 +265,7 @@ def secondary_lookup_keys(
         {
             str(b)
             for b in _spark_eval(
-                spark, values, dtype, lambda c: _bucket_col(c)
+                spark, values, lambda c: _bucket_col(c.cast(dtype))
             )
         }
     )
@@ -521,10 +524,13 @@ def secondary_range_lookup_keys(
         spark, _rdir(table, value_col), "entries", key_col, gens=state[2]
     )
     dtype = entries.schema[value_col].dataType
+    # Band the EXACT probe values: _band_col widens through double
+    # (temporal via timestamp) — never a narrowing cast to the column
+    # dtype, which would truncate 20.5 → 20 and undershoot the band
+    # interval for values in (20, 20.5].
     b_lo, b_hi = _spark_eval(
         spark,
         [lo, hi],
-        dtype,
         lambda c: _band_col(c, dtype, blo, bwidth, n_bands),
     )
     if b_lo is None or b_hi is None or b_lo > b_hi:
@@ -537,11 +543,13 @@ def secondary_range_lookup_keys(
         LAST_PROBE["bands_total"] - LAST_PROBE["bands_probed"]
     )
     v = F.col(value_col)
+    # Residual compares UNCAST literals (Spark promotes both sides, the
+    # same coercion the plain-filter oracle gets) — casting the bound
+    # to the column dtype would truncate fractional/temporal probes
+    # and return rows a plain BETWEEN excludes.
     return (
         entries.filter(
-            F.col("band").isin(bands)
-            & (v >= F.lit(lo).cast(dtype))
-            & (v <= F.lit(hi).cast(dtype))
+            F.col("band").isin(bands) & (v >= F.lit(lo)) & (v <= F.lit(hi))
         )
         .select(key_col)
         .distinct()
@@ -560,10 +568,9 @@ def secondary_range_lookup(
     tombstoned must not leak through)."""
     key_col = table.spec.record_key[0]
     keys = secondary_range_lookup_keys(table, value_col, lo, hi)
-    base = table.read()
-    dtype = base.schema[value_col].dataType
     v = F.col(value_col)
     return (
-        base.join(keys, key_col, "left_semi")
-        .filter((v >= F.lit(lo).cast(dtype)) & (v <= F.lit(hi).cast(dtype)))
+        table.read()
+        .join(keys, key_col, "left_semi")
+        .filter((v >= F.lit(lo)) & (v <= F.lit(hi)))
     )

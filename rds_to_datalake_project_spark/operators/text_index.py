@@ -65,8 +65,12 @@ def reset_search_stats() -> None:
     LAST_SEARCH.clear()
 
 
-def _record_search(want: list[str]) -> None:
-    buckets = {str(_bucket_py(t)) for t in want}
+def _probe_buckets(want: list[str]) -> list[str]:
+    """The query terms' posting buckets, recorded as the search-path
+    pruning stat AND returned for the actual partition filter — one
+    computation, so the reported buckets can never diverge from the
+    buckets probed."""
+    buckets = sorted({str(_bucket_py(t)) for t in want})
     LAST_SEARCH["searches"] = LAST_SEARCH.get("searches", 0) + 1
     LAST_SEARCH["terms"] = LAST_SEARCH.get("terms", 0) + len(want)
     LAST_SEARCH["buckets_total"] = LAST_SEARCH.get("buckets_total", 0) + N_BUCKETS
@@ -76,6 +80,7 @@ def _record_search(want: list[str]) -> None:
     LAST_SEARCH["buckets_skipped"] = (
         LAST_SEARCH["buckets_total"] - LAST_SEARCH["buckets_probed"]
     )
+    return buckets
 
 
 def _idir(table: KeyedTable) -> str:
@@ -263,10 +268,8 @@ def search_and(
     if posts is None:
         raise ValueError("text index missing or torn — build_text_index first")
     # bucket filter prunes partition dirs; term filter pushes to parquet
-    _record_search(want)
     hits = posts.filter(
-        F.col("bucket").isin([str(_bucket_py(t)) for t in want])
-        & F.col("term").isin(want)
+        F.col("bucket").isin(_probe_buckets(want)) & F.col("term").isin(want)
     )
     matched = (
         hits.groupBy("id")
@@ -337,10 +340,8 @@ def bm25_search(
         ).limit(0)
     avgdl = total / n_docs  # python float division == IEEE double
 
-    _record_search(want)
     hits = posts.filter(
-        F.col("bucket").isin([str(_bucket_py(t)) for t in want])
-        & F.col("term").isin(want)
+        F.col("bucket").isin(_probe_buckets(want)) & F.col("term").isin(want)
     )
     dfs = {
         r["term"]: int(r["df"])

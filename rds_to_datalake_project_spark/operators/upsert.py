@@ -863,14 +863,30 @@ class KeyedTable:
                 break
         if keys is None:
             return None
-        out = self.read().join(keys, key_col, "left_semi")
-        schema = {f.name: f.dataType for f in out.schema.fields}
+        # Key-side predicates still prune FILES on the semi-join's left
+        # (the scan path would have zone-pruned them; routing must not
+        # regress that), and residuals compare UNCAST literals — the
+        # same coercion pruned_read and a plain filter get, so the two
+        # paths return identical rows for fractional/temporal bounds.
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            pruned_read,
+        )
+
+        key_preds = {c: b for c, b in predicates.items() if c == key_col}
+        base = (
+            pruned_read(self.spark, self.path, key_preds)
+            if key_preds
+            else self.read()
+        )
+        out = base.join(keys, key_col, "left_semi")
         for col, (lo, hi) in predicates.items():
+            if col in key_preds:
+                continue  # pruned_read already applied the residual
             c = F.col(col)
             if lo is not None:
-                out = out.filter(c >= F.lit(lo).cast(schema[col]))
+                out = out.filter(c >= F.lit(lo))
             if hi is not None:
-                out = out.filter(c <= F.lit(hi).cast(schema[col]))
+                out = out.filter(c <= F.lit(hi))
         return out
 
     def _publish_partition(

@@ -358,3 +358,32 @@ def test_read_where_falls_back_when_index_stale_or_absent(spark, tmp_path):
     assert got2 == {
         r["k"] for r in t.read().filter(F.col("grp").between(2, 4)).collect()
     }
+
+
+def test_range_lookup_fractional_bounds_on_integer_column(spark, tmp_path):
+    """Fractional probe bounds must NOT be truncated to the column
+    dtype (cast(20.5 AS BIGINT) = 20 both under- AND over-matches):
+    band interval and residual both evaluate the exact bounds."""
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t = KeyedTable(spark, str(tmp_path / "ib"), spec, retain_versions=4)
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, i, 0) for i in range(100)], "k long, qty long, seq long"
+        )
+    )
+    build_secondary_range_index(t, "qty", n_bands=8)
+    got = {r["k"] for r in secondary_range_lookup(t, "qty", 10.5, 20.5).collect()}
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("qty").between(10.5, 20.5)).collect()
+    }
+    assert got == want == set(range(11, 21))  # 10 and 21 excluded
+    # and the router agrees with the scan path for the same bounds
+    routed = {r["k"] for r in t.read_where({"qty": (10.5, 20.5)}).collect()}
+    scan = {
+        r["k"]
+        for r in t.read_where({"qty": (10.5, 20.5)}, use_secondary=False).collect()
+    }
+    assert routed == scan == want

@@ -60,6 +60,8 @@ def _canon_duck_type(t: str) -> str:
     # composite spellings: DuckDB 'BIGINT[]' ≡ Spark 'array<bigint>'
     if t.endswith("[]"):
         return f"array<{_canon_duck_type(t[:-2])}>"
+    if t.startswith("DECIMAL("):
+        return t.lower().replace(" ", "")  # 'DECIMAL(18, 2)'→'decimal(18,2)'
     return _DUCK_CANON.get(t, t.lower())
 
 
@@ -71,35 +73,46 @@ def _canon_spark_type(t: str) -> str:
 
 
 _HASH_HOSTILE = ("int128!", "uint128!", "uint8!", "uint16!", "uint32!", "uint64!")
+# raw DuckDB spellings — members of STRUCT(...)/MAP(...) never pass
+# through the scalar canonicalizer, so hostile embeds are caught on
+# the raw string
+_HOSTILE_RAW = (
+    "HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+)
 
 
 def _is_composite(t: str) -> bool:
-    # struct/map/list-of-struct spellings differ per engine beyond
-    # what the canonicalizer covers ('STRUCT(a INTEGER)' vs
-    # 'struct<a:int>'); the value hash still compares their rendered
-    # rows, so strictness adds nothing there.
-    return "(" in t or "struct<" in t or "map<" in t
+    # Only struct/map/union spellings are exempt from strictness —
+    # their renderings differ per engine even at equal types
+    # ('STRUCT(a INTEGER)' vs 'struct<a:int>'). Parameterized SCALARS
+    # (decimal(p,s)) stay strict: the driver hash is type-sensitive.
+    t = t.lower()
+    return any(tok in t for tok in ("struct", "map<", "map(", "union"))
 
 
 def dtype_mismatches(s_schema, d_cols, d_types):
     """(col, spark_type, duck_type) rows whose canonical families
-    differ, plus any driver-hash-hostile DuckDB types (int128 etc.).
-    Arrays canonicalize recursively; struct/map spellings are exempt
-    from the strict comparison (per-engine renderings differ even at
-    equal types) unless they embed a hash-hostile scalar."""
+    differ, plus any driver-hash-hostile DuckDB types (int128 /
+    unsigned, incl. embedded in composites — checked on the raw
+    spelling). Arrays and decimals canonicalize; struct/map spellings
+    are exempt from the strict comparison."""
     duck = {c: _canon_duck_type(t) for c, t in zip(d_cols, d_types)}
+    raw = {c: str(t).upper() for c, t in zip(d_cols, d_types)}
     out = []
     for f in s_schema.fields:
         st = _canon_spark_type(f.dataType.simpleString())
         dt = duck.get(f.name)
         if dt is None:
             continue  # column-name diff is reported separately
-        hostile = any(h in dt for h in _HASH_HOSTILE)
-        if _is_composite(st) or _is_composite(dt):
-            if hostile:
-                out.append((f.name, st, dt))
+        hostile = any(h in dt for h in _HASH_HOSTILE) or any(
+            h in raw[f.name] for h in _HOSTILE_RAW
+        )
+        if hostile:
+            out.append((f.name, st, dt))
             continue
-        if st != dt or hostile:
+        if _is_composite(st) or _is_composite(dt):
+            continue
+        if st != dt:
             out.append((f.name, st, dt))
     return out
 
