@@ -244,3 +244,61 @@ def test_stream_replicate_bounded_trigger_still_drains_backlog(spark, tmp_path):
     )
     assert out["cursor"] == 3 and out["batches"] >= 2
     assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
+
+
+def test_stream_replicate_sliced_commit_crash_then_batch_apply_converges(
+    spark, tmp_path, monkeypatch
+):
+    """A commit's feed batch spans several files; with
+    max_files_per_trigger=1 the drain slices it across micro-batches.
+    Crash after the FIRST slice: the cursor must NOT have advanced
+    (quiesce-only write), so the batch-mode apply re-applies the whole
+    commit and the replica converges — a mid-drain cursor write would
+    have made apply_changes_feed skip the commit's remaining rows
+    forever."""
+    import os
+
+    import rds_to_datalake_project_spark.operators.replicate as rep_mod
+    from rds_to_datalake_project_spark.operators.replicate import stream_replicate
+
+    t, feed = _mk_source(spark, tmp_path)
+    _, rep_spec = _specs()
+    r = KeyedTable(spark, str(tmp_path / "rep"), rep_spec, retain_versions=4)
+    bootstrap_replica(t, r, as_of=0)
+    # one commit; split its feed batch into two files (AQE coalesces
+    # small local writes, but real multi-task commits write many files)
+    t.upsert(_batch(spark, [(i, f"v1-{i}", 1, "U") for i in range(1, 9)]))
+    import glob
+    import shutil
+
+    b = spark.read.parquet(f"{feed}/v1")
+    for i, half in enumerate((b.filter("k <= 4"), b.filter("k > 4"))):
+        half.coalesce(1).write.parquet(str(tmp_path / f"half{i}"))
+    for f in glob.glob(f"{feed}/v1/*.parquet"):
+        os.remove(f)
+    for i in (0, 1):
+        src = glob.glob(str(tmp_path / f"half{i}" / "*.parquet"))[0]
+        shutil.copy(src, f"{feed}/v1/split-{i}.snappy.parquet")
+    files = [f for f in os.listdir(f"{feed}/v1") if f.endswith(".parquet")]
+    assert len(files) == 2, files
+
+    real = rep_mod._apply_stream_batch
+    state = {"n": 0}
+
+    def explode_second(replica, batch):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("injected crash mid-drain")
+        return real(replica, batch)
+
+    monkeypatch.setattr(rep_mod, "_apply_stream_batch", explode_second)
+    with pytest.raises(Exception, match="injected crash"):
+        stream_replicate(
+            r, feed, str(tmp_path / "ckpt"), max_files_per_trigger=1
+        )
+    monkeypatch.setattr(rep_mod, "_apply_stream_batch", real)
+    # first slice applied, but the cursor is still at bootstrap
+    assert applied_version(r) == 0
+    out = apply_changes_feed(r, feed)
+    assert out["applied"] == [1]
+    assert _sig(r.read().select("k", "val")) == _sig(t.read().select("k", "val"))
