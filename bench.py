@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_dim_drift",
     "replicated_orders_checksums",
     "stream_replicated_orders_checksums",
+    "join_matview_nation_revenue",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",

@@ -183,3 +183,212 @@ def attach_matview_maintenance(base: KeyedTable, view: MaterializedView) -> None
         view.refresh()
 
     base.add_maintenance_hook(matview_refresh)
+
+
+class JoinMaterializedView:
+    """``SELECT group_cols, aggs FROM left JOIN right ON left.lk =
+    right.rk GROUP BY group_cols`` (inner equi-join), incrementally
+    maintained from BOTH tables' change feeds — the classic
+    incremental-view-maintenance case a single-table matview cannot
+    cover: a dimension-side update MOVES every joined fact row between
+    groups, and a fact-side delete shrinks a group it never names.
+
+    Maintenance is AFFECTED-GROUP RECOMPUTE lifted to the join:
+
+    1. The two change windows (split pre/post images, so a mutated
+       join key contributes BOTH its old and new value) reduce to the
+       distinct touched JOIN-KEY values — ∝ the change set.
+    2. Touched groups = group values reachable from those keys in the
+       NEW state (current join, both sides pre-pruned by a broadcast
+       key semi-join) ∪ the OLD state (the as-of join at the previous
+       cursor — two metadata snapshot reads, same key pruning). The
+       old side is what catches groups that only LOST rows.
+    3. Exactly those groups are recomputed from the current join and
+       merged into the view's KeyedTable store; groups with no
+       surviving join rows become delete tombstones.
+
+    Recomputing (never retracting) keeps MIN/MAX/COUNT(DISTINCT)/
+    percentile aggregates correct with no invertibility requirement;
+    cost ∝ the touched groups' join rows, never either corpus. A
+    replayed refresh recomputes the same groups from the same
+    snapshots — idempotent — so the cursor marker is written after
+    the merge; a crash between them repeats work, never corrupts.
+
+    Requirements: both tables versioned (the cursor is a pair of
+    commit versions); column names referenced by ``group_cols`` /
+    ``aggs`` must be unambiguous across the joined frame (TPC-H-style
+    prefixed schemas satisfy this)."""
+
+    def __init__(
+        self,
+        left: KeyedTable,
+        right: KeyedTable,
+        path: str,
+        on: tuple[str, str],
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "join_matview",
+    ):
+        if not (left.retain_versions and right.retain_versions):
+            raise ValueError(
+                "JoinMaterializedView requires BOTH tables versioned "
+                "(retain_versions > 0) — the cursor is a commit-version pair"
+            )
+        if not group_cols or not aggs:
+            raise ValueError("group_cols and aggs must be non-empty")
+        bad = set(group_cols) & set(aggs)
+        if bad:
+            raise ValueError(f"column(s) both grouped and aggregated: {sorted(bad)}")
+        self.left, self.right = left, right
+        self.spark: SparkSession = left.spark
+        self.path = path
+        self.l_on, self.r_on = on
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.store = KeyedTable(
+            self.spark,
+            path,
+            TableSpec(
+                name,
+                record_key=tuple(group_cols),
+                precombine_key=_SEQ_COL,
+                partition_granularity="",
+            ),
+        )
+
+    def _marker_path(self) -> str:
+        return f"{self.path}/.mv/_BASE_VERSIONS"
+
+    def refreshed_versions(self) -> tuple[int, int] | None:
+        txt = _read_small(self.spark, self._marker_path())
+        parts = (txt or "").split()
+        try:
+            return (int(parts[0]), int(parts[1])) if len(parts) == 2 else None
+        except ValueError:
+            return None
+
+    def _joined(self, l: DataFrame, r: DataFrame) -> DataFrame:
+        return l.join(r, l[self.l_on] == r[self.r_on], "inner")
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        out = rows.groupBy(*self.group_cols).agg(
+            *[F.expr(e).alias(c) for c, e in self.aggs.items()]
+        )
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        return self.store.read().drop(_SEQ_COL)
+
+    def refresh(self) -> dict:
+        l_latest = (self.left.versions() or [0])[-1]
+        r_latest = (self.right.versions() or [0])[-1]
+        cur = self.refreshed_versions()
+        if cur == (l_latest, r_latest):
+            return {"mode": "noop", "versions": cur, "groups_refreshed": 0}
+        if (
+            cur is None
+            or cur[0] not in self.left.readable_versions()
+            or cur[1] not in self.right.readable_versions()
+        ):
+            return self._full(l_latest, r_latest)
+        return self._incremental(cur, (l_latest, r_latest))
+
+    def _write_cursor(self, versions: tuple[int, int]) -> None:
+        _write_small(
+            self.spark, self._marker_path(), f"{versions[0]} {versions[1]}"
+        )
+
+    def _full(self, l_latest: int, r_latest: int) -> dict:
+        rows = self._joined(self.left.read(), self.right.read())
+        self.store.initial_load(self._aggregate(rows, l_latest + r_latest))
+        n = self.store.read().count()
+        self._write_cursor((l_latest, r_latest))
+        return {
+            "mode": "full",
+            "versions": (l_latest, r_latest),
+            "groups_refreshed": n,
+        }
+
+    def _touched_keys(self, cur, new) -> DataFrame | None:
+        """Distinct join-key values any change image names — pre AND
+        post, so a mutated join key retires its old neighborhood too."""
+        frames = []
+        if new[0] > cur[0]:
+            frames.append(
+                self.left.table_changes(cur[0], new[0], include_preimage=True)
+                .select(F.col(self.l_on).alias("__jk"))
+            )
+        if new[1] > cur[1]:
+            frames.append(
+                self.right.table_changes(cur[1], new[1], include_preimage=True)
+                .select(F.col(self.r_on).alias("__jk"))
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.filter(F.col("__jk").isNotNull()).distinct()
+
+    def _groups_via(self, l: DataFrame, r: DataFrame, keys: DataFrame) -> DataFrame:
+        """Distinct group values reachable from the touched join keys
+        in the (l, r) state — both sides pruned by the broadcast key
+        semi-join BEFORE the join, so cost ∝ the keys' neighborhoods."""
+        lt = l.join(F.broadcast(keys), l[self.l_on] == keys["__jk"], "left_semi")
+        rt = r.join(F.broadcast(keys), r[self.r_on] == keys["__jk"], "left_semi")
+        return self._joined(lt, rt).select(*self.group_cols).distinct()
+
+    def _incremental(self, cur, new) -> dict:
+        keys = self._touched_keys(cur, new)
+        if keys is None:
+            self._write_cursor(new)
+            return {"mode": "incremental", "versions": new, "groups_refreshed": 0}
+        keys = keys.localCheckpoint(eager=True)
+        l_now, r_now = self.left.read(), self.right.read()
+        l_old = self.left.read_as_of(cur[0])
+        r_old = self.right.read_as_of(cur[1])
+        touched = (
+            self._groups_via(l_now, r_now, keys)
+            .unionByName(self._groups_via(l_old, r_old, keys))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_touched = touched.count()
+        if not n_touched:
+            self._write_cursor(new)
+            return {"mode": "incremental", "versions": new, "groups_refreshed": 0}
+        seq = new[0] + new[1]
+        affected = self._joined(l_now, r_now).join(
+            F.broadcast(touched), self.group_cols, "left_semi"
+        )
+        fresh = self._aggregate(affected, seq).localCheckpoint(eager=True)
+        gone = touched.join(
+            fresh.select(*self.group_cols), self.group_cols, "left_anti"
+        )
+        tombstones = gone.select(
+            *self.group_cols,
+            *[
+                F.lit(None).cast(fresh.schema[c].dataType).alias(c)
+                for c in self.aggs
+            ],
+            F.lit(seq).cast("long").alias(_SEQ_COL),
+        ).withColumn("Op", F.lit("D"))
+        batch = fresh.withColumn("Op", F.lit("U")).unionByName(tombstones)
+        self.store.upsert(batch, delete_mode="apply")
+        self._write_cursor(new)
+        return {
+            "mode": "incremental",
+            "versions": new,
+            "groups_refreshed": n_touched,
+        }
+
+
+def attach_join_matview_maintenance(view: JoinMaterializedView) -> None:
+    """Enroll the view in BOTH base tables' post-commit maintenance
+    slots — whichever side commits, the refresh reads both heads."""
+
+    def jmv_refresh(_table: KeyedTable) -> None:
+        view.refresh()
+
+    view.left.add_maintenance_hook(jmv_refresh)
+    view.right.add_maintenance_hook(jmv_refresh)

@@ -451,6 +451,125 @@ ORDER BY relation
 """
 
 
+def join_matview_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (operators/matview.py:
+    JoinMaterializedView): per-nation order counts + revenue over
+    orders ⋈ customer, followed through one commit on EACH side —
+    a fact-side reprice+delete and a dimension-side nation MOVE (the
+    group-relabeling case no single-table feed can name). Maintenance
+    hooks fire per commit; the oracle recomputes the final join
+    aggregate in closed form, so a hash match proves affected-group
+    recompute ≡ full recomputation across both feeds. Revenue uses
+    the proven decimal-sum-then-double pattern (order-independent,
+    bit-stable cross-engine)."""
+    return _join_matview_serve(
+        spark, sf_dir, _join_matview_fixture(spark, sf_dir)
+    )
+
+
+def _join_matview_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        JoinMaterializedView,
+        attach_join_matview_maintenance,
+    )
+
+    root = _scratch("join_matview")
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = KeyedTable(
+        spark,
+        root + "/orders",
+        TableSpec(
+            "orders_jmv",
+            record_key=("o_orderkey",),
+            precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    c = KeyedTable(
+        spark,
+        root + "/customer",
+        TableSpec(
+            "customer_jmv",
+            record_key=("c_custkey",),
+            precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    o.initial_load(o_base.withColumn("seq", F.lit(0).cast("long")))
+    c.initial_load(c_base.withColumn("seq", F.lit(0).cast("long")))
+    view = JoinMaterializedView(
+        o,
+        c,
+        root + "/view",
+        on=("o_custkey", "c_custkey"),
+        group_cols=["c_nationkey"],
+        aggs={
+            "n_orders": "CAST(count(*) AS BIGINT)",
+            "revenue": (
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+            ),
+        },
+    )
+    attach_join_matview_maintenance(view)
+    k = F.col("o_orderkey")
+    o.upsert(  # fact side: reprice one class, delete another
+        o_base.filter((k % 5 == 0) & (k % 7 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("Op", F.lit("U"))
+        .unionByName(o_base.filter(k % 7 == 0).withColumn("Op", F.lit("D")))
+        .withColumn("seq", F.lit(1).cast("long")),
+        delete_mode="apply",
+    )
+    ck = F.col("c_custkey")
+    c.upsert(  # dimension side: GROUP MOVE — relabels every joined fact
+        c_base.filter(ck % 3 == 0)
+        .withColumn("c_nationkey", (F.col("c_nationkey") + 1) % 25)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    return view
+
+
+def _join_matview_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+JOIN_MATVIEW_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nation
+  FROM customer
+)
+SELECT CAST(c.nation AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.price AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "fk_violation_counts": fk_violation_counts,
     "expectations_orders_report": expectations_orders_report,
@@ -458,6 +577,7 @@ QUERIES = {
     "matview_incremental_status": matview_incremental_status,
     "sql_matview_roundtrip": sql_matview_roundtrip,
     "stats_join_advisory": stats_join_advisory,
+    "join_matview_nation_revenue": join_matview_nation_revenue,
 }
 
 ORACLES = {
@@ -467,4 +587,9 @@ ORACLES = {
     "gated_upsert_roundtrip": GATED_SQL,
     "matview_incremental_status": MATVIEW_SQL,
     "stats_join_advisory": ADVISORY_SQL,
+    "join_matview_nation_revenue": JOIN_MATVIEW_SQL,
+}
+
+PHASES = {
+    "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
 }

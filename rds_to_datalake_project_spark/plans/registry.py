@@ -41,10 +41,11 @@ _MODULES = (
 # md5 twins carry the hash check for the same code paths.
 _PRIORITY = (
     # --- tier A: NEW in round 10 — secondary RANGE index, continuous
-    # streaming replication, sidecar ops inventory
+    # streaming replication, sidecar ops inventory, join-view IVM
     "secondary_index_range_scan",
     "stream_replicated_orders_checksums",
     "sidecar_service_status",
+    "join_matview_nation_revenue",
     # --- tier B: stale-green rotation (r9 VERDICT "What's missing" #1):
     # last driver row r4 (first four) or r6/r7; engine internals they
     # ride on changed materially since (delta publish, scratch roots,
@@ -98,9 +99,10 @@ _PRIORITY = (
     "quantity_percentiles",
     "asof_user_state",
     "range_join_promo_windows",
-    # (customer_order_balance yields its slot to sidecar_service_status;
-    # the J1 join family keeps two freshness rows below)
-    "suppliers_with_returns",
+    # (customer_order_balance and suppliers_with_returns yield their
+    # slots to sidecar_service_status and join_matview_nation_revenue;
+    # the J1 join family keeps one freshness row below and its r7
+    # greens stand on record)
     "customers_without_orders",
     "sql_facade_forecast_revenue",
     "hypertable_rollup",

@@ -1,0 +1,144 @@
+"""Incremental view maintenance over a JOIN
+(operators/matview.py:JoinMaterializedView): converges to direct
+recomputation across commits on BOTH sides — fact deletes, fact
+inserts, dimension group-moves, join-key mutation — with vanished
+groups tombstoned and replay idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.matview import (
+    JoinMaterializedView,
+    attach_join_matview_maintenance,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+
+def _mk(spark, tmp_path):
+    fact_spec = TableSpec(
+        "facts", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    dim_spec = TableSpec(
+        "dims", record_key=("d_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    facts = KeyedTable(spark, str(tmp_path / "f"), fact_spec, retain_versions=8)
+    dims = KeyedTable(spark, str(tmp_path / "d"), dim_spec, retain_versions=8)
+    facts.initial_load(
+        spark.createDataFrame(
+            [(i, i % 6, 10 * i, 0) for i in range(60)],
+            "f_id long, f_dim long, amount long, seq long",
+        )
+    )
+    dims.initial_load(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", 0) for i in range(6)],
+            "d_id long, grp string, seq long",
+        )
+    )
+    view = JoinMaterializedView(
+        facts,
+        dims,
+        str(tmp_path / "v"),
+        on=("f_dim", "d_id"),
+        group_cols=["grp"],
+        aggs={
+            "n": "CAST(count(*) AS BIGINT)",
+            "total": "CAST(sum(amount) AS BIGINT)",
+        },
+    )
+    return facts, dims, view
+
+
+def _direct(facts, dims):
+    f, d = facts.read(), dims.read()
+    return {
+        (r["grp"], r["n"], r["total"])
+        for r in f.join(d, f["f_dim"] == d["d_id"])
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("amount").cast("long").alias("total"),
+        )
+        .collect()
+    }
+
+
+def _view_rows(view):
+    return {(r["grp"], r["n"], r["total"]) for r in view.read().collect()}
+
+
+def _fbatch(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "f_id long, f_dim long, amount long, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def _dbatch(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "d_id long, grp string, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def test_full_then_incremental_converges_both_sides(spark, tmp_path):
+    facts, dims, view = _mk(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    assert _view_rows(view) == _direct(facts, dims)
+
+    # fact side: insert, delete, and a join-key mutation (fact moves
+    # from dim 1 to dim 2 — both neighborhoods must refresh)
+    facts.upsert(
+        _fbatch(spark, [(100, 0, 7, 1), (1, 2, 10, 1)]).unionByName(
+            _fbatch(spark, [(2, 2, 20, 1)], op="D")
+        ),
+        delete_mode="apply",
+    )
+    out = view.refresh()
+    assert out["mode"] == "incremental" and out["groups_refreshed"] >= 1
+    assert _view_rows(view) == _direct(facts, dims)
+
+    # dimension side: a GROUP MOVE (d_id=3 g0→g9) relabels every
+    # joined fact row — the classic case a fact-side feed never names
+    dims.upsert(_dbatch(spark, [(3, "g9", 1)]))
+    assert view.refresh()["mode"] == "incremental"
+    assert _view_rows(view) == _direct(facts, dims)
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_vanished_group_is_tombstoned(spark, tmp_path):
+    facts, dims, view = _mk(spark, tmp_path)
+    view.refresh()
+    # delete the only dim rows of group g2 (d_id 2 and 5) → group gone
+    dims.upsert(
+        _dbatch(spark, [(2, "g2", 1), (5, "g2", 1)], op="D"),
+        delete_mode="apply",
+    )
+    view.refresh()
+    assert _view_rows(view) == _direct(facts, dims)
+    assert "g2" not in {r["grp"] for r in view.read().collect()}
+
+
+def test_maintenance_hooks_follow_both_tables(spark, tmp_path):
+    facts, dims, view = _mk(spark, tmp_path)
+    attach_join_matview_maintenance(view)
+    facts.upsert(_fbatch(spark, [(200, 1, 5, 1)]))
+    assert _view_rows(view) == _direct(facts, dims)
+    dims.upsert(_dbatch(spark, [(0, "g7", 1)]))
+    assert _view_rows(view) == _direct(facts, dims)
+
+
+def test_requires_versioned_tables(spark, tmp_path):
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    t1 = KeyedTable(spark, str(tmp_path / "a"), spec)  # unversioned
+    t2 = KeyedTable(spark, str(tmp_path / "b"), spec, retain_versions=2)
+    with pytest.raises(ValueError, match="versioned"):
+        JoinMaterializedView(
+            t1, t2, str(tmp_path / "v"), on=("k", "k"),
+            group_cols=["k"], aggs={"n": "count(*)"},
+        )
