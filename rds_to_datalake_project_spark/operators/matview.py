@@ -284,7 +284,12 @@ class JoinMaterializedView:
         r_latest = (self.right.versions() or [0])[-1]
         cur = self.refreshed_versions()
         if cur == (l_latest, r_latest):
-            return {"mode": "noop", "versions": cur, "groups_refreshed": 0}
+            return {
+                "mode": "noop",
+                "versions": cur,
+                "base_version": sum(cur),
+                "groups_refreshed": 0,
+            }
         if (
             cur is None
             or cur[0] not in self.left.readable_versions()
@@ -306,6 +311,10 @@ class JoinMaterializedView:
         return {
             "mode": "full",
             "versions": (l_latest, r_latest),
+            # scalar cursor for surfaces that report one number (the
+            # SQL layer's result frames): monotone — each refresh
+            # advances ≥1 head and never regresses the other
+            "base_version": l_latest + r_latest,
             "groups_refreshed": n,
         }
 
@@ -342,7 +351,12 @@ class JoinMaterializedView:
         keys = self._touched_keys(cur, new)
         if keys is None:
             self._write_cursor(new)
-            return {"mode": "incremental", "versions": new, "groups_refreshed": 0}
+            return {
+                "mode": "incremental",
+                "versions": new,
+                "base_version": sum(new),
+                "groups_refreshed": 0,
+            }
         keys = keys.localCheckpoint(eager=True)
         l_now, r_now = self.left.read(), self.right.read()
         l_old = self.left.read_as_of(cur[0])
@@ -356,7 +370,12 @@ class JoinMaterializedView:
         n_touched = touched.count()
         if not n_touched:
             self._write_cursor(new)
-            return {"mode": "incremental", "versions": new, "groups_refreshed": 0}
+            return {
+                "mode": "incremental",
+                "versions": new,
+                "base_version": sum(new),
+                "groups_refreshed": 0,
+            }
         seq = new[0] + new[1]
         affected = self._joined(l_now, r_now).join(
             F.broadcast(touched), self.group_cols, "left_semi"
@@ -379,6 +398,7 @@ class JoinMaterializedView:
         return {
             "mode": "incremental",
             "versions": new,
+            "base_version": sum(new),
             "groups_refreshed": n_touched,
         }
 

@@ -212,12 +212,16 @@ _PURGE_RE = re.compile(
 )
 # Engine extension: incremental materialized views over registered
 # KeyedTables (operators/matview.py) through the SQL layer. The AS
-# body is the one maintainable shape — SELECT <group cols + aliased
-# aggregates> FROM <registered table> GROUP BY <group cols>.
+# body is the maintainable shape — SELECT <group cols + aliased
+# aggregates> FROM <registered table> [JOIN <registered table> ON
+# <l> = <r>] GROUP BY <group cols>; with a JOIN the view becomes a
+# JoinMaterializedView maintained from BOTH tables' change feeds.
 _CREATE_MV_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
     r"(?P<auto>\s+WITH\s+AUTO\s+REFRESH)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
+    rf"(?:\s+JOIN\s+(?P<right>{_QNAME})"
+    r"\s+ON\s+(?P<lon>[\w.\"]+)\s*=\s*(?P<ron>[\w.\"]+))?"
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -401,6 +405,71 @@ def _split_top_level(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _build_join_matview(m, known, base, safe, group_cols, aggs):
+    """The JOIN form of CREATE MATERIALIZED VIEW: resolve the right
+    table, pick the ON sides (qualified names bind explicitly;
+    unqualified names bind by column membership), and return a
+    JoinMaterializedView — maintained from BOTH feeds under WITH AUTO
+    REFRESH."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        JoinMaterializedView,
+        attach_join_matview_maintenance,
+    )
+
+    base_name = _unquote_ident(m.group("base"))
+    right_name = _unquote_ident(m.group("right"))
+    right = known.get(right_name)
+    if right is None:
+        raise ValueError(
+            f"JOIN table {right_name!r} is not a registered lake table; "
+            f"known: {sorted(known)}"
+        )
+
+    def _side(tok: str) -> tuple[str | None, str]:
+        tok = tok.strip().strip('"')
+        if "." in tok:
+            q, c = tok.rsplit(".", 1)
+            return _unquote_ident(q), c
+        return None, tok
+
+    sides = [_side(m.group("lon")), _side(m.group("ron"))]
+    l_cols, r_cols = set(base.read().columns), set(right.read().columns)
+
+    def _belongs_left(q: str | None, c: str) -> bool:
+        if q is not None:
+            if q == base_name:
+                return True
+            if q == right_name:
+                return False
+            raise ValueError(f"ON qualifier {q!r} names neither joined table")
+        in_l, in_r = c in l_cols, c in r_cols
+        if in_l == in_r:
+            raise ValueError(
+                f"ON column {c!r} is ambiguous or unknown — qualify it "
+                f"({base_name}.{c} / {right_name}.{c})"
+            )
+        return in_l
+    lefts = [_belongs_left(q, c) for q, c in sides]
+    if lefts == [True, False]:
+        on = (sides[0][1], sides[1][1])
+    elif lefts == [False, True]:
+        on = (sides[1][1], sides[0][1])
+    else:
+        raise ValueError("ON must equate one column from each joined table")
+    mv = JoinMaterializedView(
+        base,
+        right,
+        f"{base.path}/.matviews/{safe}",
+        on=on,
+        group_cols=group_cols,
+        aggs=aggs,
+        name=safe,
+    )
+    if m.group("auto"):
+        attach_join_matview_maintenance(mv)
+    return mv
+
+
 def _publish_matview(spark: SparkSession, name: str, mv) -> None:
     """Expose the view's current contents to plain SELECTs. Re-run
     after every refresh: the temp view pins the snapshot plan that
@@ -411,11 +480,13 @@ def _publish_matview(spark: SparkSession, name: str, mv) -> None:
 
 def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
     """``CREATE MATERIALIZED VIEW v [WITH AUTO REFRESH] AS SELECT
-    <group cols + aliased aggregates> FROM <registered table> GROUP BY
-    <group cols>`` → an incrementally-maintained
-    operators/matview.MaterializedView stored under the base table's
-    ``.matviews/`` directory, initially refreshed, registered for
-    REFRESH/DROP and (for simple names) as a temp view for SELECTs.
+    <group cols + aliased aggregates> FROM <registered table>
+    [JOIN <registered table> ON <l> = <r>] GROUP BY <group cols>`` →
+    an incrementally-maintained operators/matview.MaterializedView
+    (JoinMaterializedView for the JOIN form, maintained from BOTH
+    tables' change feeds) stored under the base table's ``.matviews/``
+    directory, initially refreshed, registered for REFRESH/DROP and
+    (for simple names) as a temp view for SELECTs.
 
     WITH AUTO REFRESH additionally attaches the refresh as a
     post-commit maintenance hook on the base — the view then follows
@@ -454,15 +525,19 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         raise ValueError(
             f"select list must include every GROUP BY column; missing {missing}"
         )
-    mv = MaterializedView(
-        base,
-        f"{base.path}/.matviews/{re.sub(r'[^A-Za-z0-9_]', '_', name)}",
-        group_cols,
-        aggs,
-        name=re.sub(r"[^A-Za-z0-9_]", "_", name),
-    )
-    if m.group("auto"):
-        attach_matview_maintenance(base, mv)
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    if m.group("right"):
+        mv = _build_join_matview(m, known, base, safe, group_cols, aggs)
+    else:
+        mv = MaterializedView(
+            base,
+            f"{base.path}/.matviews/{safe}",
+            group_cols,
+            aggs,
+            name=safe,
+        )
+        if m.group("auto"):
+            attach_matview_maintenance(base, mv)
     info = mv.refresh()
     MATVIEWS[name] = mv
     _publish_matview(spark, name, mv)

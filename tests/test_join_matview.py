@@ -142,3 +142,69 @@ def test_requires_versioned_tables(spark, tmp_path):
             t1, t2, str(tmp_path / "v"), on=("k", "k"),
             group_cols=["k"], aggs={"n": "count(*)"},
         )
+
+
+def test_sql_facade_join_matview_create_refresh_select_drop(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... FROM a JOIN b ON ... GROUP BY
+    through the SQL layer: initial full refresh, SELECT-able temp
+    view, follows commits on both sides under WITH AUTO REFRESH,
+    REFRESH no-ops at head, DROP unbinds."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, dims, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims}
+    out = run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW nation_rev WITH AUTO REFRESH AS "
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(amount) AS BIGINT) AS total "
+        "FROM facts_t JOIN dims_t ON facts_t.f_dim = dims_t.d_id "
+        "GROUP BY grp",
+        tables=reg,
+    ).collect()[0]
+    assert out["mode"] == "full" and out["auto_refresh"]
+    direct = _direct(facts, dims)
+    got = {
+        (r["grp"], r["n"], r["total"])
+        for r in run_query(spark, "SELECT * FROM nation_rev", tables=reg).collect()
+    }
+    assert got == direct
+
+    # commits on BOTH sides follow automatically (hooks re-publish is
+    # manual via REFRESH; the store is fresh either way)
+    facts.upsert(_fbatch(spark, [(300, 2, 9, 1)]))
+    dims.upsert(_dbatch(spark, [(4, "g8", 1)]))
+    ref = run_query(
+        spark, "REFRESH MATERIALIZED VIEW nation_rev", tables=reg
+    ).collect()[0]
+    assert ref["mode"] == "noop"  # auto hooks already caught up
+    got = {
+        (r["grp"], r["n"], r["total"])
+        for r in run_query(spark, "SELECT * FROM nation_rev", tables=reg).collect()
+    }
+    assert got == _direct(facts, dims)
+    dropped = run_query(
+        spark, "DROP MATERIALIZED VIEW nation_rev", tables=reg
+    ).collect()[0]
+    assert dropped["dropped"]
+
+
+def test_sql_facade_join_matview_rejects_unknown_or_ambiguous_on(spark, tmp_path):
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, dims, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims}
+    with pytest.raises(ValueError, match="not a registered"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW x AS SELECT grp, count(*) AS n "
+            "FROM facts_t JOIN nope ON facts_t.f_dim = nope.d_id GROUP BY grp",
+            tables=reg,
+        )
+    with pytest.raises(ValueError, match="ambiguous or unknown"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW x AS SELECT grp, count(*) AS n "
+            "FROM facts_t JOIN dims_t ON seq = d_id GROUP BY grp",
+            tables=reg,
+        )
