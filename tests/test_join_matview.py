@@ -208,3 +208,35 @@ def test_sql_facade_join_matview_rejects_unknown_or_ambiguous_on(spark, tmp_path
             "FROM facts_t JOIN dims_t ON seq = d_id GROUP BY grp",
             tables=reg,
         )
+
+
+def test_refresh_crash_before_cursor_replays_idempotently(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the store merge and the cursor write: the next
+    refresh recomputes the same groups from the same snapshots and
+    converges — affected-group recompute is replay-idempotent."""
+    import rds_to_datalake_project_spark.operators.matview as mv_mod
+
+    facts, dims, view = _mk(spark, tmp_path)
+    view.refresh()
+    facts.upsert(_fbatch(spark, [(400, 3, 11, 1)]))
+
+    real = mv_mod._write_small
+    blow = {"armed": True}
+
+    def exploding(spark_, path, text):
+        if blow["armed"] and path.endswith("_BASE_VERSIONS"):
+            blow["armed"] = False
+            raise RuntimeError("injected crash before cursor write")
+        return real(spark_, path, text)
+
+    monkeypatch.setattr(mv_mod, "_write_small", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        view.refresh()
+    monkeypatch.setattr(mv_mod, "_write_small", real)
+    # cursor old → replay recomputes the same groups; store converges
+    out = view.refresh()
+    assert out["mode"] == "incremental"
+    assert _view_rows(view) == _direct(facts, dims)
+    assert view.refresh()["mode"] == "noop"
