@@ -43,6 +43,47 @@ from rds_to_datalake_project_spark.schema import TableSpec
 _SEQ_COL = "_refresh_seq"
 
 
+def _nullsafe_cond(a: DataFrame, b: DataFrame, cols: list[str]):
+    """eqNullSafe conjunction over the group columns: a NULL group is
+    a REAL group (SQL GROUP BY keeps it) — a name-list join would
+    never match it, so the incremental path would silently tombstone
+    it out of the view while full recomputation keeps it."""
+    cond = None
+    for c in cols:
+        e = a[c].eqNullSafe(b[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _merge_touched(store, touched, fresh, group_cols, aggs, seq) -> None:
+    """Shared merge step of affected-group recompute (single-table and
+    join views): upsert the recomputed groups, tombstone touched
+    groups with no surviving rows — null-safe group matching
+    throughout."""
+    fg = fresh.select(*group_cols)
+    gone = touched.join(
+        fg, _nullsafe_cond(touched, fg, group_cols), "left_anti"
+    )
+    tombstones = gone.select(
+        *group_cols,
+        *[
+            F.lit(None).cast(fresh.schema[c].dataType).alias(c)
+            for c in aggs
+        ],
+        F.lit(seq).cast("long").alias(_SEQ_COL),
+    ).withColumn("Op", F.lit("D"))
+    batch = fresh.withColumn("Op", F.lit("U")).unionByName(tombstones)
+    store.upsert(batch, delete_mode="apply")
+
+
+def _inc_token(table: KeyedTable) -> str:
+    """The base's incarnation uuid, or '-' when untracked — recorded
+    in the cursor marker so a TABLE RESET (initial_load restarts
+    commit numbering) invalidates the cursor instead of reading as
+    noop/incremental over different data."""
+    return table.incarnation() or "-"
+
+
 class MaterializedView:
     """``SELECT group_cols, aggs FROM base GROUP BY group_cols``,
     incrementally maintained.
@@ -95,12 +136,17 @@ class MaterializedView:
 
     def refreshed_version(self) -> int | None:
         """Base commit version the view currently reflects (None =
-        never refreshed / marker unreadable → next refresh is full)."""
-        txt = _read_small(self.spark, self._marker_path())
+        never refreshed, marker unreadable, or the base was RESET —
+        its incarnation token no longer matches → next refresh is
+        full)."""
+        parts = (_read_small(self.spark, self._marker_path()) or "").split()
         try:
-            return int((txt or "").strip())
-        except ValueError:
+            v = int(parts[0])
+        except (IndexError, ValueError):
             return None
+        if len(parts) > 1 and parts[1] != _inc_token(self.base):
+            return None  # cursor predates a table reset
+        return v
 
     # -- plans ---------------------------------------------------------------
 
@@ -127,11 +173,18 @@ class MaterializedView:
             return self._full(latest)
         return self._incremental(since, latest)
 
+    def _write_marker(self, latest: int) -> None:
+        _write_small(
+            self.spark,
+            self._marker_path(),
+            f"{latest} {_inc_token(self.base)}",
+        )
+
     def _full(self, latest: int) -> dict:
         full = self._aggregate(self.base.read(), latest)
         self.store.initial_load(full)
         n = self.store.read().count()
-        _write_small(self.spark, self._marker_path(), str(latest))
+        self._write_marker(latest)
         return {"mode": "full", "base_version": latest, "groups_refreshed": n}
 
     def _incremental(self, since: int, latest: int) -> dict:
@@ -144,28 +197,19 @@ class MaterializedView:
         )
         n_touched = touched.count()
         if not n_touched:
-            _write_small(self.spark, self._marker_path(), str(latest))
+            self._write_marker(latest)
             return {"mode": "incremental", "base_version": latest, "groups_refreshed": 0}
         snap = self.base.read()
-        affected_rows = snap.join(F.broadcast(touched), self.group_cols, "left_semi")
-        fresh = self._aggregate(affected_rows, latest).localCheckpoint(eager=True)
-        # Groups with no surviving base rows: tombstone them out of
-        # the view (delete pre-images land here after their last row
-        # is removed).
-        gone = touched.join(
-            fresh.select(*self.group_cols), self.group_cols, "left_anti"
+        affected_rows = snap.join(
+            F.broadcast(touched),
+            _nullsafe_cond(snap, touched, self.group_cols),
+            "left_semi",
         )
-        tombstones = gone.select(
-            *self.group_cols,
-            *[
-                F.lit(None).cast(fresh.schema[c].dataType).alias(c)
-                for c in self.aggs
-            ],
-            F.lit(latest).cast("long").alias(_SEQ_COL),
-        ).withColumn("Op", F.lit("D"))
-        batch = fresh.withColumn("Op", F.lit("U")).unionByName(tombstones)
-        self.store.upsert(batch, delete_mode="apply")
-        _write_small(self.spark, self._marker_path(), str(latest))
+        fresh = self._aggregate(affected_rows, latest).localCheckpoint(eager=True)
+        _merge_touched(
+            self.store, touched, fresh, self.group_cols, self.aggs, latest
+        )
+        self._write_marker(latest)
         return {
             "mode": "incremental",
             "base_version": latest,
@@ -260,12 +304,22 @@ class JoinMaterializedView:
         return f"{self.path}/.mv/_BASE_VERSIONS"
 
     def refreshed_versions(self) -> tuple[int, int] | None:
-        txt = _read_small(self.spark, self._marker_path())
-        parts = (txt or "").split()
+        """Commit-version pair the view reflects, or None when never
+        refreshed, unreadable, or EITHER base was reset (incarnation
+        token mismatch) — commit numbers alone cannot tell a reset
+        from progress."""
+        parts = (_read_small(self.spark, self._marker_path()) or "").split()
+        if len(parts) != 4:
+            return None
         try:
-            return (int(parts[0]), int(parts[1])) if len(parts) == 2 else None
+            versions = (int(parts[0]), int(parts[1]))
         except ValueError:
             return None
+        if parts[2] != _inc_token(self.left) or parts[3] != _inc_token(
+            self.right
+        ):
+            return None
+        return versions
 
     def _joined(self, l: DataFrame, r: DataFrame) -> DataFrame:
         return l.join(r, l[self.l_on] == r[self.r_on], "inner")
@@ -300,7 +354,10 @@ class JoinMaterializedView:
 
     def _write_cursor(self, versions: tuple[int, int]) -> None:
         _write_small(
-            self.spark, self._marker_path(), f"{versions[0]} {versions[1]}"
+            self.spark,
+            self._marker_path(),
+            f"{versions[0]} {versions[1]} "
+            f"{_inc_token(self.left)} {_inc_token(self.right)}",
         )
 
     def _full(self, l_latest: int, r_latest: int) -> dict:
@@ -377,23 +434,16 @@ class JoinMaterializedView:
                 "groups_refreshed": 0,
             }
         seq = new[0] + new[1]
-        affected = self._joined(l_now, r_now).join(
-            F.broadcast(touched), self.group_cols, "left_semi"
+        joined = self._joined(l_now, r_now)
+        affected = joined.join(
+            F.broadcast(touched),
+            _nullsafe_cond(joined, touched, self.group_cols),
+            "left_semi",
         )
         fresh = self._aggregate(affected, seq).localCheckpoint(eager=True)
-        gone = touched.join(
-            fresh.select(*self.group_cols), self.group_cols, "left_anti"
+        _merge_touched(
+            self.store, touched, fresh, self.group_cols, self.aggs, seq
         )
-        tombstones = gone.select(
-            *self.group_cols,
-            *[
-                F.lit(None).cast(fresh.schema[c].dataType).alias(c)
-                for c in self.aggs
-            ],
-            F.lit(seq).cast("long").alias(_SEQ_COL),
-        ).withColumn("Op", F.lit("D"))
-        batch = fresh.withColumn("Op", F.lit("U")).unionByName(tombstones)
-        self.store.upsert(batch, delete_mode="apply")
         self._write_cursor(new)
         return {
             "mode": "incremental",

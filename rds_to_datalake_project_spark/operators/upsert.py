@@ -301,7 +301,36 @@ class KeyedTable:
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
         self._bump_seq()
+        # Incarnation token: initial_load is a TABLE RESET, and commit
+        # versions restart at 0 — derived state living OUTSIDE the
+        # table path (externally-stored matviews, the changes feed)
+        # could otherwise see "same version numbers" over different
+        # data and keep serving the previous incarnation. State under
+        # the table path needs no token: the static overwrite wiped it.
+        if self.retain_versions:
+            self._write_incarnation()
         self._run_maintenance()
+
+    def _write_incarnation(self) -> None:
+        fs, meta_dir = self._fs(f"{self.path}/.meta")
+        fs.mkdirs(meta_dir)
+        _, tmp_p = self._fs(f"{self.path}/.meta/._INCARNATION.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(uuid.uuid4().hex.encode("utf-8"))
+        out.close()
+        _, p = self._fs(f"{self.path}/.meta/_INCARNATION")
+        fs.delete(p, True)
+        self._rename(fs, tmp_p, p)
+
+    def incarnation(self) -> str | None:
+        """Uuid minted by the LAST initial_load (None on legacy or
+        unversioned tables). Derived state stored outside the table
+        path records it and full-rebuilds on mismatch — commit version
+        numbers alone cannot distinguish a reset from progress."""
+        fs, p = self._fs(f"{self.path}/.meta/_INCARNATION")
+        if not fs.exists(p):
+            return None
+        return self._read_flag_text(f"{self.path}/.meta/_INCARNATION").strip() or None
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
 
@@ -1517,6 +1546,34 @@ class KeyedTable:
         fs = jvm.org.apache.hadoop.fs.Path(feed_dir).getFileSystem(
             self.spark._jsc.hadoopConfiguration()
         )
+        # Incarnation fence: the feed outlives a TABLE RESET, and the
+        # _SUCCESS skip below would happily leave the OLD incarnation's
+        # v1..vk batches in place while appending the new one's — a
+        # consumer would replay a corrupt mix. Refuse instead; the
+        # operator vacuums/removes the stale feed (and re-bootstraps
+        # replicas) deliberately.
+        inc = self.incarnation()
+        if inc is not None:
+            marker = f"{feed_dir}/_INCARNATION"
+            stored = (
+                self._read_flag_text(marker).strip()
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(marker))
+                else None
+            )
+            if stored and stored != inc:
+                raise ValueError(
+                    "changes feed belongs to a previous table incarnation "
+                    "(initial_load reset the table) — remove the feed dir "
+                    "and re-bootstrap its replicas"
+                )
+            if stored != inc:
+                _, tmp_p = self._fs(f"{feed_dir}/._INCARNATION.tmp")
+                o = fs.create(tmp_p, True)
+                o.write(inc.encode("utf-8"))
+                o.close()
+                dst = jvm.org.apache.hadoop.fs.Path(marker)
+                fs.delete(dst, True)
+                self._rename(fs, tmp_p, dst)
         written = []
         floor = self._read_feed_floor(feed_dir)
         for v in self.readable_versions()[1:]:

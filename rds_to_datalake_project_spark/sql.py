@@ -220,8 +220,8 @@ _CREATE_MV_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
     r"(?P<auto>\s+WITH\s+AUTO\s+REFRESH)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
-    rf"(?:\s+JOIN\s+(?P<right>{_QNAME})"
-    r"\s+ON\s+(?P<lon>[\w.\"]+)\s*=\s*(?P<ron>[\w.\"]+))?"
+    rf"(?:\s+(?:INNER\s+)?JOIN\s+(?P<right>{_QNAME})"
+    r"\s+ON\s+(?P<lon>[\w.\"`]+)\s*=\s*(?P<ron>[\w.\"`]+))?"
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -407,10 +407,10 @@ def _split_top_level(text: str) -> list[str]:
 
 def _build_join_matview(m, known, base, safe, group_cols, aggs):
     """The JOIN form of CREATE MATERIALIZED VIEW: resolve the right
-    table, pick the ON sides (qualified names bind explicitly;
-    unqualified names bind by column membership), and return a
-    JoinMaterializedView — maintained from BOTH feeds under WITH AUTO
-    REFRESH."""
+    table, pick the ON sides (qualified names bind explicitly, with
+    membership validated; unqualified names bind by unambiguous
+    membership), and return ``(view, attach_fn)`` — the caller wires
+    auto-refresh only after the initial refresh succeeds."""
     from rds_to_datalake_project_spark.operators.matview import (
         JoinMaterializedView,
         attach_join_matview_maintenance,
@@ -426,22 +426,29 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
         )
 
     def _side(tok: str) -> tuple[str | None, str]:
-        tok = tok.strip().strip('"')
-        if "." in tok:
-            q, c = tok.rsplit(".", 1)
-            return _unquote_ident(q), c
-        return None, tok
+        # split FIRST, strip quoting per part — stripping outer quotes
+        # of "a"."x" before the split would leave a stray quote in the
+        # column name
+        parts = [p.strip().strip('"').strip("`") for p in tok.strip().split(".")]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        if len(parts) == 1:
+            return None, parts[0]
+        raise ValueError(f"ON identifier {tok!r} is not [table.]column")
 
     sides = [_side(m.group("lon")), _side(m.group("ron"))]
     l_cols, r_cols = set(base.read().columns), set(right.read().columns)
 
     def _belongs_left(q: str | None, c: str) -> bool:
         if q is not None:
-            if q == base_name:
-                return True
-            if q == right_name:
-                return False
-            raise ValueError(f"ON qualifier {q!r} names neither joined table")
+            if q not in (base_name, right_name):
+                raise ValueError(
+                    f"ON qualifier {q!r} names neither joined table"
+                )
+            cols = l_cols if q == base_name else r_cols
+            if c not in cols:
+                raise ValueError(f"ON column {c!r} is not in table {q!r}")
+            return q == base_name
         in_l, in_r = c in l_cols, c in r_cols
         if in_l == in_r:
             raise ValueError(
@@ -465,9 +472,7 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
         aggs=aggs,
         name=safe,
     )
-    if m.group("auto"):
-        attach_join_matview_maintenance(mv)
-    return mv
+    return mv, lambda: attach_join_matview_maintenance(mv)
 
 
 def _publish_matview(spark: SparkSession, name: str, mv) -> None:
@@ -527,7 +532,7 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         )
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
-        mv = _build_join_matview(m, known, base, safe, group_cols, aggs)
+        mv, attach = _build_join_matview(m, known, base, safe, group_cols, aggs)
     else:
         mv = MaterializedView(
             base,
@@ -536,9 +541,15 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             aggs,
             name=safe,
         )
-        if m.group("auto"):
-            attach_matview_maintenance(base, mv)
+        attach = lambda: attach_matview_maintenance(base, mv)  # noqa: E731
+    # Initial refresh BEFORE wiring auto-refresh hooks: a broken AS
+    # body (bad aggregate expr) must fail the CREATE cleanly — hooks
+    # attached first would outlive the failed statement and run the
+    # broken refresh after every future commit with no DROP to remove
+    # them.
     info = mv.refresh()
+    if m.group("auto"):
+        attach()
     MATVIEWS[name] = mv
     _publish_matview(spark, name, mv)
     return spark.createDataFrame(

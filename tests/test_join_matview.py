@@ -240,3 +240,125 @@ def test_refresh_crash_before_cursor_replays_idempotently(
     assert out["mode"] == "incremental"
     assert _view_rows(view) == _direct(facts, dims)
     assert view.refresh()["mode"] == "noop"
+
+
+def test_null_group_survives_incremental_refresh(spark, tmp_path):
+    """SQL GROUP BY keeps a NULL group; the incremental path must too
+    (name-list joins are null-unsafe and used to tombstone it)."""
+    from rds_to_datalake_project_spark.operators.matview import MaterializedView
+
+    facts, dims, view = _mk(spark, tmp_path)
+    dims.upsert(_dbatch(spark, [(5, None, 1)]))  # dim 5 → NULL group
+    view.refresh()
+    assert _view_rows(view) == _direct(facts, dims)
+    assert None in {r["grp"] for r in view.read().collect()}
+    # a commit touching the NULL group's neighborhood must keep it
+    facts.upsert(_fbatch(spark, [(500, 5, 3, 2)]))
+    view.refresh()
+    assert _view_rows(view) == _direct(facts, dims)
+    assert None in {r["grp"] for r in view.read().collect()}
+
+    # single-table form: same invariant through the shared merge
+    mv = MaterializedView(
+        facts, str(tmp_path / "sv"), ["f_dim"], {"n": "CAST(count(*) AS BIGINT)"}
+    )
+    facts.upsert(
+        _fbatch(spark, [(600, None, 1, 3)])  # NULL group key in base
+    )
+    mv.refresh()
+    facts.upsert(_fbatch(spark, [(601, None, 2, 4)]))
+    mv.refresh()
+    want = {
+        (r["f_dim"], r["n"])
+        for r in facts.read().groupBy("f_dim").agg(
+            F.count("*").cast("long").alias("n")
+        ).collect()
+    }
+    got = {(r["f_dim"], r["n"]) for r in mv.read().collect()}
+    assert got == want and (None, 2) in got
+
+
+def test_table_reset_forces_full_rebuild_not_noop(spark, tmp_path):
+    """initial_load restarts commit numbering; a cursor from the
+    previous incarnation must read as invalid (full rebuild), not as
+    noop serving the old data."""
+    facts, dims, view = _mk(spark, tmp_path)
+    view.refresh()
+    before = _view_rows(view)
+    # RESET the fact table with different data at the same version (0)
+    facts.initial_load(
+        spark.createDataFrame(
+            [(i, i % 6, 1000 + i, 0) for i in range(30)],
+            "f_id long, f_dim long, amount long, seq long",
+        )
+    )
+    out = view.refresh()
+    assert out["mode"] == "full"
+    after = _view_rows(view)
+    assert after == _direct(facts, dims) and after != before
+
+
+def test_feed_write_refuses_previous_incarnation(spark, tmp_path):
+    """A changes feed surviving a table reset would mix incarnations
+    (materialized batches are skipped by _SUCCESS) — the publish must
+    refuse instead."""
+    spec = TableSpec(
+        "t", record_key=("k",), precombine_key="seq", partition_granularity=None
+    )
+    feed = str(tmp_path / "feed")
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), spec, retain_versions=4,
+        changes_feed_dir=feed,
+    )
+    t.initial_load(
+        spark.createDataFrame([(1, 1, 0)], "k long, v long, seq long")
+    )
+    t.upsert(
+        spark.createDataFrame([(2, 2, 1)], "k long, v long, seq long")
+        .withColumn("Op", F.lit("U"))
+    )  # feed v1 written, incarnation marker set
+    t.initial_load(  # TABLE RESET — feed dir survives outside the path
+        spark.createDataFrame([(9, 9, 0)], "k long, v long, seq long")
+    )
+    with pytest.raises(ValueError, match="previous table incarnation"):
+        t.upsert(
+            spark.createDataFrame([(10, 1, 1)], "k long, v long, seq long")
+            .withColumn("Op", F.lit("U"))
+        )
+
+
+def test_failed_create_attaches_no_hooks_and_sql_spellings_parse(spark, tmp_path):
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, dims, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims}
+    n_f, n_d = len(facts._maintenance_hooks), len(dims._maintenance_hooks)
+    with pytest.raises(Exception):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW bad WITH AUTO REFRESH AS "
+            "SELECT grp, bogus_fn(amount) AS n "
+            "FROM facts_t JOIN dims_t ON f_dim = d_id GROUP BY grp",
+            tables=reg,
+        )
+    assert len(facts._maintenance_hooks) == n_f  # no leaked hooks
+    assert len(dims._maintenance_hooks) == n_d
+
+    # INNER JOIN + backtick-qualified ON parse and validate membership
+    out = run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW ok AS SELECT grp, "
+        "CAST(count(*) AS BIGINT) AS n FROM facts_t INNER JOIN dims_t "
+        "ON `facts_t`.`f_dim` = `dims_t`.`d_id` GROUP BY grp",
+        tables=reg,
+    ).collect()[0]
+    assert out["mode"] == "full"
+    with pytest.raises(ValueError, match="not in table"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT grp, count(*) AS n "
+            "FROM facts_t JOIN dims_t ON facts_t.d_id = dims_t.d_id "
+            "GROUP BY grp",
+            tables=reg,
+        )
+    run_query(spark, "DROP MATERIALIZED VIEW ok", tables=reg)
