@@ -21,14 +21,15 @@ two layouts:
   index I/O ∝ the probed values' entry lists, never the corpus.
 - RANGE layout (``<table>/.secrange_<col>``): same entries but
   hive-partitioned by a VALUE BAND — a fixed affine binning
-  ``floor((double(v) − lo) / width)`` clamped to [0, n_bands), with
+  ``floor((double(v) − lo) / width)`` on an UNBOUNDED grid, with
   (lo, width) frozen at build time in ``_PARAMS`` so every later
   delta bands identically. A ``BETWEEN`` probe prunes to the bands
-  overlapping [lo, hi] (out-of-domain values clamp to the edge bands,
-  which a probe crossing that edge always includes — conservative).
-  This is the reference's actual secondary-index shape: its only
-  declared index is ``Index("idx_create_at", "create_at")`` on a
-  timestamp (db_orm.py:45-48), i.e. range scans.
+  overlapping [lo, hi]; values beyond the build-time domain open NEW
+  bands rather than piling into a clamped edge, so a monotone-growing
+  column stays sharply pruned forever with no rebuilds. This is the
+  reference's actual secondary-index shape: its only declared index
+  is ``Index("idx_create_at", "create_at")`` on an ever-advancing
+  timestamp (db_orm.py:45-48), i.e. recent-window range scans.
 
 Probe buckets/bands are computed by evaluating the SAME Spark
 expression the entries writer used, over the literal probe values —
@@ -338,6 +339,20 @@ def secondary_lookup_join(
 # --- RANGE layout: band-partitioned entries for BETWEEN probes ---------------
 
 N_BANDS = 64
+# The band grid is UNBOUNDED: values outside the build-time domain get
+# their own new bands (floor((v-lo)/width) on an affine grid), so a
+# monotone-growing column — the reference's actual indexed shape,
+# idx_create_at on an ever-advancing timestamp (db_orm.py:45-48) —
+# keeps recent-window probes sharply pruned forever instead of piling
+# every new commit into one clamped edge band. The grid is only capped
+# at ±2^40 bands (a pure overflow guard: floor on a wild double must
+# not wrap the long); occupied bands alone materialize as partition
+# dirs, so dir count tracks the occupied span, not the cap.
+_BAND_CAP = 1 << 40
+# A probe whose band interval outgrows this skips the band IN-filter
+# (full entries scan + residual — correct, just unpruned) rather than
+# building a million-literal predicate.
+_MAX_PROBE_BANDS = 4096
 
 
 def _to_double(col: F.Column, dtype) -> F.Column:
@@ -352,19 +367,20 @@ def _to_double(col: F.Column, dtype) -> F.Column:
     return col.cast("double")
 
 
-def _band_col(col: F.Column, dtype, lo: float, width: float, n_bands: int) -> F.Column:
+def _band_col(col: F.Column, dtype, lo: float, width: float) -> F.Column:
     raw = F.floor((_to_double(col, dtype) - F.lit(lo)) / F.lit(width))
-    return (
-        F.least(F.lit(n_bands - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
-    ).cast("int")
+    return F.least(
+        F.lit(_BAND_CAP).cast("long"),
+        F.greatest(F.lit(-_BAND_CAP).cast("long"), raw),
+    ).cast("long")
 
 
 def _range_entries_of(
-    df: DataFrame, value_col: str, key_col: str, lo: float, width: float, n_bands: int
+    df: DataFrame, value_col: str, key_col: str, lo: float, width: float
 ) -> DataFrame:
     dtype = df.schema[value_col].dataType
     return df.filter(F.col(value_col).isNotNull()).select(
-        _band_col(F.col(value_col), dtype, lo, width, n_bands)
+        _band_col(F.col(value_col), dtype, lo, width)
         .cast("string")
         .alias("band"),
         value_col,
@@ -376,10 +392,11 @@ def build_secondary_range_index(
     table: KeyedTable, value_col: str, n_bands: int = N_BANDS
 ) -> None:
     """Full (re)build of the RANGE layout: one min/max pass fixes the
-    affine band params (frozen in ``_PARAMS`` so deltas band
-    identically), then the snapshot's entries land hive-partitioned by
-    band — a BETWEEN probe later prunes to the overlapping band dirs
-    and pushes the residual range predicate into parquet."""
+    affine band params (``width = span/n_bands``, frozen in
+    ``_PARAMS`` so deltas band identically on the same unbounded
+    grid), then the snapshot's entries land hive-partitioned by band —
+    a BETWEEN probe later prunes to the overlapping band dirs and
+    pushes the residual range predicate into parquet."""
     spark = table.spark
     key_col = table.spec.record_key[0]
     latest = (table.versions() or [0])[-1]
@@ -412,7 +429,7 @@ def build_secondary_range_index(
         spark,
         _rdir(table, value_col),
         "entries",
-        _range_entries_of(snap, value_col, key_col, lo, width, n_bands),
+        _range_entries_of(snap, value_col, key_col, lo, width),
         epoch,
         partition_by=["band"],
     )
@@ -445,8 +462,8 @@ def refresh_secondary_range_index(
 ) -> str:
     """Advance the range index to the table head by publishing the
     change window under the FROZEN band params (values outside the
-    build-time domain clamp to the edge bands — still correct, see
-    module docstring). Returns ``"noop" | "incremental" | "rebuild"``."""
+    build-time domain open new bands on the same grid — see module
+    docstring). Returns ``"noop" | "incremental" | "rebuild"``."""
     spark = table.spark
     key_col = table.spec.record_key[0]
     if not table.retain_versions:
@@ -466,15 +483,17 @@ def refresh_secondary_range_index(
     if state[0] >= latest:
         return "noop"
     v0, epoch, gens = state
-    _, _, n_bands, lo, width = params
+    _, _, _n_bands, lo, width = params
     changes = table.table_changes(v0, latest)
+    # Frozen (lo, width) band the change window on the SAME unbounded
+    # grid — out-of-domain values open new bands, keeping a growing
+    # domain (monotone timestamps) pruned without rebuilds.
     fresh = _range_entries_of(
         changes.filter(F.col("_change_type") != "delete"),
         value_col,
         key_col,
         lo,
         width,
-        n_bands,
     )
     publish_family_delta(
         spark,
@@ -531,26 +550,34 @@ def secondary_range_lookup_keys(
     b_lo, b_hi = _spark_eval(
         spark,
         [lo, hi],
-        lambda c: _band_col(c, dtype, blo, bwidth, n_bands),
+        lambda c: _band_col(c, dtype, blo, bwidth),
     )
     if b_lo is None or b_hi is None or b_lo > b_hi:
         raise ValueError(f"invalid range probe [{lo!r}, {hi!r}]")
-    bands = [str(b) for b in range(int(b_lo), int(b_hi) + 1)]
+    n_probe = int(b_hi) - int(b_lo) + 1
     LAST_PROBE["range_probes"] = LAST_PROBE.get("range_probes", 0) + 1
     LAST_PROBE["bands_total"] = LAST_PROBE.get("bands_total", 0) + n_bands
-    LAST_PROBE["bands_probed"] = LAST_PROBE.get("bands_probed", 0) + len(bands)
-    LAST_PROBE["bands_skipped"] = (
-        LAST_PROBE["bands_total"] - LAST_PROBE["bands_probed"]
+    LAST_PROBE["bands_probed"] = LAST_PROBE.get("bands_probed", 0) + min(
+        n_probe, _MAX_PROBE_BANDS
+    )
+    LAST_PROBE["bands_skipped"] = max(
+        0, LAST_PROBE["bands_total"] - LAST_PROBE["bands_probed"]
     )
     v = F.col(value_col)
     # Residual compares UNCAST literals (Spark promotes both sides, the
     # same coercion the plain-filter oracle gets) — casting the bound
     # to the column dtype would truncate fractional/temporal probes
     # and return rows a plain BETWEEN excludes.
+    residual = (v >= F.lit(lo)) & (v <= F.lit(hi))
+    if n_probe > _MAX_PROBE_BANDS:
+        # A probe spanning effectively the whole occupied grid: skip
+        # the band filter (a million-literal IN-list helps nothing)
+        # and let the residual carry correctness over a full entries
+        # scan — graceful degradation, never a wrong answer.
+        return entries.filter(residual).select(key_col).distinct()
+    bands = [str(b) for b in range(int(b_lo), int(b_hi) + 1)]
     return (
-        entries.filter(
-            F.col("band").isin(bands) & (v >= F.lit(lo)) & (v <= F.lit(hi))
-        )
+        entries.filter(F.col("band").isin(bands) & residual)
         .select(key_col)
         .distinct()
     )

@@ -387,3 +387,35 @@ def test_range_lookup_fractional_bounds_on_integer_column(spark, tmp_path):
         for r in t.read_where({"qty": (10.5, 20.5)}, use_secondary=False).collect()
     }
     assert routed == scan == want
+
+
+def test_monotone_domain_growth_keeps_recent_window_pruned(spark, tmp_path):
+    """The reference's indexed column is an ever-advancing timestamp:
+    values past the build-time max must open NEW bands (unbounded
+    grid), not pile into a clamped edge band — a recent-window probe
+    stays a few-band read forever, with zero rebuilds."""
+    from rds_to_datalake_project_spark.operators import secondary_index as si
+
+    t = _mk(spark, tmp_path, n=100)  # payload 0..99
+    attach_secondary_range_index_maintenance(t, "payload")
+    t.upsert(_batch(spark, [(0, 0, 0.0, 1)]))  # build via hook
+    # domain grows 10x past the built max across two commits
+    t.upsert(_batch(spark, [(500 + i, 0, 1000.0 + i, 2) for i in range(50)]))
+    t.upsert(_batch(spark, [(600 + i, 0, 1050.0 + i, 3) for i in range(50)]))
+    si.reset_probe_stats()
+    got = {
+        r["k"]
+        for r in secondary_range_lookup(t, "payload", 1050.0, 1060.0).collect()
+    }
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("payload").between(1050.0, 1060.0)).collect()
+    }
+    assert got == want and len(got) == 11
+    # the probe read a handful of NEW bands (span/width ≈ 8 of the
+    # ~700 occupied grid positions) — not one giant edge band holding
+    # every out-of-domain row, and not the whole grid
+    assert si.LAST_PROBE["bands_probed"] <= 10
+    keys_df = secondary_range_lookup_keys(t, "payload", 1050.0, 1060.0)
+    files = keys_df.inputFiles()
+    assert files and all("/.secrange_payload/" in f for f in files)
