@@ -258,6 +258,13 @@ class JoinMaterializedView:
     snapshots — idempotent — so the cursor marker is written after
     the merge; a crash between them repeats work, never corrupts.
 
+    ``how`` is ``"inner"`` (default) or ``"left"``: a LEFT join keeps
+    unmatched left rows, whose right-side group columns are NULL —
+    a real group the null-safe maintenance keeps correct, including
+    the transition case (a NEW right row for key k moves k's left
+    rows from the NULL group to a value group; k is a touched key, so
+    both groups refresh).
+
     Requirements: both tables versioned (the cursor is a pair of
     commit versions); column names referenced by ``group_cols`` /
     ``aggs`` must be unambiguous across the joined frame (TPC-H-style
@@ -272,12 +279,16 @@ class JoinMaterializedView:
         group_cols: list[str],
         aggs: dict[str, str],
         name: str = "join_matview",
+        how: str = "inner",
     ):
         if not (left.retain_versions and right.retain_versions):
             raise ValueError(
                 "JoinMaterializedView requires BOTH tables versioned "
                 "(retain_versions > 0) — the cursor is a commit-version pair"
             )
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        self.how = how
         if not group_cols or not aggs:
             raise ValueError("group_cols and aggs must be non-empty")
         bad = set(group_cols) & set(aggs)
@@ -322,7 +333,7 @@ class JoinMaterializedView:
         return versions
 
     def _joined(self, l: DataFrame, r: DataFrame) -> DataFrame:
-        return l.join(r, l[self.l_on] == r[self.r_on], "inner")
+        return l.join(r, l[self.l_on] == r[self.r_on], self.how)
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(
@@ -375,38 +386,67 @@ class JoinMaterializedView:
             "groups_refreshed": n,
         }
 
-    def _touched_keys(self, cur, new) -> DataFrame | None:
-        """Distinct join-key values any change image names — pre AND
-        post, so a mutated join key retires its old neighborhood too."""
+    def _touched_keys(self, cur, new) -> tuple[DataFrame | None, bool]:
+        """``(distinct non-null join-key values any change image names,
+        null_left_touched)`` — pre AND post images, so a mutated join
+        key retires its old neighborhood too. The flag marks LEFT-join
+        changes to null-key left rows: they live in the NULL group
+        (they never join), which must refresh even though no join-key
+        value names it. Under an inner join null keys affect nothing
+        and the flag stays False."""
         frames = []
+        null_left = False
         if new[0] > cur[0]:
-            frames.append(
-                self.left.table_changes(cur[0], new[0], include_preimage=True)
-                .select(F.col(self.l_on).alias("__jk"))
-            )
+            lch = self.left.table_changes(
+                cur[0], new[0], include_preimage=True
+            ).select(F.col(self.l_on).alias("__jk"))
+            frames.append(lch)
+            if self.how == "left":
+                null_left = bool(
+                    lch.filter(F.col("__jk").isNull()).limit(1).count()
+                )
         if new[1] > cur[1]:
             frames.append(
                 self.right.table_changes(cur[1], new[1], include_preimage=True)
                 .select(F.col(self.r_on).alias("__jk"))
             )
         if not frames:
-            return None
+            return None, False
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out.filter(F.col("__jk").isNotNull()).distinct()
+        out = out.filter(F.col("__jk").isNotNull()).distinct()
+        return out, null_left
 
-    def _groups_via(self, l: DataFrame, r: DataFrame, keys: DataFrame) -> DataFrame:
+    def _groups_via(
+        self, l: DataFrame, r: DataFrame, keys: DataFrame | None, null_left: bool
+    ) -> DataFrame:
         """Distinct group values reachable from the touched join keys
         in the (l, r) state — both sides pruned by the broadcast key
-        semi-join BEFORE the join, so cost ∝ the keys' neighborhoods."""
-        lt = l.join(F.broadcast(keys), l[self.l_on] == keys["__jk"], "left_semi")
-        rt = r.join(F.broadcast(keys), r[self.r_on] == keys["__jk"], "left_semi")
+        semi-join BEFORE the join, so cost ∝ the keys' neighborhoods.
+        ``null_left`` additionally pulls in the null-key left rows
+        (the LEFT join's NULL-group membership)."""
+        if keys is not None:
+            lt = l.join(
+                F.broadcast(keys), l[self.l_on] == keys["__jk"], "left_semi"
+            )
+            if null_left:
+                lt = lt.unionByName(l.filter(l[self.l_on].isNull()))
+            rt = r.join(
+                F.broadcast(keys), r[self.r_on] == keys["__jk"], "left_semi"
+            )
+        else:  # only null-key left rows changed
+            lt = l.filter(l[self.l_on].isNull())
+            rt = r.limit(0)
         return self._joined(lt, rt).select(*self.group_cols).distinct()
 
     def _incremental(self, cur, new) -> dict:
-        keys = self._touched_keys(cur, new)
-        if keys is None:
+        keys, null_left = self._touched_keys(cur, new)
+        if keys is not None:
+            keys = keys.localCheckpoint(eager=True)
+            if not keys.count() and not null_left:
+                keys = None
+        if keys is None and not null_left:
             self._write_cursor(new)
             return {
                 "mode": "incremental",
@@ -414,13 +454,12 @@ class JoinMaterializedView:
                 "base_version": sum(new),
                 "groups_refreshed": 0,
             }
-        keys = keys.localCheckpoint(eager=True)
         l_now, r_now = self.left.read(), self.right.read()
         l_old = self.left.read_as_of(cur[0])
         r_old = self.right.read_as_of(cur[1])
         touched = (
-            self._groups_via(l_now, r_now, keys)
-            .unionByName(self._groups_via(l_old, r_old, keys))
+            self._groups_via(l_now, r_now, keys, null_left)
+            .unionByName(self._groups_via(l_old, r_old, keys, null_left))
             .distinct()
             .localCheckpoint(eager=True)
         )

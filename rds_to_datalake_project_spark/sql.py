@@ -220,7 +220,7 @@ _CREATE_MV_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
     r"(?P<auto>\s+WITH\s+AUTO\s+REFRESH)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
-    rf"(?:\s+(?:INNER\s+)?JOIN\s+(?P<right>{_QNAME})"
+    rf"(?:\s+(?:(?P<jhow>INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+(?P<right>{_QNAME})"
     r"\s+ON\s+(?P<lon>[\w.\"`]+)\s*=\s*(?P<ron>[\w.\"`]+))?"
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -409,11 +409,10 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
     """The JOIN form of CREATE MATERIALIZED VIEW: resolve the right
     table, pick the ON sides (qualified names bind explicitly, with
     membership validated; unqualified names bind by unambiguous
-    membership), and return ``(view, attach_fn)`` — the caller wires
-    auto-refresh only after the initial refresh succeeds."""
+    membership), and return ``(view, tables_to_hook)`` — the caller
+    wires auto-refresh only after the initial refresh succeeds."""
     from rds_to_datalake_project_spark.operators.matview import (
         JoinMaterializedView,
-        attach_join_matview_maintenance,
     )
 
     base_name = _unquote_ident(m.group("base"))
@@ -463,6 +462,7 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
         on = (sides[1][1], sides[0][1])
     else:
         raise ValueError("ON must equate one column from each joined table")
+    jhow = (m.group("jhow") or "INNER").upper()
     mv = JoinMaterializedView(
         base,
         right,
@@ -471,8 +471,9 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
         group_cols=group_cols,
         aggs=aggs,
         name=safe,
+        how="left" if jhow.startswith("LEFT") else "inner",
     )
-    return mv, lambda: attach_join_matview_maintenance(mv)
+    return mv, [base, right]
 
 
 def _publish_matview(spark: SparkSession, name: str, mv) -> None:
@@ -500,7 +501,6 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
     """
     from rds_to_datalake_project_spark.operators.matview import (
         MaterializedView,
-        attach_matview_maintenance,
     )
 
     name = _unquote_ident(m.group(1))
@@ -532,7 +532,9 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         )
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
-        mv, attach = _build_join_matview(m, known, base, safe, group_cols, aggs)
+        mv, hooked_tables = _build_join_matview(
+            m, known, base, safe, group_cols, aggs
+        )
     else:
         mv = MaterializedView(
             base,
@@ -541,7 +543,7 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             aggs,
             name=safe,
         )
-        attach = lambda: attach_matview_maintenance(base, mv)  # noqa: E731
+        hooked_tables = [base]
     # Initial refresh BEFORE wiring auto-refresh hooks: a broken AS
     # body (bad aggregate expr) must fail the CREATE cleanly — hooks
     # attached first would outlive the failed statement and run the
@@ -549,7 +551,16 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
     # them.
     info = mv.refresh()
     if m.group("auto"):
-        attach()
+        # The SQL layer's own hook, not the operators' attach helper:
+        # the published temp view pins the store's file listing at
+        # registration, so an auto refresh that rewrites store files
+        # must RE-PUBLISH or the next SELECT hits FILE_NOT_EXIST.
+        def _auto_hook(_t, _mv=mv, _name=name):
+            _mv.refresh()
+            _publish_matview(spark, _name, _mv)
+
+        for t in hooked_tables:
+            t.add_maintenance_hook(_auto_hook)
     MATVIEWS[name] = mv
     _publish_matview(spark, name, mv)
     return spark.createDataFrame(

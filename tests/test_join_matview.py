@@ -362,3 +362,141 @@ def test_failed_create_attaches_no_hooks_and_sql_spellings_parse(spark, tmp_path
             tables=reg,
         )
     run_query(spark, "DROP MATERIALIZED VIEW ok", tables=reg)
+
+
+def _mk_left(spark, tmp_path):
+    """LEFT-join view: facts with dangling and NULL join keys."""
+    fact_spec = TableSpec(
+        "facts", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    dim_spec = TableSpec(
+        "dims", record_key=("d_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    facts = KeyedTable(spark, str(tmp_path / "lf"), fact_spec, retain_versions=8)
+    dims = KeyedTable(spark, str(tmp_path / "ld"), dim_spec, retain_versions=8)
+    rows = [(i, None if i % 11 == 0 else i % 8, 10 * i, 0) for i in range(60)]
+    facts.initial_load(
+        spark.createDataFrame(rows, "f_id long, f_dim long, amount long, seq long")
+    )
+    dims.initial_load(  # dims 0..5 only: f_dim 6,7 dangle → NULL group
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", 0) for i in range(6)],
+            "d_id long, grp string, seq long",
+        )
+    )
+    view = JoinMaterializedView(
+        facts, dims, str(tmp_path / "lv"), on=("f_dim", "d_id"),
+        group_cols=["grp"],
+        aggs={"n": "CAST(count(*) AS BIGINT)", "total": "CAST(sum(amount) AS BIGINT)"},
+        how="left",
+    )
+    return facts, dims, view
+
+
+def _direct_left(facts, dims):
+    f, d = facts.read(), dims.read()
+    return {
+        (r["grp"], r["n"], r["total"])
+        for r in f.join(d, f["f_dim"] == d["d_id"], "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("amount").cast("long").alias("total"),
+        )
+        .collect()
+    }
+
+
+def test_left_join_view_converges_including_null_group(spark, tmp_path):
+    """LEFT-join IVM: unmatched facts (dangling or NULL join key) live
+    in the NULL group; commits that touch them — including a NEW dim
+    row that moves facts OUT of the NULL group, and a null-key fact
+    insert no join-key value names — must all converge."""
+    facts, dims, view = _mk_left(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    got = _view_rows(view)
+    assert got == _direct_left(facts, dims)
+    assert None in {g for g, _, _ in got}  # dangling + null-key facts
+
+    # a NEW dim row adopts previously-dangling facts (NULL → g0)
+    dims.upsert(_dbatch(spark, [(6, "g0", 1)]))
+    assert view.refresh()["mode"] == "incremental"
+    assert _view_rows(view) == _direct_left(facts, dims)
+
+    # a null-key fact insert: only the NULL group is named — and only
+    # via the null_left flag, never a join-key value
+    facts.upsert(_fbatch(spark, [(700, None, 5, 1)]))
+    assert view.refresh()["mode"] == "incremental"
+    assert _view_rows(view) == _direct_left(facts, dims)
+
+    # deleting the last null-key/dangling facts empties the NULL group
+    null_keys = [
+        r["f_id"]
+        for r in facts.read().filter(
+            F.col("f_dim").isNull() | (F.col("f_dim") > 6)
+        ).collect()
+    ]
+    facts.upsert(
+        _fbatch(spark, [(k, 0, 0, 2) for k in null_keys], op="D"),
+        delete_mode="apply",
+    )
+    assert view.refresh()["mode"] == "incremental"
+    got = _view_rows(view)
+    assert got == _direct_left(facts, dims)
+    assert None not in {g for g, _, _ in got}
+
+
+def test_sql_facade_left_join_spelling(spark, tmp_path):
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, dims, _ = _mk_left(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims}
+    out = run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW lv WITH AUTO REFRESH AS "
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(amount) AS BIGINT) AS total "
+        "FROM facts_t LEFT JOIN dims_t ON f_dim = d_id GROUP BY grp",
+        tables=reg,
+    ).collect()[0]
+    assert out["mode"] == "full"
+    facts.upsert(_fbatch(spark, [(800, None, 3, 1)]))  # null-key insert
+    got = {
+        (r["grp"], r["n"], r["total"])
+        for r in run_query(spark, "SELECT * FROM lv", tables=reg).collect()
+    }
+    assert got == _direct_left(facts, dims)
+    run_query(spark, "DROP MATERIALIZED VIEW lv", tables=reg)
+
+
+def test_sql_auto_refresh_republishes_temp_view_single_table(spark, tmp_path):
+    """WITH AUTO REFRESH must re-publish the SELECT-able temp view:
+    the view pins the store's file listing at registration, and the
+    hook's refresh rewrites those files — a direct SELECT after a base
+    commit used to die with FILE_NOT_EXIST."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, _, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts}
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW ftotals WITH AUTO REFRESH AS "
+        "SELECT f_dim, CAST(sum(amount) AS BIGINT) AS total "
+        "FROM facts_t GROUP BY f_dim",
+        tables=reg,
+    )
+    facts.upsert(_fbatch(spark, [(900, 1, 42, 1)]))
+    got = {
+        (r["f_dim"], r["total"])
+        for r in run_query(spark, "SELECT * FROM ftotals", tables=reg).collect()
+    }
+    want = {
+        (r["f_dim"], r["total"])
+        for r in facts.read().groupBy("f_dim").agg(
+            F.sum("amount").cast("long").alias("total")
+        ).collect()
+    }
+    assert got == want
+    run_query(spark, "DROP MATERIALIZED VIEW ftotals", tables=reg)
