@@ -570,8 +570,124 @@ ORDER BY c_nationkey
 """
 
 
+def left_join_matview_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-join IVM (operators/matview.py how='left'): per-nation
+    revenue where one customer class is RE-KEYED away mid-stream, so
+    its orders dangle and must MOVE into the NULL group incrementally
+    — the maintenance case an inner join never sees. The oracle
+    recomputes the final LEFT JOIN aggregate in closed form (NULL
+    nation row included)."""
+    return _left_jmv_serve(spark, sf_dir, _left_jmv_fixture(spark, sf_dir))
+
+
+def _left_jmv_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        JoinMaterializedView,
+        attach_join_matview_maintenance,
+    )
+
+    root = _scratch("left_jmv")
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = KeyedTable(
+        spark,
+        root + "/orders",
+        TableSpec(
+            "orders_ljmv",
+            record_key=("o_orderkey",),
+            precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    c = KeyedTable(
+        spark,
+        root + "/customer",
+        TableSpec(
+            "customer_ljmv",
+            record_key=("c_custkey",),
+            precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    o.initial_load(o_base.withColumn("seq", F.lit(0).cast("long")))
+    c.initial_load(c_base.withColumn("seq", F.lit(0).cast("long")))
+    view = JoinMaterializedView(
+        o,
+        c,
+        root + "/view",
+        on=("o_custkey", "c_custkey"),
+        group_cols=["c_nationkey"],
+        aggs={
+            "n_orders": "CAST(count(*) AS BIGINT)",
+            "revenue": (
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+            ),
+        },
+        how="left",
+    )
+    attach_join_matview_maintenance(view)
+    # one commit per side: delete an order class; re-key one customer
+    # class AWAY (its orders now dangle → NULL nation) — the view must
+    # move those orders into the NULL group incrementally
+    k = F.col("o_orderkey")
+    o.upsert(
+        o_base.filter(k % 9 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("long")),
+        delete_mode="apply",
+    )
+    ck = F.col("c_custkey")
+    c.upsert(
+        c_base.filter(ck % 5 == 0)
+        .withColumn("c_custkey", ck + F.lit(10_000_000))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("I"))
+        .unionByName(
+            c_base.filter(ck % 5 == 0)
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("Op", F.lit("D"))
+        ),
+        delete_mode="apply",
+    )
+    return view
+
+
+def _left_jmv_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy(F.col("c_nationkey").asc_nulls_first())
+    )
+
+
+LEFT_JMV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 9 <> 0
+), c AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM o LEFT JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY c_nationkey NULLS FIRST
+"""
+
+
 QUERIES = {
     "fk_violation_counts": fk_violation_counts,
+    "left_join_matview_revenue": left_join_matview_revenue,
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
     "matview_incremental_status": matview_incremental_status,
@@ -582,6 +698,7 @@ QUERIES = {
 
 ORACLES = {
     "fk_violation_counts": FK_VIOLATIONS_SQL,
+    "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,
@@ -592,4 +709,5 @@ ORACLES = {
 
 PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
+    "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
 }
