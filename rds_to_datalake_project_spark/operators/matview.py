@@ -102,6 +102,7 @@ class MaterializedView:
         group_cols: list[str],
         aggs: dict[str, str],
         name: str = "matview",
+        max_broadcast_keys: int = 1_000_000,
     ):
         if not base.retain_versions:
             raise ValueError(
@@ -118,6 +119,7 @@ class MaterializedView:
         self.path = path
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        self.max_broadcast_keys = max_broadcast_keys
         self.store = KeyedTable(
             self.spark,
             path,
@@ -199,6 +201,11 @@ class MaterializedView:
         if not n_touched:
             self._write_marker(latest)
             return {"mode": "incremental", "base_version": latest, "groups_refreshed": 0}
+        if n_touched > self.max_broadcast_keys:
+            # A bulk rewrite (change window ≈ corpus) must degrade to a
+            # full recompute, never a corpus-sized driver broadcast —
+            # past this point the incremental path saves nothing anyway.
+            return self._full(latest)
         snap = self.base.read()
         affected_rows = snap.join(
             F.broadcast(touched),
@@ -280,6 +287,7 @@ class JoinMaterializedView:
         aggs: dict[str, str],
         name: str = "join_matview",
         how: str = "inner",
+        max_broadcast_keys: int = 1_000_000,
     ):
         if not (left.retain_versions and right.retain_versions):
             raise ValueError(
@@ -300,6 +308,7 @@ class JoinMaterializedView:
         self.l_on, self.r_on = on
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        self.max_broadcast_keys = max_broadcast_keys
         self.store = KeyedTable(
             self.spark,
             path,
@@ -444,7 +453,15 @@ class JoinMaterializedView:
         keys, null_left = self._touched_keys(cur, new)
         if keys is not None:
             keys = keys.localCheckpoint(eager=True)
-            if not keys.count() and not null_left:
+            n_keys = keys.count()
+            if n_keys > self.max_broadcast_keys:
+                # Bulk rewrite on either side: the touched-key set is
+                # corpus-sized, so both the key broadcast and the
+                # group broadcast below would OOM the driver at scale.
+                # Degrade to full recompute — at this change fraction
+                # it does no more work than affected-group recompute.
+                return self._full(new[0], new[1])
+            if not n_keys and not null_left:
                 keys = None
         if keys is None and not null_left:
             self._write_cursor(new)
@@ -472,6 +489,8 @@ class JoinMaterializedView:
                 "base_version": sum(new),
                 "groups_refreshed": 0,
             }
+        if n_touched > self.max_broadcast_keys:
+            return self._full(new[0], new[1])
         seq = new[0] + new[1]
         joined = self._joined(l_now, r_now)
         affected = joined.join(

@@ -500,3 +500,55 @@ def test_sql_auto_refresh_republishes_temp_view_single_table(spark, tmp_path):
     }
     assert got == want
     run_query(spark, "DROP MATERIALIZED VIEW ftotals", tables=reg)
+
+
+def test_bulk_rewrite_degrades_to_full_not_broadcast(spark, tmp_path):
+    """A change window ≈ the corpus must NOT drive the incremental
+    path's key/group broadcasts (corpus-sized driver broadcast at
+    scale = OOM, not a slow query): past max_broadcast_keys the
+    refresh falls back to full recompute — and stays correct."""
+    from rds_to_datalake_project_spark.operators.matview import MaterializedView
+
+    facts, dims, view = _mk(spark, tmp_path)
+    view.max_broadcast_keys = 3
+    view.refresh()
+    # rewrite 100% of the dimension (6 touched join keys > 3)
+    dims.upsert(_dbatch(spark, [(i, f"h{i % 2}", 1) for i in range(6)]))
+    out = view.refresh()
+    assert out["mode"] == "full"
+    assert _view_rows(view) == _direct(facts, dims)
+    # a small follow-up commit goes back to the incremental path
+    dims.upsert(_dbatch(spark, [(0, "h9", 2)]))
+    out = view.refresh()
+    assert out["mode"] == "incremental"
+    assert _view_rows(view) == _direct(facts, dims)
+
+    # single-table form: 100% of the base rewritten → full fallback
+    mv = MaterializedView(
+        facts,
+        str(tmp_path / "bv"),
+        ["f_dim"],
+        {"n": "CAST(count(*) AS BIGINT)", "total": "CAST(sum(amount) AS BIGINT)"},
+        max_broadcast_keys=2,
+    )
+    mv.refresh()
+    facts.upsert(
+        _fbatch(
+            spark,
+            [(i, (i + 1) % 6, 11 * i, 9) for i in range(60)],
+        )
+    )
+    out = mv.refresh()
+    assert out["mode"] == "full"
+    want = {
+        (r["f_dim"], r["n"], r["total"])
+        for r in facts.read()
+        .groupBy("f_dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("amount").cast("long").alias("total"),
+        )
+        .collect()
+    }
+    got = {(r["f_dim"], r["n"], r["total"]) for r in mv.read().collect()}
+    assert got == want
