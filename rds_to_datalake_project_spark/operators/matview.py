@@ -93,6 +93,15 @@ class MaterializedView:
     "count(*)"}``). The base table must retain versions
     (``retain_versions > 0``) — the refresh cursor is a base commit
     version and the delta comes from ``table_changes``.
+
+    ``group_exprs`` makes group keys DERIVED: a mapping from a
+    ``group_cols`` name to a SQL scalar expression over base columns
+    (``{"h": "date_trunc('hour', ts)"}``) — the time-bucketed rollup
+    shape the reference serves through Athena
+    (rds_to_datalake/athena.py:16-64). Derived keys are computed on
+    the change window AND the snapshot before grouping, so the
+    affected-group recompute contract is unchanged: touched buckets
+    ∝ the change set, never the corpus.
     """
 
     def __init__(
@@ -103,6 +112,7 @@ class MaterializedView:
         aggs: dict[str, str],
         name: str = "matview",
         max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
     ):
         if not base.retain_versions:
             raise ValueError(
@@ -114,6 +124,12 @@ class MaterializedView:
         bad = set(group_cols) & set(aggs)
         if bad:
             raise ValueError(f"column(s) both grouped and aggregated: {sorted(bad)}")
+        self.group_exprs = dict(group_exprs or {})
+        stray = set(self.group_exprs) - set(group_cols)
+        if stray:
+            raise ValueError(
+                f"group_exprs name(s) not in group_cols: {sorted(stray)}"
+            )
         self.base = base
         self.spark: SparkSession = base.spark
         self.path = path
@@ -152,8 +168,17 @@ class MaterializedView:
 
     # -- plans ---------------------------------------------------------------
 
+    def _derive(self, rows: DataFrame) -> DataFrame:
+        """Attach the derived group-key columns (no-op without
+        group_exprs). Applied to every frame the group columns are
+        read from: the aggregation input, the change window, and the
+        snapshot side of the touched-group semi-join."""
+        for c, e in self.group_exprs.items():
+            rows = rows.withColumn(c, F.expr(e))
+        return rows
+
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
-        out = rows.groupBy(*self.group_cols).agg(
+        out = self._derive(rows).groupBy(*self.group_cols).agg(
             *[F.expr(e).alias(c) for c, e in self.aggs.items()]
         )
         return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
@@ -190,7 +215,9 @@ class MaterializedView:
         return {"mode": "full", "base_version": latest, "groups_refreshed": n}
 
     def _incremental(self, since: int, latest: int) -> dict:
-        changes = self.base.table_changes(since, latest, include_preimage=True)
+        changes = self._derive(
+            self.base.table_changes(since, latest, include_preimage=True)
+        )
         # Distinct group keys touched by any image — pre AND post, so
         # group-moving updates refresh both sides. Broadcast: the
         # touched-key set is ∝ the change window, not the corpus.
@@ -206,7 +233,7 @@ class MaterializedView:
             # full recompute, never a corpus-sized driver broadcast —
             # past this point the incremental path saves nothing anyway.
             return self._full(latest)
-        snap = self.base.read()
+        snap = self._derive(self.base.read())
         affected_rows = snap.join(
             F.broadcast(touched),
             _nullsafe_cond(snap, touched, self.group_cols),

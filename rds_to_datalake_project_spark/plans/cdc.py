@@ -1001,14 +1001,35 @@ def _secondary_range_serve(
 
 def sidecar_service_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ops inventory surface (operators/sidecar.py:service_status)
-    over the range-index lifecycle fixture: after the maintenance hook
-    has followed both commits, the table carries exactly one service
-    at zero lag with one published delta generation — all metadata the
-    sidecar protocol pins deterministically, so the oracle states the
-    row as constants. Metadata-only: one root listing + marker reads."""
+    over the range-index lifecycle fixture, hardened with a REAL
+    nonzero lag (r10 VERDICT "What's wrong" #2 — a constant-row twin
+    can't catch lag arithmetic): a second, UNHOOKED equality index is
+    built at head, then one more commit lands. The hooked range index
+    follows (lag 0, delta chain 2); the unhooked index stays behind
+    (lag 1, chain 0). Every column now differs between the two rows,
+    and the lag values are computed from marker state vs a moved head
+    — the sidecar protocol still pins the final metadata
+    deterministically, so the oracle states both rows in closed form.
+    Metadata-only: one root listing + marker reads."""
+    from rds_to_datalake_project_spark.operators.secondary_index import (
+        build_secondary_index,
+    )
     from rds_to_datalake_project_spark.operators.sidecar import service_status
 
     t = _secondary_range_fixture(spark, sf_dir)
+    # second service, deliberately NOT enrolled in maintenance
+    build_secondary_index(t, "o_custkey")
+    # third commit: the range-index hook follows it; the equality
+    # index does not and must report lag = head - indexed = 1
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.upsert(
+        base.filter((F.col("o_orderkey") % 17 == 3) & (F.col("o_orderkey") % 4 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("Op", F.lit("U"))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
     flat = [
         (
             d["service"],
@@ -1026,12 +1047,58 @@ def sidecar_service_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("service")
 
 
+_RW_LO, _RW_HI = 30000.0, 60000.0
+_RW_KEY_HI = 40000
+
+
+def read_where_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisory access-path router (KeyedTable.read_where): a
+    non-key range predicate routes through the FRESH secondary RANGE
+    index (record keys resolved index-side, base semi-joined), while
+    the key-side predicate still prunes files on the scan side; every
+    predicate is re-applied as a residual, so the result is exactly
+    the plain filter the oracle states. Routing internals are pytest-
+    covered (test_read_where_routes_through_secondary_indexes); this
+    row pins the end-to-end answer."""
+    t = _secondary_range_fixture(spark, sf_dir)
+    return (
+        t.read_where(
+            {
+                "o_totalprice": (_RW_LO, _RW_HI),
+                "o_orderkey": (0, _RW_KEY_HI),
+            }
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+READ_WHERE_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500000.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 13 <> 0
+  AND o_orderkey BETWEEN 0 AND {_RW_KEY_HI}
+  AND (CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 500000.0
+            ELSE o_totalprice END) BETWEEN {_RW_LO} AND {_RW_HI}
+ORDER BY o_orderkey
+"""
+
+
 SERVICE_STATUS_SQL = """
-SELECT '.secrange_o_totalprice' AS service,
+SELECT '.secindex_o_custkey' AS service,
        CAST(1 AS INTEGER) AS indexed_version,
-       CAST(1 AS INTEGER) AS head_version,
+       CAST(2 AS INTEGER) AS head_version,
+       CAST(1 AS INTEGER) AS lag,
+       CAST(0 AS INTEGER) AS n_delta_parts
+UNION ALL
+SELECT '.secrange_o_totalprice' AS service,
+       CAST(2 AS INTEGER) AS indexed_version,
+       CAST(2 AS INTEGER) AS head_version,
        CAST(0 AS INTEGER) AS lag,
-       CAST(1 AS INTEGER) AS n_delta_parts
+       CAST(2 AS INTEGER) AS n_delta_parts
+ORDER BY service
 """
 
 
@@ -2006,6 +2073,7 @@ QUERIES = {
     "secondary_index_lookup": secondary_index_lookup,
     "secondary_index_range_scan": secondary_index_range_scan,
     "sidecar_service_status": sidecar_service_status,
+    "read_where_routed": read_where_routed,
     "replicated_orders_checksums": replicated_orders_checksums,
     "stream_replicated_orders_checksums": stream_replicated_orders_checksums,
     "orders_partition_checksums": orders_partition_checksums,
@@ -2054,6 +2122,7 @@ ORACLES = {
     "secondary_index_lookup": SECONDARY_LOOKUP_SQL,
     "secondary_index_range_scan": SECONDARY_RANGE_SQL,
     "sidecar_service_status": SERVICE_STATUS_SQL,
+    "read_where_routed": READ_WHERE_SQL,
     "replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "stream_replicated_orders_checksums": REPLICATED_CHECKSUM_SQL,
     "orders_partition_checksums": CHECKSUM_SQL,

@@ -327,6 +327,88 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+# --- time-bucketed matview through the facade --------------------------------
+
+_EV_MV_SPEC = TableSpec(
+    "ev_base",
+    record_key=("event_id",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def sql_matview_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual rollup shape — time-bucketed aggregates
+    served through SQL (rds_to_datalake/athena.py:16-64) — spelled
+    through the facade's NEW expression GROUP BY (r10 VERDICT task #6):
+    ``date_trunc('hour', ts) AS h ... GROUP BY h, event_type`` creates
+    an incrementally-maintained view whose group key is DERIVED. DML
+    (DELETE one event class, UPDATE a value slice) then an incremental
+    REFRESH that recomputes only the touched hour buckets; result read
+    from the published temp view."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    root = _scratch("sql_mv_bucket")
+    init = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 != 0)
+        .select("event_id", "ts", "event_type", "value", F.lit("a").alias("update_at"))
+    )
+    t = KeyedTable(spark, f"{root}/t", _EV_MV_SPEC, retain_versions=4)
+    t.initial_load(init)
+    reg = {"ev_base": t}
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW ev_hourly AS SELECT "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, "
+            "count(*) AS n_events, "
+            "cast(sum(cast(value as decimal(38,6))) as double) AS total_value "
+            "FROM ev_base GROUP BY h, event_type",
+            tables=reg,
+        )
+        run_query(
+            spark, "DELETE FROM ev_base WHERE event_type = 'purchase'", tables=reg
+        )
+        run_query(
+            spark,
+            "UPDATE ev_base SET value = value + 10.0, update_at = 'b' "
+            "WHERE event_id % 10 = 4",
+            tables=reg,
+        )
+        run_query(spark, "REFRESH MATERIALIZED VIEW ev_hourly", tables=reg)
+        out = run_query(
+            spark,
+            "SELECT h, event_type, n_events, total_value FROM ev_hourly",
+            tables=reg,
+        ).orderBy("h", "event_type")
+        rows = out.collect()  # materialize before DROP unbinds the view
+        run_query(spark, "DROP MATERIALIZED VIEW ev_hourly", tables=reg)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        MATVIEWS.pop("ev_hourly", None)
+
+
+SQL_MV_BUCKET_SQL = """
+WITH init AS (
+  SELECT event_id, ts, event_type, value
+  FROM events WHERE event_id % 3 <> 0
+), kept AS (
+  SELECT * FROM init WHERE event_type <> 'purchase'
+), final AS (
+  SELECT ts, event_type,
+         CASE WHEN event_id % 10 = 4 THEN value + 10.0 ELSE value END AS value
+  FROM kept
+)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM final
+GROUP BY 1, 2
+ORDER BY h, event_type
+"""
+
 # --- stats-driven join planning ----------------------------------------------
 
 _BCAST_MAX_ROWS = 2000
@@ -692,6 +774,7 @@ QUERIES = {
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
     "matview_incremental_status": matview_incremental_status,
     "sql_matview_roundtrip": sql_matview_roundtrip,
+    "sql_matview_time_bucket": sql_matview_time_bucket,
     "stats_join_advisory": stats_join_advisory,
     "join_matview_nation_revenue": join_matview_nation_revenue,
 }
@@ -700,6 +783,7 @@ ORACLES = {
     "fk_violation_counts": FK_VIOLATIONS_SQL,
     "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
+    "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,
     "matview_incremental_status": MATVIEW_SQL,

@@ -479,9 +479,11 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
 def _publish_matview(spark: SparkSession, name: str, mv) -> None:
     """Expose the view's current contents to plain SELECTs. Re-run
     after every refresh: the temp view pins the snapshot plan that
-    existed at registration time, so it must track the store's head."""
-    if re.fullmatch(r"\w+", name):
-        mv.read().createOrReplaceTempView(name)
+    existed at registration time, so it must track the store's head.
+    Names are validated to ``\\w+`` at CREATE — a quoted "my-view"
+    used to create successfully yet silently skip this publish and
+    never be SELECTable (r10 VERDICT "What's wrong" #4)."""
+    mv.read().createOrReplaceTempView(name)
 
 
 def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
@@ -504,34 +506,75 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
     )
 
     name = _unquote_ident(m.group(1))
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(
+            f"materialized view name {name!r} must be a plain identifier "
+            "([A-Za-z0-9_]+) — the view is published as a Spark temp view "
+            "for SELECTs, which cannot carry quoted punctuation"
+        )
     base = known[_unquote_ident(m.group("base"))]
-    group_cols = []
-    for item in _split_top_level(m.group("grp")):
-        if not re.fullmatch(r"\w+", item):
-            raise ValueError(
-                f"GROUP BY supports plain columns only, got {item!r}"
-            )
-        group_cols.append(item)
-    aggs: dict[str, str] = {}
-    seen_group = []
+    # Split select items first: aliased items are either aggregates or
+    # DERIVED group keys (disambiguated by the GROUP BY list below) —
+    # the time-bucketed rollup shape (`date_trunc('hour', ts) AS h ...
+    # GROUP BY h`) the reference serves through Athena.
+    aliased: dict[str, str] = {}
+    plain_sel: list[str] = []
     for item in _split_top_level(m.group("sel")):
         alias = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", item)
         if alias:
-            aggs[alias.group(2)] = alias.group(1).strip()
-        elif re.fullmatch(r"\w+", item) and item in group_cols:
-            seen_group.append(item)
+            if alias.group(2) in aliased:
+                raise ValueError(f"duplicate select alias {alias.group(2)!r}")
+            aliased[alias.group(2)] = alias.group(1).strip()
+        elif re.fullmatch(r"\w+", item):
+            plain_sel.append(item)
         else:
             raise ValueError(
                 f"select item {item!r} must be a GROUP BY column or an "
-                "aliased aggregate (<expr> AS <name>)"
+                "aliased expression (<expr> AS <name>)"
             )
-    missing = [c for c in group_cols if c not in seen_group]
+
+    def _norm(e: str) -> str:
+        return re.sub(r"\s+", " ", e.strip().lower())
+
+    group_cols: list[str] = []
+    group_exprs: dict[str, str] = {}
+    for item in _split_top_level(m.group("grp")):
+        if re.fullmatch(r"\w+", item):
+            group_cols.append(item)
+            if item in aliased:  # GROUP BY <alias of a select expr>
+                group_exprs[item] = aliased.pop(item)
+        else:
+            # GROUP BY <expr>: must textually match exactly one
+            # aliased select item, whose alias names the group column
+            hits = [a for a, e in aliased.items() if _norm(e) == _norm(item)]
+            if len(hits) != 1:
+                raise ValueError(
+                    f"GROUP BY expression {item!r} must match exactly one "
+                    "aliased select item (<expr> AS <name>)"
+                )
+            group_cols.append(hits[0])
+            group_exprs[hits[0]] = aliased.pop(hits[0])
+    aggs = aliased  # every remaining aliased item is an aggregate
+    stray = [c for c in plain_sel if c not in group_cols]
+    if stray:
+        raise ValueError(
+            f"select item(s) {stray} are neither GROUP BY columns nor "
+            "aliased expressions"
+        )
+    missing = [
+        c for c in group_cols if c not in plain_sel and c not in group_exprs
+    ]
     if missing:
         raise ValueError(
             f"select list must include every GROUP BY column; missing {missing}"
         )
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
+        if group_exprs:
+            raise ValueError(
+                "expression GROUP BY is supported for single-table "
+                "materialized views only (JOIN views group on plain columns)"
+            )
         mv, hooked_tables = _build_join_matview(
             m, known, base, safe, group_cols, aggs
         )
@@ -542,6 +585,7 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             group_cols,
             aggs,
             name=safe,
+            group_exprs=group_exprs,
         )
         hooked_tables = [base]
     # Initial refresh BEFORE wiring auto-refresh hooks: a broken AS

@@ -552,3 +552,116 @@ def test_bulk_rewrite_degrades_to_full_not_broadcast(spark, tmp_path):
     }
     got = {(r["f_dim"], r["n"], r["total"]) for r in mv.read().collect()}
     assert got == want
+
+
+def test_sql_facade_expression_group_by_alias_and_expr_spellings(
+    spark, tmp_path
+):
+    """CREATE MATERIALIZED VIEW with a DERIVED group key — both
+    ``GROUP BY <alias>`` and ``GROUP BY <expr>`` spellings — the
+    reference's time-bucketed rollup shape through the facade. The
+    incremental refresh recomputes ONLY touched buckets and stays
+    equal to direct recomputation."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    facts, _, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts}
+
+    def _direct_buckets():
+        return {
+            (r["b"], r["total"])
+            for r in facts.read()
+            .groupBy((F.col("f_id") % 4).cast("long").alias("b"))
+            .agg(F.sum("amount").cast("long").alias("total"))
+            .collect()
+        }
+
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW fb AS SELECT "
+            "CAST(f_id % 4 AS BIGINT) AS b, "
+            "CAST(sum(amount) AS BIGINT) AS total "
+            "FROM facts_t GROUP BY b",
+            tables=reg,
+        )
+        got = {
+            (r["b"], r["total"])
+            for r in run_query(spark, "SELECT * FROM fb", tables=reg).collect()
+        }
+        assert got == _direct_buckets()
+        # one bucket touched → incremental refresh of exactly 1 group
+        facts.upsert(_fbatch(spark, [(400, 1, 17, 1)]))  # f_id 400 → bucket 0
+        info = run_query(
+            spark, "REFRESH MATERIALIZED VIEW fb", tables=reg
+        ).collect()[0]
+        assert info["mode"] == "incremental"
+        assert info["groups_refreshed"] == 1
+        got = {
+            (r["b"], r["total"])
+            for r in run_query(spark, "SELECT * FROM fb", tables=reg).collect()
+        }
+        assert got == _direct_buckets()
+        run_query(spark, "DROP MATERIALIZED VIEW fb", tables=reg)
+
+        # GROUP BY <expression> spelling: matched textually against the
+        # aliased select item
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW fb2 AS SELECT "
+            "CAST(f_id % 4 AS BIGINT) AS b, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM facts_t GROUP BY CAST(f_id % 4 AS BIGINT)",
+            tables=reg,
+        )
+        want = {
+            (r["b"], r["n"])
+            for r in facts.read()
+            .groupBy((F.col("f_id") % 4).cast("long").alias("b"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        got = {
+            (r["b"], r["n"])
+            for r in run_query(spark, "SELECT * FROM fb2", tables=reg).collect()
+        }
+        assert got == want
+        run_query(spark, "DROP MATERIALIZED VIEW fb2", tables=reg)
+    finally:
+        MATVIEWS.pop("fb", None)
+        MATVIEWS.pop("fb2", None)
+
+
+def test_sql_facade_matview_name_and_group_by_validation(spark, tmp_path):
+    """A quoted non-identifier view name must fail the CREATE loudly
+    (it used to create, silently skip the temp-view publish, and never
+    be SELECTable); a JOIN view rejects expression group keys; a
+    GROUP BY expression matching no select item raises."""
+    from rds_to_datalake_project_spark.sql import run_query
+
+    facts, dims, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims}
+    with pytest.raises(ValueError, match="plain identifier"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW `my-view` AS SELECT f_dim, "
+            "CAST(count(*) AS BIGINT) AS n FROM facts_t GROUP BY f_dim",
+            tables=reg,
+        )
+    with pytest.raises(ValueError, match="single-table"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW jx AS SELECT "
+            "CAST(f_dim % 2 AS BIGINT) AS b, "
+            "CAST(count(*) AS BIGINT) AS n FROM facts_t "
+            "JOIN dims_t ON f_dim = d_id GROUP BY b",
+            tables=reg,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW gx AS SELECT f_dim, "
+            "CAST(count(*) AS BIGINT) AS n FROM facts_t "
+            "GROUP BY f_dim % 2",
+            tables=reg,
+        )
