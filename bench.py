@@ -91,6 +91,10 @@ HEADLINE = [
     "replicated_orders_checksums",
     "stream_replicated_orders_checksums",
     "join_matview_nation_revenue",
+    # round-11: LEFT-join IVM (dangling orders move into the NULL
+    # group) — build = two-table load + one commit per side + two
+    # hook refreshes; serve = view read
+    "left_join_matview_revenue",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",

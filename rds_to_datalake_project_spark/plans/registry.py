@@ -40,43 +40,50 @@ _MODULES = (
 # the report has zero non-green rows (r9 VERDICT "What's wrong" #2); their
 # md5 twins carry the hash check for the same code paths.
 _PRIORITY = (
-    # --- tier A: NEW in round 10 — secondary RANGE index, continuous
-    # streaming replication, sidecar ops inventory, join-view IVM
-    "secondary_index_range_scan",
-    "stream_replicated_orders_checksums",
+    # --- tier A: NEW or CHANGED in round 11 — LEFT-join IVM's only
+    # oracle-grade check (zero driver rows before this round, r10
+    # VERDICT task #1), the facade's expression GROUP BY rollup, the
+    # read_where access-path router's first oracle row, and the
+    # hardened two-row nonzero-lag sidecar inventory
+    "left_join_matview_revenue",
+    "sql_matview_time_bucket",
+    "read_where_routed",
     "sidecar_service_status",
+    # --- tier B: the FULL r4/r6 stale tier (r10 VERDICT task #2) —
+    # last driver row round 4 (first two) or round 6; the engine
+    # internals beneath them (delta publish, scratch roots, phase
+    # split) changed materially since
+    "jaccard_allpairs_sample",
+    "minhash_lsh_candidates_md5",
+    "ann_topk_cosine",
+    "bpe_merge_pairs",
+    "contamination_docs",
+    "ivf_probe_topk",
+    "neardup_components",
+    "neardup_cosine_pairs",
+    "ngram_containment_md5",
+    "pack_documents",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_sole_return_supplier",
+    "q22_inactive_high_balance",
+    "sample_docs_per_source",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count_by_source",
+    "train_test_split_counts",
+    "zorder_key_orders",
+    # --- tier C: queries riding the matview internals TOUCHED this
+    # round (broadcast-threshold fallback, derived group keys) —
+    # re-confirm on current code
     "join_matview_nation_revenue",
-    # --- tier B: stale-green rotation (r9 VERDICT "What's missing" #1):
-    # last driver row r4 (first four) or r6/r7; engine internals they
-    # ride on changed materially since (delta publish, scratch roots,
-    # compare meta-strip)
-    "q7_volume_shipping",
-    "orders_intersect_urgent",
-    "simhash_neardup_md5",
-    "ngram_jaccard_neardup_md5",
-    "hilbert_key_orders",
-    "media_decode_stats",
-    "jsonl_roundtrip",
-    "dynamodb_decode",
-    "sql_timetravel_changed_counts",
-    "containment_prefix_md5",
-    "quality_model_scores",
-    "ivf_quantized_trained_topk",
-    # --- tier C: engine paths TOUCHED in round 10 (canonical probe
-    # buckets + staleness refusal in secondary_index; DECIMAL drift
-    # compare; build/serve phase split through every lifecycle plan;
-    # search/apply stats recorders) — re-confirm
-    "secondary_index_lookup",
-    "embedding_dim_drift",
-    "replicated_orders_checksums",
-    "bm25_text_search",
-    "text_index_search",
-    "ann_index_served_topk",
-    "ann_index_ivf_topk",
-    "indexed_point_lookup",
-    "bloom_pruned_lookup",
-    "lsh_index_screen_md5",
-    "pit_lineitem_price",
+    "matview_incremental_status",
+    "sql_matview_roundtrip",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
     "cdc_upsert_roundtrip",
@@ -86,30 +93,21 @@ _PRIORITY = (
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
     "lake_table_changes",
-    # --- tier E: oldest-green rotation (r5–r8 last rows) — freshness
-    # sweep over untouched-but-aging components
-    "hot_order_customers",
-    "media_resize_stats",
-    "media_feature_extract",
-    "video_frame_plan",
-    "srp_neardup_embeddings",
-    "sq8_ann_topk",
-    "scalar_functions",
-    "revenue_rollup",
-    "quantity_percentiles",
-    "asof_user_state",
-    "range_join_promo_windows",
-    # (customer_order_balance and suppliers_with_returns yield their
-    # slots to sidecar_service_status and join_matview_nation_revenue;
-    # the J1 join family keeps one freshness row below and its r7
-    # greens stand on record)
-    "customers_without_orders",
-    "sql_facade_forecast_revenue",
-    "hypertable_rollup",
-    "partition_enrich",
-    # (dedup_latest_per_key's oracle IS cdc_upsert_roundtrip's — W1
-    # stays hash-checked through tier D without burning a slot)
-    "commit_key_codec",
+    # --- tier E: oldest-green rotation, next slice (r7 last rows) —
+    # freshness sweep continues oldest-first; the r10 greens (range
+    # index, streaming replication, media, ANN lifecycle) rotate out
+    # on record
+    "auto_salted_priority_join",
+    "bpe_encode_counts",
+    "bpe_merge_table",
+    "bpe_token_stats",
+    "customer_order_balance",
+    "dedup_latest_per_key",
+    "lexical_novelty_scores",
+    "minhash_neardup_md5",
+    "price_histogram",
+    "profile_orders",
+    "q10_returned_items",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
