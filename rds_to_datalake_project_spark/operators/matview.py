@@ -55,15 +55,36 @@ def _nullsafe_cond(a: DataFrame, b: DataFrame, cols: list[str]):
     return cond
 
 
+def _semi_on_groups(
+    rows: DataFrame, touched: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Null-safe broadcast semi-join of ``rows`` against the touched
+    group set, with the touched side RENAMED first: a derived group
+    key (group_exprs) can carry the same attribute id on both sides —
+    the touched set is computed from the same base lineage — which
+    trips Spark's ambiguous-self-join check. Renaming makes the
+    condition unambiguous regardless of lineage."""
+    t = touched.select(*[F.col(c).alias(f"__g_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        e = rows[c].eqNullSafe(t[f"__g_{c}"])
+        cond = e if cond is None else cond & e
+    return rows.join(F.broadcast(t), cond, "left_semi")
+
+
 def _merge_touched(store, touched, fresh, group_cols, aggs, seq) -> None:
     """Shared merge step of affected-group recompute (single-table and
     join views): upsert the recomputed groups, tombstone touched
     groups with no surviving rows — null-safe group matching
     throughout."""
-    fg = fresh.select(*group_cols)
-    gone = touched.join(
-        fg, _nullsafe_cond(touched, fg, group_cols), "left_anti"
-    )
+    fg = fresh.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols]
+    )  # renamed: same ambiguous-lineage hazard as _semi_on_groups
+    cond = None
+    for c in group_cols:
+        e = touched[c].eqNullSafe(fg[f"__g_{c}"])
+        cond = e if cond is None else cond & e
+    gone = touched.join(fg, cond, "left_anti")
     tombstones = gone.select(
         *group_cols,
         *[
@@ -234,11 +255,7 @@ class MaterializedView:
             # past this point the incremental path saves nothing anyway.
             return self._full(latest)
         snap = self._derive(self.base.read())
-        affected_rows = snap.join(
-            F.broadcast(touched),
-            _nullsafe_cond(snap, touched, self.group_cols),
-            "left_semi",
-        )
+        affected_rows = _semi_on_groups(snap, touched, self.group_cols)
         fresh = self._aggregate(affected_rows, latest).localCheckpoint(eager=True)
         _merge_touched(
             self.store, touched, fresh, self.group_cols, self.aggs, latest
@@ -315,6 +332,7 @@ class JoinMaterializedView:
         name: str = "join_matview",
         how: str = "inner",
         max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
     ):
         if not (left.retain_versions and right.retain_versions):
             raise ValueError(
@@ -329,6 +347,12 @@ class JoinMaterializedView:
         bad = set(group_cols) & set(aggs)
         if bad:
             raise ValueError(f"column(s) both grouped and aggregated: {sorted(bad)}")
+        self.group_exprs = dict(group_exprs or {})
+        stray = set(self.group_exprs) - set(group_cols)
+        if stray:
+            raise ValueError(
+                f"group_exprs name(s) not in group_cols: {sorted(stray)}"
+            )
         self.left, self.right = left, right
         self.spark: SparkSession = left.spark
         self.path = path
@@ -369,7 +393,13 @@ class JoinMaterializedView:
         return versions
 
     def _joined(self, l: DataFrame, r: DataFrame) -> DataFrame:
-        return l.join(r, l[self.l_on] == r[self.r_on], self.how)
+        """Join the two sides and attach derived group-key columns —
+        every consumer of group columns reads through here (or through
+        _aggregate), so derived keys are never missing."""
+        out = l.join(r, l[self.l_on] == r[self.r_on], self.how)
+        for c, e in self.group_exprs.items():
+            out = out.withColumn(c, F.expr(e))
+        return out
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(
@@ -520,11 +550,7 @@ class JoinMaterializedView:
             return self._full(new[0], new[1])
         seq = new[0] + new[1]
         joined = self._joined(l_now, r_now)
-        affected = joined.join(
-            F.broadcast(touched),
-            _nullsafe_cond(joined, touched, self.group_cols),
-            "left_semi",
-        )
+        affected = _semi_on_groups(joined, touched, self.group_cols)
         fresh = self._aggregate(affected, seq).localCheckpoint(eager=True)
         _merge_touched(
             self.store, touched, fresh, self.group_cols, self.aggs, seq

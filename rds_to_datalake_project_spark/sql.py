@@ -405,7 +405,7 @@ def _split_top_level(text: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _build_join_matview(m, known, base, safe, group_cols, aggs):
+def _build_join_matview(m, known, base, safe, group_cols, aggs, group_exprs):
     """The JOIN form of CREATE MATERIALIZED VIEW: resolve the right
     table, pick the ON sides (qualified names bind explicitly, with
     membership validated; unqualified names bind by unambiguous
@@ -472,6 +472,7 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs):
         aggs=aggs,
         name=safe,
         how="left" if jhow.startswith("LEFT") else "inner",
+        group_exprs=group_exprs,
     )
     return mv, [base, right]
 
@@ -570,13 +571,8 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         )
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
-        if group_exprs:
-            raise ValueError(
-                "expression GROUP BY is supported for single-table "
-                "materialized views only (JOIN views group on plain columns)"
-            )
         mv, hooked_tables = _build_join_matview(
-            m, known, base, safe, group_cols, aggs
+            m, known, base, safe, group_cols, aggs, group_exprs
         )
     else:
         mv = MaterializedView(

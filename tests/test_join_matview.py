@@ -635,8 +635,8 @@ def test_sql_facade_expression_group_by_alias_and_expr_spellings(
 def test_sql_facade_matview_name_and_group_by_validation(spark, tmp_path):
     """A quoted non-identifier view name must fail the CREATE loudly
     (it used to create, silently skip the temp-view publish, and never
-    be SELECTable); a JOIN view rejects expression group keys; a
-    GROUP BY expression matching no select item raises."""
+    be SELECTable); a GROUP BY expression matching no select item
+    raises."""
     from rds_to_datalake_project_spark.sql import run_query
 
     facts, dims, _ = _mk(spark, tmp_path)
@@ -648,15 +648,6 @@ def test_sql_facade_matview_name_and_group_by_validation(spark, tmp_path):
             "CAST(count(*) AS BIGINT) AS n FROM facts_t GROUP BY f_dim",
             tables=reg,
         )
-    with pytest.raises(ValueError, match="single-table"):
-        run_query(
-            spark,
-            "CREATE MATERIALIZED VIEW jx AS SELECT "
-            "CAST(f_dim % 2 AS BIGINT) AS b, "
-            "CAST(count(*) AS BIGINT) AS n FROM facts_t "
-            "JOIN dims_t ON f_dim = d_id GROUP BY b",
-            tables=reg,
-        )
     with pytest.raises(ValueError, match="exactly one"):
         run_query(
             spark,
@@ -665,3 +656,73 @@ def test_sql_facade_matview_name_and_group_by_validation(spark, tmp_path):
             "GROUP BY f_dim % 2",
             tables=reg,
         )
+
+
+def test_join_view_expression_group_keys_converge(spark, tmp_path):
+    """Derived group keys on the JOIN form (time-bucketed join rollup
+    shape): group by an expression over joined columns, maintained
+    incrementally across commits on both sides — equals direct
+    recomputation, including through the facade spelling."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    facts, dims, _ = _mk(spark, tmp_path)
+    view = JoinMaterializedView(
+        facts,
+        dims,
+        str(tmp_path / "ev"),
+        on=("f_dim", "d_id"),
+        group_cols=["grp", "bucket"],
+        aggs={"total": "CAST(sum(amount) AS BIGINT)"},
+        group_exprs={"bucket": "CAST(f_id % 3 AS BIGINT)"},
+    )
+
+    def _direct_exprs():
+        f, d = facts.read(), dims.read()
+        return {
+            (r["grp"], r["bucket"], r["total"])
+            for r in f.join(d, f["f_dim"] == d["d_id"])
+            .withColumn("bucket", (F.col("f_id") % 3).cast("long"))
+            .groupBy("grp", "bucket")
+            .agg(F.sum("amount").cast("long").alias("total"))
+            .collect()
+        }
+
+    assert view.refresh()["mode"] == "full"
+    got = {
+        (r["grp"], r["bucket"], r["total"]) for r in view.read().collect()
+    }
+    assert got == _direct_exprs()
+    # commits on both sides, then incremental convergence
+    facts.upsert(
+        _fbatch(spark, [(300, 2, 9, 1)]).unionByName(
+            _fbatch(spark, [(4, 4, 40, 1)], op="D")
+        ),
+        delete_mode="apply",
+    )
+    dims.upsert(_dbatch(spark, [(1, "gz", 1)]))
+    out = view.refresh()
+    assert out["mode"] == "incremental"
+    got = {
+        (r["grp"], r["bucket"], r["total"]) for r in view.read().collect()
+    }
+    assert got == _direct_exprs()
+
+    # the facade JOIN spelling accepts the derived key too
+    reg = {"facts_t": facts, "dims_t": dims}
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW jb AS SELECT grp, "
+            "CAST(f_id % 3 AS BIGINT) AS bucket, "
+            "CAST(sum(amount) AS BIGINT) AS total "
+            "FROM facts_t JOIN dims_t ON f_dim = d_id GROUP BY grp, bucket",
+            tables=reg,
+        )
+        got = {
+            (r["grp"], r["bucket"], r["total"])
+            for r in run_query(spark, "SELECT * FROM jb", tables=reg).collect()
+        }
+        assert got == _direct_exprs()
+        run_query(spark, "DROP MATERIALIZED VIEW jb", tables=reg)
+    finally:
+        MATVIEWS.pop("jb", None)
