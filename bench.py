@@ -95,6 +95,9 @@ HEADLINE = [
     # group) — build = two-table load + one commit per side + two
     # hook refreshes; serve = view read
     "left_join_matview_revenue",
+    # round-11: delta-merge IVM — refresh I/O ∝ change window, never
+    # the base; build = load + commit + full & delta refreshes
+    "delta_matview_priority_revenue",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",

@@ -573,3 +573,237 @@ def attach_join_matview_maintenance(view: JoinMaterializedView) -> None:
 
     view.left.add_maintenance_hook(jmv_refresh)
     view.right.add_maintenance_hook(jmv_refresh)
+
+
+# --- delta-merge maintenance (invertible aggregates) --------------------------
+
+_DELTA_AGG_RE = None  # compiled lazily; re import kept local to the class
+
+
+class DeltaMaterializedView(MaterializedView):
+    """SUM/COUNT materialized view maintained by SIGNED DELTA MERGE:
+    the change window's split images contribute +1 (insert /
+    update_postimage) or −1 (delete / update_preimage) times each
+    aggregate's inner expression, grouped once, and MERGED into the
+    stored values arithmetically — the refresh never reads the base
+    snapshot at all.
+
+    Scale contrast with affected-group recompute
+    (:class:`MaterializedView`): recompute costs ∝ the touched
+    groups' BASE ROWS (a hot group with a billion rows re-aggregates
+    a billion rows for a one-row change); delta merge costs ∝ the
+    CHANGE WINDOW alone — one groupBy over the changes plus a
+    broadcast-sized merge into the view store. The price is algebraic
+    invertibility: only ``sum(<expr>)``, ``count(*)`` and
+    ``count(<expr>)`` qualify (MIN/MAX/DISTINCT need recompute — use
+    the parent class). ``table_changes``' endpoint-state contract
+    (net change per key, insert+delete cancel) makes the signed merge
+    exact across multi-commit windows.
+
+    SQL NULL semantics are preserved: each sum carries a hidden
+    non-null contribution count and renders NULL when it reaches zero
+    (SUM over an empty/all-NULL group is NULL, not 0); a hidden live
+    row count tombstones vanished groups. Exactness note: integer and
+    DECIMAL sums are associative, so delta-merged values are
+    bit-identical to recomputation; FLOAT/DOUBLE sums can differ in
+    the last ulps (order-dependence) — aggregate decimals, cast on
+    read. A bulk rewrite (> ``max_broadcast_keys`` touched groups)
+    degrades to full recompute like the parent. Negative live counts
+    (a malformed feed) raise rather than publish a corrupt view.
+    """
+
+    def __init__(
+        self,
+        base: KeyedTable,
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "delta_matview",
+        max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
+    ):
+        import re as _re
+
+        parsed: dict[str, tuple[str, str]] = {}
+        for c, e in aggs.items():
+            m = _re.match(r"(?is)^\s*(sum|count)\s*\(\s*(.+?|\*)\s*\)\s*$", e)
+            if not m:
+                raise ValueError(
+                    f"delta maintenance requires invertible aggregates "
+                    f"(sum(<expr>) / count(*) / count(<expr>)); got {e!r} "
+                    f"for {c!r} — use MaterializedView (affected-group "
+                    "recompute) for anything else"
+                )
+            parsed[c] = (m.group(1).lower(), m.group(2).strip())
+        self._parsed = parsed
+        super().__init__(
+            base,
+            path,
+            group_cols,
+            aggs,
+            name=name,
+            max_broadcast_keys=max_broadcast_keys,
+            group_exprs=group_exprs,
+        )
+
+    _LIVE = "__live_n"
+
+    def _nn(self, c: str) -> str:
+        return f"__nn_{c}"
+
+    # -- crash protocol ------------------------------------------------------
+    # Delta application is NOT replay-idempotent (re-applying a window
+    # double-counts), so the apply is bracketed by an INTENT marker:
+    # written before the store upsert, cleared after the cursor write.
+    # A surviving intent means a crash left the store in an UNKNOWN
+    # state (applied or not) — the next refresh takes the full-rebuild
+    # path, which overwrites the store from the snapshot and is always
+    # correct. Recompute-style views don't need this: their replay is
+    # idempotent by construction.
+
+    def _pending_path(self) -> str:
+        return f"{self.path}/.mv/_PENDING"
+
+    def _pending(self) -> bool:
+        return bool(_read_small(self.spark, self._pending_path()))
+
+    def _set_pending(self, since: int, latest: int) -> None:
+        _write_small(
+            self.spark, self._pending_path(), f"{since} {latest}"
+        )
+
+    def _clear_pending(self) -> None:
+        _write_small(self.spark, self._pending_path(), "")
+
+    def _full(self, latest: int) -> dict:
+        out = super()._full(latest)
+        self._clear_pending()
+        return out
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        """Full-recompute form WITH the hidden invertibility columns
+        (live row count + per-sum non-null counts) — used by the
+        initial load and the bulk-rewrite fallback."""
+        aggs = []
+        for c, (kind, inner) in self._parsed.items():
+            if kind == "count" and inner == "*":
+                aggs.append(F.count("*").cast("long").alias(c))
+            elif kind == "count":
+                aggs.append(F.count(F.expr(inner)).cast("long").alias(c))
+            else:
+                aggs.append(F.sum(F.expr(inner)).alias(c))
+                aggs.append(
+                    F.count(F.expr(inner)).cast("long").alias(self._nn(c))
+                )
+        aggs.append(F.count("*").cast("long").alias(self._LIVE))
+        out = self._derive(rows).groupBy(*self.group_cols).agg(*aggs)
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        hidden = [_SEQ_COL, self._LIVE] + [
+            self._nn(c) for c, (k, _) in self._parsed.items() if k == "sum"
+        ]
+        return self.store.read().drop(*hidden)
+
+    def _incremental(self, since: int, latest: int) -> dict:
+        if self._pending():
+            # a prior delta apply crashed between the store upsert and
+            # the cursor write — state unknown, rebuild from snapshot
+            return self._full(latest)
+        ch = self._derive(
+            self.base.table_changes(since, latest, include_preimage=True)
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        dcols = []
+        for c, (kind, inner) in self._parsed.items():
+            if kind == "count" and inner == "*":
+                dcols.append(F.sum(sign).cast("long").alias(f"__d_{c}"))
+            elif kind == "count":
+                dcols.append(
+                    F.sum(
+                        F.when(F.expr(inner).isNotNull(), sign).otherwise(0)
+                    ).cast("long").alias(f"__d_{c}")
+                )
+            else:
+                e = F.expr(inner)
+                dcols.append(
+                    F.sum(F.when(e.isNotNull(), e * sign)).alias(f"__d_{c}")
+                )
+                dcols.append(
+                    F.sum(F.when(e.isNotNull(), sign).otherwise(0))
+                    .cast("long")
+                    .alias(f"__dnn_{c}")
+                )
+        dcols.append(F.sum(sign).cast("long").alias(f"__d_{self._LIVE}"))
+        delta = (
+            ch.groupBy(*self.group_cols).agg(*dcols).localCheckpoint(eager=True)
+        )
+        n_touched = delta.count()
+        if not n_touched:
+            self._write_marker(latest)
+            return {"mode": "delta", "base_version": latest, "groups_refreshed": 0}
+        if n_touched > self.max_broadcast_keys:
+            return self._full(latest)
+
+        # stored value types are pinned by the full-aggregate plan —
+        # delta arithmetic can widen DECIMAL precision, so cast back
+        ref = self._aggregate(self._derive(self.base.read()).limit(0), 0).schema
+        old = self.store.read()
+        d = delta.select(
+            *[F.col(c).alias(f"__g_{c}") for c in self.group_cols],
+            *[c for c in delta.columns if c not in self.group_cols],
+        )
+        cond = None
+        for c in self.group_cols:
+            e = old[c].eqNullSafe(d[f"__g_{c}"])
+            cond = e if cond is None else cond & e
+        # delta side preserved (new groups), old side only where touched
+        j = old.join(F.broadcast(d), cond, "right_outer")
+
+        def _z(col, typ="long"):
+            return F.coalesce(col, F.lit(0).cast(typ))
+
+        merged_cols = [
+            F.coalesce(old[c], d[f"__g_{c}"]).alias(c) for c in self.group_cols
+        ]
+        live = (_z(old[self._LIVE]) + _z(d[f"__d_{self._LIVE}"])).alias(
+            self._LIVE
+        )
+        for c, (kind, inner) in self._parsed.items():
+            typ = ref[c].dataType
+            if kind == "count":
+                merged_cols.append(
+                    (_z(old[c]) + _z(d[f"__d_{c}"])).cast(typ).alias(c)
+                )
+            else:
+                nn = _z(old[self._nn(c)]) + _z(d[f"__dnn_{c}"])
+                raw = (
+                    _z(old[c].cast(typ), typ) + _z(d[f"__d_{c}"].cast(typ), typ)
+                ).cast(typ)
+                merged_cols.append(F.when(nn > 0, raw).alias(c))
+                merged_cols.append(nn.alias(self._nn(c)))
+        merged = j.select(
+            *merged_cols, live, F.lit(latest).cast("long").alias(_SEQ_COL)
+        ).localCheckpoint(eager=True)
+        bad = merged.filter(F.col(self._LIVE) < 0).limit(1).count()
+        if bad:
+            raise ValueError(
+                "delta merge produced a negative live count — the change "
+                "feed is inconsistent with the view state; rebuild with "
+                "refresh() after clearing the cursor"
+            )
+        batch = merged.withColumn(
+            "Op", F.when(F.col(self._LIVE) == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        self._set_pending(since, latest)
+        self.store.upsert(batch, delete_mode="apply")
+        self._write_marker(latest)
+        self._clear_pending()
+        return {
+            "mode": "delta",
+            "base_version": latest,
+            "groups_refreshed": n_touched,
+        }

@@ -409,6 +409,110 @@ GROUP BY 1, 2
 ORDER BY h, event_type
 """
 
+# --- delta-merge matview ------------------------------------------------------
+
+_DMV_SPEC = TableSpec(
+    "dmv_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def delta_matview_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-merge IVM (operators/matview.py:DeltaMaterializedView):
+    a per-priority COUNT/SUM view maintained by signed-delta
+    arithmetic over the change window — the refresh never re-reads the
+    base (refresh I/O ∝ change set, vs affected-group recompute's ∝
+    touched groups' rows). The commit mixes disjoint classes: deletes
+    (%10=2), a GROUP-MOVING priority rewrite (%10=4 → a NEW group, so
+    both the vacated groups and an unseen group take signed deltas),
+    and an in-place reprice (%10=6). DECIMAL sums make the merged
+    values bit-identical to recomputation; the oracle states the final
+    aggregate in closed form."""
+    return _dmv_serve(spark, sf_dir, _dmv_fixture(spark, sf_dir))
+
+
+def _dmv_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaMaterializedView,
+    )
+
+    root = _scratch("delta_mv")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    init = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "update_at", F.lit("a")
+    )
+    t = KeyedTable(spark, f"{root}/t", _DMV_SPEC, retain_versions=4)
+    t.initial_load(init)
+    view = DeltaMaterializedView(
+        t,
+        f"{root}/v",
+        ["o_orderpriority"],
+        {
+            "n_orders": "count(*)",
+            "revenue": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+        },
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    moved = (
+        init.filter(k % 10 == 4)
+        .withColumn("o_orderpriority", F.lit("9-MOVED"))
+        .withColumn("Op", F.lit("U"))
+    )
+    repriced = (
+        init.filter(k % 10 == 6)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = init.filter(k % 10 == 2).withColumn("Op", F.lit("D"))
+    t.upsert(
+        moved.unionByName(repriced)
+        .unionByName(deletes)
+        .withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    info = view.refresh()
+    assert info["mode"] == "delta", info
+    return view
+
+
+def _dmv_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DELTA_MV_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), kept AS (
+  SELECT * FROM init WHERE o_orderkey % 10 <> 2
+), final AS (
+  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM kept
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM final
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # --- stats-driven join planning ----------------------------------------------
 
 _BCAST_MAX_ROWS = 2000
@@ -775,6 +879,7 @@ QUERIES = {
     "matview_incremental_status": matview_incremental_status,
     "sql_matview_roundtrip": sql_matview_roundtrip,
     "sql_matview_time_bucket": sql_matview_time_bucket,
+    "delta_matview_priority_revenue": delta_matview_priority_revenue,
     "stats_join_advisory": stats_join_advisory,
     "join_matview_nation_revenue": join_matview_nation_revenue,
 }
@@ -784,6 +889,7 @@ ORACLES = {
     "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
+    "delta_matview_priority_revenue": DELTA_MV_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,
     "matview_incremental_status": MATVIEW_SQL,
@@ -794,4 +900,5 @@ ORACLES = {
 PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
+    "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
 }

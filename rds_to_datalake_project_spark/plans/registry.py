@@ -47,6 +47,7 @@ _PRIORITY = (
     # hardened two-row nonzero-lag sidecar inventory
     "left_join_matview_revenue",
     "sql_matview_time_bucket",
+    "delta_matview_priority_revenue",
     "read_where_routed",
     "sidecar_service_status",
     # --- tier B: the FULL r4/r6 stale tier (r10 VERDICT task #2) —
@@ -107,7 +108,8 @@ _PRIORITY = (
     "minhash_neardup_md5",
     "price_histogram",
     "profile_orders",
-    "q10_returned_items",
+    # (q10_returned_items yields its slot to the NEW delta-merge view;
+    # its r7 green stands on record and pytest covers it)
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

@@ -1,0 +1,164 @@
+"""Delta-merge materialized views (operators/matview.py:
+DeltaMaterializedView): SUM/COUNT views maintained by signed-delta
+arithmetic over the change window — never re-reading the base — must
+converge to direct recomputation across inserts, deletes,
+group-moving updates, NULL contributions and vanished groups, and
+must rebuild (not double-count) after a crash mid-apply."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.matview import (
+    DeltaMaterializedView,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+
+AGGS = {
+    "n": "count(*)",
+    "total": "sum(CAST(amount AS DECIMAL(20,2)))",
+    "n_vals": "count(opt)",
+    "opt_sum": "sum(opt)",
+}
+
+
+def _mk(spark, tmp_path):
+    spec = TableSpec(
+        "facts", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "t"), spec, retain_versions=8)
+    rows = [
+        (i, f"g{i % 4}" if i % 10 else None, 10 * i,
+         i if i % 3 else None, 0)
+        for i in range(40)
+    ]
+    t.initial_load(
+        spark.createDataFrame(
+            rows, "f_id long, grp string, amount long, opt long, seq long"
+        )
+    )
+    view = DeltaMaterializedView(t, str(tmp_path / "v"), ["grp"], AGGS)
+    return t, view
+
+
+def _direct(t):
+    return {
+        tuple(r)
+        for r in t.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("amount").cast("decimal(20,2)")).alias("total"),
+            F.count("opt").cast("long").alias("n_vals"),
+            F.sum("opt").alias("opt_sum"),
+        )
+        .select("grp", "n", "total", "n_vals", "opt_sum")
+        .collect()
+    }
+
+
+def _got(view):
+    return {
+        tuple(r)
+        for r in view.read().select("grp", "n", "total", "n_vals", "opt_sum").collect()
+    }
+
+
+def _batch(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "f_id long, grp string, amount long, opt long, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def test_delta_converges_and_never_reads_base(spark, tmp_path):
+    t, view = _mk(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    assert _got(view) == _direct(t)
+
+    # inserts + deletes + a GROUP-MOVING update (f_id 1: g1 -> g2) +
+    # a value update in place
+    t.upsert(
+        _batch(spark, [(100, "g0", 7, 5, 1), (1, "g2", 10, None, 1)])
+        .unionByName(_batch(spark, [(2, "g2", 20, 2, 1)], op="D")),
+        delete_mode="apply",
+    )
+    out = view.refresh()
+    assert out["mode"] == "delta" and out["groups_refreshed"] >= 2
+    assert _got(view) == _direct(t)
+
+    # multi-commit window (endpoint-state netting): two commits, one
+    # refresh — inserted-then-deleted key must cancel
+    t.upsert(_batch(spark, [(200, "g3", 1, 1, 2)]))
+    t.upsert(_batch(spark, [(200, "g3", 1, 1, 3)], op="D"), delete_mode="apply")
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert _got(view) == _direct(t)
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_sum_goes_null_and_group_tombstones(spark, tmp_path):
+    t, view = _mk(spark, tmp_path)
+    view.refresh()
+    # NULL group is real and maintained
+    assert None in {r["grp"] for r in view.read().collect()}
+
+    # remove every non-null `opt` contributor of g1 (ids 1,13,17,29,
+    # 37 are g1 with opt non-null ... easier: update them to NULL):
+    g1_nonnull = [
+        (i, "g1", 10 * i, None, 1)
+        for i in range(40)
+        if i % 10 and i % 4 == 1 and i % 3
+    ]
+    t.upsert(_batch(spark, g1_nonnull))
+    view.refresh()
+    assert _got(view) == _direct(t)
+    row = {r["grp"]: r for r in view.read().collect()}["g1"]
+    assert row["opt_sum"] is None and row["n_vals"] == 0
+
+    # delete ALL rows of g2 -> group tombstoned
+    g2 = [(i, "g2", 10 * i, i if i % 3 else None, 2)
+          for i in range(40) if i % 10 and i % 4 == 2]
+    t.upsert(_batch(spark, g2, op="D"), delete_mode="apply")
+    view.refresh()
+    assert _got(view) == _direct(t)
+    assert "g2" not in {r["grp"] for r in view.read().collect()}
+
+
+def test_crash_mid_apply_rebuilds_instead_of_double_counting(spark, tmp_path):
+    t, view = _mk(spark, tmp_path)
+    view.refresh()
+    t.upsert(_batch(spark, [(300, "g0", 50, 5, 1)]))
+    # simulate a crash AFTER the intent marker (store state unknown)
+    view._set_pending(0, 1)
+    out = view.refresh()
+    assert out["mode"] == "full"  # rebuild, never re-apply
+    assert _got(view) == _direct(t)
+    assert not view._pending()
+    # and the next refresh is a clean noop/delta again
+    t.upsert(_batch(spark, [(301, "g0", 60, None, 2)]))
+    assert view.refresh()["mode"] == "delta"
+    assert _got(view) == _direct(t)
+
+
+def test_rejects_non_invertible_aggregates(spark, tmp_path):
+    t, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="invertible"):
+        DeltaMaterializedView(
+            t, str(tmp_path / "bad"), ["grp"], {"m": "max(amount)"}
+        )
+
+
+def test_bulk_rewrite_falls_back_to_full(spark, tmp_path):
+    t, view = _mk(spark, tmp_path)
+    view.max_broadcast_keys = 2
+    view.refresh()
+    # touch all 5 groups (> 2) in one window
+    t.upsert(_batch(spark, [(500 + i, f"g{i % 4}", i, i, 1) for i in range(8)]
+                    + [(600, None, 1, 1, 1)]))
+    out = view.refresh()
+    assert out["mode"] == "full"
+    assert _got(view) == _direct(t)
