@@ -98,6 +98,7 @@ HEADLINE = [
     # round-11: delta-merge IVM — refresh I/O ∝ change window, never
     # the base; build = load + commit + full & delta refreshes
     "delta_matview_priority_revenue",
+    "chain_matview_region_revenue",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",

@@ -751,37 +751,56 @@ class DeltaMaterializedView(MaterializedView):
         # stored value types are pinned by the full-aggregate plan —
         # delta arithmetic can widen DECIMAL precision, so cast back
         ref = self._aggregate(self._derive(self.base.read()).limit(0), 0).schema
-        old = self.store.read()
+        # Prune the view store to the touched groups FIRST (broadcast
+        # semi-join — the only pass over the store), then outer-join
+        # the now-tiny old side against the delta with the SMALL side
+        # built: a right-outer join can only broadcast-build its LEFT,
+        # so hinting the delta side would silently shuffle the whole
+        # group-sized store every refresh. Both join children carry
+        # the delta's lineage (the semi's right side IS the delta), so
+        # the sides are Dataset.alias-qualified — unqualified df[col]
+        # references trip Spark's ambiguous-self-join check here.
+        old = _semi_on_groups(self.store.read(), delta, self.group_cols).alias(
+            "__o"
+        )
         d = delta.select(
             *[F.col(c).alias(f"__g_{c}") for c in self.group_cols],
             *[c for c in delta.columns if c not in self.group_cols],
-        )
+        ).alias("__dl")
+
+        def _oc(c):
+            return F.col(f"__o.{c}")
+
+        def _dc(c):
+            return F.col(f"__dl.{c}")
+
         cond = None
         for c in self.group_cols:
-            e = old[c].eqNullSafe(d[f"__g_{c}"])
+            e = _oc(c).eqNullSafe(_dc(f"__g_{c}"))
             cond = e if cond is None else cond & e
         # delta side preserved (new groups), old side only where touched
-        j = old.join(F.broadcast(d), cond, "right_outer")
+        j = F.broadcast(old).join(d, cond, "right_outer")
 
         def _z(col, typ="long"):
             return F.coalesce(col, F.lit(0).cast(typ))
 
         merged_cols = [
-            F.coalesce(old[c], d[f"__g_{c}"]).alias(c) for c in self.group_cols
+            F.coalesce(_oc(c), _dc(f"__g_{c}")).alias(c)
+            for c in self.group_cols
         ]
-        live = (_z(old[self._LIVE]) + _z(d[f"__d_{self._LIVE}"])).alias(
+        live = (_z(_oc(self._LIVE)) + _z(_dc(f"__d_{self._LIVE}"))).alias(
             self._LIVE
         )
         for c, (kind, inner) in self._parsed.items():
             typ = ref[c].dataType
             if kind == "count":
                 merged_cols.append(
-                    (_z(old[c]) + _z(d[f"__d_{c}"])).cast(typ).alias(c)
+                    (_z(_oc(c)) + _z(_dc(f"__d_{c}"))).cast(typ).alias(c)
                 )
             else:
-                nn = _z(old[self._nn(c)]) + _z(d[f"__dnn_{c}"])
+                nn = _z(_oc(self._nn(c))) + _z(_dc(f"__dnn_{c}"))
                 raw = (
-                    _z(old[c].cast(typ), typ) + _z(d[f"__d_{c}"].cast(typ), typ)
+                    _z(_oc(c).cast(typ), typ) + _z(_dc(f"__d_{c}").cast(typ), typ)
                 ).cast(typ)
                 merged_cols.append(F.when(nn > 0, raw).alias(c))
                 merged_cols.append(nn.alias(self._nn(c)))
@@ -807,3 +826,295 @@ class DeltaMaterializedView(MaterializedView):
             "base_version": latest,
             "groups_refreshed": n_touched,
         }
+
+
+# --- N-table chain/star join views --------------------------------------------
+
+
+class ChainMaterializedView:
+    """GROUP BY over an N-table inner equi-join chain
+    ``T0 JOIN T1 ON T0.fk0 = T1.k1 JOIN T2 ON T1.fk1 = T2.k2 ...``
+    (T0 = fact; a star schema is the depth-1 special case with every
+    fk on the fact), incrementally maintained from EVERY table's
+    change feed — the n-way generalization of
+    :class:`JoinMaterializedView`.
+
+    Maintenance is affected-group recompute lifted to the chain:
+
+    1. Each changed table Ti reduces its window to the DISTINCT record
+       keys touched (∝ its change set).
+    2. Those keys propagate DOWN the chain to the fact: changed T2
+       keys select the T1 rows that reference them (semi-join), whose
+       keys select the referencing fact rows — each hop is one
+       semi-join whose leaf key set is broadcast and whose
+       intermediate results stay distributed (AQE picks the strategy;
+       an intermediate neighborhood is NOT driver-bounded).
+    3. Touched groups = group values of the joined AFFECTED fact rows
+       in the NEW state ∪ the OLD state (as-of snapshots at the
+       previous cursor — catches groups that only lost rows, e.g. a
+       dim delete dropping its fact rows from the inner join).
+    4. Exactly those groups recompute from the current full join and
+       merge into the view store (vanished groups tombstone) — the
+       same null-safe `_merge_touched` as every other view class.
+
+    Cost ∝ the changed keys' join neighborhoods, never any corpus.
+    Recompute (not retraction) keeps arbitrary SQL aggregates correct.
+    Idempotent replay: the cursor marker is written after the merge.
+    Inner joins only (a LEFT chain's NULL-group propagation is the
+    2-table class's how='left'); every table must be versioned.
+
+    ``tables``: [fact, dim1, dim2, ...] (KeyedTables, retain_versions
+    > 0). ``on``: [(fk_of_T0, key_of_T1), (fk_of_T1, key_of_T2), ...]
+    — column names must be unambiguous across the joined frame
+    (TPC-H-style prefixed schemas satisfy this).
+    """
+
+    def __init__(
+        self,
+        tables: list[KeyedTable],
+        on: list[tuple[str, str]],
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "chain_matview",
+        max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
+    ):
+        if len(tables) < 2 or len(on) != len(tables) - 1:
+            raise ValueError(
+                "need >= 2 tables and exactly len(tables)-1 ON pairs"
+            )
+        for t in tables:
+            if not t.retain_versions:
+                raise ValueError(
+                    "ChainMaterializedView requires every table versioned "
+                    "(retain_versions > 0) — the cursor is a version tuple"
+                )
+        if not group_cols or not aggs:
+            raise ValueError("group_cols and aggs must be non-empty")
+        bad = set(group_cols) & set(aggs)
+        if bad:
+            raise ValueError(f"column(s) both grouped and aggregated: {sorted(bad)}")
+        self.group_exprs = dict(group_exprs or {})
+        stray = set(self.group_exprs) - set(group_cols)
+        if stray:
+            raise ValueError(
+                f"group_exprs name(s) not in group_cols: {sorted(stray)}"
+            )
+        self.tables = list(tables)
+        self.on = list(on)
+        self.spark: SparkSession = tables[0].spark
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.max_broadcast_keys = max_broadcast_keys
+        self.store = KeyedTable(
+            self.spark,
+            path,
+            TableSpec(
+                name,
+                record_key=tuple(group_cols),
+                precombine_key=_SEQ_COL,
+                partition_granularity="",
+            ),
+        )
+
+    # -- cursor ----------------------------------------------------------------
+
+    def _marker_path(self) -> str:
+        return f"{self.path}/.mv/_BASE_VERSIONS"
+
+    def refreshed_versions(self) -> tuple[int, ...] | None:
+        parts = (_read_small(self.spark, self._marker_path()) or "").split()
+        n = len(self.tables)
+        if len(parts) != 2 * n:
+            return None
+        try:
+            versions = tuple(int(p) for p in parts[:n])
+        except ValueError:
+            return None
+        if any(
+            parts[n + i] != _inc_token(t) for i, t in enumerate(self.tables)
+        ):
+            return None  # some table was RESET since the cursor
+        return versions
+
+    def _write_cursor(self, versions: tuple[int, ...]) -> None:
+        _write_small(
+            self.spark,
+            self._marker_path(),
+            " ".join(str(v) for v in versions)
+            + " "
+            + " ".join(_inc_token(t) for t in self.tables),
+        )
+
+    # -- plans -----------------------------------------------------------------
+
+    def _joined(self, frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for (fk, k), d in zip(self.on, frames[1:]):
+            out = out.join(d, out[fk] == d[k], "inner")
+        for c, e in self.group_exprs.items():
+            out = out.withColumn(c, F.expr(e))
+        return out
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        out = rows.groupBy(*self.group_cols).agg(
+            *[F.expr(e).alias(c) for c, e in self.aggs.items()]
+        )
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        return self.store.read().drop(_SEQ_COL)
+
+    def refresh(self) -> dict:
+        heads = tuple((t.versions() or [0])[-1] for t in self.tables)
+        cur = self.refreshed_versions()
+        if cur == heads:
+            return {
+                "mode": "noop",
+                "versions": cur,
+                "base_version": sum(cur),
+                "groups_refreshed": 0,
+            }
+        if cur is None or any(
+            cur[i] not in t.readable_versions()
+            for i, t in enumerate(self.tables)
+        ):
+            return self._full(heads)
+        return self._incremental(cur, heads)
+
+    def _full(self, heads: tuple[int, ...]) -> dict:
+        rows = self._joined([t.read() for t in self.tables])
+        self.store.initial_load(self._aggregate(rows, sum(heads)))
+        n = self.store.read().count()
+        self._write_cursor(heads)
+        return {
+            "mode": "full",
+            "versions": heads,
+            "base_version": sum(heads),
+            "groups_refreshed": n,
+        }
+
+    def _changed_keys(self, i: int, cur, new) -> DataFrame | None:
+        """Distinct record-key values of table i's change window, or
+        None when that table did not move."""
+        if new[i] <= cur[i]:
+            return None
+        t = self.tables[i]
+        kc = t.spec.record_key[0]
+        return (
+            t.table_changes(cur[i], new[i])
+            .select(F.col(kc).alias("__ck"))
+            .distinct()
+        )
+
+    def _affected_facts(
+        self, frames: list[DataFrame], i: int, keys: DataFrame
+    ) -> DataFrame:
+        """Fact rows (frames[0]) whose join path reaches table i's
+        changed keys, in the given state: propagate the key set down
+        the chain with one semi-join per hop — the LEAF set is
+        broadcast, intermediate neighborhoods stay distributed."""
+        if i == 0:
+            kc = self.tables[0].spec.record_key[0]
+            f = frames[0]
+            return f.join(
+                F.broadcast(keys), f[kc] == keys["__ck"], "left_semi"
+            )
+        # select table-i rows bearing the changed keys, then walk down
+        ki = self.tables[i].spec.record_key[0]
+        x = frames[i].join(
+            F.broadcast(keys), frames[i][ki] == keys["__ck"], "left_semi"
+        )
+        for j in range(i - 1, 0, -1):
+            fk, k = self.on[j]
+            x = frames[j].join(x, frames[j][fk] == x[k], "left_semi")
+        fk0, k1 = self.on[0]
+        return frames[0].join(
+            x, frames[0][fk0] == x[k1], "left_semi"
+        )
+
+    def _touched_groups(
+        self, frames: list[DataFrame], changed: list[DataFrame | None]
+    ) -> DataFrame | None:
+        kc = self.tables[0].spec.record_key[0]
+        affected = None
+        for i, keys in enumerate(changed):
+            if keys is None:
+                continue
+            s = self._affected_facts(frames, i, keys)
+            affected = s if affected is None else affected.unionByName(s)
+        if affected is None:
+            return None
+        affected = affected.dropDuplicates([kc])
+        return (
+            self._joined([affected, *frames[1:]])
+            .select(*self.group_cols)
+            .distinct()
+        )
+
+    def _incremental(self, cur, new) -> dict:
+        changed = []
+        for i in range(len(self.tables)):
+            keys = self._changed_keys(i, cur, new)
+            if keys is not None:
+                keys = keys.localCheckpoint(eager=True)
+                n = keys.count()
+                if not n:
+                    keys = None
+                elif n > self.max_broadcast_keys:
+                    return self._full(new)
+            changed.append(keys)
+        if all(k is None for k in changed):
+            self._write_cursor(new)
+            return {
+                "mode": "incremental",
+                "versions": new,
+                "base_version": sum(new),
+                "groups_refreshed": 0,
+            }
+        now = [t.read() for t in self.tables]
+        old = [
+            t.read_as_of(cur[i]) for i, t in enumerate(self.tables)
+        ]
+        tg_new = self._touched_groups(now, changed)
+        tg_old = self._touched_groups(old, changed)
+        touched = tg_new if tg_old is None else tg_new.unionByName(tg_old)
+        touched = touched.distinct().localCheckpoint(eager=True)
+        n_touched = touched.count()
+        if not n_touched:
+            self._write_cursor(new)
+            return {
+                "mode": "incremental",
+                "versions": new,
+                "base_version": sum(new),
+                "groups_refreshed": 0,
+            }
+        if n_touched > self.max_broadcast_keys:
+            return self._full(new)
+        seq = sum(new)
+        affected = _semi_on_groups(
+            self._joined(now), touched, self.group_cols
+        )
+        fresh = self._aggregate(affected, seq).localCheckpoint(eager=True)
+        _merge_touched(
+            self.store, touched, fresh, self.group_cols, self.aggs, seq
+        )
+        self._write_cursor(new)
+        return {
+            "mode": "incremental",
+            "versions": new,
+            "base_version": sum(new),
+            "groups_refreshed": n_touched,
+        }
+
+
+def attach_chain_matview_maintenance(view: ChainMaterializedView) -> None:
+    """Enroll the view in EVERY chained table's post-commit slot."""
+
+    def chain_refresh(_table: KeyedTable) -> None:
+        view.refresh()
+
+    for t in view.tables:
+        t.add_maintenance_hook(chain_refresh)

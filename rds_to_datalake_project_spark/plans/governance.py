@@ -513,6 +513,126 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# --- N-table chain join view --------------------------------------------------
+
+
+def chain_matview_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table chain IVM (operators/matview.py:ChainMaterializedView):
+    per-nation revenue over orders ⋈ customer ⋈ nation, maintained by
+    post-commit hooks from ALL THREE feeds. The commits exercise every
+    propagation depth: a fact delete (depth 0), a MID-CHAIN nation
+    re-key on customer (depth 1 — every joined order moves nation
+    though neither the order nor the nation feed says so), and a
+    FAR-DIM rename on nation (depth 2 — a group-label move reaching
+    the fact only through two semi-join hops). Oracle: the final join
+    aggregate in closed form."""
+    return _chain_mv_serve(spark, sf_dir, _chain_mv_fixture(spark, sf_dir))
+
+
+def _chain_mv_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        ChainMaterializedView,
+        attach_chain_matview_maintenance,
+    )
+
+    root = _scratch("chain_mv")
+
+    def _kt(name, key, df):
+        t = KeyedTable(
+            spark,
+            f"{root}/{name}",
+            TableSpec(
+                name,
+                record_key=(key,),
+                precombine_key="seq",
+                partition_granularity=None,
+            ),
+            retain_versions=4,
+        )
+        t.initial_load(df.withColumn("seq", F.lit(0).cast("long")))
+        return t
+
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n_base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = _kt("orders_chain", "o_orderkey", o_base)
+    c = _kt("customer_chain", "c_custkey", c_base)
+    n = _kt("nation_chain", "n_nationkey", n_base)
+    view = ChainMaterializedView(
+        [o, c, n],
+        on=[("o_custkey", "c_custkey"), ("c_nationkey", "n_nationkey")],
+        path=f"{root}/v",
+        group_cols=["n_name"],
+        aggs={
+            "n_orders": "CAST(count(*) AS BIGINT)",
+            "revenue": (
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+            ),
+        },
+    )
+    view.refresh()
+    attach_chain_matview_maintenance(view)
+    k = F.col("o_orderkey")
+    o.upsert(
+        o_base.filter(k % 9 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("long")),
+        delete_mode="apply",
+    )
+    ck = F.col("c_custkey")
+    c.upsert(
+        c_base.filter(ck % 6 == 0)
+        .withColumn("c_nationkey", (F.col("c_nationkey") + F.lit(7)) % 25)
+        .withColumn("Op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    nk = F.col("n_nationkey")
+    n.upsert(
+        n_base.filter(nk % 5 == 0)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_X")))
+        .withColumn("Op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    return view
+
+
+def _chain_mv_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select("n_name", "n_orders", "revenue")
+        .orderBy("n_name")
+    )
+
+
+CHAIN_MV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 9 <> 0
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 7) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), n AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+              ELSE n_name END AS n_name
+  FROM nation
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+       JOIN n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
 # --- stats-driven join planning ----------------------------------------------
 
 _BCAST_MAX_ROWS = 2000
@@ -880,6 +1000,7 @@ QUERIES = {
     "sql_matview_roundtrip": sql_matview_roundtrip,
     "sql_matview_time_bucket": sql_matview_time_bucket,
     "delta_matview_priority_revenue": delta_matview_priority_revenue,
+    "chain_matview_region_revenue": chain_matview_region_revenue,
     "stats_join_advisory": stats_join_advisory,
     "join_matview_nation_revenue": join_matview_nation_revenue,
 }
@@ -890,6 +1011,7 @@ ORACLES = {
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
     "delta_matview_priority_revenue": DELTA_MV_SQL,
+    "chain_matview_region_revenue": CHAIN_MV_SQL,
     "expectations_orders_report": EXPECTATIONS_SQL,
     "gated_upsert_roundtrip": GATED_SQL,
     "matview_incremental_status": MATVIEW_SQL,
@@ -901,4 +1023,5 @@ PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
+    "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),
 }

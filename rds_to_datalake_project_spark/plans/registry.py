@@ -48,6 +48,7 @@ _PRIORITY = (
     "left_join_matview_revenue",
     "sql_matview_time_bucket",
     "delta_matview_priority_revenue",
+    "chain_matview_region_revenue",
     "read_where_routed",
     "sidecar_service_status",
     # --- tier B: the FULL r4/r6 stale tier (r10 VERDICT task #2) —
@@ -107,7 +108,9 @@ _PRIORITY = (
     "lexical_novelty_scores",
     "minhash_neardup_md5",
     "price_histogram",
-    "profile_orders",
+    # (profile_orders and q10_returned_items yield their slots to the
+    # NEW delta-merge and chain views; their r7 greens stand on record
+    # and pytest covers them)
     # (q10_returned_items yields its slot to the NEW delta-merge view;
     # its r7 green stands on record and pytest covers it)
 )

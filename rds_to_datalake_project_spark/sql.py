@@ -218,7 +218,7 @@ _PURGE_RE = re.compile(
 # JoinMaterializedView maintained from BOTH tables' change feeds.
 _CREATE_MV_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
-    r"(?P<auto>\s+WITH\s+AUTO\s+REFRESH)?"
+    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
     rf"(?:\s+(?:(?P<jhow>INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+(?P<right>{_QNAME})"
     r"\s+ON\s+(?P<lon>[\w.\"`]+)\s*=\s*(?P<ron>[\w.\"`]+))?"
@@ -571,11 +571,24 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         )
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
+        if m.group("delta"):
+            raise ValueError(
+                "WITH DELTA REFRESH is supported for single-table views "
+                "only — JOIN views maintain by affected-group recompute"
+            )
         mv, hooked_tables = _build_join_matview(
             m, known, base, safe, group_cols, aggs, group_exprs
         )
     else:
-        mv = MaterializedView(
+        from rds_to_datalake_project_spark.operators.matview import (
+            DeltaMaterializedView,
+        )
+
+        # WITH DELTA REFRESH → signed-delta maintenance: refresh I/O ∝
+        # the change window (SUM/COUNT aggregates only — the class
+        # validates and raises here, failing the CREATE cleanly)
+        cls = DeltaMaterializedView if m.group("delta") else MaterializedView
+        mv = cls(
             base,
             f"{base.path}/.matviews/{safe}",
             group_cols,
@@ -648,10 +661,11 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     - ``PURGE FROM <t> WHERE <expr> [KEEP HISTORY]`` → GDPR hard
       delete (KeyedTable.purge_rows — plain form floors history;
       KEEP HISTORY rewrites retained snapshots minus the purged keys)
-    - ``CREATE MATERIALIZED VIEW <v> [WITH AUTO REFRESH] AS SELECT
-      ... FROM <t> GROUP BY ...`` → incrementally-maintained view
-      (operators/matview.MaterializedView; AUTO REFRESH attaches a
-      post-commit hook on the base)
+    - ``CREATE MATERIALIZED VIEW <v> [WITH [AUTO] [DELTA] REFRESH]
+      AS SELECT ... FROM <t> GROUP BY ...`` → incrementally-maintained
+      view (operators/matview.MaterializedView; AUTO attaches a
+      post-commit hook on the base; DELTA selects signed-delta
+      maintenance — SUM/COUNT aggregates, refresh I/O ∝ change window)
     - ``REFRESH MATERIALIZED VIEW <v>`` / ``DROP MATERIALIZED VIEW
       <v>`` → bring the view to the base's head / unbind it
 

@@ -1,0 +1,158 @@
+"""N-table chain join IVM (operators/matview.py:ChainMaterializedView):
+a 3-table orders->dims->regions chain grouped on the FAR table's
+column must converge to direct recomputation across commits on every
+table — fact churn, mid-chain foreign-key moves, far-dim group moves
+and deletes — with vanished groups tombstoned."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.matview import (
+    ChainMaterializedView,
+    attach_chain_matview_maintenance,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+
+def _spec(name, key):
+    return TableSpec(
+        name, record_key=(key,), precombine_key="seq",
+        partition_granularity=None,
+    )
+
+
+def _mk(spark, tmp_path):
+    facts = KeyedTable(spark, str(tmp_path / "f"), _spec("facts", "f_id"),
+                       retain_versions=8)
+    dims = KeyedTable(spark, str(tmp_path / "d"), _spec("dims", "d_id"),
+                      retain_versions=8)
+    regions = KeyedTable(spark, str(tmp_path / "r"), _spec("regions", "r_id"),
+                         retain_versions=8)
+    facts.initial_load(spark.createDataFrame(
+        [(i, i % 6, 10 * i, 0) for i in range(60)],
+        "f_id long, f_dim long, amount long, seq long"))
+    dims.initial_load(spark.createDataFrame(
+        [(i, f"g{i % 3}", i % 2, 0) for i in range(6)],
+        "d_id long, grp string, d_reg long, seq long"))
+    regions.initial_load(spark.createDataFrame(
+        [(0, "west", 0), (1, "east", 0)],
+        "r_id long, rname string, seq long"))
+    view = ChainMaterializedView(
+        [facts, dims, regions],
+        on=[("f_dim", "d_id"), ("d_reg", "r_id")],
+        path=str(tmp_path / "v"),
+        group_cols=["rname"],
+        aggs={"n": "CAST(count(*) AS BIGINT)",
+              "total": "CAST(sum(amount) AS BIGINT)"},
+    )
+    return facts, dims, regions, view
+
+
+def _direct(facts, dims, regions):
+    f, d, r = facts.read(), dims.read(), regions.read()
+    return {
+        tuple(row)
+        for row in f.join(d, f["f_dim"] == d["d_id"])
+        .join(r, d["d_reg"] == r["r_id"])
+        .groupBy("rname")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("amount").cast("long").alias("total"))
+        .select("rname", "n", "total")
+        .collect()
+    }
+
+
+def _got(view):
+    return {
+        tuple(r) for r in view.read().select("rname", "n", "total").collect()
+    }
+
+
+def _fb(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "f_id long, f_dim long, amount long, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def _db(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "d_id long, grp string, d_reg long, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def _rb(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "r_id long, rname string, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def test_chain_converges_across_all_three_feeds(spark, tmp_path):
+    facts, dims, regions, view = _mk(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    assert _got(view) == _direct(facts, dims, regions)
+
+    # fact churn: insert + delete
+    facts.upsert(
+        _fb(spark, [(100, 1, 7, 1)]).unionByName(_fb(spark, [(2, 2, 20, 1)], op="D")),
+        delete_mode="apply",
+    )
+    out = view.refresh()
+    assert out["mode"] == "incremental" and out["groups_refreshed"] >= 1
+    assert _got(view) == _direct(facts, dims, regions)
+
+    # MID-CHAIN move: dim 3 relocates west -> east; every fact of dim 3
+    # changes region though neither the fact nor the region feed says so
+    dims.upsert(_db(spark, [(3, "g0", 0, 1)]))  # d_reg 1 -> 0
+    assert view.refresh()["mode"] == "incremental"
+    assert _got(view) == _direct(facts, dims, regions)
+
+    # FAR-DIM group move: region 0 renamed — every west fact relabels
+    regions.upsert(_rb(spark, [(0, "northwest", 1)]))
+    assert view.refresh()["mode"] == "incremental"
+    got = _got(view)
+    assert got == _direct(facts, dims, regions)
+    assert any(r[0] == "northwest" for r in got)
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_chain_far_dim_delete_tombstones_group(spark, tmp_path):
+    facts, dims, regions, view = _mk(spark, tmp_path)
+    view.refresh()
+    regions.upsert(_rb(spark, [(1, "east", 1)], op="D"), delete_mode="apply")
+    out = view.refresh()
+    assert out["mode"] == "incremental"
+    assert _got(view) == _direct(facts, dims, regions)
+    assert "east" not in {r[0] for r in _got(view)}
+
+
+def test_chain_hooks_follow_every_table(spark, tmp_path):
+    facts, dims, regions, view = _mk(spark, tmp_path)
+    attach_chain_matview_maintenance(view)
+    facts.upsert(_fb(spark, [(200, 0, 5, 1)]))
+    assert _got(view) == _direct(facts, dims, regions)
+    dims.upsert(_db(spark, [(0, "g9", 1, 1)]))
+    assert _got(view) == _direct(facts, dims, regions)
+    regions.upsert(_rb(spark, [(1, "far-east", 1)]))
+    assert _got(view) == _direct(facts, dims, regions)
+
+
+def test_chain_reset_and_validation(spark, tmp_path):
+    facts, dims, regions, view = _mk(spark, tmp_path)
+    view.refresh()
+    before = _got(view)
+    facts.initial_load(spark.createDataFrame(
+        [(i, i % 6, 1000 + i, 0) for i in range(30)],
+        "f_id long, f_dim long, amount long, seq long"))
+    out = view.refresh()
+    assert out["mode"] == "full"
+    after = _got(view)
+    assert after == _direct(facts, dims, regions) and after != before
+
+    with pytest.raises(ValueError, match="ON pairs"):
+        ChainMaterializedView(
+            [facts, dims], on=[], path=str(tmp_path / "x"),
+            group_cols=["grp"], aggs={"n": "count(*)"},
+        )

@@ -162,3 +162,54 @@ def test_bulk_rewrite_falls_back_to_full(spark, tmp_path):
     out = view.refresh()
     assert out["mode"] == "full"
     assert _got(view) == _direct(t)
+
+
+def test_sql_facade_delta_refresh_spelling(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... WITH [AUTO] DELTA REFRESH selects
+    signed-delta maintenance through the facade; non-invertible
+    aggregates fail the CREATE cleanly; JOIN + DELTA is rejected."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    t, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": t}
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW dv WITH AUTO DELTA REFRESH AS "
+            "SELECT grp, count(*) AS n, "
+            "sum(CAST(amount AS DECIMAL(20,2))) AS total "
+            "FROM facts_t GROUP BY grp",
+            tables=reg,
+        )
+        # auto hook follows the commit via delta maintenance
+        t.upsert(_batch(spark, [(900, "g0", 5, 1, 1)]))
+        got = {
+            (r["grp"], r["n"], r["total"])
+            for r in run_query(spark, "SELECT * FROM dv", tables=reg).collect()
+        }
+        want = {
+            (r["grp"], r["n"], r["total"])
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("amount").cast("decimal(20,2)")).alias("total"),
+            )
+            .collect()
+        }
+        assert got == want
+        info = run_query(
+            spark, "REFRESH MATERIALIZED VIEW dv", tables=reg
+        ).collect()[0]
+        assert info["mode"] == "noop"
+        run_query(spark, "DROP MATERIALIZED VIEW dv", tables=reg)
+    finally:
+        MATVIEWS.pop("dv", None)
+
+    with pytest.raises(ValueError, match="invertible"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW dbad WITH DELTA REFRESH AS "
+            "SELECT grp, max(amount) AS m FROM facts_t GROUP BY grp",
+            tables=reg,
+        )
