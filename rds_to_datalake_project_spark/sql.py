@@ -531,7 +531,7 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         else:
             raise ValueError(
                 f"select item {item!r} must be a GROUP BY column or an "
-                "aliased expression (<expr> AS <name>)"
+                "aliased aggregate/expression (<expr> AS <name>)"
             )
 
     def _norm(e: str) -> str:
