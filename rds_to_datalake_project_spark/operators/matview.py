@@ -832,11 +832,11 @@ class DeltaMaterializedView(MaterializedView):
 
 
 class ChainMaterializedView:
-    """GROUP BY over an N-table inner equi-join chain
-    ``T0 JOIN T1 ON T0.fk0 = T1.k1 JOIN T2 ON T1.fk1 = T2.k2 ...``
-    (T0 = fact; a star schema is the depth-1 special case with every
-    fk on the fact), incrementally maintained from EVERY table's
-    change feed — the n-way generalization of
+    """GROUP BY over an N-table inner equi-join TREE — chain
+    (``T0 JOIN T1 ON T0.fk0 = T1.k1 JOIN T2 ON T1.fk1 = T2.k2``),
+    star (every fk on the fact), or snowflake (each join's left column
+    may belong to ANY earlier table) — incrementally maintained from
+    EVERY table's change feed: the n-way generalization of
     :class:`JoinMaterializedView`.
 
     Maintenance is affected-group recompute lifted to the chain:
@@ -903,6 +903,26 @@ class ChainMaterializedView:
             )
         self.tables = list(tables)
         self.on = list(on)
+        # Attachment structure: join j binds tables[j+1] via
+        # on[j] = (left_col, right_col) where right_col belongs to
+        # tables[j+1] and left_col to exactly ONE earlier table — a
+        # linear chain owns it at j, a star at 0, a snowflake anywhere
+        # between. The owner indices drive key propagation toward the
+        # fact in _affected_facts.
+        cols_of = [set(t.read().columns) for t in tables]
+        self._owner: list[int] = []
+        for j, (lcol, rcol) in enumerate(self.on):
+            if rcol not in cols_of[j + 1]:
+                raise ValueError(
+                    f"ON right column {rcol!r} is not in table {j + 1}"
+                )
+            owners = [i for i in range(j + 1) if lcol in cols_of[i]]
+            if len(owners) != 1:
+                raise ValueError(
+                    f"ON left column {lcol!r} must belong to exactly one "
+                    f"earlier table (found in {owners})"
+                )
+            self._owner.append(owners[0])
         self.spark: SparkSession = tables[0].spark
         self.path = path
         self.group_cols = list(group_cols)
@@ -1022,18 +1042,22 @@ class ChainMaterializedView:
             return f.join(
                 F.broadcast(keys), f[kc] == keys["__ck"], "left_semi"
             )
-        # select table-i rows bearing the changed keys, then walk down
+        # select table-i rows bearing the changed keys, then walk the
+        # attachment structure toward the fact: the join that bound
+        # table `cur` lives at index cur-1, and its left column's
+        # OWNER is the next table holding referencing rows
         ki = self.tables[i].spec.record_key[0]
         x = frames[i].join(
             F.broadcast(keys), frames[i][ki] == keys["__ck"], "left_semi"
         )
-        for j in range(i - 1, 0, -1):
-            fk, k = self.on[j]
-            x = frames[j].join(x, frames[j][fk] == x[k], "left_semi")
-        fk0, k1 = self.on[0]
-        return frames[0].join(
-            x, frames[0][fk0] == x[k1], "left_semi"
-        )
+        cur = i
+        while cur != 0:
+            j = cur - 1
+            lcol, rcol = self.on[j]
+            a = self._owner[j]
+            x = frames[a].join(x, frames[a][lcol] == x[rcol], "left_semi")
+            cur = a
+        return x
 
     def _touched_groups(
         self, frames: list[DataFrame], changed: list[DataFrame | None]

@@ -225,6 +225,22 @@ _CREATE_MV_RE = re.compile(
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# ≥2 inner JOINs → an N-table chain/star view (ChainMaterializedView);
+# a single JOIN keeps the 2-table class (which also offers LEFT).
+_CREATE_MV_CHAIN_RE = re.compile(
+    rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
+    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH)?"
+    rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
+    rf"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+{_QNAME}"
+    r"\s+ON\s+[\w.\"`]+\s*=\s*[\w.\"`]+){2,})"
+    r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_CLAUSE_RE = re.compile(
+    rf"JOIN\s+({_QNAME})\s+ON\s+([\w.\"`]+)\s*=\s*([\w.\"`]+)",
+    re.IGNORECASE,
+)
+
 _REFRESH_MV_RE = re.compile(
     rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
@@ -487,37 +503,12 @@ def _publish_matview(spark: SparkSession, name: str, mv) -> None:
     mv.read().createOrReplaceTempView(name)
 
 
-def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
-    """``CREATE MATERIALIZED VIEW v [WITH AUTO REFRESH] AS SELECT
-    <group cols + aliased aggregates> FROM <registered table>
-    [JOIN <registered table> ON <l> = <r>] GROUP BY <group cols>`` →
-    an incrementally-maintained operators/matview.MaterializedView
-    (JoinMaterializedView for the JOIN form, maintained from BOTH
-    tables' change feeds) stored under the base table's ``.matviews/``
-    directory, initially refreshed, registered for REFRESH/DROP and
-    (for simple names) as a temp view for SELECTs.
-
-    WITH AUTO REFRESH additionally attaches the refresh as a
-    post-commit maintenance hook on the base — the view then follows
-    every upsert with no further statements (advisory slot: a failed
-    refresh leaves the view stale, never wrong).
-    """
-    from rds_to_datalake_project_spark.operators.matview import (
-        MaterializedView,
-    )
-
-    name = _unquote_ident(m.group(1))
-    if not re.fullmatch(r"\w+", name):
-        raise ValueError(
-            f"materialized view name {name!r} must be a plain identifier "
-            "([A-Za-z0-9_]+) — the view is published as a Spark temp view "
-            "for SELECTs, which cannot carry quoted punctuation"
-        )
-    base = known[_unquote_ident(m.group("base"))]
-    # Split select items first: aliased items are either aggregates or
-    # DERIVED group keys (disambiguated by the GROUP BY list below) —
-    # the time-bucketed rollup shape (`date_trunc('hour', ts) AS h ...
-    # GROUP BY h`) the reference serves through Athena.
+def _parse_mv_shape(m: re.Match):
+    """Shared CREATE MATERIALIZED VIEW select/GROUP BY parsing: split
+    aliased select items into aggregates vs DERIVED group keys
+    (disambiguated by the GROUP BY list — both `GROUP BY <alias>` and
+    `GROUP BY <expr>` spellings), validate coverage, and return
+    ``(group_cols, group_exprs, aggs)``."""
     aliased: dict[str, str] = {}
     plain_sel: list[str] = []
     for item in _split_top_level(m.group("sel")):
@@ -545,8 +536,6 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             if item in aliased:  # GROUP BY <alias of a select expr>
                 group_exprs[item] = aliased.pop(item)
         else:
-            # GROUP BY <expr>: must textually match exactly one
-            # aliased select item, whose alias names the group column
             hits = [a for a, e in aliased.items() if _norm(e) == _norm(item)]
             if len(hits) != 1:
                 raise ValueError(
@@ -569,6 +558,75 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
         raise ValueError(
             f"select list must include every GROUP BY column; missing {missing}"
         )
+    return group_cols, group_exprs, aggs
+
+
+def _validate_mv_name(name: str) -> None:
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(
+            f"materialized view name {name!r} must be a plain identifier "
+            "([A-Za-z0-9_]+) — the view is published as a Spark temp view "
+            "for SELECTs, which cannot carry quoted punctuation"
+        )
+
+
+def _finish_matview_create(spark, m: re.Match, name: str, mv, hooked_tables):
+    """Shared CREATE tail: initial refresh BEFORE wiring auto-refresh
+    hooks (a broken AS body must fail the CREATE cleanly — hooks
+    attached first would outlive the failed statement), then hook
+    wiring, registration, temp-view publish, and the summary frame."""
+    info = mv.refresh()
+    if m.group("auto"):
+        # The SQL layer's own hook, not the operators' attach helper:
+        # the published temp view pins the store's file listing at
+        # registration, so an auto refresh that rewrites store files
+        # must RE-PUBLISH or the next SELECT hits FILE_NOT_EXIST.
+        def _auto_hook(_t, _mv=mv, _name=name):
+            _mv.refresh()
+            _publish_matview(spark, _name, _mv)
+
+        for t in hooked_tables:
+            t.add_maintenance_hook(_auto_hook)
+    MATVIEWS[name] = mv
+    _publish_matview(spark, name, mv)
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                info["mode"],
+                info["base_version"],
+                info["groups_refreshed"],
+                bool(m.group("auto")),
+            )
+        ],
+        "view_name string, mode string, base_version int, "
+        "groups_refreshed bigint, auto_refresh boolean",
+    )
+
+
+def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
+    """``CREATE MATERIALIZED VIEW v [WITH AUTO REFRESH] AS SELECT
+    <group cols + aliased aggregates> FROM <registered table>
+    [JOIN <registered table> ON <l> = <r>] GROUP BY <group cols>`` →
+    an incrementally-maintained operators/matview.MaterializedView
+    (JoinMaterializedView for the JOIN form, maintained from BOTH
+    tables' change feeds) stored under the base table's ``.matviews/``
+    directory, initially refreshed, registered for REFRESH/DROP and
+    (for simple names) as a temp view for SELECTs.
+
+    WITH AUTO REFRESH additionally attaches the refresh as a
+    post-commit maintenance hook on the base — the view then follows
+    every upsert with no further statements (advisory slot: a failed
+    refresh leaves the view stale, never wrong).
+    """
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+    )
+
+    name = _unquote_ident(m.group(1))
+    _validate_mv_name(name)
+    base = known[_unquote_ident(m.group("base"))]
+    group_cols, group_exprs, aggs = _parse_mv_shape(m)
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
         if m.group("delta"):
@@ -597,38 +655,99 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             group_exprs=group_exprs,
         )
         hooked_tables = [base]
-    # Initial refresh BEFORE wiring auto-refresh hooks: a broken AS
-    # body (bad aggregate expr) must fail the CREATE cleanly — hooks
-    # attached first would outlive the failed statement and run the
-    # broken refresh after every future commit with no DROP to remove
-    # them.
-    info = mv.refresh()
-    if m.group("auto"):
-        # The SQL layer's own hook, not the operators' attach helper:
-        # the published temp view pins the store's file listing at
-        # registration, so an auto refresh that rewrites store files
-        # must RE-PUBLISH or the next SELECT hits FILE_NOT_EXIST.
-        def _auto_hook(_t, _mv=mv, _name=name):
-            _mv.refresh()
-            _publish_matview(spark, _name, _mv)
+    return _finish_matview_create(spark, m, name, mv, hooked_tables)
 
-        for t in hooked_tables:
-            t.add_maintenance_hook(_auto_hook)
-    MATVIEWS[name] = mv
-    _publish_matview(spark, name, mv)
-    return spark.createDataFrame(
-        [
-            (
-                name,
-                info["mode"],
-                info["base_version"],
-                info["groups_refreshed"],
-                bool(m.group("auto")),
-            )
-        ],
-        "view_name string, mode string, base_version int, "
-        "groups_refreshed bigint, auto_refresh boolean",
+
+def _create_chain_matview_statement(spark, m: re.Match, known: dict):
+    """CREATE MATERIALIZED VIEW over ≥3 tables (≥2 inner JOINs) → an
+    incrementally-maintained ChainMaterializedView. Each ON pair is
+    ordered (earlier-table column, new-table column) by qualified
+    binding or unambiguous membership; the view class itself validates
+    the attachment structure (chain / star / snowflake)."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        ChainMaterializedView,
     )
+
+    name = _unquote_ident(m.group(1))
+    _validate_mv_name(name)
+    if m.group("delta"):
+        raise ValueError(
+            "WITH DELTA REFRESH is supported for single-table views "
+            "only — JOIN views maintain by affected-group recompute"
+        )
+    base_name = _unquote_ident(m.group("base"))
+    tables = [known[base_name]]
+    names = [base_name]
+    cols_sofar = set(tables[0].read().columns)
+    on: list[tuple[str, str]] = []
+    for jm in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
+        rname = _unquote_ident(jm.group(1))
+        right = known.get(rname)
+        if right is None:
+            raise ValueError(
+                f"JOIN table {rname!r} is not a registered lake table; "
+                f"known: {sorted(known)}"
+            )
+        r_cols = set(right.read().columns)
+
+        def _side(tok: str):
+            parts = [
+                p.strip().strip('"').strip("`")
+                for p in tok.strip().split(".")
+            ]
+            if len(parts) == 2:
+                return parts[0], parts[1]
+            if len(parts) == 1:
+                return None, parts[0]
+            raise ValueError(f"ON identifier {tok!r} is not [table.]column")
+
+        sides = [_side(jm.group(2)), _side(jm.group(3))]
+
+        def _is_right(q, c):
+            if q is not None:
+                if q == rname:
+                    if c not in r_cols:
+                        raise ValueError(
+                            f"ON column {c!r} is not in table {rname!r}"
+                        )
+                    return True
+                if q not in names:
+                    raise ValueError(
+                        f"ON qualifier {q!r} names no table joined so far"
+                    )
+                return False
+            in_r, in_l = c in r_cols, c in cols_sofar
+            if in_r == in_l:
+                raise ValueError(
+                    f"ON column {c!r} is ambiguous or unknown — qualify it"
+                )
+            return in_r
+
+        rights = [_is_right(q, c) for q, c in sides]
+        if rights == [False, True]:
+            on.append((sides[0][1], sides[1][1]))
+        elif rights == [True, False]:
+            on.append((sides[1][1], sides[0][1]))
+        else:
+            raise ValueError(
+                "each ON must equate one earlier-table column with one "
+                "column of the newly joined table"
+            )
+        tables.append(right)
+        names.append(rname)
+        cols_sofar |= r_cols
+    group_cols, group_exprs, aggs = _parse_mv_shape(m)
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    mv = ChainMaterializedView(
+        tables,
+        on=on,
+        path=f"{tables[0].path}/.matviews/{safe}",
+        group_cols=group_cols,
+        aggs=aggs,
+        name=safe,
+        group_exprs=group_exprs,
+    )
+    return _finish_matview_create(spark, m, name, mv, tables)
 
 
 def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
@@ -743,6 +862,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _CREATE_MV_CHAIN_RE.match(sql)
+    if m and table_bound and _unquote_ident(m.group("base")) in known:
+        return _create_chain_matview_statement(spark, m, known)
     m = _CREATE_MV_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("base")) in known:
         return _create_matview_statement(spark, m, known)

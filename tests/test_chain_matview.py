@@ -156,3 +156,132 @@ def test_chain_reset_and_validation(spark, tmp_path):
             [facts, dims], on=[], path=str(tmp_path / "x"),
             group_cols=["grp"], aggs={"n": "count(*)"},
         )
+
+
+def test_star_schema_attachment_converges(spark, tmp_path):
+    """STAR shape: both fks live on the fact (the second join's left
+    column belongs to table 0, not table 1) — attachment-owner
+    propagation must route far-dim changes through the fact directly."""
+    facts = KeyedTable(spark, str(tmp_path / "sf"), _spec("sfacts", "f_id"),
+                       retain_versions=8)
+    dims = KeyedTable(spark, str(tmp_path / "sd"), _spec("sdims", "d_id"),
+                      retain_versions=8)
+    regions = KeyedTable(spark, str(tmp_path / "sr"), _spec("sregions", "r_id"),
+                         retain_versions=8)
+    facts.initial_load(spark.createDataFrame(
+        [(i, i % 6, i % 2, 10 * i, 0) for i in range(60)],
+        "f_id long, f_dim long, f_reg long, amount long, seq long"))
+    dims.initial_load(spark.createDataFrame(
+        [(i, f"g{i % 3}", 0) for i in range(6)],
+        "d_id long, grp string, seq long"))
+    regions.initial_load(spark.createDataFrame(
+        [(0, "west", 0), (1, "east", 0)],
+        "r_id long, rname string, seq long"))
+    view = ChainMaterializedView(
+        [facts, dims, regions],
+        on=[("f_dim", "d_id"), ("f_reg", "r_id")],  # BOTH left cols on T0
+        path=str(tmp_path / "sv"),
+        group_cols=["grp", "rname"],
+        aggs={"total": "CAST(sum(amount) AS BIGINT)"},
+    )
+    assert view._owner == [0, 0]
+
+    def direct():
+        f, d, r = facts.read(), dims.read(), regions.read()
+        return {
+            tuple(x)
+            for x in f.join(d, f["f_dim"] == d["d_id"])
+            .join(r, f["f_reg"] == r["r_id"])
+            .groupBy("grp", "rname")
+            .agg(F.sum("amount").cast("long").alias("total"))
+            .select("grp", "rname", "total")
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in view.read().select("grp", "rname", "total").collect()
+        }
+
+    assert view.refresh()["mode"] == "full"
+    assert got() == direct()
+    # far-dim rename reaches the fact via the owner-0 attachment
+    regions.upsert(_rb(spark, [(1, "far-east", 1)]))
+    assert view.refresh()["mode"] == "incremental"
+    assert got() == direct()
+    # dim group move + fact churn in one window
+    dims.upsert(_db(spark, [(2, "g7", 0, 1)])[["d_id", "grp", "seq", "Op"]])
+    facts.upsert(spark.createDataFrame(
+        [(500, 2, 1, 33, 1)],
+        "f_id long, f_dim long, f_reg long, amount long, seq long",
+    ).withColumn("Op", F.lit("U")))
+    assert view.refresh()["mode"] == "incremental"
+    assert got() == direct()
+
+    with pytest.raises(ValueError, match="exactly one earlier table"):
+        ChainMaterializedView(
+            [facts, dims, regions],
+            on=[("f_dim", "d_id"), ("nope", "r_id")],
+            path=str(tmp_path / "bad"),
+            group_cols=["grp"], aggs={"n": "count(*)"},
+        )
+
+
+def test_sql_facade_chain_spelling(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW over ≥2 JOINs routes to the chain
+    class, follows commits on every table under WITH AUTO REFRESH,
+    and rejects DELTA + multi-JOIN."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    facts, dims, regions, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": facts, "dims_t": dims, "regions_t": regions}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW region_rev WITH AUTO REFRESH AS "
+            "SELECT rname, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(amount) AS BIGINT) AS total "
+            "FROM facts_t JOIN dims_t ON f_dim = d_id "
+            "JOIN regions_t ON d_reg = r_id GROUP BY rname",
+            tables=reg,
+        ).collect()[0]
+        assert out["mode"] == "full" and out["auto_refresh"]
+
+        def want():
+            f, d, r = facts.read(), dims.read(), regions.read()
+            return {
+                tuple(x)
+                for x in f.join(d, f["f_dim"] == d["d_id"])
+                .join(r, d["d_reg"] == r["r_id"])
+                .groupBy("rname")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("amount").cast("long").alias("total"))
+                .select("rname", "n", "total")
+                .collect()
+            }
+
+        # commits on all three tables; hooks + re-publish keep SELECT fresh
+        facts.upsert(_fb(spark, [(700, 1, 9, 1)]))
+        dims.upsert(_db(spark, [(1, "gz", 0, 1)]))
+        regions.upsert(_rb(spark, [(0, "coast", 1)]))
+        got = {
+            tuple(r)
+            for r in run_query(
+                spark, "SELECT * FROM region_rev", tables=reg
+            ).collect()
+        }
+        assert got == want()
+        run_query(spark, "DROP MATERIALIZED VIEW region_rev", tables=reg)
+    finally:
+        MATVIEWS.pop("region_rev", None)
+
+    with pytest.raises(ValueError, match="single-table"):
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW bad WITH DELTA REFRESH AS "
+            "SELECT rname, count(*) AS n FROM facts_t "
+            "JOIN dims_t ON f_dim = d_id JOIN regions_t ON d_reg = r_id "
+            "GROUP BY rname",
+            tables=reg,
+        )
