@@ -242,7 +242,9 @@ _JOIN_CLAUSE_RE = re.compile(
 )
 
 _REFRESH_MV_RE = re.compile(
-    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
+    r"(?P<full>\s+FULL)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP_MV_RE = re.compile(
     rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
@@ -785,8 +787,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       view (operators/matview.MaterializedView; AUTO attaches a
       post-commit hook on the base; DELTA selects signed-delta
       maintenance — SUM/COUNT aggregates, refresh I/O ∝ change window)
-    - ``REFRESH MATERIALIZED VIEW <v>`` / ``DROP MATERIALIZED VIEW
-      <v>`` → bring the view to the base's head / unbind it
+    - ``REFRESH MATERIALIZED VIEW <v> [FULL]`` / ``DROP MATERIALIZED
+      VIEW <v>`` → bring the view to the base's head (FULL forces a
+      rebuild from the snapshot — the distrust verb) / unbind it
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -880,7 +883,24 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                 f"REFRESH MATERIALIZED VIEW on unknown view {name!r}; "
                 f"known: {sorted(MATVIEWS)}"
             )
-        info = mv.refresh()
+        if m.group("full"):
+            # REFRESH ... FULL: operator-forced rebuild from the
+            # current snapshot(s) — the ops verb for "I don't trust
+            # the view" (e.g. after an out-of-band store repair).
+            heads = getattr(mv, "tables", None)
+            if heads is not None:  # chain view: tuple-of-heads _full
+                info = mv._full(
+                    tuple((t.versions() or [0])[-1] for t in mv.tables)
+                )
+            elif hasattr(mv, "left"):  # join view
+                info = mv._full(
+                    (mv.left.versions() or [0])[-1],
+                    (mv.right.versions() or [0])[-1],
+                )
+            else:
+                info = mv._full((mv.base.versions() or [0])[-1])
+        else:
+            info = mv.refresh()
         _publish_matview(spark, name, mv)
         return spark.createDataFrame(
             [(name, info["mode"], info["base_version"], info["groups_refreshed"])],

@@ -285,3 +285,69 @@ def test_sql_facade_chain_spelling(spark, tmp_path):
             "GROUP BY rname",
             tables=reg,
         )
+
+
+def test_streaming_replica_keeps_attached_matview_fresh(spark, tmp_path):
+    """Integration: a continuously-replicated follower
+    (operators/replicate.stream_replicate) carrying an auto-refreshed
+    materialized view — every micro-batch upsert fires the replica's
+    maintenance hook, so the downstream rollup tracks the SOURCE's
+    commits with no extra orchestration. This is the reference's whole
+    topology (RDS → lake → Athena rollup) as one live pipeline."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+        attach_matview_maintenance,
+    )
+    from rds_to_datalake_project_spark.operators.replicate import (
+        bootstrap_replica,
+        stream_replicate,
+    )
+
+    feed = str(tmp_path / "feed")
+    src = KeyedTable(
+        spark, str(tmp_path / "src"), _spec("src", "f_id"),
+        retain_versions=8, changes_feed_dir=feed,
+    )
+    src.initial_load(spark.createDataFrame(
+        [(i, i % 4, 10 * i, 0) for i in range(40)],
+        "f_id long, grp long, amount long, seq long"))
+
+    replica = KeyedTable(
+        spark, str(tmp_path / "rep"), _spec("rep", "f_id"), retain_versions=8
+    )
+    bootstrap_replica(src, replica, as_of=0)
+    view = MaterializedView(
+        replica, str(tmp_path / "v"), ["grp"],
+        {"n": "CAST(count(*) AS BIGINT)",
+         "total": "CAST(sum(amount) AS BIGINT)"},
+    )
+    view.refresh()  # bootstrap happened before the hook existed
+    attach_matview_maintenance(replica, view)
+    ckpt = str(tmp_path / "ckpt")
+    stream_replicate(replica, feed, ckpt)
+
+    def want():
+        return {
+            tuple(r)
+            for r in src.read().groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("amount").cast("long").alias("total"))
+            .select("grp", "n", "total").collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in view.read().select("grp", "n", "total").collect()
+        }
+
+    assert got() == want()
+    # live source commits: update + delete; one streaming tick follows
+    src.upsert(spark.createDataFrame(
+        [(1, 3, 999, 1)], "f_id long, grp long, amount long, seq long"
+    ).withColumn("Op", F.lit("U")))
+    src.upsert(spark.createDataFrame(
+        [(2, 2, 20, 1)], "f_id long, grp long, amount long, seq long"
+    ).withColumn("Op", F.lit("D")), delete_mode="apply")
+    stream_replicate(replica, feed, ckpt)
+    assert got() == want()

@@ -213,3 +213,28 @@ def test_sql_facade_delta_refresh_spelling(spark, tmp_path):
             "SELECT grp, max(amount) AS m FROM facts_t GROUP BY grp",
             tables=reg,
         )
+
+
+def test_sql_refresh_full_forces_rebuild(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW ... FULL — the distrust verb: a
+    forced snapshot rebuild even when the cursor says noop, across all
+    three view classes' _full signatures."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    t, view = _mk(spark, tmp_path)
+    view.refresh()
+    reg = {"facts_t": t}
+    MATVIEWS["dv2"] = view
+    try:
+        info = run_query(
+            spark, "REFRESH MATERIALIZED VIEW dv2 FULL", tables=reg
+        ).collect()[0]
+        assert info["mode"] == "full"
+        assert _got(view) == _direct(t)
+        # plain refresh right after is a noop again
+        info = run_query(
+            spark, "REFRESH MATERIALIZED VIEW dv2", tables=reg
+        ).collect()[0]
+        assert info["mode"] == "noop"
+    finally:
+        MATVIEWS.pop("dv2", None)
