@@ -115,6 +115,7 @@ def _skip_stats() -> dict:
     from rds_to_datalake_project_spark.operators import (
         ann_index,
         bloomfilter,
+        matview,
         replicate,
         secondary_index,
         text_index,
@@ -123,6 +124,7 @@ def _skip_stats() -> dict:
 
     def _reset_all():
         bloomfilter.reset_prune_stats()
+        matview.reset_refresh_stats()
         zonemap.reset_prune_stats()
         ann_index.reset_probe_stats()
         secondary_index.reset_probe_stats()
@@ -141,6 +143,10 @@ def _skip_stats() -> dict:
         "secondary_index_range_scan": lambda: dict(secondary_index.LAST_PROBE),
         "bm25_text_search": lambda: dict(text_index.LAST_SEARCH),
         "replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
+        "join_matview_nation_revenue": lambda: dict(matview.LAST_REFRESH),
+        "left_join_matview_revenue": lambda: dict(matview.LAST_REFRESH),
+        "delta_matview_priority_revenue": lambda: dict(matview.LAST_REFRESH),
+        "chain_matview_region_revenue": lambda: dict(matview.LAST_REFRESH),
         "stream_replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
     }
 

@@ -42,6 +42,27 @@ from rds_to_datalake_project_spark.schema import TableSpec
 
 _SEQ_COL = "_refresh_seq"
 
+# Last-refresh observability (bench `skips` dict): mode +
+# groups_refreshed show the incremental leverage wall time can't —
+# a 3-group refresh over a 1M-group view is the design working.
+LAST_REFRESH: dict = {}
+
+
+def reset_refresh_stats() -> None:
+    LAST_REFRESH.clear()
+
+
+def _record_refresh(view, info: dict) -> dict:
+    LAST_REFRESH.clear()
+    LAST_REFRESH.update(
+        {
+            "view": type(view).__name__,
+            "mode": info["mode"],
+            "groups_refreshed": info["groups_refreshed"],
+        }
+    )
+    return info
+
 
 def _nullsafe_cond(a: DataFrame, b: DataFrame, cols: list[str]):
     """eqNullSafe conjunction over the group columns: a NULL group is
@@ -213,6 +234,9 @@ class MaterializedView:
     def refresh(self) -> dict:
         """Bring the view up to the base's latest commit. Returns a
         summary dict: {"mode", "base_version", "groups_refreshed"}."""
+        return _record_refresh(self, self._refresh())
+
+    def _refresh(self) -> dict:
         latest = (self.base.versions() or [0])[-1]
         since = self.refreshed_version()
         if since is not None and since == latest:
@@ -411,6 +435,9 @@ class JoinMaterializedView:
         return self.store.read().drop(_SEQ_COL)
 
     def refresh(self) -> dict:
+        return _record_refresh(self, self._refresh())
+
+    def _refresh(self) -> dict:
         l_latest = (self.left.versions() or [0])[-1]
         r_latest = (self.right.versions() or [0])[-1]
         cur = self.refreshed_versions()
@@ -988,6 +1015,9 @@ class ChainMaterializedView:
         return self.store.read().drop(_SEQ_COL)
 
     def refresh(self) -> dict:
+        return _record_refresh(self, self._refresh())
+
+    def _refresh(self) -> dict:
         heads = tuple((t.versions() or [0])[-1] for t in self.tables)
         cur = self.refreshed_versions()
         if cur == heads:
