@@ -238,3 +238,48 @@ def test_sql_refresh_full_forces_rebuild(spark, tmp_path):
         assert info["mode"] == "noop"
     finally:
         MATVIEWS.pop("dv2", None)
+
+
+def test_delta_with_derived_group_keys(spark, tmp_path):
+    """Delta maintenance composes with expression group keys — the
+    time-bucketed rollup shape at O(change-window) refresh cost: the
+    derived bucket is computed on the change images themselves."""
+    t, _ = _mk(spark, tmp_path)
+    view = DeltaMaterializedView(
+        t,
+        str(tmp_path / "bv"),
+        ["b"],
+        {"n": "count(*)", "total": "sum(CAST(amount AS DECIMAL(20,2)))"},
+        group_exprs={"b": "CAST(f_id % 5 AS BIGINT)"},
+    )
+
+    def want():
+        return {
+            tuple(r)
+            for r in t.read()
+            .withColumn("b", (F.col("f_id") % 5).cast("long"))
+            .groupBy("b")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("amount").cast("decimal(20,2)")).alias("total"),
+            )
+            .select("b", "n", "total")
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in view.read().select("b", "n", "total").collect()
+        }
+
+    assert view.refresh()["mode"] == "full"
+    assert got() == want()
+    t.upsert(
+        _batch(spark, [(41, "g1", 7, 1, 1), (42, "g2", 8, None, 1)])
+        .unionByName(_batch(spark, [(5, "g1", 50, 5, 1)], op="D")),
+        delete_mode="apply",
+    )
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
