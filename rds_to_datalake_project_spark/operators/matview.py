@@ -155,6 +155,7 @@ class MaterializedView:
         name: str = "matview",
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
     ):
         if not base.retain_versions:
             raise ValueError(
@@ -178,6 +179,12 @@ class MaterializedView:
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
         self.max_broadcast_keys = max_broadcast_keys
+        # a VERSIONED store turns the view into a valid base for
+        # ANOTHER view — stacked rollups (hourly → daily cascades):
+        # downstream cursors ride the store's commit log, and a full
+        # upstream rebuild (initial_load) re-mints the incarnation so
+        # stacked views full-rebuild instead of reading a reset as
+        # incremental progress.
         self.store = KeyedTable(
             self.spark,
             path,
@@ -187,6 +194,7 @@ class MaterializedView:
                 precombine_key=_SEQ_COL,
                 partition_granularity="",  # group-keyed, not time-partitioned
             ),
+            retain_versions=store_retain_versions,
         )
 
     # -- refresh cursor ------------------------------------------------------
@@ -357,6 +365,7 @@ class JoinMaterializedView:
         how: str = "inner",
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
     ):
         if not (left.retain_versions and right.retain_versions):
             raise ValueError(
@@ -393,6 +402,7 @@ class JoinMaterializedView:
                 precombine_key=_SEQ_COL,
                 partition_granularity="",
             ),
+            retain_versions=store_retain_versions,
         )
 
     def _marker_path(self) -> str:
@@ -906,6 +916,7 @@ class ChainMaterializedView:
         name: str = "chain_matview",
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
     ):
         if len(tables) < 2 or len(on) != len(tables) - 1:
             raise ValueError(
@@ -964,6 +975,7 @@ class ChainMaterializedView:
                 precombine_key=_SEQ_COL,
                 partition_granularity="",
             ),
+            retain_versions=store_retain_versions,
         )
 
     # -- cursor ----------------------------------------------------------------

@@ -726,3 +726,72 @@ def test_join_view_expression_group_keys_converge(spark, tmp_path):
         run_query(spark, "DROP MATERIALIZED VIEW jb", tables=reg)
     finally:
         MATVIEWS.pop("jb", None)
+
+
+def test_stacked_views_cascade_through_versioned_store(spark, tmp_path):
+    """View-on-view: a versioned store makes a matview a valid BASE
+    for another matview (hourly → daily continuous-aggregate cascade).
+    Hooks chain — a base commit refreshes level 1, whose store commit
+    refreshes level 2 — and an upstream FULL rebuild re-mints the
+    store incarnation so level 2 full-rebuilds instead of reading the
+    reset as incremental progress."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+        attach_matview_maintenance,
+    )
+
+    facts, _, _ = _mk(spark, tmp_path)
+    lvl1 = MaterializedView(
+        facts,
+        str(tmp_path / "v1"),
+        ["f_dim"],
+        {"total": "CAST(sum(amount) AS BIGINT)"},
+        store_retain_versions=4,
+    )
+    lvl1.refresh()
+    lvl2 = MaterializedView(
+        lvl1.store,
+        str(tmp_path / "v2"),
+        ["parity"],
+        {"grand": "CAST(sum(total) AS BIGINT)"},
+        group_exprs={"parity": "CAST(f_dim % 2 AS BIGINT)"},
+    )
+    lvl2.refresh()
+    attach_matview_maintenance(facts, lvl1)
+    attach_matview_maintenance(lvl1.store, lvl2)
+
+    def want():
+        return {
+            tuple(r)
+            for r in facts.read()
+            .withColumn("parity", (F.col("f_dim") % 2).cast("long"))
+            .groupBy("parity")
+            .agg(F.sum("amount").cast("long").alias("grand"))
+            .select("parity", "grand")
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in lvl2.read().select("parity", "grand").collect()
+        }
+
+    assert got() == want()
+    # ONE base commit cascades through both levels via chained hooks
+    facts.upsert(
+        _fbatch(spark, [(800, 1, 13, 1)]).unionByName(
+            _fbatch(spark, [(3, 3, 30, 1)], op="D")
+        ),
+        delete_mode="apply",
+    )
+    assert got() == want()
+    # upstream FULL rebuild (store reset): the store's initial_load
+    # fires the maintenance hook, whose refresh sees the re-minted
+    # incarnation and full-rebuilds level 2 immediately — an explicit
+    # refresh afterwards is a clean noop, never a stale read
+    lvl1._full((facts.versions() or [0])[-1])
+    assert got() == want()
+    out = lvl2.refresh()
+    assert out["mode"] in ("noop", "full")
+    assert got() == want()
