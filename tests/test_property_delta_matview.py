@@ -1,0 +1,108 @@
+"""Property-based test of delta-merge view maintenance (hypothesis):
+for ANY sequence of CDC events in ANY batch split — inserts, value
+updates, GROUP-moving updates, deletes, reinserts — the
+DeltaMaterializedView (refreshed once per batch) equals direct
+recomputation over the final table, including SQL NULL semantics
+(SUM over zero non-null contributors renders NULL) and group
+tombstoning. Signed-delta arithmetic has no second chance: a single
+missed retraction is a permanently wrong sum, which is exactly what
+this sweep hunts."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark.operators.matview import (
+    DeltaMaterializedView,
+)
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+
+# events: (key 0..5, version 0..12). Group, amount, nullable opt and
+# the delete flag are deterministic functions of (key, version) so
+# duplicate events are identical rows and the oracle is exact.
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 12)),
+    min_size=1,
+    max_size=18,
+)
+cuts_strategy = st.lists(st.integers(1, 17), max_size=2)
+
+
+def _grp(k, v):
+    return f"g{(k + v) % 3}"  # version moves keys BETWEEN groups
+
+
+def _amount(k, v):
+    return 10 * k + v
+
+
+def _opt(k, v):
+    return None if (k + v) % 3 == 0 else k * v  # NULL contributions
+
+
+def _is_delete(v):
+    return v % 5 == 0 and v > 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=events_strategy, cuts=cuts_strategy)
+def test_delta_view_equals_recompute_for_any_cdc_sequence(
+    spark, tmp_path_factory, events, cuts
+):
+    tmp = tmp_path_factory.mktemp("pdmv")
+    spec = TableSpec(
+        "pf", record_key=("k",), precombine_key="v",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp / "t"), spec, retain_versions=12)
+    t.initial_load(spark.createDataFrame(
+        [(k, _grp(k, 0), _amount(k, 0), _opt(k, 0), 0) for k in range(3)],
+        "k long, grp string, amount long, opt long, v long"))
+    view = DeltaMaterializedView(
+        t, str(tmp / "v"), ["grp"],
+        {"n": "count(*)", "total": "sum(amount)",
+         "nn": "count(opt)", "osum": "sum(opt)"},
+    )
+    view.refresh()
+
+    positions = sorted({c for c in cuts if c < len(events)})
+    batches, prev = [], 0
+    for p in positions + [len(events)]:
+        if events[prev:p]:
+            batches.append(events[prev:p])
+        prev = p
+    for chunk in batches:
+        rows = [
+            (k, _grp(k, v), _amount(k, v), _opt(k, v), v,
+             "D" if _is_delete(v) else "U")
+            for k, v in chunk
+        ]
+        t.upsert(
+            spark.createDataFrame(
+                rows, "k long, grp string, amount long, opt long, "
+                      "v long, Op string"),
+            delete_mode="apply",
+        )
+        view.refresh()  # one signed-delta merge per commit
+
+    want = {
+        tuple(r)
+        for r in t.read().groupBy("grp").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("amount").alias("total"),
+            F.count("opt").cast("long").alias("nn"),
+            F.sum("opt").alias("osum"),
+        ).select("grp", "n", "total", "nn", "osum").collect()
+    }
+    got = {
+        tuple(r)
+        for r in view.read().select("grp", "n", "total", "nn", "osum").collect()
+    }
+    assert got == want
