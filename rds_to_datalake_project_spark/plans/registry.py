@@ -40,52 +40,57 @@ _MODULES = (
 # the report has zero non-green rows (r9 VERDICT "What's wrong" #2); their
 # md5 twins carry the hash check for the same code paths.
 _PRIORITY = (
-    # --- tier A: NEW or CHANGED in round 11 — LEFT-join IVM's only
-    # oracle-grade check (zero driver rows before this round, r10
-    # VERDICT task #1), the facade's expression GROUP BY rollup, the
-    # read_where access-path router's first oracle row, and the
-    # hardened two-row nonzero-lag sidecar inventory
-    "left_join_matview_revenue",
-    "sql_matview_time_bucket",
-    "delta_matview_priority_revenue",
-    "chain_matview_region_revenue",
-    "read_where_routed",
-    "sidecar_service_status",
-    # --- tier B: the FULL r4/r6 stale tier (r10 VERDICT task #2) —
-    # last driver row round 4 (first two) or round 6; the engine
-    # internals beneath them (delta publish, scratch roots, phase
-    # split) changed materially since
-    "jaccard_allpairs_sample",
-    "minhash_lsh_candidates_md5",
-    "ann_topk_cosine",
-    "bpe_merge_pairs",
-    "contamination_docs",
-    "ivf_probe_topk",
-    "neardup_components",
-    "neardup_cosine_pairs",
-    "ngram_containment_md5",
-    "pack_documents",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q13_customer_distribution",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_sole_return_supplier",
-    "q22_inactive_high_balance",
-    "sample_docs_per_source",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_count_by_source",
-    "train_test_split_counts",
-    "zorder_key_orders",
-    # --- tier C: queries riding the matview internals TOUCHED this
-    # round (broadcast-threshold fallback, derived group keys) —
-    # re-confirm on current code
-    "join_matview_nation_revenue",
-    "matview_incremental_status",
-    "sql_matview_roundtrip",
+    # --- tier A: ngram_containment_neardup is the ONLY oracled query
+    # with zero driver green rows across 11 rounds (it predates its own
+    # oracle; r11 VERDICT "What's missing" #1). It leads the window.
+    "ngram_containment_neardup",
+    # --- tier B: the full r7 stale tier (12) — last driver green r7;
+    # oldest-first freshness sweep per the committed rotation worklist
+    # (tools/rotation_debt.py computes this from CORRECTNESS_r*.json).
+    "profile_orders",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_shipping_classes",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "rolling_fingerprint",
+    "suppliers_with_returns",
+    "zorder3_key_orders",
+    # --- tier C: the r8 stale tier (30) — last driver green r8; this
+    # sweep retires the whole pre-r9 rotation debt in one window.
+    "bigram_lm_quality",
+    "chunk_documents_windows",
+    "cms_heavy_hitters_md5",
+    "cohort_weekly_retention",
+    "curate_documents_decisions",
+    "doc_fingerprint",
+    "events_json_props",
+    "exact_dedup_docs",
+    "expectations_orders_report",
+    "funnel_view_click_purchase",
+    "fuzzy_customer_pairs",
+    "gated_upsert_roundtrip",
+    "hll_estimate_users_md5",
+    "hll_registers_users_md5",
+    "lang_id",
+    "mixture_sample_counts",
+    "part_brand_stats",
+    "partition_enrich_string",
+    "passage_dedup_docs",
+    "pii_scrub",
+    "purge_keep_history_asof",
+    "repetition_quality",
+    "scd2_orders_history",
+    "semantic_dedup_embeddings",
+    "sessionize_events",
+    "sketch_cms_after_cdc_md5",
+    "stats_join_advisory",
+    "watermark_per_day",
+    "weighted_sample_docs",
+    "windowed_counts",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
     "cdc_upsert_roundtrip",
@@ -95,24 +100,6 @@ _PRIORITY = (
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
     "lake_table_changes",
-    # --- tier E: oldest-green rotation, next slice (r7 last rows) —
-    # freshness sweep continues oldest-first; the r10 greens (range
-    # index, streaming replication, media, ANN lifecycle) rotate out
-    # on record
-    "auto_salted_priority_join",
-    "bpe_encode_counts",
-    "bpe_merge_table",
-    "bpe_token_stats",
-    "customer_order_balance",
-    "dedup_latest_per_key",
-    "lexical_novelty_scores",
-    "minhash_neardup_md5",
-    "price_histogram",
-    # (profile_orders and q10_returned_items yield their slots to the
-    # NEW delta-merge and chain views; their r7 greens stand on record
-    # and pytest covers them)
-    # (q10_returned_items yields its slot to the NEW delta-merge view;
-    # its r7 green stands on record and pytest covers it)
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
