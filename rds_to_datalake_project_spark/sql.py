@@ -240,6 +240,15 @@ _JOIN_CLAUSE_RE = re.compile(
     rf"JOIN\s+({_QNAME})\s+ON\s+([\w.\"`]+)\s*=\s*([\w.\"`]+)",
     re.IGNORECASE,
 )
+# Loose pre-match for any multi-join CREATE MATERIALIZED VIEW — used
+# only to turn a shape neither strict regex accepted (e.g. LEFT JOIN
+# in a 3-table chain) into a targeted error instead of a confusing
+# fall-through to plain spark.sql.
+_CREATE_MV_LOOSE_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+.+?\sFROM\s.+?"
+    r"\sJOIN\s.+?\sJOIN\s",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _REFRESH_MV_RE = re.compile(
     rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
@@ -528,7 +537,12 @@ def _parse_mv_shape(m: re.Match):
             )
 
     def _norm(e: str) -> str:
-        return re.sub(r"\s+", " ", e.strip().lower())
+        # whitespace-insensitive expression matching: collapse runs,
+        # then strip spaces around delimiters so `date_trunc('hour',ts)`
+        # in GROUP BY matches `date_trunc('hour', ts) AS h` in SELECT
+        # (r11 ADVICE: equality on raw spelling rejected valid SQL)
+        e = re.sub(r"\s+", " ", e.strip().lower())
+        return re.sub(r"\s*([(),+\-*/])\s*", r"\1", e)
 
     group_cols: list[str] = []
     group_exprs: dict[str, str] = {}
@@ -542,7 +556,9 @@ def _parse_mv_shape(m: re.Match):
             if len(hits) != 1:
                 raise ValueError(
                     f"GROUP BY expression {item!r} must match exactly one "
-                    "aliased select item (<expr> AS <name>)"
+                    "aliased select item (<expr> AS <name>); the "
+                    "`GROUP BY <alias>` spelling avoids expression-"
+                    "matching entirely"
                 )
             group_cols.append(hits[0])
             group_exprs[hits[0]] = aliased.pop(hits[0])
@@ -871,6 +887,19 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     m = _CREATE_MV_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("base")) in known:
         return _create_matview_statement(spark, m, known)
+    # A multi-join CREATE MATERIALIZED VIEW that matched NEITHER shape
+    # (e.g. a LEFT JOIN inside a ≥2-join chain) must fail loudly here:
+    # falling through to plain spark.sql would surface a confusing
+    # unresolved-table/parse error instead of naming the limitation
+    # (r11 ADVICE / VERDICT task #7).
+    if _CREATE_MV_LOOSE_RE.match(sql) and table_bound:
+        raise ValueError(
+            "unsupported CREATE MATERIALIZED VIEW shape: N-table (>= 2 "
+            "JOIN) chains support INNER joins only — LEFT/RIGHT/FULL "
+            "chains are not maintainable by ChainMaterializedView. A "
+            "single LEFT JOIN is supported by the 2-table form "
+            "(... FROM a LEFT JOIN b ON ... GROUP BY ...)."
+        )
     # REFRESH/DROP MATERIALIZED VIEW is engine-only syntax (no native
     # Spark spelling — its REFRESH takes resource paths), so these
     # intercept unconditionally and an unknown name raises.

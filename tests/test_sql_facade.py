@@ -739,3 +739,68 @@ def test_sql_facade_matview_rejects_bad_shapes(spark, tmp_path):
             )
     finally:
         MATVIEWS.clear()
+
+
+def test_sql_facade_chain_left_join_raises_targeted_error(spark, tmp_path):
+    """A LEFT JOIN inside a >=2-join CREATE MATERIALIZED VIEW matches
+    neither strict facade shape; it must raise a targeted
+    inner-joins-only error, never fall through to plain spark.sql's
+    confusing unresolved-table failure (r11 ADVICE / VERDICT #7)."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    reg = {}
+    for name, cols, rows in (
+        ("cf", "id string, fk string, amount double, v int", [("a", "d1", 1.0, 1)]),
+        ("cd", "fk string, rk string, v int", [("d1", "r1", 1)]),
+        ("cr", "rk string, rname string, v int", [("r1", "west", 1)]),
+    ):
+        spec = TableSpec(name, record_key=(cols.split(" ")[0],),
+                         precombine_key="v", partition_granularity=None)
+        t = KeyedTable(spark, str(tmp_path / name), spec, retain_versions=5)
+        t.initial_load(spark.createDataFrame(rows, cols))
+        reg[name] = t
+    try:
+        with pytest.raises(ValueError, match="INNER joins only"):
+            run_query(
+                spark,
+                "CREATE MATERIALIZED VIEW bad AS "
+                "SELECT rname, sum(amount) AS rev FROM cf "
+                "LEFT JOIN cd ON fk = fk JOIN cr ON rk = rk "
+                "GROUP BY rname",
+                tables=reg,
+            )
+        assert "bad" not in MATVIEWS
+    finally:
+        MATVIEWS.clear()
+
+
+def test_sql_facade_group_by_expression_spacing(spark, tmp_path):
+    """GROUP BY <expr> matches its aliased select item regardless of
+    spacing around commas/parens/operators (r11 ADVICE: raw-spelling
+    equality rejected `date_trunc('hour',ts)` vs the select's
+    `date_trunc('hour', ts)`)."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    spec = TableSpec("mvsp", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mvsp"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [("a", 1.24, 1), ("b", 1.26, 1), ("c", 2.01, 1)],
+        ["id", "amount", "v"],
+    ))
+    reg = {"mvsp": t}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_sp AS "
+            "SELECT round( amount , 1 ) AS b, count(*) AS n "
+            "FROM mvsp GROUP BY round(amount,1)",
+            tables=reg,
+        ).collect()[0]
+        assert out.mode == "full" and out.groups_refreshed == 3
+    finally:
+        MATVIEWS.clear()
