@@ -154,6 +154,17 @@ def _skip_stats() -> dict:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # --repeat N (or SPARK_GRAFT_REPEAT): re-run each lifecycle SERVE
+    # phase N times and report the median as serve_s_median (build runs
+    # once — it mutates fixture state). Host wall-clock drifts ±30%
+    # within a day (verify skill, r11), which made single-sample
+    # serve walls useless as a regression signal; the median of >=3
+    # runs is stable. Default 1 keeps the driver's invocation shape.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    argv = sys.argv[1:]
+    if "--repeat" in argv:
+        repeat = int(argv[argv.index("--repeat") + 1])
+    repeat = max(1, repeat)
 
     from rds_to_datalake_project_spark.plans.registry import QUERIES
     from rds_to_datalake_project_spark.session import get_spark
@@ -207,6 +218,20 @@ def main() -> int:
             serve_s = round(time.perf_counter() - t1, 4)
             timings[name] = round(build_s + serve_s, 4)
             phases[name] = {"build_s": build_s, "serve_s": serve_s}
+            if repeat > 1:
+                import statistics
+
+                serves = [serve_s]
+                for _ in range(repeat - 1):
+                    tr = time.perf_counter()
+                    try:
+                        serve(spark, sf_dir, handle).count()
+                    except Exception:
+                        break  # non-re-runnable serve: median from what ran
+                    serves.append(round(time.perf_counter() - tr, 4))
+                phases[name]["serve_s_median"] = round(
+                    statistics.median(serves), 4
+                )
             tail = f" (build {build_s:.3f}s, serve {serve_s:.3f}s)"
         else:
             fn = QUERIES[name]
