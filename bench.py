@@ -99,6 +99,9 @@ HEADLINE = [
     # the base; build = load + commit + full & delta refreshes
     "delta_matview_priority_revenue",
     "chain_matview_region_revenue",
+    # round-12: zone-pruned recompute refresh — skips dict shows base
+    # files read ∝ the change window's touched date zones
+    "pruned_matview_refresh",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -147,6 +150,10 @@ def _skip_stats() -> dict:
         "left_join_matview_revenue": lambda: dict(matview.LAST_REFRESH),
         "delta_matview_priority_revenue": lambda: dict(matview.LAST_REFRESH),
         "chain_matview_region_revenue": lambda: dict(matview.LAST_REFRESH),
+        "pruned_matview_refresh": lambda: {
+            "refresh": dict(matview.LAST_REFRESH),
+            "zone": dict(zonemap.LAST_PRUNE),
+        },
         "stream_replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
     }
 

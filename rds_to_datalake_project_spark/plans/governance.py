@@ -513,6 +513,112 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# --- zone-pruned recompute refresh ---------------------------------------------
+
+_PMR_SPEC = TableSpec(
+    "pmr_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_source="o_orderdate",
+    partition_granularity="month",
+)
+
+_PMR_LO, _PMR_HI = "1995-03-01", "1995-03-31 23:59:59"
+
+
+def pruned_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-pruned recompute refresh (operators/matview.py::
+    _zone_pruned_rows): a per-day revenue rollup over a
+    MONTH-partitioned, zone-mapped orders table takes a change window
+    confined to one month (repricing + deletes inside 1995-03); the
+    incremental refresh reads base FILES ∝ the touched dates' zones —
+    1/~80 at sf0.01 — instead of the corpus-sized scan every refresh
+    paid before round 12 (r11 VERDICT "What's wrong" #1). The oracle
+    states the post-DML daily aggregate in closed form; bench `skips`
+    records files_read/files_total per refresh."""
+    return _pmr_serve(spark, sf_dir, _pmr_fixture(spark, sf_dir))
+
+
+def _pmr_fixture(spark: SparkSession, sf_dir: str):
+    root = _scratch("pruned_mv")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = KeyedTable(
+        spark,
+        f"{root}/t",
+        _PMR_SPEC,
+        retain_versions=4,
+        zonemap_columns=["o_orderdate"],
+    )
+    # co-locate each month before the load: one file per partition dir
+    # (tight date zones, no small-files amplification across 80+ dirs)
+    t.initial_load(
+        base.withColumn("update_at", F.lit("a")).repartition(
+            32, F.date_format("o_orderdate", "yyyy-MM")
+        )
+    )
+    view = MaterializedView(
+        t,
+        f"{root}/v",
+        ["o_orderdate"],
+        {
+            "n_orders": "count(*)",
+            "revenue": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+        },
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    in_month = F.col("o_orderdate").between(
+        F.to_timestamp(F.lit(_PMR_LO)), F.to_timestamp(F.lit(_PMR_HI))
+    )
+    window = base.filter(in_month).withColumn("update_at", F.lit("b"))
+    repriced = (
+        window.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("Op", F.lit("U"))
+    )
+    deletes = window.filter((k % 11 == 0) & (k % 7 != 0)).withColumn(
+        "Op", F.lit("D")
+    )
+    t.upsert(repriced.unionByName(deletes), delete_mode="apply")
+    info = view.refresh()
+    assert info["mode"] == "incremental", info
+    return view
+
+
+def _pmr_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            "o_orderdate",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderdate")
+    )
+
+
+PRUNED_MV_SQL = f"""
+WITH final AS (
+  SELECT o_orderdate,
+         CASE WHEN o_orderdate BETWEEN TIMESTAMP '{_PMR_LO}'
+                                   AND TIMESTAMP '{_PMR_HI}'
+                   AND o_orderkey % 7 = 0
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate BETWEEN TIMESTAMP '{_PMR_LO}'
+                             AND TIMESTAMP '{_PMR_HI}'
+             AND o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+)
+SELECT o_orderdate,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM final
+GROUP BY o_orderdate
+ORDER BY o_orderdate
+"""
+
 # --- N-table chain join view --------------------------------------------------
 
 
@@ -1003,6 +1109,7 @@ QUERIES = {
     "chain_matview_region_revenue": chain_matview_region_revenue,
     "stats_join_advisory": stats_join_advisory,
     "join_matview_nation_revenue": join_matview_nation_revenue,
+    "pruned_matview_refresh": pruned_matview_refresh,
 }
 
 ORACLES = {
@@ -1017,6 +1124,7 @@ ORACLES = {
     "matview_incremental_status": MATVIEW_SQL,
     "stats_join_advisory": ADVISORY_SQL,
     "join_matview_nation_revenue": JOIN_MATVIEW_SQL,
+    "pruned_matview_refresh": PRUNED_MV_SQL,
 }
 
 PHASES = {
@@ -1024,4 +1132,5 @@ PHASES = {
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),
+    "pruned_matview_refresh": (_pmr_fixture, _pmr_serve),
 }

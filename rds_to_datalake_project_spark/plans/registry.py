@@ -89,8 +89,12 @@ _PRIORITY = (
     "sketch_cms_after_cdc_md5",
     "stats_join_advisory",
     "watermark_per_day",
-    "weighted_sample_docs",
     "windowed_counts",
+    # (weighted_sample_docs yields its slot to the NEW zone-pruned
+    # refresh oracle; it leads the r13 rotation worklist)
+    # --- tier E: NEW in round 12 — the zone-pruned recompute refresh's
+    # oracle-grade check (files read ∝ change set; r11 VERDICT #2)
+    "pruned_matview_refresh",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
     "cdc_upsert_roundtrip",
