@@ -131,11 +131,77 @@ def _inc_token(table: KeyedTable) -> str:
 # than the scan it avoids — fall back to the full snapshot read.
 _MAX_PRUNE_VALUES = 10_000
 
+# Derived group keys of this shape prune through their SOURCE column:
+# date_trunc('unit', col) inverts to a closed source interval per
+# touched bucket, so the reference's time-bucketed rollup (the facade's
+# GROUP BY date_trunc(...) spelling) gets file-pruned refreshes on a
+# time-clustered base even though the bucket column is synthetic.
+_DATE_TRUNC_RE = None  # compiled on first use (module import stays light)
+
+
+def _bucket_interval_fn(unit: str):
+    """``bucket value -> (lo, hi_inclusive)`` closed interval of source
+    values truncating to that bucket, or None for unsupported units.
+    DATE-typed sources over-approximate the upper bound by one day
+    (sub-day arithmetic truncates on dates) — safe: zone pruning may
+    only over-include files, never exclude a contributing row."""
+    import datetime as _dt
+
+    unit = unit.lower()
+    if unit not in ("year", "month", "week", "day", "hour", "minute"):
+        return None
+
+    def _fn(v):
+        if v is None:
+            return None
+        if unit == "year":
+            hi = v.replace(year=v.year + 1, month=1, day=1)
+        elif unit == "month":
+            hi = v.replace(
+                year=v.year + (v.month == 12), month=(v.month % 12) + 1, day=1
+            )
+        elif unit == "week":
+            hi = v + _dt.timedelta(days=7)
+        elif unit == "day":
+            hi = v + _dt.timedelta(days=1)
+        elif unit == "hour":
+            hi = v + _dt.timedelta(hours=1)
+        else:
+            hi = v + _dt.timedelta(minutes=1)
+        if isinstance(v, _dt.datetime):
+            return v, hi - _dt.timedelta(microseconds=1)
+        if isinstance(v, _dt.date):
+            return v, hi  # date arithmetic: inclusive over-approximation
+        return None
+
+    return _fn
+
+
+def _bucket_prunable(group_exprs: dict[str, str]) -> dict:
+    """``{derived_col: (source_col, to_interval)}`` for every derived
+    group key of the invertible date_trunc shape."""
+    global _DATE_TRUNC_RE
+    if _DATE_TRUNC_RE is None:
+        import re
+
+        _DATE_TRUNC_RE = re.compile(
+            r"(?is)^\s*date_trunc\(\s*'(\w+)'\s*,\s*(\w+)\s*\)\s*$"
+        )
+    out = {}
+    for c, e in group_exprs.items():
+        m = _DATE_TRUNC_RE.match(e)
+        if m:
+            fn = _bucket_interval_fn(m.group(1))
+            if fn is not None:
+                out[c] = (m.group(2), fn)
+    return out
+
 
 def _zone_pruned_rows(
     table: KeyedTable,
     touched: DataFrame,
     cols: list[str],
+    bucket_cols: dict | None = None,
     max_values: int = _MAX_PRUNE_VALUES,
 ) -> DataFrame | None:
     """Read only the base files that can hold a touched-group row, or
@@ -167,44 +233,55 @@ def _zone_pruned_rows(
         zone_intervals,
     )
 
-    if not cols:
+    # specs: table column to prune on -> (touched column to read, fn
+    # mapping a touched value to a closed (lo, hi) source interval).
+    # Physical group columns prune point-wise; derived date_trunc keys
+    # prune through their source column's bucket interval.
+    specs: dict = {c: (c, lambda v: (v, v)) for c in cols}
+    for b, (src, fn) in (bucket_cols or {}).items():
+        specs.setdefault(src, (b, fn))
+    if not specs:
         return None
     try:
         full, live = _resolve_table(table.spark, table.path)
-        zonemaps = {}
-        for c in cols:
+        zonemaps, readers = {}, {}
+        for c, (tc, fn) in specs.items():
             if c not in full.columns:
                 continue
             z = zone_intervals(table.spark, table.path, c)
             if z is not None:
                 zonemaps[c] = z
+                readers[c] = (tc, fn)
         if not zonemaps:
             return None
         rows = (
-            touched.select(*zonemaps)
+            touched.select(*{tc for tc, _ in readers.values()})
             .distinct()
             .limit(max_values + 1)
             .collect()
         )
         if len(rows) > max_values:
             return None
-        vals = {c: {r[c] for r in rows} for c in zonemaps}
-        for c in list(vals):  # NULL rows sit outside every zone
-            if None in vals[c]:
-                del vals[c], zonemaps[c]
-        if not zonemaps:
+        intervals: dict = {}
+        for c, (tc, fn) in readers.items():
+            ivals = {fn(r[tc]) for r in rows}
+            if None in ivals:
+                continue  # NULL / uninvertible value: column unprunable
+            intervals[c] = ivals
+        if not intervals:
             return None
         files = []
         for p, orig in live.items():
             keep = True
-            for c, z in zonemaps.items():
+            for c, ivals in intervals.items():
+                z = zonemaps[c]
                 if p not in z:
                     continue  # uncovered file: advisory, must read
-                lo, hi = z[p]
-                if lo is None or hi is None:
+                zlo, zhi = z[p]
+                if zlo is None or zhi is None:
                     keep = False  # all-NULL zone; NULL groups handled above
                     break
-                if not any(lo <= v <= hi for v in vals[c]):
+                if not any(lo <= zhi and hi >= zlo for lo, hi in ivals):
                     keep = False
                     break
             if keep:
@@ -387,14 +464,16 @@ class MaterializedView:
             # full recompute, never a corpus-sized driver broadcast —
             # past this point the incremental path saves nothing anyway.
             return self._full(latest)
-        # Physical (non-derived) group columns can prune the snapshot
-        # scan through the base's zone-map sidecar: files ∝ the touched
-        # groups' zones instead of the corpus. Advisory — None falls
-        # back to the full read, and the semi-join below stays exact.
+        # Physical (non-derived) group columns prune the snapshot scan
+        # through the base's zone-map sidecar point-wise; derived
+        # date_trunc keys prune through their source column's bucket
+        # intervals. Advisory — None falls back to the full read, and
+        # the semi-join below stays exact.
         base_rows = _zone_pruned_rows(
             self.base,
             touched,
             [c for c in self.group_cols if c not in self.group_exprs],
+            bucket_cols=_bucket_prunable(self.group_exprs),
         )
         snap = self._derive(
             base_rows if base_rows is not None else self.base.read()
@@ -705,11 +784,18 @@ class JoinMaterializedView:
         # pruning entirely, so NULL-extended rows are never fabricated
         # into a refreshed NULL group.
         phys = [c for c in self.group_cols if c not in self.group_exprs]
+        buckets = _bucket_prunable(self.group_exprs)
         l_rec = _zone_pruned_rows(
-            self.left, touched, [c for c in phys if c in l_now.columns]
+            self.left,
+            touched,
+            [c for c in phys if c in l_now.columns],
+            bucket_cols=buckets,
         )
         r_rec = _zone_pruned_rows(
-            self.right, touched, [c for c in phys if c in r_now.columns]
+            self.right,
+            touched,
+            [c for c in phys if c in r_now.columns],
+            bucket_cols=buckets,
         )
         joined = self._joined(
             l_rec if l_rec is not None else l_now,
@@ -1328,10 +1414,14 @@ class ChainMaterializedView:
         # its touched-group projections is lossless; the semi-join
         # below stays exact either way).
         phys = [c for c in self.group_cols if c not in self.group_exprs]
+        buckets = _bucket_prunable(self.group_exprs)
         rec = []
         for i, t in enumerate(self.tables):
             pr = _zone_pruned_rows(
-                t, touched, [c for c in phys if c in now[i].columns]
+                t,
+                touched,
+                [c for c in phys if c in now[i].columns],
+                bucket_cols=buckets,
             )
             rec.append(pr if pr is not None else now[i])
         affected = _semi_on_groups(

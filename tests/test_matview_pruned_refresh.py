@@ -369,3 +369,60 @@ def test_delta_view_stacks_into_downstream_view(spark, tmp_path):
         .collect()
     }
     assert {tuple(r) for r in daily.read().collect()} == expect
+
+
+def test_bucketed_derived_key_prunes_via_source_column(spark, tmp_path):
+    """A derived date_trunc group key inverts each touched bucket to a
+    closed source interval and prunes files through the SOURCE
+    column's zones — the facade's time-bucket rollup shape gets
+    file-pruned refreshes even though the bucket column is synthetic."""
+    import datetime as dt
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t"),
+        TableSpec(
+            "t",
+            record_key=("k",),
+            precombine_key="seq",
+            partition_source="ts",
+            partition_granularity="month",
+        ),
+        retain_versions=4,
+        zonemap_columns=["ts"],
+    )
+    rows = [
+        (i, dt.datetime(2024, (i % 12) + 1, (i % 27) + 1, i % 24), 1.0 * i, 0)
+        for i in range(240)
+    ]
+    t.initial_load(
+        spark.createDataFrame(rows, "k long, ts timestamp, amount double, seq long")
+    )
+    mv = MaterializedView(
+        t,
+        str(tmp_path / "mv"),
+        ["day"],
+        {"rev": "sum(amount)", "n": "count(*)"},
+        group_exprs={"day": "date_trunc('day', ts)"},
+    )
+    assert mv.refresh()["mode"] == "full"
+    batch = spark.createDataFrame(
+        [(3, dt.datetime(2024, 4, 9, 5), 777.0, 1)],
+        "k long, ts timestamp, amount double, seq long",
+    ).withColumn("Op", F.lit("U"))
+    t.upsert(batch)
+    zonemap.reset_prune_stats()
+    info = mv.refresh()
+    assert info["mode"] == "incremental"
+    st = dict(zonemap.LAST_PRUNE)
+    assert st["files_total"] >= 10, st
+    assert st["files_read"] * 5 <= st["files_total"], st
+    expect = {
+        tuple(r)
+        for r in t.read()
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .agg(F.sum("amount").alias("rev"), F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert {tuple(r) for r in mv.read().collect()} == expect
