@@ -797,6 +797,21 @@ class JoinMaterializedView:
             [c for c in phys if c in r_now.columns],
             bucket_cols=buckets,
         )
+        if (
+            l_rec is None
+            and self.how == "inner"
+            and not self.group_exprs
+            and all(c in r_now.columns for c in self.group_cols)
+        ):
+            # All group columns live on the DIM side: the fact scan has
+            # nothing to zone-prune on directly, but the touched-group
+            # dim rows name every join key that can reach an affected
+            # row (inner join) — propagate them through the fact's
+            # join-key zones instead. Same advisory/exactness contract.
+            dim_keys = _semi_on_groups(r_now, touched, self.group_cols).select(
+                F.col(self.r_on).alias(self.l_on)
+            )
+            l_rec = _zone_pruned_rows(self.left, dim_keys, [self.l_on])
         joined = self._joined(
             l_rec if l_rec is not None else l_now,
             r_rec if r_rec is not None else r_now,

@@ -426,3 +426,76 @@ def test_bucketed_derived_key_prunes_via_source_column(spark, tmp_path):
         .collect()
     }
     assert {tuple(r) for r in mv.read().collect()} == expect
+
+
+def test_join_view_fk_propagated_fact_pruning(spark, tmp_path):
+    """When every group column lives on the DIM side, the fact scan
+    prunes through its JOIN-KEY zones instead: touched-group dim rows
+    name the join keys that can reach an affected row (inner join),
+    and a key-clustered fact opens only their files."""
+    import datetime as dt
+
+    fact = KeyedTable(
+        spark,
+        str(tmp_path / "f"),
+        TableSpec(
+            "fact",
+            record_key=("k",),
+            precombine_key="seq",
+            partition_source="d",
+            partition_granularity="month",
+        ),
+        retain_versions=4,
+        zonemap_columns=["k"],
+    )
+    # k ascends with the partition month -> tight per-file key zones
+    rows = [
+        (i, dt.datetime(2024, (i // 20) + 1, 5), 1.0 * i, 0) for i in range(240)
+    ]
+    fact.initial_load(
+        spark.createDataFrame(rows, "k long, d timestamp, amount double, seq long")
+    )
+    dim = KeyedTable(
+        spark,
+        str(tmp_path / "dim"),
+        TableSpec(
+            "dim", record_key=("dk",), precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    dim.initial_load(
+        spark.createDataFrame(
+            [(i, f"c{i // 40}", 0) for i in range(240)],
+            "dk long, cat string, seq long",
+        )
+    )
+    mv = JoinMaterializedView(
+        fact,
+        dim,
+        str(tmp_path / "mv"),
+        on=("k", "dk"),
+        group_cols=["cat"],
+        aggs={"rev": "sum(amount)", "n": "count(*)"},
+    )
+    assert mv.refresh()["mode"] == "full"
+    # group-moving dim update: one dk hops categories -> two touched
+    # groups, whose dim keys cover two contiguous k ranges
+    batch = spark.createDataFrame(
+        [(45, "c0", 1)], "dk long, cat string, seq long"
+    ).withColumn("Op", F.lit("U"))
+    dim.upsert(batch)
+    zonemap.reset_prune_stats()
+    info = mv.refresh()
+    assert info["mode"] == "incremental"
+    st = dict(zonemap.LAST_PRUNE)
+    assert st.get("files_skipped", 0) > 0, st
+    f, d = fact.read(), dim.read()
+    expect = {
+        tuple(x)
+        for x in f.join(d, f["k"] == d["dk"])
+        .groupBy("cat")
+        .agg(F.sum("amount").alias("rev"), F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert {tuple(x) for x in mv.read().collect()} == expect
