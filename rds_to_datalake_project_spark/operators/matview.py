@@ -1384,6 +1384,52 @@ class ChainMaterializedView:
             .distinct()
         )
 
+    def _fk_pruned_fact(
+        self, frames: list[DataFrame], touched: DataFrame, phys: list[str]
+    ) -> DataFrame | None:
+        """Fact frame pruned through its JOIN-KEY zones when the group
+        columns live on dimensions (the star/chain norm — e.g. revenue
+        by region name): restrict each dim by the touched groups it
+        carries columns of, propagate those restrictions toward the
+        fact hop by hop (exact distributed semi-joins), and prune the
+        fact's FILES by the first fact-bound hop's surviving key set.
+        None when no dim carries a group column, the propagation
+        reaches the fact unrestricted, or the fact lacks join-key
+        zones — the caller keeps the full frame (advisory, and the
+        touched-group semi-join downstream keeps the result exact)."""
+        n = len(frames)
+        restr: dict[int, DataFrame] = {}
+        restricted = [False] * n
+        for i in range(1, n):
+            cols = [c for c in phys if c in frames[i].columns]
+            if cols:
+                restr[i] = _semi_on_groups(frames[i], touched, cols)
+                restricted[i] = True
+            else:
+                restr[i] = frames[i]
+        if not any(restricted[1:]):
+            return None
+        # far → near: a restricted table j+1 restricts its owner's rows
+        # to those referencing a surviving key (inner-join semantics)
+        for j in range(len(self.on) - 1, -1, -1):
+            a = self._owner[j]
+            if a == 0 or not restricted[j + 1]:
+                continue
+            lcol, rcol = self.on[j]
+            ks = restr[j + 1].select(F.col(rcol).alias("__nk")).distinct()
+            restr[a] = restr[a].join(
+                ks, restr[a][lcol] == ks["__nk"], "left_semi"
+            )
+            restricted[a] = True
+        for j, (lcol, rcol) in enumerate(self.on):
+            if self._owner[j] != 0 or not restricted[j + 1]:
+                continue
+            keys = restr[j + 1].select(F.col(rcol).alias(lcol))
+            pr = _zone_pruned_rows(self.tables[0], keys, [lcol])
+            if pr is not None:
+                return pr
+        return None
+
     def _incremental(self, cur, new) -> dict:
         changed = []
         for i in range(len(self.tables)):
@@ -1430,7 +1476,7 @@ class ChainMaterializedView:
         # below stays exact either way).
         phys = [c for c in self.group_cols if c not in self.group_exprs]
         buckets = _bucket_prunable(self.group_exprs)
-        rec = []
+        rec, pruned_direct = [], []
         for i, t in enumerate(self.tables):
             pr = _zone_pruned_rows(
                 t,
@@ -1439,6 +1485,11 @@ class ChainMaterializedView:
                 bucket_cols=buckets,
             )
             rec.append(pr if pr is not None else now[i])
+            pruned_direct.append(pr is not None)
+        if not pruned_direct[0] and not self.group_exprs:
+            fact_pr = self._fk_pruned_fact(now, touched, phys)
+            if fact_pr is not None:
+                rec[0] = fact_pr
         affected = _semi_on_groups(
             self._joined(rec), touched, self.group_cols
         )

@@ -499,3 +499,84 @@ def test_join_view_fk_propagated_fact_pruning(spark, tmp_path):
         .collect()
     }
     assert {tuple(x) for x in mv.read().collect()} == expect
+
+
+def test_chain_view_fk_propagated_fact_pruning(spark, tmp_path):
+    """Chain views group on far-dim columns (revenue by region name);
+    the fact scan prunes through its fk zones: touched-group region
+    rows restrict their dims, whose keys prune the fk-clustered
+    fact's files."""
+    import datetime as dt
+
+    def spec(name, keys, **kw):
+        return TableSpec(
+            name, record_key=keys, precombine_key="seq",
+            partition_granularity=kw.pop("gran", None), **kw,
+        )
+
+    facts = KeyedTable(
+        spark,
+        str(tmp_path / "f"),
+        TableSpec(
+            "facts", record_key=("f_id",), precombine_key="seq",
+            partition_source="d", partition_granularity="month",
+        ),
+        retain_versions=8,
+        zonemap_columns=["f_dim"],
+    )
+    # f_dim correlates with the partition month -> tight fk zones
+    rows = [
+        (i, i // 40, dt.datetime(2024, (i // 40) + 1, 5), 1.0 * i, 0)
+        for i in range(240)
+    ]
+    facts.initial_load(
+        spark.createDataFrame(
+            rows, "f_id long, f_dim long, d timestamp, amount double, seq long"
+        )
+    )
+    dims = KeyedTable(
+        spark, str(tmp_path / "dm"), spec("dims", ("d_id",)), retain_versions=8
+    )
+    dims.initial_load(
+        spark.createDataFrame(
+            [(i, i % 2, 0) for i in range(6)], "d_id long, d_reg long, seq long"
+        )
+    )
+    regions = KeyedTable(
+        spark, str(tmp_path / "rg"), spec("regions", ("r_id",)), retain_versions=8
+    )
+    regions.initial_load(
+        spark.createDataFrame(
+            [(0, "west", 0), (1, "east", 0)], "r_id long, rname string, seq long"
+        )
+    )
+    view = ChainMaterializedView(
+        [facts, dims, regions],
+        on=[("f_dim", "d_id"), ("d_reg", "r_id")],
+        path=str(tmp_path / "v"),
+        group_cols=["rname"],
+        aggs={"total": "CAST(sum(amount) AS BIGINT)"},
+    )
+    assert view.refresh()["mode"] == "full"
+    # far-dim rename: east -> EAST, touching two group labels whose
+    # membership reaches only the odd-dim fact neighborhoods
+    regions.upsert(
+        spark.createDataFrame(
+            [(1, "EAST", 1)], "r_id long, rname string, seq long"
+        ).withColumn("Op", F.lit("U"))
+    )
+    zonemap.reset_prune_stats()
+    info = view.refresh()
+    assert info["mode"] == "incremental"
+    st = dict(zonemap.LAST_PRUNE)
+    assert st.get("files_skipped", 0) > 0, st
+    f, d, r = facts.read(), dims.read(), regions.read()
+    expect = {
+        tuple(x)
+        for x in f.join(d, f["f_dim"] == d["d_id"])
+        .join(r, d["d_reg"] == r["r_id"])
+        .groupBy("rname")
+        .agg(F.sum("amount").cast("long").alias("total"))
+        .collect()
+    }
+    assert {tuple(x) for x in view.read().collect()} == expect
