@@ -858,11 +858,12 @@ class DeltaMaterializedView(MaterializedView):
     a billion rows for a one-row change); delta merge costs ∝ the
     CHANGE WINDOW alone — one groupBy over the changes plus a
     broadcast-sized merge into the view store. The price is algebraic
-    invertibility: only ``sum(<expr>)``, ``count(*)`` and
-    ``count(<expr>)`` qualify (MIN/MAX/DISTINCT need recompute — use
-    the parent class). ``table_changes``' endpoint-state contract
-    (net change per key, insert+delete cancel) makes the signed merge
-    exact across multi-commit windows.
+    invertibility: ``sum(<expr>)``, ``count(*)``, ``count(<expr>)``
+    and ``avg(<expr>)`` qualify — avg rides a hidden running sum +
+    non-null count and renders sum/count on merge (MIN/MAX/DISTINCT
+    need recompute — use the parent class). ``table_changes``'
+    endpoint-state contract (net change per key, insert+delete cancel)
+    makes the signed merge exact across multi-commit windows.
 
     SQL NULL semantics are preserved: each sum carries a hidden
     non-null contribution count and renders NULL when it reaches zero
@@ -891,13 +892,16 @@ class DeltaMaterializedView(MaterializedView):
 
         parsed: dict[str, tuple[str, str]] = {}
         for c, e in aggs.items():
-            m = _re.match(r"(?is)^\s*(sum|count)\s*\(\s*(.+?|\*)\s*\)\s*$", e)
-            if not m:
+            m = _re.match(
+                r"(?is)^\s*(sum|count|avg)\s*\(\s*(.+?|\*)\s*\)\s*$", e
+            )
+            if not m or (m.group(1).lower() == "avg" and m.group(2) == "*"):
                 raise ValueError(
                     f"delta maintenance requires invertible aggregates "
-                    f"(sum(<expr>) / count(*) / count(<expr>)); got {e!r} "
-                    f"for {c!r} — use MaterializedView (affected-group "
-                    "recompute) for anything else"
+                    f"(sum(<expr>) / count(*) / count(<expr>) / "
+                    f"avg(<expr>)); got {e!r} for {c!r} — use "
+                    "MaterializedView (affected-group recompute) for "
+                    "anything else"
                 )
             parsed[c] = (m.group(1).lower(), m.group(2).strip())
         self._parsed = parsed
@@ -916,6 +920,11 @@ class DeltaMaterializedView(MaterializedView):
 
     def _nn(self, c: str) -> str:
         return f"__nn_{c}"
+
+    def _sm(self, c: str) -> str:
+        """Hidden running sum behind an avg column (avg = sum/count —
+        delta-mergeable exactly like its parts)."""
+        return f"__sm_{c}"
 
     # -- crash protocol ------------------------------------------------------
     # Delta application is NOT replay-idempotent (re-applying a window
@@ -957,6 +966,12 @@ class DeltaMaterializedView(MaterializedView):
                 aggs.append(F.count("*").cast("long").alias(c))
             elif kind == "count":
                 aggs.append(F.count(F.expr(inner)).cast("long").alias(c))
+            elif kind == "avg":
+                aggs.append(F.avg(F.expr(inner)).alias(c))
+                aggs.append(F.sum(F.expr(inner)).alias(self._sm(c)))
+                aggs.append(
+                    F.count(F.expr(inner)).cast("long").alias(self._nn(c))
+                )
             else:
                 aggs.append(F.sum(F.expr(inner)).alias(c))
                 aggs.append(
@@ -967,9 +982,12 @@ class DeltaMaterializedView(MaterializedView):
         return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
 
     def read(self) -> DataFrame:
-        hidden = [_SEQ_COL, self._LIVE] + [
-            self._nn(c) for c, (k, _) in self._parsed.items() if k == "sum"
-        ]
+        hidden = [_SEQ_COL, self._LIVE]
+        for c, (k, _) in self._parsed.items():
+            if k in ("sum", "avg"):
+                hidden.append(self._nn(c))
+            if k == "avg":
+                hidden.append(self._sm(c))
         return self.store.read().drop(*hidden)
 
     def _incremental(self, since: int, latest: int) -> dict:
@@ -994,7 +1012,7 @@ class DeltaMaterializedView(MaterializedView):
                         F.when(F.expr(inner).isNotNull(), sign).otherwise(0)
                     ).cast("long").alias(f"__d_{c}")
                 )
-            else:
+            else:  # sum and avg both merge a signed sum + a signed count
                 e = F.expr(inner)
                 dcols.append(
                     F.sum(F.when(e.isNotNull(), e * sign)).alias(f"__d_{c}")
@@ -1064,6 +1082,18 @@ class DeltaMaterializedView(MaterializedView):
                 merged_cols.append(
                     (_z(_oc(c)) + _z(_dc(f"__d_{c}"))).cast(typ).alias(c)
                 )
+            elif kind == "avg":
+                styp = ref[self._sm(c)].dataType
+                nn = _z(_oc(self._nn(c))) + _z(_dc(f"__dnn_{c}"))
+                sm = (
+                    _z(_oc(self._sm(c)).cast(styp), styp)
+                    + _z(_dc(f"__d_{c}").cast(styp), styp)
+                ).cast(styp)
+                merged_cols.append(
+                    F.when(nn > 0, (sm / nn).cast(typ)).alias(c)
+                )
+                merged_cols.append(sm.alias(self._sm(c)))
+                merged_cols.append(nn.alias(self._nn(c)))
             else:
                 nn = _z(_oc(self._nn(c))) + _z(_dc(f"__dnn_{c}"))
                 raw = (

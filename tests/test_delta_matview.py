@@ -283,3 +283,85 @@ def test_delta_with_derived_group_keys(spark, tmp_path):
     out = view.refresh()
     assert out["mode"] == "delta"
     assert got() == want()
+
+
+def test_avg_delta_converges_and_nulls_out(spark, tmp_path):
+    """avg(<expr>) rides a hidden running sum + non-null count:
+    converges to direct recomputation across inserts, deletes and
+    group-moving updates, renders NULL when a group's contributors
+    all vanish, and the hidden columns never surface in read()."""
+    spec = TableSpec(
+        "facts", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "t"), spec, retain_versions=8)
+    rows = [
+        (i, f"g{i % 3}", 1.0 * i if i % 4 else None, 0) for i in range(30)
+    ]
+    t.initial_load(
+        spark.createDataFrame(rows, "f_id long, grp string, x double, seq long")
+    )
+    view = DeltaMaterializedView(
+        t, str(tmp_path / "v"), ["grp"],
+        {"n": "count(*)", "mean_x": "avg(x)"},
+    )
+    assert view.refresh()["mode"] == "full"
+
+    def direct():
+        return {
+            tuple(r)
+            for r in t.read()
+            .groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n"), F.avg("x").alias("mean_x"))
+            .collect()
+        }
+
+    def got():
+        out = view.read()
+        assert set(out.columns) == {"grp", "n", "mean_x"}  # hidden cols stay hidden
+        return {tuple(r) for r in out.select("grp", "n", "mean_x").collect()}
+
+    assert got() == direct()
+    # mixed window: delete, group move, reprice, and NULLing a value
+    batch = spark.createDataFrame(
+        [(3, "g0", None, 1),      # x -> NULL: one fewer contributor
+         (4, "g2", 400.0, 1),     # group move g1 -> g2 with reprice
+         (6, "g0", 66.0, 1)],     # reprice in place
+        "f_id long, grp string, x double, seq long",
+    ).withColumn("Op", F.lit("U"))
+    t.upsert(batch, delete_mode="apply")
+    deletes = spark.createDataFrame(
+        [(9, "g0", 9.0, 1)], "f_id long, grp string, x double, seq long"
+    ).withColumn("Op", F.lit("D"))
+    t.upsert(deletes, delete_mode="apply")
+    info = view.refresh()
+    assert info["mode"] == "delta"
+    assert got() == direct()
+
+    # drain every non-null contributor from g1: avg must render NULL
+    g1_rows = [r.f_id for r in t.read().filter(F.col("grp") == "g1").collect()]
+    t.upsert(
+        spark.createDataFrame(
+            [(k, "g1", None, 2) for k in g1_rows],
+            "f_id long, grp string, x double, seq long",
+        ).withColumn("Op", F.lit("U")),
+        delete_mode="apply",
+    )
+    assert view.refresh()["mode"] == "delta"
+    assert got() == direct()
+    row = {r.grp: r.mean_x for r in view.read().collect()}
+    assert row["g1"] is None
+
+
+def test_avg_star_is_rejected(spark, tmp_path):
+    spec = TableSpec(
+        "facts", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "t"), spec, retain_versions=8)
+    t.initial_load(
+        spark.createDataFrame([(1, "g", 1.0, 0)],
+                              "f_id long, grp string, x double, seq long")
+    )
+    with pytest.raises(ValueError, match="invertible aggregates"):
+        DeltaMaterializedView(t, str(tmp_path / "v"), ["grp"], {"a": "avg(*)"})
