@@ -118,6 +118,17 @@ def _merge_touched(store, touched, fresh, group_cols, aggs, seq) -> None:
     store.upsert(batch, delete_mode="apply")
 
 
+def _read_store(store: KeyedTable) -> DataFrame:
+    """View-facing store read: the hash-bucket partition column (when
+    the store is bucketed) is maintenance plumbing, not view output."""
+    from rds_to_datalake_project_spark.operators.upsert import _BUCKET_COL
+
+    out = store.read()
+    if store.spec.hash_buckets:
+        out = out.drop(_BUCKET_COL)
+    return out
+
+
 def _inc_token(table: KeyedTable) -> str:
     """The base's incarnation uuid, or '-' when untracked — recorded
     in the cursor marker so a TABLE RESET (initial_load restarts
@@ -328,6 +339,7 @@ class MaterializedView:
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
         store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
     ):
         if not base.retain_versions:
             raise ValueError(
@@ -357,6 +369,10 @@ class MaterializedView:
         # upstream rebuild (initial_load) re-mints the incarnation so
         # stacked views full-rebuild instead of reading a reset as
         # incremental progress.
+        # store_hash_buckets > 0 hash-partitions the view store by its
+        # group key: a refresh touching k groups rewrites <= k buckets
+        # instead of the whole store — at scale, refresh WRITE cost
+        # follows the change set, not the view size.
         self.store = KeyedTable(
             self.spark,
             path,
@@ -365,6 +381,7 @@ class MaterializedView:
                 record_key=tuple(group_cols),
                 precombine_key=_SEQ_COL,
                 partition_granularity="",  # group-keyed, not time-partitioned
+                hash_buckets=store_hash_buckets,
             ),
             retain_versions=store_retain_versions,
         )
@@ -412,8 +429,7 @@ class MaterializedView:
         return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
 
     def read(self) -> DataFrame:
-        view = self.store.read()
-        return view.drop(_SEQ_COL)
+        return _read_store(self.store).drop(_SEQ_COL)
 
     # -- maintenance ---------------------------------------------------------
 
@@ -557,6 +573,7 @@ class JoinMaterializedView:
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
         store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
     ):
         if not (left.retain_versions and right.retain_versions):
             raise ValueError(
@@ -592,6 +609,7 @@ class JoinMaterializedView:
                 record_key=tuple(group_cols),
                 precombine_key=_SEQ_COL,
                 partition_granularity="",
+                hash_buckets=store_hash_buckets,
             ),
             retain_versions=store_retain_versions,
         )
@@ -633,7 +651,7 @@ class JoinMaterializedView:
         return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
 
     def read(self) -> DataFrame:
-        return self.store.read().drop(_SEQ_COL)
+        return _read_store(self.store).drop(_SEQ_COL)
 
     def refresh(self) -> dict:
         return _record_refresh(self, self._refresh())
@@ -887,6 +905,7 @@ class DeltaMaterializedView(MaterializedView):
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
         store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
     ):
         import re as _re
 
@@ -914,6 +933,7 @@ class DeltaMaterializedView(MaterializedView):
             max_broadcast_keys=max_broadcast_keys,
             group_exprs=group_exprs,
             store_retain_versions=store_retain_versions,
+            store_hash_buckets=store_hash_buckets,
         )
 
     _LIVE = "__live_n"
@@ -988,7 +1008,7 @@ class DeltaMaterializedView(MaterializedView):
                 hidden.append(self._nn(c))
             if k == "avg":
                 hidden.append(self._sm(c))
-        return self.store.read().drop(*hidden)
+        return _read_store(self.store).drop(*hidden)
 
     def _incremental(self, since: int, latest: int) -> dict:
         if self._pending():
@@ -1177,6 +1197,7 @@ class ChainMaterializedView:
         max_broadcast_keys: int = 1_000_000,
         group_exprs: dict[str, str] | None = None,
         store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
     ):
         if len(tables) < 2 or len(on) != len(tables) - 1:
             raise ValueError(
@@ -1234,6 +1255,7 @@ class ChainMaterializedView:
                 record_key=tuple(group_cols),
                 precombine_key=_SEQ_COL,
                 partition_granularity="",
+                hash_buckets=store_hash_buckets,
             ),
             retain_versions=store_retain_versions,
         )
@@ -1284,7 +1306,7 @@ class ChainMaterializedView:
         return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
 
     def read(self) -> DataFrame:
-        return self.store.read().drop(_SEQ_COL)
+        return _read_store(self.store).drop(_SEQ_COL)
 
     def refresh(self) -> dict:
         return _record_refresh(self, self._refresh())

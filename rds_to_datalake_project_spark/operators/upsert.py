@@ -62,6 +62,11 @@ _LOG = logging.getLogger(__name__)
 
 _OP_COL = "Op"  # DMS CDC envelope (reference incremental.py:210)
 _PRIORITY = "__src_priority"
+# Hash-bucket partition column (TableSpec.hash_buckets). No leading
+# underscore: "_"-prefixed dir names are hidden to every tree walker
+# (and to Spark's own file index) — a contract-derived column, like the
+# time-partition columns, re-derived from the record key on every write.
+_BUCKET_COL = "bucket_id"
 _READY_FLAG = "_PUBLISH_READY"  # staged write complete; publish may proceed
 _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 
@@ -115,11 +120,22 @@ class KeyedTable:
         # _run_maintenance) — [] after a clean run.
         self.last_maintenance_errors: list[dict] = []
         self._fs_handle = None
-        self.partition_cols: list[str] = (
-            partition_columns(spec.partition_source.split("_")[0], spec.partition_granularity)
-            if spec.partition_granularity
-            else []
-        )
+        if spec.hash_buckets and spec.partition_granularity:
+            raise ValueError(
+                "hash_buckets and partition_granularity are exclusive — "
+                "a table partitions by time OR by key hash, not both"
+            )
+        if spec.hash_buckets:
+            self.partition_cols: list[str] = [_BUCKET_COL]
+        else:
+            self.partition_cols = (
+                partition_columns(
+                    spec.partition_source.split("_")[0],
+                    spec.partition_granularity,
+                )
+                if spec.partition_granularity
+                else []
+            )
 
     # -- helpers -------------------------------------------------------------
 
@@ -154,6 +170,22 @@ class KeyedTable:
         )
 
     def _enrich(self, df: DataFrame) -> DataFrame:
+        if self.spec.hash_buckets:
+            # Derive (or re-derive — the contract derivation from the
+            # immutable key can never disagree with itself) the bucket
+            # column: zero-padded string, matching the engine's
+            # strings-only partition-value round-trip.
+            n = self.spec.hash_buckets
+            width = len(str(n - 1))
+            if _BUCKET_COL in df.columns:
+                df = df.drop(_BUCKET_COL)
+            b = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.spec.record_key]),
+                F.lit(n),
+            )
+            return df.withColumn(
+                _BUCKET_COL, F.lpad(b.cast("string"), width, "0")
+            )
         if not self.spec.partition_granularity:
             return df
         missing = [c for c in self.partition_cols if c not in df.columns]

@@ -71,6 +71,15 @@ class TableSpec:
     # anti-pattern at 100 TB (SURVEY.md §4). "minute" reproduces the
     # reference layout when wanted.
     partition_granularity: str = "day"
+    # HASH-BUCKET partitioning (exclusive with partition_granularity):
+    # N dirs keyed by xxhash64(record_key) % N. For group-keyed stores
+    # with no time axis (materialized views, index stores), an upsert
+    # rewrites only the touched buckets — an unpartitioned store
+    # rewrites wholesale on every merge, which at 100× means refresh
+    # WRITE cost ∝ store size instead of ∝ the change set. The bucket
+    # column derives from the immutable record key, so rows never move
+    # buckets and UPDATE's frozen-column contract holds for free.
+    hash_buckets: int = 0
     schema: T.StructType | None = field(default=None, compare=False)
 
 
