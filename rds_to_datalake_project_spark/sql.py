@@ -218,7 +218,8 @@ _PURGE_RE = re.compile(
 # JoinMaterializedView maintained from BOTH tables' change feeds.
 _CREATE_MV_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
-    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH)?"
+    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH"
+    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
     rf"(?:\s+(?:(?P<jhow>INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+(?P<right>{_QNAME})"
     r"\s+ON\s+(?P<lon>[\w.\"`]+)\s*=\s*(?P<ron>[\w.\"`]+))?"
@@ -229,7 +230,8 @@ _CREATE_MV_RE = re.compile(
 # a single JOIN keeps the 2-table class (which also offers LEFT).
 _CREATE_MV_CHAIN_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
-    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH)?"
+    r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH"
+    r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
     rf"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+{_QNAME}"
     r"\s+ON\s+[\w.\"`]+\s*=\s*[\w.\"`]+){2,})"
@@ -500,6 +502,7 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs, group_exprs):
         name=safe,
         how="left" if jhow.startswith("LEFT") else "inner",
         group_exprs=group_exprs,
+        store_hash_buckets=int(m.group("buckets") or 0),
     )
     return mv, [base, right]
 
@@ -671,6 +674,7 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
             aggs,
             name=safe,
             group_exprs=group_exprs,
+            store_hash_buckets=int(m.group("buckets") or 0),
         )
         hooked_tables = [base]
     return _finish_matview_create(spark, m, name, mv, hooked_tables)
@@ -764,6 +768,7 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
         aggs=aggs,
         name=safe,
         group_exprs=group_exprs,
+        store_hash_buckets=int(m.group("buckets") or 0),
     )
     return _finish_matview_create(spark, m, name, mv, tables)
 

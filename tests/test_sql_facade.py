@@ -804,3 +804,45 @@ def test_sql_facade_group_by_expression_spacing(spark, tmp_path):
         assert out.mode == "full" and out.groups_refreshed == 3
     finally:
         MATVIEWS.clear()
+
+
+def test_sql_facade_matview_buckets_spelling(spark, tmp_path):
+    """WITH [AUTO] REFRESH BUCKETS n hash-partitions the view store by
+    its group key — the store lays out bucket_id=... dirs, the column
+    never surfaces in SELECTs, and refresh/DML round-trips hold."""
+    import glob
+
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    spec = TableSpec("mvbk", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "mvbk"), spec, retain_versions=5)
+    t.initial_load(spark.createDataFrame(
+        [(f"k{i}", "g%d" % (i % 3), float(i), i) for i in range(9)],
+        ["id", "grp", "amount", "v"],
+    ))
+    reg = {"mvbk": t}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_bk WITH REFRESH BUCKETS 4 AS "
+            "SELECT grp, sum(amount) AS revenue FROM mvbk GROUP BY grp",
+            tables=reg,
+        ).collect()[0]
+        assert out.mode == "full" and out.groups_refreshed == 3
+        store_dirs = glob.glob(str(tmp_path / "mvbk" / ".matviews" / "mv_bk" / "bucket_id=*"))
+        assert store_dirs, "store is not hash-bucketed"
+        got = run_query(spark, "SELECT * FROM mv_bk", tables=reg)
+        assert set(got.columns) == {"grp", "revenue"}
+        run_query(spark, "DELETE FROM mvbk WHERE grp = 'g1'", tables=reg)
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW mv_bk", tables=reg
+        ).collect()[0]
+        assert out.mode == "incremental" and out.groups_refreshed == 1
+        got = {(r.grp, r.revenue) for r in
+               run_query(spark, "SELECT grp, revenue FROM mv_bk", tables=reg).collect()}
+        assert got == {("g0", 0.0 + 3 + 6), ("g2", 2.0 + 5 + 8)}
+    finally:
+        MATVIEWS.clear()
