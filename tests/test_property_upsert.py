@@ -118,3 +118,55 @@ def test_upsert_converges_to_latest_per_key(
         for r in table.read().collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, cuts=cuts_strategy)
+def test_bucketed_upsert_converges_to_latest_per_key(
+    spark, tmp_path_factory, events, cuts
+):
+    """Hash-bucket partitioning (TableSpec.hash_buckets) is pure
+    layout: for ANY CDC sequence in ANY batch split, a bucketed table
+    converges to the same per-key latest state as the oracle —
+    touched-bucket pruning must never drop or duplicate a merge."""
+    spec = TableSpec("t", record_key=("id",), precombine_key="update_at",
+                     partition_granularity="", hash_buckets=4)
+    table = KeyedTable(spark, str(tmp_path_factory.mktemp("propb") / "t"), spec)
+
+    def to_rows(chunk):
+        return [
+            (
+                KEYS[k_i],
+                f"2024-01-01T00:00:{ver:02d}",
+                f"p{payload_of(k_i, ver)}",
+                "D" if is_delete(ver) else "U",
+            )
+            for k_i, ver in chunk
+        ]
+
+    positions = sorted({c for c in cuts if c < len(events)})
+    batches, prev = [], 0
+    for p in positions + [len(events)]:
+        if p > prev:
+            batches.append(events[prev:p])
+            prev = p
+
+    for chunk in batches:
+        df = spark.createDataFrame(to_rows(chunk), ["id", "update_at", "val", "Op"])
+        table.upsert(df, delete_mode="apply")
+    df = spark.createDataFrame(to_rows(batches[-1]), ["id", "update_at", "val", "Op"])
+    table.upsert(df, delete_mode="apply")  # replay idempotence
+
+    expected = _expected(batches + [batches[-1]], "apply")
+    if not expected:
+        assert (not table.exists()) or table.read().count() == 0
+        return
+    got = {
+        r.id: (int(r.update_at[-2:]), int(r.val[1:]))
+        for r in table.read().collect()
+    }
+    assert got == expected
