@@ -52,6 +52,12 @@ def reset_refresh_stats() -> None:
     LAST_REFRESH.clear()
 
 
+# Per-refresh recompute-scan pruning (files opened vs live set),
+# filled by _zone_pruned_rows and folded into LAST_REFRESH so bench
+# skips show the scan leverage per refresh without cumulative noise.
+_LAST_SCAN: dict = {}
+
+
 def _record_refresh(view, info: dict) -> dict:
     LAST_REFRESH.clear()
     LAST_REFRESH.update(
@@ -61,6 +67,9 @@ def _record_refresh(view, info: dict) -> dict:
             "groups_refreshed": info["groups_refreshed"],
         }
     )
+    if _LAST_SCAN:
+        LAST_REFRESH["scan"] = dict(_LAST_SCAN)
+        _LAST_SCAN.clear()
     return info
 
 
@@ -298,6 +307,8 @@ def _zone_pruned_rows(
             if keep:
                 files.append(orig)
         _record_prune(len(live), len(files))
+        _LAST_SCAN["files_total"] = _LAST_SCAN.get("files_total", 0) + len(live)
+        _LAST_SCAN["files_read"] = _LAST_SCAN.get("files_read", 0) + len(files)
         if not files:
             return full.limit(0)
         return (
