@@ -138,6 +138,54 @@ def _read_store(store: KeyedTable) -> DataFrame:
     return out
 
 
+def _bucket_pruned_store_rows(
+    store: KeyedTable, keys: DataFrame
+) -> DataFrame | None:
+    """Rows of the store BUCKETS owning ``keys``' group-key tuples, or
+    None when the store is unbucketed / anything surprises — the
+    caller falls back to a full store read. The bucket expression is
+    the writer's own (xxhash64 over the record-key columns), evaluated
+    over the keys frame itself, so NULL group keys land in the same
+    bucket the store wrote them to. Exact: the caller still matches
+    groups null-safely, pruning only skips files that cannot hold a
+    touched group's row."""
+    from rds_to_datalake_project_spark.operators.upsert import _BUCKET_COL
+    from rds_to_datalake_project_spark.operators.zonemap import (
+        _record_prune,
+        _resolve_table,
+    )
+
+    if not store.spec.hash_buckets:
+        return None
+    try:
+        n = store.spec.hash_buckets
+        width = len(str(n - 1))
+        bexpr = F.lpad(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in store.spec.record_key]),
+                F.lit(n),
+            ).cast("string"),
+            width,
+            "0",
+        )
+        buckets = {r[0] for r in keys.select(bexpr).distinct().collect()}
+        full, live = _resolve_table(store.spark, store.path)
+        frags = {f"/{_BUCKET_COL}={b}/" for b in buckets}
+        files = [
+            orig for p, orig in live.items() if any(fr in p for fr in frags)
+        ]
+        _record_prune(len(live), len(files))
+        if not files:
+            return full.limit(0)
+        return (
+            store.spark.read.option("basePath", store.path)
+            .schema(full.schema)
+            .parquet(*sorted(files))
+        )
+    except Exception:
+        return None
+
+
 def _inc_token(table: KeyedTable) -> str:
     """The base's incarnation uuid, or '-' when untracked — recorded
     in the cursor marker so a TABLE RESET (initial_load restarts
@@ -1076,7 +1124,13 @@ class DeltaMaterializedView(MaterializedView):
         # the delta's lineage (the semi's right side IS the delta), so
         # the sides are Dataset.alias-qualified — unqualified df[col]
         # references trip Spark's ambiguous-self-join check here.
-        old = _semi_on_groups(self.store.read(), delta, self.group_cols).alias(
+        # A hash-bucketed store also prunes the READ side by the
+        # touched groups' buckets — with it, delta refresh I/O is ∝
+        # the change set on BOTH sides of the merge.
+        store_rows = _bucket_pruned_store_rows(self.store, delta)
+        if store_rows is None:
+            store_rows = self.store.read()
+        old = _semi_on_groups(store_rows, delta, self.group_cols).alias(
             "__o"
         )
         d = delta.select(

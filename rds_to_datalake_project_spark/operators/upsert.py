@@ -763,6 +763,11 @@ class KeyedTable:
         filter. Composite keys: filter the result on the remaining
         key columns."""
         key_col = self.spec.record_key[0]
+        if self.spec.hash_buckets and len(self.spec.record_key) == 1:
+            # Bucket layout IS the index: the key names its dir.
+            out = self._bucket_pruned_read([key_value])
+            if out is not None:
+                return out.filter(F.col(key_col) == F.lit(key_value))
         from rds_to_datalake_project_spark.operators.bloomfilter import (
             _index_dir as _bloom_dir,
         )
@@ -797,6 +802,57 @@ class KeyedTable:
             .filter(residual)
         )
 
+    def _bucket_pruned_read(self, key_values: list) -> DataFrame | None:
+        """Rows of the buckets owning ``key_values`` on a hash-bucketed
+        table (single-column record key), or None when the layout
+        cannot serve it — the caller falls back to index/scan paths.
+        The bucket of each key is computed by SPARK's xxhash64 over a
+        literal cast to the key column's type (the writer's own
+        expression — a Python twin could diverge on type rendering).
+        The caller applies the key residual, so the result is exact."""
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            _record_prune,
+            _resolve_table,
+        )
+
+        if not (self.spec.hash_buckets and len(self.spec.record_key) == 1):
+            return None
+        key_col = self.spec.record_key[0]
+        try:
+            full, live = _resolve_table(self.spark, self.path)
+            dtype = full.schema[key_col].dataType
+            n = self.spec.hash_buckets
+            width = len(str(n - 1))
+            rows = self.spark.range(1).select(
+                *[
+                    F.lpad(
+                        F.pmod(
+                            F.xxhash64(F.lit(v).cast(dtype)), F.lit(n)
+                        ).cast("string"),
+                        width,
+                        "0",
+                    ).alias(f"b{i}")
+                    for i, v in enumerate(key_values)
+                ]
+            ).collect()[0]
+            buckets = {rows[i] for i in range(len(key_values))}
+            frags = {f"/{_BUCKET_COL}={b}/" for b in buckets}
+            files = [
+                orig
+                for p, orig in live.items()
+                if any(fr in p for fr in frags)
+            ]
+            _record_prune(len(live), len(files))
+            if not files:
+                return full.limit(0)
+            return (
+                self.spark.read.option("basePath", self.path)
+                .schema(full.schema)
+                .parquet(*sorted(files))
+            )
+        except Exception:
+            return None  # any surprise: advisory fallback to scan paths
+
     def lookup_many(self, key_values: list) -> DataFrame:
         """Batched point lookups by the leading record-key column —
         the multi-get form of :meth:`lookup`. One zone-sidecar read,
@@ -821,6 +877,10 @@ class KeyedTable:
         )
 
         key_values = list(key_values)
+        if key_values and self.spec.hash_buckets and len(self.spec.record_key) == 1:
+            out = self._bucket_pruned_read(key_values)
+            if out is not None:
+                return out.filter(F.col(key_col).isin(key_values))
         resolved = _resolve_table(self.spark, self.path)
         full, live = resolved
         residual = F.col(key_col).isin(key_values)

@@ -685,3 +685,80 @@ def test_bucketed_keyed_table_basic_contract(spark, tmp_path):
     assert (5, 999.0) in live and len(live) == 99
     assert t.read_as_of(0).count() == 100  # time travel across bucket swaps
     assert {r.k for r in t.lookup(5).collect()} == {5}
+
+
+def test_bucketed_lookup_opens_one_bucket(spark, tmp_path):
+    """On a hash-bucketed table the bucket layout IS the point-lookup
+    index: lookup/lookup_many open only the owning buckets' files."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t"),
+        TableSpec(
+            "b", record_key=("k",), precombine_key="seq",
+            partition_granularity="", hash_buckets=8,
+        ),
+        retain_versions=3,
+    )
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, 1.0 * i, 0) for i in range(400)], "k long, x double, seq long"
+        )
+    )
+    zonemap.reset_prune_stats()
+    got = t.lookup(7).collect()
+    assert [(r.k, r.x) for r in got] == [(7, 7.0)]
+    st = dict(zonemap.LAST_PRUNE)
+    assert st["files_read"] * 2 <= st["files_total"], st
+
+    zonemap.reset_prune_stats()
+    many = {r.k for r in t.lookup_many([7, 13, 250]).collect()}
+    assert many == {7, 13, 250}
+    st = dict(zonemap.LAST_PRUNE)
+    assert st["files_read"] < st["files_total"], st
+    assert t.lookup(99999).count() == 0  # absent key, residual exact
+
+
+def test_delta_view_bucketed_store_prunes_merge_read(spark, tmp_path):
+    """With a bucketed store, the delta merge reads only the touched
+    groups' buckets (I/O ∝ change set on BOTH merge sides) and still
+    converges to direct recomputation."""
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t"),
+        TableSpec(
+            "t", record_key=("k",), precombine_key="seq",
+            partition_granularity=None,
+        ),
+        retain_versions=4,
+    )
+    t.initial_load(
+        spark.createDataFrame(
+            [(i, i % 40, 1.0 * i, 0) for i in range(400)],
+            "k long, g long, x double, seq long",
+        )
+    )
+    mv = DeltaMaterializedView(
+        t,
+        str(tmp_path / "mv"),
+        ["g"],
+        {"s": "sum(x)", "n": "count(*)"},
+        store_hash_buckets=16,
+    )
+    assert mv.refresh()["mode"] == "full"
+    batch = spark.createDataFrame(
+        [(3, 3, 333.0, 1)], "k long, g long, x double, seq long"
+    ).withColumn("Op", F.lit("U"))
+    t.upsert(batch)
+    zonemap.reset_prune_stats()
+    info = mv.refresh()
+    assert info["mode"] == "delta" and info["groups_refreshed"] == 1
+    st = dict(zonemap.LAST_PRUNE)
+    assert st.get("files_skipped", 0) > 0, st
+    expect = {
+        tuple(r)
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.sum("x").alias("s"), F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert {tuple(r) for r in mv.read().collect()} == expect
