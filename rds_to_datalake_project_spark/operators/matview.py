@@ -67,6 +67,8 @@ def _record_refresh(view, info: dict) -> dict:
             "groups_refreshed": info["groups_refreshed"],
         }
     )
+    if "groups_repaired" in info:
+        LAST_REFRESH["groups_repaired"] = info["groups_repaired"]
     if _LAST_SCAN:
         LAST_REFRESH["scan"] = dict(_LAST_SCAN)
         _LAST_SCAN.clear()
@@ -921,79 +923,45 @@ def attach_join_matview_maintenance(view: JoinMaterializedView) -> None:
 # --- delta-merge maintenance (invertible aggregates) --------------------------
 
 
-class DeltaMaterializedView(MaterializedView):
-    """SUM/COUNT materialized view maintained by SIGNED DELTA MERGE:
-    the change window's split images contribute +1 (insert /
-    update_postimage) or −1 (delete / update_preimage) times each
-    aggregate's inner expression, grouped once, and MERGED into the
-    stored values arithmetically — the refresh never reads the base
-    snapshot at all.
+def _parse_invertible_aggs(
+    aggs: dict[str, str], allow_extrema: bool
+) -> dict[str, tuple[str, str]]:
+    """``{out_col: (kind, inner_expr)}`` for aggregates a signed-delta
+    maintainer can handle: sum/count/avg always, min/max only where
+    the caller owns an extremum-repair path (``allow_extrema``)."""
+    import re as _re
 
-    Scale contrast with affected-group recompute
-    (:class:`MaterializedView`): recompute costs ∝ the touched
-    groups' BASE ROWS (a hot group with a billion rows re-aggregates
-    a billion rows for a one-row change); delta merge costs ∝ the
-    CHANGE WINDOW alone — one groupBy over the changes plus a
-    broadcast-sized merge into the view store. The price is algebraic
-    invertibility: ``sum(<expr>)``, ``count(*)``, ``count(<expr>)``
-    and ``avg(<expr>)`` qualify — avg rides a hidden running sum +
-    non-null count and renders sum/count on merge (MIN/MAX/DISTINCT
-    need recompute — use the parent class). ``table_changes``'
-    endpoint-state contract (net change per key, insert+delete cancel)
-    makes the signed merge exact across multi-commit windows.
-
-    SQL NULL semantics are preserved: each sum carries a hidden
-    non-null contribution count and renders NULL when it reaches zero
-    (SUM over an empty/all-NULL group is NULL, not 0); a hidden live
-    row count tombstones vanished groups. Exactness note: integer and
-    DECIMAL sums are associative, so delta-merged values are
-    bit-identical to recomputation; FLOAT/DOUBLE sums can differ in
-    the last ulps (order-dependence) — aggregate decimals, cast on
-    read. A bulk rewrite (> ``max_broadcast_keys`` touched groups)
-    degrades to full recompute like the parent. Negative live counts
-    (a malformed feed) raise rather than publish a corrupt view.
-    """
-
-    def __init__(
-        self,
-        base: KeyedTable,
-        path: str,
-        group_cols: list[str],
-        aggs: dict[str, str],
-        name: str = "delta_matview",
-        max_broadcast_keys: int = 1_000_000,
-        group_exprs: dict[str, str] | None = None,
-        store_retain_versions: int = 0,
-        store_hash_buckets: int = 0,
-    ):
-        import re as _re
-
-        parsed: dict[str, tuple[str, str]] = {}
-        for c, e in aggs.items():
-            m = _re.match(
-                r"(?is)^\s*(sum|count|avg)\s*\(\s*(.+?|\*)\s*\)\s*$", e
+    kinds = "sum|count|avg|min|max" if allow_extrema else "sum|count|avg"
+    extra = " / min(<expr>) / max(<expr>)" if allow_extrema else ""
+    parsed: dict[str, tuple[str, str]] = {}
+    for c, e in aggs.items():
+        m = _re.match(rf"(?is)^\s*({kinds})\s*\(\s*(.+?|\*)\s*\)\s*$", e)
+        if not m or (
+            m.group(1).lower() != "count" and m.group(2).strip() == "*"
+        ) or _re.match(r"(?is)^distinct\b", m.group(2).strip()):
+            # DISTINCT would otherwise slip through as a plain inner
+            # expression and fail later with a parser error — it is
+            # genuinely not delta-maintainable (needs per-value state)
+            raise ValueError(
+                f"delta maintenance requires invertible aggregates "
+                f"(sum(<expr>) / count(*) / count(<expr>) / "
+                f"avg(<expr>){extra}); got {e!r} for {c!r} — use "
+                "MaterializedView (affected-group recompute) for "
+                "anything else"
             )
-            if not m or (m.group(1).lower() == "avg" and m.group(2) == "*"):
-                raise ValueError(
-                    f"delta maintenance requires invertible aggregates "
-                    f"(sum(<expr>) / count(*) / count(<expr>) / "
-                    f"avg(<expr>)); got {e!r} for {c!r} — use "
-                    "MaterializedView (affected-group recompute) for "
-                    "anything else"
-                )
-            parsed[c] = (m.group(1).lower(), m.group(2).strip())
-        self._parsed = parsed
-        super().__init__(
-            base,
-            path,
-            group_cols,
-            aggs,
-            name=name,
-            max_broadcast_keys=max_broadcast_keys,
-            group_exprs=group_exprs,
-            store_retain_versions=store_retain_versions,
-            store_hash_buckets=store_hash_buckets,
-        )
+        parsed[c] = (m.group(1).lower(), m.group(2).strip())
+    return parsed
+
+
+class _SignedDeltaMergeMixin:
+    """Shared machinery of the signed-delta maintainers
+    (:class:`DeltaMaterializedView`, :class:`DeltaJoinMaterializedView`):
+    hidden-column naming, the intent-marker crash protocol, the
+    full-recompute aggregate that seeds the hidden columns, the signed
+    change-window aggregate, and the store merge. Hosts expose
+    ``self._parsed`` (from :func:`_parse_invertible_aggs`), plus the
+    usual view attributes (spark/path/store/group_cols/
+    max_broadcast_keys)."""
 
     _LIVE = "__live_n"
 
@@ -1004,6 +972,10 @@ class DeltaMaterializedView(MaterializedView):
         """Hidden running sum behind an avg column (avg = sum/count —
         delta-mergeable exactly like its parts)."""
         return f"__sm_{c}"
+
+    @property
+    def _has_extrema(self) -> bool:
+        return any(k in ("min", "max") for k, _ in self._parsed.values())
 
     # -- crash protocol ------------------------------------------------------
     # Delta application is NOT replay-idempotent (re-applying a window
@@ -1021,7 +993,7 @@ class DeltaMaterializedView(MaterializedView):
     def _pending(self) -> bool:
         return bool(_read_small(self.spark, self._pending_path()))
 
-    def _set_pending(self, since: int, latest: int) -> None:
+    def _set_pending(self, since, latest) -> None:
         _write_small(
             self.spark, self._pending_path(), f"{since} {latest}"
         )
@@ -1029,16 +1001,12 @@ class DeltaMaterializedView(MaterializedView):
     def _clear_pending(self) -> None:
         _write_small(self.spark, self._pending_path(), "")
 
-    def _full(self, latest: int) -> dict:
-        out = super()._full(latest)
-        self._clear_pending()
-        return out
+    # -- aggregate plans -----------------------------------------------------
 
-    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
-        """Full-recompute form WITH the hidden invertibility columns
-        (live row count + per-sum non-null counts) — used by the
-        initial load and the bulk-rewrite fallback. ``rows`` arrive
-        pre-derived (same single-derive discipline as the parent)."""
+    def _delta_full_agg_cols(self) -> list:
+        """Full-recompute aggregate list WITH the hidden invertibility
+        columns (live row count + per-sum non-null counts) — used by
+        the initial load and the bulk-rewrite fallback."""
         aggs = []
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
@@ -1051,36 +1019,33 @@ class DeltaMaterializedView(MaterializedView):
                 aggs.append(
                     F.count(F.expr(inner)).cast("long").alias(self._nn(c))
                 )
+            elif kind in ("min", "max"):
+                f = F.min if kind == "min" else F.max
+                aggs.append(f(F.expr(inner)).alias(c))
             else:
                 aggs.append(F.sum(F.expr(inner)).alias(c))
                 aggs.append(
                     F.count(F.expr(inner)).cast("long").alias(self._nn(c))
                 )
         aggs.append(F.count("*").cast("long").alias(self._LIVE))
-        out = rows.groupBy(*self.group_cols).agg(*aggs)
-        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+        return aggs
 
-    def read(self) -> DataFrame:
+    def _hidden_store_cols(self) -> list[str]:
         hidden = [_SEQ_COL, self._LIVE]
         for c, (k, _) in self._parsed.items():
             if k in ("sum", "avg"):
                 hidden.append(self._nn(c))
             if k == "avg":
                 hidden.append(self._sm(c))
-        return _read_store(self.store).drop(*hidden)
+        return hidden
 
-    def _incremental(self, since: int, latest: int) -> dict:
-        if self._pending():
-            # a prior delta apply crashed between the store upsert and
-            # the cursor write — state unknown, rebuild from snapshot
-            return self._full(latest)
-        ch = self._derive(
-            self.base.table_changes(since, latest, include_preimage=True)
-        )
-        sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        ).otherwise(F.lit(-1))
+    def _delta_window_agg_cols(self, sign) -> list:
+        """Signed per-group aggregate list over a change frame whose
+        rows carry ``sign`` (+1 added / −1 removed). sum/avg/count
+        contribute signed arithmetic; min/max contribute the added
+        extremum (mergeable via least/greatest) and the removed
+        extremum (repair trigger — see _merge_and_publish)."""
+        added = sign > 0
         dcols = []
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
@@ -1091,6 +1056,11 @@ class DeltaMaterializedView(MaterializedView):
                         F.when(F.expr(inner).isNotNull(), sign).otherwise(0)
                     ).cast("long").alias(f"__d_{c}")
                 )
+            elif kind in ("min", "max"):
+                f = F.min if kind == "min" else F.max
+                e = F.expr(inner)
+                dcols.append(f(F.when(added, e)).alias(f"__i_{c}"))
+                dcols.append(f(F.when(~added, e)).alias(f"__r_{c}"))
             else:  # sum and avg both merge a signed sum + a signed count
                 e = F.expr(inner)
                 dcols.append(
@@ -1102,31 +1072,33 @@ class DeltaMaterializedView(MaterializedView):
                     .alias(f"__dnn_{c}")
                 )
         dcols.append(F.sum(sign).cast("long").alias(f"__d_{self._LIVE}"))
-        delta = (
-            ch.groupBy(*self.group_cols).agg(*dcols).localCheckpoint(eager=True)
-        )
-        n_touched = delta.count()
-        if not n_touched:
-            self._write_marker(latest)
-            return {"mode": "delta", "base_version": latest, "groups_refreshed": 0}
-        if n_touched > self.max_broadcast_keys:
-            return self._full(latest)
+        return dcols
 
-        # stored value types are pinned by the full-aggregate plan —
-        # delta arithmetic can widen DECIMAL precision, so cast back
-        ref = self._aggregate(self._derive(self.base.read()).limit(0), 0).schema
-        # Prune the view store to the touched groups FIRST (broadcast
-        # semi-join — the only pass over the store), then outer-join
-        # the now-tiny old side against the delta with the SMALL side
-        # built: a right-outer join can only broadcast-build its LEFT,
-        # so hinting the delta side would silently shuffle the whole
-        # group-sized store every refresh. Both join children carry
-        # the delta's lineage (the semi's right side IS the delta), so
-        # the sides are Dataset.alias-qualified — unqualified df[col]
-        # references trip Spark's ambiguous-self-join check here.
-        # A hash-bucketed store also prunes the READ side by the
-        # touched groups' buckets — with it, delta refresh I/O is ∝
-        # the change set on BOTH sides of the merge.
+    def _merge_and_publish(
+        self, delta, n_touched: int, seq: int, ref, cursor_cb, recompute=None
+    ) -> dict | None:
+        """Merge a grouped signed-delta frame into the view store and
+        publish. Returns the partial summary dict, or None when the
+        extremum-repair set exceeds ``max_broadcast_keys`` (caller
+        degrades to full recompute).
+
+        ``ref`` pins stored value types (delta arithmetic can widen
+        DECIMAL precision — cast back to the full-aggregate plan's
+        schema). ``recompute(groups, seq)`` re-aggregates exactly the
+        given groups from the snapshot — required iff min/max columns
+        are maintained.
+
+        Plan shape: prune the view store to the touched groups FIRST
+        (broadcast semi-join — the only pass over the store; a
+        hash-bucketed store also prunes the READ side by the touched
+        groups' buckets), then outer-join the now-tiny old side
+        against the delta with the SMALL side built: a right-outer
+        join can only broadcast-build its LEFT, so hinting the delta
+        side would silently shuffle the whole group-sized store every
+        refresh. Both join children carry the delta's lineage (the
+        semi's right side IS the delta), so the sides are
+        Dataset.alias-qualified — unqualified df[col] references trip
+        Spark's ambiguous-self-join check here."""
         store_rows = _bucket_pruned_store_rows(self.store, delta)
         if store_rows is None:
             store_rows = self.store.read()
@@ -1161,6 +1133,7 @@ class DeltaMaterializedView(MaterializedView):
         live = (_z(_oc(self._LIVE)) + _z(_dc(f"__d_{self._LIVE}"))).alias(
             self._LIVE
         )
+        repair = F.lit(False)
         for c, (kind, inner) in self._parsed.items():
             typ = ref[c].dataType
             if kind == "count":
@@ -1179,6 +1152,22 @@ class DeltaMaterializedView(MaterializedView):
                 )
                 merged_cols.append(sm.alias(self._sm(c)))
                 merged_cols.append(nn.alias(self._nn(c)))
+            elif kind in ("min", "max"):
+                # Inserts merge arithmetically (an added value can only
+                # improve the extremum: least/greatest with the stored
+                # one). A REMOVED value at-or-beyond the stored
+                # extremum may have BEEN the extremum — the delta
+                # cannot name the survivor, so the group is flagged
+                # for snapshot repair. Removals strictly inside the
+                # range never move min/max; NULL values never
+                # participate (SQL min/max skip them).
+                o = _oc(c).cast(typ)
+                ins = _dc(f"__i_{c}").cast(typ)
+                rm = _dc(f"__r_{c}").cast(typ)
+                hit = (rm <= o) if kind == "min" else (rm >= o)
+                repair = repair | (rm.isNotNull() & (o.isNull() | hit))
+                pick = F.least if kind == "min" else F.greatest
+                merged_cols.append(pick(o, ins).cast(typ).alias(c))
             else:
                 nn = _z(_oc(self._nn(c))) + _z(_dc(f"__dnn_{c}"))
                 raw = (
@@ -1187,7 +1176,10 @@ class DeltaMaterializedView(MaterializedView):
                 merged_cols.append(F.when(nn > 0, raw).alias(c))
                 merged_cols.append(nn.alias(self._nn(c)))
         merged = j.select(
-            *merged_cols, live, F.lit(latest).cast("long").alias(_SEQ_COL)
+            *merged_cols,
+            live,
+            F.lit(seq).cast("long").alias(_SEQ_COL),
+            repair.alias("__rep"),
         ).localCheckpoint(eager=True)
         bad = merged.filter(F.col(self._LIVE) < 0).limit(1).count()
         if bad:
@@ -1196,18 +1188,395 @@ class DeltaMaterializedView(MaterializedView):
                 "feed is inconsistent with the view state; rebuild with "
                 "refresh() after clearing the cursor"
             )
-        batch = merged.withColumn(
+        out, n_repaired = merged.drop("__rep"), 0
+        if self._has_extrema:
+            fix = F.col("__rep") & (F.col(self._LIVE) > 0)
+            need = (
+                merged.filter(fix)
+                .select(*self.group_cols)
+                .localCheckpoint(eager=True)
+            )
+            n_repaired = need.count()
+            if n_repaired:
+                if n_repaired > self.max_broadcast_keys:
+                    return None
+                fresh = recompute(need, seq).localCheckpoint(eager=True)
+                if fresh.count() != n_repaired:
+                    raise ValueError(
+                        "extremum repair found groups whose snapshot "
+                        "recompute disagrees with the maintained live "
+                        "count — the change feed is inconsistent with "
+                        "the view state; rebuild with refresh() after "
+                        "clearing the cursor"
+                    )
+                out = merged.filter(~fix).drop("__rep").unionByName(fresh)
+        batch = out.withColumn(
             "Op", F.when(F.col(self._LIVE) == 0, F.lit("D")).otherwise(F.lit("U"))
         )
-        self._set_pending(since, latest)
+        self._set_pending("apply", seq)
         self.store.upsert(batch, delete_mode="apply")
-        self._write_marker(latest)
+        cursor_cb()
         self._clear_pending()
         return {
-            "mode": "delta",
-            "base_version": latest,
             "groups_refreshed": n_touched,
+            "groups_repaired": n_repaired,
         }
+
+
+class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
+    """Materialized view maintained by SIGNED DELTA MERGE: the change
+    window's split images contribute +1 (insert / update_postimage) or
+    −1 (delete / update_preimage) times each aggregate's inner
+    expression, grouped once, and MERGED into the stored values
+    arithmetically — the refresh never reads the base snapshot (the
+    one exception is extremum repair, below).
+
+    Scale contrast with affected-group recompute
+    (:class:`MaterializedView`): recompute costs ∝ the touched
+    groups' BASE ROWS (a hot group with a billion rows re-aggregates
+    a billion rows for a one-row change); delta merge costs ∝ the
+    CHANGE WINDOW alone — one groupBy over the changes plus a
+    broadcast-sized merge into the view store. The price is algebraic
+    invertibility: ``sum(<expr>)``, ``count(*)``, ``count(<expr>)``
+    and ``avg(<expr>)`` merge purely arithmetically; ``min(<expr>)``
+    / ``max(<expr>)`` merge arithmetically for ADDED values
+    (least/greatest) and fall back to SNAPSHOT REPAIR only for groups
+    where a removed value tied-or-beat the stored extremum — the
+    delta cannot name the surviving second-best, so exactly those
+    groups re-aggregate from the base (zone-pruned like the parent
+    class; removals strictly inside the range stay pure delta).
+    DISTINCT still needs the parent class. ``table_changes``'
+    endpoint-state contract (net change per key, insert+delete cancel)
+    makes the signed merge exact across multi-commit windows.
+
+    SQL NULL semantics are preserved: each sum carries a hidden
+    non-null contribution count and renders NULL when it reaches zero
+    (SUM over an empty/all-NULL group is NULL, not 0); a hidden live
+    row count tombstones vanished groups; min/max skip NULLs natively.
+    Exactness note: integer and DECIMAL sums are associative, so
+    delta-merged values are bit-identical to recomputation;
+    FLOAT/DOUBLE sums can differ in the last ulps (order-dependence)
+    — aggregate decimals, cast on read. A bulk rewrite (>
+    ``max_broadcast_keys`` touched groups) degrades to full recompute
+    like the parent. Negative live counts (a malformed feed) raise
+    rather than publish a corrupt view.
+    """
+
+    def __init__(
+        self,
+        base: KeyedTable,
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "delta_matview",
+        max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
+    ):
+        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
+        super().__init__(
+            base,
+            path,
+            group_cols,
+            aggs,
+            name=name,
+            max_broadcast_keys=max_broadcast_keys,
+            group_exprs=group_exprs,
+            store_retain_versions=store_retain_versions,
+            store_hash_buckets=store_hash_buckets,
+        )
+
+    def _full(self, latest: int) -> dict:
+        out = super()._full(latest)
+        self._clear_pending()
+        return out
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        """Full-recompute form WITH the hidden invertibility columns —
+        used by the initial load, the bulk-rewrite fallback, and
+        extremum repair. ``rows`` arrive pre-derived (same
+        single-derive discipline as the parent)."""
+        out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        return _read_store(self.store).drop(*self._hidden_store_cols())
+
+    def _incremental(self, since: int, latest: int) -> dict:
+        if self._pending():
+            # a prior delta apply crashed between the store upsert and
+            # the cursor write — state unknown, rebuild from snapshot
+            return self._full(latest)
+        ch = self._derive(
+            self.base.table_changes(since, latest, include_preimage=True)
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        delta = (
+            ch.groupBy(*self.group_cols)
+            .agg(*self._delta_window_agg_cols(sign))
+            .localCheckpoint(eager=True)
+        )
+        n_touched = delta.count()
+        if not n_touched:
+            self._write_marker(latest)
+            return {"mode": "delta", "base_version": latest, "groups_refreshed": 0}
+        if n_touched > self.max_broadcast_keys:
+            return self._full(latest)
+
+        # stored value types are pinned by the full-aggregate plan —
+        # delta arithmetic can widen DECIMAL precision, so cast back
+        ref = self._aggregate(self._derive(self.base.read()).limit(0), 0).schema
+
+        def _recompute(groups: DataFrame, seq: int) -> DataFrame:
+            # extremum repair: re-aggregate exactly these groups from
+            # the snapshot, zone-pruned like the parent class's
+            # affected-group recompute (files opened ∝ repair set)
+            rows = _zone_pruned_rows(
+                self.base,
+                groups,
+                [c for c in self.group_cols if c not in self.group_exprs],
+                bucket_cols=_bucket_prunable(self.group_exprs),
+            )
+            snap = self._derive(rows if rows is not None else self.base.read())
+            return self._aggregate(
+                _semi_on_groups(snap, groups, self.group_cols), seq
+            )
+
+        out = self._merge_and_publish(
+            delta,
+            n_touched,
+            latest,
+            ref,
+            lambda: self._write_marker(latest),
+            recompute=_recompute,
+        )
+        if out is None:
+            return self._full(latest)
+        out.update({"mode": "delta", "base_version": latest})
+        return out
+
+
+class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
+    """GROUP BY over an inner equi-join, maintained by SIGNED DELTA
+    MERGE — the join-bilinearity identity
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_new ⋈ ΔB  −  ΔA ⋈ ΔB
+
+    (A_new⋈B_new − A_old⋈B_old expanded with A_old = A_new − ΔA; the
+    third term subtracts the change-window×change-window pairs the
+    first two both count). Each term carries a per-row sign — ΔA's
+    image sign, ΔB's image sign, and −sign_A·sign_B respectively —
+    and the signed union feeds the same grouped-delta merge as
+    :class:`DeltaMaterializedView`.
+
+    Scale contrast with :class:`JoinMaterializedView` (affected-group
+    recompute): recompute re-joins and re-aggregates every row of
+    every touched GROUP — a one-order change against a
+    billion-row-group view re-aggregates the billion rows. The delta
+    form touches base data only to join each side's change window
+    against the OTHER side's current state, both reads pruned to the
+    changed join keys (zone-map file pruning on the join-key column
+    when a sidecar exists + an exact broadcast key semi-join either
+    way) — refresh I/O ∝ the change set's join NEIGHBORHOODS, never
+    either corpus and never a whole group. Both snapshots are read at
+    the CURRENT heads (no as-of reads), so retention only has to
+    cover the change window itself.
+
+    Requirements beyond the parent: inner join only (a LEFT join's
+    NULL-group membership is not bilinear — unmatched-ness depends on
+    the whole other side); invertible aggregates (sum/count/avg —
+    min/max would need join-side extremum repair; use the parent);
+    both tables' column names disjoint as ever. Same intent-marker
+    crash protocol, bulk-rewrite degradation, NULL-sum semantics, and
+    hash-bucketed store pruning as the single-table delta class.
+    """
+
+    def __init__(
+        self,
+        left: KeyedTable,
+        right: KeyedTable,
+        path: str,
+        on: tuple[str, str],
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "delta_join_matview",
+        how: str = "inner",
+        max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
+    ):
+        if how != "inner":
+            raise ValueError(
+                "DeltaJoinMaterializedView supports inner joins only — "
+                "LEFT-join NULL-group membership is not expressible as "
+                "a signed delta; use JoinMaterializedView(how='left')"
+            )
+        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=False)
+        super().__init__(
+            left,
+            right,
+            path,
+            on=on,
+            group_cols=group_cols,
+            aggs=aggs,
+            name=name,
+            how="inner",
+            max_broadcast_keys=max_broadcast_keys,
+            group_exprs=group_exprs,
+            store_retain_versions=store_retain_versions,
+            store_hash_buckets=store_hash_buckets,
+        )
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        return _read_store(self.store).drop(*self._hidden_store_cols())
+
+    def _full(self, l_latest: int, r_latest: int) -> dict:
+        out = super()._full(l_latest, r_latest)
+        self._clear_pending()
+        return out
+
+    def _signed_changes(self, table: KeyedTable, since: int, latest: int):
+        """The table's netted change window with meta columns folded
+        into one integer ``__sg`` (±1) so the two windows can join
+        each other without column collisions."""
+        ch = table.table_changes(since, latest, include_preimage=True)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        return ch.withColumn("__sg", sign).drop("_change_type")
+
+    def _pruned_current(
+        self, table: KeyedTable, key_col: str, keys: DataFrame
+    ) -> DataFrame:
+        """Current snapshot restricted to the changed join keys:
+        advisory zone-map file pruning on the join-key column first
+        (files opened ∝ the keys' zones when a sidecar exists), then
+        the exact broadcast key semi-join either way."""
+        rows = _zone_pruned_rows(table, keys, [key_col])
+        if rows is None:
+            rows = table.read()
+        t = keys.select(F.col(key_col).alias("__jk"))
+        return rows.join(
+            F.broadcast(t), rows[key_col] == t["__jk"], "left_semi"
+        )
+
+    def _incremental(self, cur, new) -> dict:
+        if self._pending():
+            return self._full(*new)
+        dl = (
+            self._signed_changes(self.left, cur[0], new[0])
+            if new[0] > cur[0]
+            else None
+        )
+        dr = (
+            self._signed_changes(self.right, cur[1], new[1])
+            if new[1] > cur[1]
+            else None
+        )
+        # Bulk guard BEFORE any base read: the changed-key sets are
+        # broadcast below — corpus-sized windows degrade to full.
+        seq = new[0] + new[1]
+        terms = []
+        if dl is not None:
+            dl = dl.localCheckpoint(eager=True)
+            lkeys = (
+                dl.select(self.l_on)
+                .filter(F.col(self.l_on).isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if lkeys.count() > self.max_broadcast_keys:
+                return self._full(*new)
+            # ΔA ⋈ B_new, sign = ΔA's
+            r_sel = self._pruned_current(
+                self.right,
+                self.r_on,
+                lkeys.select(F.col(self.l_on).alias(self.r_on)),
+            )
+            terms.append(
+                dl.join(r_sel, dl[self.l_on] == r_sel[self.r_on], "inner")
+            )
+        if dr is not None:
+            dr = dr.localCheckpoint(eager=True)
+            rkeys = (
+                dr.select(self.r_on)
+                .filter(F.col(self.r_on).isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if rkeys.count() > self.max_broadcast_keys:
+                return self._full(*new)
+            # A_new ⋈ ΔB, sign = ΔB's
+            l_sel = self._pruned_current(
+                self.left,
+                self.l_on,
+                rkeys.select(F.col(self.r_on).alias(self.l_on)),
+            )
+            terms.append(
+                l_sel.join(dr, l_sel[self.l_on] == dr[self.r_on], "inner")
+            )
+        if dl is not None and dr is not None:
+            # − ΔA ⋈ ΔB: the first two terms BOTH count pairs where
+            # both sides changed in this window (ΔA joins B_new which
+            # already contains ΔB's effect, and vice versa) — subtract
+            # one copy with the product sign negated.
+            la = dl.withColumnRenamed("__sg", "__sg_a")
+            rb = dr.withColumnRenamed("__sg", "__sg_b")
+            terms.append(
+                la.join(rb, la[self.l_on] == rb[self.r_on], "inner")
+                .withColumn("__sg", -F.col("__sg_a") * F.col("__sg_b"))
+                .drop("__sg_a", "__sg_b")
+            )
+        if not terms:
+            self._write_cursor(new)
+            return {
+                "mode": "delta",
+                "versions": new,
+                "base_version": seq,
+                "groups_refreshed": 0,
+            }
+        contrib = terms[0]
+        for t in terms[1:]:
+            contrib = contrib.unionByName(t)
+        for c, e in self.group_exprs.items():
+            contrib = contrib.withColumn(c, F.expr(e))
+        delta = (
+            contrib.groupBy(*self.group_cols)
+            .agg(*self._delta_window_agg_cols(F.col("__sg")))
+            .localCheckpoint(eager=True)
+        )
+        n_touched = delta.count()
+        if not n_touched:
+            self._write_cursor(new)
+            return {
+                "mode": "delta",
+                "versions": new,
+                "base_version": seq,
+                "groups_refreshed": 0,
+            }
+        if n_touched > self.max_broadcast_keys:
+            return self._full(*new)
+        ref = self._aggregate(
+            self._joined(self.left.read().limit(0), self.right.read().limit(0)),
+            0,
+        ).schema
+        out = self._merge_and_publish(
+            delta, n_touched, seq, ref, lambda: self._write_cursor(new)
+        )
+        if out is None:
+            return self._full(*new)
+        out.update({"mode": "delta", "versions": new, "base_version": seq})
+        return out
 
 
 # --- N-table chain/star join views --------------------------------------------

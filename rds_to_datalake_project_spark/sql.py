@@ -492,7 +492,21 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs, group_exprs):
     else:
         raise ValueError("ON must equate one column from each joined table")
     jhow = (m.group("jhow") or "INNER").upper()
-    mv = JoinMaterializedView(
+    how = "left" if jhow.startswith("LEFT") else "inner"
+    # WITH DELTA REFRESH on the JOIN form → signed-delta join
+    # maintenance (Δ(A⋈B) = ΔA⋈B + A⋈ΔB − ΔA⋈ΔB): refresh I/O ∝ the
+    # change set's join neighborhoods. Inner joins + invertible
+    # aggregates only — both constraints raise here, failing the
+    # CREATE cleanly.
+    if m.group("delta"):
+        from rds_to_datalake_project_spark.operators.matview import (
+            DeltaJoinMaterializedView,
+        )
+
+        cls = DeltaJoinMaterializedView
+    else:
+        cls = JoinMaterializedView
+    mv = cls(
         base,
         right,
         f"{base.path}/.matviews/{safe}",
@@ -500,7 +514,7 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs, group_exprs):
         group_cols=group_cols,
         aggs=aggs,
         name=safe,
-        how="left" if jhow.startswith("LEFT") else "inner",
+        how=how,
         group_exprs=group_exprs,
         store_hash_buckets=int(m.group("buckets") or 0),
     )
@@ -650,11 +664,6 @@ def _create_matview_statement(spark: SparkSession, m: re.Match, known: dict):
     group_cols, group_exprs, aggs = _parse_mv_shape(m)
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     if m.group("right"):
-        if m.group("delta"):
-            raise ValueError(
-                "WITH DELTA REFRESH is supported for single-table views "
-                "only — JOIN views maintain by affected-group recompute"
-            )
         mv, hooked_tables = _build_join_matview(
             m, known, base, safe, group_cols, aggs, group_exprs
         )
@@ -694,8 +703,9 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
     _validate_mv_name(name)
     if m.group("delta"):
         raise ValueError(
-            "WITH DELTA REFRESH is supported for single-table views "
-            "only — JOIN views maintain by affected-group recompute"
+            "WITH DELTA REFRESH is supported for single-table and "
+            "2-table JOIN views only — N-table chains maintain by "
+            "affected-group recompute"
         )
     base_name = _unquote_ident(m.group("base"))
     tables = [known[base_name]]

@@ -148,7 +148,7 @@ def test_rejects_non_invertible_aggregates(spark, tmp_path):
     t, _ = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invertible"):
         DeltaMaterializedView(
-            t, str(tmp_path / "bad"), ["grp"], {"m": "max(amount)"}
+            t, str(tmp_path / "bad"), ["grp"], {"m": "count(DISTINCT amount)"}
         )
 
 
@@ -210,7 +210,7 @@ def test_sql_facade_delta_refresh_spelling(spark, tmp_path):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW dbad WITH DELTA REFRESH AS "
-            "SELECT grp, max(amount) AS m FROM facts_t GROUP BY grp",
+            "SELECT grp, count(DISTINCT amount) AS m FROM facts_t GROUP BY grp",
             tables=reg,
         )
 
@@ -365,3 +365,196 @@ def test_avg_star_is_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="invertible aggregates"):
         DeltaMaterializedView(t, str(tmp_path / "v"), ["grp"], {"a": "avg(*)"})
+
+
+# --- min/max: delta merge with extremum repair ---------------------------------
+
+
+MM_AGGS = {
+    "n": "count(*)",
+    "lo": "min(amount)",
+    "hi": "max(amount)",
+    "opt_lo": "min(opt)",
+}
+
+
+def _mk_mm(spark, tmp_path):
+    spec = TableSpec(
+        "facts_mm", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "tm"), spec, retain_versions=8)
+    rows = [
+        (i, f"g{i % 3}", 10 * i, i if i % 4 else None, 0) for i in range(1, 31)
+    ]
+    t.initial_load(
+        spark.createDataFrame(
+            rows, "f_id long, grp string, amount long, opt long, seq long"
+        )
+    )
+    view = DeltaMaterializedView(t, str(tmp_path / "vm"), ["grp"], MM_AGGS)
+    return t, view
+
+
+def _direct_mm(t):
+    return {
+        tuple(r)
+        for r in t.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("amount").alias("lo"),
+            F.max("amount").alias("hi"),
+            F.min("opt").alias("opt_lo"),
+        )
+        .select("grp", "n", "lo", "hi", "opt_lo")
+        .collect()
+    }
+
+
+def _got_mm(view):
+    return {
+        tuple(r)
+        for r in view.read().select("grp", "n", "lo", "hi", "opt_lo").collect()
+    }
+
+
+def test_minmax_insert_only_merges_without_repair(spark, tmp_path):
+    """Added values merge arithmetically (least/greatest): an
+    insert-only window must stay pure delta — zero repaired groups —
+    even when it improves an extremum."""
+    t, view = _mk_mm(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    t.upsert(
+        _batch(spark, [(100, "g0", -5, 1, 1), (101, "g1", 9999, None, 1)])
+    )
+    out = view.refresh()
+    assert out["mode"] == "delta" and out["groups_repaired"] == 0
+    assert _got_mm(view) == _direct_mm(t)
+
+
+def test_minmax_interior_removal_stays_pure_delta(spark, tmp_path):
+    """Deleting a value strictly inside (min, max) cannot move either
+    extremum — the refresh must not repair (and therefore must not
+    touch the base snapshot at all)."""
+    t, view = _mk_mm(spark, tmp_path)
+    view.refresh()
+    # g0 holds amounts 30,60,...,300 — delete an interior row (150)
+    t.upsert(_batch(spark, [(15, "g0", 150, 15, 1)], op="D"), delete_mode="apply")
+    out = view.refresh()
+    assert out["mode"] == "delta" and out["groups_repaired"] == 0
+    assert _got_mm(view) == _direct_mm(t)
+
+
+def test_minmax_extremum_removal_repairs_exactly_that_group(spark, tmp_path):
+    """Deleting the stored max of ONE group repairs that group alone
+    (snapshot re-aggregate names the surviving second-best); the other
+    touched group in the same window stays pure delta."""
+    t, view = _mk_mm(spark, tmp_path)
+    view.refresh()
+    # g0's max is amount=300 (f_id 30); also insert an interior g1 row
+    t.upsert(
+        _batch(spark, [(30, "g0", 300, None, 1)], op="D").unionByName(
+            _batch(spark, [(200, "g1", 50, 2, 1)])
+        ),
+        delete_mode="apply",
+    )
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert out["groups_refreshed"] == 2 and out["groups_repaired"] == 1
+    assert _got_mm(view) == _direct_mm(t)
+
+
+def test_minmax_duplicate_extremum_removal_keeps_survivor(spark, tmp_path):
+    """Removing ONE copy of a duplicated extremum triggers repair (the
+    delta cannot know a twin survives) and the repair keeps the value."""
+    t, view = _mk_mm(spark, tmp_path)
+    t.upsert(_batch(spark, [(500, "g1", 10, None, 1)]))  # duplicate g1's min
+    view.refresh()
+    before = {r["grp"]: r["lo"] for r in view.read().collect()}
+    assert before["g1"] == 10
+    t.upsert(_batch(spark, [(500, "g1", 10, None, 2)], op="D"), delete_mode="apply")
+    out = view.refresh()
+    assert out["groups_repaired"] == 1
+    assert _got_mm(view) == _direct_mm(t)
+    assert {r["grp"]: r["lo"] for r in view.read().collect()}["g1"] == 10
+
+
+def test_minmax_update_moving_extremum_and_group_move(spark, tmp_path):
+    """An UPDATE whose preimage was the extremum repairs the vacated
+    value; a group-moving update repairs/refreshes both sides."""
+    t, view = _mk_mm(spark, tmp_path)
+    view.refresh()
+    # f_id 30 (g0, amount 300 = g0's max) moves to g2 with a new amount
+    t.upsert(_batch(spark, [(30, "g2", 5, 1, 1)]))
+    out = view.refresh()
+    assert out["mode"] == "delta" and out["groups_refreshed"] == 2
+    assert out["groups_repaired"] >= 1  # g0 lost its max
+    assert _got_mm(view) == _direct_mm(t)
+
+
+def test_minmax_null_semantics_and_tombstone(spark, tmp_path):
+    """NULL values never participate in min/max (SQL semantics); a
+    group whose rows all vanish is tombstoned out of the view."""
+    t, view = _mk_mm(spark, tmp_path)
+    view.refresh()
+    # new group with only-NULL opt: opt_lo must be NULL
+    t.upsert(_batch(spark, [(300, "gN", 7, None, 1), (301, "gN", 3, None, 1)]))
+    view.refresh()
+    row = {r["grp"]: r for r in view.read().collect()}["gN"]
+    assert row["lo"] == 3 and row["hi"] == 7 and row["opt_lo"] is None
+    # delete the whole group -> tombstone
+    t.upsert(
+        _batch(spark, [(300, "gN", 7, None, 2), (301, "gN", 3, None, 2)], op="D"),
+        delete_mode="apply",
+    )
+    view.refresh()
+    assert "gN" not in {r["grp"] for r in view.read().collect()}
+    assert _got_mm(view) == _direct_mm(t)
+
+
+def test_minmax_repair_scan_is_zone_pruned(spark, tmp_path):
+    """Extremum repair reads the base through the same zone-map file
+    pruning as affected-group recompute: with a zone map over the
+    group column, a one-group repair opens ∝ that group's files."""
+    from rds_to_datalake_project_spark.operators import zonemap
+    from rds_to_datalake_project_spark.operators.matview import LAST_REFRESH
+
+    spec = TableSpec(
+        "facts_zp", record_key=("f_id",), precombine_key="seq",
+        partition_source="d", partition_granularity="month",
+    )
+    t = KeyedTable(
+        spark, str(tmp_path / "tz"), spec, retain_versions=4,
+        zonemap_columns=["d"],
+    )
+    rows = [
+        (i, f"2024-{(i % 12) + 1:02d}-15", 10.0 * i, 0) for i in range(1, 241)
+    ]
+    t.initial_load(
+        spark.createDataFrame(rows, "f_id long, d string, amount double, seq long")
+    )
+    view = DeltaMaterializedView(
+        t, str(tmp_path / "vz"), ["d"], {"hi": "max(amount)", "n": "count(*)"}
+    )
+    view.refresh()
+    # delete April's max (f_id 231 -> amount 2310.0) -> repair of that month
+    t.upsert(
+        spark.createDataFrame(
+            [(231, "2024-04-15", 2310.0, 1)],
+            "f_id long, d string, amount double, seq long",
+        ).withColumn("Op", F.lit("D")),
+        delete_mode="apply",
+    )
+    zonemap.reset_prune_stats()
+    out = view.refresh()
+    assert out["groups_repaired"] == 1
+    scan = LAST_REFRESH.get("scan", {})
+    assert scan and scan["files_read"] * 4 <= scan["files_total"], scan
+    assert {tuple(r) for r in view.read().collect()} == {
+        tuple(r)
+        for r in t.read()
+        .groupBy("d")
+        .agg(F.max("amount").alias("hi"), F.count("*").cast("long").alias("n"))
+        .collect()
+    }
