@@ -102,6 +102,10 @@ HEADLINE = [
     # round-12: zone-pruned recompute refresh — skips dict shows base
     # files read ∝ the change window's touched date zones
     "pruned_matview_refresh",
+    # round-12: signed-delta JOIN IVM (both feeds churn in one window,
+    # −ΔΔ correction) and min/max delta with extremum repair
+    "delta_join_matview_nation_revenue",
+    "minmax_delta_matview_prices",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -150,6 +154,10 @@ def _skip_stats() -> dict:
         "left_join_matview_revenue": lambda: dict(matview.LAST_REFRESH),
         "delta_matview_priority_revenue": lambda: dict(matview.LAST_REFRESH),
         "chain_matview_region_revenue": lambda: dict(matview.LAST_REFRESH),
+        "delta_join_matview_nation_revenue": lambda: dict(
+            matview.LAST_REFRESH
+        ),
+        "minmax_delta_matview_prices": lambda: dict(matview.LAST_REFRESH),
         "pruned_matview_refresh": lambda: {
             "refresh": dict(matview.LAST_REFRESH),
             "zone": dict(zonemap.LAST_PRUNE),

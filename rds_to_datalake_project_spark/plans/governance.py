@@ -1097,8 +1097,255 @@ ORDER BY c_nationkey NULLS FIRST
 """
 
 
+# --- min/max delta matview (extremum repair) -----------------------------------
+
+_MMV_SPEC = TableSpec(
+    "mmv_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def minmax_delta_matview_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max under signed-delta maintenance
+    (operators/matview.py:DeltaMaterializedView with extremum repair):
+    the change window deletes THE top-priced '1-URGENT' order (the
+    stored max — the delta cannot name the surviving second-best, so
+    exactly that group re-aggregates from the snapshot) and inserts a
+    new global low for '2-HIGH' (added values merge purely via
+    least/greatest — no base read). The fixture asserts the refresh
+    ran in delta mode with exactly one repaired group; the oracle
+    replays the argmax delete with a window function."""
+    return _mmv_serve(spark, sf_dir, _mmv_fixture(spark, sf_dir))
+
+
+def _mmv_fixture(spark, sf_dir: str):
+    from pyspark.sql import Window
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaMaterializedView,
+    )
+
+    root = _scratch("minmax_mv")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    init = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "update_at", F.lit("a")
+    )
+    t = KeyedTable(spark, f"{root}/t", _MMV_SPEC, retain_versions=4)
+    t.initial_load(init)
+    view = DeltaMaterializedView(
+        t,
+        f"{root}/v",
+        ["o_orderpriority"],
+        {
+            "n_orders": "count(*)",
+            "lo": "min(o_totalprice)",
+            "hi": "max(o_totalprice)",
+        },
+    )
+    view.refresh()  # full
+    # the deterministic argmax row of one group (ties broken by key —
+    # same ordering the oracle's row_number replays)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    top = (
+        init.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("rn") == 1)
+        )
+        .drop("rn")
+        .withColumn("update_at", F.lit("b"))
+        .withColumn("Op", F.lit("D"))
+    )
+    new_low = spark.createDataFrame(
+        [(-1, "2-HIGH", 0.01, "b", "I")],
+        "o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "update_at string, Op string",
+    )
+    t.upsert(top.unionByName(new_low), delete_mode="apply")
+    info = view.refresh()
+    assert info["mode"] == "delta", info
+    assert info["groups_repaired"] == 1, info
+    return view
+
+
+def _mmv_serve(spark, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select("o_orderpriority", "n_orders", "lo", "hi")
+        .orderBy("o_orderpriority")
+    )
+
+
+MINMAX_MV_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey
+  ) AS rn
+  FROM init
+), kept AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM ranked
+  WHERE NOT (o_orderpriority = '1-URGENT' AND rn = 1)
+), final AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT -1, '2-HIGH', 0.01
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM final
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --- signed-delta JOIN matview --------------------------------------------------
+
+_DJV_FACT_SPEC = TableSpec(
+    "djv_fact",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+_DJV_DIM_SPEC = TableSpec(
+    "djv_dim",
+    record_key=("c_custkey",),
+    precombine_key="c_update_at",
+    partition_granularity="",
+)
+
+
+def delta_join_matview_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed-delta JOIN IVM (operators/matview.py:
+    DeltaJoinMaterializedView): revenue by customer nation maintained
+    by Δ(A⋈B) = ΔA⋈B + A⋈ΔB − ΔA⋈ΔB over BOTH change feeds in ONE
+    window — fact deletes (%10=3), NEW orders pointing at customers
+    whose nation ALSO moves in the same window (the −ΔΔ correction
+    term), and a dim-side nation move (%20=7 → nation 99) that
+    relabels every joined order without either order feed saying so.
+    Base reads touch only the changed join keys' neighborhoods; the
+    oracle states the final inner-join aggregate in closed form."""
+    return _djv_serve(spark, sf_dir, _djv_fixture(spark, sf_dir))
+
+
+def _djv_fixture(spark, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaJoinMaterializedView,
+    )
+
+    root = _scratch("delta_join_mv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    fact = KeyedTable(spark, f"{root}/f", _DJV_FACT_SPEC, retain_versions=4)
+    fact.initial_load(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "update_at", F.lit("a")
+        )
+    )
+    dim = KeyedTable(spark, f"{root}/d", _DJV_DIM_SPEC, retain_versions=4)
+    dim.initial_load(cust.withColumn("c_update_at", F.lit("a")))
+    view = DeltaJoinMaterializedView(
+        fact,
+        dim,
+        f"{root}/v",
+        on=("o_custkey", "c_custkey"),
+        group_cols=["c_nationkey"],
+        aggs={
+            "n_orders": "count(*)",
+            "revenue": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+        },
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    deletes = (
+        fact.read()
+        .filter(k % 10 == 3)
+        .withColumn("update_at", F.lit("b"))
+        .withColumn("Op", F.lit("D"))
+    )
+    # new orders whose customers' nation ALSO changes in this window —
+    # without the −ΔA⋈ΔB term these would double-count
+    moved_cust = F.col("c_custkey") % 20 == 7
+    new_orders = (
+        cust.filter(moved_cust)
+        .select(
+            (F.col("c_custkey") + 9_000_000).alias("o_orderkey"),
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit(1000.0).alias("o_totalprice"),
+        )
+        .withColumn("update_at", F.lit("b"))
+        .withColumn("Op", F.lit("U"))
+    )
+    fact.upsert(deletes.unionByName(new_orders), delete_mode="apply")
+    dim.upsert(
+        cust.filter(moved_cust)
+        .withColumn("c_nationkey", F.lit(99))
+        .withColumn("c_update_at", F.lit("b"))
+        .withColumn("Op", F.lit("U")),
+        delete_mode="apply",
+    )
+    info = view.refresh()
+    assert info["mode"] == "delta", info
+    return view
+
+
+def _djv_serve(spark, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+DELTA_JMV_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), kept AS (
+  SELECT * FROM init WHERE o_orderkey % 10 <> 3
+), f AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT c_custkey + 9000000, c_custkey, 1000.0
+  FROM customer WHERE c_custkey % 20 = 7
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 20 = 7 THEN 99 ELSE c_nationkey END
+           AS c_nationkey
+  FROM customer
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM f JOIN c ON f.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "fk_violation_counts": fk_violation_counts,
+    "minmax_delta_matview_prices": minmax_delta_matview_prices,
+    "delta_join_matview_nation_revenue": delta_join_matview_nation_revenue,
     "left_join_matview_revenue": left_join_matview_revenue,
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
@@ -1114,6 +1361,8 @@ QUERIES = {
 
 ORACLES = {
     "fk_violation_counts": FK_VIOLATIONS_SQL,
+    "minmax_delta_matview_prices": MINMAX_MV_SQL,
+    "delta_join_matview_nation_revenue": DELTA_JMV_SQL,
     "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
@@ -1129,6 +1378,8 @@ ORACLES = {
 
 PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
+    "minmax_delta_matview_prices": (_mmv_fixture, _mmv_serve),
+    "delta_join_matview_nation_revenue": (_djv_fixture, _djv_serve),
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),

@@ -74,7 +74,6 @@ _PRIORITY = (
     "fuzzy_customer_pairs",
     "gated_upsert_roundtrip",
     "hll_estimate_users_md5",
-    "hll_registers_users_md5",
     "lang_id",
     "mixture_sample_counts",
     "part_brand_stats",
@@ -86,15 +85,21 @@ _PRIORITY = (
     "scd2_orders_history",
     "semantic_dedup_embeddings",
     "sessionize_events",
-    "sketch_cms_after_cdc_md5",
     "stats_join_advisory",
     "watermark_per_day",
     "windowed_counts",
     # (weighted_sample_docs yields its slot to the NEW zone-pruned
-    # refresh oracle; it leads the r13 rotation worklist)
+    # refresh oracle and leads the r13 rotation worklist;
+    # hll_registers_users_md5 and sketch_cms_after_cdc_md5 defer to
+    # r13 too — their components stay hash-covered this round by their
+    # in-window twins hll_estimate_users_md5 / cms_heavy_hitters_md5)
     # --- tier E: NEW in round 12 — the zone-pruned recompute refresh's
-    # oracle-grade check (files read ∝ change set; r11 VERDICT #2)
+    # oracle-grade check (files read ∝ change set; r11 VERDICT #2),
+    # signed-delta JOIN IVM (the −ΔΔ correction term under both-feeds
+    # churn), and min/max delta maintenance with extremum repair
     "pruned_matview_refresh",
+    "delta_join_matview_nation_revenue",
+    "minmax_delta_matview_prices",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
     "cdc_upsert_roundtrip",
