@@ -2000,3 +2000,195 @@ def attach_chain_matview_maintenance(view: ChainMaterializedView) -> None:
 
     for t in view.tables:
         t.add_maintenance_hook(chain_refresh)
+
+
+class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
+    """GROUP BY over an N-table inner equi-join tree, maintained by
+    SIGNED DELTA MERGE — the N-way generalization of
+    :class:`DeltaJoinMaterializedView` via inclusion–exclusion over
+    the changed tables:
+
+        Δ(T1 ⋈ … ⋈ Tn) = Σ_{∅≠S⊆changed} (−1)^{|S|+1} ·
+                          ⋈_i (ΔTi if i∈S else Ti_new)
+
+    (expand ⋈(Ti_new − ΔTi) and subtract — every non-delta factor is
+    the CURRENT state, so no as-of reads; each term's per-row sign is
+    (−1)^{|S|+1} times the product of its deltas' image signs). With k
+    changed tables the window costs 2^k − 1 terms — one per table in
+    the overwhelmingly common single-feed refresh — and every term is
+    a join of change windows against NEIGHBORHOOD-PRUNED current
+    states: restrictions propagate from each delta both toward the
+    fact and away from it (one exact semi-join per hop, zone-map file
+    pruning where the reached key set is small enough to enumerate),
+    so refresh I/O ∝ the change set's join neighborhoods — never any
+    corpus and never a touched group's full rows (the chain recompute
+    class re-joins every row of every touched group; a far-dim rename
+    over a billion-row group re-aggregates the billion rows there,
+    and only the net signed contributions here).
+
+    Same constraints and protocol as the 2-table delta-join class:
+    inner joins, invertible aggregates (sum/count/avg), disjoint
+    column names, intent-marker crash protocol, bulk degradation,
+    NULL-sum semantics, bucketed-store merge pruning.
+    """
+
+    def __init__(
+        self,
+        tables: list[KeyedTable],
+        on: list[tuple[str, str]],
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        name: str = "delta_chain_matview",
+        max_broadcast_keys: int = 1_000_000,
+        group_exprs: dict[str, str] | None = None,
+        store_retain_versions: int = 0,
+        store_hash_buckets: int = 0,
+    ):
+        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=False)
+        super().__init__(
+            tables,
+            on,
+            path,
+            group_cols,
+            aggs,
+            name=name,
+            max_broadcast_keys=max_broadcast_keys,
+            group_exprs=group_exprs,
+            store_retain_versions=store_retain_versions,
+            store_hash_buckets=store_hash_buckets,
+        )
+
+    def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
+        out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
+        return out.withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+
+    def read(self) -> DataFrame:
+        return _read_store(self.store).drop(*self._hidden_store_cols())
+
+    def _full(self, heads: tuple[int, ...]) -> dict:
+        out = super()._full(heads)
+        self._clear_pending()
+        return out
+
+    def _signed_changes(self, i: int, cur, new) -> DataFrame:
+        ch = self.tables[i].table_changes(
+            cur[i], new[i], include_preimage=True
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        return ch.withColumn(f"__sg_{i}", sign).drop("_change_type")
+
+    def _term(self, S: frozenset, deltas: list, now: list) -> DataFrame:
+        """One inclusion–exclusion term: the chain joined with ΔTi at
+        the positions in S and the neighborhood-pruned current state
+        everywhere else, rows signed (−1)^{|S|+1}·Π __sg_i."""
+        n = len(self.tables)
+        # None marks a PRISTINE current position — zone-map file
+        # pruning is only possible before any transformation.
+        frames: list[DataFrame | None] = [
+            deltas[i] if i in S else None for i in range(n)
+        ]
+        restricted = [i in S for i in range(n)]
+
+        def restrict(i: int, keys: DataFrame, col: str) -> None:
+            # keys carries exactly one column named `col`
+            if frames[i] is None:
+                pr = _zone_pruned_rows(self.tables[i], keys, [col])
+                frames[i] = pr if pr is not None else now[i]
+            ks = keys.select(F.col(col).alias("__rk")).distinct()
+            frames[i] = frames[i].join(
+                ks, frames[i][col] == ks["__rk"], "left_semi"
+            )
+            restricted[i] = True
+
+        # far → near: every restricted table narrows its owner (a row
+        # of the owner not referencing a surviving key cannot appear
+        # in this term — inner-join semantics make the pruning exact)
+        for j in range(len(self.on) - 1, -1, -1):
+            if not restricted[j + 1]:
+                continue
+            lcol, rcol = self.on[j]
+            keys = frames[j + 1].select(F.col(rcol).alias(lcol)).distinct()
+            restrict(self._owner[j], keys, lcol)
+        # near → far: restricted owners narrow still-pristine children
+        for j, (lcol, rcol) in enumerate(self.on):
+            a = self._owner[j]
+            if restricted[a] and not restricted[j + 1]:
+                keys = frames[a].select(F.col(lcol).alias(rcol)).distinct()
+                restrict(j + 1, keys, rcol)
+        out = frames[0] if frames[0] is not None else now[0]
+        for (fk, k), i in zip(self.on, range(1, n)):
+            d = frames[i] if frames[i] is not None else now[i]
+            out = out.join(d, out[fk] == d[k], "inner")
+        sign = F.lit(1 if len(S) % 2 == 1 else -1)
+        for i in S:
+            sign = sign * F.col(f"__sg_{i}")
+        return out.withColumn("__sg", sign).drop(
+            *[f"__sg_{i}" for i in S]
+        )
+
+    def _incremental(self, cur, new) -> dict:
+        if self._pending():
+            return self._full(new)
+        n = len(self.tables)
+        seq = sum(new)
+        deltas: list[DataFrame | None] = [None] * n
+        for i in range(n):
+            if new[i] <= cur[i]:
+                continue
+            d = self._signed_changes(i, cur, new).localCheckpoint(eager=True)
+            cnt = d.count()
+            if cnt > self.max_broadcast_keys:
+                return self._full(new)
+            if cnt:
+                deltas[i] = d
+        changed = [i for i in range(n) if deltas[i] is not None]
+        if not changed:
+            self._write_cursor(new)
+            return {
+                "mode": "delta",
+                "versions": new,
+                "base_version": seq,
+                "groups_refreshed": 0,
+            }
+        from itertools import combinations
+
+        now = [t.read() for t in self.tables]
+        terms = []
+        for k in range(1, len(changed) + 1):
+            for S in combinations(changed, k):
+                terms.append(self._term(frozenset(S), deltas, now))
+        contrib = terms[0]
+        for t in terms[1:]:
+            contrib = contrib.unionByName(t)
+        for c, e in self.group_exprs.items():
+            contrib = contrib.withColumn(c, F.expr(e))
+        delta = (
+            contrib.groupBy(*self.group_cols)
+            .agg(*self._delta_window_agg_cols(F.col("__sg")))
+            .localCheckpoint(eager=True)
+        )
+        n_touched = delta.count()
+        if not n_touched:
+            self._write_cursor(new)
+            return {
+                "mode": "delta",
+                "versions": new,
+                "base_version": seq,
+                "groups_refreshed": 0,
+            }
+        if n_touched > self.max_broadcast_keys:
+            return self._full(new)
+        ref = self._aggregate(
+            self._joined([t.read().limit(0) for t in self.tables]), 0
+        ).schema
+        out = self._merge_and_publish(
+            delta, n_touched, seq, ref, lambda: self._write_cursor(new)
+        )
+        if out is None:
+            return self._full(new)
+        out.update({"mode": "delta", "versions": new, "base_version": seq})
+        return out

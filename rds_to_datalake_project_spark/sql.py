@@ -701,12 +701,6 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
 
     name = _unquote_ident(m.group(1))
     _validate_mv_name(name)
-    if m.group("delta"):
-        raise ValueError(
-            "WITH DELTA REFRESH is supported for single-table and "
-            "2-table JOIN views only — N-table chains maintain by "
-            "affected-group recompute"
-        )
     base_name = _unquote_ident(m.group("base"))
     tables = [known[base_name]]
     names = [base_name]
@@ -770,7 +764,18 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
         cols_sofar |= r_cols
     group_cols, group_exprs, aggs = _parse_mv_shape(m)
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
-    mv = ChainMaterializedView(
+    # WITH DELTA REFRESH → inclusion–exclusion signed-delta chain
+    # maintenance (invertible aggregates only — validated in __init__,
+    # failing the CREATE cleanly)
+    if m.group("delta"):
+        from rds_to_datalake_project_spark.operators.matview import (
+            DeltaChainMaterializedView,
+        )
+
+        cls = DeltaChainMaterializedView
+    else:
+        cls = ChainMaterializedView
+    mv = cls(
         tables,
         on=on,
         path=f"{tables[0].path}/.matviews/{safe}",

@@ -276,11 +276,14 @@ def test_sql_facade_chain_spelling(spark, tmp_path):
     finally:
         MATVIEWS.pop("region_rev", None)
 
-    with pytest.raises(ValueError, match="single-table"):
+    # chain + DELTA is now a real class (DeltaChainMaterializedView)
+    # but still demands invertible aggregates — min/max must fail the
+    # CREATE cleanly
+    with pytest.raises(ValueError, match="invertible"):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW bad WITH DELTA REFRESH AS "
-            "SELECT rname, count(*) AS n FROM facts_t "
+            "SELECT rname, min(amount) AS m FROM facts_t "
             "JOIN dims_t ON f_dim = d_id JOIN regions_t ON d_reg = r_id "
             "GROUP BY rname",
             tables=reg,
