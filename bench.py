@@ -105,6 +105,7 @@ HEADLINE = [
     # round-12: signed-delta JOIN IVM (both feeds churn in one window,
     # −ΔΔ correction) and min/max delta with extremum repair
     "delta_join_matview_nation_revenue",
+    "delta_chain_matview_region_revenue",
     "minmax_delta_matview_prices",
     "image_ahash_neardups",
     "audio_hash_neardups",
@@ -158,6 +159,9 @@ def _skip_stats() -> dict:
             matview.LAST_REFRESH
         ),
         "minmax_delta_matview_prices": lambda: dict(matview.LAST_REFRESH),
+        "delta_chain_matview_region_revenue": lambda: dict(
+            matview.LAST_REFRESH
+        ),
         "pruned_matview_refresh": lambda: {
             "refresh": dict(matview.LAST_REFRESH),
             "zone": dict(zonemap.LAST_PRUNE),

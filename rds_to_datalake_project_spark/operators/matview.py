@@ -953,6 +953,26 @@ def _parse_invertible_aggs(
     return parsed
 
 
+def _require_disjoint_columns(tables: list[KeyedTable]) -> None:
+    """Delta join/chain maintenance UNIONS inclusion–exclusion terms
+    carrying every table's columns side by side, so all column names
+    must be pairwise disjoint — fail the constructor with the clash
+    instead of a mid-refresh COLUMN_ALREADY_EXISTS. (The recompute
+    classes never union joined frames and tolerate some overlap, so
+    this check lives with the delta classes only.)"""
+    seen: dict[str, int] = {}
+    for i, t in enumerate(tables):
+        for c in t.read().columns:
+            if c in seen:
+                raise ValueError(
+                    f"delta join maintenance requires disjoint column "
+                    f"names across tables; {c!r} appears in tables "
+                    f"{seen[c]} and {i} (rename one — e.g. per-table "
+                    "precombine columns)"
+                )
+            seen[c] = i
+
+
 class _SignedDeltaMergeMixin:
     """Shared machinery of the signed-delta maintainers
     (:class:`DeltaMaterializedView`, :class:`DeltaJoinMaterializedView`):
@@ -1431,6 +1451,7 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
             store_retain_versions=store_retain_versions,
             store_hash_buckets=store_hash_buckets,
         )
+        _require_disjoint_columns([left, right])
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
@@ -2058,6 +2079,7 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
             store_retain_versions=store_retain_versions,
             store_hash_buckets=store_hash_buckets,
         )
+        _require_disjoint_columns(tables)
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())

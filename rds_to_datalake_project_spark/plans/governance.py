@@ -1342,10 +1342,140 @@ ORDER BY c_nationkey
 """
 
 
+# --- signed-delta CHAIN matview -------------------------------------------------
+
+
+def delta_chain_matview_region_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed-delta chain IVM (operators/matview.py:
+    DeltaChainMaterializedView): revenue by nation over
+    orders→customer→nation maintained by inclusion–exclusion over the
+    changed tables — ALL THREE feeds move in ONE window (order deletes
+    %9, a customer nation move %6, a nation rename %5), so the refresh
+    evaluates the full 7-term expansion with its multi-delta
+    correction terms; every non-delta factor is the current state
+    pruned to the change neighborhoods. The oracle states the final
+    3-way join aggregate in closed form."""
+    return _dcv_serve(spark, sf_dir, _dcv_fixture(spark, sf_dir))
+
+
+def _dcv_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaChainMaterializedView,
+    )
+
+    root = _scratch("delta_chain_mv")
+
+    # per-table precombine names: the delta-chain union carries every
+    # table's columns side by side, so ALL column names must be
+    # disjoint — a shared "seq" collides
+    def _kt(name, key, df, seq_col):
+        t = KeyedTable(
+            spark,
+            f"{root}/{name}",
+            TableSpec(
+                name,
+                record_key=(key,),
+                precombine_key=seq_col,
+                partition_granularity=None,
+            ),
+            retain_versions=4,
+        )
+        t.initial_load(df.withColumn(seq_col, F.lit(0).cast("long")))
+        return t
+
+    o_base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n_base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = _kt("orders_dchain", "o_orderkey", o_base, "o_seq")
+    c = _kt("customer_dchain", "c_custkey", c_base, "c_seq")
+    n = _kt("nation_dchain", "n_nationkey", n_base, "n_seq")
+    view = DeltaChainMaterializedView(
+        [o, c, n],
+        on=[("o_custkey", "c_custkey"), ("c_nationkey", "n_nationkey")],
+        path=f"{root}/v",
+        group_cols=["n_name"],
+        aggs={
+            "n_orders": "count(*)",
+            "revenue": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+        },
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    o.upsert(
+        o_base.filter(k % 9 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("o_seq", F.lit(1).cast("long")),
+        delete_mode="apply",
+    )
+    ck = F.col("c_custkey")
+    c.upsert(
+        c_base.filter(ck % 6 == 0)
+        .withColumn("c_nationkey", (F.col("c_nationkey") + F.lit(7)) % 25)
+        .withColumn("Op", F.lit("U"))
+        .withColumn("c_seq", F.lit(1).cast("long"))
+    )
+    nk = F.col("n_nationkey")
+    n.upsert(
+        n_base.filter(nk % 5 == 0)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_X")))
+        .withColumn("Op", F.lit("U"))
+        .withColumn("n_seq", F.lit(1).cast("long"))
+    )
+    info = view.refresh()  # ONE refresh over all three windows: 7 terms
+    assert info["mode"] == "delta", info
+    return view
+
+
+def _dcv_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            "n_name",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+DELTA_CHAIN_MV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 9 <> 0
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 7) % 25
+              ELSE c_nationkey END AS c_nationkey
+  FROM customer
+), n AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+              ELSE n_name END AS n_name
+  FROM nation
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM o
+JOIN c ON o.o_custkey = c.c_custkey
+JOIN n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
 QUERIES = {
     "fk_violation_counts": fk_violation_counts,
     "minmax_delta_matview_prices": minmax_delta_matview_prices,
     "delta_join_matview_nation_revenue": delta_join_matview_nation_revenue,
+    "delta_chain_matview_region_revenue": delta_chain_matview_region_revenue,
     "left_join_matview_revenue": left_join_matview_revenue,
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
@@ -1363,6 +1493,7 @@ ORACLES = {
     "fk_violation_counts": FK_VIOLATIONS_SQL,
     "minmax_delta_matview_prices": MINMAX_MV_SQL,
     "delta_join_matview_nation_revenue": DELTA_JMV_SQL,
+    "delta_chain_matview_region_revenue": DELTA_CHAIN_MV_SQL,
     "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
@@ -1380,6 +1511,7 @@ PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
     "minmax_delta_matview_prices": (_mmv_fixture, _mmv_serve),
     "delta_join_matview_nation_revenue": (_djv_fixture, _djv_serve),
+    "delta_chain_matview_region_revenue": (_dcv_fixture, _dcv_serve),
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),

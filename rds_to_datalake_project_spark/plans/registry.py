@@ -66,7 +66,6 @@ _PRIORITY = (
     "cms_heavy_hitters_md5",
     "cohort_weekly_retention",
     "curate_documents_decisions",
-    "doc_fingerprint",
     "events_json_props",
     "exact_dedup_docs",
     "expectations_orders_report",
@@ -90,15 +89,18 @@ _PRIORITY = (
     "windowed_counts",
     # (weighted_sample_docs yields its slot to the NEW zone-pruned
     # refresh oracle and leads the r13 rotation worklist;
-    # hll_registers_users_md5 and sketch_cms_after_cdc_md5 defer to
-    # r13 too — their components stay hash-covered this round by their
-    # in-window twins hll_estimate_users_md5 / cms_heavy_hitters_md5)
+    # hll_registers_users_md5, sketch_cms_after_cdc_md5 and
+    # doc_fingerprint defer to r13 too — their components stay
+    # hash-covered this round by their in-window twins
+    # hll_estimate_users_md5 / cms_heavy_hitters_md5 /
+    # rolling_fingerprint)
     # --- tier E: NEW in round 12 — the zone-pruned recompute refresh's
     # oracle-grade check (files read ∝ change set; r11 VERDICT #2),
     # signed-delta JOIN IVM (the −ΔΔ correction term under both-feeds
     # churn), and min/max delta maintenance with extremum repair
     "pruned_matview_refresh",
     "delta_join_matview_nation_revenue",
+    "delta_chain_matview_region_revenue",
     "minmax_delta_matview_prices",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
