@@ -107,6 +107,7 @@ HEADLINE = [
     "delta_join_matview_nation_revenue",
     "delta_chain_matview_region_revenue",
     "minmax_delta_matview_prices",
+    "distinct_delta_matview_custcount",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -160,6 +161,9 @@ def _skip_stats() -> dict:
         ),
         "minmax_delta_matview_prices": lambda: dict(matview.LAST_REFRESH),
         "delta_chain_matview_region_revenue": lambda: dict(
+            matview.LAST_REFRESH
+        ),
+        "distinct_delta_matview_custcount": lambda: dict(
             matview.LAST_REFRESH
         ),
         "pruned_matview_refresh": lambda: {

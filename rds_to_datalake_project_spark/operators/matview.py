@@ -924,24 +924,35 @@ def attach_join_matview_maintenance(view: JoinMaterializedView) -> None:
 
 
 def _parse_invertible_aggs(
-    aggs: dict[str, str], allow_extrema: bool
+    aggs: dict[str, str], allow_extrema: bool, allow_distinct: bool = False
 ) -> dict[str, tuple[str, str]]:
     """``{out_col: (kind, inner_expr)}`` for aggregates a signed-delta
     maintainer can handle: sum/count/avg always, min/max only where
-    the caller owns an extremum-repair path (``allow_extrema``)."""
+    the caller owns an extremum-repair path (``allow_extrema``), and
+    count(DISTINCT <expr>) only where the caller owns per-value
+    auxiliary state (``allow_distinct`` — kind ``count_distinct``)."""
     import re as _re
 
     kinds = "sum|count|avg|min|max" if allow_extrema else "sum|count|avg"
     extra = " / min(<expr>) / max(<expr>)" if allow_extrema else ""
+    if allow_distinct:
+        extra += " / count(DISTINCT <expr>)"
     parsed: dict[str, tuple[str, str]] = {}
     for c, e in aggs.items():
+        if allow_distinct:
+            md = _re.match(
+                r"(?is)^\s*count\s*\(\s*distinct\s+(.+?)\s*\)\s*$", e
+            )
+            if md:
+                parsed[c] = ("count_distinct", md.group(1).strip())
+                continue
         m = _re.match(rf"(?is)^\s*({kinds})\s*\(\s*(.+?|\*)\s*\)\s*$", e)
         if not m or (
             m.group(1).lower() != "count" and m.group(2).strip() == "*"
         ) or _re.match(r"(?is)^distinct\b", m.group(2).strip()):
-            # DISTINCT would otherwise slip through as a plain inner
-            # expression and fail later with a parser error — it is
-            # genuinely not delta-maintainable (needs per-value state)
+            # unsupported DISTINCT would otherwise slip through as a
+            # plain inner expression and fail later with a parser
+            # error — reject it here by name instead
             raise ValueError(
                 f"delta maintenance requires invertible aggregates "
                 f"(sum(<expr>) / count(*) / count(<expr>) / "
@@ -1031,6 +1042,10 @@ class _SignedDeltaMergeMixin:
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
                 aggs.append(F.count("*").cast("long").alias(c))
+            elif kind == "count_distinct":
+                aggs.append(
+                    F.countDistinct(F.expr(inner)).cast("long").alias(c)
+                )
             elif kind == "count":
                 aggs.append(F.count(F.expr(inner)).cast("long").alias(c))
             elif kind == "avg":
@@ -1070,6 +1085,10 @@ class _SignedDeltaMergeMixin:
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
                 dcols.append(F.sum(sign).cast("long").alias(f"__d_{c}"))
+            elif kind == "count_distinct":
+                continue  # ndv deltas come from the auxiliary-store
+                # merge (per-value 0↔positive transitions), not the
+                # window alone — the caller joins __d_<c> in afterwards
             elif kind == "count":
                 dcols.append(
                     F.sum(
@@ -1156,7 +1175,10 @@ class _SignedDeltaMergeMixin:
         repair = F.lit(False)
         for c, (kind, inner) in self._parsed.items():
             typ = ref[c].dataType
-            if kind == "count":
+            if kind in ("count", "count_distinct"):
+                # count_distinct's __d_<c> is the per-group sum of
+                # per-value 0↔positive transitions from the auxiliary
+                # merge — arithmetically mergeable exactly like count
                 merged_cols.append(
                     (_z(_oc(c)) + _z(_dc(f"__d_{c}"))).cast(typ).alias(c)
                 )
@@ -1294,7 +1316,9 @@ class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
         store_retain_versions: int = 0,
         store_hash_buckets: int = 0,
     ):
-        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
+        self._parsed = _parse_invertible_aggs(
+            aggs, allow_extrema=True, allow_distinct=True
+        )
         super().__init__(
             base,
             path,
@@ -1306,11 +1330,132 @@ class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
             store_retain_versions=store_retain_versions,
             store_hash_buckets=store_hash_buckets,
         )
+        # count(DISTINCT <expr>) rides one AUXILIARY store per column:
+        # (group, value) -> live contributor count, itself maintained
+        # by signed-delta merge. The view's ndv then moves by the SUM
+        # of per-value 0↔positive transitions — pure arithmetic, no
+        # recompute ever, I/O ∝ the change window (plus the touched
+        # (group, value) pairs' aux rows). The aux store is ∝ the
+        # number of DISTINCT (group, value) pairs — far smaller than
+        # the base — and hash-bucketed alongside the view store so its
+        # merge prunes too.
+        self._aux: dict[str, KeyedTable] = {}
+        for c, (kind, _) in self._parsed.items():
+            if kind != "count_distinct":
+                continue
+            # SIBLING directory, never inside the store root — the
+            # store's initial_load (full rebuilds) wipes its directory
+            self._aux[c] = KeyedTable(
+                self.spark,
+                f"{path}_aux/{c}",
+                TableSpec(
+                    f"{name}_aux_{c}",
+                    record_key=tuple(group_cols) + ("__val",),
+                    precombine_key=_SEQ_COL,
+                    partition_granularity="",
+                    hash_buckets=store_hash_buckets,
+                ),
+            )
+
+    def _aux_snapshot(self, c: str, rows: DataFrame, seq: int) -> DataFrame:
+        """Per-(group, value) live contributor counts from a
+        pre-derived snapshot — the aux store's full-rebuild frame."""
+        inner = self._parsed[c][1]
+        return (
+            rows.filter(F.expr(inner).isNotNull())
+            .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
+            .agg(F.count("*").cast("long").alias("__cnt"))
+            .withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+        )
 
     def _full(self, latest: int) -> dict:
+        # aux stores rebuild FIRST: the cursor marker is written by the
+        # parent after the main load, so a crash between the two leaves
+        # the marker behind and the next refresh redoes both —
+        # initial_load overwrites, so the replay is idempotent.
+        if self._aux:
+            snap = self._derive(self.base.read())
+            for c, aux in self._aux.items():
+                aux.initial_load(self._aux_snapshot(c, snap, latest))
         out = super()._full(latest)
         self._clear_pending()
         return out
+
+    def _distinct_transitions(
+        self, ch: DataFrame, sign, seq: int
+    ) -> tuple[list, list]:
+        """For each count(DISTINCT) column: the aux-store merge batch
+        and the per-group ndv delta. Returns ([(aux, batch)...],
+        [transitions_frame...]) — each transitions frame has the group
+        columns plus ``__d_<c>`` — or (None, None) when a bulk window
+        exceeds max_broadcast_keys (the caller degrades to full). The
+        merge mirrors _merge_and_publish's store-pruned broadcast
+        shape on the (group, value) key."""
+        batches, transitions = [], []
+        for c, aux in self._aux.items():
+            inner = self._parsed[c][1]
+            keyc = [*self.group_cols, "__val"]
+            vals = (
+                ch.filter(F.expr(inner).isNotNull())
+                .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
+                .agg(F.sum(sign).cast("long").alias("__dc"))
+                .filter(F.col("__dc") != 0)
+                .localCheckpoint(eager=True)
+            )
+            nv = vals.count()
+            if not nv:
+                continue  # all-NULL or fully-netted window for this column
+            if nv > self.max_broadcast_keys:
+                return None, None  # bulk rewrite: caller degrades to full
+            store_rows = _bucket_pruned_store_rows(aux, vals)
+            if store_rows is None:
+                store_rows = aux.read()
+            old = _semi_on_groups(store_rows, vals, keyc).alias("__ao")
+            d = vals.select(
+                *[F.col(k).alias(f"__g_{k}") for k in keyc], "__dc"
+            ).alias("__ad")
+            cond = None
+            for k in keyc:
+                e = F.col(f"__ao.{k}").eqNullSafe(F.col(f"__ad.__g_{k}"))
+                cond = e if cond is None else cond & e
+            j = F.broadcast(old).join(d, cond, "right_outer")
+            oldc = F.coalesce(F.col("__ao.__cnt"), F.lit(0).cast("long"))
+            newc = oldc + F.col("__ad.__dc")
+            merged = j.select(
+                *[
+                    F.coalesce(F.col(f"__ao.{k}"), F.col(f"__ad.__g_{k}")).alias(k)
+                    for k in keyc
+                ],
+                newc.alias("__cnt"),
+                ((newc > 0).cast("long") - (oldc > 0).cast("long")).alias(
+                    "__tr"
+                ),
+                F.lit(seq).cast("long").alias(_SEQ_COL),
+            ).localCheckpoint(eager=True)
+            if merged.filter(F.col("__cnt") < 0).limit(1).count():
+                raise ValueError(
+                    "distinct-count auxiliary merge produced a negative "
+                    "contributor count — the change feed is inconsistent "
+                    "with the view state; rebuild with refresh() after "
+                    "clearing the cursor"
+                )
+            batches.append(
+                (
+                    aux,
+                    merged.drop("__tr").withColumn(
+                        "Op",
+                        F.when(F.col("__cnt") == 0, F.lit("D")).otherwise(
+                            F.lit("U")
+                        ),
+                    ),
+                )
+            )
+            transitions.append(
+                merged.groupBy(*self.group_cols).agg(
+                    F.sum("__tr").cast("long").alias(f"__d_{c}")
+                )
+            )
+        return batches, transitions
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         """Full-recompute form WITH the hidden invertibility columns —
@@ -1346,6 +1491,46 @@ class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
             return {"mode": "delta", "base_version": latest, "groups_refreshed": 0}
         if n_touched > self.max_broadcast_keys:
             return self._full(latest)
+        if self._aux:
+            # count(DISTINCT) columns: merge the per-(group, value)
+            # auxiliary stores and fold the resulting 0↔positive
+            # transition sums into the group delta as __d_<c>. The aux
+            # upserts share the main merge's intent bracket — a crash
+            # anywhere between them routes the next refresh to _full,
+            # which rebuilds aux and view together.
+            batches, transitions = self._distinct_transitions(
+                ch, sign, latest
+            )
+            if batches is None:
+                return self._full(latest)
+            for tr in transitions:
+                dcol = next(c for c in tr.columns if c.startswith("__d_"))
+                t = tr.select(
+                    *[
+                        F.col(c).alias(f"__t_{c}")
+                        for c in self.group_cols
+                    ],
+                    dcol,
+                )
+                cond = None
+                for c in self.group_cols:
+                    e = delta[c].eqNullSafe(t[f"__t_{c}"])
+                    cond = e if cond is None else cond & e
+                delta = delta.join(t, cond, "left").drop(
+                    *[f"__t_{c}" for c in self.group_cols]
+                )
+            # a column whose window values were all NULL (or fully
+            # netted) contributed no transitions frame — its ndv delta
+            # is zero, but the merge still reads __d_<c>
+            for c, (kind, _) in self._parsed.items():
+                if kind == "count_distinct" and f"__d_{c}" not in delta.columns:
+                    delta = delta.withColumn(
+                        f"__d_{c}", F.lit(0).cast("long")
+                    )
+            delta = delta.localCheckpoint(eager=True)
+            self._set_pending(since, latest)
+            for aux, batch in batches:
+                aux.upsert(batch, delete_mode="apply")
 
         # stored value types are pinned by the full-aggregate plan —
         # delta arithmetic can widen DECIMAL precision, so cast back

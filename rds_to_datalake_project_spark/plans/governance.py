@@ -1342,6 +1342,100 @@ ORDER BY c_nationkey
 """
 
 
+# --- count(DISTINCT) delta matview ----------------------------------------------
+
+_CDV_SPEC = TableSpec(
+    "cdv_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def distinct_delta_matview_custcount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """count(DISTINCT) under signed-delta maintenance
+    (operators/matview.py:DeltaMaterializedView with a per-(group,
+    value) auxiliary store): distinct customers per order priority,
+    maintained purely by the aux store's 0↔positive transition sums —
+    the refresh never re-reads the base and never recomputes a group.
+    The window mixes value deaths (deleting %10=1 orders retires
+    customers whose LAST order that was), duplicate-preserving deletes,
+    and a rewrite funneling %10=5 orders onto one shared customer
+    (value births + deaths across groups). Oracle states the final
+    ndv in closed form."""
+    return _cdv_serve(spark, sf_dir, _cdv_fixture(spark, sf_dir))
+
+
+def _cdv_fixture(spark, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaMaterializedView,
+    )
+
+    root = _scratch("distinct_mv")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    init = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "update_at", F.lit("a")
+    )
+    t = KeyedTable(spark, f"{root}/t", _CDV_SPEC, retain_versions=4)
+    t.initial_load(init)
+    view = DeltaMaterializedView(
+        t,
+        f"{root}/v",
+        ["o_orderpriority"],
+        {
+            "n_orders": "count(*)",
+            "n_custs": "count(DISTINCT o_custkey)",
+        },
+    )
+    view.refresh()  # full (builds the aux store too)
+    k = F.col("o_orderkey")
+    deletes = init.filter(k % 10 == 4).withColumn("Op", F.lit("D"))
+    funneled = (
+        init.filter(k % 10 == 6)
+        .withColumn("o_custkey", F.lit(1).cast("long"))
+        .withColumn("Op", F.lit("U"))
+    )
+    t.upsert(
+        deletes.unionByName(funneled).withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    info = view.refresh()
+    assert info["mode"] == "delta", info
+    return view
+
+
+def _cdv_serve(spark, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select("o_orderpriority", "n_orders", "n_custs")
+        .orderBy("o_orderpriority")
+    )
+
+
+DISTINCT_MV_SQL = """
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+), kept AS (
+  SELECT * FROM init WHERE o_orderkey % 10 <> 4
+), final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 6 THEN 1 ELSE o_custkey END
+           AS o_custkey
+  FROM kept
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM final
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # --- signed-delta CHAIN matview -------------------------------------------------
 
 
@@ -1476,6 +1570,7 @@ QUERIES = {
     "minmax_delta_matview_prices": minmax_delta_matview_prices,
     "delta_join_matview_nation_revenue": delta_join_matview_nation_revenue,
     "delta_chain_matview_region_revenue": delta_chain_matview_region_revenue,
+    "distinct_delta_matview_custcount": distinct_delta_matview_custcount,
     "left_join_matview_revenue": left_join_matview_revenue,
     "expectations_orders_report": expectations_orders_report,
     "gated_upsert_roundtrip": gated_upsert_roundtrip,
@@ -1494,6 +1589,7 @@ ORACLES = {
     "minmax_delta_matview_prices": MINMAX_MV_SQL,
     "delta_join_matview_nation_revenue": DELTA_JMV_SQL,
     "delta_chain_matview_region_revenue": DELTA_CHAIN_MV_SQL,
+    "distinct_delta_matview_custcount": DISTINCT_MV_SQL,
     "left_join_matview_revenue": LEFT_JMV_SQL,
     "sql_matview_roundtrip": SQL_MATVIEW_SQL,
     "sql_matview_time_bucket": SQL_MV_BUCKET_SQL,
@@ -1512,6 +1608,7 @@ PHASES = {
     "minmax_delta_matview_prices": (_mmv_fixture, _mmv_serve),
     "delta_join_matview_nation_revenue": (_djv_fixture, _djv_serve),
     "delta_chain_matview_region_revenue": (_dcv_fixture, _dcv_serve),
+    "distinct_delta_matview_custcount": (_cdv_fixture, _cdv_serve),
     "left_join_matview_revenue": (_left_jmv_fixture, _left_jmv_serve),
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),

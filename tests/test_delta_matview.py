@@ -148,7 +148,7 @@ def test_rejects_non_invertible_aggregates(spark, tmp_path):
     t, _ = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invertible"):
         DeltaMaterializedView(
-            t, str(tmp_path / "bad"), ["grp"], {"m": "count(DISTINCT amount)"}
+            t, str(tmp_path / "bad"), ["grp"], {"m": "sum(DISTINCT amount)"}
         )
 
 
@@ -210,7 +210,7 @@ def test_sql_facade_delta_refresh_spelling(spark, tmp_path):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW dbad WITH DELTA REFRESH AS "
-            "SELECT grp, count(DISTINCT amount) AS m FROM facts_t GROUP BY grp",
+            "SELECT grp, sum(DISTINCT amount) AS m FROM facts_t GROUP BY grp",
             tables=reg,
         )
 
@@ -558,3 +558,147 @@ def test_minmax_repair_scan_is_zone_pruned(spark, tmp_path):
         .agg(F.max("amount").alias("hi"), F.count("*").cast("long").alias("n"))
         .collect()
     }
+
+
+# --- count(DISTINCT): auxiliary-store delta maintenance -------------------------
+
+
+CD_AGGS = {
+    "n": "count(*)",
+    "nd": "count(DISTINCT u)",
+    "s": "sum(amount)",
+}
+
+
+def _mk_cd(spark, tmp_path):
+    spec = TableSpec(
+        "facts_cd", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "tc"), spec, retain_versions=8)
+    rows = [
+        (i, f"g{i % 3}", i % 5 if i % 6 else None, 10 * i, 0)
+        for i in range(1, 31)
+    ]
+    t.initial_load(
+        spark.createDataFrame(
+            rows, "f_id long, grp string, u long, amount long, seq long"
+        )
+    )
+    view = DeltaMaterializedView(t, str(tmp_path / "vc"), ["grp"], CD_AGGS)
+    return t, view
+
+
+def _direct_cd(t):
+    return {
+        tuple(r)
+        for r in t.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("u").cast("long").alias("nd"),
+            F.sum("amount").alias("s"),
+        )
+        .select("grp", "n", "nd", "s")
+        .collect()
+    }
+
+
+def _got_cd(view):
+    return {
+        tuple(r)
+        for r in view.read().select("grp", "n", "nd", "s").collect()
+    }
+
+
+def _cb(spark, rows, op="U"):
+    return spark.createDataFrame(
+        rows, "f_id long, grp string, u long, amount long, seq long"
+    ).withColumn("Op", F.lit(op))
+
+
+def test_count_distinct_tracks_value_births_and_deaths(spark, tmp_path):
+    """ndv rises only when a VALUE first appears in a group and falls
+    only when its LAST contributor leaves — both pure delta (no base
+    read): the aux store's 0↔positive transitions carry the ndv."""
+    t, view = _mk_cd(spark, tmp_path)
+    assert view.refresh()["mode"] == "full"
+    assert _got_cd(view) == _direct_cd(t)
+    # new value in g0 (+1), duplicate of an existing g1 value (ndv flat)
+    t.upsert(_cb(spark, [(100, "g0", 99, 1, 1), (101, "g1", 1, 1, 1)]))
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert _got_cd(view) == _direct_cd(t)
+    # delete ONE of two contributors of a value (ndv flat), then the
+    # last one (ndv drops) — two windows
+    t.upsert(_cb(spark, [(101, "g1", 1, 1, 2)], op="D"), delete_mode="apply")
+    view.refresh()
+    assert _got_cd(view) == _direct_cd(t)
+    t.upsert(_cb(spark, [(100, "g0", 99, 1, 3)], op="D"), delete_mode="apply")
+    view.refresh()
+    assert _got_cd(view) == _direct_cd(t)
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_count_distinct_value_and_group_moves(spark, tmp_path):
+    """An update that changes a row's VALUE retires the old value's
+    contribution and births the new one; a group-moving update does
+    both across groups; NULL values never count."""
+    t, view = _mk_cd(spark, tmp_path)
+    view.refresh()
+    t.upsert(_cb(spark, [(5, "g2", 0, 50, 1)]))       # value move in g2
+    t.upsert(_cb(spark, [(7, "g0", 2, 70, 2)]))       # group move g1->g0
+    t.upsert(_cb(spark, [(8, "g2", None, 80, 3)]))    # value -> NULL
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert _got_cd(view) == _direct_cd(t)
+
+
+def test_count_distinct_crash_rebuilds_aux_and_view(spark, tmp_path):
+    t, view = _mk_cd(spark, tmp_path)
+    view.refresh()
+    view._set_pending(0, 1)
+    t.upsert(_cb(spark, [(200, "g0", 3, 5, 1)]))
+    out = view.refresh()
+    assert out["mode"] == "full"
+    assert _got_cd(view) == _direct_cd(t)
+    # aux must have been rebuilt too: the next delta window converges
+    t.upsert(_cb(spark, [(200, "g0", 3, 5, 2)], op="D"), delete_mode="apply")
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    assert _got_cd(view) == _direct_cd(t)
+
+
+def test_count_distinct_facade_spelling(spark, tmp_path):
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    t, _ = _mk_cd(spark, tmp_path)
+    reg = {"facts_t": t}
+    try:
+        out = run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW cdv WITH AUTO DELTA REFRESH AS "
+            "SELECT grp, count(DISTINCT u) AS nd, count(*) AS n "
+            "FROM facts_t GROUP BY grp",
+            tables=reg,
+        ).collect()[0]
+        assert out["mode"] == "full"
+        t.upsert(_cb(spark, [(300, "g1", 77, 1, 1)]))
+        got = {
+            (r["grp"], r["nd"], r["n"])
+            for r in run_query(spark, "SELECT * FROM cdv", tables=reg).collect()
+        }
+        want = {
+            tuple(r)
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.countDistinct("u").cast("long").alias("nd"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .collect()
+        }
+        assert got == want
+        run_query(spark, "DROP MATERIALIZED VIEW cdv", tables=reg)
+    finally:
+        MATVIEWS.pop("cdv", None)

@@ -279,3 +279,69 @@ def test_delta_join_view_equals_recompute_for_any_cdc_sequence(
         for r in view.read().select("gname", "n", "total").collect()
     }
     assert got == want
+
+
+def _u(k, v):
+    return None if (k * v) % 5 == 0 else (k + 2 * v) % 4
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=events_strategy, cuts=cuts_strategy)
+def test_count_distinct_delta_equals_recompute_for_any_cdc_sequence(
+    spark, tmp_path_factory, events, cuts
+):
+    """count(DISTINCT) under arbitrary churn: every value birth/death
+    must move ndv by exactly the aux store's 0↔positive transitions —
+    one missed retirement is a permanently wrong distinct count."""
+    tmp = tmp_path_factory.mktemp("pcdv")
+    spec = TableSpec(
+        "pfc", record_key=("k",), precombine_key="v",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp / "t"), spec, retain_versions=12)
+    t.initial_load(spark.createDataFrame(
+        [(k, _grp(k, 0), _u(k, 0), _amount(k, 0), 0) for k in range(3)],
+        "k long, grp string, u long, amount long, v long"))
+    view = DeltaMaterializedView(
+        t, str(tmp / "v"), ["grp"],
+        {"n": "count(*)", "nd": "count(DISTINCT u)", "s": "sum(amount)"},
+    )
+    view.refresh()
+
+    positions = sorted({c for c in cuts if c < len(events)})
+    batches, prev = [], 0
+    for p in positions + [len(events)]:
+        if events[prev:p]:
+            batches.append(events[prev:p])
+        prev = p
+    for chunk in batches:
+        rows = [
+            (k, _grp(k, v), _u(k, v), _amount(k, v), v,
+             "D" if _is_delete(v) else "U")
+            for k, v in chunk
+        ]
+        t.upsert(
+            spark.createDataFrame(
+                rows, "k long, grp string, u long, amount long, "
+                      "v long, Op string"),
+            delete_mode="apply",
+        )
+        view.refresh()
+
+    want = {
+        tuple(r)
+        for r in t.read().groupBy("grp").agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("u").cast("long").alias("nd"),
+            F.sum("amount").alias("s"),
+        ).select("grp", "n", "nd", "s").collect()
+    }
+    got = {
+        tuple(r)
+        for r in view.read().select("grp", "n", "nd", "s").collect()
+    }
+    assert got == want
