@@ -616,3 +616,101 @@ def test_delta_matview_merge_joins_broadcast(spark, tmp_path):
     # both joins broadcast; the 100k-row store is never exchanged
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_delta_join_pruned_current_broadcasts_changed_keys(spark, tmp_path):
+    """DeltaJoinMaterializedView reads each current side through
+    _pruned_current: the changed-key restriction must be a BROADCAST
+    semi-join (the key set is change-window-sized) — a shuffle there
+    would exchange the corpus every refresh."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaJoinMaterializedView,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "f"),
+        TableSpec("pqf", record_key=("f_id",), precombine_key="fv",
+                  partition_granularity=None),
+        retain_versions=4,
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "d"),
+        TableSpec("pqd", record_key=("d_id",), precombine_key="dv",
+                  partition_granularity=None),
+        retain_versions=4,
+    )
+    fact.initial_load(spark.createDataFrame(
+        [(i, i % 50, float(i), 0) for i in range(5000)],
+        "f_id long, fk long, amount double, fv long"))
+    dim.initial_load(spark.createDataFrame(
+        [(d, f"g{d % 5}", 0) for d in range(50)],
+        "d_id long, gname string, dv long"))
+    view = DeltaJoinMaterializedView(
+        fact, dim, str(tmp_path / "v"), on=("fk", "d_id"),
+        group_cols=["gname"], aggs={"n": "count(*)"},
+    )
+    keys = spark.createDataFrame([(7,), (9,)], "fk long")
+    sel = view._pruned_current(view.left, view.l_on, keys)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delta_chain_far_dim_term_restricts_fact_and_mid_dim(spark, tmp_path):
+    """A far-dim-only change window's single inclusion–exclusion term
+    must reach the fact RESTRICTED: the delta's keys propagate to the
+    mid dim and then to the fact as semi-joins BEFORE the term join —
+    an unrestricted fact factor is the corpus-scan the delta contract
+    forbids."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaChainMaterializedView,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    def _kt(name, key, df, seq):
+        t = KeyedTable(
+            spark, str(tmp_path / name),
+            TableSpec(name, record_key=(key,), precombine_key=seq,
+                      partition_granularity=None),
+            retain_versions=4,
+        )
+        t.initial_load(df)
+        return t
+
+    facts = _kt("f", "f_id", spark.createDataFrame(
+        [(i, i % 6, float(i), 0) for i in range(2000)],
+        "f_id long, f_dim long, amount double, fv long"), "fv")
+    dims = _kt("d", "d_id", spark.createDataFrame(
+        [(d, d % 3, 0) for d in range(6)],
+        "d_id long, d_reg long, dv long"), "dv")
+    regs = _kt("r", "r_id", spark.createDataFrame(
+        [(r, f"R{r}", 0) for r in range(3)],
+        "r_id long, rname string, rv long"), "rv")
+    view = DeltaChainMaterializedView(
+        [facts, dims, regs],
+        on=[("f_dim", "d_id"), ("d_reg", "r_id")],
+        path=str(tmp_path / "v"),
+        group_cols=["rname"],
+        aggs={"n": "count(*)"},
+    )
+    view.refresh()
+    regs.upsert(
+        spark.createDataFrame([(1, "R1x", 1)],
+                              "r_id long, rname string, rv long")
+        .withColumn("Op", F.lit("U")),
+        delete_mode="apply",
+    )
+    deltas = [None, None, view._signed_changes(2, (0, 0, 0), (0, 0, 1))]
+    term = view._term(
+        frozenset({2}), deltas, [t.read() for t in view.tables]
+    )
+    plan = term._jdf.queryExecution().optimizedPlan().toString()
+    # two restriction hops: delta keys -> mid dim, mid dim keys -> fact
+    assert plan.count("LeftSemi") >= 2, plan
