@@ -1593,11 +1593,17 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
 
     Requirements beyond the parent: inner join only (a LEFT join's
     NULL-group membership is not bilinear — unmatched-ness depends on
-    the whole other side); invertible aggregates (sum/count/avg —
-    min/max would need join-side extremum repair; use the parent);
-    both tables' column names disjoint as ever. Same intent-marker
-    crash protocol, bulk-rewrite degradation, NULL-sum semantics, and
-    hash-bucketed store pruning as the single-table delta class.
+    the whole other side); invertible aggregates (sum/count/avg, plus
+    min/max with JOIN-SIDE extremum repair — groups where a removed
+    contribution tied-or-beat the stored extremum re-aggregate from
+    the current join, zone-pruned and group-restricted; a pair that
+    nets to zero across the inclusion–exclusion terms appears with
+    BOTH signs, so any spurious added-instance that could corrupt a
+    merged extremum is accompanied by a removed-instance that forces
+    the repair instead); both tables' column names disjoint as ever.
+    Same intent-marker crash protocol, bulk-rewrite degradation,
+    NULL-sum semantics, and hash-bucketed store pruning as the
+    single-table delta class.
     """
 
     def __init__(
@@ -1621,7 +1627,7 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
                 "LEFT-join NULL-group membership is not expressible as "
                 "a signed delta; use JoinMaterializedView(how='left')"
             )
-        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=False)
+        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
         super().__init__(
             left,
             right,
@@ -1776,8 +1782,35 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
             self._joined(self.left.read().limit(0), self.right.read().limit(0)),
             0,
         ).schema
+
+        def _recompute(groups: DataFrame, s: int) -> DataFrame:
+            # join-side extremum repair: re-aggregate exactly these
+            # groups from the CURRENT join, each side zone-pruned by
+            # the physical group columns it owns (advisory; the
+            # group semi-join keeps the result exact)
+            phys = [c for c in self.group_cols if c not in self.group_exprs]
+            ln, rn = self.left.read(), self.right.read()
+            l_rec = _zone_pruned_rows(
+                self.left, groups, [c for c in phys if c in ln.columns]
+            )
+            r_rec = _zone_pruned_rows(
+                self.right, groups, [c for c in phys if c in rn.columns]
+            )
+            joined = self._joined(
+                l_rec if l_rec is not None else ln,
+                r_rec if r_rec is not None else rn,
+            )
+            return self._aggregate(
+                _semi_on_groups(joined, groups, self.group_cols), s
+            )
+
         out = self._merge_and_publish(
-            delta, n_touched, seq, ref, lambda: self._write_cursor(new)
+            delta,
+            n_touched,
+            seq,
+            ref,
+            lambda: self._write_cursor(new),
+            recompute=_recompute,
         )
         if out is None:
             return self._full(*new)
@@ -2233,9 +2266,11 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
     and only the net signed contributions here).
 
     Same constraints and protocol as the 2-table delta-join class:
-    inner joins, invertible aggregates (sum/count/avg), disjoint
-    column names, intent-marker crash protocol, bulk degradation,
-    NULL-sum semantics, bucketed-store merge pruning.
+    inner joins, invertible aggregates (sum/count/avg, plus min/max
+    with join-side extremum repair — see that class's sign-pairing
+    argument for why net-zero pairs cannot corrupt a merged extremum),
+    disjoint column names, intent-marker crash protocol, bulk
+    degradation, NULL-sum semantics, bucketed-store merge pruning.
     """
 
     def __init__(
@@ -2251,7 +2286,7 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
         store_retain_versions: int = 0,
         store_hash_buckets: int = 0,
     ):
-        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=False)
+        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
         super().__init__(
             tables,
             on,
@@ -2392,8 +2427,30 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
         ref = self._aggregate(
             self._joined([t.read().limit(0) for t in self.tables]), 0
         ).schema
+
+        def _recompute(groups: DataFrame, s: int) -> DataFrame:
+            # extremum repair lifted to the chain: re-aggregate exactly
+            # these groups from the CURRENT join, each table zone-pruned
+            # by the physical group columns it owns (advisory)
+            phys = [c for c in self.group_cols if c not in self.group_exprs]
+            rec = []
+            for i, t in enumerate(self.tables):
+                pr = _zone_pruned_rows(
+                    t, groups, [c for c in phys if c in now[i].columns]
+                )
+                rec.append(pr if pr is not None else now[i])
+            return self._aggregate(
+                _semi_on_groups(self._joined(rec), groups, self.group_cols),
+                s,
+            )
+
         out = self._merge_and_publish(
-            delta, n_touched, seq, ref, lambda: self._write_cursor(new)
+            delta,
+            n_touched,
+            seq,
+            ref,
+            lambda: self._write_cursor(new),
+            recompute=_recompute,
         )
         if out is None:
             return self._full(new)

@@ -283,3 +283,46 @@ def test_delta_chain_equals_recompute_for_any_cdc_sequence(
         view.refresh()
 
     assert _got(view) == _want(facts, dims, regs)
+
+
+def test_minmax_chain_delta_converges_with_repair(spark, tmp_path):
+    """min/max lifted to the chain: a far-dim rename moves extrema
+    between groups (removal + insert of every joined contribution) and
+    a fact delete of a group maximum repairs from the current join."""
+    facts, dims, regs, _ = _mk(spark, tmp_path)
+    mm = DeltaChainMaterializedView(
+        [facts, dims, regs],
+        on=[("f_dim", "d_id"), ("d_reg", "r_id")],
+        path=str(tmp_path / "vm"),
+        group_cols=["rname"],
+        aggs={"n": "count(*)", "hi": "max(amount)"},
+    )
+    mm.refresh()
+
+    def want():
+        j = facts.read().join(dims.read(), F.col("f_dim") == F.col("d_id"))
+        j = j.join(regs.read(), F.col("d_reg") == F.col("r_id"))
+        return {
+            tuple(r)
+            for r in j.groupBy("rname").agg(
+                F.count("*").cast("long").alias("n"),
+                F.max("amount").alias("hi"),
+            ).select("rname", "n", "hi").collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in mm.read().select("rname", "n", "hi").collect()
+        }
+
+    regs.upsert(_rb(spark, [(2, "R2moved", 1)]), delete_mode="apply")
+    out = mm.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
+    # delete the global max fact (f_id 40, amount 400) -> its region
+    # group repairs to the surviving second-best
+    facts.upsert(_fb(spark, [(40, 4, 1, 400, 9)], op="D"), delete_mode="apply")
+    out = mm.refresh()
+    assert out["mode"] == "delta" and out["groups_repaired"] >= 1
+    assert got() == want()

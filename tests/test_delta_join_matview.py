@@ -224,7 +224,7 @@ def test_rejects_left_join_and_extrema(spark, tmp_path):
     with pytest.raises(ValueError, match="invertible"):
         DeltaJoinMaterializedView(
             fact, dim, str(tmp_path / "bad2"), on=("fk", "d_id"),
-            group_cols=["gname"], aggs={"m": "max(amount)"},
+            group_cols=["gname"], aggs={"m": "sum(DISTINCT amount)"},
         )
 
 
@@ -357,3 +357,53 @@ def test_sql_facade_routes_delta_join(spark, tmp_path):
             "LEFT JOIN dims_t ON fk = d_id GROUP BY gname",
             tables=reg,
         )
+
+
+def test_minmax_join_delta_repairs_on_contribution_removal(spark, tmp_path):
+    """min/max over a join: a dim re-key REMOVES contributions from the
+    vacated group — if one was its extremum, the group repairs from the
+    current join; interior fact inserts stay pure delta."""
+    fact, dim, view = _mk(spark, tmp_path)  # default AGGS unused here
+    mm = DeltaJoinMaterializedView(
+        fact, dim, str(tmp_path / "vm"), on=("fk", "d_id"),
+        group_cols=["gname"],
+        aggs={"n": "count(*)", "hi": "max(amount)", "lo": "min(amount)"},
+    )
+    mm.refresh()
+
+    def want():
+        j = fact.read().join(dim.read(), F.col("fk") == F.col("d_id"))
+        return {
+            tuple(r)
+            for r in j.groupBy("gname").agg(
+                F.count("*").cast("long").alias("n"),
+                F.max("amount").alias("hi"),
+                F.min("amount").alias("lo"),
+            ).select("gname", "n", "hi", "lo").collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in mm.read().select("gname", "n", "hi", "lo").collect()
+        }
+
+    # fk=5 rows include f_id 35 (amount 350) — g2's members; move dim 5
+    # to its own group: g2 loses contributions (possible extremum), the
+    # new group births from merged inserts
+    dim.upsert(_db(spark, [(5, "gSOLO", 1)]), delete_mode="apply")
+    out = mm.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
+    # delete the joined max of gSOLO -> repair names the second-best
+    top = (
+        fact.read().filter(F.col("fk") == 5)
+        .orderBy(F.col("amount").desc()).limit(1).collect()[0]
+    )
+    fact.upsert(
+        _fb(spark, [(top["f_id"], 5, top["amount"], top["opt"], 9)], op="D"),
+        delete_mode="apply",
+    )
+    out = mm.refresh()
+    assert out["mode"] == "delta" and out["groups_repaired"] >= 1
+    assert got() == want()
