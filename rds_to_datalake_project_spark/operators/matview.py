@@ -1113,6 +1113,177 @@ class _SignedDeltaMergeMixin:
         dcols.append(F.sum(sign).cast("long").alias(f"__d_{self._LIVE}"))
         return dcols
 
+    # -- count(DISTINCT): per-(group, value) auxiliary stores ------------------
+    # count(DISTINCT <expr>) rides one AUXILIARY store per column:
+    # (group, value) -> live contributor count, itself maintained by
+    # signed-delta merge over the SAME signed rows the main delta
+    # aggregates (a table's change window for the single-table class;
+    # the inclusion–exclusion contribution union for join/chain). The
+    # view's ndv then moves by the SUM of per-value 0↔positive
+    # transitions — pure arithmetic, no recompute ever, I/O ∝ the
+    # change set plus the touched (group, value) pairs' aux rows. The
+    # aux store is ∝ the number of DISTINCT (group, value) pairs — far
+    # smaller than the base — and hash-bucketed alongside the view
+    # store so its merge prunes too.
+
+    def _init_aux_stores(
+        self, path: str, name: str, group_cols: list, store_hash_buckets: int
+    ) -> None:
+        self._aux: dict[str, KeyedTable] = {}
+        for c, (kind, _) in self._parsed.items():
+            if kind != "count_distinct":
+                continue
+            # SIBLING directory, never inside the store root — the
+            # store's initial_load (full rebuilds) wipes its directory
+            self._aux[c] = KeyedTable(
+                self.spark,
+                f"{path}_aux/{c}",
+                TableSpec(
+                    f"{name}_aux_{c}",
+                    record_key=tuple(group_cols) + ("__val",),
+                    precombine_key=_SEQ_COL,
+                    partition_granularity="",
+                    hash_buckets=store_hash_buckets,
+                ),
+            )
+
+    def _aux_snapshot(self, c: str, rows: DataFrame, seq: int) -> DataFrame:
+        """Per-(group, value) live contributor counts from a
+        pre-derived snapshot (single-table) or joined snapshot
+        (join/chain) — the aux store's full-rebuild frame."""
+        inner = self._parsed[c][1]
+        return (
+            rows.filter(F.expr(inner).isNotNull())
+            .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
+            .agg(F.count("*").cast("long").alias("__cnt"))
+            .withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+        )
+
+    def _rebuild_aux(self, rows: DataFrame, seq: int) -> None:
+        """Full-rebuild every aux store from the given snapshot rows.
+        Callers run this BEFORE the main store load so a crash between
+        the two leaves the cursor behind and the next refresh redoes
+        both (initial_load overwrites — idempotent replay)."""
+        if not getattr(self, "_aux", None):
+            return
+        for c, aux in self._aux.items():
+            aux.initial_load(self._aux_snapshot(c, rows, seq))
+
+    def _distinct_transitions(
+        self, ch: DataFrame, sign, seq: int
+    ) -> tuple[list | None, list | None]:
+        """For each count(DISTINCT) column: the aux-store merge batch
+        and the per-group ndv delta. Returns ([(aux, batch)...],
+        [transitions_frame...]) — each transitions frame has the group
+        columns plus ``__d_<c>`` — or (None, None) when a bulk window
+        exceeds max_broadcast_keys (the caller degrades to full). The
+        merge mirrors _merge_and_publish's store-pruned broadcast
+        shape on the (group, value) key."""
+        batches, transitions = [], []
+        for c, aux in self._aux.items():
+            inner = self._parsed[c][1]
+            keyc = [*self.group_cols, "__val"]
+            vals = (
+                ch.filter(F.expr(inner).isNotNull())
+                .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
+                .agg(F.sum(sign).cast("long").alias("__dc"))
+                .filter(F.col("__dc") != 0)
+                .localCheckpoint(eager=True)
+            )
+            nv = vals.count()
+            if not nv:
+                continue  # all-NULL or fully-netted window for this column
+            if nv > self.max_broadcast_keys:
+                return None, None  # bulk rewrite: caller degrades to full
+            store_rows = _bucket_pruned_store_rows(aux, vals)
+            if store_rows is None:
+                store_rows = aux.read()
+            old = _semi_on_groups(store_rows, vals, keyc).alias("__ao")
+            d = vals.select(
+                *[F.col(k).alias(f"__g_{k}") for k in keyc], "__dc"
+            ).alias("__ad")
+            cond = None
+            for k in keyc:
+                e = F.col(f"__ao.{k}").eqNullSafe(F.col(f"__ad.__g_{k}"))
+                cond = e if cond is None else cond & e
+            j = F.broadcast(old).join(d, cond, "right_outer")
+            oldc = F.coalesce(F.col("__ao.__cnt"), F.lit(0).cast("long"))
+            newc = oldc + F.col("__ad.__dc")
+            merged = j.select(
+                *[
+                    F.coalesce(F.col(f"__ao.{k}"), F.col(f"__ad.__g_{k}")).alias(k)
+                    for k in keyc
+                ],
+                newc.alias("__cnt"),
+                ((newc > 0).cast("long") - (oldc > 0).cast("long")).alias(
+                    "__tr"
+                ),
+                F.lit(seq).cast("long").alias(_SEQ_COL),
+            ).localCheckpoint(eager=True)
+            if merged.filter(F.col("__cnt") < 0).limit(1).count():
+                raise ValueError(
+                    "distinct-count auxiliary merge produced a negative "
+                    "contributor count — the change feed is inconsistent "
+                    "with the view state; rebuild with refresh() after "
+                    "clearing the cursor"
+                )
+            batches.append(
+                (
+                    aux,
+                    merged.drop("__tr").withColumn(
+                        "Op",
+                        F.when(F.col("__cnt") == 0, F.lit("D")).otherwise(
+                            F.lit("U")
+                        ),
+                    ),
+                )
+            )
+            transitions.append(
+                merged.groupBy(*self.group_cols).agg(
+                    F.sum("__tr").cast("long").alias(f"__d_{c}")
+                )
+            )
+        return batches, transitions
+
+    def _apply_distinct_deltas(
+        self, delta: DataFrame, ch: DataFrame, sign, seq: int
+    ) -> DataFrame | None:
+        """Fold every count(DISTINCT) column's ndv delta into the
+        grouped delta frame as ``__d_<c>`` and upsert the aux stores
+        under the intent bracket (a crash anywhere between an aux
+        upsert and the main cursor write routes the next refresh to
+        _full, which rebuilds aux and view together). Returns the
+        extended delta, or None when a bulk window degrades to full."""
+        if not getattr(self, "_aux", None):
+            return delta
+        batches, transitions = self._distinct_transitions(ch, sign, seq)
+        if batches is None:
+            return None
+        for tr in transitions:
+            dcol = next(c for c in tr.columns if c.startswith("__d_"))
+            t = tr.select(
+                *[F.col(c).alias(f"__t_{c}") for c in self.group_cols],
+                dcol,
+            )
+            cond = None
+            for c in self.group_cols:
+                e = delta[c].eqNullSafe(t[f"__t_{c}"])
+                cond = e if cond is None else cond & e
+            delta = delta.join(t, cond, "left").drop(
+                *[f"__t_{c}" for c in self.group_cols]
+            )
+        # a column whose window values were all NULL (or fully netted)
+        # contributed no transitions frame — its ndv delta is zero,
+        # but the merge still reads __d_<c>
+        for c, (kind, _) in self._parsed.items():
+            if kind == "count_distinct" and f"__d_{c}" not in delta.columns:
+                delta = delta.withColumn(f"__d_{c}", F.lit(0).cast("long"))
+        delta = delta.localCheckpoint(eager=True)
+        self._set_pending("aux", seq)
+        for aux, batch in batches:
+            aux.upsert(batch, delete_mode="apply")
+        return delta
+
     def _merge_and_publish(
         self, delta, n_touched: int, seq: int, ref, cursor_cb, recompute=None
     ) -> dict | None:
@@ -1330,132 +1501,17 @@ class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
             store_retain_versions=store_retain_versions,
             store_hash_buckets=store_hash_buckets,
         )
-        # count(DISTINCT <expr>) rides one AUXILIARY store per column:
-        # (group, value) -> live contributor count, itself maintained
-        # by signed-delta merge. The view's ndv then moves by the SUM
-        # of per-value 0↔positive transitions — pure arithmetic, no
-        # recompute ever, I/O ∝ the change window (plus the touched
-        # (group, value) pairs' aux rows). The aux store is ∝ the
-        # number of DISTINCT (group, value) pairs — far smaller than
-        # the base — and hash-bucketed alongside the view store so its
-        # merge prunes too.
-        self._aux: dict[str, KeyedTable] = {}
-        for c, (kind, _) in self._parsed.items():
-            if kind != "count_distinct":
-                continue
-            # SIBLING directory, never inside the store root — the
-            # store's initial_load (full rebuilds) wipes its directory
-            self._aux[c] = KeyedTable(
-                self.spark,
-                f"{path}_aux/{c}",
-                TableSpec(
-                    f"{name}_aux_{c}",
-                    record_key=tuple(group_cols) + ("__val",),
-                    precombine_key=_SEQ_COL,
-                    partition_granularity="",
-                    hash_buckets=store_hash_buckets,
-                ),
-            )
-
-    def _aux_snapshot(self, c: str, rows: DataFrame, seq: int) -> DataFrame:
-        """Per-(group, value) live contributor counts from a
-        pre-derived snapshot — the aux store's full-rebuild frame."""
-        inner = self._parsed[c][1]
-        return (
-            rows.filter(F.expr(inner).isNotNull())
-            .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
-            .agg(F.count("*").cast("long").alias("__cnt"))
-            .withColumn(_SEQ_COL, F.lit(seq).cast("long"))
-        )
+        self._init_aux_stores(path, name, group_cols, store_hash_buckets)
 
     def _full(self, latest: int) -> dict:
         # aux stores rebuild FIRST: the cursor marker is written by the
         # parent after the main load, so a crash between the two leaves
         # the marker behind and the next refresh redoes both —
         # initial_load overwrites, so the replay is idempotent.
-        if self._aux:
-            snap = self._derive(self.base.read())
-            for c, aux in self._aux.items():
-                aux.initial_load(self._aux_snapshot(c, snap, latest))
+        self._rebuild_aux(self._derive(self.base.read()), latest)
         out = super()._full(latest)
         self._clear_pending()
         return out
-
-    def _distinct_transitions(
-        self, ch: DataFrame, sign, seq: int
-    ) -> tuple[list, list]:
-        """For each count(DISTINCT) column: the aux-store merge batch
-        and the per-group ndv delta. Returns ([(aux, batch)...],
-        [transitions_frame...]) — each transitions frame has the group
-        columns plus ``__d_<c>`` — or (None, None) when a bulk window
-        exceeds max_broadcast_keys (the caller degrades to full). The
-        merge mirrors _merge_and_publish's store-pruned broadcast
-        shape on the (group, value) key."""
-        batches, transitions = [], []
-        for c, aux in self._aux.items():
-            inner = self._parsed[c][1]
-            keyc = [*self.group_cols, "__val"]
-            vals = (
-                ch.filter(F.expr(inner).isNotNull())
-                .groupBy(*self.group_cols, F.expr(inner).alias("__val"))
-                .agg(F.sum(sign).cast("long").alias("__dc"))
-                .filter(F.col("__dc") != 0)
-                .localCheckpoint(eager=True)
-            )
-            nv = vals.count()
-            if not nv:
-                continue  # all-NULL or fully-netted window for this column
-            if nv > self.max_broadcast_keys:
-                return None, None  # bulk rewrite: caller degrades to full
-            store_rows = _bucket_pruned_store_rows(aux, vals)
-            if store_rows is None:
-                store_rows = aux.read()
-            old = _semi_on_groups(store_rows, vals, keyc).alias("__ao")
-            d = vals.select(
-                *[F.col(k).alias(f"__g_{k}") for k in keyc], "__dc"
-            ).alias("__ad")
-            cond = None
-            for k in keyc:
-                e = F.col(f"__ao.{k}").eqNullSafe(F.col(f"__ad.__g_{k}"))
-                cond = e if cond is None else cond & e
-            j = F.broadcast(old).join(d, cond, "right_outer")
-            oldc = F.coalesce(F.col("__ao.__cnt"), F.lit(0).cast("long"))
-            newc = oldc + F.col("__ad.__dc")
-            merged = j.select(
-                *[
-                    F.coalesce(F.col(f"__ao.{k}"), F.col(f"__ad.__g_{k}")).alias(k)
-                    for k in keyc
-                ],
-                newc.alias("__cnt"),
-                ((newc > 0).cast("long") - (oldc > 0).cast("long")).alias(
-                    "__tr"
-                ),
-                F.lit(seq).cast("long").alias(_SEQ_COL),
-            ).localCheckpoint(eager=True)
-            if merged.filter(F.col("__cnt") < 0).limit(1).count():
-                raise ValueError(
-                    "distinct-count auxiliary merge produced a negative "
-                    "contributor count — the change feed is inconsistent "
-                    "with the view state; rebuild with refresh() after "
-                    "clearing the cursor"
-                )
-            batches.append(
-                (
-                    aux,
-                    merged.drop("__tr").withColumn(
-                        "Op",
-                        F.when(F.col("__cnt") == 0, F.lit("D")).otherwise(
-                            F.lit("U")
-                        ),
-                    ),
-                )
-            )
-            transitions.append(
-                merged.groupBy(*self.group_cols).agg(
-                    F.sum("__tr").cast("long").alias(f"__d_{c}")
-                )
-            )
-        return batches, transitions
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         """Full-recompute form WITH the hidden invertibility columns —
@@ -1491,46 +1547,9 @@ class DeltaMaterializedView(_SignedDeltaMergeMixin, MaterializedView):
             return {"mode": "delta", "base_version": latest, "groups_refreshed": 0}
         if n_touched > self.max_broadcast_keys:
             return self._full(latest)
-        if self._aux:
-            # count(DISTINCT) columns: merge the per-(group, value)
-            # auxiliary stores and fold the resulting 0↔positive
-            # transition sums into the group delta as __d_<c>. The aux
-            # upserts share the main merge's intent bracket — a crash
-            # anywhere between them routes the next refresh to _full,
-            # which rebuilds aux and view together.
-            batches, transitions = self._distinct_transitions(
-                ch, sign, latest
-            )
-            if batches is None:
-                return self._full(latest)
-            for tr in transitions:
-                dcol = next(c for c in tr.columns if c.startswith("__d_"))
-                t = tr.select(
-                    *[
-                        F.col(c).alias(f"__t_{c}")
-                        for c in self.group_cols
-                    ],
-                    dcol,
-                )
-                cond = None
-                for c in self.group_cols:
-                    e = delta[c].eqNullSafe(t[f"__t_{c}"])
-                    cond = e if cond is None else cond & e
-                delta = delta.join(t, cond, "left").drop(
-                    *[f"__t_{c}" for c in self.group_cols]
-                )
-            # a column whose window values were all NULL (or fully
-            # netted) contributed no transitions frame — its ndv delta
-            # is zero, but the merge still reads __d_<c>
-            for c, (kind, _) in self._parsed.items():
-                if kind == "count_distinct" and f"__d_{c}" not in delta.columns:
-                    delta = delta.withColumn(
-                        f"__d_{c}", F.lit(0).cast("long")
-                    )
-            delta = delta.localCheckpoint(eager=True)
-            self._set_pending(since, latest)
-            for aux, batch in batches:
-                aux.upsert(batch, delete_mode="apply")
+        delta = self._apply_distinct_deltas(delta, ch, sign, latest)
+        if delta is None:
+            return self._full(latest)
 
         # stored value types are pinned by the full-aggregate plan —
         # delta arithmetic can widen DECIMAL precision, so cast back
@@ -1627,7 +1646,9 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
                 "LEFT-join NULL-group membership is not expressible as "
                 "a signed delta; use JoinMaterializedView(how='left')"
             )
-        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
+        self._parsed = _parse_invertible_aggs(
+            aggs, allow_extrema=True, allow_distinct=True
+        )
         super().__init__(
             left,
             right,
@@ -1643,6 +1664,7 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
             store_hash_buckets=store_hash_buckets,
         )
         _require_disjoint_columns([left, right])
+        self._init_aux_stores(path, name, group_cols, store_hash_buckets)
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
@@ -1652,6 +1674,9 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
         return _read_store(self.store).drop(*self._hidden_store_cols())
 
     def _full(self, l_latest: int, r_latest: int) -> dict:
+        self._rebuild_aux(
+            self._joined(self.left.read(), self.right.read()), l_latest + r_latest
+        )
         out = super()._full(l_latest, r_latest)
         self._clear_pending()
         return out
@@ -1777,6 +1802,13 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
                 "groups_refreshed": 0,
             }
         if n_touched > self.max_broadcast_keys:
+            return self._full(*new)
+        # count(DISTINCT) aux stores merge the SAME signed contribution
+        # union the main delta aggregated
+        delta = self._apply_distinct_deltas(
+            delta, contrib, F.col("__sg"), seq
+        )
+        if delta is None:
             return self._full(*new)
         ref = self._aggregate(
             self._joined(self.left.read().limit(0), self.right.read().limit(0)),
@@ -2286,7 +2318,9 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
         store_retain_versions: int = 0,
         store_hash_buckets: int = 0,
     ):
-        self._parsed = _parse_invertible_aggs(aggs, allow_extrema=True)
+        self._parsed = _parse_invertible_aggs(
+            aggs, allow_extrema=True, allow_distinct=True
+        )
         super().__init__(
             tables,
             on,
@@ -2300,6 +2334,7 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
             store_hash_buckets=store_hash_buckets,
         )
         _require_disjoint_columns(tables)
+        self._init_aux_stores(path, name, group_cols, store_hash_buckets)
 
     def _aggregate(self, rows: DataFrame, seq: int) -> DataFrame:
         out = rows.groupBy(*self.group_cols).agg(*self._delta_full_agg_cols())
@@ -2309,6 +2344,9 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
         return _read_store(self.store).drop(*self._hidden_store_cols())
 
     def _full(self, heads: tuple[int, ...]) -> dict:
+        self._rebuild_aux(
+            self._joined([t.read() for t in self.tables]), sum(heads)
+        )
         out = super()._full(heads)
         self._clear_pending()
         return out
@@ -2423,6 +2461,11 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
                 "groups_refreshed": 0,
             }
         if n_touched > self.max_broadcast_keys:
+            return self._full(new)
+        delta = self._apply_distinct_deltas(
+            delta, contrib, F.col("__sg"), seq
+        )
+        if delta is None:
             return self._full(new)
         ref = self._aggregate(
             self._joined([t.read().limit(0) for t in self.tables]), 0

@@ -326,3 +326,48 @@ def test_minmax_chain_delta_converges_with_repair(spark, tmp_path):
     out = mm.refresh()
     assert out["mode"] == "delta" and out["groups_repaired"] >= 1
     assert got() == want()
+
+
+def test_count_distinct_chain_delta_converges(spark, tmp_path):
+    """count(DISTINCT) lifted to the chain: a far-dim rename moves
+    every joined (group, value) pair between groups in one window."""
+    facts, dims, regs, _ = _mk(spark, tmp_path)
+    cd = DeltaChainMaterializedView(
+        [facts, dims, regs],
+        on=[("f_dim", "d_id"), ("d_reg", "r_id")],
+        path=str(tmp_path / "vcd"),
+        group_cols=["rname"],
+        aggs={"n": "count(*)", "nd": "count(DISTINCT f_dim)"},
+    )
+    cd.refresh()
+
+    def want():
+        j = facts.read().join(dims.read(), F.col("f_dim") == F.col("d_id"))
+        j = j.join(regs.read(), F.col("d_reg") == F.col("r_id"))
+        return {
+            tuple(r)
+            for r in j.groupBy("rname").agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("f_dim").cast("long").alias("nd"),
+            ).select("rname", "n", "nd").collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in cd.read().select("rname", "n", "nd").collect()
+        }
+
+    assert got() == want()
+    # mid-chain fk move: dim 5's facts change region (value 5 dies in
+    # the old group, births in the new one)
+    dims.upsert(_db(spark, [(5, 0, 1)]), delete_mode="apply")
+    out = cd.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
+    # far-dim rename + fact delete in one window
+    regs.upsert(_rb(spark, [(0, "R0x", 1)]), delete_mode="apply")
+    facts.upsert(_fb(spark, [(6, 0, 0, 60, 1)], op="D"), delete_mode="apply")
+    out = cd.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()

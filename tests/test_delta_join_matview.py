@@ -407,3 +407,50 @@ def test_minmax_join_delta_repairs_on_contribution_removal(spark, tmp_path):
     out = mm.refresh()
     assert out["mode"] == "delta" and out["groups_repaired"] >= 1
     assert got() == want()
+
+
+def test_count_distinct_join_delta_converges(spark, tmp_path):
+    """count(DISTINCT) over a join: the aux store merges the SAME
+    signed contribution union as the main delta, so value births and
+    deaths driven by EITHER feed (fact churn or a dim re-key moving
+    whole neighborhoods between groups) move ndv exactly."""
+    fact, dim, _ = _mk(spark, tmp_path)
+    cd = DeltaJoinMaterializedView(
+        fact, dim, str(tmp_path / "vcd"), on=("fk", "d_id"),
+        group_cols=["gname"],
+        aggs={"n": "count(*)", "nd": "count(DISTINCT opt)"},
+    )
+    cd.refresh()
+
+    def want():
+        j = fact.read().join(dim.read(), F.col("fk") == F.col("d_id"))
+        return {
+            tuple(r)
+            for r in j.groupBy("gname").agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("opt").cast("long").alias("nd"),
+            ).select("gname", "n", "nd").collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in cd.read().select("gname", "n", "nd").collect()
+        }
+
+    assert got() == want()
+    # fact churn: new value, duplicate value, delete
+    fact.upsert(
+        _fb(spark, [(500, 1, 1, 999, 1), (501, 1, 1, 4, 1)]).unionByName(
+            _fb(spark, [(4, 4, 40, 4, 1)], op="D")
+        ),
+        delete_mode="apply",
+    )
+    out = cd.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
+    # dim re-key: every joined (group, value) pair of d_id=2 moves
+    dim.upsert(_db(spark, [(2, "gCD", 1)]), delete_mode="apply")
+    out = cd.refresh()
+    assert out["mode"] == "delta"
+    assert got() == want()
