@@ -1787,6 +1787,10 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
             contrib = contrib.unionByName(t)
         for c, e in self.group_exprs.items():
             contrib = contrib.withColumn(c, F.expr(e))
+        if self._aux:
+            # the aux transitions re-read the contribution union once
+            # per distinct column — materialize the term joins once
+            contrib = contrib.localCheckpoint(eager=True)
         delta = (
             contrib.groupBy(*self.group_cols)
             .agg(*self._delta_window_agg_cols(F.col("__sg")))
@@ -2446,6 +2450,10 @@ class DeltaChainMaterializedView(_SignedDeltaMergeMixin, ChainMaterializedView):
             contrib = contrib.unionByName(t)
         for c, e in self.group_exprs.items():
             contrib = contrib.withColumn(c, F.expr(e))
+        if self._aux:
+            # the aux transitions re-read the contribution union once
+            # per distinct column — materialize the term joins once
+            contrib = contrib.localCheckpoint(eager=True)
         delta = (
             contrib.groupBy(*self.group_cols)
             .agg(*self._delta_window_agg_cols(F.col("__sg")))
