@@ -257,6 +257,10 @@ _REFRESH_MV_RE = re.compile(
     r"(?P<full>\s+FULL)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_MV_RE = re.compile(
+    rf"^\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP_MV_RE = re.compile(
     rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
@@ -822,10 +826,14 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       AS SELECT ... FROM <t> GROUP BY ...`` → incrementally-maintained
       view (operators/matview.MaterializedView; AUTO attaches a
       post-commit hook on the base; DELTA selects signed-delta
-      maintenance — SUM/COUNT aggregates, refresh I/O ∝ change window)
+      maintenance — sum/count/avg/min/max/count(DISTINCT), refresh
+      I/O ∝ the change set; works on single tables, 2-table joins,
+      and N-table chains)
     - ``REFRESH MATERIALIZED VIEW <v> [FULL]`` / ``DROP MATERIALIZED
       VIEW <v>`` → bring the view to the base's head (FULL forces a
       rebuild from the snapshot — the distrust verb) / unbind it
+    - ``DESCRIBE MATERIALIZED VIEW <v>`` → class, strategy, base
+      tables, cursor, distinct-aux columns, pending-intent flag
 
     Returns a one-row summary DataFrame, or None when ``sql`` is an
     ordinary query. Unknown table names raise — maintenance must never
@@ -923,6 +931,51 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     # REFRESH/DROP MATERIALIZED VIEW is engine-only syntax (no native
     # Spark spelling — its REFRESH takes resource paths), so these
     # intercept unconditionally and an unknown name raises.
+    m = _DESCRIBE_MV_RE.match(sql)
+    if m:
+        # ops introspection: view class, maintenance strategy, base
+        # tables, refresh cursor, distinct-aux columns, and whether a
+        # crashed delta apply left a pending intent (the next refresh
+        # will full-rebuild) — the matview twin of DESCRIBE HISTORY.
+        from rds_to_datalake_project_spark.operators.matview import (
+            _SignedDeltaMergeMixin,
+        )
+
+        name = _unquote_ident(m.group(1))
+        mv = MATVIEWS.get(name)
+        if mv is None:
+            raise ValueError(
+                f"DESCRIBE MATERIALIZED VIEW on unknown view {name!r}; "
+                f"known: {sorted(MATVIEWS)}"
+            )
+        if hasattr(mv, "tables"):
+            tables = ",".join(t.spec.name for t in mv.tables)
+            cursor = mv.refreshed_versions()
+        elif hasattr(mv, "left"):
+            tables = f"{mv.left.spec.name},{mv.right.spec.name}"
+            cursor = mv.refreshed_versions()
+        else:
+            tables = mv.base.spec.name
+            cursor = mv.refreshed_version()
+        is_delta = isinstance(mv, _SignedDeltaMergeMixin)
+        aux = ",".join(sorted(getattr(mv, "_aux", {}) or {})) or None
+        return spark.createDataFrame(
+            [
+                (
+                    name,
+                    type(mv).__name__,
+                    "delta" if is_delta else "recompute",
+                    tables,
+                    str(cursor),
+                    ",".join(mv.group_cols),
+                    aux,
+                    bool(mv._pending()) if is_delta else False,
+                )
+            ],
+            "view_name string, view_class string, strategy string, "
+            "base_tables string, cursor string, group_cols string, "
+            "distinct_aux_columns string, pending_intent boolean",
+        )
     m = _REFRESH_MV_RE.match(sql)
     if m:
         name = _unquote_ident(m.group(1))

@@ -454,3 +454,63 @@ def test_count_distinct_join_delta_converges(spark, tmp_path):
     out = cd.refresh()
     assert out["mode"] == "delta"
     assert got() == want()
+
+
+def test_describe_and_refresh_full_on_delta_join(spark, tmp_path):
+    """DESCRIBE MATERIALIZED VIEW reports class/strategy/cursor/aux;
+    REFRESH ... FULL rebuilds a delta-join view (incl. its aux stores)
+    through the facade's attribute-based dispatch."""
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    fact, dim, _ = _mk(spark, tmp_path)
+    reg = {"facts_t": fact, "dims_t": dim}
+    try:
+        run_query(
+            spark,
+            "CREATE MATERIALIZED VIEW djv2 WITH DELTA REFRESH AS "
+            "SELECT gname, count(*) AS n, count(DISTINCT opt) AS nd "
+            "FROM facts_t JOIN dims_t ON fk = d_id GROUP BY gname",
+            tables=reg,
+        )
+        d = run_query(
+            spark, "DESCRIBE MATERIALIZED VIEW djv2", tables=reg
+        ).collect()[0]
+        assert d["view_class"] == "DeltaJoinMaterializedView"
+        assert d["strategy"] == "delta"
+        assert d["distinct_aux_columns"] == "nd"
+        assert d["pending_intent"] is False
+        assert "djf" in d["base_tables"] and "djd" in d["base_tables"]
+        fact.upsert(_fb(spark, [(600, 1, 5, 7, 1)]))
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW djv2", tables=reg
+        ).collect()[0]
+        assert out["mode"] == "delta"
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW djv2 FULL", tables=reg
+        ).collect()[0]
+        assert out["mode"] == "full"
+        # aux rebuilt by the FULL too: the next delta window converges
+        fact.upsert(_fb(spark, [(600, 1, 5, 7, 2)], op="D"), delete_mode="apply")
+        out = run_query(
+            spark, "REFRESH MATERIALIZED VIEW djv2", tables=reg
+        ).collect()[0]
+        assert out["mode"] == "delta"
+        got = {
+            (r["gname"], r["n"], r["nd"])
+            for r in run_query(spark, "SELECT * FROM djv2", tables=reg).collect()
+        }
+        want = {
+            tuple(r)
+            for r in fact.read()
+            .join(dim.read(), F.col("fk") == F.col("d_id"))
+            .groupBy("gname")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("opt").cast("long").alias("nd"),
+            )
+            .collect()
+        }
+        assert got == want
+        run_query(spark, "DROP MATERIALIZED VIEW djv2", tables=reg)
+    finally:
+        MATVIEWS.pop("djv2", None)
