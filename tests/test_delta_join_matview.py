@@ -514,3 +514,47 @@ def test_describe_and_refresh_full_on_delta_join(spark, tmp_path):
         run_query(spark, "DROP MATERIALIZED VIEW djv2", tables=reg)
     finally:
         MATVIEWS.pop("djv2", None)
+
+
+def test_delta_join_store_stacks_into_downstream_view(spark, tmp_path):
+    """store_retain_versions makes a delta-join view's store a valid
+    BASE for a downstream recompute view (continuous-aggregate
+    cascade): nation-level delta view -> global rollup."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+    )
+
+    fact, dim, _ = _mk(spark, tmp_path)
+    lvl1 = DeltaJoinMaterializedView(
+        fact, dim, str(tmp_path / "l1"), on=("fk", "d_id"),
+        group_cols=["gname"],
+        aggs={"n": "count(*)", "rev": "sum(amount)"},
+        store_retain_versions=4,
+    )
+    lvl1.refresh()
+    lvl2 = MaterializedView(
+        lvl1.store, str(tmp_path / "l2"), ["tier"],
+        {"total": "sum(rev)"},
+        group_exprs={"tier": "substring(gname, 1, 1)"},
+    )
+    lvl2.refresh()
+
+    def want():
+        j = fact.read().join(dim.read(), F.col("fk") == F.col("d_id"))
+        return {
+            tuple(r)
+            for r in j.groupBy(F.substring("gname", 1, 1).alias("tier"))
+            .agg(F.sum("amount").alias("total"))
+            .collect()
+        }
+
+    assert {
+        tuple(r) for r in lvl2.read().select("tier", "total").collect()
+    } == want()
+    # a fact commit flows lvl0 -> lvl1 (delta) -> lvl2 (recompute)
+    fact.upsert(_fb(spark, [(700, 2, 1000, 1, 1)]))
+    assert lvl1.refresh()["mode"] == "delta"
+    assert lvl2.refresh()["mode"] == "incremental"
+    assert {
+        tuple(r) for r in lvl2.read().select("tier", "total").collect()
+    } == want()
