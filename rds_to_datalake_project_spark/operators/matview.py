@@ -1126,6 +1126,14 @@ class _SignedDeltaMergeMixin:
     # smaller than the base — and hash-bucketed alongside the view
     # store so its merge prunes too.
 
+    # Aux stores are ALWAYS hash-bucketed (the view store's count when
+    # it has one, else this default): the aux table is ∝ the number of
+    # distinct (group, value) pairs — corpus-scale for high-cardinality
+    # values — and an unbucketed group-keyed KeyedTable rewrites
+    # wholesale on every merge. Bucketed, a refresh touching k pairs
+    # rewrites ≤ k buckets and the merge READ prunes to them too.
+    _AUX_DEFAULT_BUCKETS = 64
+
     def _init_aux_stores(
         self, path: str, name: str, group_cols: list, store_hash_buckets: int
     ) -> None:
@@ -1143,7 +1151,8 @@ class _SignedDeltaMergeMixin:
                     record_key=tuple(group_cols) + ("__val",),
                     precombine_key=_SEQ_COL,
                     partition_granularity="",
-                    hash_buckets=store_hash_buckets,
+                    hash_buckets=store_hash_buckets
+                    or self._AUX_DEFAULT_BUCKETS,
                 ),
             )
 

@@ -702,3 +702,44 @@ def test_count_distinct_facade_spelling(spark, tmp_path):
         run_query(spark, "DROP MATERIALIZED VIEW cdv", tables=reg)
     finally:
         MATVIEWS.pop("cdv", None)
+
+
+def test_count_distinct_aux_store_is_bucketed_and_write_pruned(spark, tmp_path):
+    """The aux store is hash-bucketed BY DEFAULT (its size ∝ distinct
+    (group, value) pairs — corpus-scale for high-cardinality values):
+    a one-pair refresh must rewrite only the owning bucket's files,
+    leaving every other bucket byte-identical."""
+    import glob
+    import os
+
+    t, view = _mk_cd(spark, tmp_path)
+    view.refresh()
+    aux = view._aux["nd"]
+    assert aux.spec.hash_buckets > 0
+    root = aux.path
+    buckets = sorted(glob.glob(f"{root}/bucket_id=*"))
+    assert len(buckets) > 1, buckets
+
+    def snap():
+        return {
+            p: os.path.getmtime(p)
+            for b in buckets
+            for p in glob.glob(f"{b}/*.parquet")
+        }
+
+    before = snap()
+    # one new (group, value) pair
+    t.upsert(_cb(spark, [(900, "g0", 12345, 1, 1)]))
+    out = view.refresh()
+    assert out["mode"] == "delta"
+    after = snap()
+    changed_buckets = {
+        p.split("bucket_id=")[1].split("/")[0]
+        for p in set(before) ^ set(after)
+    } | {
+        p.split("bucket_id=")[1].split("/")[0]
+        for p in before
+        if p in after and before[p] != after[p]
+    }
+    assert 0 < len(changed_buckets) <= 2, changed_buckets
+    assert _got_cd(view) == _direct_cd(t)
