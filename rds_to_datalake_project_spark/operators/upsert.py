@@ -229,7 +229,41 @@ class KeyedTable:
         # mergeSchema: after additive schema evolution, untouched
         # partitions keep the old column set — the union of footers is
         # the table schema (missing columns read as null).
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                self.path
+            )
+        except Exception:
+            # An EMPTY initial load of a partitioned/bucketed table
+            # writes no data files (partitionBy of zero rows), so
+            # schema inference fails — fall back to the schema the
+            # load persisted. Keeps empty-but-real tables (e.g. a
+            # count-DISTINCT aux store over an all-NULL column)
+            # readable and upsertable; anything else re-raises.
+            empty = self._empty_from_schema_marker()
+            if empty is not None:
+                return empty
+            raise
+
+    def _empty_from_schema_marker(self) -> DataFrame | None:
+        """Zero-row frame typed by the schema initial_load persisted,
+        or None when no marker exists (table genuinely unreadable)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            _read_small,
+        )
+
+        raw = _read_small(self.spark, f"{self.path}/.meta/_SCHEMA")
+        if not raw:
+            return None
+        try:
+            schema = T.StructType.fromJson(_json.loads(raw))
+        except Exception:
+            return None
+        return self.spark.createDataFrame([], schema)
 
     def _is_empty_live(self) -> bool:
         """True when the live tree holds no data FILES — deleting the
@@ -333,6 +367,20 @@ class KeyedTable:
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
         self._bump_seq()
+        # A zero-row load of a PARTITIONED/bucketed table writes no
+        # data files (partitionBy of nothing), leaving the path
+        # schema-less — persist the written schema so read() can stay
+        # schema-correct through emptiness. Only then: a normal load
+        # needs no marker and an unversioned table must not grow
+        # .meta debris (pinned by tests).
+        if self.partition_cols and not self._has_data_files():
+            from rds_to_datalake_project_spark.operators.zonemap import (
+                _write_small,
+            )
+
+            _write_small(
+                self.spark, f"{self.path}/.meta/_SCHEMA", out.schema.json()
+            )
         # Incarnation token: initial_load is a TABLE RESET, and commit
         # versions restart at 0 — derived state living OUTSIDE the
         # table path (externally-stored matviews, the changes feed)
@@ -1882,6 +1930,17 @@ class KeyedTable:
 
     # -- filesystem commit layer (Hadoop FileSystem API: portable
     # across local/HDFS/S3A schemes) ------------------------------------------
+
+    def _has_data_files(self) -> bool:
+        """True when any parquet data file exists under the table root
+        (filesystem walk, no Spark job) — the schema-marker guard for
+        empty partitioned loads."""
+        fs, root = self._fs(self.path)
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def _fs(self, path: str):
         # Every path a KeyedTable touches (staging, .meta, .retired,
