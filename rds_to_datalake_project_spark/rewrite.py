@@ -1,0 +1,434 @@
+"""Matview-backed SELECT rewriting (aggregate navigation).
+
+The classic OLAP query rewrite (Oracle materialized views, Calcite's
+MaterializedViewRule) and the reason the reference funnels dashboards
+through pre-aggregated Athena tables (rds_to_datalake/athena.py:16-64):
+a plain ``SELECT ... GROUP BY`` whose FROM clause matches a registered
+materialized view's definition is answered from the view STORE, so the
+query costs ∝ |view| (thousands of group rows) instead of ∝ |base|
+(the corpus). At 100 TB the view IS the serving plan — this module
+makes it automatic instead of requiring every reader to know the view
+exists and spell its name.
+
+Two rewrite modes:
+
+- **projection**: the query groups by exactly the view's group columns
+  and every aggregate matches a view aggregate verbatim — the answer
+  is a filter + projection over the store, no aggregation at all.
+- **rollup**: the query groups by a SUBSET of the view's group columns
+  (including the empty set — a global aggregate) — re-aggregable
+  aggregates collapse view rows: ``sum(x)`` → ``sum(view.sum_x)``,
+  ``count(...)`` → ``sum(view.cnt)`` (coalesced to 0 for the global
+  form, where SQL demands one row even over nothing), ``min``/``max``
+  pass through their own function, and ``avg(x)`` decomposes to
+  ``sum(view.sum_x) / sum(view.cnt_x)`` when the view carries BOTH
+  (guarded to non-DECIMAL stores — DECIMAL division changes the
+  result scale vs a base-side ``avg``, and schema parity is part of
+  the contract). ``count(DISTINCT ...)`` never re-aggregates across
+  groups, so it only serves in projection mode.
+
+Everything about the match is SAFE-LISTED — any shape this module does
+not fully understand falls through to the ordinary plan against the
+base tables, never to a wrong answer:
+
+- the statement must be a single-block SELECT (no subqueries, UNION,
+  DISTINCT, HAVING, window functions);
+- the FROM clause must canonicalize to a view definition's FROM
+  (same tables, same join kinds, same ON pairs — ON equality is
+  symmetric and join-key names are unqualified for matching, which is
+  sound because the view classes require column names to disambiguate
+  across their tables);
+- every WHERE / ORDER BY identifier must be a view group column (or a
+  select alias, for ORDER BY) — predicates on aggregated-away columns
+  cannot be served post-aggregation;
+- the view must be FRESH: its refresh cursor at every base's head and
+  no pending delta intent. A stale view silently declines the rewrite
+  (the reader sees current truth, just slower) — matching the engine's
+  advisory-index discipline everywhere else.
+
+``LAST_SELECT_REWRITE`` records the decision for tests/bench; set
+``AUTO_REWRITE = False`` to disable the pass entirely.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Observability: the last run_query SELECT's rewrite decision —
+# ``None`` when the last SELECT ran against its base tables, else
+# {"view", "mode", "sql"}.
+LAST_SELECT_REWRITE: dict | None = None
+
+# Global kill switch (ops: a wrong-looking dashboard number must be
+# attributable — flip this off to force base-table plans).
+AUTO_REWRITE: bool = True
+
+_IDENT = r"(?:[\w$]+|`[^`]+`)"
+_QNAME = rf"{_IDENT}(?:\.{_IDENT})*"
+
+# One top-level SELECT block. Matched against the literal-masked text
+# so keywords inside string literals never fire; group spans transfer
+# to the original (the mask is length-preserving).
+_Q_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<from>{_QNAME}"
+    rf"(?:\s+(?:(?:INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+{_QNAME}"
+    r"\s+ON\s+[\w.`$]+\s*=\s*[\w.`$]+)*)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_JOIN_HOP_RE = re.compile(
+    rf"\s+(?:(?P<how>INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+(?P<tbl>{_QNAME})"
+    r"\s+ON\s+(?P<l>[\w.`$]+)\s*=\s*(?P<r>[\w.`$]+)",
+    re.IGNORECASE,
+)
+
+# Shapes the single-block regex could mis-slice or whose semantics the
+# store cannot serve — checked on the masked text before any parsing.
+_UNSUPPORTED_RE = re.compile(
+    r"\(\s*SELECT\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bHAVING\b"
+    r"|\bOVER\s*\(|^\s*SELECT\s+DISTINCT\b|\bCROSS\s+JOIN\b"
+    r"|\bFOR\s+VERSION\s+AS\s+OF\b",
+    re.IGNORECASE,
+)
+
+_AGG_HEAD_RE = re.compile(r"^(count|sum|min|max|avg)\(")
+
+
+def _outer_agg(nq: str) -> tuple[str, bool, str] | None:
+    """``(func, is_distinct, inner)`` when the WHOLE normalized
+    expression is one aggregate call — paren-balance-checked, so
+    ``min(a)+min(b)`` (which a naive regex would read as an outer
+    ``min``) is rejected: rolling it up with ``min()`` would be wrong.
+    """
+    m = _AGG_HEAD_RE.match(nq)
+    if not m or not nq.endswith(")"):
+        return None
+    depth = 0
+    for i in range(m.end() - 1, len(nq)):
+        if nq[i] == "(":
+            depth += 1
+        elif nq[i] == ")":
+            depth -= 1
+            if depth == 0:
+                if i != len(nq) - 1:
+                    return None  # call closes before the end: composite
+                inner = nq[m.end() : i]
+                dm = re.match(r"^distinct\s+", inner)
+                return (
+                    m.group(1),
+                    dm is not None,
+                    inner[dm.end() :] if dm else inner,
+                )
+    return None
+
+# Identifier-looking tokens that are SQL syntax, not column references
+# (conservative: anything not listed and not a function call must be a
+# known group column or the rewrite declines).
+_PRED_KEYWORDS = {
+    "and", "or", "not", "in", "between", "like", "rlike", "is", "null",
+    "true", "false", "asc", "desc", "nulls", "first", "last", "escape",
+    "date", "timestamp", "interval", "case", "when", "then", "else",
+    "end", "distinct", "cast", "as",
+}
+
+
+def _norm(e: str) -> str:
+    """Whitespace/case-insensitive expression canon — the same folding
+    ``sql._parse_mv_shape`` applies when matching GROUP BY expressions
+    to select aliases, plus ``count(1)`` → ``count(*)``."""
+    e = re.sub(r"\s+", " ", e.strip().lower())
+    e = re.sub(r"\s*([(),+\-*/=])\s*", r"\1", e)
+    return re.sub(r"^count\(1\)$", "count(*)", e)
+
+
+def _unq(name: str) -> str:
+    return ".".join(
+        seg[1:-1] if seg.startswith("`") else seg
+        for seg in re.findall(_IDENT, name)
+    ).lower()
+
+
+def _bare(col: str) -> str:
+    """``orders.o_custkey`` / ``o.`o_custkey``` → ``o_custkey`` — the
+    view classes require join-key names to be unambiguous across their
+    tables, so the unqualified name is a sound canonical form."""
+    return _unq(col).split(".")[-1]
+
+
+def _on_pair(l: str, r: str) -> str:
+    a, b = sorted((_bare(l), _bare(r)))
+    return f"{a}={b}"
+
+
+def _canon_hops(text: str) -> tuple[str, int] | None:
+    """Canonicalize the JOIN tail of a FROM clause; returns the canon
+    and the number of characters consumed, or None if anything between
+    hops fails to parse (aliases, USING, non-equi ON, ...)."""
+    parts, pos = [], 0
+    for m in _JOIN_HOP_RE.finditer(text):
+        if text[pos : m.start()].strip():
+            return None
+        how = "left" if (m.group("how") or "").lower().startswith("l") else "inner"
+        parts.append(f"|{how}:{_unq(m.group('tbl'))}:{_on_pair(m.group('l'), m.group('r'))}")
+        pos = m.end()
+    if text[pos:].strip():
+        return None
+    return "".join(parts), pos
+
+
+def canon_from(text: str) -> str | None:
+    """``t1 LEFT JOIN t2 ON a = b`` → ``t1|left:t2:a=b`` (tables
+    lowercased/unquoted, ON pairs sorted)."""
+    m = re.match(rf"^\s*({_QNAME})", text)
+    if not m:
+        return None
+    hops = _canon_hops(text[m.end() :])
+    if hops is None:
+        return None
+    return _unq(m.group(1)) + hops[0]
+
+
+def attach_meta(mv, m: re.Match) -> None:
+    """Record the rewrite-relevant shape of a facade-created view on
+    the view object (CREATE MATERIALIZED VIEW calls this). Views built
+    programmatically carry no meta and are never rewrite candidates.
+    """
+    gd = m.groupdict()
+    base = _unq(m.group("base"))
+    if gd.get("joins"):
+        hops = _canon_hops(m.group("joins"))
+        if hops is None:  # never expected — the CREATE regex vetted it
+            return
+        frm = base + hops[0]
+    elif gd.get("right"):
+        how = "left" if (gd.get("jhow") or "").lower().startswith("l") else "inner"
+        frm = f"{base}|{how}:{_unq(m.group('right'))}:" + _on_pair(
+            m.group("lon"), m.group("ron")
+        )
+    else:
+        frm = base
+    mv.rewrite_meta = {
+        "from": frm,
+        "group_cols": list(mv.group_cols),
+        "group_exprs": {c: _norm(e) for c, e in mv.group_exprs.items()},
+        # normalized agg expression -> store column name
+        "aggs": {_norm(e): c for c, e in mv.aggs.items()},
+    }
+
+
+def _fresh(mv) -> bool:
+    """Cursor at every base head, no pending delta intent. Uses only
+    metadata reads — no data files touched."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        _SignedDeltaMergeMixin,
+    )
+
+    if isinstance(mv, _SignedDeltaMergeMixin) and mv._pending():
+        return False
+    if hasattr(mv, "tables"):
+        heads = tuple((t.versions() or [0])[-1] for t in mv.tables)
+        return mv.refreshed_versions() == heads
+    if hasattr(mv, "left"):
+        heads = (
+            (mv.left.versions() or [0])[-1],
+            (mv.right.versions() or [0])[-1],
+        )
+        return mv.refreshed_versions() == heads
+    return mv.refreshed_version() == (mv.base.versions() or [0])[-1]
+
+
+def _parse_shape(sel_text: str, grp_text: str | None):
+    """(group_cols, group_exprs, aggs) of the QUERY — same contract as
+    the facade's CREATE parsing (bare group columns + ``<expr> AS
+    <alias>`` items), with GROUP BY optional (absent = global
+    aggregate: every select item must be an aliased expression)."""
+    from rds_to_datalake_project_spark.sql import _parse_mv_shape
+
+    class _M:
+        def __init__(self, sel, grp):
+            self._g = {"sel": sel, "grp": grp}
+
+        def group(self, k):
+            return self._g[k]
+
+    if grp_text is not None:
+        return _parse_mv_shape(_M(sel_text, grp_text))
+    from rds_to_datalake_project_spark.sql import _split_top_level
+
+    aggs = {}
+    for item in _split_top_level(sel_text):
+        alias = re.match(r"(?is)^(.+?)\s+AS\s+(\w+)\s*$", item)
+        if not alias or alias.group(2) in aggs:
+            raise ValueError("global aggregate items must be aliased")
+        aggs[alias.group(2)] = alias.group(1).strip()
+    return [], {}, aggs
+
+
+def _idents_ok(text: str, allowed: set[str]) -> bool:
+    """Every column-looking identifier in a predicate / ORDER BY must
+    be in ``allowed``. Function names (identifier followed by ``(``)
+    and SQL keywords pass; anything else unknown declines the rewrite.
+    """
+    for m in re.finditer(r"[A-Za-z_]\w*", text):
+        tok = m.group(0)
+        rest = text[m.end() :].lstrip()
+        if rest.startswith("("):  # function call
+            continue
+        if tok.lower() in _PRED_KEYWORDS:
+            continue
+        if tok not in allowed:
+            return False
+    return True
+
+
+def _map_agg(q_expr: str, meta: dict, store_dtypes: dict, rollup: bool):
+    """Map one query aggregate onto the view store; returns the SQL
+    expression over store columns, or None (not derivable)."""
+    nq = _norm(q_expr)
+    exact = meta["aggs"].get(nq)
+    outer = _outer_agg(nq)
+    if not rollup:
+        if exact is not None:
+            return exact
+    elif exact is not None and outer is not None:
+        func, is_distinct, _ = outer
+        if not is_distinct and func in ("sum", "min", "max"):
+            return f"{func}({exact})"
+        if not is_distinct and func == "count":
+            return f"sum({exact})"
+    # avg(x) → sum(sum_x)/sum(cnt_x): needs both components; DECIMAL
+    # sums divide to a different scale than a base-side avg, so only
+    # non-DECIMAL stores keep schema parity.
+    if outer is not None and outer[0] == "avg" and not outer[1]:
+        inner = outer[2]
+        sc = meta["aggs"].get(f"sum({inner})")
+        cc = meta["aggs"].get(f"count({inner})")
+        if sc and cc and not store_dtypes.get(sc, "").startswith("decimal"):
+            if rollup:
+                return f"(sum({sc}) / sum({cc}))"
+            return f"({sc} / {cc})"
+    return None
+
+
+def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Attempt to serve ``sql`` from a fresh materialized view; returns
+    the DataFrame on success, None to fall through to the normal plan.
+    Never raises for unsupported shapes — unsupported means decline."""
+    global LAST_SELECT_REWRITE
+    LAST_SELECT_REWRITE = None
+    from rds_to_datalake_project_spark.sql import (
+        MATVIEWS,
+        _mask_string_literals,
+    )
+
+    if not AUTO_REWRITE or not MATVIEWS:
+        return None
+    masked = _mask_string_literals(sql)
+    if _UNSUPPORTED_RE.search(masked):
+        return None
+    m = _Q_RE.match(masked)
+    if m is None:
+        return None
+
+    def _orig(g: str) -> str | None:
+        s, e = m.span(g)
+        return sql[s:e] if s >= 0 else None
+
+    q_from = canon_from(_orig("from"))
+    if q_from is None:
+        return None
+    try:
+        q_group_cols, q_group_exprs, q_aggs = _parse_shape(
+            _orig("sel"), _orig("grp")
+        )
+    except ValueError:
+        return None
+    if not q_aggs and _orig("grp") is None:
+        return None  # row-level SELECT: the store has aggregated rows
+
+    for name, mv in MATVIEWS.items():
+        try:
+            df = _match_one(spark, sql, m, _orig, q_from,
+                            q_group_cols, q_group_exprs, q_aggs, name, mv)
+        except Exception:
+            # advisory path: an unexpected failure while MATCHING one
+            # candidate declines that candidate — the base plan always
+            # answers. (The rewritten plan itself, once chosen, is
+            # built from validated pieces and surfaces its errors.)
+            continue
+        if df is not None:
+            return df
+    return None
+
+
+def _match_one(
+    spark, sql, m, _orig, q_from, q_group_cols, q_group_exprs, q_aggs,
+    name, mv,
+) -> DataFrame | None:
+    """Match the parsed query against ONE view; returns the rewritten
+    DataFrame (and records LAST_SELECT_REWRITE) or None to decline."""
+    global LAST_SELECT_REWRITE
+    from rds_to_datalake_project_spark.sql import _mask_string_literals
+
+    meta = getattr(mv, "rewrite_meta", None)
+    if meta is None or meta["from"] != q_from:
+        return None
+    v_groups = meta["group_cols"]
+    if any(c not in v_groups for c in q_group_cols):
+        return None
+    # derived keys must be derived the same way (or not at all)
+    for c in q_group_cols:
+        ve = meta["group_exprs"].get(c)
+        qe = q_group_exprs.get(c)
+        if ve != (_norm(qe) if qe is not None else None):
+            return None
+    rollup = bool(set(q_group_cols) != set(v_groups) or not q_group_cols)
+    store_dtypes = dict(mv.read().dtypes)
+    items = list(q_group_cols)
+    for alias, expr in q_aggs.items():
+        mapped = _map_agg(expr, meta, store_dtypes, rollup)
+        if mapped is None:
+            return None
+        # SQL requires one row from a global aggregate even over an
+        # empty store; a rolled-up count must render 0 there, not NULL
+        if not q_group_cols and _norm(expr).startswith("count("):
+            mapped = f"coalesce({mapped}, 0)"
+        items.append(f"{mapped} AS {alias}")
+    where = _orig("where")
+    if where is not None and not _idents_ok(
+        _mask_string_literals(where), set(v_groups)
+    ):
+        return None
+    order = _orig("ord")
+    if order is not None and not _idents_ok(
+        _mask_string_literals(order), set(q_group_cols) | set(q_aggs)
+    ):
+        return None
+    if not _fresh(mv):
+        return None
+    tmp = f"__mvrw_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
+    mv.read().createOrReplaceTempView(tmp)
+    out = f"SELECT {', '.join(items)} FROM {tmp}"
+    if where is not None:
+        out += f" WHERE {where}"
+    if rollup and q_group_cols:
+        out += f" GROUP BY {', '.join(q_group_cols)}"
+    if order is not None:
+        out += f" ORDER BY {order}"
+    lim = m.group("lim")
+    if lim is not None:
+        out += f" LIMIT {lim}"
+    df = spark.sql(out)
+    LAST_SELECT_REWRITE = {
+        "view": name,
+        "mode": "rollup" if rollup else "projection",
+        "sql": out,
+    }
+    return df

@@ -120,6 +120,15 @@ def run_query(
     maint = _maintenance_statement(spark, sql, known)
     if maint is not None:
         return maint
+    # Aggregate navigation: a GROUP BY SELECT whose FROM matches a
+    # FRESH materialized view's definition is served from the view
+    # store (cost ∝ |view|, not ∝ |base|). Safe-listed shapes only;
+    # anything the rewriter does not fully understand falls through.
+    from rds_to_datalake_project_spark import rewrite as _rw
+
+    rewritten = _rw.try_rewrite(spark, sql)
+    if rewritten is not None:
+        return rewritten.cache() if cache else rewritten
     if not known:
         # nothing registered: leave the SQL untouched (a native
         # catalog may own the time-travel syntax). With ANY tables
@@ -628,6 +637,12 @@ def _finish_matview_create(spark, m: re.Match, name: str, mv, hooked_tables):
             t.add_maintenance_hook(_auto_hook)
     MATVIEWS[name] = mv
     _publish_matview(spark, name, mv)
+    # record the definition shape for SELECT rewriting (rewrite.py):
+    # plain GROUP BY queries over the same FROM are served from the
+    # store while the view is fresh
+    from rds_to_datalake_project_spark import rewrite as _rw
+
+    _rw.attach_meta(mv, m)
     return spark.createDataFrame(
         [
             (

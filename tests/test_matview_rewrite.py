@@ -1,0 +1,315 @@
+"""Matview-backed SELECT rewriting (rewrite.py): a plain GROUP BY
+query whose FROM matches a FRESH materialized view's definition is
+served from the view store — projection when the grouping is exact,
+re-aggregation when it's a subset (rollup), including the global
+(no GROUP BY) form. Unsupported shapes, predicates on aggregated-away
+columns, and STALE views must all decline and fall through to the
+base-table plan with identical results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark import rewrite
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.schema import TableSpec
+from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+
+def _mk(spark, tmp_path, name):
+    spec = TableSpec(
+        name, record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / name), spec, retain_versions=8)
+    rows = [
+        (i, f"g{i % 3}", f"s{i % 2}", 10 * i, float(i % 7), 0)
+        for i in range(60)
+    ]
+    t.initial_load(
+        spark.createDataFrame(
+            rows,
+            "f_id long, grp string, sub string, amount long, val double, seq long",
+        )
+    )
+    t.register(name)
+    return t
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+CREATE = (
+    "CREATE MATERIALIZED VIEW {v} WITH AUTO REFRESH AS "
+    "SELECT grp, sub, sum(amount) AS total, count(*) AS n, "
+    "min(amount) AS lo, max(amount) AS hi, "
+    "sum(val) AS sv, count(val) AS cv "
+    "FROM {t} GROUP BY grp, sub"
+)
+
+
+@pytest.fixture()
+def view(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rw_base")
+    run_query(spark, CREATE.format(v="rw_v", t="rw_base"), tables={"rw_base": t})
+    yield t
+    MATVIEWS.pop("rw_v", None)
+
+
+def _check(spark, t, sql, expect_view, expect_mode=None):
+    """Run through the facade, assert the rewrite decision, and check
+    the result (names, dtypes, values) against the same SQL forced to
+    the base plan."""
+    got = run_query(spark, sql, tables={"rw_base": t})
+    hit = rewrite.LAST_SELECT_REWRITE
+    if expect_view is None:
+        assert hit is None, hit
+    else:
+        assert hit is not None and hit["view"] == expect_view, hit
+        if expect_mode:
+            assert hit["mode"] == expect_mode, hit
+    rewrite.AUTO_REWRITE = False
+    try:
+        want = run_query(spark, sql, tables={"rw_base": t})
+        assert rewrite.LAST_SELECT_REWRITE is None
+    finally:
+        rewrite.AUTO_REWRITE = True
+    assert got.dtypes == want.dtypes, (got.dtypes, want.dtypes)
+    assert _rows(got) == _rows(want)
+
+
+def test_projection_rewrite_exact_groups(spark, view):
+    _check(
+        spark,
+        view,
+        "SELECT grp, sub, sum(amount) AS total, count(*) AS n "
+        "FROM rw_base GROUP BY grp, sub",
+        "rw_v",
+        "projection",
+    )
+
+
+def test_rollup_rewrite_subset_groups_where_order_limit(spark, view):
+    _check(
+        spark,
+        view,
+        "SELECT grp, sum(amount) AS total, count(*) AS n, "
+        "min(amount) AS lo, max(amount) AS hi "
+        "FROM rw_base WHERE sub = 's1' GROUP BY grp "
+        "ORDER BY total DESC LIMIT 2",
+        "rw_v",
+        "rollup",
+    )
+
+
+def test_global_rollup_no_group_by(spark, view):
+    _check(
+        spark,
+        view,
+        "SELECT sum(amount) AS total, count(*) AS n FROM rw_base",
+        "rw_v",
+        "rollup",
+    )
+
+
+def test_avg_decomposes_from_sum_and_count(spark, view):
+    # integer-valued doubles: sum/count division is exact, so the
+    # rewritten and base plans agree bit-for-bit
+    _check(
+        spark,
+        view,
+        "SELECT grp, avg(val) AS av FROM rw_base GROUP BY grp",
+        "rw_v",
+        "rollup",
+    )
+
+
+def test_predicate_on_aggregated_column_declines(spark, view):
+    _check(
+        spark,
+        view,
+        "SELECT grp, sum(amount) AS total FROM rw_base "
+        "WHERE amount > 100 GROUP BY grp",
+        None,
+    )
+
+
+def test_non_matching_aggregate_declines(spark, view):
+    # the view has no sum(val * 2) and avg needs sum+count of the SAME
+    # expression — not derivable, must fall through
+    _check(
+        spark,
+        view,
+        "SELECT grp, sum(amount * 2) AS t2 FROM rw_base GROUP BY grp",
+        None,
+    )
+
+
+def test_count_distinct_serves_projection_only(spark, view, tmp_path):
+    t2 = _mk(spark, tmp_path, "rw_base_cd")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_vcd WITH AUTO REFRESH AS "
+        "SELECT grp, sub, count(DISTINCT amount) AS nd "
+        "FROM rw_base_cd GROUP BY grp, sub",
+        tables={"rw_base_cd": t2},
+    )
+    try:
+        got = run_query(
+            spark,
+            "SELECT grp, sub, count(DISTINCT amount) AS nd "
+            "FROM rw_base_cd GROUP BY grp, sub",
+            tables={"rw_base_cd": t2},
+        )
+        assert rewrite.LAST_SELECT_REWRITE["mode"] == "projection"
+        want = t2.read().groupBy("grp", "sub").agg(
+            F.countDistinct("amount").alias("nd")
+        )
+        assert _rows(got) == _rows(want)
+        # ndv does NOT re-aggregate across groups: rollup must decline
+        run_query(
+            spark,
+            "SELECT grp, count(DISTINCT amount) AS nd "
+            "FROM rw_base_cd GROUP BY grp",
+            tables={"rw_base_cd": t2},
+        )
+        assert rewrite.LAST_SELECT_REWRITE is None
+    finally:
+        MATVIEWS.pop("rw_vcd", None)
+
+
+def test_stale_view_declines_until_refresh(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rw_stale")
+    # no AUTO: the view goes stale on the next commit
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_sv AS SELECT grp, sub, "
+        "sum(amount) AS total, count(*) AS n FROM rw_stale GROUP BY grp, sub",
+        tables={"rw_stale": t},
+    )
+    try:
+        sql = "SELECT grp, sum(amount) AS total FROM rw_stale GROUP BY grp"
+        run_query(spark, sql, tables={"rw_stale": t})
+        assert rewrite.LAST_SELECT_REWRITE is not None
+        t.upsert(
+            spark.createDataFrame(
+                [(1000, "g0", "s0", 77, 0.0, 1)],
+                "f_id long, grp string, sub string, amount long, val double, seq long",
+            ).withColumn("Op", F.lit("I"))
+        )
+        t.register("rw_stale")  # refresh the temp view to current head
+        got = run_query(spark, sql, tables={"rw_stale": t})
+        assert rewrite.LAST_SELECT_REWRITE is None  # stale → base plan
+        want = t.read().groupBy("grp").agg(F.sum("amount").alias("total"))
+        assert _rows(got) == _rows(want)
+        run_query(spark, "REFRESH MATERIALIZED VIEW rw_sv", tables={"rw_stale": t})
+        run_query(spark, sql, tables={"rw_stale": t})
+        assert rewrite.LAST_SELECT_REWRITE is not None  # fresh again
+    finally:
+        MATVIEWS.pop("rw_sv", None)
+
+
+def test_join_view_rollup_rewrite(spark, tmp_path):
+    dspec = TableSpec(
+        "rwd", record_key=("d_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    d = KeyedTable(spark, str(tmp_path / "d"), dspec, retain_versions=8)
+    d.initial_load(
+        spark.createDataFrame(
+            [(i, f"region{i % 2}", f"nm{i}", 0) for i in range(6)],
+            "d_id long, region string, dname string, seq long",
+        )
+    )
+    d.register("rw_dim")
+    fspec = TableSpec(
+        "rwf", record_key=("f_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    f = KeyedTable(spark, str(tmp_path / "f"), fspec, retain_versions=8)
+    f.initial_load(
+        spark.createDataFrame(
+            [(i, i % 6, 100 * i, 0) for i in range(50)],
+            "f_id long, fd_id long, amount long, seq long",
+        )
+    )
+    f.register("rw_fact")
+    reg = {"rw_fact": f, "rw_dim": d}
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_jv WITH AUTO REFRESH AS "
+        "SELECT region, dname, sum(amount) AS total, count(*) AS n "
+        "FROM rw_fact JOIN rw_dim ON fd_id = d_id GROUP BY region, dname",
+        tables=reg,
+    )
+    try:
+        sql = (
+            "SELECT region, sum(amount) AS total, count(*) AS n "
+            "FROM rw_fact JOIN rw_dim ON fd_id = d_id GROUP BY region"
+        )
+        got = run_query(spark, sql, tables=reg)
+        assert rewrite.LAST_SELECT_REWRITE["view"] == "rw_jv"
+        want = (
+            f.read()
+            .join(d.read(), F.col("fd_id") == F.col("d_id"))
+            .groupBy("region")
+            .agg(F.sum("amount").alias("total"), F.count("*").alias("n"))
+        )
+        assert _rows(got) == _rows(want)
+        # different join spelling (INNER JOIN, swapped ON sides) still
+        # canonicalizes onto the view
+        run_query(
+            spark,
+            "SELECT region, sum(amount) AS total, count(*) AS n "
+            "FROM rw_fact INNER JOIN rw_dim ON d_id = fd_id GROUP BY region",
+            tables=reg,
+        )
+        assert rewrite.LAST_SELECT_REWRITE is not None
+        # a DIFFERENT from-shape (one base table alone) must not match
+        run_query(
+            spark,
+            "SELECT region, count(*) AS n FROM rw_dim GROUP BY region",
+            tables=reg,
+        )
+        assert rewrite.LAST_SELECT_REWRITE is None
+    finally:
+        MATVIEWS.pop("rw_jv", None)
+
+
+def test_unsupported_shapes_decline(spark, view):
+    for sql in (
+        "SELECT DISTINCT grp FROM rw_base",
+        "SELECT grp, sum(amount) AS t FROM rw_base GROUP BY grp "
+        "HAVING sum(amount) > 0",
+        "SELECT grp, sum(amount) AS t FROM "
+        "(SELECT * FROM rw_base) GROUP BY grp",
+        "SELECT grp FROM rw_base GROUP BY grp UNION "
+        "SELECT grp FROM rw_base GROUP BY grp",
+    ):
+        run_query(spark, sql, tables={"rw_base": view})
+        assert rewrite.LAST_SELECT_REWRITE is None, sql
+
+
+def test_group_only_select_is_distinct_groups(spark, view):
+    _check(
+        spark,
+        view,
+        "SELECT grp FROM rw_base GROUP BY grp ORDER BY grp",
+        "rw_v",
+        "rollup",
+    )
+
+
+def test_kill_switch(spark, view):
+    rewrite.AUTO_REWRITE = False
+    try:
+        run_query(
+            spark,
+            "SELECT grp, sum(amount) AS total FROM rw_base GROUP BY grp",
+            tables={"rw_base": view},
+        )
+        assert rewrite.LAST_SELECT_REWRITE is None
+    finally:
+        rewrite.AUTO_REWRITE = True
