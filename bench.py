@@ -108,6 +108,10 @@ HEADLINE = [
     "delta_chain_matview_region_revenue",
     "minmax_delta_matview_prices",
     "distinct_delta_matview_custcount",
+    # round-12 late: aggregate navigation — the serve is a GROUP BY
+    # SELECT over the base name answered from the view store (skips
+    # dict shows the rewrite decision)
+    "matview_rewrite_rollup",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -171,7 +175,16 @@ def _skip_stats() -> dict:
             "zone": dict(zonemap.LAST_PRUNE),
         },
         "stream_replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
+        "matview_rewrite_rollup": _rewrite_decision,
     }
+
+
+def _rewrite_decision() -> dict:
+    from rds_to_datalake_project_spark import rewrite
+
+    hit = rewrite.LAST_SELECT_REWRITE
+    return {"rewrite": None if hit is None else
+            {k: hit[k] for k in ("view", "mode")}}
 
 
 def main() -> int:

@@ -513,6 +513,108 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# --- matview-backed SELECT rewriting (aggregate navigation) --------------------
+
+_RWQ_SPEC = TableSpec(
+    "rwq_base",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def matview_rewrite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation (rewrite.py): a plain GROUP BY SELECT over
+    the BASE table name is answered from a FRESH materialized view's
+    store — the rollup mode re-aggregates the view's (priority, status)
+    groups down to per-priority rows under a WHERE on a group column,
+    after a CDC commit (deletes + reprice) that the AUTO hook folded
+    into the view. The serve RAISES if the rewrite did not fire, so
+    this row pins the serving path, not just the values; the oracle
+    states the post-DML aggregate in closed form over the base."""
+    return _rwq_serve(spark, sf_dir, _rwq_fixture(spark, sf_dir))
+
+
+def _rwq_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    root = _scratch("mv_rewrite")
+    init = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+        )
+        .withColumn("update_at", F.lit("a"))
+    )
+    t = KeyedTable(spark, f"{root}/t", _RWQ_SPEC, retain_versions=4)
+    t.initial_load(init)
+    MATVIEWS.pop("rw_rollup_v", None)
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_rollup_v WITH AUTO REFRESH AS "
+        "SELECT o_orderpriority, o_orderstatus, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev, count(*) AS cnt, "
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+        "FROM rwq_orders GROUP BY o_orderpriority, o_orderstatus",
+        tables={"rwq_orders": t},
+    )
+    k = F.col("o_orderkey")
+    t.upsert(
+        init.filter(k % 10 == 2)
+        .withColumn("Op", F.lit("D"))
+        .unionByName(
+            init.filter(k % 10 == 6)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+            .withColumn("Op", F.lit("U"))
+        )
+        .withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    return t
+
+
+def _rwq_serve(spark: SparkSession, sf_dir: str, t) -> DataFrame:
+    from rds_to_datalake_project_spark import rewrite
+    from rds_to_datalake_project_spark.sql import run_query
+
+    out = run_query(
+        spark,
+        "SELECT o_orderpriority, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev, count(*) AS cnt, "
+        "min(o_totalprice) AS lo, max(o_totalprice) AS hi "
+        "FROM rwq_orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority",
+        tables={"rwq_orders": t},
+    )
+    hit = rewrite.LAST_SELECT_REWRITE
+    if not hit or hit.get("view") != "rw_rollup_v" or hit.get("mode") != "rollup":
+        raise RuntimeError(f"matview rewrite did not serve the query: {hit}")
+    return out.select(
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("rev"),
+        "cnt",
+        "lo",
+        "hi",
+    ).orderBy("o_orderpriority")
+
+
+MV_REWRITE_SQL = """
+WITH kept AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 2
+)
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM kept
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # --- zone-pruned recompute refresh ---------------------------------------------
 
 _PMR_SPEC = TableSpec(
@@ -1582,6 +1684,7 @@ QUERIES = {
     "stats_join_advisory": stats_join_advisory,
     "join_matview_nation_revenue": join_matview_nation_revenue,
     "pruned_matview_refresh": pruned_matview_refresh,
+    "matview_rewrite_rollup": matview_rewrite_rollup,
 }
 
 ORACLES = {
@@ -1601,6 +1704,7 @@ ORACLES = {
     "stats_join_advisory": ADVISORY_SQL,
     "join_matview_nation_revenue": JOIN_MATVIEW_SQL,
     "pruned_matview_refresh": PRUNED_MV_SQL,
+    "matview_rewrite_rollup": MV_REWRITE_SQL,
 }
 
 PHASES = {
@@ -1613,4 +1717,5 @@ PHASES = {
     "delta_matview_priority_revenue": (_dmv_fixture, _dmv_serve),
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),
     "pruned_matview_refresh": (_pmr_fixture, _pmr_serve),
+    "matview_rewrite_rollup": (_rwq_fixture, _rwq_serve),
 }

@@ -74,7 +74,10 @@ _PRIORITY = (
     "gated_upsert_roundtrip",
     "hll_estimate_users_md5",
     "lang_id",
-    "mixture_sample_counts",
+    # (mixture_sample_counts yields its r12 slot to the NEW
+    # matview_rewrite_rollup oracle and joins the r13 rotation
+    # worklist; its sampling-family components held r11 greens via
+    # sample_docs_per_source / train_test_split_counts)
     "part_brand_stats",
     "partition_enrich_string",
     "passage_dedup_docs",
@@ -102,6 +105,10 @@ _PRIORITY = (
     "delta_join_matview_nation_revenue",
     "delta_chain_matview_region_revenue",
     "minmax_delta_matview_prices",
+    # round-12 late: aggregate navigation — a GROUP BY SELECT over the
+    # BASE table served from a fresh view's store (the serve raises if
+    # the rewrite does not fire, pinning the serving path)
+    "matview_rewrite_rollup",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
     # (these are the reference's §2 heart; cheap insurance)
     "cdc_upsert_roundtrip",
