@@ -112,6 +112,9 @@ HEADLINE = [
     # SELECT over the base name answered from the view store (skips
     # dict shows the rewrite decision)
     "matview_rewrite_rollup",
+    # round-12 late: signed-delta LEFT-join IVM (dangling transitions
+    # via match-count flips; one multi-commit both-feeds window)
+    "left_delta_matview_revenue",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",
@@ -176,6 +179,7 @@ def _skip_stats() -> dict:
         },
         "stream_replicated_orders_checksums": lambda: dict(replicate.LAST_APPLY),
         "matview_rewrite_rollup": _rewrite_decision,
+        "left_delta_matview_revenue": lambda: dict(matview.LAST_REFRESH),
     }
 
 

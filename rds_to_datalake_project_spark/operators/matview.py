@@ -1619,9 +1619,27 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
     the CURRENT heads (no as-of reads), so retention only has to
     cover the change window itself.
 
-    Requirements beyond the parent: inner join only (a LEFT join's
-    NULL-group membership is not bilinear — unmatched-ness depends on
-    the whole other side); invertible aggregates (sum/count/avg, plus
+    LEFT joins are maintained as inner + DANGLING corrections. A left
+    join is the inner join plus every unmatched left row extended with
+    NULLs; the inner part is bilinear as above, and the dangling part
+
+        D(A, B) = Σ_{a ∈ A} [match_B(a.key) = 0] · nullext(a)
+
+    moves only where a key's match COUNT transitions 0 ↔ positive:
+
+        ΔD = [D(A_new,B_new) − D(A_old,B_new)]   (ΔA at B_new)
+           + [D(A_old,B_new) − D(A_old,B_old)]   (flip keys × A_old)
+
+    The first bracket keeps exactly the ΔA rows whose key is matchless
+    at B_NEW (both signs — the bracket holds B fixed at its new
+    state); the second re-states A_old = A_new − ΔA over the keys
+    whose match count flipped. match_new comes from the current right
+    side PRUNED to the window's keys; match_old = match_new − Δmatch
+    is pure window arithmetic — no as-of reads, I/O still ∝ the change
+    neighborhoods. NULL left keys never match, so they ride the first
+    bracket with both indicators true.
+
+    Requirements beyond the parent: invertible aggregates (sum/count/avg, plus
     min/max with JOIN-SIDE extremum repair — groups where a removed
     contribution tied-or-beat the stored extremum re-aggregate from
     the current join, zone-pruned and group-restricted; a pair that
@@ -1649,11 +1667,10 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
         store_retain_versions: int = 0,
         store_hash_buckets: int = 0,
     ):
-        if how != "inner":
+        if how not in ("inner", "left"):
             raise ValueError(
-                "DeltaJoinMaterializedView supports inner joins only — "
-                "LEFT-join NULL-group membership is not expressible as "
-                "a signed delta; use JoinMaterializedView(how='left')"
+                f"DeltaJoinMaterializedView supports how='inner' or "
+                f"'left', got {how!r}"
             )
         self._parsed = _parse_invertible_aggs(
             aggs, allow_extrema=True, allow_distinct=True
@@ -1666,7 +1683,7 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
             group_cols=group_cols,
             aggs=aggs,
             name=name,
-            how="inner",
+            how=how,
             max_broadcast_keys=max_broadcast_keys,
             group_exprs=group_exprs,
             store_retain_versions=store_retain_versions,
@@ -1715,6 +1732,119 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
         return rows.join(
             F.broadcast(t), rows[key_col] == t["__jk"], "left_semi"
         )
+
+    def _dangling_terms(self, dl, dr) -> list[DataFrame]:
+        """Signed NULL-extension contributions for the LEFT-join form
+        (class docstring): ΔA rows dangling in their own state's B,
+        plus A_old rows at keys whose match count flipped 0 ↔ positive
+        — both as left-row frames with every right column NULLed, so
+        they union with the inner terms and feed the same grouped
+        delta. Reads ∝ the window's key neighborhoods (pruned current
+        snapshots); match_old is window arithmetic, never an as-of."""
+        if dl is None and dr is None:
+            return []
+        terms: list[DataFrame] = []
+        rfields = self.right.read().schema.fields
+
+        def _nullext(aframe: DataFrame) -> DataFrame:
+            for f in rfields:
+                aframe = aframe.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return aframe
+
+        keyfs = [
+            d.select(F.col(on).alias("__dk"))
+            for d, on in ((dl, self.l_on), (dr, self.r_on))
+            if d is not None
+        ]
+        keys = keyfs[0] if len(keyfs) == 1 else keyfs[0].unionByName(keyfs[1])
+        keys = (
+            keys.filter(F.col("__dk").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # match_new per key from the pruned current right side;
+        # match_old = match_new − Δmatch (signed window count)
+        cur_r = self._pruned_current(
+            self.right, self.r_on, keys.select(F.col("__dk").alias(self.r_on))
+        )
+        mn = (
+            cur_r.groupBy(self.r_on)
+            .agg(F.count(F.lit(1)).alias("__mn"))
+            .select(F.col(self.r_on).alias("__dk"), "__mn")
+        )
+        counts = keys.join(F.broadcast(mn), "__dk", "left").withColumn(
+            "__mn", F.coalesce("__mn", F.lit(0).cast("long"))
+        )
+        if dr is not None:
+            dm = (
+                dr.groupBy(self.r_on)
+                .agg(F.sum("__sg").alias("__dm"))
+                .select(F.col(self.r_on).alias("__dk"), "__dm")
+            )
+            counts = counts.join(F.broadcast(dm), "__dk", "left").withColumn(
+                "__dm", F.coalesce("__dm", F.lit(0).cast("long"))
+            )
+        else:
+            counts = counts.withColumn("__dm", F.lit(0).cast("long"))
+        counts = counts.withColumn(
+            "__mo", F.col("__mn") - F.col("__dm")
+        ).localCheckpoint(eager=True)
+        aux_cols = ["__dk", "__mn", "__dm", "__mo"]
+        if dl is not None:
+            # bracket 1 is evaluated ENTIRELY at B_new — both signs
+            # check match_new (a removed image whose key was matched
+            # only in the OLD state is bracket 2's business, restated
+            # through A_old = A_new − ΔA). A NULL key misses the
+            # counts join and coalesces to 0 matches (never matches).
+            d = dl.join(
+                F.broadcast(counts), dl[self.l_on] == counts["__dk"], "left"
+            )
+            keep = F.coalesce(F.col("__mn"), F.lit(0)) == 0
+            terms.append(_nullext(d.filter(keep).drop(*aux_cols)))
+        if dr is not None:
+            # bracket 2: keys whose match count flipped 0 ↔ positive
+            # re-state A_old = A_new − ΔA: a key gaining its first
+            # match removes its rows' NULL extensions (__fs = −1), a
+            # key losing its last match restores them (__fs = +1)
+            flips = (
+                counts.filter(
+                    ((F.col("__mo") == 0) & (F.col("__mn") > 0))
+                    | ((F.col("__mo") > 0) & (F.col("__mn") == 0))
+                )
+                .withColumn(
+                    "__fs",
+                    F.when(F.col("__mn") > 0, F.lit(-1)).otherwise(F.lit(1)),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if flips.count():
+                a_cur = self._pruned_current(
+                    self.left,
+                    self.l_on,
+                    flips.select(F.col("__dk").alias(self.l_on)),
+                )
+                t_cur = (
+                    a_cur.join(
+                        F.broadcast(flips),
+                        a_cur[self.l_on] == flips["__dk"],
+                        "inner",
+                    )
+                    .withColumn("__sg", F.col("__fs"))
+                    .drop(*aux_cols, "__fs")
+                )
+                terms.append(_nullext(t_cur))
+                if dl is not None:
+                    t_win = (
+                        dl.join(
+                            F.broadcast(flips),
+                            dl[self.l_on] == flips["__dk"],
+                            "inner",
+                        )
+                        .withColumn("__sg", -F.col("__sg") * F.col("__fs"))
+                        .drop(*aux_cols, "__fs")
+                    )
+                    terms.append(_nullext(t_win))
+        return terms
 
     def _incremental(self, cur, new) -> dict:
         if self._pending():
@@ -1783,6 +1913,8 @@ class DeltaJoinMaterializedView(_SignedDeltaMergeMixin, JoinMaterializedView):
                 .withColumn("__sg", -F.col("__sg_a") * F.col("__sg_b"))
                 .drop("__sg_a", "__sg_b")
             )
+        if self.how == "left":
+            terms.extend(self._dangling_terms(dl, dr))
         if not terms:
             self._write_cursor(new)
             return {

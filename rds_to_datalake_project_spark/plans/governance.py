@@ -513,6 +513,133 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# --- signed-delta LEFT-join IVM -------------------------------------------------
+
+_LDJ_ORD_SPEC = TableSpec(
+    "ldj_orders",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+_LDJ_CUST_SPEC = TableSpec(
+    "ldj_cust",
+    record_key=("c_custkey",),
+    precombine_key="c_upd",
+    partition_granularity="",
+)
+
+
+def left_delta_matview_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-delta LEFT-join IVM (operators/matview.py:
+    DeltaJoinMaterializedView(how='left')): revenue per market segment
+    over orders LEFT JOIN customer, where a third of the customers are
+    missing at load (their orders aggregate into the NULL segment).
+    One multi-commit window mixes every dangling transition: order
+    deletes and reprices, NEW customers adopting previously dangling
+    orders (0→pos match flips the fact feed says nothing about), and
+    customer deletes re-dangling their orders (pos→0). The refresh is
+    pure signed arithmetic plus key-neighborhood reads — never a base
+    recompute; the oracle states the final LEFT join in closed form."""
+    return _ldj_serve(spark, sf_dir, _ldj_fixture(spark, sf_dir))
+
+
+def _ldj_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaJoinMaterializedView,
+    )
+
+    root = _scratch("left_delta_join_mv")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("update_at", F.lit("a"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("c_upd", F.lit("a"))
+    )
+    lt = KeyedTable(spark, f"{root}/o", _LDJ_ORD_SPEC, retain_versions=6)
+    lt.initial_load(orders)
+    rt = KeyedTable(spark, f"{root}/c", _LDJ_CUST_SPEC, retain_versions=6)
+    rt.initial_load(cust.filter(F.col("c_custkey") % 3 != 0))
+    view = DeltaJoinMaterializedView(
+        lt,
+        rt,
+        f"{root}/v",
+        on=("o_custkey", "c_custkey"),
+        group_cols=["c_mktsegment"],
+        aggs={
+            "n": "count(*)",
+            "rev": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+            "n_m": "count(c_mktsegment)",
+        },
+        how="left",
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    lt.upsert(
+        orders.filter(k % 10 == 2)
+        .withColumn("Op", F.lit("D"))
+        .unionByName(
+            orders.filter(k % 10 == 6)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+            .withColumn("Op", F.lit("U"))
+        )
+        .withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    c = F.col("c_custkey")
+    rt.upsert(  # match births: absent-at-load customers appear
+        cust.filter((c % 3 == 0) & (c % 5 == 0))
+        .withColumn("Op", F.lit("I"))
+        .withColumn("c_upd", F.lit("b")),
+        delete_mode="apply",
+    )
+    rt.upsert(  # match deaths: %7 customers vanish, re-dangling orders
+        cust.filter(c % 7 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("c_upd", F.lit("c")),
+        delete_mode="apply",
+    )
+    info = view.refresh()  # one multi-commit window, both feeds
+    assert info["mode"] == "delta", info
+    return view
+
+
+def _ldj_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            "c_mktsegment",
+            "n",
+            F.col("rev").cast("double").alias("rev"),
+            "n_m",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LEFT_DELTA_JMV_SQL = """
+WITH ords AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 2
+), cust AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE ((c_custkey % 3 <> 0) OR (c_custkey % 5 = 0))
+    AND c_custkey % 7 <> 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+       CAST(COUNT(c_mktsegment) AS BIGINT) AS n_m
+FROM ords LEFT JOIN cust ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 # --- matview-backed SELECT rewriting (aggregate navigation) --------------------
 
 _RWQ_SPEC = TableSpec(
@@ -1685,6 +1812,7 @@ QUERIES = {
     "join_matview_nation_revenue": join_matview_nation_revenue,
     "pruned_matview_refresh": pruned_matview_refresh,
     "matview_rewrite_rollup": matview_rewrite_rollup,
+    "left_delta_matview_revenue": left_delta_matview_revenue,
 }
 
 ORACLES = {
@@ -1705,6 +1833,7 @@ ORACLES = {
     "join_matview_nation_revenue": JOIN_MATVIEW_SQL,
     "pruned_matview_refresh": PRUNED_MV_SQL,
     "matview_rewrite_rollup": MV_REWRITE_SQL,
+    "left_delta_matview_revenue": LEFT_DELTA_JMV_SQL,
 }
 
 PHASES = {
@@ -1718,4 +1847,5 @@ PHASES = {
     "chain_matview_region_revenue": (_chain_mv_fixture, _chain_mv_serve),
     "pruned_matview_refresh": (_pmr_fixture, _pmr_serve),
     "matview_rewrite_rollup": (_rwq_fixture, _rwq_serve),
+    "left_delta_matview_revenue": (_ldj_fixture, _ldj_serve),
 }

@@ -508,8 +508,9 @@ def _build_join_matview(m, known, base, safe, group_cols, aggs, group_exprs):
     how = "left" if jhow.startswith("LEFT") else "inner"
     # WITH DELTA REFRESH on the JOIN form → signed-delta join
     # maintenance (Δ(A⋈B) = ΔA⋈B + A⋈ΔB − ΔA⋈ΔB): refresh I/O ∝ the
-    # change set's join neighborhoods. Inner joins + invertible
-    # aggregates only — both constraints raise here, failing the
+    # change set's join neighborhoods. LEFT joins maintain the extra
+    # dangling (NULL-extension) part via match-count transitions;
+    # invertible aggregates only — violations raise here, failing the
     # CREATE cleanly.
     if m.group("delta"):
         from rds_to_datalake_project_spark.operators.matview import (

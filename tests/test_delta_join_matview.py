@@ -214,12 +214,12 @@ def test_bulk_rewrite_falls_back_to_full(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
-def test_rejects_left_join_and_extrema(spark, tmp_path):
+def test_rejects_unknown_how_and_noninvertible(spark, tmp_path):
     fact, dim, _ = _mk(spark, tmp_path)
-    with pytest.raises(ValueError, match="inner joins only"):
+    with pytest.raises(ValueError, match="inner.*or.*left"):
         DeltaJoinMaterializedView(
             fact, dim, str(tmp_path / "bad1"), on=("fk", "d_id"),
-            group_cols=["gname"], aggs={"n": "count(*)"}, how="left",
+            group_cols=["gname"], aggs={"n": "count(*)"}, how="full_outer",
         )
     with pytest.raises(ValueError, match="invertible"):
         DeltaJoinMaterializedView(
@@ -348,15 +348,37 @@ def test_sql_facade_routes_delta_join(spark, tmp_path):
     finally:
         MATVIEWS.pop("djv", None)
 
-    # LEFT JOIN + DELTA must fail the CREATE loudly
-    with pytest.raises(ValueError, match="inner joins only"):
+    # LEFT JOIN + DELTA routes to the same class with how='left' and
+    # maintains the NULL (dangling) group — facts at NULL / unknown
+    # fks exist in the fixture, so the NULL group is populated
+    try:
         run_query(
             spark,
-            "CREATE MATERIALIZED VIEW djbad WITH DELTA REFRESH AS "
+            "CREATE MATERIALIZED VIEW djleft WITH AUTO DELTA REFRESH AS "
             "SELECT gname, count(*) AS n FROM facts_t "
             "LEFT JOIN dims_t ON fk = d_id GROUP BY gname",
             tables=reg,
         )
+        mv = MATVIEWS["djleft"]
+        assert isinstance(mv, DeltaJoinMaterializedView) and mv.how == "left"
+        fact.upsert(_fb(spark, [(600, 99, 5, 1, 1)]))  # dangling insert
+        got = {
+            (r["gname"], r["n"])
+            for r in run_query(
+                spark, "SELECT * FROM djleft", tables=reg
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in fact.read()
+            .join(dim.read(), F.col("fk") == F.col("d_id"), "left")
+            .groupBy("gname")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        MATVIEWS.pop("djleft", None)
 
 
 def test_minmax_join_delta_repairs_on_contribution_removal(spark, tmp_path):
