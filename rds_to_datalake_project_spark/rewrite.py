@@ -46,6 +46,16 @@ base tables, never to a wrong answer:
   (the reader sees current truth, just slower) — matching the engine's
   advisory-index discipline everywhere else.
 
+Time-bucket HIERARCHY: a query grouping by ``date_trunc(U, src)`` is
+served from a view keyed by ``date_trunc(V, src)`` whenever V's
+boundaries subdivide U's (hourly view → daily/monthly/yearly query;
+day → week; month → quarter/year; WEEK feeds nothing coarser — an ISO
+week's Monday can precede its month boundary) — the continuous-
+aggregate cascade without materializing every level. When several
+views match, the CHEAPEST serves: fewest group columns, then the
+coarsest bucket (a daily query prefers the daily view over
+re-bucketing the hourly one).
+
 ``LAST_SELECT_REWRITE`` records the decision for tests/bench; set
 ``AUTO_REWRITE = False`` to disable the pass entirely.
 """
@@ -127,6 +137,51 @@ def _outer_agg(nq: str) -> tuple[str, bool, str] | None:
                     inner[dm.end() :] if dm else inner,
                 )
     return None
+
+# Calendar-aligned truncation nesting: date_trunc(U, date_trunc(V, x))
+# == date_trunc(U, x) exactly when V's boundaries subdivide U's.
+# Sub-day units nest in everything above them; WEEK nests in NOTHING
+# coarser (an ISO week's Monday can precede its month/quarter/year
+# boundary, so month-of-Monday ≠ month-of-timestamp) and nothing finer
+# nests in week except sub-week units; month nests in quarter/year.
+_TRUNC_COARSER: dict[str, set[str]] = {
+    "second": {"minute", "hour", "day", "week", "month", "quarter", "year"},
+    "minute": {"hour", "day", "week", "month", "quarter", "year"},
+    "hour": {"day", "week", "month", "quarter", "year"},
+    "day": {"week", "month", "quarter", "year"},
+    "week": set(),
+    "month": {"quarter", "year"},
+    "quarter": {"year"},
+    "year": set(),
+}
+# fineness rank for candidate scoring (coarser = fewer store rows)
+_TRUNC_RANK = {
+    "second": 7, "minute": 6, "hour": 5, "day": 4,
+    "week": 3, "month": 2, "quarter": 1, "year": 0,
+}
+_UNIT_ALIASES = {
+    "ss": "second", "seconds": "second",
+    "mi": "minute", "min": "minute", "minutes": "minute",
+    "hh": "hour", "hours": "hour",
+    "dd": "day", "days": "day",
+    "ww": "week", "weeks": "week",
+    "mm": "month", "mon": "month", "months": "month",
+    "qq": "quarter", "quarters": "quarter",
+    "yy": "year", "yyyy": "year", "years": "year",
+}
+
+_TRUNC_RE = re.compile(r"^date_trunc\('(\w+)',([\w.$]+)\)$")
+
+
+def _parse_trunc(norm_expr: str) -> tuple[str, str] | None:
+    """``date_trunc('hour',ts)`` (normalized) → ("hour", "ts")."""
+    m = _TRUNC_RE.match(norm_expr)
+    if not m:
+        return None
+    unit = m.group(1).lower()
+    unit = _UNIT_ALIASES.get(unit, unit)
+    return (unit, m.group(2)) if unit in _TRUNC_COARSER else None
+
 
 # Identifier-looking tokens that are SQL syntax, not column references
 # (conservative: anything not listed and not a function call must be a
@@ -320,7 +375,10 @@ def _map_agg(q_expr: str, meta: dict, store_dtypes: dict, rollup: bool):
 def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
     """Attempt to serve ``sql`` from a fresh materialized view; returns
     the DataFrame on success, None to fall through to the normal plan.
-    Never raises for unsupported shapes — unsupported means decline."""
+    Never raises for unsupported shapes — unsupported means decline.
+    When several views match, the cheapest serves: fewest group
+    columns, then the COARSEST time bucket (a daily query prefers a
+    fresh daily view over re-bucketing the hourly one)."""
     global LAST_SELECT_REWRITE
     LAST_SELECT_REWRITE = None
     from rds_to_datalake_project_spark.sql import (
@@ -353,45 +411,93 @@ def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
     if not q_aggs and _orig("grp") is None:
         return None  # row-level SELECT: the store has aggregated rows
 
+    plans = []
     for name, mv in MATVIEWS.items():
         try:
-            df = _match_one(spark, sql, m, _orig, q_from,
-                            q_group_cols, q_group_exprs, q_aggs, name, mv)
+            plan = _match_one(spark, sql, m, _orig, q_from,
+                              q_group_cols, q_group_exprs, q_aggs, name, mv)
         except Exception:
             # advisory path: an unexpected failure while MATCHING one
             # candidate declines that candidate — the base plan always
             # answers. (The rewritten plan itself, once chosen, is
             # built from validated pieces and surfaces its errors.)
             continue
-        if df is not None:
-            return df
-    return None
+        if plan is not None:
+            plans.append(plan)
+    if not plans:
+        return None
+    best = min(plans, key=lambda p: p["score"])
+    tmp = f"__mvrw_{re.sub(r'[^A-Za-z0-9_]', '_', best['view'])}"
+    best["mv"].read().createOrReplaceTempView(tmp)
+    out_sql = best["sql"].format(store=tmp)
+    df = spark.sql(out_sql)
+    LAST_SELECT_REWRITE = {
+        "view": best["view"],
+        "mode": best["mode"],
+        "sql": out_sql,
+    }
+    return df
 
 
 def _match_one(
     spark, sql, m, _orig, q_from, q_group_cols, q_group_exprs, q_aggs,
     name, mv,
-) -> DataFrame | None:
-    """Match the parsed query against ONE view; returns the rewritten
-    DataFrame (and records LAST_SELECT_REWRITE) or None to decline."""
-    global LAST_SELECT_REWRITE
+) -> dict | None:
+    """Match the parsed query against ONE view; returns a candidate
+    plan dict ({view, mv, mode, sql (with a {store} placeholder),
+    score}) or None to decline."""
     from rds_to_datalake_project_spark.sql import _mask_string_literals
 
     meta = getattr(mv, "rewrite_meta", None)
     if meta is None or meta["from"] != q_from:
         return None
     v_groups = meta["group_cols"]
-    if any(c not in v_groups for c in q_group_cols):
-        return None
-    # derived keys must be derived the same way (or not at all)
+    # map every query group column onto the store: its own view column
+    # when name+derivation agree, else a HIERARCHICAL re-bucket —
+    # date_trunc(U, src) over a view key date_trunc(V, src) whose V
+    # nests in U (sub-day units roll into anything; week only absorbs,
+    # never feeds month+). Track the VIEW-side bucket fineness for
+    # candidate scoring (coarser view = fewer rows to re-aggregate).
+    group_terms: list[str] = []
+    rebucketed = False
+    fineness = 0
     for c in q_group_cols:
-        ve = meta["group_exprs"].get(c)
         qe = q_group_exprs.get(c)
-        if ve != (_norm(qe) if qe is not None else None):
+        qn = _norm(qe) if qe is not None else None
+        if c in v_groups and meta["group_exprs"].get(c) == qn:
+            group_terms.append(c)
+            vt = _parse_trunc(qn) if qn else None
+            if vt:
+                fineness += _TRUNC_RANK[vt[0]]
+            continue
+        qt = _parse_trunc(qn) if qn is not None else None
+        hit = None
+        if qt:
+            for g in v_groups:
+                ve = meta["group_exprs"].get(g)
+                vt = _parse_trunc(ve) if ve else None
+                if vt and vt[1] == qt[1] and (
+                    qt[0] == vt[0] or qt[0] in _TRUNC_COARSER[vt[0]]
+                ):
+                    hit = (g, qt[0], vt[0])
+                    break
+        if hit is None:
             return None
-    rollup = bool(set(q_group_cols) != set(v_groups) or not q_group_cols)
+        # same unit under a different alias: re-truncation is the
+        # identity, read the view column directly
+        group_terms.append(
+            hit[0] if hit[1] == hit[2] else f"date_trunc('{hit[1]}', {hit[0]})"
+        )
+        rebucketed = True
+        fineness += _TRUNC_RANK[hit[2]]
+    rollup = bool(
+        rebucketed or set(q_group_cols) != set(v_groups) or not q_group_cols
+    )
     store_dtypes = dict(mv.read().dtypes)
-    items = list(q_group_cols)
+    items = [
+        c if t == c else f"{t} AS {c}"
+        for c, t in zip(q_group_cols, group_terms)
+    ]
     for alias, expr in q_aggs.items():
         mapped = _map_agg(expr, meta, store_dtypes, rollup)
         if mapped is None:
@@ -413,22 +519,20 @@ def _match_one(
         return None
     if not _fresh(mv):
         return None
-    tmp = f"__mvrw_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
-    mv.read().createOrReplaceTempView(tmp)
-    out = f"SELECT {', '.join(items)} FROM {tmp}"
+    out = f"SELECT {', '.join(items)} FROM {{store}}"
     if where is not None:
         out += f" WHERE {where}"
     if rollup and q_group_cols:
-        out += f" GROUP BY {', '.join(q_group_cols)}"
+        out += f" GROUP BY {', '.join(group_terms)}"
     if order is not None:
         out += f" ORDER BY {order}"
     lim = m.group("lim")
     if lim is not None:
         out += f" LIMIT {lim}"
-    df = spark.sql(out)
-    LAST_SELECT_REWRITE = {
+    return {
         "view": name,
+        "mv": mv,
         "mode": "rollup" if rollup else "projection",
         "sql": out,
+        "score": len(v_groups) * 100 + fineness,
     }
-    return df

@@ -302,6 +302,130 @@ def test_group_only_select_is_distinct_groups(spark, view):
     )
 
 
+def _mk_ts(spark, tmp_path, name):
+    spec = TableSpec(
+        name, record_key=("e_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / name), spec, retain_versions=8)
+    rows = [
+        (i, f"2024-0{1 + i % 3}-{1 + i % 27:02d} {i % 24:02d}:30:00",
+         float(i % 11), 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "e_id long, ts_s string, v double, seq long"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    t.initial_load(df)
+    t.register(name)
+    return t
+
+
+def test_hierarchical_bucket_rollup_day_from_hour(spark, tmp_path):
+    """A daily query is served from an HOURLY view by re-truncating the
+    hour keys — the continuous-aggregate hierarchy. Week rolls up from
+    day-or-finer; month NEVER rolls up from week (ISO Mondays cross
+    month boundaries)."""
+    t = _mk_ts(spark, tmp_path, "rw_ts")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_hourly WITH AUTO REFRESH AS "
+        "SELECT date_trunc('hour', ts) AS h, sum(v) AS sv, count(*) AS n "
+        "FROM rw_ts GROUP BY h",
+        tables={"rw_ts": t},
+    )
+    try:
+        for unit in ("day", "week", "month", "year"):
+            sql = (
+                f"SELECT date_trunc('{unit}', ts) AS b, sum(v) AS sv, "
+                f"count(*) AS n FROM rw_ts GROUP BY b"
+            )
+            got = run_query(spark, sql, tables={"rw_ts": t})
+            hit = rewrite.LAST_SELECT_REWRITE
+            assert hit and hit["view"] == "rw_hourly", (unit, hit)
+            rewrite.AUTO_REWRITE = False
+            try:
+                want = run_query(spark, sql, tables={"rw_ts": t})
+            finally:
+                rewrite.AUTO_REWRITE = True
+            assert got.dtypes == want.dtypes
+            assert _rows(got) == _rows(want), unit
+        # same-unit spelling still matches directly (projection)
+        run_query(
+            spark,
+            "SELECT date_trunc('hour', ts) AS h, sum(v) AS sv, "
+            "count(*) AS n FROM rw_ts GROUP BY h",
+            tables={"rw_ts": t},
+        )
+        assert rewrite.LAST_SELECT_REWRITE["mode"] == "projection"
+    finally:
+        MATVIEWS.pop("rw_hourly", None)
+
+
+def test_month_never_rolls_up_from_week(spark, tmp_path):
+    t = _mk_ts(spark, tmp_path, "rw_ts_w")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_weekly WITH AUTO REFRESH AS "
+        "SELECT date_trunc('week', ts) AS w, sum(v) AS sv "
+        "FROM rw_ts_w GROUP BY w",
+        tables={"rw_ts_w": t},
+    )
+    try:
+        sql = (
+            "SELECT date_trunc('month', ts) AS mth, sum(v) AS sv "
+            "FROM rw_ts_w GROUP BY mth"
+        )
+        got = run_query(spark, sql, tables={"rw_ts_w": t})
+        assert rewrite.LAST_SELECT_REWRITE is None  # declined: unsound
+        rewrite.AUTO_REWRITE = False
+        try:
+            want = run_query(spark, sql, tables={"rw_ts_w": t})
+        finally:
+            rewrite.AUTO_REWRITE = True
+        assert _rows(got) == _rows(want)
+    finally:
+        MATVIEWS.pop("rw_weekly", None)
+
+
+def test_candidate_ranking_prefers_coarsest_view(spark, tmp_path):
+    """With hourly AND daily views both fresh, a daily query serves
+    from the daily view (fewer rows to re-aggregate), a monthly query
+    rolls up from the daily view, an hourly one from the hourly."""
+    t = _mk_ts(spark, tmp_path, "rw_ts_rank")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_rank_h WITH AUTO REFRESH AS "
+        "SELECT date_trunc('hour', ts) AS h, sum(v) AS sv "
+        "FROM rw_ts_rank GROUP BY h",
+        tables={"rw_ts_rank": t},
+    )
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_rank_d WITH AUTO REFRESH AS "
+        "SELECT date_trunc('day', ts) AS d, sum(v) AS sv "
+        "FROM rw_ts_rank GROUP BY d",
+        tables={"rw_ts_rank": t},
+    )
+    try:
+        cases = {
+            "hour": "rw_rank_h",
+            "day": "rw_rank_d",
+            "month": "rw_rank_d",
+        }
+        for unit, expect in cases.items():
+            run_query(
+                spark,
+                f"SELECT date_trunc('{unit}', ts) AS b, sum(v) AS sv "
+                f"FROM rw_ts_rank GROUP BY b",
+                tables={"rw_ts_rank": t},
+            )
+            assert rewrite.LAST_SELECT_REWRITE["view"] == expect, unit
+    finally:
+        MATVIEWS.pop("rw_rank_h", None)
+        MATVIEWS.pop("rw_rank_d", None)
+
+
 def test_kill_switch(spark, view):
     rewrite.AUTO_REWRITE = False
     try:
