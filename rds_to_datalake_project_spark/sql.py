@@ -273,6 +273,13 @@ _DESCRIBE_MV_RE = re.compile(
 _DROP_MV_RE = re.compile(
     rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
+# EXPLAIN REWRITE <select>: report (without executing) whether the
+# aggregate-navigation pass would serve the SELECT from a view store,
+# and with what rewritten SQL. Plain EXPLAIN stays Spark's.
+_EXPLAIN_RW_RE = re.compile(
+    r"^\s*EXPLAIN\s+REWRITE\s+(?P<q>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
 # (format='parquet'|'csv'|'json'|'orc')
@@ -1038,6 +1045,27 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         if re.fullmatch(r"\w+", name):
             spark.catalog.dropTempView(name)
         return spark.createDataFrame([(name, True)], "view_name string, dropped boolean")
+    m = _EXPLAIN_RW_RE.match(sql)
+    if m:
+        # report the aggregate-navigation decision without running the
+        # query: which fresh view would serve it, in which mode, with
+        # what store-side SQL (NULLs = base plan)
+        from rds_to_datalake_project_spark import rewrite as _rw
+
+        df = _rw.try_rewrite(spark, m.group("q"))
+        hit = _rw.LAST_SELECT_REWRITE if df is not None else None
+        return spark.createDataFrame(
+            [
+                (
+                    hit["view"] if hit else None,
+                    hit["mode"] if hit else None,
+                    hit["sql"] if hit else None,
+                    hit is not None,
+                )
+            ],
+            "served_by string, mode string, rewritten_sql string, "
+            "rewritten boolean",
+        )
     m = _MERGE_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("t")) in known:
         return _merge_statement(spark, m, known)

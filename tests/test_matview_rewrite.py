@@ -426,6 +426,73 @@ def test_candidate_ranking_prefers_coarsest_view(spark, tmp_path):
         MATVIEWS.pop("rw_rank_d", None)
 
 
+def test_explain_rewrite_statement(spark, view):
+    row = run_query(
+        spark,
+        "EXPLAIN REWRITE SELECT grp, sum(amount) AS total "
+        "FROM rw_base GROUP BY grp",
+        tables={"rw_base": view},
+    ).collect()[0]
+    assert row["rewritten"] and row["served_by"] == "rw_v"
+    assert row["mode"] == "rollup" and "sum(total)" in row["rewritten_sql"]
+    row = run_query(
+        spark,
+        "EXPLAIN REWRITE SELECT grp, sum(amount * 3) AS t "
+        "FROM rw_base GROUP BY grp",
+        tables={"rw_base": view},
+    ).collect()[0]
+    assert not row["rewritten"] and row["served_by"] is None
+
+
+def test_chain_view_rewrite(spark, tmp_path):
+    """A 3-table FROM canonicalizes onto a chain view's definition."""
+    ts = []
+    for name, schema, rows in (
+        ("rw_c_f", "f_id long, c_ref long, amt long, seq long",
+         [(i, i % 4, 10 * i, 0) for i in range(40)]),
+        ("rw_c_m", "c_id long, r_ref long, seq2 long",
+         [(c, c % 2, 0) for c in range(4)]),
+        ("rw_c_r", "r_id long, rname string, seq3 long",
+         [(r, f"R{r}", 0) for r in range(2)]),
+    ):
+        spec = TableSpec(
+            name, record_key=(schema.split()[0],),
+            precombine_key=schema.rsplit(",", 1)[1].split()[0],
+            partition_granularity=None,
+        )
+        t = KeyedTable(spark, str(tmp_path / name), spec, retain_versions=8)
+        t.initial_load(spark.createDataFrame(rows, schema))
+        t.register(name)
+        ts.append(t)
+    reg = dict(zip(("rw_c_f", "rw_c_m", "rw_c_r"), ts))
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_cv WITH AUTO REFRESH AS "
+        "SELECT rname, sum(amt) AS total, count(*) AS n "
+        "FROM rw_c_f JOIN rw_c_m ON c_ref = c_id "
+        "JOIN rw_c_r ON r_ref = r_id GROUP BY rname",
+        tables=reg,
+    )
+    try:
+        got = run_query(
+            spark,
+            "SELECT sum(amt) AS total, count(*) AS n "
+            "FROM rw_c_f JOIN rw_c_m ON c_ref = c_id "
+            "JOIN rw_c_r ON r_ref = r_id",
+            tables=reg,
+        )
+        assert rewrite.LAST_SELECT_REWRITE["view"] == "rw_cv"
+        want = (
+            ts[0].read()
+            .join(ts[1].read(), F.col("c_ref") == F.col("c_id"))
+            .join(ts[2].read(), F.col("r_ref") == F.col("r_id"))
+            .agg(F.sum("amt").alias("total"), F.count("*").alias("n"))
+        )
+        assert _rows(got) == _rows(want)
+    finally:
+        MATVIEWS.pop("rw_cv", None)
+
+
 def test_kill_switch(spark, view):
     rewrite.AUTO_REWRITE = False
     try:
