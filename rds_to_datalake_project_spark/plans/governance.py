@@ -552,6 +552,7 @@ def _ldj_fixture(spark: SparkSession, sf_dir: str):
     orders = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 2 == 0)  # half-size fixture
         .withColumn("update_at", F.lit("a"))
     )
     cust = (
@@ -625,7 +626,7 @@ WITH ords AS (
   SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 100.0
               ELSE o_totalprice END AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 <> 2
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2
 ), cust AS (
   SELECT c_custkey, c_mktsegment FROM customer
   WHERE ((c_custkey % 3 <> 0) OR (c_custkey % 5 = 0))
@@ -671,6 +672,7 @@ def _rwq_fixture(spark: SparkSession, sf_dir: str):
         .select(
             "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
         )
+        .filter(F.col("o_orderkey") % 2 == 0)  # half-size fixture
         .withColumn("update_at", F.lit("a"))
     )
     t = KeyedTable(spark, f"{root}/t", _RWQ_SPEC, retain_versions=4)
@@ -729,7 +731,7 @@ WITH kept AS (
   SELECT o_orderpriority, o_orderstatus,
          CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 500.0
               ELSE o_totalprice END AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 <> 2
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2
 )
 SELECT o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
@@ -740,6 +742,99 @@ FROM kept
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+# --- hierarchical bucket rollup through the rewriter ----------------------------
+
+_RWH_SPEC = TableSpec(
+    "rwh_base",
+    record_key=("event_id",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def matview_rewrite_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup (rewrite.py): a DAILY GROUP BY
+    over the base table is served from an HOURLY materialized view by
+    re-truncating the hour keys — the continuous-aggregate cascade
+    without materializing the daily level. The fixture commits deletes
+    + revalues (AUTO refresh folds them in); the serve RAISES unless
+    the hourly view answered in rollup mode; the oracle states the
+    post-DML daily aggregate in closed form."""
+    return _rwh_serve(spark, sf_dir, _rwh_fixture(spark, sf_dir))
+
+
+def _rwh_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    root = _scratch("mv_rewrite_hier")
+    init = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("update_at", F.lit("a"))
+    )
+    t = KeyedTable(spark, f"{root}/t", _RWH_SPEC, retain_versions=4)
+    t.initial_load(init)
+    MATVIEWS.pop("rw_ev_hourly", None)
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_ev_hourly WITH AUTO REFRESH AS "
+        "SELECT date_trunc('hour', ts) AS h, "
+        "sum(CAST(value AS DECIMAL(38,6))) AS sv, count(*) AS n "
+        "FROM rwh_events GROUP BY h",
+        tables={"rwh_events": t},
+    )
+    k = F.col("event_id")
+    t.upsert(
+        init.filter(k % 10 == 3)
+        .withColumn("Op", F.lit("D"))
+        .unionByName(
+            init.filter(k % 10 == 7)
+            .withColumn("value", F.col("value") + F.lit(5.0))
+            .withColumn("Op", F.lit("U"))
+        )
+        .withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    return t
+
+
+def _rwh_serve(spark: SparkSession, sf_dir: str, t) -> DataFrame:
+    from rds_to_datalake_project_spark import rewrite
+    from rds_to_datalake_project_spark.sql import run_query
+
+    out = run_query(
+        spark,
+        "SELECT date_trunc('day', ts) AS d, "
+        "sum(CAST(value AS DECIMAL(38,6))) AS sv, count(*) AS n "
+        "FROM rwh_events GROUP BY d",
+        tables={"rwh_events": t},
+    )
+    hit = rewrite.LAST_SELECT_REWRITE
+    if (
+        not hit
+        or hit.get("view") != "rw_ev_hourly"
+        or hit.get("mode") != "rollup"
+    ):
+        raise RuntimeError(f"hierarchy rewrite did not serve the query: {hit}")
+    return out.select(
+        "d", F.col("sv").cast("double").alias("sv"), "n"
+    ).orderBy("d")
+
+
+MV_REWRITE_HIER_SQL = """
+WITH kept AS (
+  SELECT ts,
+         CASE WHEN event_id % 10 = 7 THEN value + 5.0 ELSE value END AS value
+  FROM events WHERE event_id % 10 <> 3
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM kept
+GROUP BY 1
+ORDER BY d
 """
 
 # --- zone-pruned recompute refresh ---------------------------------------------
@@ -1813,6 +1908,7 @@ QUERIES = {
     "pruned_matview_refresh": pruned_matview_refresh,
     "matview_rewrite_rollup": matview_rewrite_rollup,
     "left_delta_matview_revenue": left_delta_matview_revenue,
+    "matview_rewrite_hierarchy": matview_rewrite_hierarchy,
 }
 
 ORACLES = {
@@ -1834,6 +1930,7 @@ ORACLES = {
     "pruned_matview_refresh": PRUNED_MV_SQL,
     "matview_rewrite_rollup": MV_REWRITE_SQL,
     "left_delta_matview_revenue": LEFT_DELTA_JMV_SQL,
+    "matview_rewrite_hierarchy": MV_REWRITE_HIER_SQL,
 }
 
 PHASES = {
@@ -1848,4 +1945,5 @@ PHASES = {
     "pruned_matview_refresh": (_pmr_fixture, _pmr_serve),
     "matview_rewrite_rollup": (_rwq_fixture, _rwq_serve),
     "left_delta_matview_revenue": (_ldj_fixture, _ldj_serve),
+    "matview_rewrite_hierarchy": (_rwh_fixture, _rwh_serve),
 }
