@@ -75,6 +75,14 @@ LAST_SELECT_REWRITE: dict | None = None
 # attributable — flip this off to force base-table plans).
 AUTO_REWRITE: bool = True
 
+# Bounded-staleness serving (ops SLO knob): 0 — the default — serves
+# only EXACTLY fresh views; N > 0 lets a view lagging at most N base
+# commits (summed across its tables) serve, trading bounded lag for a
+# guaranteed store-sized plan (the dashboard pattern: a view refreshed
+# every few commits answers instantly and never scans the corpus).
+# A pending delta intent or a reset base never serves regardless.
+MAX_STALE_COMMITS: int = 0
+
 _IDENT = r"(?:[\w$]+|`[^`]+`)"
 _QNAME = rf"{_IDENT}(?:\.{_IDENT})*"
 
@@ -278,25 +286,33 @@ def attach_meta(mv, m: re.Match) -> None:
     }
 
 
-def _fresh(mv) -> bool:
-    """Cursor at every base head, no pending delta intent. Uses only
-    metadata reads — no data files touched."""
+def _lag(mv) -> int | None:
+    """Commits the view's cursor trails its bases by, summed across
+    tables (0 = exactly fresh); None = never serve (never refreshed,
+    a base was reset, a delta intent is pending, or the cursor is
+    somehow AHEAD of a head). Metadata reads only."""
     from rds_to_datalake_project_spark.operators.matview import (
         _SignedDeltaMergeMixin,
     )
 
     if isinstance(mv, _SignedDeltaMergeMixin) and mv._pending():
-        return False
+        return None
     if hasattr(mv, "tables"):
+        cur = mv.refreshed_versions()
         heads = tuple((t.versions() or [0])[-1] for t in mv.tables)
-        return mv.refreshed_versions() == heads
-    if hasattr(mv, "left"):
+    elif hasattr(mv, "left"):
+        cur = mv.refreshed_versions()
         heads = (
             (mv.left.versions() or [0])[-1],
             (mv.right.versions() or [0])[-1],
         )
-        return mv.refreshed_versions() == heads
-    return mv.refreshed_version() == (mv.base.versions() or [0])[-1]
+    else:
+        v = mv.refreshed_version()
+        cur = None if v is None else (v,)
+        heads = ((mv.base.versions() or [0])[-1],)
+    if cur is None or any(h < c for h, c in zip(heads, cur)):
+        return None
+    return sum(h - c for h, c in zip(heads, cur))
 
 
 def _parse_shape(sel_text: str, grp_text: str | None):
@@ -435,6 +451,7 @@ def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
         "view": best["view"],
         "mode": best["mode"],
         "sql": out_sql,
+        "lag": best["lag"],
     }
     return df
 
@@ -517,7 +534,8 @@ def _match_one(
         _mask_string_literals(order), set(q_group_cols) | set(q_aggs)
     ):
         return None
-    if not _fresh(mv):
+    lag = _lag(mv)
+    if lag is None or lag > MAX_STALE_COMMITS:
         return None
     out = f"SELECT {', '.join(items)} FROM {{store}}"
     if where is not None:
@@ -534,5 +552,7 @@ def _match_one(
         "mv": mv,
         "mode": "rollup" if rollup else "projection",
         "sql": out,
-        "score": len(v_groups) * 100 + fineness,
+        "lag": lag,
+        # prefer exactly-fresh candidates, then smaller stores
+        "score": lag * 10_000 + len(v_groups) * 100 + fineness,
     }

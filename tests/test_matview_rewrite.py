@@ -426,6 +426,43 @@ def test_candidate_ranking_prefers_coarsest_view(spark, tmp_path):
         MATVIEWS.pop("rw_rank_d", None)
 
 
+def test_bounded_staleness_knob(spark, tmp_path):
+    """MAX_STALE_COMMITS > 0 lets a lagging view serve (its values are
+    the STALE snapshot — the knob trades bounded lag for a store-sized
+    plan); 0 keeps the exactly-fresh contract."""
+    t = _mk(spark, tmp_path, "rw_lagbase")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_lag_v AS SELECT grp, sub, "
+        "sum(amount) AS total FROM rw_lagbase GROUP BY grp, sub",
+        tables={"rw_lagbase": t},
+    )
+    try:
+        stale_want = _rows(
+            t.read().groupBy("grp").agg(F.sum("amount").alias("total"))
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [(2000, "g0", "s0", 999, 0.0, 1)],
+                "f_id long, grp string, sub string, amount long, "
+                "val double, seq long",
+            ).withColumn("Op", F.lit("I"))
+        )
+        sql = "SELECT grp, sum(amount) AS total FROM rw_lagbase GROUP BY grp"
+        run_query(spark, sql, tables={"rw_lagbase": t})
+        assert rewrite.LAST_SELECT_REWRITE is None  # lag 1 > 0
+        rewrite.MAX_STALE_COMMITS = 1
+        try:
+            got = run_query(spark, sql, tables={"rw_lagbase": t})
+            hit = rewrite.LAST_SELECT_REWRITE
+            assert hit is not None and hit["lag"] == 1
+            assert _rows(got) == stale_want  # the stale snapshot, by contract
+        finally:
+            rewrite.MAX_STALE_COMMITS = 0
+    finally:
+        MATVIEWS.pop("rw_lag_v", None)
+
+
 def test_explain_rewrite_statement(spark, view):
     row = run_query(
         spark,
