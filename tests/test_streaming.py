@@ -681,3 +681,81 @@ def test_streaming_upserts_maintain_secondary_index(spark, tmp_path):
     assert red == {"c"}  # a re-keyed to green; its old entry retired
     green = {r["id"] for r in secondary_lookup(table, "val", ["green"]).collect()}
     assert green == {"a"}
+
+
+def test_stream_keeps_matview_fresh_and_rewritable(spark, tmp_path):
+    """Streaming ingest → IVM → aggregate navigation, end-to-end: each
+    micro-batch upsert fires the maintenance hook, so after the stream
+    drains the AUTO-refresh matview is exactly fresh and a plain GROUP
+    BY over the BASE table is served from the view store."""
+    from rds_to_datalake_project_spark import rewrite
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amount", T.LongType()),
+            T.StructField("update_at", T.StringType()),
+            T.StructField("Op", T.StringType()),
+        ]
+    )
+    spec = TableSpec(
+        "st_mv", record_key=("id",), precombine_key="update_at",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "t"), spec, retain_versions=8)
+    t.initial_load(
+        spark.createDataFrame(
+            [(f"k{i}", f"g{i % 3}", 10 * i, "a") for i in range(12)],
+            "id string, grp string, amount long, update_at string",
+        )
+    )
+    t.register("st_mv_base")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW st_mv_v WITH AUTO REFRESH AS "
+        "SELECT grp, sum(amount) AS total, count(*) AS n "
+        "FROM st_mv_base GROUP BY grp",
+        tables={"st_mv_base": t},
+    )
+    try:
+        cdc_dir = str(tmp_path / "cdc")
+
+        def _f(commit_min, rows):
+            sub = f"2024/01/01/10"
+            dt = datetime(2024, 1, 1, 10, commit_min, 0)
+            fname = f"{encode_commit_ts(dt)}.parquet"
+            tmp = os.path.join(cdc_dir, "__tmp", fname)
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            os.makedirs(os.path.join(cdc_dir, sub), exist_ok=True)
+            os.replace(
+                os.path.join(tmp, part), os.path.join(cdc_dir, sub, fname)
+            )
+
+        _f(0, [("k1", "g_moved", 11, "b", "U"), ("k20", "g0", 7, "b", "I")])
+        _f(1, [("k2", "g2", 20, "b", "D"), ("k21", None, 3, "b", "I")])
+        stream_cdc_to_table(
+            spark, cdc_dir, t, str(tmp_path / "ckpt"), schema,
+            max_files_per_trigger=1, delete_mode="apply",
+        )
+        # hooks fired per micro-batch: the view is exactly fresh
+        sql = "SELECT grp, sum(amount) AS total, count(*) AS n " \
+              "FROM st_mv_base GROUP BY grp"
+        got = run_query(spark, sql, tables={"st_mv_base": t})
+        hit = rewrite.LAST_SELECT_REWRITE
+        assert hit is not None and hit["view"] == "st_mv_v" and hit["lag"] == 0
+        want = t.read().groupBy("grp").agg(
+            F.sum("amount").alias("total"),
+            F.count("*").cast("long").alias("n"),
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+    finally:
+        MATVIEWS.pop("st_mv_v", None)
