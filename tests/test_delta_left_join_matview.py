@@ -25,6 +25,7 @@ AGGS = {
     "n": "count(*)",
     "rev": "sum(CAST(amount AS DECIMAL(20,2)))",
     "n_d": "count(d_tag)",  # dim-side agg: NULL for dangling rows
+    "avg_amt": "avg(amount)",
 }
 
 _F_SCHEMA = "f_id long, fk long, amount long, f_seq long"
@@ -68,8 +69,9 @@ def _direct(fact, dim):
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("amount").cast("decimal(20,2)")).alias("rev"),
             F.count("d_tag").cast("long").alias("n_d"),
+            F.avg("amount").alias("avg_amt"),
         )
-        .select("gname", "n", "rev", "n_d")
+        .select("gname", "n", "rev", "n_d", "avg_amt")
         .collect()
     }
 
@@ -77,7 +79,9 @@ def _direct(fact, dim):
 def _got(view):
     return {
         tuple(r)
-        for r in view.read().select("gname", "n", "rev", "n_d").collect()
+        for r in view.read()
+        .select("gname", "n", "rev", "n_d", "avg_amt")
+        .collect()
     }
 
 
@@ -180,8 +184,9 @@ def test_duplicate_dim_keys_no_flip_on_partial_removal(spark, tmp_path):
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("amount").cast("decimal(20,2)")).alias("rev"),
             F.count("d_tag").cast("long").alias("n_d"),
+            F.avg("amount").alias("avg_amt"),
         )
-        .select("gname", "n", "rev", "n_d")
+        .select("gname", "n", "rev", "n_d", "avg_amt")
         .collect()
     }
     assert _got(view2) == want
@@ -202,8 +207,9 @@ def test_duplicate_dim_keys_no_flip_on_partial_removal(spark, tmp_path):
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("amount").cast("decimal(20,2)")).alias("rev"),
             F.count("d_tag").cast("long").alias("n_d"),
+            F.avg("amount").alias("avg_amt"),
         )
-        .select("gname", "n", "rev", "n_d")
+        .select("gname", "n", "rev", "n_d", "avg_amt")
         .collect()
     }
     assert _got(view2) == want
