@@ -510,7 +510,11 @@ def _match_one(
     rollup = bool(
         rebucketed or set(q_group_cols) != set(v_groups) or not q_group_cols
     )
-    store_dtypes = dict(mv.read().dtypes)
+    # store dtypes are pinned by the view DEFINITION (CREATE fails on a
+    # bad body), so resolve them once — not one file listing per SELECT
+    store_dtypes = meta.get("dtypes")
+    if store_dtypes is None:
+        store_dtypes = meta["dtypes"] = dict(mv.read().dtypes)
     items = [
         c if t == c else f"{t} AS {c}"
         for c, t in zip(q_group_cols, group_terms)
