@@ -714,3 +714,112 @@ def test_delta_chain_far_dim_term_restricts_fact_and_mid_dim(spark, tmp_path):
     plan = term._jdf.queryExecution().optimizedPlan().toString()
     # two restriction hops: delta keys -> mid dim, mid dim keys -> fact
     assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_rewritten_select_scans_only_view_store(spark, tmp_path):
+    """An aggregate-navigated SELECT must read the VIEW STORE and
+    nothing else — if the base table's files appear in the scan, the
+    rewrite bought nothing at 100 TB."""
+    from rds_to_datalake_project_spark import rewrite
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    base_dir = str(tmp_path / "pq_rw_base")
+    t = KeyedTable(
+        spark, base_dir,
+        TableSpec("pqrw", record_key=("k",), precombine_key="seq",
+                  partition_granularity=None),
+        retain_versions=4,
+    )
+    t.initial_load(spark.createDataFrame(
+        [(i, f"g{i % 5}", i * 2, 0) for i in range(100)],
+        "k long, g string, v long, seq long",
+    ))
+    t.register("pq_rw_base")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW pq_rw_v AS SELECT g, sum(v) AS sv, "
+        "count(*) AS n FROM pq_rw_base GROUP BY g",
+        tables={"pq_rw_base": t},
+    )
+    try:
+        df = run_query(
+            spark,
+            "SELECT g, sum(v) AS sv FROM pq_rw_base GROUP BY g",
+            tables={"pq_rw_base": t},
+        )
+        assert rewrite.LAST_SELECT_REWRITE is not None
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE parquet scan, and it reads the store's
+        # PRE-AGGREGATED columns (g, sv) — a base scan would read the
+        # row-level schema (k, v, seq)
+        import re as _re
+
+        scans = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert len(scans) == 1, plan
+        read_cols = {c.split(":")[0] for c in scans[0].split(",")}
+        assert read_cols == {"g", "sv"}, scans[0]
+    finally:
+        MATVIEWS.pop("pq_rw_v", None)
+
+
+def test_left_delta_dangling_terms_broadcast(spark, tmp_path):
+    """The LEFT-join dangling machinery must never shuffle a base
+    side: match counts, flip keys, and the window frames all broadcast
+    against the (pruned) current snapshots."""
+    from pyspark.sql import functions as F
+
+    from rds_to_datalake_project_spark.operators.matview import (
+        DeltaJoinMaterializedView,
+    )
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+
+    fact = KeyedTable(
+        spark, str(tmp_path / "f"),
+        TableSpec("pqf", record_key=("f_id",), precombine_key="s1",
+                  partition_granularity=None),
+        retain_versions=8,
+    )
+    dim = KeyedTable(
+        spark, str(tmp_path / "d"),
+        TableSpec("pqd", record_key=("d_id",), precombine_key="s2",
+                  partition_granularity=None),
+        retain_versions=8,
+    )
+    fact.initial_load(spark.createDataFrame(
+        [(i, i % 6, 10 * i, 0) for i in range(40)],
+        "f_id long, fk long, amt long, s1 long",
+    ))
+    dim.initial_load(spark.createDataFrame(
+        [(d, f"g{d}", 0) for d in range(4)], "d_id long, gname string, s2 long"
+    ))
+    view = DeltaJoinMaterializedView(
+        fact, dim, str(tmp_path / "v"), on=("fk", "d_id"),
+        group_cols=["gname"], aggs={"n": "count(*)"}, how="left",
+    )
+    view.refresh()
+    fact.upsert(
+        spark.createDataFrame([(100, 9, 5, 1)], "f_id long, fk long, amt long, s1 long")
+        .withColumn("Op", F.lit("I"))
+    )
+    dim.upsert(
+        spark.createDataFrame([(4, "g4", 1)], "d_id long, gname string, s2 long")
+        .withColumn("Op", F.lit("I"))
+    )
+    cur = view.refreshed_versions()
+    new = (
+        (fact.versions() or [0])[-1],
+        (dim.versions() or [0])[-1],
+    )
+    dl = view._signed_changes(fact, cur[0], new[0]).localCheckpoint(eager=True)
+    dr = view._signed_changes(dim, cur[1], new[1]).localCheckpoint(eager=True)
+    terms = view._dangling_terms(dl, dr)
+    assert terms
+    saw_broadcast = False
+    for term in terms:
+        plan = term._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        saw_broadcast = saw_broadcast or "BroadcastHashJoin" in plan
+    assert saw_broadcast
