@@ -95,6 +95,7 @@ _Q_RE = re.compile(
     r"\s+ON\s+[\w.`$]+\s*=\s*[\w.`$]+)*)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<grp>.+?))?"
+    r"(?:\s+HAVING\s+(?P<hav>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?"
     r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
     r"\s*;?\s*$",
@@ -110,7 +111,7 @@ _JOIN_HOP_RE = re.compile(
 # Shapes the single-block regex could mis-slice or whose semantics the
 # store cannot serve — checked on the masked text before any parsing.
 _UNSUPPORTED_RE = re.compile(
-    r"\(\s*SELECT\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bHAVING\b"
+    r"\(\s*SELECT\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
     r"|\bOVER\s*\(|^\s*SELECT\s+DISTINCT\b|\bCROSS\s+JOIN\b"
     r"|\bFOR\s+VERSION\s+AS\s+OF\b",
     re.IGNORECASE,
@@ -507,8 +508,15 @@ def _match_one(
         )
         rebucketed = True
         fineness += _TRUNC_RANK[hit[2]]
+    having = _orig("hav")
     rollup = bool(
-        rebucketed or set(q_group_cols) != set(v_groups) or not q_group_cols
+        rebucketed
+        or set(q_group_cols) != set(v_groups)
+        or not q_group_cols
+        # HAVING is only valid over an aggregation — the projection
+        # form has none, so a HAVING query re-aggregates the store
+        # (group-by-full-set: same rows, one row per store group)
+        or having is not None
     )
     # store dtypes are pinned by the view DEFINITION (CREATE fails on a
     # bad body), so resolve them once — not one file listing per SELECT
@@ -533,6 +541,18 @@ def _match_one(
         _mask_string_literals(where), set(v_groups)
     ):
         return None
+    # HAVING may reference only the query's AGG ALIASES and group
+    # columns (both exist in the rewritten select; the base plan and
+    # DuckDB resolve alias-HAVING the same way) — a HAVING spelled
+    # over raw aggregate expressions would need expression surgery and
+    # declines instead
+    if having is not None and not (
+        q_group_cols
+        and _idents_ok(
+            _mask_string_literals(having), set(q_group_cols) | set(q_aggs)
+        )
+    ):
+        return None
     order = _orig("ord")
     if order is not None and not _idents_ok(
         _mask_string_literals(order), set(q_group_cols) | set(q_aggs)
@@ -546,6 +566,8 @@ def _match_one(
         out += f" WHERE {where}"
     if rollup and q_group_cols:
         out += f" GROUP BY {', '.join(group_terms)}"
+    if having is not None:
+        out += f" HAVING {having}"
     if order is not None:
         out += f" ORDER BY {order}"
     lim = m.group("lim")

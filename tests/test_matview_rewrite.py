@@ -281,6 +281,8 @@ def test_join_view_rollup_rewrite(spark, tmp_path):
 def test_unsupported_shapes_decline(spark, view):
     for sql in (
         "SELECT DISTINCT grp FROM rw_base",
+        # HAVING over a RAW aggregate expression (not an alias) needs
+        # expression surgery — declined
         "SELECT grp, sum(amount) AS t FROM rw_base GROUP BY grp "
         "HAVING sum(amount) > 0",
         "SELECT grp, sum(amount) AS t FROM "
@@ -290,6 +292,28 @@ def test_unsupported_shapes_decline(spark, view):
     ):
         run_query(spark, sql, tables={"rw_base": view})
         assert rewrite.LAST_SELECT_REWRITE is None, sql
+
+
+def test_having_on_alias_serves(spark, view):
+    # exact grouping + HAVING: forced to rollup mode (HAVING needs an
+    # aggregation), filtered post re-aggregation
+    _check(
+        spark,
+        view,
+        "SELECT grp, sub, sum(amount) AS total FROM rw_base "
+        "GROUP BY grp, sub HAVING total > 100 ORDER BY grp, sub",
+        "rw_v",
+        "rollup",
+    )
+    # subset grouping + HAVING on alias and group col
+    _check(
+        spark,
+        view,
+        "SELECT grp, count(*) AS n FROM rw_base "
+        "GROUP BY grp HAVING n > 5 AND grp LIKE 'g%'",
+        "rw_v",
+        "rollup",
+    )
 
 
 def test_group_only_select_is_distinct_groups(spark, view):
