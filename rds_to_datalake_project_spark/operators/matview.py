@@ -2027,8 +2027,23 @@ class ChainMaterializedView:
     Cost ∝ the changed keys' join neighborhoods, never any corpus.
     Recompute (not retraction) keeps arbitrary SQL aggregates correct.
     Idempotent replay: the cursor marker is written after the merge.
-    Inner joins only (a LEFT chain's NULL-group propagation is the
-    2-table class's how='left'); every table must be versioned.
+    Every table must be versioned.
+
+    ``hows`` (one per hop, default all ``"inner"``) admits ``"left"``
+    hops: unmatched owner rows survive with the hop's table NULLed —
+    dim-side group columns then carry a real NULL group, and a dim
+    appearing/vanishing moves facts between that group and its own.
+    Affected-fact discovery is unchanged (a dim change affects exactly
+    the facts whose join key equals the changed keys, matched or not),
+    and the LEFT ``_joined`` makes old∪new touched-group discovery see
+    NULL-group transitions. The one semantics-sensitive piece is SCAN
+    PRUNING: dropping a row from any table on a LEFT-reachable path
+    flips downstream rows into the NULL group instead of removing
+    them, so zone/fk pruning is disabled for every table whose path to
+    the fact crosses a LEFT hop (``_left_tainted``); inner-path tables
+    and the fact itself keep their pruning. NOTE: a LEFT hop followed
+    by an INNER hop THROUGH the nullable side re-drops the dangling
+    rows (SQL semantics — spell both hops LEFT for a nullable chain).
 
     ``tables``: [fact, dim1, dim2, ...] (KeyedTables, retain_versions
     > 0). ``on``: [(fk_of_T0, key_of_T1), (fk_of_T1, key_of_T2), ...]
@@ -2048,10 +2063,19 @@ class ChainMaterializedView:
         group_exprs: dict[str, str] | None = None,
         store_retain_versions: int = 0,
         store_hash_buckets: int = 0,
+        hows: list[str] | None = None,
     ):
         if len(tables) < 2 or len(on) != len(tables) - 1:
             raise ValueError(
                 "need >= 2 tables and exactly len(tables)-1 ON pairs"
+            )
+        self.hows = list(hows) if hows is not None else ["inner"] * len(on)
+        if len(self.hows) != len(on) or any(
+            h not in ("inner", "left") for h in self.hows
+        ):
+            raise ValueError(
+                "hows must give 'inner' or 'left' per ON pair, got "
+                f"{self.hows!r}"
             )
         for t in tables:
             if not t.retain_versions:
@@ -2092,6 +2116,16 @@ class ChainMaterializedView:
                     f"earlier table (found in {owners})"
                 )
             self._owner.append(owners[0])
+        # A table is LEFT-tainted when any hop on its path to the fact
+        # is LEFT: pruning a tainted table's rows would flip facts into
+        # the NULL group instead of excluding them, so tainted tables
+        # never zone/fk-prune their recompute scans (discovery pruning
+        # by the affected facts' own key neighborhoods stays lossless).
+        self._left_tainted = [False] * len(tables)
+        for j in range(len(self.on)):
+            self._left_tainted[j + 1] = (
+                self.hows[j] == "left" or self._left_tainted[self._owner[j]]
+            )
         self.spark: SparkSession = tables[0].spark
         self.path = path
         self.group_cols = list(group_cols)
@@ -2143,8 +2177,8 @@ class ChainMaterializedView:
 
     def _joined(self, frames: list[DataFrame]) -> DataFrame:
         out = frames[0]
-        for (fk, k), d in zip(self.on, frames[1:]):
-            out = out.join(d, out[fk] == d[k], "inner")
+        for (fk, k), d, how in zip(self.on, frames[1:], self.hows):
+            out = out.join(d, out[fk] == d[k], how)
         for c, e in self.group_exprs.items():
             out = out.withColumn(c, F.expr(e))
         return out
@@ -2221,12 +2255,26 @@ class ChainMaterializedView:
         return frame.join(F.broadcast(keys), cond, "left_semi")
 
     def _affected_facts(
-        self, frames: list[DataFrame], i: int, keys: DataFrame
+        self,
+        frames: list[DataFrame],
+        i: int,
+        keys: DataFrame,
+        win_vals: DataFrame | None = None,
     ) -> DataFrame:
         """Fact rows (frames[0]) whose join path reaches table i's
         changed keys, in the given state: propagate the key set down
         the chain with one semi-join per hop — the LEAF set is
-        broadcast, intermediate neighborhoods stay distributed."""
+        broadcast, intermediate neighborhoods stay distributed.
+
+        ``win_vals`` (the change WINDOW's join-value set for the hop
+        binding table i) augments the first hop: a row absent from
+        this state — a dim INSERT walked in the old state, a dim
+        DELETE walked in the new — still names the join values whose
+        facts changed membership. Inner chains never needed this
+        (facts at a matchless key contribute nothing), but under LEFT
+        hops those facts sit in the NULL group, and missing them here
+        leaves the NULL group un-recomputed (stale adoption/dangling).
+        Harmless superset for inner chains."""
         if i == 0:
             return self._key_semi(
                 frames[0], list(self.tables[0].spec.record_key), keys
@@ -2239,11 +2287,21 @@ class ChainMaterializedView:
             frames[i], list(self.tables[i].spec.record_key), keys
         )
         cur = i
+        first = True
         while cur != 0:
             j = cur - 1
             lcol, rcol = self.on[j]
             a = self._owner[j]
-            x = frames[a].join(x, frames[a][lcol] == x[rcol], "left_semi")
+            vals = x.select(F.col(rcol).alias("__pv"))
+            if first and win_vals is not None:
+                vals = vals.unionByName(
+                    win_vals.select(F.col(rcol).alias("__pv"))
+                )
+            vals = vals.distinct()
+            x = frames[a].join(
+                vals, frames[a][lcol] == vals["__pv"], "left_semi"
+            )
+            first = False
             cur = a
         return x
 
@@ -2267,13 +2325,17 @@ class ChainMaterializedView:
         return pruned
 
     def _touched_groups(
-        self, frames: list[DataFrame], changed: list[DataFrame | None]
+        self,
+        frames: list[DataFrame],
+        changed: list[DataFrame | None],
+        changed_vals: list[DataFrame | None] | None = None,
     ) -> DataFrame | None:
         affected = None
         for i, keys in enumerate(changed):
             if keys is None:
                 continue
-            s = self._affected_facts(frames, i, keys)
+            wv = changed_vals[i] if changed_vals is not None else None
+            s = self._affected_facts(frames, i, keys, win_vals=wv)
             affected = s if affected is None else affected.unionByName(s)
         if affected is None:
             return None
@@ -2352,12 +2414,27 @@ class ChainMaterializedView:
                 "base_version": sum(new),
                 "groups_refreshed": 0,
             }
+        # LEFT-tainted changed dims also propagate their change
+        # WINDOW's join values: rows absent from one state (inserts
+        # walked old, deletes walked new) still name the facts whose
+        # NULL-group membership flipped (_affected_facts docstring)
+        changed_vals: list[DataFrame | None] = [None] * len(self.tables)
+        for i in range(1, len(self.tables)):
+            if changed[i] is not None and self._left_tainted[i]:
+                rcol = self.on[i - 1][1]
+                changed_vals[i] = (
+                    self.tables[i]
+                    .table_changes(cur[i], new[i], include_preimage=True)
+                    .select(rcol)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
         now = [t.read() for t in self.tables]
         old = [
             t.read_as_of(cur[i]) for i, t in enumerate(self.tables)
         ]
-        tg_new = self._touched_groups(now, changed)
-        tg_old = self._touched_groups(old, changed)
+        tg_new = self._touched_groups(now, changed, changed_vals)
+        tg_old = self._touched_groups(old, changed, changed_vals)
         touched = tg_new if tg_old is None else tg_new.unionByName(tg_old)
         touched = touched.distinct().localCheckpoint(eager=True)
         n_touched = touched.count()
@@ -2380,15 +2457,26 @@ class ChainMaterializedView:
         buckets = _bucket_prunable(self.group_exprs)
         rec, pruned_direct = [], []
         for i, t in enumerate(self.tables):
-            pr = _zone_pruned_rows(
-                t,
-                touched,
-                [c for c in phys if c in now[i].columns],
-                bucket_cols=buckets,
+            # a LEFT-tainted table never prunes: dropping its rows
+            # would flip downstream facts into the NULL group instead
+            # of excluding them (class docstring)
+            pr = (
+                None
+                if self._left_tainted[i]
+                else _zone_pruned_rows(
+                    t,
+                    touched,
+                    [c for c in phys if c in now[i].columns],
+                    bucket_cols=buckets,
+                )
             )
             rec.append(pr if pr is not None else now[i])
             pruned_direct.append(pr is not None)
-        if not pruned_direct[0] and not self.group_exprs:
+        if (
+            not pruned_direct[0]
+            and not self.group_exprs
+            and not any(self._left_tainted)
+        ):
             fact_pr = self._fk_pruned_fact(now, touched, phys)
             if fact_pr is not None:
                 rec[0] = fact_pr

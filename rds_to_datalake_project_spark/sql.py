@@ -235,20 +235,21 @@ _CREATE_MV_RE = re.compile(
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# ≥2 inner JOINs → an N-table chain/star view (ChainMaterializedView);
-# a single JOIN keeps the 2-table class (which also offers LEFT).
+# ≥2 JOINs (inner or LEFT [OUTER]) → an N-table chain/star view
+# (ChainMaterializedView); a single JOIN keeps the 2-table class.
 _CREATE_MV_CHAIN_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_QNAME})"
     r"(?:\s+WITH\s+(?P<auto>AUTO\s+)?(?P<delta>DELTA\s+)?REFRESH"
     r"(?:\s+BUCKETS\s+(?P<buckets>\d+))?)?"
     rf"\s+AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_QNAME})"
-    rf"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+{_QNAME}"
+    rf"(?P<joins>(?:\s+(?:(?:INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+{_QNAME}"
     r"\s+ON\s+[\w.\"`]+\s*=\s*[\w.\"`]+){2,})"
     r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_CLAUSE_RE = re.compile(
-    rf"JOIN\s+({_QNAME})\s+ON\s+([\w.\"`]+)\s*=\s*([\w.\"`]+)",
+    rf"(?:(?P<how>INNER|LEFT(?:\s+OUTER)?)\s+)?"
+    rf"JOIN\s+(?P<tbl>{_QNAME})\s+ON\s+(?P<lc>[\w.\"`]+)\s*=\s*(?P<rc>[\w.\"`]+)",
     re.IGNORECASE,
 )
 # Loose pre-match for any multi-join CREATE MATERIALIZED VIEW — used
@@ -733,8 +734,13 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
     names = [base_name]
     cols_sofar = set(tables[0].read().columns)
     on: list[tuple[str, str]] = []
+    hows: list[str] = []
     for jm in _JOIN_CLAUSE_RE.finditer(m.group("joins")):
-        rname = _unquote_ident(jm.group(1))
+        hows.append(
+            "left" if (jm.group("how") or "").upper().startswith("LEFT")
+            else "inner"
+        )
+        rname = _unquote_ident(jm.group("tbl"))
         right = known.get(rname)
         if right is None:
             raise ValueError(
@@ -754,7 +760,7 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
                 return None, parts[0]
             raise ValueError(f"ON identifier {tok!r} is not [table.]column")
 
-        sides = [_side(jm.group(2)), _side(jm.group(3))]
+        sides = [_side(jm.group("lc")), _side(jm.group("rc"))]
 
         def _is_right(q, c):
             if q is not None:
@@ -793,21 +799,31 @@ def _create_chain_matview_statement(spark, m: re.Match, known: dict):
     safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
     # WITH DELTA REFRESH → inclusion–exclusion signed-delta chain
     # maintenance (invertible aggregates only — validated in __init__,
-    # failing the CREATE cleanly)
+    # failing the CREATE cleanly). The delta chain is inner-only: its
+    # inclusion–exclusion terms have no dangling corrections.
+    extra = {}
     if m.group("delta"):
         from rds_to_datalake_project_spark.operators.matview import (
             DeltaChainMaterializedView,
         )
 
+        if any(h == "left" for h in hows):
+            raise ValueError(
+                "LEFT joins are not supported with DELTA REFRESH in "
+                "N-table chains — use the recompute chain (drop DELTA) "
+                "or the 2-table delta form (single LEFT JOIN)"
+            )
         cls = DeltaChainMaterializedView
     else:
         cls = ChainMaterializedView
+        extra = {"hows": hows}
     mv = cls(
         tables,
         on=on,
         path=f"{tables[0].path}/.matviews/{safe}",
         group_cols=group_cols,
         aggs=aggs,
+        **extra,
         name=safe,
         group_exprs=group_exprs,
         store_hash_buckets=int(m.group("buckets") or 0),
@@ -946,10 +962,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     if _CREATE_MV_LOOSE_RE.match(sql) and table_bound:
         raise ValueError(
             "unsupported CREATE MATERIALIZED VIEW shape: N-table (>= 2 "
-            "JOIN) chains support INNER joins only — LEFT/RIGHT/FULL "
-            "chains are not maintainable by ChainMaterializedView. A "
-            "single LEFT JOIN is supported by the 2-table form "
-            "(... FROM a LEFT JOIN b ON ... GROUP BY ...)."
+            "JOIN) chains support INNER and LEFT [OUTER] joins only — "
+            "RIGHT/FULL chains are not maintainable by "
+            "ChainMaterializedView (spell a RIGHT join as LEFT from "
+            "the other side)."
         )
     # REFRESH/DROP MATERIALIZED VIEW is engine-only syntax (no native
     # Spark spelling — its REFRESH takes resource paths), so these
