@@ -641,6 +641,157 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+# --- LEFT-hop chain IVM ----------------------------------------------------------
+
+_LCH_ORD = TableSpec(
+    "lch_orders",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+_LCH_CUST = TableSpec(
+    "lch_cust",
+    record_key=("c_custkey",),
+    precombine_key="c_upd",
+    partition_granularity="",
+)
+_LCH_NAT = TableSpec(
+    "lch_nat",
+    record_key=("n_nationkey",),
+    precombine_key="n_upd",
+    partition_granularity="",
+)
+
+
+def left_chain_matview_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-hop chain IVM (operators/matview.py:
+    ChainMaterializedView(hows=['left','left'])): revenue per nation
+    over orders ⟕ customer ⟕ nation with a third of the customers and
+    a fifth of the nations absent at load — orders without a customer
+    land in the all-NULL group; customers without a nation keep their
+    orders under a NULL nation name. The window exercises every LEFT
+    transition at once: order deletes/reprices, NEW customers adopting
+    dangling orders, a customer delete re-dangling its orders, and a
+    nation appearing (orders two hops away leave the NULL-name group
+    though neither the order nor customer feed says so). Closed-form
+    LEFT-join oracle."""
+    return _lch_serve(spark, sf_dir, _lch_fixture(spark, sf_dir))
+
+
+def _lch_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.operators.matview import (
+        ChainMaterializedView,
+    )
+
+    root = _scratch("left_chain_mv")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 2 == 0)  # half-size fixture
+        .withColumn("update_at", F.lit("a"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("c_upd", F.lit("a"))
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("n_upd", F.lit("a"))
+    )
+    ot = KeyedTable(spark, f"{root}/o", _LCH_ORD, retain_versions=6)
+    ot.initial_load(orders)
+    ct = KeyedTable(spark, f"{root}/c", _LCH_CUST, retain_versions=6)
+    ct.initial_load(cust.filter(F.col("c_custkey") % 3 != 0))
+    nt = KeyedTable(spark, f"{root}/n", _LCH_NAT, retain_versions=6)
+    nt.initial_load(nat.filter(F.col("n_nationkey") % 5 != 0))
+    view = ChainMaterializedView(
+        [ot, ct, nt],
+        on=[("o_custkey", "c_custkey"), ("c_nationkey", "n_nationkey")],
+        path=f"{root}/v",
+        group_cols=["n_name"],
+        aggs={
+            "n": "count(*)",
+            "rev": "sum(CAST(o_totalprice AS DECIMAL(38,6)))",
+            "n_c": "count(c_custkey)",
+        },
+        hows=["left", "left"],
+    )
+    view.refresh()  # full
+    k = F.col("o_orderkey")
+    ot.upsert(
+        orders.filter(k % 10 == 2)
+        .withColumn("Op", F.lit("D"))
+        .unionByName(
+            orders.filter(k % 10 == 6)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+            .withColumn("Op", F.lit("U"))
+        )
+        .withColumn("update_at", F.lit("b")),
+        delete_mode="apply",
+    )
+    c = F.col("c_custkey")
+    ct.upsert(  # births adopting dangling orders
+        cust.filter((c % 3 == 0) & (c % 5 == 0))
+        .withColumn("Op", F.lit("I"))
+        .withColumn("c_upd", F.lit("b")),
+        delete_mode="apply",
+    )
+    ct.upsert(  # deaths re-dangling their orders (separate commit —
+        # an insert+delete of the same key in one batch ties on the
+        # precombine value)
+        cust.filter(c % 7 == 0)
+        .withColumn("Op", F.lit("D"))
+        .withColumn("c_upd", F.lit("c")),
+        delete_mode="apply",
+    )
+    nt.upsert(  # nation births: far-dim adoption two hops from orders
+        nat.filter(F.col("n_nationkey") % 5 == 0)
+        .withColumn("Op", F.lit("I"))
+        .withColumn("n_upd", F.lit("b")),
+        delete_mode="apply",
+    )
+    info = view.refresh()  # one window, all three feeds
+    assert info["mode"] == "incremental", info
+    return view
+
+
+def _lch_serve(spark: SparkSession, sf_dir: str, view) -> DataFrame:
+    return (
+        view.read()
+        .select(
+            "n_name",
+            "n",
+            F.col("rev").cast("double").alias("rev"),
+            "n_c",
+        )
+        .orderBy("n_name")
+    )
+
+
+LEFT_CHAIN_MV_SQL = """
+WITH ords AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2
+), cust AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE ((c_custkey % 3 <> 0) OR (c_custkey % 5 = 0))
+    AND c_custkey % 7 <> 0
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+       CAST(COUNT(c_custkey) AS BIGINT) AS n_c
+FROM ords
+LEFT JOIN cust ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
 # --- matview-backed SELECT rewriting (aggregate navigation) --------------------
 
 _RWQ_SPEC = TableSpec(
@@ -1909,6 +2060,7 @@ QUERIES = {
     "matview_rewrite_rollup": matview_rewrite_rollup,
     "left_delta_matview_revenue": left_delta_matview_revenue,
     "matview_rewrite_hierarchy": matview_rewrite_hierarchy,
+    "left_chain_matview_revenue": left_chain_matview_revenue,
 }
 
 ORACLES = {
@@ -1931,6 +2083,7 @@ ORACLES = {
     "matview_rewrite_rollup": MV_REWRITE_SQL,
     "left_delta_matview_revenue": LEFT_DELTA_JMV_SQL,
     "matview_rewrite_hierarchy": MV_REWRITE_HIER_SQL,
+    "left_chain_matview_revenue": LEFT_CHAIN_MV_SQL,
 }
 
 PHASES = {
@@ -1946,4 +2099,5 @@ PHASES = {
     "matview_rewrite_rollup": (_rwq_fixture, _rwq_serve),
     "left_delta_matview_revenue": (_ldj_fixture, _ldj_serve),
     "matview_rewrite_hierarchy": (_rwh_fixture, _rwh_serve),
+    "left_chain_matview_revenue": (_lch_fixture, _lch_serve),
 }
