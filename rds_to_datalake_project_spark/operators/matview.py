@@ -2450,9 +2450,9 @@ class ChainMaterializedView:
             return self._full(new)
         seq = sum(new)
         # Zone-prune each table's recompute scan by the physical group
-        # columns it owns (inner joins only, so pruning any table by
-        # its touched-group projections is lossless; the semi-join
-        # below stays exact either way).
+        # columns it owns (lossless on all-inner paths; LEFT-tainted
+        # tables are skipped below — the semi-join after the join
+        # keeps the result exact either way).
         phys = [c for c in self.group_cols if c not in self.group_exprs]
         buckets = _bucket_prunable(self.group_exprs)
         rec, pruned_direct = [], []
