@@ -741,11 +741,13 @@ def test_sql_facade_matview_rejects_bad_shapes(spark, tmp_path):
         MATVIEWS.clear()
 
 
-def test_sql_facade_chain_left_join_raises_targeted_error(spark, tmp_path):
-    """A LEFT JOIN inside a >=2-join CREATE MATERIALIZED VIEW matches
-    neither strict facade shape; it must raise a targeted
-    inner-joins-only error, never fall through to plain spark.sql's
-    confusing unresolved-table failure (r11 ADVICE / VERDICT #7)."""
+def test_sql_facade_chain_right_join_raises_targeted_error(spark, tmp_path):
+    """LEFT chains are supported since round 12 (ChainMaterializedView
+    hows — tests/test_chain_left_matview.py); a RIGHT/FULL join inside
+    a >=2-join CREATE MATERIALIZED VIEW still matches neither strict
+    facade shape and must raise the targeted loose-shape error, never
+    fall through to plain spark.sql's confusing unresolved-table
+    failure (r11 ADVICE / VERDICT #7)."""
     from rds_to_datalake_project_spark.operators.upsert import KeyedTable
     from rds_to_datalake_project_spark.schema import TableSpec
     from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
@@ -753,8 +755,8 @@ def test_sql_facade_chain_left_join_raises_targeted_error(spark, tmp_path):
     reg = {}
     for name, cols, rows in (
         ("cf", "id string, fk string, amount double, v int", [("a", "d1", 1.0, 1)]),
-        ("cd", "fk string, rk string, v int", [("d1", "r1", 1)]),
-        ("cr", "rk string, rname string, v int", [("r1", "west", 1)]),
+        ("cd", "dk string, rk string, v int", [("d1", "r1", 1)]),
+        ("cr", "rrk string, rname string, v int", [("r1", "west", 1)]),
     ):
         spec = TableSpec(name, record_key=(cols.split(" ")[0],),
                          precombine_key="v", partition_granularity=None)
@@ -762,12 +764,12 @@ def test_sql_facade_chain_left_join_raises_targeted_error(spark, tmp_path):
         t.initial_load(spark.createDataFrame(rows, cols))
         reg[name] = t
     try:
-        with pytest.raises(ValueError, match="INNER joins only"):
+        with pytest.raises(ValueError, match="RIGHT/FULL"):
             run_query(
                 spark,
                 "CREATE MATERIALIZED VIEW bad AS "
                 "SELECT rname, sum(amount) AS rev FROM cf "
-                "LEFT JOIN cd ON fk = fk JOIN cr ON rk = rk "
+                "RIGHT JOIN cd ON fk = dk JOIN cr ON rk = rrk "
                 "GROUP BY rname",
                 tables=reg,
             )
