@@ -115,6 +115,10 @@ HEADLINE = [
     # round-12 late: signed-delta LEFT-join IVM (dangling transitions
     # via match-count flips; one multi-commit both-feeds window)
     "left_delta_matview_revenue",
+    # round-12 third wave: workload-driven view advisor — build runs
+    # an unserved workload, RECOMMENDs, executes the DDL; serve is the
+    # workload query answered from the recommended view's store
+    "matview_advisor_loop",
     "image_ahash_neardups",
     "audio_hash_neardups",
     "rolling_anomaly_hours",

@@ -2040,8 +2040,120 @@ ORDER BY n.n_name
 """
 
 
+# --- workload-driven view advisor (advisor.py) ---------------------------------
+
+_ADVW_SPEC = TableSpec(
+    "advq_orders",
+    record_key=("o_orderkey",),
+    precombine_key="update_at",
+    partition_granularity="",
+)
+
+
+def matview_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-driven view advisor (advisor.py): three aggregate
+    SELECT shapes (one repeated) run against a lake table with no view
+    to serve them; RECOMMEND MATERIALIZED VIEWS must emit exactly one
+    delta-maintainable candidate whose group set is the UNION of the
+    shapes' group columns; executing its DDL verbatim makes the SAME
+    workload serve from the view store (the serve raises otherwise).
+    The output carries the re-run aggregate plus the recommendation's
+    deterministic metadata; the oracle states both in closed form."""
+    return _advw_serve(spark, sf_dir, _advw_fixture(spark, sf_dir))
+
+
+def _advw_fixture(spark: SparkSession, sf_dir: str):
+    from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
+
+    root = _scratch("mv_advisor")
+    init = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+        )
+        .filter(F.col("o_orderkey") % 2 == 0)  # half-size fixture
+        .withColumn("update_at", F.lit("a"))
+    )
+    t = KeyedTable(spark, f"{root}/t", _ADVW_SPEC, retain_versions=4)
+    t.initial_load(init)
+    t.register("advq_orders")  # unserved workload runs via spark.sql
+    tbl = {"advq_orders": t}
+    MATVIEWS.pop("rec_advq_orders_1", None)
+    run_query(spark, "RESET QUERY WORKLOAD", tables=tbl)
+    workload = [
+        "SELECT o_orderpriority, o_orderstatus, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev, count(*) AS cnt "
+        "FROM advq_orders GROUP BY o_orderpriority, o_orderstatus",
+        "SELECT o_orderpriority, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev, count(*) AS cnt "
+        "FROM advq_orders GROUP BY o_orderpriority",
+        "SELECT o_orderstatus, max(o_totalprice) AS hi "
+        "FROM advq_orders GROUP BY o_orderstatus",
+    ]
+    for q in workload + workload[1:2]:  # the per-priority shape twice
+        run_query(spark, q, tables=tbl)
+    recs = run_query(
+        spark, "RECOMMEND MATERIALIZED VIEWS", tables=tbl
+    ).collect()
+    ours = [r for r in recs if " FROM advq_orders " in r.ddl]
+    if len(ours) != 1:
+        raise RuntimeError(f"expected one recommendation, got {recs}")
+    run_query(spark, ours[0].ddl, tables=tbl)
+    return t, ours[0]
+
+
+def _advw_serve(spark: SparkSession, sf_dir: str, built) -> DataFrame:
+    from rds_to_datalake_project_spark import rewrite
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t, rec = built
+    out = run_query(
+        spark,
+        "SELECT o_orderpriority, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev, count(*) AS cnt "
+        "FROM advq_orders GROUP BY o_orderpriority",
+        tables={"advq_orders": t},
+    )
+    hit = rewrite.LAST_SELECT_REWRITE
+    if not hit or hit.get("view") != rec.view_name:
+        raise RuntimeError(
+            f"recommended view did not serve the workload query: {hit}"
+        )
+    return (
+        out.select(
+            "o_orderpriority",
+            F.col("rev").cast("double").alias("rev"),
+            "cnt",
+        )
+        .withColumn("rec_strategy", F.lit(rec.strategy))
+        .withColumn(
+            "rec_queries_served", F.lit(rec.queries_served).cast("long")
+        )
+        .withColumn(
+            "rec_shapes_served", F.lit(rec.shapes_served).cast("long")
+        )
+        .withColumn("rec_group_cols", F.lit(rec.group_cols))
+        .orderBy("o_orderpriority")
+    )
+
+
+MV_ADVISOR_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       'delta' AS rec_strategy,
+       CAST(4 AS BIGINT) AS rec_queries_served,
+       CAST(3 AS BIGINT) AS rec_shapes_served,
+       'o_orderpriority, o_orderstatus' AS rec_group_cols
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "fk_violation_counts": fk_violation_counts,
+    "matview_advisor_loop": matview_advisor_loop,
     "minmax_delta_matview_prices": minmax_delta_matview_prices,
     "delta_join_matview_nation_revenue": delta_join_matview_nation_revenue,
     "delta_chain_matview_region_revenue": delta_chain_matview_region_revenue,
@@ -2065,6 +2177,7 @@ QUERIES = {
 
 ORACLES = {
     "fk_violation_counts": FK_VIOLATIONS_SQL,
+    "matview_advisor_loop": MV_ADVISOR_SQL,
     "minmax_delta_matview_prices": MINMAX_MV_SQL,
     "delta_join_matview_nation_revenue": DELTA_JMV_SQL,
     "delta_chain_matview_region_revenue": DELTA_CHAIN_MV_SQL,
@@ -2088,6 +2201,7 @@ ORACLES = {
 
 PHASES = {
     "join_matview_nation_revenue": (_join_matview_fixture, _join_matview_serve),
+    "matview_advisor_loop": (_advw_fixture, _advw_serve),
     "minmax_delta_matview_prices": (_mmv_fixture, _mmv_serve),
     "delta_join_matview_nation_revenue": (_djv_fixture, _djv_serve),
     "delta_chain_matview_region_revenue": (_dcv_fixture, _dcv_serve),

@@ -389,21 +389,31 @@ def _map_agg(q_expr: str, meta: dict, store_dtypes: dict, rollup: bool):
     return None
 
 
-def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
+def try_rewrite(
+    spark: SparkSession, sql: str, observe: bool = True
+) -> DataFrame | None:
     """Attempt to serve ``sql`` from a fresh materialized view; returns
     the DataFrame on success, None to fall through to the normal plan.
     Never raises for unsupported shapes — unsupported means decline.
     When several views match, the cheapest serves: fewest group
     columns, then the COARSEST time bucket (a daily query prefers a
-    fresh daily view over re-bucketing the hourly one)."""
+    fresh daily view over re-bucketing the hourly one).
+
+    Aggregate-shaped statements (whether served or not) are reported
+    to the workload advisor (``advisor.observe``) so RECOMMEND
+    MATERIALIZED VIEWS can propose views for the misses; pass
+    ``observe=False`` for dry-run callers (EXPLAIN REWRITE) that must
+    not count as workload."""
     global LAST_SELECT_REWRITE
     LAST_SELECT_REWRITE = None
+    from rds_to_datalake_project_spark import advisor
     from rds_to_datalake_project_spark.sql import (
         MATVIEWS,
         _mask_string_literals,
     )
 
-    if not AUTO_REWRITE or not MATVIEWS:
+    capture = observe and advisor.CAPTURE
+    if not capture and (not AUTO_REWRITE or not MATVIEWS):
         return None
     masked = _mask_string_literals(sql)
     if _UNSUPPORTED_RE.search(masked):
@@ -427,6 +437,15 @@ def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
         return None
     if not q_aggs and _orig("grp") is None:
         return None  # row-level SELECT: the store has aggregated rows
+    shape_rec = (
+        advisor.observe(
+            q_from, _orig("from"), q_group_cols, q_group_exprs, q_aggs
+        )
+        if capture
+        else None
+    )
+    if not AUTO_REWRITE or not MATVIEWS:
+        return None
 
     plans = []
     for name, mv in MATVIEWS.items():
@@ -454,6 +473,8 @@ def try_rewrite(spark: SparkSession, sql: str) -> DataFrame | None:
         "sql": out_sql,
         "lag": best["lag"],
     }
+    if shape_rec is not None:
+        advisor.mark_served(shape_rec, best["view"])
     return df
 
 

@@ -281,6 +281,20 @@ _EXPLAIN_RW_RE = re.compile(
     r"^\s*EXPLAIN\s+REWRITE\s+(?P<q>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Workload-driven view advisor (advisor.py): RECOMMEND ranks CREATE
+# MATERIALIZED VIEW DDL for the session's unserved aggregate SELECTs;
+# SHOW/RESET expose and clear the captured shape table.
+_RECOMMEND_MV_RE = re.compile(
+    r"^\s*RECOMMEND\s+MATERIALIZED\s+VIEWS(?:\s+LIMIT\s+(?P<lim>\d+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_WORKLOAD_RE = re.compile(
+    r"^\s*SHOW\s+QUERY\s+WORKLOAD\s*;?\s*$", re.IGNORECASE
+)
+_RESET_WORKLOAD_RE = re.compile(
+    r"^\s*RESET\s+QUERY\s+WORKLOAD\s*;?\s*$", re.IGNORECASE
+)
 # Athena's UNLOAD shape (reference vendor/aws_athena.py:50-55 wraps
 # every query in exactly this): UNLOAD (<query>) TO '<path>' WITH
 # (format='parquet'|'csv'|'json'|'orc')
@@ -1068,7 +1082,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         # what store-side SQL (NULLs = base plan)
         from rds_to_datalake_project_spark import rewrite as _rw
 
-        df = _rw.try_rewrite(spark, m.group("q"))
+        df = _rw.try_rewrite(spark, m.group("q"), observe=False)
         hit = _rw.LAST_SELECT_REWRITE if df is not None else None
         return spark.createDataFrame(
             [
@@ -1081,6 +1095,57 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             ],
             "served_by string, mode string, rewritten_sql string, "
             "rewritten boolean",
+        )
+    m = _RECOMMEND_MV_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark import advisor
+
+        recs = advisor.recommend(
+            top=int(m.group("lim")) if m.group("lim") else None,
+            tables=known,
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    r["name"],
+                    r["strategy"],
+                    r["queries_served"],
+                    r["shapes_served"],
+                    ", ".join(r["group_cols"]),
+                    r["ddl"],
+                )
+                for r in recs
+            ],
+            "view_name string, strategy string, queries_served bigint, "
+            "shapes_served bigint, group_cols string, ddl string",
+        )
+    m = _SHOW_WORKLOAD_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark import advisor
+
+        return spark.createDataFrame(
+            [
+                (
+                    r["from_text"],
+                    ", ".join(c for c, _e, _n in r["group_terms"]),
+                    ", ".join(sorted(r["aggs"])),
+                    r["served_by"],
+                    r["hits"],
+                    r["served_hits"],
+                )
+                for r in advisor.workload()
+            ],
+            "from_clause string, group_by string, aggregates string, "
+            "served_by string, hits bigint, served_hits bigint",
+        )
+    m = _RESET_WORKLOAD_RE.match(sql)
+    if m:
+        from rds_to_datalake_project_spark import advisor
+
+        n = len(advisor.workload())
+        advisor.reset()
+        return spark.createDataFrame(
+            [(n, True)], "shapes_cleared bigint, reset boolean"
         )
     m = _MERGE_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("t")) in known:
