@@ -354,20 +354,32 @@ def recommend(
                 _term_id(col, norm) for col, _raw, norm in rec["group_terms"]
             ))
             c["exact"].setdefault(key, []).append(rec)
+    # candidate names: rec_<base table>_<n>, skipping ordinals already
+    # bound in MATVIEWS — an adopted recommendation keeps its name and
+    # later candidates for the same FROM get fresh ones (APPLY
+    # RECOMMENDATIONS never needs to replace an existing view)
+    from rds_to_datalake_project_spark.sql import MATVIEWS
+
     out: list[dict] = []
     n = 0
+
+    def _name(base: str) -> str:
+        nonlocal n
+        while True:
+            n += 1
+            cand = f"rec_{base}_{n}"
+            if cand not in MATVIEWS:
+                return cand
+
     for canon, c in clusters.items():
         base = _slug(canon.split("|", 1)[0])
         if c["rollup"]:
-            n += 1
             out.append(_candidate(
-                canon, c["from_text"], c["rollup"], f"rec_{base}_{n}",
-                tables,
+                canon, c["from_text"], c["rollup"], _name(base), tables
             ))
         for _key, shapes in c["exact"].items():
-            n += 1
             out.append(_candidate(
-                canon, c["from_text"], shapes, f"rec_{base}_{n}", tables
+                canon, c["from_text"], shapes, _name(base), tables
             ))
     out = [r for r in out if r["queries_served"] >= min_queries]
     out.sort(key=lambda r: -r["queries_served"])  # stable: ties first-seen

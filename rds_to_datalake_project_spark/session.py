@@ -71,7 +71,15 @@ def get_spark(
         # the UTC session, not TIMESTAMP_NTZ: NTZ breaks unix_micros &
         # friends, and UTC-instant semantics match the DuckDB oracle.
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-        # Local mode honors driver memory from env when present.
+        # Local mode = driver JVM is the only executor: PySpark's 1g
+        # driver-memory default GC-thrashes a multi-query session long
+        # before data size matters (heavy lifecycle rows measured 3-6x
+        # slower late in a bench run than standalone). Static conf —
+        # only effective when THIS factory launches the JVM; a driver-
+        # provided session keeps its own sizing.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        ),
         "spark.ui.enabled": "false",
     }
     if extra_conf:

@@ -289,6 +289,10 @@ _RECOMMEND_MV_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_APPLY_RECS_RE = re.compile(
+    r"^\s*APPLY\s+RECOMMENDATIONS(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_WORKLOAD_RE = re.compile(
     r"^\s*SHOW\s+QUERY\s+WORKLOAD\s*;?\s*$", re.IGNORECASE
 )
@@ -1118,6 +1122,29 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             ],
             "view_name string, strategy string, queries_served bigint, "
             "shapes_served bigint, group_cols string, ddl string",
+        )
+    m = _APPLY_RECS_RE.match(sql)
+    if m:
+        # the advisor's loop-closing verb: execute the ranked DDL.
+        # Name collisions with existing views are SKIPPED, never
+        # replaced — an operator who hand-tuned a view keeps it.
+        from rds_to_datalake_project_spark import advisor
+
+        recs = advisor.recommend(
+            top=int(m.group("lim")) if m.group("lim") else None,
+            tables=known,
+        )
+        applied = []
+        for r in recs:
+            if r["name"] in MATVIEWS:
+                applied.append((r["name"], r["strategy"], False, "exists"))
+                continue
+            run_query(spark, r["ddl"], tables=known)
+            applied.append((r["name"], r["strategy"], True, None))
+        return spark.createDataFrame(
+            applied,
+            "view_name string, strategy string, created boolean, "
+            "skipped_reason string",
         )
     m = _SHOW_WORKLOAD_RE.match(sql)
     if m:

@@ -257,6 +257,37 @@ def test_show_and_reset_workload(spark, tmp_path, clean_advisor):
     assert run_query(spark, "SHOW QUERY WORKLOAD", tables=tbl).count() == 0
 
 
+def test_apply_recommendations_closes_the_loop(spark, tmp_path, clean_advisor):
+    t = _mk(spark, tmp_path, "adv_ap")
+    tbl = {"adv_ap": t}
+    q = "SELECT f_grp, sum(f_amount) AS total FROM adv_ap GROUP BY f_grp"
+    run_query(spark, q, tables=tbl)
+    out = run_query(spark, "APPLY RECOMMENDATIONS", tables=tbl).collect()
+    assert len(out) == 1 and out[0].created and out[0].skipped_reason is None
+    name = out[0].view_name
+    try:
+        got = run_query(spark, q, tables=tbl)
+        hit = rewrite.LAST_SELECT_REWRITE
+        assert hit is not None and hit["view"] == name
+        want = _base_plan(spark, q, tbl)
+        assert got.dtypes == want.dtypes and _rows(got) == _rows(want)
+        # a second APPLY for a still-missed DIFFERENT shape must take a
+        # FRESH name (never replace the adopted view)
+        run_query(
+            spark,
+            "SELECT f_sub, min(f_amount) AS lo FROM adv_ap GROUP BY f_sub",
+            tables=tbl,
+        )
+        out2 = run_query(spark, "APPLY RECOMMENDATIONS", tables=tbl).collect()
+        assert len(out2) == 1 and out2[0].created
+        assert out2[0].view_name != name
+        run_query(
+            spark, f"DROP MATERIALIZED VIEW {out2[0].view_name}", tables=tbl
+        )
+    finally:
+        run_query(spark, f"DROP MATERIALIZED VIEW {name}", tables=tbl)
+
+
 def test_served_queries_counted_and_capture_switch(
     spark, tmp_path, clean_advisor
 ):
