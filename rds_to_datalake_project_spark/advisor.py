@@ -190,13 +190,13 @@ def _delta_capable(canon_from: str, agg_parses: list[tuple]) -> bool:
     """Would the facade's WITH DELTA REFRESH accept this view? Signed-
     delta classes exist for single tables, single joins (inner or
     LEFT), and inner-only chains; sum/count/avg/min/max and
-    count(DISTINCT) maintain incrementally, other DISTINCT forms do
+    count/sum(DISTINCT) maintain incrementally, avg(DISTINCT) does
     not."""
     hops = canon_from.count("|")
     if hops >= 2 and "|left:" in canon_from:
         return False
     for func, is_distinct, _inner in agg_parses:
-        if is_distinct and func != "count":
+        if is_distinct and func not in ("count", "sum"):
             return False
     return True
 
@@ -210,14 +210,11 @@ def _disjoint_columns(from_canon: str, tables: dict | None) -> bool:
     the constructor's own error if it doesn't hold."""
     if tables is None or "|" not in from_canon:
         return True
-    segs = from_canon.split("|")
-    names = [segs[0]] + [s.split(":")[1] for s in segs[1:]]
-    by_canon = {_slugless_unq(k): v for k, v in tables.items()}
+    cluster = _cluster_tables(from_canon, tables)
+    if cluster is None:
+        return True
     seen: set[str] = set()
-    for nm in names:
-        t = by_canon.get(nm)
-        if t is None:
-            return True
+    for t in cluster:
         cols = set(t.read().columns)
         if cols & seen:
             return False
@@ -229,6 +226,45 @@ def _slugless_unq(name: str) -> str:
     from rds_to_datalake_project_spark.rewrite import _unq
 
     return _unq(name)
+
+
+def _cluster_tables(from_canon: str, tables: dict | None) -> list | None:
+    """Resolve the canonical FROM's table names against the registered
+    tables; None when any is unknown (or no registry was given)."""
+    if tables is None:
+        return None
+    segs = from_canon.split("|")
+    names = [segs[0]] + [s.split(":")[1] for s in segs[1:]]
+    by_canon = {_slugless_unq(k): v for k, v in tables.items()}
+    out = []
+    for nm in names:
+        t = by_canon.get(nm)
+        if t is None:
+            return None
+        out.append(t)
+    return out
+
+
+def _scan_estimate(tables: list) -> tuple[int, int] | None:
+    """(files, bytes) a base-plan scan of the cluster's tables costs —
+    the price every unserved query pays that the recommended view
+    would not. Driver-side metadata walk of the CURRENT snapshot
+    (dot/underscore dirs — retired versions, sidecars, markers — are
+    not data); None for non-local paths."""
+    import os
+
+    files = size = 0
+    for t in tables:
+        path = getattr(t, "path", None)
+        if not path or "://" in str(path) or not os.path.isdir(path):
+            return None
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    size += os.path.getsize(os.path.join(root, n))
+    return files, size
 
 
 def _candidate(from_canon, from_text, shapes, name, tables=None):
@@ -299,6 +335,8 @@ def _candidate(from_canon, from_text, shapes, name, tables=None):
         and _disjoint_columns(from_canon, tables)
         else "recompute"
     )
+    cluster = _cluster_tables(from_canon, tables)
+    est = _scan_estimate(cluster) if cluster else None
     with_clause = (
         "WITH AUTO DELTA REFRESH" if strategy == "delta"
         else "WITH AUTO REFRESH"
@@ -314,6 +352,10 @@ def _candidate(from_canon, from_text, shapes, name, tables=None):
         "queries_served": sum(r["hits"] - r["served_hits"] for r in shapes),
         "shapes_served": len(shapes),
         "group_cols": grp_names,
+        # what every unserved query's base plan scans today — the
+        # saving the view buys per query (None when tables unknown)
+        "est_base_files": est[0] if est else None,
+        "est_base_bytes": est[1] if est else None,
         "ddl": ddl,
     }
 

@@ -929,22 +929,30 @@ def _parse_invertible_aggs(
     """``{out_col: (kind, inner_expr)}`` for aggregates a signed-delta
     maintainer can handle: sum/count/avg always, min/max only where
     the caller owns an extremum-repair path (``allow_extrema``), and
-    count(DISTINCT <expr>) only where the caller owns per-value
-    auxiliary state (``allow_distinct`` — kind ``count_distinct``)."""
+    count(DISTINCT <expr>) / sum(DISTINCT <expr>) only where the
+    caller owns per-value auxiliary state (``allow_distinct`` — kinds
+    ``count_distinct`` / ``sum_distinct``)."""
     import re as _re
 
     kinds = "sum|count|avg|min|max" if allow_extrema else "sum|count|avg"
     extra = " / min(<expr>) / max(<expr>)" if allow_extrema else ""
     if allow_distinct:
-        extra += " / count(DISTINCT <expr>)"
+        extra += (
+            " / count(DISTINCT <expr>) / sum(DISTINCT <expr>) — spell "
+            "avg(DISTINCT x) as sum(DISTINCT x) and count(DISTINCT x)"
+        )
     parsed: dict[str, tuple[str, str]] = {}
     for c, e in aggs.items():
         if allow_distinct:
             md = _re.match(
-                r"(?is)^\s*count\s*\(\s*distinct\s+(.+?)\s*\)\s*$", e
+                r"(?is)^\s*(count|sum)\s*\(\s*distinct\s+(.+?)\s*\)\s*$", e
             )
             if md:
-                parsed[c] = ("count_distinct", md.group(1).strip())
+                # both ride the per-(group, value) auxiliary store:
+                # ndv moves by the per-value 0↔positive transitions,
+                # the distinct sum by Σ value × transition
+                kind = f"{md.group(1).lower()}_distinct"
+                parsed[c] = (kind, md.group(2).strip())
                 continue
         m = _re.match(rf"(?is)^\s*({kinds})\s*\(\s*(.+?|\*)\s*\)\s*$", e)
         if not m or (
@@ -1046,6 +1054,15 @@ class _SignedDeltaMergeMixin:
                 aggs.append(
                     F.countDistinct(F.expr(inner)).cast("long").alias(c)
                 )
+            elif kind == "sum_distinct":
+                aggs.append(F.sum_distinct(F.expr(inner)).alias(c))
+                # hidden live-ndv: renders the sum NULL when the last
+                # distinct value dies (SQL: SUM over nothing is NULL)
+                aggs.append(
+                    F.countDistinct(F.expr(inner)).cast("long").alias(
+                        self._nn(c)
+                    )
+                )
             elif kind == "count":
                 aggs.append(F.count(F.expr(inner)).cast("long").alias(c))
             elif kind == "avg":
@@ -1068,7 +1085,7 @@ class _SignedDeltaMergeMixin:
     def _hidden_store_cols(self) -> list[str]:
         hidden = [_SEQ_COL, self._LIVE]
         for c, (k, _) in self._parsed.items():
-            if k in ("sum", "avg"):
+            if k in ("sum", "avg", "sum_distinct"):
                 hidden.append(self._nn(c))
             if k == "avg":
                 hidden.append(self._sm(c))
@@ -1085,10 +1102,11 @@ class _SignedDeltaMergeMixin:
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
                 dcols.append(F.sum(sign).cast("long").alias(f"__d_{c}"))
-            elif kind == "count_distinct":
-                continue  # ndv deltas come from the auxiliary-store
-                # merge (per-value 0↔positive transitions), not the
-                # window alone — the caller joins __d_<c> in afterwards
+            elif kind in ("count_distinct", "sum_distinct"):
+                continue  # ndv / distinct-sum deltas come from the
+                # auxiliary-store merge (per-value 0↔positive
+                # transitions), not the window alone — the caller
+                # joins __d_<c> (and __dnn_<c>) in afterwards
             elif kind == "count":
                 dcols.append(
                     F.sum(
@@ -1139,7 +1157,7 @@ class _SignedDeltaMergeMixin:
     ) -> None:
         self._aux: dict[str, KeyedTable] = {}
         for c, (kind, _) in self._parsed.items():
-            if kind != "count_distinct":
+            if kind not in ("count_distinct", "sum_distinct"):
                 continue
             # SIBLING directory, never inside the store root — the
             # store's initial_load (full rebuilds) wipes its directory
@@ -1247,11 +1265,26 @@ class _SignedDeltaMergeMixin:
                     ),
                 )
             )
-            transitions.append(
-                merged.groupBy(*self.group_cols).agg(
-                    F.sum("__tr").cast("long").alias(f"__d_{c}")
+            if self._parsed[c][0] == "sum_distinct":
+                # the distinct sum moves by Σ value × transition (a
+                # value entering the live set adds itself once, one
+                # leaving subtracts itself once — multiplicity changes
+                # in between move nothing); hidden live-ndv moves by
+                # the same transition sum count(DISTINCT) uses
+                transitions.append(
+                    merged.groupBy(*self.group_cols).agg(
+                        F.sum(F.col("__val") * F.col("__tr")).alias(
+                            f"__d_{c}"
+                        ),
+                        F.sum("__tr").cast("long").alias(f"__dnn_{c}"),
+                    )
                 )
-            )
+            else:
+                transitions.append(
+                    merged.groupBy(*self.group_cols).agg(
+                        F.sum("__tr").cast("long").alias(f"__d_{c}")
+                    )
+                )
         return batches, transitions
 
     def _apply_distinct_deltas(
@@ -1269,10 +1302,13 @@ class _SignedDeltaMergeMixin:
         if batches is None:
             return None
         for tr in transitions:
-            dcol = next(c for c in tr.columns if c.startswith("__d_"))
+            dcols = [
+                c for c in tr.columns
+                if c.startswith("__d_") or c.startswith("__dnn_")
+            ]
             t = tr.select(
                 *[F.col(c).alias(f"__t_{c}") for c in self.group_cols],
-                dcol,
+                *dcols,
             )
             cond = None
             for c in self.group_cols:
@@ -1282,11 +1318,18 @@ class _SignedDeltaMergeMixin:
                 *[f"__t_{c}" for c in self.group_cols]
             )
         # a column whose window values were all NULL (or fully netted)
-        # contributed no transitions frame — its ndv delta is zero,
-        # but the merge still reads __d_<c>
+        # contributed no transitions frame — its deltas are zero, but
+        # the merge still reads __d_<c> (and sum_distinct's __dnn_<c>)
         for c, (kind, _) in self._parsed.items():
             if kind == "count_distinct" and f"__d_{c}" not in delta.columns:
                 delta = delta.withColumn(f"__d_{c}", F.lit(0).cast("long"))
+            if kind == "sum_distinct":
+                if f"__d_{c}" not in delta.columns:
+                    delta = delta.withColumn(f"__d_{c}", F.lit(0))
+                if f"__dnn_{c}" not in delta.columns:
+                    delta = delta.withColumn(
+                        f"__dnn_{c}", F.lit(0).cast("long")
+                    )
         delta = delta.localCheckpoint(eager=True)
         self._set_pending("aux", seq)
         for aux, batch in batches:

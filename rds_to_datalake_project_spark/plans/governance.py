@@ -1830,10 +1830,11 @@ _CDV_SPEC = TableSpec(
 def distinct_delta_matview_custcount(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """count(DISTINCT) under signed-delta maintenance
+    """count(DISTINCT) + sum(DISTINCT) under signed-delta maintenance
     (operators/matview.py:DeltaMaterializedView with a per-(group,
-    value) auxiliary store): distinct customers per order priority,
-    maintained purely by the aux store's 0↔positive transition sums —
+    value) auxiliary store): distinct customers per order priority and
+    the sum of distinct customer keys, maintained purely by the aux
+    store's 0↔positive transition sums (value-weighted for the sum) —
     the refresh never re-reads the base and never recomputes a group.
     The window mixes value deaths (deleting %10=1 orders retires
     customers whose LAST order that was), duplicate-preserving deletes,
@@ -1864,6 +1865,7 @@ def _cdv_fixture(spark, sf_dir: str):
         {
             "n_orders": "count(*)",
             "n_custs": "count(DISTINCT o_custkey)",
+            "sum_custs": "sum(DISTINCT o_custkey)",
         },
     )
     view.refresh()  # full (builds the aux store too)
@@ -1886,7 +1888,7 @@ def _cdv_fixture(spark, sf_dir: str):
 def _cdv_serve(spark, sf_dir: str, view) -> DataFrame:
     return (
         view.read()
-        .select("o_orderpriority", "n_orders", "n_custs")
+        .select("o_orderpriority", "n_orders", "n_custs", "sum_custs")
         .orderBy("o_orderpriority")
     )
 
@@ -1905,7 +1907,8 @@ WITH init AS (
 )
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_custs
 FROM final
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

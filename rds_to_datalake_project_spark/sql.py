@@ -1116,12 +1116,15 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                     r["queries_served"],
                     r["shapes_served"],
                     ", ".join(r["group_cols"]),
+                    r["est_base_files"],
+                    r["est_base_bytes"],
                     r["ddl"],
                 )
                 for r in recs
             ],
             "view_name string, strategy string, queries_served bigint, "
-            "shapes_served bigint, group_cols string, ddl string",
+            "shapes_served bigint, group_cols string, "
+            "est_base_files bigint, est_base_bytes bigint, ddl string",
         )
     m = _APPLY_RECS_RE.match(sql)
     if m:

@@ -90,6 +90,8 @@ def test_observe_recommend_create_serve_loop(spark, tmp_path, clean_advisor):
     assert set(r.group_cols.split(", ")) == {"f_grp", "f_sub"}
     assert r.queries_served == 4 and r.shapes_served == 3
     assert r.strategy == "delta" and "WITH AUTO DELTA REFRESH" in r.ddl
+    # base-scan estimate: what every unserved query pays today
+    assert r.est_base_files >= 1 and r.est_base_bytes > 0
     # avg decomposition components materialize alongside the avg
     assert "sum(f_val)" in r.ddl and "count(f_val)" in r.ddl
     # the DDL is executable as-is, and the views then serve the
