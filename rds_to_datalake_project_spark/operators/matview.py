@@ -929,28 +929,27 @@ def _parse_invertible_aggs(
     """``{out_col: (kind, inner_expr)}`` for aggregates a signed-delta
     maintainer can handle: sum/count/avg always, min/max only where
     the caller owns an extremum-repair path (``allow_extrema``), and
-    count(DISTINCT <expr>) / sum(DISTINCT <expr>) only where the
-    caller owns per-value auxiliary state (``allow_distinct`` — kinds
-    ``count_distinct`` / ``sum_distinct``)."""
+    count/sum/avg(DISTINCT <expr>) only where the caller owns
+    per-value auxiliary state (``allow_distinct`` — kinds
+    ``count_distinct`` / ``sum_distinct`` / ``avg_distinct``)."""
     import re as _re
 
     kinds = "sum|count|avg|min|max" if allow_extrema else "sum|count|avg"
     extra = " / min(<expr>) / max(<expr>)" if allow_extrema else ""
     if allow_distinct:
-        extra += (
-            " / count(DISTINCT <expr>) / sum(DISTINCT <expr>) — spell "
-            "avg(DISTINCT x) as sum(DISTINCT x) and count(DISTINCT x)"
-        )
+        extra += " / count|sum|avg(DISTINCT <expr>)"
     parsed: dict[str, tuple[str, str]] = {}
     for c, e in aggs.items():
         if allow_distinct:
             md = _re.match(
-                r"(?is)^\s*(count|sum)\s*\(\s*distinct\s+(.+?)\s*\)\s*$", e
+                r"(?is)^\s*(count|sum|avg)\s*\(\s*distinct\s+(.+?)\s*\)\s*$",
+                e,
             )
             if md:
-                # both ride the per-(group, value) auxiliary store:
-                # ndv moves by the per-value 0↔positive transitions,
-                # the distinct sum by Σ value × transition
+                # all three ride the per-(group, value) auxiliary
+                # store: ndv moves by the per-value 0↔positive
+                # transitions, the distinct sum by Σ value ×
+                # transition, and avg = distinct sum / ndv
                 kind = f"{md.group(1).lower()}_distinct"
                 parsed[c] = (kind, md.group(2).strip())
                 continue
@@ -1063,6 +1062,14 @@ class _SignedDeltaMergeMixin:
                         self._nn(c)
                     )
                 )
+            elif kind == "avg_distinct":
+                aggs.append(F.expr(f"avg(DISTINCT {inner})").alias(c))
+                aggs.append(F.sum_distinct(F.expr(inner)).alias(self._sm(c)))
+                aggs.append(
+                    F.countDistinct(F.expr(inner)).cast("long").alias(
+                        self._nn(c)
+                    )
+                )
             elif kind == "count":
                 aggs.append(F.count(F.expr(inner)).cast("long").alias(c))
             elif kind == "avg":
@@ -1085,9 +1092,9 @@ class _SignedDeltaMergeMixin:
     def _hidden_store_cols(self) -> list[str]:
         hidden = [_SEQ_COL, self._LIVE]
         for c, (k, _) in self._parsed.items():
-            if k in ("sum", "avg", "sum_distinct"):
+            if k in ("sum", "avg", "sum_distinct", "avg_distinct"):
                 hidden.append(self._nn(c))
-            if k == "avg":
+            if k in ("avg", "avg_distinct"):
                 hidden.append(self._sm(c))
         return hidden
 
@@ -1102,11 +1109,11 @@ class _SignedDeltaMergeMixin:
         for c, (kind, inner) in self._parsed.items():
             if kind == "count" and inner == "*":
                 dcols.append(F.sum(sign).cast("long").alias(f"__d_{c}"))
-            elif kind in ("count_distinct", "sum_distinct"):
-                continue  # ndv / distinct-sum deltas come from the
-                # auxiliary-store merge (per-value 0↔positive
-                # transitions), not the window alone — the caller
-                # joins __d_<c> (and __dnn_<c>) in afterwards
+            elif kind in ("count_distinct", "sum_distinct", "avg_distinct"):
+                continue  # ndv / distinct-sum / distinct-avg deltas
+                # come from the auxiliary-store merge (per-value
+                # 0↔positive transitions), not the window alone — the
+                # caller joins __d_<c> (and __dnn_<c>) in afterwards
             elif kind == "count":
                 dcols.append(
                     F.sum(
@@ -1157,7 +1164,7 @@ class _SignedDeltaMergeMixin:
     ) -> None:
         self._aux: dict[str, KeyedTable] = {}
         for c, (kind, _) in self._parsed.items():
-            if kind not in ("count_distinct", "sum_distinct"):
+            if kind not in ("count_distinct", "sum_distinct", "avg_distinct"):
                 continue
             # SIBLING directory, never inside the store root — the
             # store's initial_load (full rebuilds) wipes its directory
@@ -1265,12 +1272,13 @@ class _SignedDeltaMergeMixin:
                     ),
                 )
             )
-            if self._parsed[c][0] == "sum_distinct":
+            if self._parsed[c][0] in ("sum_distinct", "avg_distinct"):
                 # the distinct sum moves by Σ value × transition (a
                 # value entering the live set adds itself once, one
                 # leaving subtracts itself once — multiplicity changes
                 # in between move nothing); hidden live-ndv moves by
-                # the same transition sum count(DISTINCT) uses
+                # the same transition sum count(DISTINCT) uses (and
+                # divides the sum for avg_distinct)
                 transitions.append(
                     merged.groupBy(*self.group_cols).agg(
                         F.sum(F.col("__val") * F.col("__tr")).alias(
@@ -1323,7 +1331,7 @@ class _SignedDeltaMergeMixin:
         for c, (kind, _) in self._parsed.items():
             if kind == "count_distinct" and f"__d_{c}" not in delta.columns:
                 delta = delta.withColumn(f"__d_{c}", F.lit(0).cast("long"))
-            if kind == "sum_distinct":
+            if kind in ("sum_distinct", "avg_distinct"):
                 if f"__d_{c}" not in delta.columns:
                     delta = delta.withColumn(f"__d_{c}", F.lit(0))
                 if f"__dnn_{c}" not in delta.columns:
@@ -1405,7 +1413,10 @@ class _SignedDeltaMergeMixin:
                 merged_cols.append(
                     (_z(_oc(c)) + _z(_dc(f"__d_{c}"))).cast(typ).alias(c)
                 )
-            elif kind == "avg":
+            elif kind in ("avg", "avg_distinct"):
+                # identical merges: avg's sum/count deltas come from
+                # the signed window, avg_distinct's from the auxiliary
+                # transitions — both land as __d_<c> / __dnn_<c>
                 styp = ref[self._sm(c)].dataType
                 nn = _z(_oc(self._nn(c))) + _z(_dc(f"__dnn_{c}"))
                 sm = (

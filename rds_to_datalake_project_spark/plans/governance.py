@@ -1866,6 +1866,7 @@ def _cdv_fixture(spark, sf_dir: str):
             "n_orders": "count(*)",
             "n_custs": "count(DISTINCT o_custkey)",
             "sum_custs": "sum(DISTINCT o_custkey)",
+            "avg_custs": "avg(DISTINCT o_custkey)",
         },
     )
     view.refresh()  # full (builds the aux store too)
@@ -1888,7 +1889,10 @@ def _cdv_fixture(spark, sf_dir: str):
 def _cdv_serve(spark, sf_dir: str, view) -> DataFrame:
     return (
         view.read()
-        .select("o_orderpriority", "n_orders", "n_custs", "sum_custs")
+        .select(
+            "o_orderpriority", "n_orders", "n_custs", "sum_custs",
+            "avg_custs",
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -1908,7 +1912,8 @@ WITH init AS (
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-       CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_custs
+       CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_custs,
+       CAST(AVG(DISTINCT o_custkey) AS DOUBLE) AS avg_custs
 FROM final
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -277,14 +277,13 @@ def test_sql_facade_chain_spelling(spark, tmp_path):
         MATVIEWS.pop("region_rev", None)
 
     # chain + DELTA is now a real class (DeltaChainMaterializedView)
-    # but still demands invertible aggregates — avg(DISTINCT) has no
-    # delta form anywhere (spell it sum(DISTINCT)/count(DISTINCT))
-    # and must fail the CREATE cleanly
+    # but still demands invertible aggregates — median() has no delta
+    # form anywhere and must fail the CREATE cleanly
     with pytest.raises(ValueError, match="invertible"):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW bad WITH DELTA REFRESH AS "
-            "SELECT rname, avg(DISTINCT amount) AS m FROM facts_t "
+            "SELECT rname, median(amount) AS m FROM facts_t "
             "JOIN dims_t ON f_dim = d_id JOIN regions_t ON d_reg = r_id "
             "GROUP BY rname",
             tables=reg,

@@ -224,7 +224,7 @@ def test_rejects_unknown_how_and_noninvertible(spark, tmp_path):
     with pytest.raises(ValueError, match="invertible"):
         DeltaJoinMaterializedView(
             fact, dim, str(tmp_path / "bad2"), on=("fk", "d_id"),
-            group_cols=["gname"], aggs={"m": "avg(DISTINCT amount)"},
+            group_cols=["gname"], aggs={"m": "median(amount)"},
         )
 
 

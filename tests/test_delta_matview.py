@@ -148,7 +148,7 @@ def test_rejects_non_invertible_aggregates(spark, tmp_path):
     t, _ = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="invertible"):
         DeltaMaterializedView(
-            t, str(tmp_path / "bad"), ["grp"], {"m": "avg(DISTINCT amount)"}
+            t, str(tmp_path / "bad"), ["grp"], {"m": "median(amount)"}
         )
 
 
@@ -210,7 +210,7 @@ def test_sql_facade_delta_refresh_spelling(spark, tmp_path):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW dbad WITH DELTA REFRESH AS "
-            "SELECT grp, avg(DISTINCT amount) AS m FROM facts_t GROUP BY grp",
+            "SELECT grp, median(amount) AS m FROM facts_t GROUP BY grp",
             tables=reg,
         )
 

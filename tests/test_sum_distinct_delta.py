@@ -24,6 +24,7 @@ from rds_to_datalake_project_spark.schema import TableSpec
 AGGS = {
     "sd": "sum(DISTINCT amount)",
     "nd": "count(DISTINCT amount)",
+    "ad": "avg(DISTINCT amount)",
     "total": "sum(amount)",
     "n": "count(*)",
 }
@@ -58,6 +59,7 @@ def _direct(t):
         .agg(
             F.sum_distinct(F.col("amount")).alias("sd"),
             F.countDistinct("amount").cast("long").alias("nd"),
+            F.expr("avg(DISTINCT amount)").alias("ad"),
             F.sum("amount").alias("total"),
             F.count("*").cast("long").alias("n"),
         )
@@ -68,7 +70,9 @@ def _direct(t):
 def _got(view):
     return {
         tuple(r)
-        for r in view.read().select("grp", "sd", "nd", "total", "n").collect()
+        for r in view.read()
+        .select("grp", "sd", "nd", "ad", "total", "n")
+        .collect()
     }
 
 
@@ -245,7 +249,8 @@ def test_facade_sum_distinct_and_avg_distinct_rejection(spark, tmp_path):
     run_query(
         spark,
         "CREATE MATERIALIZED VIEW sd_v WITH DELTA REFRESH AS "
-        "SELECT grp, sum(DISTINCT amount) AS sd FROM sdf_t GROUP BY grp",
+        "SELECT grp, sum(DISTINCT amount) AS sd, "
+        "avg(DISTINCT amount) AS ad FROM sdf_t GROUP BY grp",
         tables=reg,
     )
     try:
@@ -259,21 +264,25 @@ def test_facade_sum_distinct_and_avg_distinct_rejection(spark, tmp_path):
         got = {
             tuple(r)
             for r in run_query(spark, "SELECT * FROM sd_v", tables=reg)
-            .select("grp", "sd").collect()
+            .select("grp", "sd", "ad").collect()
         }
         want = {
             tuple(r)
             for r in t.read().groupBy("grp")
-            .agg(F.sum_distinct(F.col("amount")).alias("sd")).collect()
+            .agg(
+                F.sum_distinct(F.col("amount")).alias("sd"),
+                F.expr("avg(DISTINCT amount)").alias("ad"),
+            ).collect()
         }
         assert got == want
     finally:
         run_query(spark, "DROP MATERIALIZED VIEW sd_v", tables=reg)
+    # non-invertible aggregates still fail the CREATE cleanly
     with pytest.raises(ValueError, match="invertible"):
         run_query(
             spark,
             "CREATE MATERIALIZED VIEW sd_bad WITH DELTA REFRESH AS "
-            "SELECT grp, avg(DISTINCT amount) AS m FROM sdf_t GROUP BY grp",
+            "SELECT grp, median(amount) AS m FROM sdf_t GROUP BY grp",
             tables=reg,
         )
     MATVIEWS.pop("sd_bad", None)
