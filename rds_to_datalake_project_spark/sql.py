@@ -274,6 +274,9 @@ _DESCRIBE_MV_RE = re.compile(
 _DROP_MV_RE = re.compile(
     rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_MV_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
+)
 # EXPLAIN REWRITE <select>: report (without executing) whether the
 # aggregate-navigation pass would serve the SELECT from a view store,
 # and with what rewritten SQL. Plain EXPLAIN stays Spark's.
@@ -988,6 +991,46 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     # REFRESH/DROP MATERIALIZED VIEW is engine-only syntax (no native
     # Spark spelling — its REFRESH takes resource paths), so these
     # intercept unconditionally and an unknown name raises.
+    m = _SHOW_MV_RE.match(sql)
+    if m:
+        # fleet view of DESCRIBE: one row per registered view with its
+        # maintenance strategy and freshness lag (commits the cursor
+        # trails its bases by, summed; NULL = never refreshed / reset
+        # base / pending delta intent — the states the SELECT rewriter
+        # also refuses to serve). Metadata reads only.
+        from rds_to_datalake_project_spark import rewrite as _rw
+        from rds_to_datalake_project_spark.operators.matview import (
+            _SignedDeltaMergeMixin,
+        )
+
+        rows = []
+        for name, mv in MATVIEWS.items():
+            if hasattr(mv, "tables"):
+                tables = ",".join(t.spec.name for t in mv.tables)
+            elif hasattr(mv, "left"):
+                tables = f"{mv.left.spec.name},{mv.right.spec.name}"
+            else:
+                tables = mv.base.spec.name
+            is_delta = isinstance(mv, _SignedDeltaMergeMixin)
+            try:
+                lag = _rw._lag(mv)
+            except Exception:
+                lag = None  # base gone/unreadable: same NULL as stale
+            rows.append(
+                (
+                    name,
+                    type(mv).__name__,
+                    "delta" if is_delta else "recompute",
+                    tables,
+                    ",".join(mv.group_cols),
+                    lag,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "view_name string, view_class string, strategy string, "
+            "base_tables string, group_cols string, lag_commits bigint",
+        )
     m = _DESCRIBE_MV_RE.match(sql)
     if m:
         # ops introspection: view class, maintenance strategy, base

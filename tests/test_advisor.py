@@ -290,6 +290,46 @@ def test_apply_recommendations_closes_the_loop(spark, tmp_path, clean_advisor):
         run_query(spark, f"DROP MATERIALIZED VIEW {name}", tables=tbl)
 
 
+def test_show_materialized_views_listing(spark, tmp_path, clean_advisor):
+    from pyspark.sql import functions as SF
+
+    t = _mk(spark, tmp_path, "adv_sh")
+    tbl = {"adv_sh": t}
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW shv WITH DELTA REFRESH AS "
+        "SELECT f_grp, sum(f_amount) AS total FROM adv_sh GROUP BY f_grp",
+        tables=tbl,
+    )
+    try:
+        rows = {
+            r.view_name: r
+            for r in run_query(
+                spark, "SHOW MATERIALIZED VIEWS", tables=tbl
+            ).collect()
+        }
+        r = rows["shv"]
+        assert r.strategy == "delta" and r.lag_commits == 0
+        assert r.base_tables == "adv_sh" and "f_grp" in r.group_cols
+        # a base commit the view has not folded in yet shows as lag
+        t.upsert(
+            spark.createDataFrame(
+                [(999, 0, "g0", "s0", 5, 0.0, 1)],
+                "f_id long, f_k long, f_grp string, f_sub string, "
+                "f_amount long, f_val double, f_seq long",
+            ).withColumn("f_ts", SF.expr("timestamp'2024-02-01 00:00:00'"))
+        )
+        rows = {
+            r.view_name: r
+            for r in run_query(
+                spark, "SHOW MATERIALIZED VIEWS", tables=tbl
+            ).collect()
+        }
+        assert rows["shv"].lag_commits == 1
+    finally:
+        run_query(spark, "DROP MATERIALIZED VIEW shv", tables=tbl)
+
+
 def test_served_queries_counted_and_capture_switch(
     spark, tmp_path, clean_advisor
 ):
