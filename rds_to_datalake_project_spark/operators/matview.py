@@ -1163,23 +1163,33 @@ class _SignedDeltaMergeMixin:
         self, path: str, name: str, group_cols: list, store_hash_buckets: int
     ) -> None:
         self._aux: dict[str, KeyedTable] = {}
-        for c, (kind, _) in self._parsed.items():
+        # DISTINCT aggregates over the SAME inner expression share one
+        # aux store (count/sum/avg(DISTINCT x) need identical
+        # per-(group, value) contributor counts) — the directory takes
+        # the first such column's name
+        by_expr: dict[str, KeyedTable] = {}
+        for c, (kind, inner) in self._parsed.items():
             if kind not in ("count_distinct", "sum_distinct", "avg_distinct"):
                 continue
-            # SIBLING directory, never inside the store root — the
-            # store's initial_load (full rebuilds) wipes its directory
-            self._aux[c] = KeyedTable(
-                self.spark,
-                f"{path}_aux/{c}",
-                TableSpec(
-                    f"{name}_aux_{c}",
-                    record_key=tuple(group_cols) + ("__val",),
-                    precombine_key=_SEQ_COL,
-                    partition_granularity="",
-                    hash_buckets=store_hash_buckets
-                    or self._AUX_DEFAULT_BUCKETS,
-                ),
-            )
+            ek = " ".join(inner.split()).lower()
+            aux = by_expr.get(ek)
+            if aux is None:
+                # SIBLING directory, never inside the store root — the
+                # store's initial_load (full rebuilds) wipes its
+                # directory
+                aux = by_expr[ek] = KeyedTable(
+                    self.spark,
+                    f"{path}_aux/{c}",
+                    TableSpec(
+                        f"{name}_aux_{c}",
+                        record_key=tuple(group_cols) + ("__val",),
+                        precombine_key=_SEQ_COL,
+                        partition_granularity="",
+                        hash_buckets=store_hash_buckets
+                        or self._AUX_DEFAULT_BUCKETS,
+                    ),
+                )
+            self._aux[c] = aux
 
     def _aux_snapshot(self, c: str, rows: DataFrame, seq: int) -> DataFrame:
         """Per-(group, value) live contributor counts from a
@@ -1200,7 +1210,11 @@ class _SignedDeltaMergeMixin:
         both (initial_load overwrites — idempotent replay)."""
         if not getattr(self, "_aux", None):
             return
+        done: set[int] = set()
         for c, aux in self._aux.items():
+            if id(aux) in done:  # shared store: one rebuild per expr
+                continue
+            done.add(id(aux))
             aux.initial_load(self._aux_snapshot(c, rows, seq))
 
     def _distinct_transitions(
@@ -1214,8 +1228,13 @@ class _SignedDeltaMergeMixin:
         merge mirrors _merge_and_publish's store-pruned broadcast
         shape on the (group, value) key."""
         batches, transitions = [], []
+        # columns sharing an aux store (same DISTINCT inner expr) ride
+        # ONE merge and one transitions groupBy
+        shared: dict[int, tuple[KeyedTable, list[str]]] = {}
         for c, aux in self._aux.items():
-            inner = self._parsed[c][1]
+            shared.setdefault(id(aux), (aux, []))[1].append(c)
+        for aux, cols in shared.values():
+            inner = self._parsed[cols[0]][1]
             keyc = [*self.group_cols, "__val"]
             vals = (
                 ch.filter(F.expr(inner).isNotNull())
@@ -1272,27 +1291,30 @@ class _SignedDeltaMergeMixin:
                     ),
                 )
             )
-            if self._parsed[c][0] in ("sum_distinct", "avg_distinct"):
-                # the distinct sum moves by Σ value × transition (a
-                # value entering the live set adds itself once, one
-                # leaving subtracts itself once — multiplicity changes
-                # in between move nothing); hidden live-ndv moves by
-                # the same transition sum count(DISTINCT) uses (and
-                # divides the sum for avg_distinct)
-                transitions.append(
-                    merged.groupBy(*self.group_cols).agg(
-                        F.sum(F.col("__val") * F.col("__tr")).alias(
-                            f"__d_{c}"
-                        ),
-                        F.sum("__tr").cast("long").alias(f"__dnn_{c}"),
-                    )
-                )
-            else:
-                transitions.append(
-                    merged.groupBy(*self.group_cols).agg(
+            # one transitions groupBy carries every column riding this
+            # store: ndv moves by Σ transitions; the distinct sum (and
+            # avg's hidden sum) by Σ value × transition — a value
+            # entering the live set adds itself once, one leaving
+            # subtracts itself once, multiplicity changes in between
+            # move nothing
+            tr_aggs = []
+            for c in cols:
+                if self._parsed[c][0] == "count_distinct":
+                    tr_aggs.append(
                         F.sum("__tr").cast("long").alias(f"__d_{c}")
                     )
-                )
+                else:  # sum_distinct / avg_distinct
+                    tr_aggs.append(
+                        F.sum(F.col("__val") * F.col("__tr")).alias(
+                            f"__d_{c}"
+                        )
+                    )
+                    tr_aggs.append(
+                        F.sum("__tr").cast("long").alias(f"__dnn_{c}")
+                    )
+            transitions.append(
+                merged.groupBy(*self.group_cols).agg(*tr_aggs)
+            )
         return batches, transitions
 
     def _apply_distinct_deltas(
