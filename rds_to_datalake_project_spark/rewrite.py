@@ -360,6 +360,29 @@ def _idents_ok(text: str, allowed: set[str]) -> bool:
     return True
 
 
+def _group_term_for(inner_norm: str, meta: dict) -> str | None:
+    """Store-side spelling of an expression that IS one of the view's
+    group keys (bare column, derived expression, or a date_trunc the
+    view's finer bucket re-truncates to) — or None."""
+    for g in meta["group_cols"]:
+        ve = meta["group_exprs"].get(g)
+        if ve is None:
+            if inner_norm == g:
+                return g
+        elif ve == inner_norm:
+            return g
+    qt = _parse_trunc(inner_norm)
+    if qt is not None:
+        for g in meta["group_cols"]:
+            ve = meta["group_exprs"].get(g)
+            vt = _parse_trunc(ve) if ve else None
+            if vt and vt[1] == qt[1] and (
+                qt[0] == vt[0] or qt[0] in _TRUNC_COARSER[vt[0]]
+            ):
+                return g if qt[0] == vt[0] else f"date_trunc('{qt[0]}', {g})"
+    return None
+
+
 def _map_agg(q_expr: str, meta: dict, store_dtypes: dict, rollup: bool):
     """Map one query aggregate onto the view store; returns the SQL
     expression over store columns, or None (not derivable)."""
@@ -375,6 +398,16 @@ def _map_agg(q_expr: str, meta: dict, store_dtypes: dict, rollup: bool):
             return f"{func}({exact})"
         if not is_distinct and func == "count":
             return f"sum({exact})"
+    # DISTINCT over a view GROUP KEY: the store preserves the distinct
+    # value set per rolled-up group (one row per full group tuple), so
+    # count/sum/avg(DISTINCT x) re-aggregate as themselves over the
+    # store column — NULL keys drop out of both sides identically
+    if rollup and outer is not None and outer[1] and outer[0] in (
+        "count", "sum", "avg"
+    ):
+        term = _group_term_for(_norm(outer[2]), meta)
+        if term is not None:
+            return f"{outer[0]}(DISTINCT {term})"
     # avg(x) → sum(sum_x)/sum(cnt_x): needs both components; DECIMAL
     # sums divide to a different scale than a base-side avg, so only
     # non-DECIMAL stores keep schema parity.
@@ -548,15 +581,30 @@ def _match_one(
         c if t == c else f"{t} AS {c}"
         for c, t in zip(q_group_cols, group_terms)
     ]
-    for alias, expr in q_aggs.items():
-        mapped = _map_agg(expr, meta, store_dtypes, rollup)
-        if mapped is None:
+    for _attempt in (0, 1):
+        agg_items, missing = [], False
+        for alias, expr in q_aggs.items():
+            mapped = _map_agg(expr, meta, store_dtypes, rollup)
+            if mapped is None:
+                missing = True
+                break
+            # SQL requires one row from a global aggregate even over
+            # an empty store; a rolled-up count must render 0 there,
+            # not NULL
+            if not q_group_cols and _norm(expr).startswith("count("):
+                mapped = f"coalesce({mapped}, 0)"
+            agg_items.append(f"{mapped} AS {alias}")
+        if not missing:
+            break
+        if rollup:
             return None
-        # SQL requires one row from a global aggregate even over an
-        # empty store; a rolled-up count must render 0 there, not NULL
-        if not q_group_cols and _norm(expr).startswith("count("):
-            mapped = f"coalesce({mapped}, 0)"
-        items.append(f"{mapped} AS {alias}")
+        # an aggregate only derivable by re-aggregation (e.g.
+        # count(DISTINCT <group key>) the view doesn't carry verbatim)
+        # upgrades an exact-grouping match to rollup mode — grouping
+        # by the full group set re-reads the same rows, one per store
+        # group, so the answer is unchanged
+        rollup = True
+    items.extend(agg_items)
     where = _orig("where")
     if where is not None and not _idents_ok(
         _mask_string_literals(where), set(v_groups)

@@ -565,3 +565,88 @@ def test_kill_switch(spark, view):
         assert rewrite.LAST_SELECT_REWRITE is None
     finally:
         rewrite.AUTO_REWRITE = True
+
+
+def test_distinct_over_group_key_serves_rollup(spark, view, tmp_path):
+    """count/sum/avg(DISTINCT x) where x IS a view group key: the
+    store preserves the distinct value set per rolled-up group, so the
+    aggregates re-apply over the store column — including the
+    projection→rollup upgrade when the grouping matches exactly but
+    the view doesn't carry the DISTINCT aggregate verbatim."""
+    t2 = _mk(spark, tmp_path, "rw_base_dk")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_vdk WITH AUTO REFRESH AS "
+        "SELECT grp, amount, count(*) AS n, sum(val) AS sv "
+        "FROM rw_base_dk GROUP BY grp, amount",
+        tables={"rw_base_dk": t2},
+    )
+    try:
+        _check(
+            spark,
+            t2,
+            "SELECT grp, count(DISTINCT amount) AS cda, "
+            "sum(DISTINCT amount) AS sda, avg(DISTINCT amount) AS ada "
+            "FROM rw_base_dk GROUP BY grp",
+            "rw_vdk",
+            "rollup",
+        )
+        # exact-group query with a DISTINCT agg the view lacks:
+        # upgraded to rollup over the full group set
+        _check(
+            spark,
+            t2,
+            "SELECT grp, amount, count(*) AS n, "
+            "count(DISTINCT amount) AS cda "
+            "FROM rw_base_dk GROUP BY grp, amount",
+            "rw_vdk",
+            "rollup",
+        )
+        # DISTINCT over a NON-group expression still declines
+        _check(
+            spark,
+            t2,
+            "SELECT grp, count(DISTINCT val) AS cdv "
+            "FROM rw_base_dk GROUP BY grp",
+            None,
+        )
+    finally:
+        MATVIEWS.pop("rw_vdk", None)
+
+
+def test_distinct_over_rebucketed_trunc_key(spark, tmp_path):
+    """count(DISTINCT date_trunc(day, ts)) served from an HOURLY view:
+    the day key re-truncates from the hour key before the DISTINCT."""
+    spec = TableSpec(
+        "rw_ts", record_key=("e_id",), precombine_key="seq",
+        partition_granularity=None,
+    )
+    t = KeyedTable(spark, str(tmp_path / "rw_ts"), spec, retain_versions=4)
+    rows = [
+        (i, f"2024-01-{(i % 5) + 1:02d} {i % 24:02d}:15:00", i % 3, 0)
+        for i in range(60)
+    ]
+    t.initial_load(
+        spark.createDataFrame(
+            rows, "e_id long, ts_s string, k long, seq long"
+        ).selectExpr("e_id", "cast(ts_s as timestamp) AS ts", "k", "seq")
+    )
+    t.register("rw_ts")
+    run_query(
+        spark,
+        "CREATE MATERIALIZED VIEW rw_vts WITH AUTO REFRESH AS "
+        "SELECT k, date_trunc('hour', ts) AS h, count(*) AS n "
+        "FROM rw_ts GROUP BY k, h",
+        tables={"rw_ts": t},
+    )
+    try:
+        _check(
+            spark,
+            t,
+            "SELECT k, count(DISTINCT date_trunc('day', ts)) AS days "
+            "FROM rw_ts GROUP BY k",
+            "rw_vts",
+            "rollup",
+        )
+    finally:
+        MATVIEWS.pop("rw_vts", None)
