@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "q5_region_revenue",
     "q14_promo_revenue",
     "top_customers_per_nation",

@@ -748,6 +748,42 @@ ORDER BY s_name
 """
 
 
+# --- Q6: forecasting revenue change (pure scan-predicate aggregate) --------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adapted to the testdata date range: one global
+    aggregate behind three conjunctive scan predicates. The entire
+    WHERE clause must reach the parquet reader as PushedFilters (it is
+    the canonical pushdown benchmark — no join, no shuffle beyond the
+    single partial→final agg), which test_plan_quality pins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
     order, top 20 by support. The pair space is generated by an
@@ -891,6 +927,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q11_important_part_value": q11_important_part_value,
     "q12_shipping_classes": q12_shipping_classes,
     "q15_top_supplier": q15_top_supplier,
@@ -912,6 +949,7 @@ ORACLES = {
     "event_transition_matrix": TRANSITION_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "q11_important_part_value": Q11_SQL,
     "q12_shipping_classes": Q12_SQL,
     "q15_top_supplier": Q15_SQL,

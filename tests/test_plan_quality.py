@@ -303,6 +303,25 @@ def test_new_tpch_shapes_stay_scale_safe(spark):
     assert "TakeOrderedAndProject" in q2._jdf.queryExecution().executedPlan().toString()
 
 
+def test_q6_all_predicates_pushed_scan_pruned(spark):
+    """Q6 is the canonical pushdown benchmark: every WHERE conjunct
+    must reach the parquet reader, and the scan must touch only the 4
+    referenced columns. The single SinglePartition exchange is the
+    1-row global-aggregate finalization (partial agg is map-side)."""
+    plan = _formatted_plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
+    cols = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert sorted(c.split(":")[0] for c in cols.split(",")) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+
+
 def test_tfidf_no_cartesian_and_topk_window(spark):
     """TF-IDF: the vocabulary frequency table joins back on term (an
     equi-join — never a cartesian), and per-document top-k is a window
