@@ -32,6 +32,10 @@ HEADLINE = [
     "dedup_latest_per_key",
     "partition_enrich",
     "cdc_upsert_roundtrip",
+    # round-12: two writers race disjoint CDC slices into one table
+    # through the optimistic commit protocol (build = threaded
+    # upserts incl. any conflict-retry merges; serve = table read)
+    "concurrent_upsert_convergence",
     "sessionize_events",
     "asof_user_state",
     "range_join_promo_windows",

@@ -25,7 +25,23 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.operators.upsert import (
+    CommitConflict,
+    KeyedTable,
+)
+
+
+def _commit_or_conflict(table: KeyedTable, staging: str, base_token) -> None:
+    """Commit a staged rewrite through the table's locked flag+publish
+    path; a lost race (an upsert landed while the rewrite ran) raises
+    CommitConflict — the rewrite read a superseded snapshot, and
+    nothing it could publish is safe. Re-running the compaction
+    against the new snapshot is the correct response."""
+    if not table._commit_staging(staging, base_token):
+        raise CommitConflict(
+            f"a commit landed on {table.path} while the rewrite ran; "
+            "re-run the compaction"
+        )
 
 
 def _live_bytes(table: "KeyedTable") -> int:
@@ -110,6 +126,11 @@ def compact_table(
     (local, HDFS, and object stores alike), skipping hidden trees.
     """
     table.recover()  # a crashed publish owns the next commit number
+    # Base token BEFORE the read: if an upsert commits while this
+    # rewrite is running, publishing the rewrite would drop that
+    # commit — _publish refuses (CommitConflict) and the caller
+    # re-runs the compaction against the new snapshot.
+    base_token = table.commit_token()
     df = table.read()
     n_files = plan_target_files(_live_bytes(table), target_file_bytes)
     if cluster_by is not None:
@@ -222,8 +243,7 @@ def compact_table(
     if table.partition_cols:
         writer = writer.partitionBy(*table.partition_cols)
     writer.parquet(staging)
-    table._write_ready_flag(staging)
-    table._publish(staging)
+    _commit_or_conflict(table, staging, base_token)
     return n_files
 
 
@@ -304,6 +324,7 @@ def compact_partitions(
 
     spark = table.spark
     table.recover()  # a crashed publish owns the next commit number
+    base_token = table.commit_token()  # see compact_table
     if not table.partition_cols:
         fs, root = table._fs(table.path)
         files = [
@@ -319,8 +340,7 @@ def compact_partitions(
             return []
         staging = f"{table.path}/.staging-{_uuid.uuid4().hex}"
         table.read().repartition(n_right).write.parquet(staging)
-        table._write_ready_flag(staging)
-        table._publish(staging)
+        _commit_or_conflict(table, staging, base_token)
         return [""]
 
     stats = _leaf_partition_stats(table)
@@ -370,8 +390,7 @@ def compact_partitions(
     ).drop("__bucket")
     staging = f"{table.path}/.staging-{_uuid.uuid4().hex}"
     staged.write.partitionBy(*table.partition_cols).parquet(staging)
-    table._write_ready_flag(staging)
-    table._publish(staging)
+    _commit_or_conflict(table, staging, base_token)
     return sorted(plan)
 
 

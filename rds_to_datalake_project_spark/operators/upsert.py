@@ -43,9 +43,12 @@ Physical strategy (scale-first):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
+import random
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +72,26 @@ _PRIORITY = "__src_priority"
 _BUCKET_COL = "bucket_id"
 _READY_FLAG = "_PUBLISH_READY"  # staged write complete; publish may proceed
 _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
+# Commit mutex + snapshot token live as ROOT-level dot-files (skipped
+# by Spark's file index, exists(), and every tree walker here), NOT
+# under .meta: unversioned tables carry a pinned no-.meta-debris
+# contract, and the concurrency protocol must cover them too.
+_LOCK_FILE = ".commit_lock"  # commit mutex (exclusive-create arbitration)
+_TOKEN_FILE = ".commit_token"  # opaque uuid, rewritten per commit
+_UNSET = object()  # "no base token recorded" (≠ None = "table was empty")
+
+
+class CommitConflict(RuntimeError):
+    """A staged merge was computed against a snapshot another writer
+    has since replaced — publishing it would silently drop that
+    writer's commit (lost update). Retryable: recompute the merge
+    from the current snapshot and publish again."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency retries exhausted (or the commit lock
+    could not be acquired within ``lock_timeout_s``). The batch was
+    NOT committed; re-running it is safe and expected."""
 
 
 class KeyedTable:
@@ -98,6 +121,10 @@ class KeyedTable:
         retain_versions: int = 0,
         changes_feed_dir: str | None = None,
         zonemap_columns: list[str] | None = None,
+        lock_timeout_s: float = 300.0,
+        lock_ttl_s: float = 900.0,
+        commit_retries: int = 3,
+        orphan_staging_grace_s: float = 0.0,
     ):
         self.spark = spark
         self.path = path
@@ -119,6 +146,23 @@ class KeyedTable:
         # The most recent commit's post-commit service failures (see
         # _run_maintenance) — [] after a clean run.
         self.last_maintenance_errors: list[dict] = []
+        # Multi-writer safety (optimistic concurrency; see
+        # _commit_lock / commit_token): how long a writer waits for
+        # the commit mutex, past what age an abandoned lock may be
+        # broken (must exceed the longest plausible publish critical
+        # section — metadata renames + changes-feed append, seconds in
+        # practice), and how many times upsert() recomputes its merge
+        # after losing a race before raising ConcurrentWriteError.
+        self.lock_timeout_s = lock_timeout_s
+        self.lock_ttl_s = lock_ttl_s
+        self.commit_retries = commit_retries
+        # 0 = single-writer recovery semantics (un-flagged stagings
+        # are dead output, discarded immediately). With concurrent
+        # writers, set ≥ the longest plausible merge+stage duration:
+        # recover() then leaves young un-flagged stagings alone (they
+        # may be a live peer's in-progress write).
+        self.orphan_staging_grace_s = orphan_staging_grace_s
+        self._commit_lock_held = False
         self._fs_handle = None
         if spec.hash_buckets and spec.partition_granularity:
             raise ValueError(
@@ -367,6 +411,13 @@ class KeyedTable:
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
         self._bump_seq()
+        # Fresh commit token per incarnation: any merge staged against
+        # the PREVIOUS incarnation (including the token-less legacy
+        # state — None would compare equal to the post-reset None
+        # otherwise) conflicts at publish instead of overwriting the
+        # reload. Root-level dot-file, so unversioned tables keep
+        # their no-.meta contract.
+        self._write_commit_token()
         # A zero-row load of a PARTITIONED/bucketed table writes no
         # data files (partitionBy of nothing), leaving the path
         # schema-less — persist the written schema so read() can stay
@@ -442,6 +493,26 @@ class KeyedTable:
         # Pre-dedup the batch: keeps merge input minimal (incremental.py:172-183).
         batch = self._dedup(batch)
 
+        # Optimistic concurrency: record the commit token, compute the
+        # merge against the snapshot it names, and let _publish refuse
+        # the swap if another writer committed in between. The merge
+        # (the expensive part) runs outside any lock; a lost race
+        # recomputes it from the fresh snapshot — bounded by
+        # commit_retries, then ConcurrentWriteError (batch not
+        # committed, re-run safe).
+        attempts = 1 + max(0, self.commit_retries)
+        for _attempt in range(attempts):
+            if self._upsert_once(batch, delete_mode):
+                return
+        raise ConcurrentWriteError(
+            f"upsert on {self.path} lost the commit race {attempts} "
+            "times — the table is under heavy concurrent write; "
+            "re-run the batch (nothing was committed)"
+        )
+
+    def _upsert_once(self, batch: DataFrame, delete_mode: str) -> bool:
+        """One merge-stage-publish attempt; False = lost the race."""
+        base_token = self.commit_token()
         existing = self.read()
         touched: list[tuple] = []
         if self.partition_cols:
@@ -458,7 +529,7 @@ class KeyedTable:
                 .collect()
             )
             if not rows:
-                return
+                return True  # empty batch — nothing to commit
             touched = [tuple(r[c] for c in self.partition_cols) for r in rows]
             # Single IN predicate on a synthesized partition key: the
             # expression references only partition columns, so Catalyst
@@ -510,38 +581,90 @@ class KeyedTable:
         # is a dead half-written job output (safe to discard); staging
         # WITH it is a committed merge that recover() must publish.
         self._fault("staged_written")
-        self._write_ready_flag(staging)
-        self._fault("flag_created")
-        # The staged output is the canonical merged result from here
-        # on. It is deleted only after a fully successful publish — on
-        # any failure it survives for recover() to finish the job.
-        self._publish(staging)
+        return self._commit_staging(staging, base_token)
+
+    def _commit_staging(self, staging: str, base_token) -> bool:
+        """Flag + conflict-check + publish as ONE lock-held critical
+        section; False = lost the commit race (staging discarded).
+
+        The ready flag is written INSIDE the mutex so a flagged
+        staging is only ever visible to other lock holders after this
+        writer finished or died — recover() (which also takes the
+        mutex) can then never publish or discard an IN-FLIGHT peer's
+        merge. A flagged staging from a crash survives for recover():
+        same-snapshot → published to the end, superseded → discarded.
+        Writing the flag under the mutex also makes the commit-number
+        assignment race-free (two writers can no longer both read
+        versions()[-1] before either publishes)."""
+        with self._commit_lock():
+            if self.commit_token() != base_token:
+                self._fs_delete(staging)
+                return False
+            self._write_ready_flag(staging, base_token=base_token)
+            self._fault("flag_created")
+            self._publish_under_lock(staging)
+        self._run_maintenance()
+        return True
 
     def recover(self) -> bool:
         """Complete (or discard) interrupted upsert publishes.
 
-        Publish-ready staging dirs are published to the end; staging
-        dirs without the ready flag (the writing job died) are
-        discarded — the live tree was never touched for those. Runs
-        automatically at the start of every upsert. Returns True if
-        anything was repaired.
+        Publish-ready staging dirs are published to the end when their
+        recorded snapshot is still current, DISCARDED when a later
+        commit superseded them (the crashed writer's merge would
+        overwrite it; the batch was never acknowledged, so upstream
+        replay re-merges it). Staging dirs without the ready flag are
+        dead half-written job output — discarded once older than
+        ``orphan_staging_grace_s`` (default 0 = immediately, the
+        single-writer semantics; concurrent-writer deployments set a
+        grace ≥ the longest merge so a peer's in-progress staged
+        write is never yanked from under it — flagged stagings need
+        no grace because the flag is only ever written under the
+        commit mutex this scan also holds). Runs automatically at the
+        start of every upsert. Returns True if anything was repaired.
         """
         fs, root = self._fs(self.path)
         if not fs.exists(root):
             return False
+
+        def stagings():
+            return [
+                st
+                for st in sorted(
+                    fs.listStatus(root), key=lambda s: s.getPath().getName()
+                )
+                if st.getPath().getName().startswith(".staging-")
+            ]
+
         repaired = False
-        for st in sorted(
-            fs.listStatus(root), key=lambda s: s.getPath().getName()
-        ):
-            name = st.getPath().getName()
-            if not name.startswith(".staging-"):
-                continue
-            staging = f"{self.path}/{name}"
-            if fs.exists(self._fs(f"{staging}/{_READY_FLAG}")[1]):
-                self._publish(staging)
-            else:
-                self._fs_delete(staging)
-            repaired = True
+        if stagings():  # lock only when there is work to examine
+            with self._commit_lock():
+                for st in stagings():
+                    name = st.getPath().getName()
+                    staging = f"{self.path}/{name}"
+                    if fs.exists(self._fs(f"{staging}/{_READY_FLAG}")[1]):
+                        meta = self._flag_meta(f"{staging}/{_READY_FLAG}")
+                        if "base_token" in meta and (
+                            (meta["base_token"] or None) != self.commit_token()
+                        ):
+                            _LOG.warning(
+                                "discarding stale staged merge %s (computed "
+                                "against a superseded snapshot)",
+                                staging,
+                            )
+                            self._fs_delete(staging)
+                        else:
+                            self._publish_under_lock(staging)
+                    else:
+                        age_ms = (
+                            time.time() * 1000 - st.getModificationTime()
+                        )
+                        if age_ms < self.orphan_staging_grace_s * 1000:
+                            continue  # presumed in-flight peer write
+                        self._fs_delete(staging)
+                    repaired = True
+        if repaired:
+            self._run_maintenance()
         repaired = self._rollback_uncommitted_drops() or repaired
         return repaired
 
@@ -586,7 +709,7 @@ class KeyedTable:
             rolled = True
         return rolled
 
-    def _publish(self, staging: str) -> None:
+    def _publish_under_lock(self, staging: str) -> None:
         """Swap a publish-ready staging dir into the live tree.
 
         Idempotent and resumable: each partition swap renames the live
@@ -594,6 +717,14 @@ class KeyedTable:
         re-running after a crash at any point completes the remainder
         (already-published partitions are simply no longer in staging).
         Staging is deleted only after every swap succeeded.
+
+        Caller holds the commit mutex and has already validated the
+        staging against the committed snapshot (_commit_staging for
+        live writers, recover() for crash repair). Post-commit
+        maintenance is the CALLER's job, outside the mutex: it is
+        advisory, and matview auto-refresh hooks can be arbitrarily
+        expensive — the serialized section stays metadata renames +
+        the changes-feed append.
         """
         # State token FIRST — before any swap becomes visible — so a
         # zone-map manifest stamped with the PREVIOUS token can never
@@ -643,6 +774,12 @@ class KeyedTable:
             fs.delete(rec_p, True)  # re-entry leftovers
             self._rename(fs, self._fs(f"{staging}/{_READY_FLAG}")[1], rec_p)
             self._fault("meta_committed")
+        # Advance the commit token: from here on, any staged merge
+        # recorded against the previous snapshot is refused. A crash
+        # BEFORE this line leaves the old token, so recover() simply
+        # finishes this publish (idempotent swaps); a crash AFTER it
+        # leaves a consumed staging that recover() discards.
+        self._write_commit_token()
         self._fs_delete(staging)
         self._fault("staging_deleted")
         self._sweep_asides(version)
@@ -658,11 +795,6 @@ class KeyedTable:
             # publish, so retired copies can never grow unbounded
             # behind a caller who forgets to vacuum.
             self.vacuum_versions(keep_last=self.retain_versions)
-        # Post-commit maintenance (outside the crash-critical span: a
-        # failure here leaves a stale-but-advisory index, never a bad
-        # table): reconcile the skipping index with the new live set —
-        # cost ∝ files this publish touched, not table size.
-        self._run_maintenance()
 
     def add_maintenance_hook(self, fn) -> None:
         """Register ``fn(table)`` to run after every successful commit
@@ -797,6 +929,163 @@ class KeyedTable:
         _, seq_p = self._fs(f"{self.path}/.meta/_SEQ")
         fs.delete(seq_p, True)
         self._rename(fs, tmp_p, seq_p)
+
+    # -- multi-writer safety (optimistic concurrency) -------------------------
+    #
+    # Two independent writers upserting the same table would each read
+    # the live snapshot, merge their batch, and swap partitions in —
+    # the later publish replacing partitions computed WITHOUT the
+    # earlier commit (classic lost update). The protocol here is the
+    # one Delta Lake uses for its transaction log, adapted to this
+    # engine's rename-swap commit:
+    #
+    #   * every successful publish rewrites an opaque COMMIT TOKEN
+    #     (``.meta/_COMMIT_TOKEN``) as its last metadata step;
+    #   * a writer records the token BEFORE its merge reads any data
+    #     and bakes it into the staging's ready flag (#base_token=);
+    #   * publishing validates recorded == current under a short
+    #     commit mutex — mismatch raises CommitConflict and the writer
+    #     recomputes its merge from the fresh snapshot (read + merge
+    #     run OUTSIDE the mutex, so concurrent writers pipeline their
+    #     expensive work and serialize only the metadata swaps).
+    #
+    # The mutex is an exclusive-create lock file. On HDFS/object-store
+    # paths create(overwrite=false) arbitrates at the
+    # NameNode/metadata layer; on local paths O_CREAT|O_EXCL is the
+    # atomic primitive (Hadoop's LocalFileSystem emulates exclusive
+    # create with a non-atomic exists()+create). Abandoned locks (the
+    # holding process died inside the critical section) are broken
+    # after ``lock_ttl_s`` by age; an in-process failure releases in
+    # ``finally``. Token equality (not ordering) is the correctness
+    # carrier, so an initial_load reset — which wipes .meta and
+    # restarts version numbers — also invalidates every in-flight
+    # merge staged against the previous incarnation.
+
+    def commit_token(self) -> str | None:
+        """Opaque token identifying the current committed snapshot
+        (None on legacy tables that predate the concurrency protocol
+        — compared leniently so their staged publishes still
+        complete)."""
+        fs, p = self._fs(f"{self.path}/{_TOKEN_FILE}")
+        if not fs.exists(p):
+            return None
+        return self._read_flag_text(f"{self.path}/{_TOKEN_FILE}").strip() or None
+
+    def _write_commit_token(self) -> None:
+        fs, tmp_p = self._fs(f"{self.path}/{_TOKEN_FILE}.tmp")
+        out = fs.create(tmp_p, True)
+        out.write(uuid.uuid4().hex.encode("utf-8"))
+        out.close()
+        _, p = self._fs(f"{self.path}/{_TOKEN_FILE}")
+        fs.delete(p, True)
+        self._rename(fs, tmp_p, p)
+
+    def _lock_is_local(self) -> bool:
+        return "://" not in self.path and not self.path.startswith("file:")
+
+    def _try_lock_create(self, holder: str) -> bool:
+        """One atomic exclusive-create attempt on the lock file."""
+        lock = f"{self.path}/{_LOCK_FILE}"
+        if self._lock_is_local():
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, holder.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
+        fs, p = self._fs(lock)
+        try:
+            out = fs.create(p, False)  # FileAlreadyExists → py4j error
+        except Exception:
+            return False
+        out.write(holder.encode("utf-8"))
+        out.close()
+        return True
+
+    def _lock_age_ms(self) -> float | None:
+        """Lock file age (None if it vanished — retry the create)."""
+        try:
+            if self._lock_is_local():
+                mtime = os.path.getmtime(f"{self.path}/{_LOCK_FILE}") * 1000
+            else:
+                fs, p = self._fs(f"{self.path}/{_LOCK_FILE}")
+                mtime = fs.getFileStatus(p).getModificationTime()
+            return time.time() * 1000 - mtime
+        except Exception:
+            return None
+
+    def _acquire_commit_lock(self) -> str:
+        holder = uuid.uuid4().hex
+        deadline = time.monotonic() + self.lock_timeout_s
+        while True:
+            if self._try_lock_create(holder):
+                return holder
+            age = self._lock_age_ms()
+            if age is not None and age > self.lock_ttl_s * 1000:
+                # Abandoned (holder died mid-publish; recover() will
+                # finish or discard its staging). Delete and loop —
+                # the CREATE above stays the only arbitration point,
+                # so two breakers racing still admit exactly one.
+                _LOG.warning(
+                    "breaking abandoned commit lock on %s (age %.0fs)",
+                    self.path,
+                    age / 1000,
+                )
+                try:
+                    if self._lock_is_local():
+                        os.unlink(f"{self.path}/{_LOCK_FILE}")
+                    else:
+                        self._fs_delete(f"{self.path}/{_LOCK_FILE}")
+                except Exception:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise ConcurrentWriteError(
+                    f"commit lock on {self.path} not acquired within "
+                    f"{self.lock_timeout_s}s — another writer is "
+                    "publishing (or died holding the lock less than "
+                    f"lock_ttl_s={self.lock_ttl_s}s ago)"
+                )
+            time.sleep(0.05 + random.uniform(0.0, 0.1))
+
+    def _release_commit_lock(self, holder: str) -> None:
+        """Delete the lock only if still ours — if it aged past TTL
+        and another writer broke + reacquired it, deleting here would
+        release THEIR lock."""
+        lock = f"{self.path}/{_LOCK_FILE}"
+        try:
+            if self._lock_is_local():
+                with open(lock, "rb") as f:
+                    mine = f.read().decode("utf-8") == holder
+                if mine:
+                    os.unlink(lock)
+            else:
+                fs, p = self._fs(lock)
+                if (
+                    fs.exists(p)
+                    and self._read_flag_text(lock).strip() == holder
+                ):
+                    fs.delete(p, False)
+        except Exception:
+            pass  # lock vanished (broken by a waiter) — nothing to release
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Commit-critical-section mutex (re-entrant per instance: the
+        publish path may be reached from code already holding it)."""
+        if self._commit_lock_held:
+            yield
+            return
+        holder = self._acquire_commit_lock()
+        self._commit_lock_held = True
+        try:
+            yield
+        finally:
+            self._commit_lock_held = False
+            self._release_commit_lock(holder)
 
     def lookup(self, key_value) -> DataFrame:
         """Point lookup by the leading record-key column.
@@ -1075,7 +1364,7 @@ class KeyedTable:
             fs.delete(dst_p, True)
         self._fault("partition_published")
 
-    def _write_ready_flag(self, staging: str) -> None:
+    def _write_ready_flag(self, staging: str, base_token=_UNSET) -> None:
         """Commit point of the upsert. The flag carries the commit
         record — ``#``-prefixed meta lines (snapshot version, created
         partitions) plus a manifest of the staged top-level data-file
@@ -1106,6 +1395,13 @@ class KeyedTable:
             ]
             lines.append(f"#version={version}")
             lines.append("#created=" + "\t".join(sorted(created)))
+        if base_token is not _UNSET:
+            # The snapshot token the staged merge was computed FROM
+            # (empty = the table had none — pre-protocol or brand
+            # new). _publish refuses to swap when the table has moved
+            # past it; a flag WITHOUT this line (legacy staging)
+            # publishes unconditionally, preserving old semantics.
+            lines.append("#base_token=" + (base_token or ""))
         lines.extend(sorted(names))
         _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
         out = fs.create(tmp_p, True)
@@ -1890,18 +2186,32 @@ class KeyedTable:
                 to_drop.append(rel)
         if not to_drop:
             return 0
-        self._bump_seq()  # live tree about to mutate — invalidate manifests
         if not self.retain_versions:
-            for rel in to_drop:
-                self._fs_delete(f"{self.path}/{rel}")
+            with self._commit_lock():
+                self._bump_seq()  # live tree mutates — invalidate manifests
+                for rel in to_drop:
+                    self._fs_delete(f"{self.path}/{rel}")
+                # A partition drop is a commit like any other: advance
+                # the token so a concurrent in-flight merge that read
+                # the dropped rows conflicts instead of resurrecting
+                # them at publish.
+                self._write_commit_token()
             self._run_maintenance()
             return len(to_drop)
 
         # Complete any interrupted publish FIRST: a crashed flagged
         # staging carries its own pre-assigned version — committing a
         # drop at latest+1 beside it would give two commits the same
-        # number when recovery finishes the older one.
+        # number when recovery finishes the older one. (Outside the
+        # commit mutex: recover's publish takes it itself.)
         self.recover()
+        with self._commit_lock():
+            self._vacuum_partitions_commit(to_drop)
+        self._run_maintenance()  # re-sync the manifest after the drop
+        return len(to_drop)
+
+    def _vacuum_partitions_commit(self, to_drop: list[str]) -> None:
+        self._bump_seq()  # live tree about to mutate — invalidate manifests
         fs = self._fs(self.path)[0]
         version = (self.versions() or [0])[-1] + 1
         for rel in to_drop:
@@ -1922,11 +2232,10 @@ class KeyedTable:
         fs.delete(rec_p, True)
         self._rename(fs, tmp_p, rec_p)
         self._fault("vacuum_committed")
+        self._write_commit_token()
         if self.changes_feed_dir:
             self.write_changes_feed(self.changes_feed_dir)
         self.vacuum_versions(keep_last=self.retain_versions)
-        self._run_maintenance()  # re-sync the manifest after the drop
-        return len(to_drop)
 
     # -- filesystem commit layer (Hadoop FileSystem API: portable
     # across local/HDFS/S3A schemes) ------------------------------------------

@@ -180,6 +180,77 @@ def cdc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPSERT_RT_SQL = DEDUP_SQL
 
 
+# --- multi-writer commit safety (optimistic concurrency) ----------------------
+
+def _concurrent_upsert_fixture(spark: SparkSession, sf_dir: str):
+    """TWO independent writers upsert disjoint key slices of the CDC
+    log into the SAME table from two threads — the lost-update setup
+    the optimistic commit protocol (operators/upsert.py commit token +
+    mutex) exists for. Key-disjoint slices make the merges commutative,
+    so the converged state is deterministic regardless of which writer
+    wins each race; the oracle is the same latest-version-per-key SQL
+    as the single-writer roundtrip. The reference runs one Glue job
+    per table and has no concurrency story — this is the engine
+    extension that makes N parallel ingestion jobs safe."""
+    import threading
+
+    cdc_all = _events_as_cdc(spark, sf_dir)
+    cutoff = "2024-01-15T00:00:00"
+    iso = F.date_format("ts", ISO_FMT)
+    snapshot = cdc_all.filter(iso < cutoff)
+    late = cdc_all.filter(iso >= cutoff).withColumn("Op", F.lit("U"))
+    spec = TableSpec(
+        "events_cc",
+        record_key=("id",),
+        precombine_key="update_at",
+        partition_granularity=None,
+    )
+    root = _scratch("concurrent_upsert") + "/t"
+    KeyedTable(spark, root, spec).initial_load(snapshot)
+
+    slice_col = F.pmod(F.xxhash64("id"), F.lit(2))
+    errors: list = []
+
+    def writer(k: int):
+        t = KeyedTable(
+            spark, root, spec, commit_retries=20, orphan_staging_grace_s=600
+        )
+        try:
+            t.upsert(late.filter(slice_col == k))
+        except BaseException as exc:  # re-raised on the driver thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
+    return root, spec
+
+
+def _concurrent_upsert_serve(spark: SparkSession, sf_dir: str, fixture) -> DataFrame:
+    root, spec = fixture
+    out = KeyedTable(spark, root, spec).read()
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    ).orderBy("user_id")
+
+
+def concurrent_upsert_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _concurrent_upsert_serve(
+        spark, sf_dir, _concurrent_upsert_fixture(spark, sf_dir)
+    )
+
+
+CONCURRENT_UPSERT_SQL = DEDUP_SQL
+
+
 # --- S4: DynamoDB-JSON decode --------------------------------------------------
 
 def dynamodb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,6 +2154,7 @@ QUERIES = {
     "partition_enrich": partition_enrich,
     "partition_enrich_string": partition_enrich_string,
     "cdc_upsert_roundtrip": cdc_upsert_roundtrip,
+    "concurrent_upsert_convergence": concurrent_upsert_convergence,
     "dynamodb_decode": dynamodb_decode,
     "windowed_counts": windowed_counts,
     "watermark_per_day": watermark_per_day,
@@ -2132,6 +2204,7 @@ ORACLES = {
     "partition_enrich": ENRICH_SQL,
     "partition_enrich_string": ENRICH_STRING_SQL,
     "cdc_upsert_roundtrip": UPSERT_RT_SQL,
+    "concurrent_upsert_convergence": CONCURRENT_UPSERT_SQL,
     "dynamodb_decode": DYNAMODB_SQL,
     "windowed_counts": WINDOWED_COUNTS_SQL,
     "watermark_per_day": WATERMARK_SQL,
@@ -2163,4 +2236,8 @@ PHASES = {
     "lsh_index_screen": (_lsh_index_fixture, _lsh_index_serve),
     "indexed_point_lookup": (_indexed_lookup_fixture, _indexed_lookup_serve),
     "bloom_pruned_lookup": (_bloom_lookup_fixture, _bloom_lookup_serve),
+    "concurrent_upsert_convergence": (
+        _concurrent_upsert_fixture,
+        _concurrent_upsert_serve,
+    ),
 }
