@@ -84,6 +84,9 @@ HEADLINE = [
     # SCD row then measures history reconstruction alone (VERDICT r8
     # plan-audit note — 17.98 s was ~90% fixture).
     "time_travel_roundtrip",
+    # round-12: RESTORE (rollback-as-a-commit) — build = half-size
+    # versioned load + 2 commits + the rollback commit; serve = head read
+    "restore_table_roundtrip",
     "scd2_orders_history",
     # round-9: point-in-time join (shares the versioned fixture), M4
     # downsampling, non-key point lookup via the secondary index

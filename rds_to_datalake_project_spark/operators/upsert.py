@@ -1538,6 +1538,50 @@ class KeyedTable:
             out = out.unionByName(r, allowMissingColumns=True)
         return out
 
+    def restore_to_version(self, version: int) -> int:
+        """Roll the table back to snapshot ``version`` — as a NEW
+        commit (Delta RESTORE / Hudi savepoint-rollback semantics).
+
+        History stays append-only: the restore retires the partitions
+        it replaces like any other publish, so every version in the
+        readable range — including the ones being rolled back —
+        remains reconstructible, the changes feed reports the
+        rollback as ordinary row deletes/updates, and retention
+        expires the superseded commits on the normal schedule. A
+        restore to the current head is a no-op (no empty commit).
+
+        Commits through the same optimistic protocol as upsert: the
+        base token is recorded before the snapshot read, so a commit
+        racing the restore conflicts instead of being silently
+        overwritten by pre-restore state. Metadata cost: one staged
+        write of the snapshot + per-partition renames; partitions
+        created after ``version`` are swapped away through the same
+        empty-staged-dir path as delete-vacated partitions.
+        """
+        self.recover()
+        base_token = self.commit_token()
+        snap = self.read_as_of(version)  # validates retention + range
+        latest = (self.versions() or [0])[-1]
+        if version == latest:
+            return latest
+        staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
+        writer = snap.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(staging)
+        if self.partition_cols:
+            staged_set = set(self._staged_partition_dirs(staging))
+            for rel in self._staged_partition_dirs(self.path):
+                if rel not in staged_set:
+                    fs, p = self._fs(f"{staging}/{rel}")
+                    fs.mkdirs(p)  # live but absent at `version` → retire
+        if not self._commit_staging(staging, base_token):
+            raise ConcurrentWriteError(
+                f"a commit landed on {self.path} while the restore "
+                "ran; re-run the restore"
+            )
+        return (self.versions() or [0])[-1]
+
     def _read_unpartitioned_as_of(self, version: int) -> DataFrame:
         """Unpartitioned snapshot read: the swap unit is the whole
         file set, so ``.retired/v{j}`` holds the COMPLETE pre-j table

@@ -750,6 +750,75 @@ ORDER BY o_orderkey
 """
 
 
+# --- RESTORE: rollback-as-a-commit -------------------------------------------
+
+def _restore_fixture(spark: SparkSession, sf_dir: str):
+    """A dedicated (half-sized) versioned orders table — the shared
+    time-travel fixture must not be mutated by a restore — with the
+    same two-commit history shape, then ``restore_to_version(1)``:
+    the rollback commits the v1 snapshot as v3 through the regular
+    staged publish (commit-2 partitions retired, deleted partitions
+    recreated), so the serve reads the LIVE head and must equal the
+    closed-form v1 state. Delta RESTORE / Hudi savepoint-rollback
+    parity — the reference has no rollback story at all."""
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(*cols)
+    spec = TableSpec(
+        "orders_restore",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_source="o_orderdate",
+        partition_granularity="month",
+    )
+    t = KeyedTable(
+        spark, _scratch("restore_tt") + "/t", spec, retain_versions=4
+    )
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    k = F.col("o_orderkey")
+    b1 = (
+        base.filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("update_at", F.lit("v1"))
+    )
+    t.upsert(b1)  # commit 1 — the restore target
+    deletes = base.filter(k % 7 == 0).withColumn("Op", F.lit("D"))
+    inserts = (
+        base.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + F.lit(10_000_000))
+        .withColumn("Op", F.lit("I"))
+    )
+    b2 = deletes.unionByName(inserts).withColumn("update_at", F.lit("v2"))
+    t.upsert(b2, delete_mode="apply")  # commit 2 — rolled back below
+    new_v = t.restore_to_version(1)
+    assert new_v == 3, f"restore committed v{new_v}, expected v3"
+    return t
+
+
+def _restore_serve(spark: SparkSession, sf_dir: str, t: KeyedTable) -> DataFrame:
+    return (
+        t.read()  # the LIVE head after the rollback commit
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+def restore_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _restore_serve(spark, sf_dir, _restore_fixture(spark, sf_dir))
+
+
+RESTORE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 2 = 0
+ORDER BY o_orderkey
+"""
+
+
 def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC feed OF THE LAKE ITSELF: ``table_changes(0, 2)`` on the
     versioned fixture — every key inserted, updated, or deleted
@@ -2138,6 +2207,7 @@ ORDER BY batch_id, corpus_id
 QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
+    "restore_table_roundtrip": restore_table_roundtrip,
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
@@ -2188,6 +2258,7 @@ ORACLES = {
     "indexed_point_lookup": INDEXED_LOOKUP_SQL,
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
+    "restore_table_roundtrip": RESTORE_SQL,
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
@@ -2240,4 +2311,5 @@ PHASES = {
         _concurrent_upsert_fixture,
         _concurrent_upsert_serve,
     ),
+    "restore_table_roundtrip": (_restore_fixture, _restore_serve),
 }

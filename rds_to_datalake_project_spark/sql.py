@@ -182,6 +182,10 @@ _HISTORY_RE = re.compile(
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$", re.IGNORECASE
 )
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_QNAME})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
 # Restricted MERGE grammar — the star forms Hudi/Delta users run for
 # CDC apply. Clause order: optional matched-DELETE, then the two star
@@ -963,6 +967,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         expired = _resolve(m.group(1)).vacuum_versions(keep_last=int(m.group(2)))
         return spark.createDataFrame(
             [(m.group(1), expired)], "table_name string, versions_expired int"
+        )
+    m = _RESTORE_RE.match(sql)
+    if m and table_bound:
+        new_v = _resolve(m.group(1)).restore_to_version(int(m.group(2)))
+        return spark.createDataFrame(
+            [(m.group(1), int(m.group(2)), new_v)],
+            "table_name string, restored_version int, new_version int",
         )
     m = _ANALYZE_RE.match(sql)
     if m and table_bound:

@@ -481,3 +481,69 @@ def test_purge_rows_erases_history_and_feed(spark, tmp_path):
         assert feed_rows.filter(F.col("id").isin(victim_ids)).count() == 0
     # purge with no matches is a no-op
     assert t.purge_rows(F.col("id") == "no-such-key") == 0
+
+
+# --- RESTORE (rollback-as-a-commit) ------------------------------------------
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """restore_to_version(k): read() == the v_k snapshot, committed as
+    a NEW version — all prior versions (including the rolled-back
+    ones) stay reconstructible."""
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    new_v = t.restore_to_version(1)
+    assert new_v == 4
+    assert _vals(t.read()) == S1  # month 02 back alive, 03 back to b3
+    # append-only history: every earlier state still reads exactly
+    for v, s in ((0, S0), (1, S1), (2, S2), (3, S3), (4, S1)):
+        assert _vals(t.read_as_of(v)) == s, v
+    # the table keeps working after a restore
+    t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+    assert _vals(t.read()) == S2
+
+
+def test_restore_to_initial_and_to_head(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    assert t.restore_to_version(3) == 3  # restore-to-head: no-op
+    assert t.versions() == [1, 2, 3]
+    assert t.restore_to_version(0) == 4  # back to the initial load
+    assert _vals(t.read()) == S0
+    assert _vals(t.read_as_of(3)) == S3
+
+
+def test_restore_requires_readable_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    with pytest.raises(ValueError):
+        t.restore_to_version(9)
+    t2 = KeyedTable(spark, str(tmp_path / "plain"), SPEC)
+    t2.initial_load(spark.createDataFrame(V0, INIT_COLS))
+    with pytest.raises(ValueError):
+        t2.restore_to_version(0)  # unversioned table
+
+
+def test_restore_sql_facade(spark, tmp_path):
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    out = run_query(
+        spark, "RESTORE TABLE tt TO VERSION AS OF 2", tables={"tt": t}
+    ).collect()[0]
+    assert (out.restored_version, out.new_version) == (2, 4)
+    assert _vals(t.read()) == S2
+
+
+def test_restore_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)
+    _inject(monkeypatch, "all_swapped", 1)
+    with pytest.raises(Boom):
+        t.restore_to_version(1)
+    monkeypatch.setattr(KeyedTable, "_fault", staticmethod(lambda p: None))
+    t2 = KeyedTable(spark, str(tmp_path / "tt"), SPEC, retain_versions=5)
+    assert t2.recover() is True
+    assert _vals(t2.read()) == S1
+    assert t2.versions() == [1, 2, 3, 4]
+    _assert_clean(str(tmp_path / "tt"))
