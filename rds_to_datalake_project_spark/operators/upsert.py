@@ -514,8 +514,24 @@ class KeyedTable:
         """One merge-stage-publish attempt; False = lost the race."""
         base_token = self.commit_token()
         existing = self.read()
+        # Type-widening schema evolution (the upstream ran ALTER
+        # COLUMN ... TYPE): when a common column's types differ but
+        # promote within the lattice, cast BOTH sides to the wider
+        # type. If the STORED side is the narrow one, this commit
+        # becomes a full-table schema migration — every live partition
+        # rewrites — because parquet mergeSchema cannot reconcile an
+        # int partition beside a long one at read time; a rare,
+        # explicit, honestly-priced event (Delta's type widening makes
+        # the same rewrite-or-reader-support tradeoff). Batch-side-only
+        # widening (batch narrower than the table) stays a normal
+        # pruned merge.
+        widen = _widening_plan(existing.schema, batch.schema)
+        stored = {f.name: f.dataType for f in existing.schema.fields}
+        table_widens = any(stored[c] != t for c, t in widen.items())
         touched: list[tuple] = []
-        if self.partition_cols:
+        if self.partition_cols and table_widens:
+            touched = None  # sentinel: every live partition rewrites
+        elif self.partition_cols:
             # Touched-partition pruning: tiny driver-side collect of the
             # batch's distinct partition tuples. The pruning key is
             # rendered by SPARK in the same collect (not by Python
@@ -544,6 +560,10 @@ class KeyedTable:
                 self._partition_key_col().isin([r["__pk"] for r in rows])
             )
 
+        for c, t in widen.items():
+            existing = existing.withColumn(c, F.col(c).cast(t))
+            batch = batch.withColumn(c, F.col(c).cast(t))
+
         # Align CDC envelope across both sides; allowMissingColumns
         # gives additive schema evolution (new CDC columns arrive as
         # null on historical rows, dropped ones as null on the batch).
@@ -570,10 +590,16 @@ class KeyedTable:
             # A touched partition with NO staged output lost all its
             # rows to deletes (delete_mode="apply"): materialize it as
             # an EMPTY staged dir so publishing it swaps the live
-            # partition away through the same crash-safe path.
+            # partition away through the same crash-safe path. A
+            # schema-migration commit (touched is None) covers every
+            # live partition.
             staged_set = set(self._staged_partition_dirs(staging))
-            for t in touched:
-                rel = self._partition_rel_path(t)
+            touched_rels = (
+                self._staged_partition_dirs(self.path)
+                if touched is None
+                else [self._partition_rel_path(t) for t in touched]
+            )
+            for rel in touched_rels:
                 if rel not in staged_set:
                     fs, p = self._fs(f"{staging}/{rel}")
                     fs.mkdirs(p)
@@ -1537,6 +1563,58 @@ class KeyedTable:
         for r in reads[1:]:
             out = out.unionByName(r, allowMissingColumns=True)
         return out
+
+    def version_at_timestamp(self, ts) -> int:
+        """Newest committed version whose commit time is ≤ ``ts`` —
+        the resolver behind ``FOR TIMESTAMP AS OF`` (Delta/Iceberg
+        parity). ``ts``: ISO-8601 string (naive = UTC), datetime, or
+        epoch seconds. Commit times are the commit records' filesystem
+        mtimes (v0 = the incarnation marker): physical clocks, so
+        ordering is as honest as the writing host's clock — version
+        numbers remain the exact-lineage API; timestamps are the
+        operator convenience. Raises for a timestamp before the
+        table's history (never silently serves a later state)."""
+        if not self.retain_versions:
+            raise ValueError("version_at_timestamp requires retain_versions > 0")
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            parsed = _dt.datetime.fromisoformat(ts.strip().replace(" ", "T"))
+        elif isinstance(ts, _dt.datetime):
+            parsed = ts
+        else:
+            parsed = _dt.datetime.fromtimestamp(float(ts), _dt.timezone.utc)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        ts_ms = parsed.timestamp() * 1000
+
+        fs = self._fs(self.path)[0]
+
+        def _mtime(path: str) -> float | None:
+            _, p = self._fs(path)
+            if not fs.exists(p):
+                return None
+            return fs.getFileStatus(p).getModificationTime()
+
+        best = None
+        t0 = _mtime(f"{self.path}/.meta/_INCARNATION")
+        if t0 is not None and t0 <= ts_ms:
+            best = 0
+        for v in self.versions():
+            mt = _mtime(f"{self.path}/.meta/v{v}.flag")
+            if mt is not None and mt <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts!r} precedes this table's history — "
+                "no committed snapshot existed yet"
+            )
+        return best
+
+    def read_at_timestamp(self, ts) -> DataFrame:
+        """``read_as_of`` addressed by commit time instead of version
+        number (subject to the same retention-floor contract)."""
+        return self.read_as_of(self.version_at_timestamp(ts))
 
     def restore_to_version(self, version: int) -> int:
         """Roll the table back to snapshot ``version`` — as a NEW
@@ -2532,3 +2610,54 @@ def _align_op_column(existing: DataFrame, batch: DataFrame):
     if _OP_COL in existing.columns and _OP_COL not in batch.columns:
         batch = batch.withColumn(_OP_COL, F.lit(None).cast("string"))
     return existing, batch
+
+
+# Numeric type-widening lattice for CDC schema evolution (the upstream
+# ran ALTER COLUMN ... TYPE): only promotions every engine agrees are
+# lossless-by-construction. Anything outside the lattice keeps the
+# strict behavior (the union/write errors loudly).
+_INT_RANK = {"ByteType": 0, "ShortType": 1, "IntegerType": 2, "LongType": 3}
+_FLOAT_RANK = {"FloatType": 0, "DoubleType": 1}
+
+
+def _promoted_type(a, b):
+    """The common wider type of two Spark DataTypes, or None when they
+    are equal or not promotable within the widening lattice."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return None
+    an, bn = type(a).__name__, type(b).__name__
+    if an in _INT_RANK and bn in _INT_RANK:
+        return a if _INT_RANK[an] > _INT_RANK[bn] else b
+    if an in _FLOAT_RANK and bn in _FLOAT_RANK:
+        return a if _FLOAT_RANK[an] > _FLOAT_RANK[bn] else b
+    # integral × floating → double (Spark's own union coercion; a
+    # float could not represent every 32-bit int exactly)
+    if (an in _INT_RANK and bn in _FLOAT_RANK) or (
+        bn in _INT_RANK and an in _FLOAT_RANK
+    ):
+        return T.DoubleType()
+    if an == "DecimalType" and bn == "DecimalType":
+        # preserve every digit of both: max integral digits + max scale
+        scale = max(a.scale, b.scale)
+        prec = min(38, max(a.precision - a.scale, b.precision - b.scale) + scale)
+        return T.DecimalType(prec, scale)  # may equal one side: its cast no-ops
+    if {an, bn} == {"DateType", "TimestampType"}:
+        return T.TimestampType()
+    return None
+
+
+def _widening_plan(existing_schema, batch_schema) -> dict:
+    """column → promoted type, for common columns whose types differ
+    but promote within the lattice."""
+    btypes = {f.name: f.dataType for f in batch_schema.fields}
+    plan = {}
+    for f in existing_schema.fields:
+        other = btypes.get(f.name)
+        if other is None:
+            continue
+        p = _promoted_type(f.dataType, other)
+        if p is not None:
+            plan[f.name] = p
+    return plan

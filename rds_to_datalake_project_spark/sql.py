@@ -32,6 +32,15 @@ _AS_OF_RE = re.compile(
     rf"({_QNAME})\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)\b",
     re.IGNORECASE,
 )
+# `<table> FOR TIMESTAMP AS OF '<iso>'` — resolved to a version via
+# commit-record mtimes (KeyedTable.version_at_timestamp), then served
+# through the same snapshot temp-view path. The literal's CONTENT is
+# blanked in the masked text the regex runs over, so the value is
+# sliced from the original SQL by span.
+_TS_AS_OF_RE = re.compile(
+    rf"({_QNAME})\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'",
+    re.IGNORECASE,
+)
 
 _IDENT_RE = re.compile(_IDENT)
 
@@ -136,14 +145,7 @@ def run_query(
         # through to live state.
         return spark.sql(sql).cache() if cache else spark.sql(sql)
 
-    def _rewrite(m: re.Match) -> str:
-        name, version = _unquote_ident(m.group(1)), int(m.group(2))
-        t = known.get(name)
-        if t is None:
-            raise ValueError(
-                f"FOR VERSION AS OF on unknown table {name!r}; "
-                f"known: {sorted(known)}"
-            )
+    def _snapshot_view(name: str, version: int, t) -> str:
         # Sanitizing alone would collide distinct registry keys
         # ('lake.orders' vs 'lake_orders') onto one view name, and
         # the second createOrReplaceTempView would silently win for
@@ -155,17 +157,38 @@ def run_query(
         t.read_as_of(version).createOrReplaceTempView(view)
         return view
 
+    def _resolve_asof(name: str) -> object:
+        t = known.get(name)
+        if t is None:
+            raise ValueError(
+                f"time-travel reference to unknown table {name!r}; "
+                f"known: {sorted(known)}"
+            )
+        return t
+
+    def _rewrite(m: re.Match) -> str:
+        name = _unquote_ident(m.group(1))
+        return _snapshot_view(name, int(m.group(2)), _resolve_asof(name))
+
+    def _rewrite_ts(m: re.Match) -> str:
+        name = _unquote_ident(m.group(1))
+        t = _resolve_asof(name)
+        # the mask blanked the literal's content — slice the original
+        raw_ts = sql[m.start(2) : m.end(2)]
+        return _snapshot_view(name, t.version_at_timestamp(raw_ts), t)
+
     # Match on the literal-masked text (an AS-OF inside a string
     # literal is data, not syntax) but splice replacements into the
     # ORIGINAL — the mask is length-preserving so spans line up.
-    masked = _mask_string_literals(sql)
-    pieces, last = [], 0
-    for m in _AS_OF_RE.finditer(masked):
-        pieces.append(sql[last : m.start()])
-        pieces.append(_rewrite(m))
-        last = m.end()
-    pieces.append(sql[last:])
-    sql = "".join(pieces)
+    for pattern, repl in ((_AS_OF_RE, _rewrite), (_TS_AS_OF_RE, _rewrite_ts)):
+        masked = _mask_string_literals(sql)
+        pieces, last = [], 0
+        for m in pattern.finditer(masked):
+            pieces.append(sql[last : m.start()])
+            pieces.append(repl(m))
+            last = m.end()
+        pieces.append(sql[last:])
+        sql = "".join(pieces)
     df = spark.sql(sql)
     return df.cache() if cache else df
 

@@ -547,3 +547,63 @@ def test_restore_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
     assert _vals(t2.read()) == S1
     assert t2.versions() == [1, 2, 3, 4]
     _assert_clean(str(tmp_path / "tt"))
+
+
+# --- FOR TIMESTAMP AS OF -----------------------------------------------------
+
+def test_version_at_timestamp_resolves_each_commit(spark, tmp_path):
+    """Timestamps between commits resolve to the newest version at or
+    before them; pre-history raises; 'now' resolves to the head."""
+    import datetime as dt
+    import time
+
+    def now_iso():
+        time.sleep(1.1)  # commit mtimes are ms; keep marks strictly apart
+        out = dt.datetime.now(dt.timezone.utc).isoformat()
+        time.sleep(1.1)
+        return out
+
+    t = _mk(spark, tmp_path)
+    m0 = now_iso()  # after initial load, before commit 1
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    m1 = now_iso()
+    t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+    m2 = now_iso()
+
+    assert t.version_at_timestamp(m0) == 0
+    assert t.version_at_timestamp(m1) == 1
+    assert t.version_at_timestamp(m2) == 2
+    assert _vals(t.read_at_timestamp(m1)) == S1
+    with pytest.raises(ValueError):
+        t.version_at_timestamp("2001-01-01T00:00:00")
+    # epoch-seconds form
+    assert t.version_at_timestamp(time.time()) == 2
+
+
+def test_for_timestamp_as_of_sql(spark, tmp_path):
+    import datetime as dt
+    import time
+
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t = _mk(spark, tmp_path)
+    time.sleep(1.1)
+    mark = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    time.sleep(1.1)
+    _apply_all(spark, t)
+    got = {
+        r.id: r.val
+        for r in run_query(
+            spark,
+            f"SELECT id, val FROM tt FOR TIMESTAMP AS OF '{mark}'",
+            tables={"tt": t},
+        ).collect()
+    }
+    assert got == S0
+    # a literal containing the phrase is data, not syntax
+    one = run_query(
+        spark,
+        "SELECT 'x FOR TIMESTAMP AS OF ''2020-01-01''' AS s",
+        tables={"tt": t},
+    ).collect()
+    assert len(one) == 1
