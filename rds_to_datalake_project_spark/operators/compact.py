@@ -294,6 +294,7 @@ def compact_partitions(
     table: KeyedTable,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    only_rels: set[str] | None = None,
 ) -> list[str]:
     """Incremental small-file compaction: rewrite ONLY fragmented
     partitions, committed through the table's crash-safe publish
@@ -343,7 +344,26 @@ def compact_partitions(
         _commit_or_conflict(table, staging, base_token)
         return [""]
 
-    stats = _leaf_partition_stats(table)
+    if only_rels is not None:
+        # bounded pass: stat ONLY the named partition dirs (the
+        # auto-compact hook passes the last commit's touched set, so
+        # per-commit cost follows the commit, not the table)
+        fs, _ = table._fs(table.path)
+        stats = []
+        for rel in sorted(only_rels):
+            _, p = table._fs(f"{table.path}/{rel}")
+            if not fs.exists(p):
+                continue  # vacated by deletes / dropped since
+            files = [
+                f
+                for f in fs.listStatus(p)
+                if not f.isDirectory()
+                and f.getPath().getName().endswith(".parquet")
+                and not f.getPath().getName().startswith((".", "_"))
+            ]
+            stats.append((rel, len(files), sum(f.getLen() for f in files)))
+    else:
+        stats = _leaf_partition_stats(table)
     plan: dict[str, int] = {}
     for rel, n_files, size in stats:
         n_right = plan_target_files(size, target_file_bytes)
@@ -433,3 +453,56 @@ def migrate_partition_granularity(
     )
     out.initial_load(df)
     return out
+
+
+def attach_auto_compact(
+    table: KeyedTable,
+    max_files_per_partition: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Inline small-file compaction as a post-commit table service —
+    the role Hudi's inline compaction / Delta's autoCompact play:
+    after every commit, touched partitions whose data-file count
+    exceeds both ``max_files_per_partition`` and their right-sized
+    count rewrite through the normal compaction commit, so CDC
+    micro-batch fragmentation never outlives the commit that caused
+    it.
+
+    Cost per commit ∝ the TOUCHED partition set: on retained tables
+    the set is read from the commit's created/retired records (pure
+    metadata); unversioned tables fall back to the full leaf listing.
+    Advisory and failure-isolated like every maintenance hook; the
+    compaction commits through the optimistic protocol, so it can
+    never swallow a concurrent writer's commit (a lost race skips the
+    pass — the next commit's hook retries). A reentrancy latch keeps
+    the compaction commit's own maintenance pass from recursing.
+    """
+    state = {"active": False}
+
+    def auto_compact(t: KeyedTable) -> None:
+        if state["active"]:
+            return
+        state["active"] = True
+        try:
+            only: set[str] | None = None
+            if t.retain_versions and t.partition_cols:
+                vs = t.versions()
+                if not vs:
+                    return  # nothing committed beyond the initial load
+                v = vs[-1]
+                meta = t._flag_meta(f"{t.path}/.meta/v{v}.flag")
+                only = set(meta.get("created", [])) | set(t._retired_rels(v))
+                if not only:
+                    return
+            compact_partitions(
+                t,
+                target_file_bytes=target_file_bytes,
+                min_files=max_files_per_partition,
+                only_rels=only,
+            )
+        except CommitConflict:
+            pass  # a writer beat the rewrite; the next commit retries
+        finally:
+            state["active"] = False
+
+    table.add_maintenance_hook(auto_compact)

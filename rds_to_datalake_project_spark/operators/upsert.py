@@ -125,6 +125,8 @@ class KeyedTable:
         lock_ttl_s: float = 900.0,
         commit_retries: int = 3,
         orphan_staging_grace_s: float = 0.0,
+        optimize_write: bool = False,
+        target_file_bytes: int = 128 * 1024 * 1024,
     ):
         self.spark = spark
         self.path = path
@@ -162,6 +164,14 @@ class KeyedTable:
         # recover() then leaves young un-flagged stagings alone (they
         # may be a live peer's in-progress write).
         self.orphan_staging_grace_s = orphan_staging_grace_s
+        # Write-side file sizing (Delta optimizeWrite): repartition
+        # each merge's output so every touched partition lands in
+        # ceil(bytes / target_file_bytes) files instead of
+        # one-file-per-shuffle-task — CDC fragmentation prevented at
+        # the writer, no second rewrite (cf. attach_auto_compact for
+        # the post-hoc service).
+        self.optimize_write = optimize_write
+        self.target_file_bytes = target_file_bytes
         self._commit_lock_held = False
         self._fs_handle = None
         if spec.hash_buckets and spec.partition_granularity:
@@ -577,6 +587,9 @@ class KeyedTable:
         ).drop(_PRIORITY)
         merged = self._apply_ops(merged, delete_mode)
 
+        if self.optimize_write:
+            merged = self._right_size_output(merged, touched)
+
         # One-pass commit: write the merged partitions to a hidden
         # staging dir (parquet readers skip "."-prefixed paths, and
         # writing there never collides with the lazy read of the live
@@ -631,6 +644,75 @@ class KeyedTable:
             self._publish_under_lock(staging)
         self._run_maintenance()
         return True
+
+    def _right_size_output(self, merged: DataFrame, touched) -> DataFrame:
+        """optimizeWrite: shape the merge output so each touched
+        partition produces ``ceil(live_bytes / target_file_bytes)``
+        files (floor 1) instead of one file per shuffle task that
+        happens to hold its rows. Sizing is a metadata stat of the
+        touched partition dirs only (the batch's marginal growth is
+        absorbed by the ceil; the next merge re-sizes). The rel→count
+        map rides the plan as a literal and each partition hashes its
+        record keys into its OWN bucket modulus — the same
+        position-preserving encoding compaction uses, so NULL and
+        escaped partition values keep distinct keys."""
+        from rds_to_datalake_project_spark.operators.compact import (
+            _partition_map_key,
+            _runtime_partition_key,
+            plan_target_files,
+        )
+
+        fs = self._fs(self.path)[0]
+
+        def _dir_bytes(path: str) -> int:
+            _, p = self._fs(path)
+            if not fs.exists(p):
+                return 0
+            return sum(
+                st.getLen()
+                for st in fs.listStatus(p)
+                if not st.isDirectory()
+                and not st.getPath().getName().startswith((".", "_"))
+            )
+
+        if not self.partition_cols:
+            n = plan_target_files(_dir_bytes(self.path), self.target_file_bytes)
+            return merged.repartition(n)
+        rels = (
+            self._staged_partition_dirs(self.path)
+            if touched is None
+            else [self._partition_rel_path(t) for t in touched]
+        )
+        unescape = (
+            self.spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName
+        )
+        plan = {}
+        for rel in rels:
+            b = _dir_bytes(f"{self.path}/{rel}")
+            if b:
+                key = _partition_map_key(
+                    [seg.split("=", 1)[1] for seg in rel.split("/")], unescape
+                )
+                plan[key] = plan_target_files(b, self.target_file_bytes)
+        bucket_mod = (
+            F.element_at(
+                F.create_map(
+                    *[x for k, n in plan.items() for x in (F.lit(k), F.lit(n))]
+                ),
+                _runtime_partition_key(self.partition_cols),
+            )
+            if plan
+            else F.lit(None).cast("int")
+        )
+        # brand-new partitions (no live dir yet) default to one file
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.spec.record_key]),
+            F.coalesce(bucket_mod, F.lit(1)),
+        )
+        return merged.withColumn("__ow_bucket", bucket).repartition(
+            *[F.col(c) for c in self.partition_cols], F.col("__ow_bucket")
+        ).drop("__ow_bucket")
 
     def recover(self) -> bool:
         """Complete (or discard) interrupted upsert publishes.
