@@ -2069,13 +2069,20 @@ class KeyedTable:
         retention policy)."""
         floor = self._read_floor()
         merr = self._read_maint_errors()
+        fs = self._fs(self.path)[0]
         out = []
         for v in self.versions():
-            meta = self._flag_meta(f"{self.path}/.meta/v{v}.flag")
+            rec = f"{self.path}/.meta/v{v}.flag"
+            meta = self._flag_meta(rec)
             out.append(
                 {
                     "version": v,
                     "readable": v >= floor,
+                    # the instant FOR TIMESTAMP AS OF resolves against
+                    # (the commit record's mtime, epoch ms UTC)
+                    "commit_time_ms": fs.getFileStatus(
+                        self._fs(rec)[1]
+                    ).getModificationTime(),
                     "created_partitions": sorted(meta["created"]),
                     "retired_partitions": sorted(self._retired_rels(v)),
                     # Post-commit service failures recorded against

@@ -975,13 +975,14 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                 (
                     h["version"],
                     h["readable"],
+                    h["commit_time_ms"],
                     h["created_partitions"],
                     h["retired_partitions"],
                     h["maintenance_errors"],
                 )
                 for h in hist
             ],
-            "version int, readable boolean, "
+            "version int, readable boolean, commit_time_ms long, "
             "created_partitions array<string>, retired_partitions array<string>, "
             "maintenance_errors array<string>",
         )

@@ -204,6 +204,10 @@ def test_describe_history(spark, tmp_path):
     hist = t.describe_history()
     assert [h["version"] for h in hist] == [1, 2, 3]
     assert all(h["readable"] for h in hist)
+    # commit times: the FOR TIMESTAMP AS OF instants, non-decreasing
+    times = [h["commit_time_ms"] for h in hist]
+    assert times == sorted(times) and all(ts > 0 for ts in times)
+    assert t.version_at_timestamp(times[1] / 1000.0) == 2
     # commit 1 replaced month 01 and created month 03
     assert hist[0]["created_partitions"] == ["create_year=2024/create_month=03"]
     assert hist[0]["retired_partitions"] == ["create_year=2024/create_month=01"]
