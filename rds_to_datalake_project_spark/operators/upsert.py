@@ -2098,6 +2098,20 @@ class KeyedTable:
             )
         return out
 
+    def changes_between_timestamps(
+        self, ts_from, ts_to, include_preimage: bool = False
+    ) -> DataFrame:
+        """``table_changes`` addressed by wall clock: rows changed
+        between the snapshots current at the two instants (each
+        resolved like FOR TIMESTAMP AS OF). The natural spelling for
+        'what changed since yesterday's run' consumers that track
+        time, not commit numbers."""
+        return self.table_changes(
+            self.version_at_timestamp(ts_from),
+            self.version_at_timestamp(ts_to),
+            include_preimage=include_preimage,
+        )
+
     def table_changes(
         self, v_from: int, v_to: int, include_preimage: bool = False
     ) -> DataFrame:

@@ -374,3 +374,39 @@ def test_vacuum_changes_feed_floor_written_before_deletes(
     # the next vacuum finishes the interrupted deletes
     assert t.vacuum_changes_feed(feed, keep_last=1) == [1, 2]
     assert dirs() == ["v3"]
+
+
+def test_changes_between_timestamps(spark, tmp_path):
+    """The wall-clock spelling resolves each endpoint like FOR
+    TIMESTAMP AS OF and yields the same net-change feed."""
+    import datetime as dt
+    import time
+
+    def mark():
+        time.sleep(1.1)
+        out = dt.datetime.now(dt.timezone.utc).isoformat()
+        time.sleep(1.1)
+        return out
+
+    t = _mk(spark, tmp_path)
+    m0 = mark()
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    m1 = mark()
+    t.upsert(spark.createDataFrame(B2, BATCH_COLS), delete_mode="apply")
+    m2 = mark()
+
+    got = {
+        r.id: (r._change_type, r.val)
+        for r in t.changes_between_timestamps(m0, m1).collect()
+    }
+    assert got == {"r1": ("update", "b1"), "r3": ("insert", "b3")}
+    got = {
+        r.id: (r._change_type, r.val)
+        for r in t.changes_between_timestamps(m0, m2).collect()
+    }
+    assert got == {
+        "r1": ("update", "b1"),
+        "r2": ("delete", "a2"),
+        "r3": ("insert", "c3"),
+    }
+    assert t.changes_between_timestamps(m1, m1).count() == 0
