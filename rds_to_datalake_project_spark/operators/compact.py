@@ -381,7 +381,11 @@ def compact_partitions(
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
-    src = (
+    # Deletion-vector mask: a compaction REWRITES these partitions, so
+    # reading a victim row here would resurrect it permanently (the
+    # rewrite mints new basenames the vector no longer matches).
+    # Passthrough for vector-free tables.
+    src = table._mask_dv(
         spark.read.option("mergeSchema", "true")
         .option("basePath", table.path)
         .parquet(*[f"{table.path}/{rel}" for rel in plan])

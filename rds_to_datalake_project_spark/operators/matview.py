@@ -361,7 +361,7 @@ def _zone_pruned_rows(
         _LAST_SCAN["files_read"] = _LAST_SCAN.get("files_read", 0) + len(files)
         if not files:
             return full.limit(0)
-        return (
+        return table._mask_dv(
             table.spark.read.option("basePath", table.path)
             .schema(full.schema)
             .parquet(*sorted(files))

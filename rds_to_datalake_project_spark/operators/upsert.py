@@ -71,6 +71,10 @@ _PRIORITY = "__src_priority"
 # time-partition columns, re-derived from the record key on every write.
 _BUCKET_COL = "bucket_id"
 _READY_FLAG = "_PUBLISH_READY"  # staged write complete; publish may proceed
+# Staged deletion vector riding inside a commit's staging dir (see
+# operators/deletevectors): dot-prefixed, so partition walkers, the
+# manifest, and every parquet reader skip it.
+_STAGED_DV_NAME = ".dvdata"
 _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 # Commit mutex + snapshot token live as ROOT-level dot-files (skipped
 # by Spark's file index, exists(), and every tree walker here), NOT
@@ -127,6 +131,7 @@ class KeyedTable:
         orphan_staging_grace_s: float = 0.0,
         optimize_write: bool = False,
         target_file_bytes: int = 128 * 1024 * 1024,
+        deletion_vectors: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -172,6 +177,13 @@ class KeyedTable:
         # the post-hoc service).
         self.optimize_write = optimize_write
         self.target_file_bytes = target_file_bytes
+        # Merge-on-read deletes (operators/deletevectors): when True,
+        # delete_where defaults to strategy="vector" — a kilobyte-scale
+        # positional-tombstone commit instead of a partition rewrite.
+        # READS are vector-aware regardless of this flag (the mask
+        # keys off the .dv dir's existence, so a table written to by a
+        # vector-enabled peer stays correct through any handle).
+        self.deletion_vectors = deletion_vectors
         self._commit_lock_held = False
         self._fs_handle = None
         if spec.hash_buckets and spec.partition_granularity:
@@ -265,6 +277,27 @@ class KeyedTable:
             df, list(self.spec.record_key), self.spec.precombine_key, tie_breakers
         )
 
+    def _mask_dv(
+        self,
+        df: DataFrame,
+        upto_version: int | None = None,
+        keep_provenance: bool = False,
+    ) -> DataFrame:
+        """Subtract committed deletion vectors (merge-on-read deletes)
+        from a parquet-backed frame of this table's rows. Passthrough
+        (one exists() call) when the table has none."""
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            mask_deleted,
+        )
+
+        return mask_deleted(
+            self.spark,
+            self.path,
+            df,
+            upto_version=upto_version,
+            keep_provenance=keep_provenance,
+        )
+
     def read(self) -> DataFrame:
         # Partition values must round-trip as the zero-padded strings
         # the enrichment wrote (see session.py conf; guarded here too
@@ -284,8 +317,10 @@ class KeyedTable:
         # partitions keep the old column set — the union of footers is
         # the table schema (missing columns read as null).
         try:
-            return self.spark.read.option("mergeSchema", "true").parquet(
-                self.path
+            return self._mask_dv(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    self.path
+                )
             )
         except Exception:
             # An EMPTY initial load of a partitioned/bucketed table
@@ -417,6 +452,11 @@ class KeyedTable:
             # with the path; be explicit in case of scheme quirks).
             self._fs_delete(f"{self.path}/.meta")
             self._fs_delete(f"{self.path}/.retired")
+        # Deletion vectors of a previous incarnation reference files
+        # the reset destroyed; a surviving v{j} dir would mask nothing
+        # (fresh basenames) but could shadow a FUTURE commit j's
+        # vector name — wipe unconditionally.
+        self._fs_delete(f"{self.path}/.dv")
         # Token AFTER the table reset (the overwrite clears .meta with
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
@@ -838,9 +878,24 @@ class KeyedTable:
         # zone-map manifest stamped with the PREVIOUS token can never
         # be mistaken for current mid-publish (see _bump_seq).
         self._bump_seq()
-        version = None
-        if self.retain_versions:
-            version = self._flag_meta(f"{staging}/{_READY_FLAG}").get("version")
+        meta = self._flag_meta(f"{staging}/{_READY_FLAG}")
+        version = meta.get("version") if self.retain_versions else None
+        dv_target = meta.get("dv_target")
+        if dv_target:
+            # Deletion-vector commit: publish the staged vector by ONE
+            # rename into .dv/ under its flag-assigned permanent name.
+            # Idempotent re-entry (recover() after a crash): target
+            # already present → the staged copy is a leftover.
+            fs, dv_staged = self._fs(f"{staging}/{_STAGED_DV_NAME}")
+            _, dv_dest = self._fs(f"{self.path}/.dv/{dv_target}")
+            if fs.exists(dv_staged):
+                if fs.exists(dv_dest):
+                    fs.delete(dv_staged, True)
+                else:
+                    _, dv_root_p = self._fs(f"{self.path}/.dv")
+                    fs.mkdirs(dv_root_p)
+                    self._rename(fs, dv_staged, dv_dest)
+            self._fault("dv_published")
         if self.partition_cols:
             rels = self._staged_partition_dirs(staging)
             if len(rels) > 8:
@@ -864,7 +919,10 @@ class KeyedTable:
             else:
                 for rel in rels:
                     self._publish_partition(staging, rel, version)
-        else:
+        elif not (dv_target and not self._read_manifest(staging)):
+            # A vector-only commit stages NO data files; on an
+            # unpartitioned table the empty manifest would otherwise
+            # read as "new state = zero files" and retire everything.
             self._swap_unpartitioned(staging, version)
         self._fault("all_swapped")
         if version is not None:
@@ -1240,12 +1298,11 @@ class KeyedTable:
         full, _live = resolved
         if not files:
             return full.filter(residual).limit(0)
-        return (
+        return self._mask_dv(
             self.spark.read.option("basePath", self.path)
             .schema(full.schema)
             .parquet(*files)
-            .filter(residual)
-        )
+        ).filter(residual)
 
     def _bucket_pruned_read(self, key_values: list) -> DataFrame | None:
         """Rows of the buckets owning ``key_values`` on a hash-bucketed
@@ -1290,7 +1347,7 @@ class KeyedTable:
             _record_prune(len(live), len(files))
             if not files:
                 return full.limit(0)
-            return (
+            return self._mask_dv(
                 self.spark.read.option("basePath", self.path)
                 .schema(full.schema)
                 .parquet(*sorted(files))
@@ -1362,12 +1419,11 @@ class KeyedTable:
             files.update(cand)
         if not files:
             return full.filter(residual).limit(0)
-        return (
+        return self._mask_dv(
             self.spark.read.option("basePath", self.path)
             .schema(full.schema)
             .parquet(*sorted(files))
-            .filter(residual)
-        )
+        ).filter(residual)
 
     def read_where(
         self, predicates: dict[str, tuple], use_secondary: bool = True
@@ -1510,6 +1566,22 @@ class KeyedTable:
             # past it; a flag WITHOUT this line (legacy staging)
             # publishes unconditionally, preserving old semantics.
             lines.append("#base_token=" + (base_token or ""))
+        jvm = self.spark._jvm
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{staging}/{_STAGED_DV_NAME}")
+        ):
+            # Deletion-vector commit: the staged vector's PERMANENT
+            # name is assigned here (v{version} so snapshot reads can
+            # scope the mask by commit; a random d-name on unversioned
+            # tables), baked into the flag so a crashed publish
+            # re-enters with the same target — the rename stays
+            # idempotent.
+            target = (
+                f"v{version}"
+                if self.retain_versions
+                else f"d{uuid.uuid4().hex}"
+            )
+            lines.append("#dv_target=" + target)
         lines.extend(sorted(names))
         _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
         out = fs.create(tmp_p, True)
@@ -1632,6 +1704,19 @@ class KeyedTable:
         for rel, (kind, j) in first.items():
             if kind == "retired":
                 groups.setdefault(f"{self.path}/.retired/v{j}", []).append(rel)
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            has_vectors,
+            with_provenance,
+        )
+
+        # Vectors of commits ≤ version apply to this snapshot —
+        # retirement preserves the positional identity (partition
+        # values, basenames, row order), so the mask lands on retired
+        # copies exactly as it did on the then-live files. Provenance
+        # attaches PER SCAN (``_metadata`` does not resolve through a
+        # Union), and only when a mask will actually apply, so
+        # vector-free tables keep their exact pre-vector plans.
+        masked = has_vectors(self.spark, self.path, upto_version=version)
         reads = [
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", root)
@@ -1639,11 +1724,15 @@ class KeyedTable:
             for root, rels in groups.items()
             if rels
         ]
+        if masked:
+            reads = [with_provenance(r) for r in reads]
         if not reads:
             return self.read().limit(0)
         out = reads[0]
         for r in reads[1:]:
             out = out.unionByName(r, allowMissingColumns=True)
+        if masked:
+            out = self._mask_dv(out, upto_version=version)
         return out
 
     def version_at_timestamp(self, ts) -> int:
@@ -1760,20 +1849,43 @@ class KeyedTable:
         )
         if not has_files:  # the table was empty at that version
             return self.read().limit(0)
-        return self.spark.read.option("mergeSchema", "true").parquet(root)
+        return self._mask_dv(
+            self.spark.read.option("mergeSchema", "true").parquet(root),
+            upto_version=version,
+        )
 
     # -- row-level DML (Delta DELETE/UPDATE analog) ---------------------------
 
-    def delete_where(self, condition) -> int:
-        """Row-level DELETE: tombstone every live row matching
-        ``condition`` (a SQL expression string or Column) through the
-        standard merge (``Op = D``, delete_mode="apply") — so the
-        rewrite is pruned to touched partitions, retained tables get a
-        numbered commit + changes-feed entries, and attached table
-        services refresh, exactly as for any other commit. Returns
-        rows deleted. The tombstones carry each row's CURRENT
-        precombine value; the merge's batch-wins-on-tie rule is what
-        makes same-version deletes land."""
+    def delete_where(self, condition, strategy: str | None = None) -> int:
+        """Row-level DELETE: remove every live row matching
+        ``condition`` (a SQL expression string or Column). Returns
+        rows deleted.
+
+        ``strategy`` (default: "vector" when the table was opened with
+        ``deletion_vectors=True``, else "rewrite"):
+
+        - "rewrite" (copy-on-write): tombstone through the standard
+          merge (``Op = D``, delete_mode="apply") — the rewrite is
+          pruned to touched partitions, retained tables get a numbered
+          commit + changes-feed entries, and attached table services
+          refresh, exactly as for any other commit. The tombstones
+          carry each row's CURRENT precombine value; the merge's
+          batch-wins-on-tie rule is what makes same-version deletes
+          land.
+        - "vector" (merge-on-read): commit ONLY the victims' physical
+          coordinates to a ``.dv/`` sidecar (operators/deletevectors)
+          — I/O ∝ rows deleted, no partition rewrite; reads subtract
+          the mask until ``materialize_deletes`` folds it in. Same
+          commit protocol (numbered commit, token, changes feed,
+          maintenance hooks), different physical cost.
+        """
+        strategy = strategy or (
+            "vector" if self.deletion_vectors else "rewrite"
+        )
+        if strategy not in ("rewrite", "vector"):
+            raise ValueError(f"unknown delete strategy {strategy!r}")
+        if strategy == "vector":
+            return self._delete_where_vector(condition)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         # Cache the victim set: the count that sizes the return value
         # and the merge that consumes the rows share ONE scan of the
@@ -1789,6 +1901,184 @@ class KeyedTable:
         finally:
             victims.unpersist()
         return n
+
+    def _provenanced_read(self) -> DataFrame:
+        """Live masked read that KEEPS the positional identity columns
+        (``__dv_file``/``__dv_pos``) — what a vector delete selects its
+        victims from."""
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            with_provenance,
+        )
+
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        return self._mask_dv(
+            with_provenance(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    self.path
+                )
+            ),
+            keep_provenance=True,
+        )
+
+    def _delete_where_vector(self, condition) -> int:
+        """Merge-on-read delete: commit the victims' positional
+        coordinates instead of rewriting their partitions. Retries on
+        commit races like upsert (the victim scan re-runs against the
+        fresh snapshot)."""
+        if not self.exists():
+            return 0
+        self.recover()
+        attempts = 1 + max(0, self.commit_retries)
+        for _attempt in range(attempts):
+            n = self._dv_delete_once(condition)
+            if n is not None:
+                return n
+        raise ConcurrentWriteError(
+            f"vector delete on {self.path} lost the commit race "
+            f"{attempts} times; re-run (nothing was committed)"
+        )
+
+    def _dv_delete_once(self, condition) -> int | None:
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            _DV_FILE,
+            _DV_POS,
+        )
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base_token = self.commit_token()
+        victims = (
+            self._provenanced_read()
+            .filter(cond)
+            .select(*self.partition_cols, _DV_FILE, _DV_POS)
+        )
+        staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
+        # One output file: a vector is kilobytes per thousand victims;
+        # the mask reader pays one footer per vector dir.
+        victims.coalesce(1).write.parquet(f"{staging}/{_STAGED_DV_NAME}")
+        # Footer-only count over what was WRITTEN (the number the
+        # caller acts on must be the number the mask will apply).
+        n = self.spark.read.parquet(f"{staging}/{_STAGED_DV_NAME}").count()
+        if n == 0:
+            self._fs_delete(staging)
+            return 0
+        self._fault("dv_staged")
+        return n if self._commit_staging(staging, base_token) else None
+
+    def materialize_deletes(self) -> dict:
+        """Fold outstanding deletion vectors into the data files — a
+        normal rewrite commit over ONLY the vector-affected partitions
+        (Delta's PURGE / Iceberg's rewrite_position_delete_files).
+        Live reads then stop consulting the folded vectors (the
+        ``.dv/_FLOOR`` marker advances past them); snapshot reads keep
+        them until retention expires the versions they serve, at which
+        point ``vacuum_versions`` deletes the dirs. Returns
+        ``{"folded_dirs", "rows", "partitions_rewritten", "version"}``
+        (zeros when there was nothing to fold)."""
+        from rds_to_datalake_project_spark.operators import (
+            deletevectors as dv,
+        )
+
+        self.recover()
+        out = {
+            "folded_dirs": 0,
+            "rows": 0,
+            "partitions_rewritten": 0,
+            "version": None,
+        }
+        attempts = 1 + max(0, self.commit_retries)
+        for _attempt in range(attempts):
+            dirs = dv._select_dirs(self.spark, self.path, None)
+            if not dirs:
+                return out
+            base_token = self.commit_token()
+            vec = self.spark.read.parquet(*[d["path"] for d in dirs])
+            n_rows = vec.count()
+            committed = True
+            touched_rels: list[str] = []
+            if self.partition_cols:
+                rows = (
+                    vec.select(*self.partition_cols)
+                    .distinct()
+                    .withColumn("__pk", self._partition_key_col())
+                    .collect()
+                )
+                live_rels = set(self._staged_partition_dirs(self.path))
+                touched = [
+                    (tuple(r[c] for c in self.partition_cols), r["__pk"])
+                    for r in rows
+                    if self._partition_rel_path(
+                        tuple(r[c] for c in self.partition_cols)
+                    )
+                    in live_rels
+                ]
+                touched_rels = [
+                    self._partition_rel_path(t) for t, _ in touched
+                ]
+                if touched:
+                    masked = self.read().filter(
+                        self._partition_key_col().isin(
+                            [pk for _, pk in touched]
+                        )
+                    )
+                    committed = self._stage_and_commit_rewrite(
+                        masked, touched_rels, base_token
+                    )
+                # no touched partition: every entry references files a
+                # later rewrite already replaced — pure bookkeeping,
+                # no commit needed.
+            else:
+                committed = self._stage_and_commit_rewrite(
+                    self.read(), None, base_token
+                )
+                touched_rels = [""]
+            if committed:
+                if self.retain_versions:
+                    # Fold floor: vectors of commits < floor are in
+                    # the data files now (live reads skip them);
+                    # written AFTER the commit, so a crash in between
+                    # only leaves dead-but-harmless mask entries.
+                    floor = (self.versions() or [0])[-1] + (
+                        0 if touched_rels else 1
+                    )
+                    dv.write_fold_floor(self.spark, self.path, floor)
+                else:
+                    for d in dirs:
+                        self._fs_delete(d["path"])
+                out.update(
+                    folded_dirs=len(dirs),
+                    rows=n_rows,
+                    partitions_rewritten=len(touched_rels),
+                    version=(self.versions() or [None])[-1]
+                    if self.retain_versions
+                    else None,
+                )
+                return out
+        raise ConcurrentWriteError(
+            f"materialize_deletes on {self.path} lost the commit race "
+            f"{attempts} times; re-run"
+        )
+
+    def _stage_and_commit_rewrite(
+        self, frame: DataFrame, touched_rels: list[str] | None, base_token
+    ) -> bool:
+        """Stage ``frame`` and commit it through the standard publish
+        protocol, materializing empty staged dirs for touched
+        partitions whose every row was deleted (they must swap away).
+        ``touched_rels=None`` = unpartitioned whole-set swap."""
+        staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
+        writer = frame.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(staging)
+        if self.partition_cols and touched_rels:
+            staged_set = set(self._staged_partition_dirs(staging))
+            for rel in touched_rels:
+                if rel not in staged_set:
+                    fs, p = self._fs(f"{staging}/{rel}")
+                    fs.mkdirs(p)
+        return self._commit_staging(staging, base_token)
 
     def update_where(self, condition, assignments: dict) -> int:
         """Row-level UPDATE via read-modify-merge: rows matching
@@ -1877,7 +2167,12 @@ class KeyedTable:
         """
         if keep_history:
             return self._purge_keep_history(condition)
-        n = self.delete_where(condition)
+        # ALWAYS the rewrite strategy: a vector delete only MASKS the
+        # victims — their bytes stay in the live files, which is
+        # exactly what a purge must not allow. The rewrite physically
+        # drops them (and any still-masked prior victims sharing the
+        # touched partitions, since the merge reads through the mask).
+        n = self.delete_where(condition, strategy="rewrite")
         if n == 0:
             return 0
         if self.retain_versions:
@@ -1941,7 +2236,27 @@ class KeyedTable:
         A crash at any point leaves the pending marker, and the next
         ``purge_rows(..., keep_history=True)`` call finishes the job
         before starting its own. Returns live rows purged by this
-        call (a resumed purge counts only the rows still live)."""
+        call (a resumed purge counts only the rows still live).
+
+        Incompatible with OUTSTANDING deletion vectors: the scrub
+        rewrites history files in place, which shifts row positions
+        and breaks the vectors' positional identity (a masked row
+        could silently resurrect at old versions). Callers must
+        ``materialize_deletes()`` and vacuum until the ``.dv`` history
+        expires first — or use the default floor-everything purge,
+        which never rewrites a file a vector references."""
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            list_dv_dirs,
+        )
+
+        if list_dv_dirs(self.spark, self.path):
+            raise ValueError(
+                "purge_rows(keep_history=True) cannot run while deletion "
+                "vectors exist: the history scrub would shift the row "
+                "positions they reference. Run materialize_deletes() and "
+                "vacuum_versions() until .dv history expires, or use "
+                "keep_history=False."
+            )
         self._finish_pending_purge()
         keys = list(self.spec.record_key)
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -2349,6 +2664,19 @@ class KeyedTable:
         for j in expired:
             self._fs_delete(f"{self.path}/.retired/v{j}")
             self._fs_delete(f"{self.path}/.meta/v{j}.flag")
+        # Deletion vectors below the fold floor exist only for
+        # snapshot readers (their basenames left the live tree at the
+        # fold commit). Once the retention floor reaches the fold, no
+        # readable version needs them — drop the dirs.
+        from rds_to_datalake_project_spark.operators import (
+            deletevectors as _dv,
+        )
+
+        fold = _dv.read_fold_floor(self.spark, self.path)
+        if fold and self._read_floor() >= fold:
+            for d in _dv.list_dv_dirs(self.spark, self.path):
+                if d["version"] is not None and d["version"] < fold:
+                    self._fs_delete(d["path"])
         return len(expired)
 
     def _retired_rels(self, version: int) -> list[str]:

@@ -311,12 +311,22 @@ def pruned_read(
             # the predicate matched no zone at all)
             full, _live = _resolve_table(spark, table_path)
         return full.filter(residual).limit(0)
+    # Merge-on-read deletes: committed deletion vectors mask their
+    # victims on every pruned read too (passthrough when the table has
+    # none). Imported lazily — deletevectors imports helpers from this
+    # module.
+    from rds_to_datalake_project_spark.operators.deletevectors import (
+        mask_deleted,
+    )
+
     # basePath keeps hive partition columns alive when reading leaf
     # files directly — without it every partition column reads NULL.
     reader = spark.read.option("basePath", table_path)
     # Pin the resolved schema when a full resolution happened anyway.
     if full is not None:
-        return reader.schema(full.schema).parquet(*files).filter(residual)
+        return mask_deleted(
+            spark, table_path, reader.schema(full.schema).parquet(*files)
+        ).filter(residual)
     # Trusted-manifest path (no listing happened): pin the schema the
     # refresh persisted in the sidecar. Merging over only the PRUNED
     # files is wrong after schema evolution — a subset of old files
@@ -326,20 +336,23 @@ def pruned_read(
     pinned = _read_small(spark, f"{idx}/_SCHEMA")
     if pinned:
         schema = T.StructType.fromJson(json.loads(pinned))
-        return reader.schema(schema).parquet(*files).filter(residual)
+        return mask_deleted(
+            spark, table_path, reader.schema(schema).parquet(*files)
+        ).filter(residual)
     # Legacy sidecar without a schema pin: merge, but fall back to a
     # real full resolution if any predicate column is absent from the
     # merged subset.
     out = reader.option("mergeSchema", "true").parquet(*files)
     if any(c not in out.columns for c in predicates):
         full, _live = _resolve_table(spark, table_path)
-        return (
+        return mask_deleted(
+            spark,
+            table_path,
             spark.read.option("basePath", table_path)
             .schema(full.schema)
-            .parquet(*files)
-            .filter(residual)
-        )
-    return out.filter(residual)
+            .parquet(*files),
+        ).filter(residual)
+    return mask_deleted(spark, table_path, out).filter(residual)
 
 
 def refresh_zonemap(

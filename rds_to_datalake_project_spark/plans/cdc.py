@@ -819,6 +819,82 @@ ORDER BY o_orderkey
 """
 
 
+# --- deletion vectors: merge-on-read DELETE -----------------------------------
+
+_DV_ORDERS: dict[tuple[int, str], KeyedTable] = {}
+
+
+def _dv_fixture(spark: SparkSession, sf_dir: str) -> KeyedTable:
+    """Vector-delete lifecycle over orders (operators/deletevectors —
+    the merge-on-read answer to the reference's always-rewrite Hudi
+    COW deletes, glue_jobs/incremental.py:214-243):
+
+    - initial load (v0, month-partitioned, retained);
+    - commit 1: VECTOR delete of ``status F ∧ key%3=0`` — a
+      kilobyte positional-tombstone commit, zero data files rewritten;
+    - commit 2: upsert RE-INSERTING the ``key%9=0`` subset of the
+      deleted keys (+500 price) — lands in fresh files the stale
+      vector entries cannot mask (positional identity).
+
+    The serve reads the LIVE head through the mask; the oracle states
+    the final state in closed form over orders."""
+    key = (id(spark), sf_dir)
+    t = _DV_ORDERS.get(key)
+    if t is not None:
+        return t
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_dv",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_source="o_orderdate",
+        partition_granularity="month",
+    )
+    t = KeyedTable(
+        spark,
+        _scratch("dv_delete") + "/t",
+        spec,
+        retain_versions=3,
+        deletion_vectors=True,
+    )
+    t.initial_load(base.withColumn("update_at", F.lit("v0")))
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    reinsert = (
+        base.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 9 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .withColumn("update_at", F.lit("v2"))
+    )
+    t.upsert(reinsert)
+    _DV_ORDERS[key] = t
+    return t
+
+
+def _dv_serve(spark: SparkSession, sf_dir: str, t: KeyedTable) -> DataFrame:
+    return (
+        t.read()
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dv_serve(spark, sf_dir, _dv_fixture(spark, sf_dir))
+
+
+DV_DELETE_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+UNION ALL
+SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey % 9 = 0
+ORDER BY o_orderkey
+"""
+
+
 def lake_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC feed OF THE LAKE ITSELF: ``table_changes(0, 2)`` on the
     versioned fixture — every key inserted, updated, or deleted
@@ -2208,6 +2284,7 @@ QUERIES = {
     "table_diff_report": table_diff_report,
     "time_travel_roundtrip": time_travel_roundtrip,
     "restore_table_roundtrip": restore_table_roundtrip,
+    "dv_delete_roundtrip": dv_delete_roundtrip,
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
@@ -2259,6 +2336,7 @@ ORACLES = {
     "table_diff_report": TABLE_DIFF_SQL,
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "restore_table_roundtrip": RESTORE_SQL,
+    "dv_delete_roundtrip": DV_DELETE_SQL,
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
@@ -2312,4 +2390,5 @@ PHASES = {
         _concurrent_upsert_serve,
     ),
     "restore_table_roundtrip": (_restore_fixture, _restore_serve),
+    "dv_delete_roundtrip": (_dv_fixture, _dv_serve),
 }

@@ -210,6 +210,15 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
+# Deletion-vector maintenance (operators/deletevectors): fold
+# outstanding vectors into the data files / inspect the mask state.
+_MATERIALIZE_DV_RE = re.compile(
+    rf"^\s*MATERIALIZE\s+DELETES\s+FOR\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_DV_RE = re.compile(
+    rf"^\s*SHOW\s+DELETION\s+VECTORS\s+FOR\s+({_QNAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
 # Restricted MERGE grammar — the star forms Hudi/Delta users run for
 # CDC apply. Clause order: optional matched-DELETE, then the two star
 # clauses (both optional, at least one required).
@@ -902,7 +911,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       AS-OF and registered names work — unregistered target names
       pass through to a native catalog)
     - ``DELETE FROM <t> WHERE <expr>``  → row-level delete
-      (KeyedTable.delete_where — tombstones through the merge)
+      (KeyedTable.delete_where — tombstones through the merge, or a
+      merge-on-read deletion-vector commit on tables opened with
+      ``deletion_vectors=True``)
+    - ``MATERIALIZE DELETES FOR <t>``   → fold outstanding deletion
+      vectors into the data files (KeyedTable.materialize_deletes)
+    - ``SHOW DELETION VECTORS FOR <t>`` → mask state: outstanding
+      dirs, masked rows, bytes, fold floor (deletevectors.dv_stats)
     - ``UPDATE <t> SET a = e, ... WHERE <expr>`` → row-level update
       (KeyedTable.update_where — read-modify-merge; key/partition
       columns are immutable and raise)
@@ -1004,6 +1019,44 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _MATERIALIZE_DV_RE.match(sql)
+    if m and table_bound:
+        res = _resolve(m.group(1)).materialize_deletes()
+        return spark.createDataFrame(
+            [
+                (
+                    m.group(1),
+                    res["folded_dirs"],
+                    res["rows"],
+                    res["partitions_rewritten"],
+                    res["version"],
+                )
+            ],
+            "table_name string, folded_dirs int, rows long, "
+            "partitions_rewritten int, version int",
+        )
+    m = _SHOW_DV_RE.match(sql)
+    if m and table_bound:
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            dv_stats,
+        )
+
+        t = _resolve(m.group(1))
+        st = dv_stats(t.spark, t.path)
+        return spark.createDataFrame(
+            [
+                (
+                    m.group(1),
+                    st["dirs"],
+                    st["rows"],
+                    st["bytes"],
+                    st["fold_floor"],
+                    st["total_dirs"],
+                )
+            ],
+            "table_name string, outstanding_dirs int, masked_rows long, "
+            "bytes long, fold_floor int, total_dirs int",
+        )
     m = _CREATE_MV_CHAIN_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group("base")) in known:
         return _create_chain_matview_statement(spark, m, known)
