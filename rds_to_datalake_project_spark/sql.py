@@ -231,7 +231,8 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<act>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -360,6 +361,12 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
       whole-row (Op = U)
     - ``WHEN NOT MATCHED THEN INSERT *`` → unmatched source rows are
       always inserted (the delete condition never applies to them)
+    - ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE`` →
+      TARGET rows whose key is absent from the source (and meeting
+      <cond>, evaluated against the target row) become tombstones —
+      the Delta sync-job clause that makes one MERGE mirror a full
+      source extract. Inherently a full target anti-join; bound it
+      with a partition predicate in <cond> at scale.
 
     Any subset of the three clauses composes with standard MERGE
     semantics — the source is partitioned by matched/not-matched
@@ -406,11 +413,37 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
     clauses = list(_WHEN_RE.finditer(m.group("clauses")))
     if not clauses:
         raise ValueError("MERGE needs at least one WHEN clause")
-    delete_cond = None
+    # Every WHEN the statement spells must have parsed — an unparsed
+    # clause silently dropped from the action set would execute a
+    # DIFFERENT merge than the user wrote.
+    n_spelled = len(
+        re.findall(
+            r"\bWHEN\s+(?:NOT\s+)?MATCHED\b",
+            m.group("clauses"),
+            flags=re.IGNORECASE,
+        )
+    )
+    if len(clauses) != n_spelled:
+        raise ValueError(
+            "unsupported WHEN clause shape in MERGE — supported: "
+            "WHEN MATCHED [AND c] THEN DELETE, WHEN MATCHED THEN "
+            "UPDATE SET *, WHEN NOT MATCHED THEN INSERT *, "
+            "WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE"
+        )
+    delete_cond = by_source_delete_cond = None
     star_update = star_insert = False
     for c in clauses:
         act = re.sub(r"\s+", " ", c.group("act").upper())
-        if act == "DELETE":
+        if c.group("bysrc"):
+            if not c.group("not"):
+                raise ValueError("MATCHED BY SOURCE is not valid SQL")
+            if act != "DELETE":
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports THEN DELETE "
+                    "only (there is no source row to UPDATE/INSERT from)"
+                )
+            by_source_delete_cond = c.group("cond") or "true"
+        elif act == "DELETE":
             if c.group("not"):
                 raise ValueError("WHEN NOT MATCHED THEN DELETE is not valid")
             delete_cond = c.group("cond") or "true"
@@ -423,7 +456,7 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
             star_update = True
         elif act == "INSERT *":
             star_insert = True
-    if not (star_update or star_insert or delete_cond):
+    if not (star_update or star_insert or delete_cond or by_source_delete_cond):
         raise ValueError("MERGE needs UPDATE SET * / INSERT * / DELETE")
     keys = list(t.spec.record_key)
     # Standard MERGE semantics partition the SOURCE by matched /
@@ -435,6 +468,9 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
     # whole-row upsert, no join needed.
     if star_update and star_insert and delete_cond is None:
         batch = src
+    elif not (star_update or star_insert or delete_cond):
+        # by-source-only merge: no source-driven action at all
+        batch = src.limit(0).withColumn("Op", F.lit("D"))
     else:
         # One key-join flags matched-ness (target keys are unique by
         # the table contract, so no fan-out); both halves reuse it.
@@ -455,25 +491,47 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
             parts.append(matched.withColumn("Op", F.lit("U")))
         if star_insert:
             parts.append(unmatched.withColumn("Op", F.lit("U")))
-        if not parts:
-            return spark.createDataFrame(
-                [(name, 0)], "table_name string, rows_merged bigint"
-            )
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
-        # the matched/unmatched key join feeds the count AND the
-        # merge's several actions — one materialization serves all
+    if by_source_delete_cond is not None:
+        # Target rows with no source counterpart (key anti-join),
+        # meeting the clause condition, tombstone at their CURRENT
+        # precombine value (batch-wins-on-tie lands the delete). The
+        # anti-join reads the target once — the price of the clause's
+        # semantics; the condition can carry a partition predicate to
+        # bound it.
+        gone = (
+            t.read()
+            .join(src.select(*keys), keys, "left_anti")
+            .filter(
+                F.coalesce(
+                    F.expr(by_source_delete_cond).cast("boolean"),
+                    F.lit(False),
+                )
+            )
+            .withColumn("Op", F.lit("D"))
+        )
+        batch = batch.unionByName(gone, allowMissingColumns=True)
+    delete_mode = (
+        "apply"
+        if (delete_cond is not None or by_source_delete_cond is not None)
+        else "ignore"
+    )
+    # One materialization serves the count AND the merge's actions
+    # (the matched/unmatched key join, the by-source anti-join) —
+    # except the plain fast path, where batch IS the source query and
+    # caching would only duplicate its scan.
+    cached = batch is not src
+    if cached:
         batch = batch.cache()
     try:
         n = batch.count()
         if n:
-            t.upsert(
-                batch,
-                delete_mode="apply" if delete_cond is not None else "ignore",
-            )
+            t.upsert(batch, delete_mode=delete_mode)
     finally:
-        batch.unpersist()
+        if cached:
+            batch.unpersist()
     return spark.createDataFrame(
         [(name, n)], "table_name string, rows_merged bigint"
     )

@@ -557,6 +557,69 @@ def test_sql_facade_merge_clause_combinations(spark, tmp_path):
     assert got == {"a": 2, "d": 1}
 
 
+def test_sql_facade_merge_not_matched_by_source(spark, tmp_path):
+    """The Delta sync-job clause: target rows absent from the source
+    tombstone (optionally gated by a condition over the TARGET row);
+    composes with the star clauses; by-source-only merges work; the
+    by-source UPDATE/INSERT spellings and any unparseable WHEN shape
+    raise instead of silently dropping the clause."""
+    from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+    from rds_to_datalake_project_spark.schema import TableSpec
+    from rds_to_datalake_project_spark.sql import run_query
+
+    spec = TableSpec("ms", record_key=("id",), precombine_key="v",
+                     partition_granularity=None)
+    t = KeyedTable(spark, str(tmp_path / "ms"), spec)
+    t.initial_load(spark.createDataFrame(
+        [(i, f"2024-01-01T00:00:0{i % 10}", 1, "old") for i in range(6)],
+        ["id", "update_at", "v", "tag"],
+    ))
+    # source: 0-2 updated, 9 new; 3-5 vanished from the extract
+    spark.createDataFrame(
+        [(i, "2024-01-02T00:00:00", 2, "new") for i in (0, 1, 2, 9)],
+        ["id", "update_at", "v", "tag"],
+    ).createOrReplaceTempView("ms_src")
+
+    out = run_query(
+        spark,
+        "MERGE INTO ms USING ms_src AS s ON ms.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND id >= 5 THEN DELETE",
+        tables={"ms": t},
+    ).collect()[0]
+    assert out.rows_merged == 5  # 3 updates + 1 insert + 1 delete
+    got = {r.id: r.tag for r in t.read().collect()}
+    # 5 deleted (condition), 3-4 kept (condition false), 0-2 updated
+    assert got == {0: "new", 1: "new", 2: "new", 3: "old", 4: "old", 9: "new"}
+
+    # by-source-only: mirror the extract exactly
+    out = run_query(
+        spark,
+        "MERGE INTO ms USING ms_src ON ms.id = ms_src.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        tables={"ms": t},
+    ).collect()[0]
+    assert out.rows_merged == 2
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 9]
+
+    with pytest.raises(ValueError, match="DELETE"):
+        run_query(
+            spark,
+            "MERGE INTO ms USING ms_src ON ms.id = ms_src.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            tables={"ms": t},
+        )
+    with pytest.raises(ValueError, match="WHEN clause"):
+        run_query(
+            spark,
+            "MERGE INTO ms USING ms_src ON ms.id = ms_src.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED BY TARGET THEN FROB",
+            tables={"ms": t},
+        )
+
+
 def test_update_where_evaluates_set_against_original_row(spark, tmp_path):
     """SQL UPDATE semantics: every SET right-hand side sees the
     UNMODIFIED row, so ``SET x = y, y = x`` swaps (a sequential
