@@ -88,6 +88,7 @@ HEADLINE = [
     # versioned load + 2 commits + the rollback commit; serve = head read
     "restore_table_roundtrip",
     "dv_delete_roundtrip",
+    "clone_table_roundtrip",
     "scd2_orders_history",
     # round-9: point-in-time join (shares the versioned fixture), M4
     # downsampling, non-key point lookup via the secondary index

@@ -1,0 +1,371 @@
+"""Zero-copy shallow clones — branch a lake table without copying it.
+
+Delta ``CREATE TABLE ... SHALLOW CLONE`` / Iceberg snapshot-ref
+branching, re-expressed over this engine's partitioned-parquet layout.
+The reference has no branching story at all (its Hudi tables are
+single-lineage); at 100 TB this is what makes dev/test branches and
+write-audit-publish workflows affordable — a clone of a 100 TB table
+is ONE metadata file.
+
+Model:
+
+- ``clone_table(src, dest)`` writes only ``dest/.meta/_CLONE`` —
+  a pin of (source path, source commit version, source incarnation).
+  No data is copied, listed, or touched. The source must retain
+  versions (the pin is a snapshot, and snapshots are what retention
+  protects); the pinned version defaults to the source's head.
+- Reads RESOLVE: partitions materialized locally (by clone writes)
+  win; everything else reads through ``src.read_as_of(pinned)`` with
+  the local partitions excluded — the same metadata-only snapshot
+  machinery, so a clone read lists the same number of dirs as a
+  source read plus the local overlay.
+- The first write touching a partition copies it on write INTO the
+  clone (the standard merge already reads the resolved view and
+  publishes locally — partition-granular divergence, nothing else
+  materializes). Source and clone evolve independently from that
+  point: source commits after the pin are invisible to the clone,
+  clone commits never touch the source.
+- Clone history works: with ``retain_versions`` on the clone,
+  ``read_as_of(0)`` is the creation snapshot and later versions
+  reconstruct local overlays exactly (a locally-materialized rel
+  resolves locally from the commit that created it, source-side
+  before).
+- The pin has honest failure modes instead of silent drift: if source
+  retention expires the pinned version, or the source is RESET
+  (initial_load mints a new incarnation), clone reads RAISE naming
+  the cause. ``detach()`` ends the dependency — it materializes the
+  source-resident remainder locally (one commit) and drops the
+  marker, leaving an ordinary independent table.
+
+Guard rails: a plain ``KeyedTable`` handle on a clone path refuses to
+construct (it would read partial data and its initial_load route
+would destroy the clone) — ``open_table`` returns the right class.
+Deletion vectors are rewrite-routed on clones (positional vectors
+cannot reference source-resident files); ``purge_rows`` raises (the
+victims' bytes may live in the SOURCE, which a clone must not
+mutate).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rds_to_datalake_project_spark.operators.upsert import KeyedTable
+from rds_to_datalake_project_spark.operators.zonemap import (
+    _read_small,
+    _write_small,
+)
+from rds_to_datalake_project_spark.schema import TableSpec
+
+_CLONE_MARKER = ".meta/_CLONE"
+
+
+class CloneSourceError(RuntimeError):
+    """The pinned source snapshot is no longer servable — retention
+    expired the pinned version, or the source was reset/replaced
+    (incarnation mismatch). The clone's LOCAL partitions are intact;
+    ``detach()`` before the source moves, or re-clone."""
+
+
+class ClonedTable(KeyedTable):
+    """A :class:`KeyedTable` whose unmodified partitions resolve
+    through a pinned source snapshot. Construct via
+    :func:`clone_table` / :func:`open_table`."""
+
+    _CLONE_AWARE = True
+
+    def _clone_meta(self) -> dict | None:
+        raw = _read_small(self.spark, f"{self.path}/{_CLONE_MARKER}")
+        if not raw:
+            return None
+        return json.loads(raw)
+
+    def _source(self, meta: dict):
+        """The source handle, clone-aware (a clone of a clone resolves
+        recursively through ITS pin), with the pin validated."""
+        src = open_table(
+            self.spark,
+            meta["src_path"],
+            # the spec is shared by construction (clone_table copies
+            # it); partitioning must match for rel-path exclusion
+            self.spec,
+            retain_versions=meta["src_retain_versions"],
+        )
+        inc = src.incarnation() if src.retain_versions else None
+        if meta.get("src_incarnation") and inc != meta["src_incarnation"]:
+            raise CloneSourceError(
+                f"clone source {meta['src_path']} was RESET since the "
+                "clone was taken (incarnation changed) — its data no "
+                "longer matches the pin; detach() or re-clone"
+            )
+        return src
+
+    def _local_rels(self) -> set[str]:
+        return set(self._staged_partition_dirs(self.path))
+
+    def _has_local_files(self) -> bool:
+        return self._has_data_files()
+
+    # -- resolution ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        if self._clone_meta() is not None:
+            return True
+        return super().exists()
+
+    def read(self) -> DataFrame:
+        meta = self._clone_meta()
+        if meta is None:  # detached / reset: ordinary table now
+            return super().read()
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        src = self._source(meta)
+        if not self.partition_cols:
+            # unpartitioned: the divergence unit is the whole file set
+            if self._has_local_files():
+                return super().read()
+            return self._pinned_source_read(src, meta)
+        local = self._local_rels()
+        remainder = self._pinned_source_read(src, meta, exclude=local)
+        if not local:
+            return remainder
+        mine = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*[f"{self.path}/{rel}" for rel in sorted(local)])
+        )
+        return mine.unionByName(remainder, allowMissingColumns=True)
+
+    def _pinned_source_read(
+        self, src, meta: dict, exclude=None
+    ) -> DataFrame:
+        try:
+            return src.read_as_of(meta["src_version"], _exclude_rels=exclude)
+        except ValueError as e:
+            raise CloneSourceError(
+                f"clone source {meta['src_path']} can no longer serve "
+                f"pinned version {meta['src_version']} (source retention "
+                f"expired it: {e}) — detach() before vacuuming the "
+                "source past the pin, or re-clone"
+            ) from e
+
+    def read_as_of(self, version: int, _exclude_rels=None) -> DataFrame:
+        meta = self._clone_meta()
+        if meta is None:
+            return super().read_as_of(version, _exclude_rels=_exclude_rels)
+        if not self.retain_versions:
+            raise ValueError("read_as_of requires retain_versions > 0")
+        latest = (self.versions() or [0])[-1]
+        floor = self._read_floor()
+        if not floor <= version <= latest:
+            raise ValueError(
+                f"version {version} is not reconstructible: readable "
+                f"range is [{floor}, {latest}]"
+            )
+        src = self._source(meta)
+        if not self.partition_cols:
+            first_local = min(self.versions(), default=None)
+            if first_local is not None and version >= first_local:
+                return super().read_as_of(version)
+            return self._pinned_source_read(src, meta)
+        # A rel is LOCAL as of k iff a clone commit ≤ k first
+        # materialized it (the commit records name exactly those —
+        # a staged rel absent from the local tree is flagged #created).
+        local_at_k: set[str] = set()
+        for j in self.versions():
+            if j <= version:
+                local_at_k |= set(
+                    self._flag_meta(f"{self.path}/.meta/v{j}.flag")["created"]
+                )
+        remainder = self._pinned_source_read(src, meta, exclude=local_at_k)
+        if not local_at_k:
+            return remainder
+        mine = super().read_as_of(version)
+        return mine.unionByName(remainder, allowMissingColumns=True)
+
+    # Index-served point/range paths prune over LOCAL files only —
+    # on a clone most data is source-resident, so route the whole
+    # family through the resolved read (the source side still prunes
+    # partitions through read_as_of's metadata resolution). A branch
+    # trades point-lookup latency for zero-copy creation; detach()
+    # restores the indexed paths.
+    def lookup(self, key_value) -> DataFrame:
+        if self._clone_meta() is None:
+            return super().lookup(key_value)
+        from pyspark.sql import functions as F
+
+        key_col = self.spec.record_key[0]
+        return self.read().filter(F.col(key_col) == F.lit(key_value))
+
+    def lookup_many(self, key_values: list) -> DataFrame:
+        if self._clone_meta() is None:
+            return super().lookup_many(key_values)
+        from pyspark.sql import functions as F
+
+        key_col = self.spec.record_key[0]
+        return self.read().filter(F.col(key_col).isin(key_values))
+
+    def read_where(
+        self, predicates: dict[str, tuple], use_secondary: bool = True
+    ) -> DataFrame:
+        if self._clone_meta() is None:
+            return super().read_where(predicates, use_secondary=use_secondary)
+        from pyspark.sql import functions as F
+
+        out = self.read()
+        for col, (lo, hi) in predicates.items():
+            c = F.col(col)
+            if lo is not None:
+                out = out.filter(c >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(c <= F.lit(hi))
+        return out
+
+    def _as_of_rels(self, version: int) -> list[str]:
+        """Resolved snapshot rel set: locally-materialized rels at
+        ``version`` plus the source remainder (a rel ever localized
+        by commit ≤ version resolves locally even when its local
+        state is empty — the source copy must not reappear)."""
+        meta = self._clone_meta()
+        if meta is None:
+            return super()._as_of_rels(version)
+        localized: set[str] = set()
+        for j in self.versions():
+            if j <= version:
+                localized |= set(
+                    self._flag_meta(f"{self.path}/.meta/v{j}.flag")["created"]
+                )
+        src_rels = set(
+            self._source(meta)._as_of_rels(meta["src_version"])
+        )
+        return sorted(
+            set(super()._as_of_rels(version)) | (src_rels - localized)
+        )
+
+    # -- refusals (operations whose contract a clone cannot honor) -----------
+
+    def _delete_where_vector(self, condition) -> int:
+        if self._clone_meta() is None:
+            return super()._delete_where_vector(condition)
+        # Positional vectors reference files of THIS table's tree;
+        # most clone rows live in the source's files. The rewrite
+        # strategy localizes the touched partitions instead.
+        return self.delete_where(condition, strategy="rewrite")
+
+    def purge_rows(self, condition, keep_history: bool = False) -> int:
+        if self._clone_meta() is None:
+            return super().purge_rows(condition, keep_history=keep_history)
+        raise ValueError(
+            "purge_rows on a shallow clone cannot honor the erasure "
+            "contract: the victims' bytes may live in SOURCE files the "
+            "clone must not mutate. detach() first, then purge."
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def detach(self) -> dict:
+        """End the source dependency: materialize the source-resident
+        remainder locally in ONE commit, then drop the pin marker.
+        After this the table is an ordinary independent KeyedTable
+        (the existing handle keeps working). Returns
+        ``{"partitions_copied": n}``."""
+        meta = self._clone_meta()
+        if meta is None:
+            return {"partitions_copied": 0}
+        src = self._source(meta)
+        copied = 0
+        if not self.partition_cols:
+            if not self._has_local_files():
+                frame = self._pinned_source_read(src, meta)
+                base_token = self.commit_token()
+                if not self._stage_and_commit_rewrite(frame, None, base_token):
+                    raise RuntimeError("detach lost a commit race; re-run")
+                copied = 1
+        else:
+            local = self._local_rels()
+            remainder = self._pinned_source_read(src, meta, exclude=local)
+            src_rels = [
+                r
+                for r in src._as_of_rels(meta["src_version"])
+                if r not in local
+            ]
+            if src_rels:
+                base_token = self.commit_token()
+                if not self._stage_and_commit_rewrite(
+                    remainder, src_rels, base_token
+                ):
+                    raise RuntimeError("detach lost a commit race; re-run")
+                copied = len(src_rels)
+        self._fs_delete(f"{self.path}/{_CLONE_MARKER}")
+        return {"partitions_copied": copied}
+
+
+def clone_table(
+    src: KeyedTable,
+    dest_path: str,
+    version: int | None = None,
+    retain_versions: int = 0,
+    **table_kwargs,
+) -> ClonedTable:
+    """Shallow-clone ``src`` at snapshot ``version`` (default: head)
+    into ``dest_path``. O(1): writes one metadata marker, no data.
+
+    The source must retain versions — and must KEEP retaining the
+    pinned one for the clone's lifetime (vacuuming past the pin makes
+    clone reads raise ``CloneSourceError``; ``detach()`` ends the
+    dependency). Cloning a clone pins the INNER clone's view and
+    resolves recursively."""
+    if not src.retain_versions:
+        raise ValueError(
+            "clone_table requires the source to retain versions "
+            "(retain_versions > 0) — a clone pins a SNAPSHOT, and "
+            "snapshots are what retention protects"
+        )
+    latest = (src.versions() or [0])[-1]
+    if version is None:
+        version = latest
+    floor = src._read_floor()
+    if not floor <= version <= latest:
+        raise ValueError(
+            f"cannot pin version {version}: source readable range is "
+            f"[{floor}, {latest}]"
+        )
+    dest = ClonedTable(
+        src.spark,
+        dest_path,
+        src.spec,
+        retain_versions=retain_versions,
+        **table_kwargs,
+    )
+    if dest.exists():
+        raise ValueError(f"clone destination {dest_path} already exists")
+    _write_small(
+        src.spark,
+        f"{dest_path}/{_CLONE_MARKER}",
+        json.dumps(
+            {
+                "src_path": src.path,
+                "src_version": version,
+                "src_retain_versions": src.retain_versions,
+                "src_incarnation": src.incarnation(),
+            }
+        ),
+    )
+    if retain_versions:
+        dest._write_incarnation()
+    dest._write_commit_token()
+    return dest
+
+
+def open_table(
+    spark: SparkSession, path: str, spec: TableSpec, **table_kwargs
+) -> KeyedTable:
+    """Open ``path`` as the right table class: a :class:`ClonedTable`
+    when the clone marker is present, else a plain
+    :class:`KeyedTable`."""
+    raw = _read_small(spark, f"{path}/{_CLONE_MARKER}")
+    cls = ClonedTable if raw else KeyedTable
+    return cls(spark, path, spec, **table_kwargs)

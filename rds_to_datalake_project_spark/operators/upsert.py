@@ -117,6 +117,10 @@ class KeyedTable:
     the non-versioned protocol.
     """
 
+    # Subclasses that RESOLVE the .meta/_CLONE marker (operators/
+    # clone.ClonedTable) set True; plain handles refuse clone paths.
+    _CLONE_AWARE = False
+
     def __init__(
         self,
         spark: SparkSession,
@@ -202,6 +206,20 @@ class KeyedTable:
                 if spec.partition_granularity
                 else []
             )
+        if not self._CLONE_AWARE:
+            # A shallow clone's local tree is only PART of its data
+            # (the rest resolves through the pinned source snapshot) —
+            # a plain handle would silently read partial rows, and its
+            # upsert's exists()=False route would static-overwrite the
+            # clone markers. Refuse construction instead.
+            fs, cp = self._fs(f"{path}/.meta/_CLONE")
+            if fs.exists(cp):
+                raise ValueError(
+                    f"{path} is a shallow clone — open it via "
+                    "operators.clone.open_table (a plain KeyedTable "
+                    "handle would read only the locally-materialized "
+                    "partitions)"
+                )
 
     # -- helpers -------------------------------------------------------------
 
@@ -1654,9 +1672,13 @@ class KeyedTable:
         latest = (self.versions() or [0])[-1]
         return list(range(self._read_floor(), latest + 1))
 
-    def read_as_of(self, version: int) -> DataFrame:
+    def read_as_of(self, version: int, _exclude_rels=None) -> DataFrame:
         """The table exactly as it stood after commit ``version``
         (0 = after initial load).
+
+        ``_exclude_rels`` (internal — operators/clone): partition rel
+        paths to OMIT from the reconstruction; a shallow clone uses it
+        to read only the source-resident remainder of its view.
 
         Metadata-only reconstruction: for each partition, the first
         event after ``version`` decides its source — retired at j →
@@ -1697,12 +1719,13 @@ class KeyedTable:
                 first.setdefault(rel, ("retired", j))
             for rel in self._flag_meta(f"{self.path}/.meta/v{j}.flag")["created"]:
                 first.setdefault(rel, ("created", j))
+        skip = set(_exclude_rels or ())
         groups: dict[str, list[str]] = {}
         for rel in self._staged_partition_dirs(self.path):  # live dirs
-            if rel not in first:
+            if rel not in first and rel not in skip:
                 groups.setdefault(self.path, []).append(rel)
         for rel, (kind, j) in first.items():
-            if kind == "retired":
+            if kind == "retired" and rel not in skip:
                 groups.setdefault(f"{self.path}/.retired/v{j}", []).append(rel)
         from rds_to_datalake_project_spark.operators.deletevectors import (
             has_vectors,
@@ -1734,6 +1757,29 @@ class KeyedTable:
         if masked:
             out = self._mask_dv(out, upto_version=version)
         return out
+
+    def _as_of_rels(self, version: int) -> list[str]:
+        """Partition rel paths present in snapshot ``version`` — the
+        same first-event-after resolution ``read_as_of`` performs,
+        names only (metadata-only; operators/clone uses it to size a
+        detach)."""
+        first: dict[str, str] = {}
+        for j in self.versions():
+            if j <= version:
+                continue
+            for rel in self._retired_rels(j):
+                first.setdefault(rel, "retired")
+            for rel in self._flag_meta(f"{self.path}/.meta/v{j}.flag")[
+                "created"
+            ]:
+                first.setdefault(rel, "created")
+        out = {
+            rel
+            for rel in self._staged_partition_dirs(self.path)
+            if rel not in first
+        }
+        out |= {rel for rel, kind in first.items() if kind == "retired"}
+        return sorted(out)
 
     def version_at_timestamp(self, ts) -> int:
         """Newest committed version whose commit time is ≤ ``ts`` —

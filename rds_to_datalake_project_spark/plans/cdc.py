@@ -819,6 +819,92 @@ ORDER BY o_orderkey
 """
 
 
+# --- shallow clone: zero-copy branching ---------------------------------------
+
+_CLONE_ORDERS: dict[tuple[int, str], object] = {}
+
+
+def _clone_fixture(spark: SparkSession, sf_dir: str):
+    """Zero-copy branch lifecycle (operators/clone — Delta SHALLOW
+    CLONE / Iceberg branch parity; the reference's Hudi tables are
+    single-lineage):
+
+    - source: orders, v0 load + v1 reprice (``key%3`` +100), retained;
+    - ``clone_table`` at v1 — ONE metadata file, no data copied
+      (asserted by the suite; at 100 TB this is the whole point);
+    - branch commit 1: upsert zeroing ``key%5`` prices (localizes only
+      the touched month partitions, copy-on-write);
+    - branch commit 2: DELETE ``status F ∧ key%7`` (rewrite-routed);
+    - the SOURCE then moves past the pin (a v2 upsert the branch must
+      never see).
+
+    Serve reads the branch live head — local overlay + pinned source
+    remainder; the oracle states it in closed form over orders."""
+    from rds_to_datalake_project_spark.operators.clone import clone_table
+
+    key = (id(spark), sf_dir)
+    t = _CLONE_ORDERS.get(key)
+    if t is not None:
+        return t
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"]
+    base = load_table(spark, sf_dir, "orders").select(*cols)
+    spec = TableSpec(
+        "orders_branch",
+        record_key=("o_orderkey",),
+        precombine_key="update_at",
+        partition_source="o_orderdate",
+        partition_granularity="month",
+    )
+    root = _scratch("clone_branch")
+    src = KeyedTable(spark, root + "/src", spec, retain_versions=4)
+    src.initial_load(base.withColumn("update_at", F.lit("v0")))
+    k = F.col("o_orderkey")
+    src.upsert(
+        base.filter(k % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("update_at", F.lit("v1"))
+    )
+    cl = clone_table(src, root + "/branch", retain_versions=3)
+    cl.upsert(
+        base.filter(k % 5 == 0)
+        .withColumn("o_totalprice", F.lit(0.0))
+        .withColumn("update_at", F.lit("v8"))
+    )
+    cl.delete_where("o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    # the source moving past the pin must be invisible to the branch
+    src.upsert(
+        base.filter(k % 2 == 0)
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("update_at", F.lit("v9"))
+    )
+    _CLONE_ORDERS[key] = cl
+    return cl
+
+
+def _clone_serve(spark: SparkSession, sf_dir: str, cl) -> DataFrame:
+    return (
+        cl.read()
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def clone_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clone_serve(spark, sf_dir, _clone_fixture(spark, sf_dir))
+
+
+CLONE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 0.0
+            WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+ORDER BY o_orderkey
+"""
+
+
 # --- deletion vectors: merge-on-read DELETE -----------------------------------
 
 _DV_ORDERS: dict[tuple[int, str], KeyedTable] = {}
@@ -2285,6 +2371,7 @@ QUERIES = {
     "time_travel_roundtrip": time_travel_roundtrip,
     "restore_table_roundtrip": restore_table_roundtrip,
     "dv_delete_roundtrip": dv_delete_roundtrip,
+    "clone_table_roundtrip": clone_table_roundtrip,
     "scd2_orders_history": scd2_orders_history,
     "scd2_store_incremental": scd2_store_incremental,
     "pit_lineitem_price": pit_lineitem_price,
@@ -2337,6 +2424,7 @@ ORACLES = {
     "time_travel_roundtrip": TIME_TRAVEL_SQL,
     "restore_table_roundtrip": RESTORE_SQL,
     "dv_delete_roundtrip": DV_DELETE_SQL,
+    "clone_table_roundtrip": CLONE_SQL,
     "scd2_orders_history": SCD2_SQL,
     "scd2_store_incremental": SCD2_SQL,
     "pit_lineitem_price": PIT_SQL,
@@ -2391,4 +2479,5 @@ PHASES = {
     ),
     "restore_table_roundtrip": (_restore_fixture, _restore_serve),
     "dv_delete_roundtrip": (_dv_fixture, _dv_serve),
+    "clone_table_roundtrip": (_clone_fixture, _clone_serve),
 }

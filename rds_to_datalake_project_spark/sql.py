@@ -210,6 +210,17 @@ _RESTORE_RE = re.compile(
     re.IGNORECASE,
 )
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
+# Zero-copy branching (operators/clone): create a shallow clone of a
+# registered table at a path; end a clone's source dependency.
+_CLONE_TABLE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<dest>\w+)\s+SHALLOW\s+CLONE\s+"
+    rf"(?P<src>{_QNAME})(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s+"
+    rf"LOCATION\s+'(?P<loc>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    rf"^\s*DETACH\s+TABLE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
+)
 # Deletion-vector maintenance (operators/deletevectors): fold
 # outstanding vectors into the data files / inspect the mask state.
 _MATERIALIZE_DV_RE = re.compile(
@@ -972,6 +983,11 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       (KeyedTable.delete_where — tombstones through the merge, or a
       merge-on-read deletion-vector commit on tables opened with
       ``deletion_vectors=True``)
+    - ``CREATE TABLE <b> SHALLOW CLONE <t> [VERSION AS OF k]
+      LOCATION '<path>'`` → zero-copy branch (operators/clone) —
+      registers <b> for subsequent statements in this session
+    - ``DETACH TABLE <b>``              → end a clone's source
+      dependency (ClonedTable.detach — copies the remainder locally)
     - ``MATERIALIZE DELETES FOR <t>``   → fold outstanding deletion
       vectors into the data files (KeyedTable.materialize_deletes)
     - ``SHOW DELETION VECTORS FOR <t>`` → mask state: outstanding
@@ -1077,6 +1093,41 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         from rds_to_datalake_project_spark.operators.profile import profile_table
 
         return profile_table(_resolve(m.group(1)).read())
+    m = _CLONE_TABLE_RE.match(sql)
+    if m and table_bound:
+        from rds_to_datalake_project_spark.operators.clone import clone_table
+
+        src = _resolve(m.group("src"))
+        v = int(m.group("v")) if m.group("v") else None
+        dest = clone_table(src, m.group("loc"), version=v)
+        register_time_travel(m.group("dest"), dest)
+        known[m.group("dest")] = dest
+        # Plain SELECT FROM <dest> resolves through a temp view; like
+        # any registered view it reflects the plan AT REGISTRATION —
+        # re-register (or use the handle) after branch commits.
+        dest.register(m.group("dest"))
+        return spark.createDataFrame(
+            [
+                (
+                    m.group("dest"),
+                    m.group("src"),
+                    v if v is not None else (src.versions() or [0])[-1],
+                    m.group("loc"),
+                )
+            ],
+            "table_name string, source string, pinned_version int, "
+            "location string",
+        )
+    m = _DETACH_RE.match(sql)
+    if m and table_bound:
+        t = _resolve(m.group(1))
+        if not hasattr(t, "detach"):
+            raise ValueError(f"{m.group(1)} is not a shallow clone")
+        res = t.detach()
+        return spark.createDataFrame(
+            [(m.group(1), res["partitions_copied"])],
+            "table_name string, partitions_copied int",
+        )
     m = _MATERIALIZE_DV_RE.match(sql)
     if m and table_bound:
         res = _resolve(m.group(1)).materialize_deletes()
