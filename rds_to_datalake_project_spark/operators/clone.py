@@ -62,6 +62,14 @@ from rds_to_datalake_project_spark.schema import TableSpec
 _CLONE_MARKER = ".meta/_CLONE"
 
 
+class PromoteConflict(RuntimeError):
+    """The source accepted commits after the clone's pin that touched
+    partitions the branch also modified — publishing the branch would
+    silently overwrite them (lost update). Rebase by re-cloning and
+    re-applying the branch work, or pass ``force=True`` to let the
+    branch win."""
+
+
 class CloneSourceError(RuntimeError):
     """The pinned source snapshot is no longer servable — retention
     expired the pinned version, or the source was reset/replaced
@@ -102,11 +110,61 @@ class ClonedTable(KeyedTable):
             )
         return src
 
-    def _local_rels(self) -> set[str]:
+    def _localized_rels(self) -> set[str]:
+        """Every partition rel the branch has EVER diverged — the set
+        the source remainder must exclude. Directory presence is NOT
+        enough: a branch delete vacating a whole partition removes its
+        local leaf dir, and resolving by dirs alone would resurrect
+        the source's copy. The ground truth is the commit records'
+        ``#created`` lists (every first materialization is flagged),
+        merged into the ``.meta/_LOCALIZED`` ledger when vacuum
+        expires old flags (see :meth:`vacuum_versions`)."""
+        out = set(self._read_localized_ledger())
+        for j in self.versions():
+            out |= set(
+                self._flag_meta(f"{self.path}/.meta/v{j}.flag")["created"]
+            )
+        return out
+
+    def _read_localized_ledger(self) -> list[str]:
+        raw = _read_small(self.spark, f"{self.path}/.meta/_LOCALIZED")
+        return [r for r in (raw or "").split("\n") if r]
+
+    def _write_localized_ledger(self, rels: set[str]) -> None:
+        # tmp + rename: a torn ledger would silently resurrect source
+        # rows for the missing rels
+        fs, tmp = self._fs(f"{self.path}/.meta/._LOCALIZED.tmp")
+        out = fs.create(tmp, True)
+        out.write("\n".join(sorted(rels)).encode("utf-8"))
+        out.close()
+        _, dst = self._fs(f"{self.path}/.meta/_LOCALIZED")
+        fs.delete(dst, True)
+        self._rename(fs, tmp, dst)
+
+    def vacuum_versions(self, keep_last: int = 1) -> int:
+        """Vacuum, preserving localization evidence: the expiring
+        commits' ``#created`` lists merge into the ledger BEFORE their
+        flags are deleted (idempotent — a crash between merge and
+        delete re-merges on the next run)."""
+        if self._clone_meta() is not None:
+            expiring = self.versions()[:-keep_last] if keep_last >= 1 else []
+            if expiring:
+                merged = set(self._read_localized_ledger())
+                for j in expiring:
+                    merged |= set(
+                        self._flag_meta(f"{self.path}/.meta/v{j}.flag")[
+                            "created"
+                        ]
+                    )
+                self._write_localized_ledger(merged)
+        return super().vacuum_versions(keep_last=keep_last)
+
+    def _local_dirs(self) -> set[str]:
+        """Localized rels that still have a local directory — the set
+        local READS scan (a vacated rel is localized but has nothing
+        to read)."""
         return set(self._staged_partition_dirs(self.path))
 
-    def _has_local_files(self) -> bool:
-        return self._has_data_files()
 
     # -- resolution ----------------------------------------------------------
 
@@ -124,18 +182,22 @@ class ClonedTable(KeyedTable):
         )
         src = self._source(meta)
         if not self.partition_cols:
-            # unpartitioned: the divergence unit is the whole file set
-            if self._has_local_files():
+            # unpartitioned: the divergence unit is the whole file
+            # set, and ANY local commit diverges it (an emptied-by-
+            # deletes branch must stay empty, not resurrect source
+            # rows — hence commit evidence, not file presence)
+            if self.versions():
                 return super().read()
             return self._pinned_source_read(src, meta)
-        local = self._local_rels()
-        remainder = self._pinned_source_read(src, meta, exclude=local)
-        if not local:
+        localized = self._localized_rels()
+        remainder = self._pinned_source_read(src, meta, exclude=localized)
+        readable = sorted(localized & self._local_dirs())
+        if not readable:
             return remainder
         mine = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.path)
-            .parquet(*[f"{self.path}/{rel}" for rel in sorted(local)])
+            .parquet(*[f"{self.path}/{rel}" for rel in readable])
         )
         return mine.unionByName(remainder, allowMissingColumns=True)
 
@@ -172,9 +234,11 @@ class ClonedTable(KeyedTable):
                 return super().read_as_of(version)
             return self._pinned_source_read(src, meta)
         # A rel is LOCAL as of k iff a clone commit ≤ k first
-        # materialized it (the commit records name exactly those —
-        # a staged rel absent from the local tree is flagged #created).
-        local_at_k: set[str] = set()
+        # materialized it (the commit records name exactly those — a
+        # staged rel absent from the local tree is flagged #created).
+        # The ledger holds the lists of vacuumed flags; every ledger
+        # rel localized before the retention floor ≤ any readable k.
+        local_at_k: set[str] = set(self._read_localized_ledger())
         for j in self.versions():
             if j <= version:
                 local_at_k |= set(
@@ -232,7 +296,7 @@ class ClonedTable(KeyedTable):
         meta = self._clone_meta()
         if meta is None:
             return super()._as_of_rels(version)
-        localized: set[str] = set()
+        localized: set[str] = set(self._read_localized_ledger())
         for j in self.versions():
             if j <= version:
                 localized |= set(
@@ -266,6 +330,103 @@ class ClonedTable(KeyedTable):
 
     # -- lifecycle -----------------------------------------------------------
 
+    def promote(self, force: bool = False) -> dict:
+        """Write-audit-publish: publish the branch's diverged
+        partitions back to the SOURCE as one commit (Iceberg
+        branch-merge / the WAP pattern the lakehouse world runs on
+        staging branches). Only the LOCALIZED partitions ship — cost ∝
+        the branch's divergence, never the table.
+
+        Conflict rule (Delta-style logical conflict detection): a
+        source commit after the pin touching a partition the branch
+        also modified raises :class:`PromoteConflict` (``force=True``
+        lets the branch win); source commits to OTHER partitions
+        compose freely. Publishes through the source's own optimistic
+        commit protocol, so a racing writer conflicts instead of being
+        overwritten.
+
+        The branch keeps its original pin afterwards (re-pinning would
+        silently change its view of partitions it never touched);
+        returns ``{"partitions_published", "source_version"}`` —
+        re-clone from the new version to continue branching."""
+        meta = self._clone_meta()
+        if meta is None:
+            raise ValueError("promote: this table is not a clone")
+        src = self._source(meta)
+        if not self.partition_cols:
+            if not self.versions():  # never diverged
+                return {
+                    "partitions_published": 0,
+                    "source_version": (src.versions() or [0])[-1],
+                }
+            moved = [
+                j for j in src.versions() if j > meta["src_version"]
+            ]
+            if moved and not force:
+                raise PromoteConflict(
+                    f"source advanced past the pin (commits {moved}) on "
+                    "an unpartitioned table — the whole file set is one "
+                    "divergence unit; re-clone or force"
+                )
+            frame = super().read()
+            base_token = src.commit_token()
+            if not src._stage_and_commit_rewrite(frame, None, base_token):
+                raise PromoteConflict(
+                    "a writer committed to the source during the "
+                    "promote; re-run"
+                )
+            return {
+                "partitions_published": 1,
+                "source_version": (src.versions() or [0])[-1],
+            }
+        local = self._localized_rels()
+        if not local:
+            return {
+                "partitions_published": 0,
+                "source_version": (src.versions() or [0])[-1],
+            }
+        if not force:
+            conflicted: set[str] = set()
+            for j in src.versions():
+                if j <= meta["src_version"]:
+                    continue
+                touched = set(src._retired_rels(j)) | set(
+                    src._flag_meta(f"{src.path}/.meta/v{j}.flag")["created"]
+                )
+                conflicted |= touched & local
+            if conflicted:
+                raise PromoteConflict(
+                    "source commits after the pin touched partitions "
+                    f"the branch also modified: {sorted(conflicted)[:5]}"
+                    f"{'…' if len(conflicted) > 5 else ''} — re-clone "
+                    "and re-apply, or force=True"
+                )
+        # The branch's CURRENT content of the diverged partitions —
+        # read locally (these rels never resolve through the source).
+        # Vacated rels have no local dir and contribute no rows; the
+        # empty-staged-dir pass below still swaps their source copies
+        # away.
+        readable = sorted(local & self._local_dirs())
+        frame = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*[f"{self.path}/{rel}" for rel in readable])
+            if readable
+            else self._pinned_source_read(src, meta).limit(0)
+        )
+        base_token = src.commit_token()
+        if not src._stage_and_commit_rewrite(
+            frame, sorted(local), base_token
+        ):
+            raise PromoteConflict(
+                "a writer committed to the source during the promote; "
+                "re-run (nothing was published)"
+            )
+        return {
+            "partitions_published": len(local),
+            "source_version": (src.versions() or [0])[-1],
+        }
+
     def detach(self) -> dict:
         """End the source dependency: materialize the source-resident
         remainder locally in ONE commit, then drop the pin marker.
@@ -278,14 +439,14 @@ class ClonedTable(KeyedTable):
         src = self._source(meta)
         copied = 0
         if not self.partition_cols:
-            if not self._has_local_files():
+            if not self.versions():  # never diverged: copy the set
                 frame = self._pinned_source_read(src, meta)
                 base_token = self.commit_token()
                 if not self._stage_and_commit_rewrite(frame, None, base_token):
                     raise RuntimeError("detach lost a commit race; re-run")
                 copied = 1
         else:
-            local = self._local_rels()
+            local = self._localized_rels()
             remainder = self._pinned_source_read(src, meta, exclude=local)
             src_rels = [
                 r
@@ -307,7 +468,7 @@ def clone_table(
     src: KeyedTable,
     dest_path: str,
     version: int | None = None,
-    retain_versions: int = 0,
+    retain_versions: int = 1,
     **table_kwargs,
 ) -> ClonedTable:
     """Shallow-clone ``src`` at snapshot ``version`` (default: head)
@@ -323,6 +484,12 @@ def clone_table(
             "clone_table requires the source to retain versions "
             "(retain_versions > 0) — a clone pins a SNAPSHOT, and "
             "snapshots are what retention protects"
+        )
+    if retain_versions < 1:
+        raise ValueError(
+            "clones must retain versions (retain_versions >= 1): "
+            "localization tracking — which partitions have diverged, "
+            "including fully-vacated ones — rides the commit records"
         )
     latest = (src.versions() or [0])[-1]
     if version is None:
@@ -367,5 +534,9 @@ def open_table(
     when the clone marker is present, else a plain
     :class:`KeyedTable`."""
     raw = _read_small(spark, f"{path}/{_CLONE_MARKER}")
+    if raw and not table_kwargs.get("retain_versions"):
+        # clones MUST retain versions (localization tracking rides
+        # the commit records) — default the floor in, never below it
+        table_kwargs["retain_versions"] = 1
     cls = ClonedTable if raw else KeyedTable
     return cls(spark, path, spec, **table_kwargs)

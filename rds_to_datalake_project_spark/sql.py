@@ -221,6 +221,9 @@ _CLONE_TABLE_RE = re.compile(
 _DETACH_RE = re.compile(
     rf"^\s*DETACH\s+TABLE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
 )
+_PROMOTE_RE = re.compile(
+    rf"^\s*PROMOTE\s+TABLE\s+({_QNAME})(\s+FORCE)?\s*;?\s*$", re.IGNORECASE
+)
 # Deletion-vector maintenance (operators/deletevectors): fold
 # outstanding vectors into the data files / inspect the mask state.
 _MATERIALIZE_DV_RE = re.compile(
@@ -988,6 +991,9 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       registers <b> for subsequent statements in this session
     - ``DETACH TABLE <b>``              → end a clone's source
       dependency (ClonedTable.detach — copies the remainder locally)
+    - ``PROMOTE TABLE <b> [FORCE]``     → write-audit-publish: commit
+      the branch's diverged partitions back to the source
+      (ClonedTable.promote — partition-level conflict detection)
     - ``MATERIALIZE DELETES FOR <t>``   → fold outstanding deletion
       vectors into the data files (KeyedTable.materialize_deletes)
     - ``SHOW DELETION VECTORS FOR <t>`` → mask state: outstanding
@@ -1127,6 +1133,23 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         return spark.createDataFrame(
             [(m.group(1), res["partitions_copied"])],
             "table_name string, partitions_copied int",
+        )
+    m = _PROMOTE_RE.match(sql)
+    if m and table_bound:
+        t = _resolve(m.group(1))
+        if not hasattr(t, "promote"):
+            raise ValueError(f"{m.group(1)} is not a shallow clone")
+        res = t.promote(force=bool(m.group(2)))
+        return spark.createDataFrame(
+            [
+                (
+                    m.group(1),
+                    res["partitions_published"],
+                    res["source_version"],
+                )
+            ],
+            "table_name string, partitions_published int, "
+            "source_version int",
         )
     m = _MATERIALIZE_DV_RE.match(sql)
     if m and table_bound:

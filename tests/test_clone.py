@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from rds_to_datalake_project_spark.operators.clone import (
     ClonedTable,
     CloneSourceError,
+    PromoteConflict,
     clone_table,
     open_table,
 )
@@ -238,6 +239,113 @@ def test_purge_on_clone_refuses(spark, tmp_path):
     cl = clone_table(src, str(tmp_path / "b"))
     with pytest.raises(ValueError, match="SOURCE"):
         cl.purge_rows("id = 1")
+
+
+def test_vacated_partition_stays_deleted_on_the_branch(spark, tmp_path):
+    """Deleting EVERY row of a partition on the branch removes its
+    local leaf dir — resolution must still treat the rel as diverged
+    (via the commit records / ledger), not resurrect the source copy."""
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"), retain_versions=4)
+    assert cl.delete_where("id % 4 = 0") == 10  # all of day 01
+    assert cl.read().count() == 30
+    assert cl.read().filter(F.col("id") % 4 == 0).count() == 0
+    assert cl.read_as_of(1).filter(F.col("id") % 4 == 0).count() == 0
+    assert cl.read_as_of(0).count() == 40
+    # survives flag expiry: the ledger carries the vacated rel
+    cl.upsert(_rows(spark, ver="v6").filter(F.col("id") == 1))
+    cl.upsert(_rows(spark, ver="v7").filter(F.col("id") == 1))
+    cl.upsert(_rows(spark, ver="v8").filter(F.col("id") == 1))
+    cl.vacuum_versions(keep_last=1)
+    assert cl.read().filter(F.col("id") % 4 == 0).count() == 0
+    assert cl.read().count() == 30
+    # source remains whole
+    assert src.read().count() == 40
+
+
+def test_promote_publishes_diverged_partitions_to_source(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"), retain_versions=3)
+    # audit branch: reprice day-01 amounts, then publish
+    cl.upsert(
+        _rows(spark, ver="v5")
+        .filter(F.col("id") % 4 == 0)
+        .withColumn("amount", F.lit(-5.0))
+    )
+    res = cl.promote()
+    assert res["partitions_published"] == 1
+    assert res["source_version"] == 1
+    assert src.read().filter(F.col("amount") == -5.0).count() == 10
+    assert src.read().count() == 40
+    # source history: the promote is an ordinary commit
+    assert src.read_as_of(0).filter(F.col("amount") == -5.0).count() == 0
+    tc = src.table_changes(0, 1)
+    assert tc.filter(F.col("_change_type") == "update").count() == 10
+
+
+def test_promote_conflict_on_overlapping_source_commit(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"))
+    cl.upsert(
+        _rows(spark, ver="v5").filter(F.col("id") % 4 == 0)
+    )  # branch touches day 01
+    src.upsert(
+        _rows(spark, ver="v6").filter(F.col("id") == 4)
+    )  # source also commits to day 01 after the pin
+    with pytest.raises(PromoteConflict, match="also modified"):
+        cl.promote()
+    # FORCE: the branch wins
+    res = cl.promote(force=True)
+    assert res["partitions_published"] == 1
+    assert src.read().filter(F.col("update_at") == "v6").count() == 0
+    assert src.read().filter(F.col("update_at") == "v5").count() == 10
+
+
+def test_promote_composes_with_disjoint_source_commits(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"))
+    cl.upsert(
+        _rows(spark, ver="v5").filter(F.col("id") % 4 == 0)
+    )  # branch: day 01
+    src.upsert(
+        _rows(spark, ver="v6").filter(F.col("id") % 4 == 1)
+    )  # source: day 02 — disjoint
+    res = cl.promote()  # no conflict
+    assert res["partitions_published"] == 1
+    # both lines of work are in the source now
+    assert src.read().filter(F.col("update_at") == "v5").count() == 10
+    assert src.read().filter(F.col("update_at") == "v6").count() == 10
+
+
+def test_promote_ships_vacated_partitions(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"))
+    n = cl.delete_where("id % 4 = 0")  # branch empties day 01
+    assert n == 10
+    res = cl.promote()
+    assert res["partitions_published"] == 1
+    assert src.read().count() == 30
+    assert src.read().filter(F.col("id") % 4 == 0).count() == 0
+
+
+def test_promote_unpartitioned_whole_set(spark, tmp_path):
+    spec = _spec("cl_flatp", partition_source="create_at",
+                 partition_granularity=None)
+    src = KeyedTable(spark, str(tmp_path / "src"), spec, retain_versions=3)
+    src.initial_load(_rows(spark))
+    cl = clone_table(src, str(tmp_path / "b"))
+    cl.upsert(
+        _rows(spark, ver="v5").filter(F.col("id") == 0)
+    )
+    res = cl.promote()
+    assert res["partitions_published"] == 1
+    assert src.read().filter(F.col("update_at") == "v5").count() == 1
+    # any source movement conflicts on the unpartitioned divergence unit
+    cl2 = clone_table(src, str(tmp_path / "b2"))
+    cl2.upsert(_rows(spark, ver="v7").filter(F.col("id") == 1))
+    src.upsert(_rows(spark, ver="v8").filter(F.col("id") == 2))
+    with pytest.raises(PromoteConflict, match="unpartitioned"):
+        cl2.promote()
 
 
 def test_facade_clone_and_detach_verbs(spark, tmp_path):
