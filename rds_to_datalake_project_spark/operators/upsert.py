@@ -580,7 +580,8 @@ class KeyedTable:
 
     def _upsert_once(self, batch: DataFrame, delete_mode: str) -> bool:
         """One merge-stage-publish attempt; False = lost the race."""
-        base_token = self.commit_token()
+        base_stamp = self._snapshot_stamp()
+        base_token = base_stamp["token"]
         existing = self.read()
         # Type-widening schema evolution (the upstream ran ALTER
         # COLUMN ... TYPE): when a common column's types differ but
@@ -678,9 +679,79 @@ class KeyedTable:
         # is a dead half-written job output (safe to discard); staging
         # WITH it is a committed merge that recover() must publish.
         self._fault("staged_written")
-        return self._commit_staging(staging, base_token)
+        # A schema-migration commit (touched is None) rewrites every
+        # partition — never disjoint; everything else may ride the
+        # partition-level conflict check.
+        return self._commit_staging(
+            staging,
+            base_token,
+            base_stamp=base_stamp if touched is not None else None,
+        )
 
-    def _commit_staging(self, staging: str, base_token) -> bool:
+    def _snapshot_stamp(self) -> dict:
+        """The committed-snapshot identity a merge is computed FROM —
+        captured BEFORE any data read. Token equality is the strict
+        conflict carrier; (version, incarnation) let a retained
+        table's loser prove its commit DISJOINT from the intervening
+        ones instead of recomputing (see _disjoint_since)."""
+        return {
+            "token": self.commit_token(),
+            "version": (
+                (self.versions() or [0])[-1] if self.retain_versions else None
+            ),
+            "incarnation": self.incarnation() if self.retain_versions else None,
+        }
+
+    def _disjoint_since(self, base_stamp, staged_rels: set) -> bool:
+        """True when EVERY commit after ``base_stamp`` touched only
+        partitions disjoint from ``staged_rels`` — in which case a
+        merge computed against the old snapshot is still exactly what
+        a recompute would produce (keys never move partitions by the
+        table contract, so the merge's inputs live entirely inside its
+        own partitions). Partition-level optimistic concurrency, the
+        same logical conflict detection Delta runs on its transaction
+        log: concurrent writers to disjoint partition sets ALL commit;
+        at 100 TB this is what lets per-partition-range CDC ingestors
+        run unserialized. Conservative on every surprise: unretained
+        or unpartitioned tables, a reset incarnation, a missing commit
+        record, or a vector commit without its partition list all
+        report False (strict token conflict)."""
+        if (
+            not base_stamp
+            or base_stamp.get("version") is None
+            or not self.partition_cols
+            or not self.retain_versions
+            or not staged_rels
+        ):
+            return False
+        if self.incarnation() != base_stamp.get("incarnation"):
+            return False  # table was reset/replaced under us
+        latest = (self.versions() or [0])[-1]
+        base_v = base_stamp["version"]
+        if latest < base_v:
+            return False
+        fs = self._fs(self.path)[0]
+        jvm = self.spark._jvm
+        for j in self.versions():
+            if j <= base_v:
+                continue
+            flag = f"{self.path}/.meta/v{j}.flag"
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(flag)):
+                return False
+            meta = self._flag_meta(flag)
+            touched = set(meta["created"]) | set(self._retired_rels(j))
+            if meta.get("dv_target"):
+                dv_rels = [
+                    r for r in meta.get("dv_rels", "").split("\t") if r
+                ]
+                if not dv_rels:
+                    return False  # vector of unknown reach
+                touched |= set(dv_rels)
+            if touched & staged_rels:
+                return False
+        return True
+
+    def _commit_staging(self, staging: str, base_token, base_stamp=None) -> bool:
         """Flag + conflict-check + publish as ONE lock-held critical
         section; False = lost the commit race (staging discarded).
 
@@ -692,12 +763,42 @@ class KeyedTable:
         same-snapshot → published to the end, superseded → discarded.
         Writing the flag under the mutex also makes the commit-number
         assignment race-free (two writers can no longer both read
-        versions()[-1] before either publishes)."""
+        versions()[-1] before either publishes).
+
+        With ``base_stamp`` (retained, partitioned tables), a token
+        mismatch is downgraded from lost-race to a DISJOINTNESS check:
+        when the intervening commits touched none of this staging's
+        partitions (nor, via vector commits, any rows in them), the
+        staged output is byte-identical to a recompute and publishes
+        against the CURRENT snapshot instead of being thrown away."""
+        staged_rels = None
         with self._commit_lock():
             if self.commit_token() != base_token:
-                self._fs_delete(staging)
-                return False
-            self._write_ready_flag(staging, base_token=base_token)
+                fs, stage_p = self._fs(staging)
+                if not fs.exists(stage_p):
+                    # an intervening initial_load reset the table and
+                    # its static overwrite ate our staging with it —
+                    # a plain lost race, nothing to clean up
+                    return False
+                if self.partition_cols:
+                    staged_rels = set(self._staged_partition_dirs(staging))
+                    fs, dvr = self._fs(f"{staging}/.dv_rels")
+                    if fs.exists(dvr):
+                        staged_rels |= {
+                            r
+                            for r in self._read_flag_text(
+                                f"{staging}/.dv_rels"
+                            ).split("\t")
+                            if r
+                        }
+                if not self._disjoint_since(base_stamp, staged_rels or set()):
+                    self._fs_delete(staging)
+                    return False
+                self._fault("disjoint_commit")
+            # Bake the CURRENT token (== base_token in the no-conflict
+            # case): a crash-recovered flagged staging then validates
+            # against the snapshot it actually published over.
+            self._write_ready_flag(staging, base_token=self.commit_token())
             self._fault("flag_created")
             self._publish_under_lock(staging)
         self._run_maintenance()
@@ -1600,6 +1701,15 @@ class KeyedTable:
                 else f"d{uuid.uuid4().hex}"
             )
             lines.append("#dv_target=" + target)
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{staging}/.dv_rels")
+            ):
+                # the partitions this vector masks rows in — what a
+                # later writer's disjointness check must intersect
+                lines.append(
+                    "#dv_rels="
+                    + self._read_flag_text(f"{staging}/.dv_rels")
+                )
         lines.extend(sorted(names))
         _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
         out = fs.create(tmp_p, True)
@@ -1993,7 +2103,8 @@ class KeyedTable:
         )
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        base_token = self.commit_token()
+        base_stamp = self._snapshot_stamp()
+        base_token = base_stamp["token"]
         victims = (
             self._provenanced_read()
             .filter(cond)
@@ -2003,14 +2114,36 @@ class KeyedTable:
         # One output file: a vector is kilobytes per thousand victims;
         # the mask reader pays one footer per vector dir.
         victims.coalesce(1).write.parquet(f"{staging}/{_STAGED_DV_NAME}")
+        staged = self.spark.read.parquet(f"{staging}/{_STAGED_DV_NAME}")
         # Footer-only count over what was WRITTEN (the number the
         # caller acts on must be the number the mask will apply).
-        n = self.spark.read.parquet(f"{staging}/{_STAGED_DV_NAME}").count()
+        n = staged.count()
         if n == 0:
             self._fs_delete(staging)
             return 0
+        if self.partition_cols:
+            # The partitions this vector masks rows in — a DV commit
+            # stages no data dirs, but it LOGICALLY touches these:
+            # a concurrent merge rewriting one of them from the
+            # pre-vector snapshot would resurrect the victims, so the
+            # disjoint-commit check must see them (flag #dv_rels).
+            rels = sorted(
+                {
+                    self._partition_rel_path(
+                        tuple(r[c] for c in self.partition_cols)
+                    )
+                    for r in staged.select(*self.partition_cols)
+                    .distinct()
+                    .collect()
+                }
+            )
+            fs, p = self._fs(f"{staging}/.dv_rels")
+            out = fs.create(p, True)
+            out.write("\t".join(rels).encode("utf-8"))
+            out.close()
         self._fault("dv_staged")
-        return n if self._commit_staging(staging, base_token) else None
+        ok = self._commit_staging(staging, base_token, base_stamp=base_stamp)
+        return n if ok else None
 
     def materialize_deletes(self) -> dict:
         """Fold outstanding deletion vectors into the data files — a
