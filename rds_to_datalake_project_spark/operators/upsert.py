@@ -85,6 +85,13 @@ _TOKEN_FILE = ".commit_token"  # opaque uuid, rewritten per commit
 _UNSET = object()  # "no base token recorded" (≠ None = "table was empty")
 
 
+class ConstraintViolation(ValueError):
+    """A write would land rows violating a table CHECK constraint —
+    the batch was NOT committed (Delta semantics: constraints reject
+    writes; quarantine pipelines belong to operators/expectations'
+    gated_ingest)."""
+
+
 class CommitConflict(RuntimeError):
     """A staged merge was computed against a snapshot another writer
     has since replaced — publishing it would silently drop that
@@ -453,6 +460,10 @@ class KeyedTable:
                 F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D")
             )
         out = self._apply_ops(self._dedup(df), delete_mode)
+        # CHECK constraints survive a reset (they are a contract of
+        # the TABLE, not of one incarnation) and gate the load itself.
+        cons = self.constraints()
+        self._enforce_constraints(out)
         # Static overwrite: an initial load is a TABLE RESET — the
         # session's dynamic partitionOverwriteMode (right for upsert's
         # touched-partition staging writes) would leave partitions of
@@ -475,6 +486,8 @@ class KeyedTable:
         # (fresh basenames) but could shadow a FUTURE commit j's
         # vector name — wipe unconditionally.
         self._fs_delete(f"{self.path}/.dv")
+        if cons:
+            self._write_constraints(cons)  # re-persist past the wipe
         # Token AFTER the table reset (the overwrite clears .meta with
         # the path): a crash before this leaves no _SEQ, which reads
         # treat as "never trust the manifest" — conservative.
@@ -560,6 +573,10 @@ class KeyedTable:
             )
         # Pre-dedup the batch: keeps merge input minimal (incremental.py:172-183).
         batch = self._dedup(batch)
+        # CHECK constraints gate what this batch would WRITE (losing
+        # duplicate versions are already deduped away; D tombstones
+        # are exempt inside).
+        self._enforce_constraints(batch)
 
         # Optimistic concurrency: record the commit token, compute the
         # merge against the snapshot it names, and let _publish refuse
@@ -687,6 +704,107 @@ class KeyedTable:
             base_token,
             base_stamp=base_stamp if touched is not None else None,
         )
+
+    # -- table CHECK constraints (Delta ADD CONSTRAINT parity) ---------------
+
+    def constraints(self) -> dict[str, str]:
+        """Persisted CHECK constraints, name → SQL boolean expression.
+        Enforced on EVERY write path (initial_load, upsert, and
+        everything funneling through them — UPDATE, MERGE, restore),
+        rejecting the batch on violation. A contract property of the
+        TABLE, not of one pipeline — any handle, any writer."""
+        import json as _json
+
+        from rds_to_datalake_project_spark.operators.zonemap import (
+            _read_small,
+        )
+
+        raw = _read_small(self.spark, f"{self.path}/.meta/_CONSTRAINTS")
+        return _json.loads(raw) if raw else {}
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        import json as _json
+
+        fs, tmp = self._fs(f"{self.path}/.meta/._CONSTRAINTS.tmp")
+        fs.mkdirs(self._fs(f"{self.path}/.meta")[1])
+        out = fs.create(tmp, True)
+        out.write(_json.dumps(cons, sort_keys=True).encode("utf-8"))
+        out.close()
+        _, dst = self._fs(f"{self.path}/.meta/_CONSTRAINTS")
+        fs.delete(dst, True)
+        self._rename(fs, tmp, dst)
+
+    def add_constraint(self, name: str, check_expr: str) -> None:
+        """Add CHECK constraint ``name``: existing rows are validated
+        FIRST (one scan — a constraint that the current data already
+        violates must fail at ADD time, not poison every future
+        write), then the constraint persists and gates every
+        subsequent write."""
+        if not name.isidentifier():
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.exists():
+            bad = (
+                self.read()
+                .filter(
+                    ~F.coalesce(
+                        F.expr(check_expr).cast("boolean"), F.lit(False)
+                    )
+                )
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add CHECK constraint {name!r}: {bad} existing "
+                    f"row(s) violate ({check_expr})"
+                )
+        cons[name] = check_expr
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        self._write_constraints(cons)
+
+    def _enforce_constraints(self, batch: DataFrame) -> None:
+        """Reject the batch if any row about to be WRITTEN violates a
+        constraint. Delete tombstones are exempt (they remove rows,
+        nothing of theirs lands). One aggregate job over the batch,
+        all constraints at once; skipped entirely for constraint-free
+        tables (one tiny metadata read)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        rows = batch
+        if _OP_COL in rows.columns:
+            rows = rows.filter(
+                F.col(_OP_COL).isNull() | (F.upper(F.col(_OP_COL)) != "D")
+            )
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(
+                        F.expr(expr).cast("boolean"), F.lit(False)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+        counts = rows.agg(*aggs).collect()[0].asDict()
+        broken = {k: v for k, v in counts.items() if v}
+        if broken:
+            detail = ", ".join(
+                f"{k} ({cons[k]}): {v} row(s)" for k, v in sorted(broken.items())
+            )
+            raise ConstraintViolation(
+                f"write to {self.path} rejected — CHECK constraint "
+                f"violation(s): {detail}"
+            )
 
     def _snapshot_stamp(self) -> dict:
         """The committed-snapshot identity a merge is computed FROM —

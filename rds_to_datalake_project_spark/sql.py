@@ -224,6 +224,19 @@ _DETACH_RE = re.compile(
 _PROMOTE_RE = re.compile(
     rf"^\s*PROMOTE\s+TABLE\s+({_QNAME})(\s+FORCE)?\s*;?\s*$", re.IGNORECASE
 )
+# Table CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity)
+_ADD_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_QNAME})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    rf"CHECK\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_QNAME})\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_DETAIL_RE = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_QNAME})\s*;?\s*$", re.IGNORECASE
+)
 # Deletion-vector maintenance (operators/deletevectors): fold
 # outstanding vectors into the data files / inspect the mask state.
 _MATERIALIZE_DV_RE = re.compile(
@@ -994,6 +1007,12 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     - ``PROMOTE TABLE <b> [FORCE]``     → write-audit-publish: commit
       the branch's diverged partitions back to the source
       (ClonedTable.promote — partition-level conflict detection)
+    - ``ALTER TABLE <t> ADD CONSTRAINT <n> CHECK (<expr>)`` /
+      ``DROP CONSTRAINT <n>`` → persisted table CHECK constraints,
+      validated against existing rows at ADD and enforced on every
+      write (KeyedTable.add_constraint — Delta constraint parity)
+    - ``DESCRIBE DETAIL <t>``           → location, partitioning,
+      file count/bytes, version, constraints, clone source
     - ``MATERIALIZE DELETES FOR <t>``   → fold outstanding deletion
       vectors into the data files (KeyedTable.materialize_deletes)
     - ``SHOW DELETION VECTORS FOR <t>`` → mask state: outstanding
@@ -1150,6 +1169,62 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             ],
             "table_name string, partitions_published int, "
             "source_version int",
+        )
+    m = _ADD_CONSTRAINT_RE.match(sql)
+    if m and table_bound:
+        _resolve(m.group(1)).add_constraint(m.group(2), m.group(3).strip())
+        return spark.createDataFrame(
+            [(m.group(1), m.group(2), m.group(3).strip())],
+            "table_name string, constraint_name string, check_expr string",
+        )
+    m = _DROP_CONSTRAINT_RE.match(sql)
+    if m and table_bound:
+        _resolve(m.group(1)).drop_constraint(m.group(2))
+        return spark.createDataFrame(
+            [(m.group(1), m.group(2))],
+            "table_name string, constraint_name string",
+        )
+    m = _DESCRIBE_DETAIL_RE.match(sql)
+    if m and table_bound:
+        t = _resolve(m.group(1))
+        import json as _json
+
+        # Hadoop FS walk (portable to HDFS/object stores), hidden
+        # trees (.meta/.retired/.dv/indexes) skipped — live data only.
+        fs, root_p = t._fs(t.path)
+        n_files = size = 0
+        stack = [root_p]
+        while stack:
+            p = stack.pop()
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.startswith((".", "_")):
+                    continue
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                elif name.endswith(".parquet"):
+                    n_files += 1
+                    size += st.getLen()
+        versions = t.versions() if t.retain_versions else []
+        meta = getattr(t, "_clone_meta", lambda: None)()
+        return spark.createDataFrame(
+            [
+                (
+                    m.group(1),
+                    t.path,
+                    list(t.partition_cols),
+                    n_files,
+                    size,
+                    (versions or [0])[-1] if t.retain_versions else None,
+                    t.retain_versions,
+                    _json.dumps(t.constraints(), sort_keys=True),
+                    meta["src_path"] if meta else None,
+                )
+            ],
+            "table_name string, location string, "
+            "partition_columns array<string>, num_files long, "
+            "size_bytes long, version int, retain_versions int, "
+            "constraints string, clone_source string",
         )
     m = _MATERIALIZE_DV_RE.match(sql)
     if m and table_bound:
