@@ -847,7 +847,13 @@ def _clone_fixture(spark: SparkSession, sf_dir: str):
     if t is not None:
         return t
     cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"]
-    base = load_table(spark, sf_dir, "orders").select(*cols)
+    # half-sized (like the restore fixture): the row exercises the
+    # branch MACHINERY; fixture build cost shouldn't dominate bench
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(*cols)
+    )
     spec = TableSpec(
         "orders_branch",
         record_key=("o_orderkey",),
@@ -900,7 +906,8 @@ SELECT o_orderkey,
             ELSE o_totalprice END AS o_totalprice,
        o_orderstatus
 FROM orders
-WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+WHERE o_orderkey % 2 = 0
+  AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
 ORDER BY o_orderkey
 """
 
