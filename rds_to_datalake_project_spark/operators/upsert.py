@@ -2940,6 +2940,33 @@ class KeyedTable:
         fs.delete(floor_p, True)
         self._rename(fs, tmp_p, floor_p)
 
+    def vacuum_older_than(self, hours: float) -> int:
+        """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS``):
+        expire every snapshot whose COMMIT TIME is older than the
+        horizon, keeping at least the newest commit. Resolves commit
+        times from the commit records' mtimes (same clock as
+        ``version_at_timestamp``) and delegates the actual expiry to
+        the count-based protocol, so the crash posture (floor written
+        first) is unchanged."""
+        if hours < 0:
+            raise ValueError("hours must be >= 0")
+        if not self.retain_versions:
+            raise ValueError("vacuum_older_than requires retain_versions > 0")
+        import time as _time
+
+        horizon_ms = (_time.time() - hours * 3600.0) * 1000
+        fs = self._fs(self.path)[0]
+        jvm = self.spark._jvm
+        fresh = 0
+        for v in self.versions():
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/.meta/v{v}.flag")
+            if (
+                fs.exists(p)
+                and fs.getFileStatus(p).getModificationTime() >= horizon_ms
+            ):
+                fresh += 1
+        return self.vacuum_versions(keep_last=max(1, fresh))
+
     def vacuum_versions(self, keep_last: int = 1) -> int:
         """Expire old snapshots: drop the retired copies and commit
         records of all but the newest ``keep_last`` versions (≥ 1 —

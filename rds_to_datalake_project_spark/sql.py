@@ -209,6 +209,17 @@ _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_QNAME})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_TS_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_QNAME})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+    rf"'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+# Time-based retention (Delta VACUUM RETAIN n HOURS): expire history
+# older than the horizon instead of counting versions.
+_VACUUM_HOURS_RE = re.compile(
+    rf"^\s*VACUUM\s+({_QNAME})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ANALYZE_RE = re.compile(rf"^\s*ANALYZE\s+({_QNAME})\s*;?\s*$", re.IGNORECASE)
 # Zero-copy branching (operators/clone): create a shallow clone of a
 # registered table at a path; end a clone's source dependency.
@@ -988,7 +999,10 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
       vendor/aws_athena.py:50-55 — the inner query flows through
       run_query, so session-registered ``FOR VERSION AS OF`` works)
     - ``VACUUM <t> RETAIN <k> VERSIONS`` → snapshot-history expiry
-      (KeyedTable.vacuum_versions)
+      (KeyedTable.vacuum_versions); ``VACUUM <t> RETAIN <n> HOURS``
+      expires by commit AGE instead (KeyedTable.vacuum_older_than)
+    - ``RESTORE TABLE <t> TO TIMESTAMP AS OF '<iso>'`` → rollback
+      addressed by wall clock (version_at_timestamp + restore)
     - ``ANALYZE <t>``                   → per-column table profile
       (operators/profile.profile_table)
     - ``INSERT INTO <t> <query>``       → upsert of the query result
@@ -1112,6 +1126,21 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         return spark.createDataFrame(
             [(m.group(1), int(m.group(2)), new_v)],
             "table_name string, restored_version int, new_version int",
+        )
+    m = _RESTORE_TS_RE.match(sql)
+    if m and table_bound:
+        t = _resolve(m.group(1))
+        target = t.version_at_timestamp(m.group(2))
+        new_v = t.restore_to_version(target)
+        return spark.createDataFrame(
+            [(m.group(1), target, new_v)],
+            "table_name string, restored_version int, new_version int",
+        )
+    m = _VACUUM_HOURS_RE.match(sql)
+    if m and table_bound:
+        expired = _resolve(m.group(1)).vacuum_older_than(float(m.group(2)))
+        return spark.createDataFrame(
+            [(m.group(1), expired)], "table_name string, versions_expired int"
         )
     m = _ANALYZE_RE.match(sql)
     if m and table_bound:

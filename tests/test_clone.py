@@ -400,3 +400,48 @@ def test_unpartitioned_clone_diverges_as_a_whole(spark, tmp_path):
     )
     src.upsert(_rows(spark, ver="v9").filter(F.col("id") == 1))
     assert cl.read().filter(F.col("update_at") == "v9").count() == 0
+
+
+def test_matview_maintains_over_a_branch(spark, tmp_path):
+    """Incremental view maintenance composes with branching: a
+    MaterializedView whose base is a ClonedTable refreshes from the
+    branch's change feed (read_as_of diffs resolve local overlay +
+    pinned source), stays isolated from post-pin source commits, and
+    converges through branch-local churn."""
+    from rds_to_datalake_project_spark.operators.matview import (
+        MaterializedView,
+    )
+
+    src = _src(spark, tmp_path)
+    cl = clone_table(src, str(tmp_path / "b"), retain_versions=5)
+    mv = MaterializedView(
+        cl,
+        str(tmp_path / "mv"),
+        group_cols=["day"],
+        aggs={"total": "sum(amount)", "n": "count(*)"},
+    )
+    mv.refresh()
+    base0 = {r.day: (r.total, r.n) for r in mv.read().collect()}
+    assert base0["2024-01-01"] == (sum(float(i) for i in range(0, 40, 4)), 10)
+    # branch commit: reprice day 02; view refreshes incrementally
+    cl.upsert(
+        _rows(spark, ver="v5")
+        .filter(F.col("id") % 4 == 1)
+        .withColumn("amount", F.lit(1.0))
+    )
+    res = mv.refresh()
+    got = {r.day: (r.total, r.n) for r in mv.read().collect()}
+    assert got["2024-01-02"] == (10.0, 10)
+    assert got["2024-01-01"] == base0["2024-01-01"]  # untouched group
+    # source moving past the pin must NOT disturb the branch's view
+    src.upsert(
+        _rows(spark, ver="v9").withColumn("amount", F.lit(500.0))
+    )
+    mv.refresh()
+    got2 = {r.day: (r.total, r.n) for r in mv.read().collect()}
+    assert got2 == got
+    # branch delete: group shrinks
+    cl.delete_where("id = 1")
+    mv.refresh()
+    got3 = {r.day: (r.total, r.n) for r in mv.read().collect()}
+    assert got3["2024-01-02"] == (9.0, 9)

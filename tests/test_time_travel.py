@@ -607,3 +607,39 @@ def test_for_timestamp_as_of_sql(spark, tmp_path):
         tables={"tt": t},
     ).collect()
     assert len(one) == 1
+
+
+def test_restore_to_timestamp_and_vacuum_hours(spark, tmp_path):
+    """Wall-clock spellings of the history verbs: RESTORE TABLE ...
+    TO TIMESTAMP AS OF rolls back to the version current at that
+    instant; VACUUM ... RETAIN n HOURS expires by commit AGE (a huge
+    horizon expires nothing; horizon 0 keeps only the newest)."""
+    import datetime as _dt
+    import os
+
+    from rds_to_datalake_project_spark.sql import run_query
+
+    t = _mk(spark, tmp_path)
+    _apply_all(spark, t)  # commits 1..3
+    # timestamp just after commit 1's record mtime
+    mt = os.path.getmtime(f"{t.path}/.meta/v1.flag")
+    ts = _dt.datetime.fromtimestamp(mt + 0.001, _dt.timezone.utc).isoformat()
+    out = run_query(
+        spark,
+        f"RESTORE TABLE tt TO TIMESTAMP AS OF '{ts}'",
+        tables={"tt": t},
+    ).collect()[0]
+    assert out.restored_version == 1 and out.new_version == 4
+    assert _vals(t.read()) == S1
+    # age-based retention: a huge horizon is a no-op
+    assert run_query(
+        spark, "VACUUM tt RETAIN 1000 HOURS", tables={"tt": t}
+    ).collect()[0].versions_expired == 0
+    assert t.readable_versions()[0] == 0
+    # horizon 0: everything is older than now — keep only the newest
+    out = run_query(
+        spark, "VACUUM tt RETAIN 0 HOURS", tables={"tt": t}
+    ).collect()[0]
+    assert out.versions_expired == 3
+    assert t.readable_versions() == [3, 4]
+    assert _vals(t.read()) == S1  # live head unaffected by expiry
