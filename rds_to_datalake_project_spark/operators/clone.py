@@ -319,6 +319,12 @@ class ClonedTable(KeyedTable):
         # strategy localizes the touched partitions instead.
         return self.delete_where(condition, strategy="rewrite")
 
+    def _update_where_vector(self, condition, assignments: dict) -> int:
+        if self._clone_meta() is None:
+            return super()._update_where_vector(condition, assignments)
+        # same reasoning as vector deletes: rewrite-route on branches
+        return self.update_where(condition, assignments, strategy="rewrite")
+
     def purge_rows(self, condition, keep_history: bool = False) -> int:
         if self._clone_meta() is None:
             return super().purge_rows(condition, keep_history=keep_history)

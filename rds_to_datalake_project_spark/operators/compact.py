@@ -496,6 +496,13 @@ def attach_auto_compact(
                 v = vs[-1]
                 meta = t._flag_meta(f"{t.path}/.meta/v{v}.flag")
                 only = set(meta.get("created", [])) | set(t._retired_rels(v))
+                # MOR-update appends fragment too (one small file per
+                # update batch per partition) — in scope for repair
+                only |= {
+                    p.rsplit("/", 1)[0]
+                    for p in meta.get("appended", "").split("\t")
+                    if "/" in p
+                }
                 if not only:
                     return
             compact_partitions(

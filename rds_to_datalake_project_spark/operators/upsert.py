@@ -75,6 +75,10 @@ _READY_FLAG = "_PUBLISH_READY"  # staged write complete; publish may proceed
 # operators/deletevectors): dot-prefixed, so partition walkers, the
 # manifest, and every parquet reader skip it.
 _STAGED_DV_NAME = ".dvdata"
+# Staged APPEND fileset of a merge-on-read UPDATE (new row versions;
+# the old positions ride the vector above). Published by per-file
+# renames INTO the live partition dirs — no swap, no rewrite.
+_STAGED_APPEND_NAME = ".append"
 _ASIDE_PREFIX = ".__old-"  # parked pre-publish copy of a partition dir
 # Commit mutex + snapshot token live as ROOT-level dot-files (skipped
 # by Spark's file index, exists(), and every tree walker here), NOT
@@ -865,6 +869,11 @@ class KeyedTable:
                 if not dv_rels:
                     return False  # vector of unknown reach
                 touched |= set(dv_rels)
+            touched |= {
+                p.rsplit("/", 1)[0]
+                for p in meta.get("appended", "").split("\t")
+                if "/" in p
+            }
             if touched & staged_rels:
                 return False
         return True
@@ -909,6 +918,11 @@ class KeyedTable:
                             ).split("\t")
                             if r
                         }
+                    staged_rels |= {
+                        p.rsplit("/", 1)[0]
+                        for p in self._staged_append_files(staging)
+                        if "/" in p
+                    }
                 if not self._disjoint_since(base_stamp, staged_rels or set()):
                     self._fs_delete(staging)
                     return False
@@ -1133,6 +1147,29 @@ class KeyedTable:
                     fs.mkdirs(dv_root_p)
                     self._rename(fs, dv_staged, dv_dest)
             self._fault("dv_published")
+        appended = [p for p in meta.get("appended", "").split("\t") if p]
+        if appended:
+            # MOR-update appends: per-file renames INTO the live dirs
+            # (fresh basenames — collision-free). Idempotent re-entry:
+            # a file already at its destination was moved by a prior
+            # attempt; one absent from staging too is simply done.
+            fs = self._fs(self.path)[0]
+            jvm = self.spark._jvm
+            for relfile in appended:
+                src_p = jvm.org.apache.hadoop.fs.Path(
+                    f"{staging}/{_STAGED_APPEND_NAME}/{relfile}"
+                )
+                dst_p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{relfile}"
+                )
+                if not fs.exists(src_p):
+                    continue
+                if fs.exists(dst_p):
+                    fs.delete(src_p, True)
+                    continue
+                fs.mkdirs(dst_p.getParent())
+                self._rename(fs, src_p, dst_p)
+            self._fault("appends_published")
         if self.partition_cols:
             rels = self._staged_partition_dirs(staging)
             if len(rels) > 8:
@@ -1765,6 +1802,29 @@ class KeyedTable:
             fs.delete(dst_p, True)
         self._fault("partition_published")
 
+    def _staged_append_files(self, staging: str) -> list[str]:
+        """``rel/file`` paths (relative to the table root) of a staged
+        MOR-update append set; [] when the staging has none."""
+        root = f"{staging}/{_STAGED_APPEND_NAME}"
+        fs, p = self._fs(root)
+        if not fs.exists(p):
+            return []
+        out: list[str] = []
+
+        def walk(path, rel):
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if name.startswith((".", "_")):
+                    continue
+                sub = f"{rel}/{name}" if rel else name
+                if st.isDirectory():
+                    walk(st.getPath(), sub)
+                elif name.endswith(".parquet"):
+                    out.append(sub)
+
+        walk(p, "")
+        return sorted(out)
+
     def _write_ready_flag(self, staging: str, base_token=_UNSET) -> None:
         """Commit point of the upsert. The flag carries the commit
         record — ``#``-prefixed meta lines (snapshot version, created
@@ -1828,6 +1888,12 @@ class KeyedTable:
                     "#dv_rels="
                     + self._read_flag_text(f"{staging}/.dv_rels")
                 )
+        appended = self._staged_append_files(staging)
+        if appended:
+            # MOR-update append set: publish renames each file into
+            # its live dir; snapshot reads BEFORE this commit exclude
+            # exactly these basenames (unique per write job).
+            lines.append("#appended=" + "\t".join(appended))
         lines.extend(sorted(names))
         _, tmp_p = self._fs(f"{staging}/.{_READY_FLAG}.tmp")
         out = fs.create(tmp_p, True)
@@ -1960,14 +2026,22 @@ class KeyedTable:
             with_provenance,
         )
 
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            _DV_FILE,
+            _DV_POS,
+        )
+
         # Vectors of commits ≤ version apply to this snapshot —
         # retirement preserves the positional identity (partition
         # values, basenames, row order), so the mask lands on retired
-        # copies exactly as it did on the then-live files. Provenance
-        # attaches PER SCAN (``_metadata`` does not resolve through a
-        # Union), and only when a mask will actually apply, so
-        # vector-free tables keep their exact pre-vector plans.
+        # copies exactly as it did on the then-live files. Files
+        # APPENDED by MOR-update commits > version are excluded by
+        # basename (unique per write job). Provenance attaches PER
+        # SCAN (``_metadata`` does not resolve through a Union), and
+        # only when something will actually apply, so plain tables
+        # keep their exact original plans.
         masked = has_vectors(self.spark, self.path, upto_version=version)
+        late_appends = self._appended_after(version)
         reads = [
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", root)
@@ -1975,15 +2049,37 @@ class KeyedTable:
             for root, rels in groups.items()
             if rels
         ]
-        if masked:
+        if masked or late_appends:
             reads = [with_provenance(r) for r in reads]
         if not reads:
             return self.read().limit(0)
         out = reads[0]
         for r in reads[1:]:
             out = out.unionByName(r, allowMissingColumns=True)
+        if late_appends:
+            out = out.filter(
+                ~F.col(_DV_FILE).isin(sorted(late_appends))
+            )
         if masked:
             out = self._mask_dv(out, upto_version=version)
+        elif late_appends:
+            out = out.drop(_DV_FILE, _DV_POS)
+        return out
+
+    def _appended_after(self, version: int) -> set[str]:
+        """Basenames of files APPENDED by MOR-update commits after
+        ``version`` — a snapshot read at ``version`` must exclude
+        them wherever they appear (live dirs or retired copies)."""
+        out: set[str] = set()
+        for j in self.versions():
+            if j <= version:
+                continue
+            meta = self._flag_meta(f"{self.path}/.meta/v{j}.flag")
+            out |= {
+                p.rsplit("/", 1)[-1]
+                for p in meta.get("appended", "").split("\t")
+                if p
+            }
         return out
 
     def _as_of_rels(self, version: int) -> list[str]:
@@ -2123,10 +2219,20 @@ class KeyedTable:
         )
         if not has_files:  # the table was empty at that version
             return self.read().limit(0)
-        return self._mask_dv(
-            self.spark.read.option("mergeSchema", "true").parquet(root),
-            upto_version=version,
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            _DV_FILE,
+            _DV_POS,
+            with_provenance,
         )
+
+        out = self.spark.read.option("mergeSchema", "true").parquet(root)
+        late_appends = self._appended_after(version)
+        if late_appends:
+            out = with_provenance(out).filter(
+                ~F.col(_DV_FILE).isin(sorted(late_appends))
+            )
+        # _mask_dv drops the provenance columns in every branch
+        return self._mask_dv(out, upto_version=version)
 
     # -- row-level DML (Delta DELETE/UPDATE analog) ---------------------------
 
@@ -2377,17 +2483,7 @@ class KeyedTable:
                     fs.mkdirs(p)
         return self._commit_staging(staging, base_token)
 
-    def update_where(self, condition, assignments: dict) -> int:
-        """Row-level UPDATE via read-modify-merge: rows matching
-        ``condition`` get ``assignments`` (column → SQL expression
-        string or Column, evaluated against the current row) applied
-        and re-merged. Returns rows updated.
-
-        Record-key and partition-source columns are immutable by the
-        table contract (a key must never move partitions) — assigning
-        one raises. Assignments may bump the precombine column; when
-        they don't, the merge's batch-wins-on-tie rule applies the
-        change at the row's current version."""
+    def _validate_assignments(self, assignments: dict) -> None:
         frozen = set(self.spec.record_key) | set(self.partition_cols)
         if self.spec.partition_granularity:
             frozen.add(self.spec.partition_source)
@@ -2396,6 +2492,60 @@ class KeyedTable:
             raise ValueError(
                 f"cannot UPDATE immutable key/partition columns: {bad}"
             )
+
+    @staticmethod
+    def _assigned(rows: DataFrame, assignments: dict, cols) -> DataFrame:
+        """SQL UPDATE evaluates every SET right-hand side against the
+        ORIGINAL row (``SET a = b, b = a`` swaps), so all assignments
+        go into ONE select over the unmodified row."""
+        return rows.select(
+            *[
+                (
+                    F.expr(assignments[c])
+                    if isinstance(assignments[c], str)
+                    else assignments[c]
+                ).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cols
+            ]
+        )
+
+    def update_where(
+        self, condition, assignments: dict, strategy: str | None = None
+    ) -> int:
+        """Row-level UPDATE. Rows matching ``condition`` get
+        ``assignments`` (column → SQL expression string or Column,
+        evaluated against the current row) applied. Returns rows
+        updated.
+
+        ``strategy`` (default "vector" on ``deletion_vectors=True``
+        tables, else "rewrite"):
+
+        - "rewrite" (copy-on-write): read-modify-merge — the touched
+          partitions rewrite.
+        - "vector" (merge-on-read): ONE commit carrying (a) a deletion
+          vector masking the old row positions and (b) the new row
+          versions APPENDED as fresh files into their partitions —
+          I/O ∝ rows updated, never partition size (the Hudi
+          MERGE_ON_READ write path over this engine's layout; the
+          commit record lists the appended files so snapshot reads
+          before it exclude them exactly).
+
+        Record-key and partition-source columns are immutable by the
+        table contract (a key must never move partitions) — assigning
+        one raises. Assignments may bump the precombine column; under
+        "rewrite" the merge's batch-wins-on-tie rule applies the
+        change at the row's current version; under "vector" the old
+        version is masked outright."""
+        strategy = strategy or (
+            "vector" if self.deletion_vectors else "rewrite"
+        )
+        if strategy not in ("rewrite", "vector"):
+            raise ValueError(f"unknown update strategy {strategy!r}")
+        if strategy == "vector":
+            return self._update_where_vector(condition, assignments)
+        self._validate_assignments(assignments)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         rows = self.read().filter(cond).cache()  # one scan: count + merge
         try:
@@ -2407,27 +2557,89 @@ class KeyedTable:
             n = rows.count()
             if n == 0:
                 return 0
-            # SQL UPDATE evaluates every SET right-hand side against
-            # the ORIGINAL row (``SET a = b, b = a`` swaps), so all
-            # assignments go into ONE select over the unmodified row —
-            # a sequential withColumn loop would let later assignments
-            # observe earlier results.
-            updated = rows.select(
-                *[
-                    (
-                        F.expr(assignments[c])
-                        if isinstance(assignments[c], str)
-                        else assignments[c]
-                    ).alias(c)
-                    if c in assignments
-                    else F.col(c)
-                    for c in rows.columns
-                ]
-            )
+            updated = self._assigned(rows, assignments, rows.columns)
             self.upsert(updated.withColumn(_OP_COL, F.lit("U")))
         finally:
             rows.unpersist()
         return n
+
+    def _update_where_vector(self, condition, assignments: dict) -> int:
+        """Merge-on-read UPDATE: one commit = vector(old positions) +
+        append(new row versions). Retries on commit races like
+        upsert."""
+        self._validate_assignments(assignments)
+        if not self.exists():
+            return 0
+        self.recover()
+        attempts = 1 + max(0, self.commit_retries)
+        for _attempt in range(attempts):
+            n = self._mor_update_once(condition, assignments)
+            if n is not None:
+                return n
+        raise ConcurrentWriteError(
+            f"vector update on {self.path} lost the commit race "
+            f"{attempts} times; re-run (nothing was committed)"
+        )
+
+    def _mor_update_once(self, condition, assignments: dict) -> int | None:
+        from rds_to_datalake_project_spark.operators.deletevectors import (
+            _DV_FILE,
+            _DV_POS,
+        )
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base_stamp = self._snapshot_stamp()
+        base_token = base_stamp["token"]
+        rows = self._provenanced_read().filter(cond).cache()
+        try:
+            data_cols = [
+                c for c in rows.columns if c not in (_DV_FILE, _DV_POS)
+            ]
+            unknown = sorted(set(assignments) - set(data_cols))
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown columns: {unknown}"
+                )
+            self._enforce_constraints(
+                self._assigned(rows, assignments, data_cols)
+            )
+            staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
+            rows.select(*self.partition_cols, _DV_FILE, _DV_POS).coalesce(
+                1
+            ).write.parquet(f"{staging}/{_STAGED_DV_NAME}")
+            staged = self.spark.read.parquet(f"{staging}/{_STAGED_DV_NAME}")
+            n = staged.count()
+            if n == 0:
+                self._fs_delete(staging)
+                return 0
+            if self.partition_cols:
+                rels = sorted(
+                    {
+                        self._partition_rel_path(
+                            tuple(r[c] for c in self.partition_cols)
+                        )
+                        for r in staged.select(*self.partition_cols)
+                        .distinct()
+                        .collect()
+                    }
+                )
+                fs, p = self._fs(f"{staging}/.dv_rels")
+                out = fs.create(p, True)
+                out.write("\t".join(rels).encode("utf-8"))
+                out.close()
+            writer = self._assigned(
+                rows, assignments, data_cols
+            ).write.mode("overwrite")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(f"{staging}/{_STAGED_APPEND_NAME}")
+            self._fault("mor_update_staged")
+            ok = self._commit_staging(
+                staging, base_token, base_stamp=base_stamp
+            )
+            return n if ok else None
+        finally:
+            rows.unpersist()
 
     def purge_rows(self, condition, keep_history: bool = False) -> int:
         """GDPR-class HARD delete: tombstone every row matching

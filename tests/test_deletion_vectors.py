@@ -417,6 +417,98 @@ def test_null_partition_values_mask_correctly(spark, tmp_path):
     ]
 
 
+def test_mor_update_appends_instead_of_rewriting(spark, tmp_path):
+    """Merge-on-read UPDATE: one commit = vector(old positions) +
+    appended new-row files. Existing data files are untouched; reads
+    see only the new versions; I/O ∝ rows updated."""
+    t = _partitioned(spark, tmp_path / "t")
+    t.initial_load(_rows(spark))
+    before = set(_data_files(t.path))
+    n = t.update_where("id % 8 = 0", {"amount": "amount + 100"})
+    assert n == 5
+    after = set(_data_files(t.path))
+    assert before <= after  # nothing rewritten or removed
+    assert len(after) > len(before)  # new files appended
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert all(got[i] == i + 100 for i in range(0, 40, 8))
+    assert all(got[i] == i for i in range(1, 40, 2))
+    assert t.read().count() == 40
+    # chained MOR updates: each masks the prior appended version
+    assert t.update_where("id = 8", {"amount": "amount + 1"}) == 1
+    assert t.read().filter(F.col("id") == 8).collect()[0].amount == 109.0
+    assert t.read().count() == 40
+
+
+def test_mor_update_snapshot_reads_exclude_late_appends(spark, tmp_path):
+    t = _partitioned(spark, tmp_path / "t", retain_versions=5)
+    t.initial_load(_rows(spark))
+    t.update_where("id % 8 = 0", {"amount": "amount + 100"})  # v1 (MOR)
+    t.upsert(_rows(spark, ver="v2").filter(F.col("id") == 3))  # v2
+    assert t.read_as_of(0).filter(F.col("amount") >= 100).count() == 39 - 39
+    assert t.read_as_of(0).count() == 40
+    assert {
+        r.id: r.amount
+        for r in t.read_as_of(1).filter(F.col("id") % 8 == 0).collect()
+    } == {i: i + 100.0 for i in range(0, 40, 8)}
+    # CDC across the MOR-update commit
+    tc = t.table_changes(0, 1)
+    assert tc.filter(F.col("_change_type") == "update").count() == 5
+    assert tc.count() == 5
+    # time travel across a LATER rewrite of the same partition: the
+    # retired copy carries the appended file; exclusion still exact
+    t.upsert(
+        _rows(spark, ver="v3").filter(F.col("id") % 4 == 0)
+    )  # v3 rewrites day 01 (merges appends in)
+    assert t.read_as_of(0).filter(F.col("amount") >= 100).count() == 0
+    assert t.read_as_of(1).filter(F.col("amount") >= 100).count() == 5
+    assert t.read().filter(F.col("update_at") == "v3").count() == 10
+
+
+def test_mor_update_constraints_and_validation(spark, tmp_path):
+    t = _partitioned(spark, tmp_path / "t")
+    t.initial_load(_rows(spark))
+    t.add_constraint("amount_cap", "amount < 1000")
+    from rds_to_datalake_project_spark.operators.upsert import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        t.update_where("id = 0", {"amount": "5000.0"})
+    assert t.read().filter(F.col("amount") >= 1000).count() == 0
+    with pytest.raises(ValueError, match="immutable"):
+        t.update_where("id = 0", {"id": "1"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where("id = 0", {"nope": "1"})
+    # swap semantics hold on the MOR path too
+    t2 = _partitioned(spark, tmp_path / "t2")
+    t2.initial_load(
+        _rows(spark).withColumn("b", F.col("amount") * 2)
+    )
+    t2.update_where("id = 4", {"amount": "b", "b": "amount"})
+    r = t2.read().filter(F.col("id") == 4).collect()[0]
+    assert (r.amount, r.b) == (8.0, 4.0)
+
+
+def test_mor_update_fold_and_compaction(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.compact import (
+        compact_partitions,
+    )
+
+    t = _partitioned(spark, tmp_path / "t")
+    t.initial_load(_rows(spark))
+    for k in range(3):  # fragment day 01 with appends
+        t.update_where("id % 4 = 0", {"amount": f"amount + {k + 1}"})
+    assert dv.dv_stats(spark, t.path)["dirs"] == 3
+    rewritten = compact_partitions(t, target_file_bytes=1 << 30, min_files=1)
+    assert rewritten  # appended fragments selected and folded
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got[0] == 0 + 1 + 2 + 3
+    assert t.read().count() == 40
+    res = t.materialize_deletes()  # folds the masks
+    assert dv.dv_stats(spark, t.path)["dirs"] == 0
+    assert t.read().count() == 40
+
+
 def test_facade_delete_and_materialize_verbs(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import run_query
 
