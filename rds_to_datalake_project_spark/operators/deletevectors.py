@@ -48,6 +48,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rds_to_datalake_project_spark import fsio
+
 from rds_to_datalake_project_spark.operators.zonemap import (
     _read_small,
     _write_small,
@@ -67,6 +69,8 @@ def dv_root(table_path: str) -> str:
 
 
 def _hadoop(spark: SparkSession, path: str):
+    if fsio.is_local(path):
+        return fsio.native_fs(), fsio.NativePath(path)
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p

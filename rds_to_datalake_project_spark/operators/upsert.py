@@ -44,6 +44,7 @@ Physical strategy (scale-first):
 from __future__ import annotations
 
 import contextlib
+import functools
 import json
 import logging
 import os
@@ -53,6 +54,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rds_to_datalake_project_spark import fsio
 
 from rds_to_datalake_project_spark.operators.dedup import latest_version_per_key
 from rds_to_datalake_project_spark.operators.enrich import (
@@ -94,6 +97,53 @@ class ConstraintViolation(ValueError):
     the batch was NOT committed (Delta semantics: constraints reject
     writes; quarantine pipelines belong to operators/expectations'
     gated_ingest)."""
+
+
+# ---------------------------------------------------------------------------
+# Read-plan cache (driver-side).  Building a KeyedTable read plan is
+# pure metadata work — tree listing, parquet footer schema merge,
+# Catalyst analysis — and costs ~100-500 ms of driver wall per call;
+# matview refresh / lookup / service paths issue dozens of reads per
+# commit against an UNCHANGED snapshot (a round-12 event-log profile
+# measured more of a lifecycle build in these gaps than in Spark job
+# time — guide §7.3).  The cache memoizes the ANALYZED DataFrame per
+# (table, kind, version) and is invalidated at every mutation choke
+# point (publish, recover, vacuum, purge, restore, sweep) plus a
+# commit-token guard, so a hit can only ever serve the plan the same
+# snapshot would rebuild.  Results are never cached — every action on
+# a cached frame recomputes from the parquet files.  Local paths
+# only, plain KeyedTable only (a clone's read composes SOURCE state
+# the token/epoch of its own path cannot see).
+_PLAN_CACHE: dict[str, dict] = {}
+_PLAN_CACHE_MAX_TABLES = 128
+
+
+def _norm_table_path(path: str) -> str:
+    return os.path.normpath(path) if fsio.is_local(path) else path
+
+
+def invalidate_plan_cache(path: str | None = None) -> None:
+    """Drop cached read plans for one table (any mutation outside the
+    engine's own choke points must call this), or all of them."""
+    if path is None:
+        _PLAN_CACHE.clear()
+    else:
+        _PLAN_CACHE.pop(_norm_table_path(path), None)
+
+
+def _invalidates(fn):
+    """Method decorator: drop this table's cached read plans when the
+    call returns — success OR failure (a raise half-way through a
+    vacuum/publish may already have moved files)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        try:
+            return fn(self, *a, **k)
+        finally:
+            invalidate_plan_cache(self.path)
+
+    return wrapper
 
 
 class CommitConflict(RuntimeError):
@@ -327,6 +377,29 @@ class KeyedTable:
             keep_provenance=keep_provenance,
         )
 
+    # -- read-plan cache plumbing -------------------------------------------
+
+    def _plan_cache_entry(self) -> dict | None:
+        """This table's cache slot, or None when ineligible (clone
+        subclass / remote path).  The slot is keyed by the commit
+        token so a commit from ANY handle or process starts a fresh
+        one even before the explicit invalidation lands."""
+        if type(self) is not KeyedTable or not fsio.is_local(self.path):
+            return None
+        tok = fsio.read_text(self.spark, f"{self.path}/{_TOKEN_FILE}")
+        tok = tok.strip() if tok else None
+        key = _norm_table_path(self.path)
+        ent = _PLAN_CACHE.get(key)
+        if ent is None or ent["token"] != tok or ent["spark"] is not self.spark:
+            if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX_TABLES:
+                _PLAN_CACHE.clear()
+            ent = {"token": tok, "spark": self.spark, "frames": {}}
+            _PLAN_CACHE[key] = ent
+        return ent
+
+    def _invalidate_plans(self) -> None:
+        invalidate_plan_cache(self.path)
+
     def read(self) -> DataFrame:
         # Partition values must round-trip as the zero-padded strings
         # the enrichment wrote (see session.py conf; guarded here too
@@ -334,6 +407,17 @@ class KeyedTable:
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
+        ent = self._plan_cache_entry()
+        if ent is not None:
+            hit = ent["frames"].get("read")
+            if hit is not None:
+                return hit
+        df = self._read_uncached()
+        if ent is not None:
+            ent["frames"]["read"] = df
+        return df
+
+    def _read_uncached(self) -> DataFrame:
         if self.retain_versions and self._is_empty_live():
             # emptied-by-deletes retained table: a real empty frame
             # (schema borrowed from the newest retired copy) instead
@@ -447,6 +531,7 @@ class KeyedTable:
 
     # -- S8: initial load ----------------------------------------------------
 
+    @_invalidates
     def initial_load(self, df: DataFrame, delete_mode: str = "ignore") -> None:
         """Snapshot → lake table (reference glue_jobs/initial_load.py:156-183).
 
@@ -550,6 +635,7 @@ class KeyedTable:
 
     # -- S9: incremental upsert (the MERGE) -----------------------------------
 
+    @_invalidates
     def upsert(self, batch: DataFrame, delete_mode: str = "ignore") -> None:
         """Merge a CDC micro-batch into the table by record key.
 
@@ -1005,6 +1091,7 @@ class KeyedTable:
             *[F.col(c) for c in self.partition_cols], F.col("__ow_bucket")
         ).drop("__ow_bucket")
 
+    @_invalidates
     def recover(self) -> bool:
         """Complete (or discard) interrupted upsert publishes.
 
@@ -1108,6 +1195,7 @@ class KeyedTable:
             rolled = True
         return rolled
 
+    @_invalidates
     def _publish_under_lock(self, staging: str) -> None:
         """Swap a publish-ready staging dir into the live tree.
 
@@ -1411,6 +1499,7 @@ class KeyedTable:
             return None
         return self._read_flag_text(f"{self.path}/{_TOKEN_FILE}").strip() or None
 
+    @_invalidates
     def _write_commit_token(self) -> None:
         fs, tmp_p = self._fs(f"{self.path}/{_TOKEN_FILE}.tmp")
         out = fs.create(tmp_p, True)
@@ -1905,6 +1994,11 @@ class KeyedTable:
         self._rename(fs, tmp_p, flag_p)
 
     def _read_flag_text(self, flag_path: str) -> str:
+        if fsio.is_local(flag_path):
+            text = fsio.read_text(self.spark, flag_path)
+            if text is None:
+                raise IOError(f"not found: {flag_path}")
+            return text
         fs, flag_p = self._fs(flag_path)
         stream = fs.open(flag_p)
         try:
@@ -1967,6 +2061,22 @@ class KeyedTable:
         return list(range(self._read_floor(), latest + 1))
 
     def read_as_of(self, version: int, _exclude_rels=None) -> DataFrame:
+        """The table exactly as it stood after commit ``version``
+        (0 = after initial load).  See ``_read_as_of_uncached`` for
+        the reconstruction contract; this wrapper adds read-plan
+        caching (snapshots are immutable between commits/vacuums, and
+        every path that can change one invalidates the cache)."""
+        ent = self._plan_cache_entry() if _exclude_rels is None else None
+        if ent is not None:
+            hit = ent["frames"].get(("asof", version))
+            if hit is not None:
+                return hit
+        df = self._read_as_of_uncached(version, _exclude_rels)
+        if ent is not None:
+            ent["frames"][("asof", version)] = df
+        return df
+
+    def _read_as_of_uncached(self, version: int, _exclude_rels=None) -> DataFrame:
         """The table exactly as it stood after commit ``version``
         (0 = after initial load).
 
@@ -2157,6 +2267,7 @@ class KeyedTable:
         number (subject to the same retention-floor contract)."""
         return self.read_as_of(self.version_at_timestamp(ts))
 
+    @_invalidates
     def restore_to_version(self, version: int) -> int:
         """Roll the table back to snapshot ``version`` — as a NEW
         commit (Delta RESTORE / Hudi savepoint-rollback semantics).
@@ -2236,6 +2347,7 @@ class KeyedTable:
 
     # -- row-level DML (Delta DELETE/UPDATE analog) ---------------------------
 
+    @_invalidates
     def delete_where(self, condition, strategy: str | None = None) -> int:
         """Row-level DELETE: remove every live row matching
         ``condition`` (a SQL expression string or Column). Returns
@@ -2369,6 +2481,7 @@ class KeyedTable:
         ok = self._commit_staging(staging, base_token, base_stamp=base_stamp)
         return n if ok else None
 
+    @_invalidates
     def materialize_deletes(self) -> dict:
         """Fold outstanding deletion vectors into the data files — a
         normal rewrite commit over ONLY the vector-affected partitions
@@ -2511,6 +2624,7 @@ class KeyedTable:
             ]
         )
 
+    @_invalidates
     def update_where(
         self, condition, assignments: dict, strategy: str | None = None
     ) -> int:
@@ -2641,6 +2755,7 @@ class KeyedTable:
         finally:
             rows.unpersist()
 
+    @_invalidates
     def purge_rows(self, condition, keep_history: bool = False) -> int:
         """GDPR-class HARD delete: tombstone every row matching
         ``condition`` AND expire every lake representation that could
@@ -3026,11 +3141,16 @@ class KeyedTable:
         ``spark.readStream.parquet(feed_dir)`` consumer can tail (see
         tests/test_table_changes.py). Returns the versions written."""
         # feed_dir may live outside the table root — resolve its own
-        # FileSystem instead of reusing the table-scoped handle
-        jvm = self.spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(feed_dir).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
+        # FileSystem (native for local paths) instead of reusing the
+        # table-scoped handle
+        if fsio.is_local(feed_dir):
+            fs, mkpath = fsio.native_fs(), fsio.NativePath
+        else:
+            jvm = self.spark._jvm
+            mkpath = jvm.org.apache.hadoop.fs.Path
+            fs = mkpath(feed_dir).getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
         # Incarnation fence: the feed outlives a TABLE RESET, and the
         # _SUCCESS skip below would happily leave the OLD incarnation's
         # v1..vk batches in place while appending the new one's — a
@@ -3042,7 +3162,7 @@ class KeyedTable:
             marker = f"{feed_dir}/_INCARNATION"
             stored = (
                 self._read_flag_text(marker).strip()
-                if fs.exists(jvm.org.apache.hadoop.fs.Path(marker))
+                if fs.exists(mkpath(marker))
                 else None
             )
             if stored and stored != inc:
@@ -3052,11 +3172,11 @@ class KeyedTable:
                     "and re-bootstrap its replicas"
                 )
             if stored != inc:
-                _, tmp_p = self._fs(f"{feed_dir}/._INCARNATION.tmp")
+                tmp_p = mkpath(f"{feed_dir}/._INCARNATION.tmp")
                 o = fs.create(tmp_p, True)
                 o.write(inc.encode("utf-8"))
                 o.close()
-                dst = jvm.org.apache.hadoop.fs.Path(marker)
+                dst = mkpath(marker)
                 fs.delete(dst, True)
                 self._rename(fs, tmp_p, dst)
         written = []
@@ -3067,7 +3187,7 @@ class KeyedTable:
             # a batch counts as materialized only when its _SUCCESS
             # marker exists — a crash mid-write leaves a partial dir
             # that the next call must overwrite, never skip forever
-            done = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/v{v}/_SUCCESS")
+            done = mkpath(f"{feed_dir}/v{v}/_SUCCESS")
             if fs.exists(done):
                 continue
             self.table_changes(v - 1, v).withColumn(
@@ -3125,18 +3245,8 @@ class KeyedTable:
         self._rename(fs, tmp, dst)
 
     def _read_feed_floor(self, feed_dir: str) -> int:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{feed_dir}/_floor")
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return 0
-        stream = fs.open(p)
-        try:
-            return int(
-                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8").strip()
-            )
-        finally:
-            stream.close()
+        text = fsio.read_text(self.spark, f"{feed_dir}/_floor")
+        return int(text.strip()) if text else 0
 
     def _write_floor(self, floor: int) -> None:
         """Persist the retention floor (tmp + rename; monotonic)."""
@@ -3152,6 +3262,7 @@ class KeyedTable:
         fs.delete(floor_p, True)
         self._rename(fs, tmp_p, floor_p)
 
+    @_invalidates
     def vacuum_older_than(self, hours: float) -> int:
         """Time-based retention (Delta ``VACUUM ... RETAIN n HOURS``):
         expire every snapshot whose COMMIT TIME is older than the
@@ -3179,6 +3290,7 @@ class KeyedTable:
                 fresh += 1
         return self.vacuum_versions(keep_last=max(1, fresh))
 
+    @_invalidates
     def vacuum_versions(self, keep_last: int = 1) -> int:
         """Expire old snapshots: drop the retired copies and commit
         records of all but the newest ``keep_last`` versions (≥ 1 —
@@ -3238,6 +3350,7 @@ class KeyedTable:
             "/", *[F.col(c).cast("string") for c in self.partition_cols]
         )
 
+    @_invalidates
     def vacuum_partitions(self, keep_predicate) -> int:
         """Retention: drop whole partitions whose values fail
         ``keep_predicate`` (a callable over the partition-value tuple,
@@ -3343,9 +3456,15 @@ class KeyedTable:
     def _fs(self, path: str):
         # Every path a KeyedTable touches (staging, .meta, .retired,
         # partition dirs) lives under self.path, so one FileSystem
-        # handle serves them all — resolving it per call costs three
-        # py4j round trips each, and the publish/commit path makes
-        # hundreds of _fs calls per batch.
+        # handle serves them all. On scheme-less local paths the
+        # handle is the native shim (fsio.NativeFS): each Hadoop call
+        # from Python costs several py4j round trips (~10-50 ms of
+        # driver wall), and a commit makes hundreds of metadata calls
+        # — profiled at more than half of a lifecycle build's wall
+        # (guide §7.3, driver-side work). Any real scheme keeps the
+        # Hadoop FileSystem (portability decides, not performance).
+        if fsio.is_local(self.path):
+            return fsio.native_fs(), fsio.NativePath(path)
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         if self._fs_handle is None:
@@ -3528,6 +3647,7 @@ class KeyedTable:
         if not fs.rename(src, dst):
             raise IOError(f"rename failed: {src} -> {dst}")
 
+    @_invalidates
     def _sweep_asides(self, retire_version: int | None = None) -> None:
         """Resolve leftover aside dirs (crash after rename-in, before
         drop-aside). Retained publishes never CREATE asides — the park

@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rds_to_datalake_project_spark import fsio
+
 _FILE = "file_uri"
 
 # Diagnostics: CUMULATIVE zoned-read pruning verdicts since
@@ -143,27 +145,13 @@ def _resolve_table(spark: SparkSession, table_path: str):
 
 
 def _read_small(spark: SparkSession, path: str) -> str | None:
-    """Tiny marker-file read via the Hadoop FileSystem API (portable
-    across local/HDFS/S3A — never os.path)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    """Tiny marker-file read — fsio routes local paths to native I/O
+    and real schemes (hdfs://, s3a://) through Hadoop."""
+    return fsio.read_text(spark, path)
 
 
 def _write_small(spark: SparkSession, path: str, text: str) -> None:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    out.write(text.encode("utf-8"))
-    out.close()
+    fsio.write_text(spark, path, text)
 
 
 def _index_is_synced(spark: SparkSession, table_path: str, index_dir: str) -> bool:
