@@ -37,6 +37,9 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 )
 
 _FILE = "__file"
+# Fixed sidecar layout (what _filter_rows emits): supplying it to the
+# probe read skips per-probe parquet schema inference.
+_SIDECAR_SCHEMA = f"{_FILE} string, col string, word_idx int, bits bigint"
 # Auto-sizing targets (build_bloom_index m_bits=None): ~10 bits per
 # key with 2x slack for file-size skew keeps the false-positive rate
 # ~1e-3 at the AVERAGE file and <~1% at a 2x-overfull one. A fixed m
@@ -215,97 +218,70 @@ def bloom_value_survivors(
     intervals instead of re-running the aggregation per key."""
     idx = index_dir or _index_dir(table_path)
     full, _live = _resolved or _resolve_table(spark, table_path)
-    try:
-        stats = spark.read.parquet(idx).filter(F.col("col") == col)
-    except Exception:
-        return None, {}
     m_bits, k = _stored_mk(spark, idx)
-    # hash the probe values through the SAME expressions (tiny job)
-    probe_rows = (
+    order = list(dict.fromkeys(values))
+    # ONE Spark job for the whole probe: the values hash to their k
+    # (word, mask) pairs through the SAME expressions the build used
+    # (never reimplemented driver-side — a divergent hash would skip
+    # files that DO match), the pairs broadcast-LEFT-join the sidecar
+    # on word_idx, and a single aggregation yields, per (file, value),
+    # the distinct hit count beside the value's requirement. The left
+    # join keeps sidecar rows no probe word touches, so the same
+    # result set also names every covered file — the previous shape
+    # spent three driver-synchronized jobs (hash-collect, survivor
+    # aggregation, covered-files collect) on the same answer, and
+    # serve latency was all job-launch overhead. Cost is one broadcast
+    # join + one aggregation ∝ sidecar rows, independent of probe-set
+    # size — also the 100-TB shape: a sidecar of millions of
+    # (file, word) rows meets any probe set in one shuffle-free pass.
+    from pyspark.sql import Window
+
+    probe = (
         spark.createDataFrame(
-            [(v,) for v in values],
-            f"__v: {full.schema[col].dataType.simpleString()}",
+            [(i, v) for i, v in enumerate(order)],
+            f"vid int, __v {full.schema[col].dataType.simpleString()}",
         )
-        .select("__v", F.explode(_positions(F.col("__v"), m_bits, k)).alias("__pos"))
-        .collect()
+        .select(
+            "vid",
+            F.explode(_positions(F.col("__v"), m_bits, k)).alias("__pos"),
+        )
+        .select(
+            "vid",
+            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .dropDuplicates(["vid", "word_idx", "mask"])
+        .withColumn("needed", F.count("*").over(Window.partitionBy("vid")))
     )
-    by_value: dict = {}
-    for r in probe_rows:
-        pos = r["__pos"]
-        mask = 1 << (pos % 64)
-        if mask >= 1 << 63:  # bit 63: wrap to the SIGNED long the
-            mask -= 1 << 64  # build side's shiftleft produced
-        by_value.setdefault(r["__v"], set()).add((pos // 64, mask))
-    order = list(by_value)
-    if len(order) > 16:
-        return _survivors_by_join(spark, stats, by_value, order)
-    # few values: one aggregation over the sidecar with a per-value
-    # flag column each — a value survives a file iff ALL its k
-    # (word, bit) pairs hit. Lowest latency, but the expression count
-    # is |values|·k, so big probe sets take the join path instead.
-    aggs = []
-    for i, v in enumerate(order):
-        wm = by_value[v]
-        hits = sum(
-            F.max(
-                F.when(
-                    (F.col("word_idx") == w) & (F.col("bits").bitwiseAND(F.lit(m)) != 0),
-                    1,
-                ).otherwise(0)
+    try:
+        rows = (
+            spark.read.schema(_SIDECAR_SCHEMA)
+            .parquet(idx)
+            .filter(F.col("col") == col)
+            .join(F.broadcast(probe), "word_idx", "left")
+            .withColumn(
+                "__hit",
+                F.col("vid").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
             )
-            for w, m in wm
+            .groupBy(_FILE, "vid")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("__hit"), F.struct("word_idx", "mask"))
+                ).alias("got"),
+                F.max("needed").alias("needed"),
+            )
+            .collect()
         )
-        aggs.append((hits == len(wm)).alias(f"__v{i}"))
-    kept_rows = stats.groupBy(_FILE).agg(*aggs).collect()
-    covered = {_norm(r[0]) for r in kept_rows}
+    except Exception:
+        return None, {}  # no readable index → callers full-scan
+    covered = {_norm(r[0]) for r in rows}
     survives: dict = {v: set() for v in order}
-    for r in kept_rows:
-        path = _norm(r[0])
-        for i, v in enumerate(order):
-            if r[i + 1]:
-                survives[v].add(path)
-    return covered, survives
-
-
-def _survivors_by_join(
-    spark: SparkSession, stats: DataFrame, by_value: dict, order: list
-) -> tuple[set, dict]:
-    """Probe as data, not as expressions: the (value, word, mask)
-    triples become a small broadcast frame equi-joined to the sidecar
-    on word_idx; a value survives a file iff its distinct (word,
-    mask) hit count equals its requirement. Cost is one broadcast
-    join + one aggregation ∝ sidecar rows — independent of the probe
-    set size, where the expression path's |values|·k aggregate
-    columns over the sidecar stop compiling/performing (100 probed
-    keys → 500 conditional aggs). Also the 100-TB shape: a sidecar
-    of millions of (file, word) rows meets any probe set in one
-    shuffle-free pass."""
-    probe = spark.createDataFrame(
-        [
-            (i, w, m, len(by_value[v]))
-            for i, v in enumerate(order)
-            for (w, m) in by_value[v]
-        ],
-        "vid int, word_idx int, mask bigint, needed int",
-    )
-    hits = (
-        stats.join(F.broadcast(probe), "word_idx")
-        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
-        .groupBy(_FILE, "vid")
-        .agg(
-            F.countDistinct("word_idx", "mask").alias("got"),
-            F.max("needed").alias("needed"),
-        )
-        .filter(F.col("got") == F.col("needed"))
-        .select(_FILE, "vid")
-        .collect()
-    )
-    covered = {
-        _norm(r[0]) for r in stats.select(_FILE).distinct().collect()
-    }
-    survives: dict = {v: set() for v in order}
-    for r in hits:
-        survives[order[r[1]]].add(_norm(r[0]))
+    for r in rows:
+        if r["vid"] is not None and r["got"] == r["needed"]:
+            survives[order[r["vid"]]].add(_norm(r[0]))
     return covered, survives
 
 
@@ -357,18 +333,23 @@ def refresh_bloom_index(
         build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
         return (len(live), 0)
     stored_m, stored_k = _stored_mk(spark, idx)
-    if (
-        set(stats.columns) != {_FILE, "col", "word_idx", "bits"}
-        or {r["col"] for r in stats.select("col").distinct().collect()}
-        != set(columns)
-        or (m_bits is not None and (stored_m, stored_k) != (m_bits, k_hashes))
+    if set(stats.columns) != {_FILE, "col", "word_idx", "bits"} or (
+        m_bits is not None and (stored_m, stored_k) != (m_bits, k_hashes)
     ):
         build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
         return (len(live), 0)
+    # one job reads both reconcile inputs (indexed column set + indexed
+    # file set) — this runs in every commit's maintenance slot, so each
+    # saved driver-synchronized job is paid back per commit
+    sets = stats.agg(
+        F.collect_set("col").alias("cols"),
+        F.collect_set(_FILE).alias("files"),
+    ).collect()[0]
+    if set(sets["cols"]) != set(columns):
+        build_bloom_index(spark, table_path, columns, idx, m_bits, k_hashes)
+        return (len(live), 0)
     m_bits, k_hashes = stored_m, stored_k
-    indexed = {
-        _norm(r[0]): r[0] for r in stats.select(_FILE).distinct().collect()
-    }
+    indexed = {_norm(p): p for p in sets["files"]}
     new = [orig for p, orig in sorted(live.items()) if p not in indexed]
     stale = [orig for p, orig in sorted(indexed.items()) if p not in live]
     if not new and not stale:

@@ -146,6 +146,19 @@ def _invalidates(fn):
     return wrapper
 
 
+def _is_vanished_file_error(exc: BaseException) -> bool:
+    """True when a Spark job died because an input file disappeared
+    mid-scan — the signature of reading a snapshot a concurrent
+    publish has since retired (FAILED_READ_FILE.FILE_NOT_EXIST on
+    Spark 4; FileNotFoundException on older paths)."""
+    msg = str(exc)
+    return (
+        "FILE_NOT_EXIST" in msg
+        or "FileNotFoundException" in msg
+        or "FAILED_READ_FILE" in msg
+    )
+
+
 class CommitConflict(RuntimeError):
     """A staged merge was computed against a snapshot another writer
     has since replaced — publishing it would silently drop that
@@ -553,6 +566,18 @@ class KeyedTable:
         # the TABLE, not of one incarnation) and gate the load itself.
         cons = self.constraints()
         self._enforce_constraints(out)
+        if self.partition_cols:
+            # Without a shuffle, partitionBy writes one file per
+            # (input task × partition dir) — a month-partitioned load
+            # from an N-split snapshot fragments into N×dirs tiny
+            # files that every later read/publish pays for (guide §6,
+            # output file sizing). AQE REBALANCE clusters rows by the
+            # partition columns, coalescing small partitions together
+            # and splitting any hot one by the advisory size — the
+            # scale-adaptive form of repartition(partition_cols), so
+            # the same plan right-sizes a 75k-row fixture and a
+            # 100 TB load.
+            out = out.hint("rebalance", *self.partition_cols)
         # Static overwrite: an initial load is a TABLE RESET — the
         # session's dynamic partitionOverwriteMode (right for upsert's
         # touched-partition staging writes) would leave partitions of
@@ -764,7 +789,21 @@ class KeyedTable:
         writer = merged.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except Exception as exc:
+            # A concurrent winner's publish can retire files out from
+            # under this merge's pinned listing MID-JOB — the scan then
+            # dies with FILE_NOT_EXIST instead of reaching the token
+            # check. When the token has in fact moved, that is exactly
+            # a lost commit race: discard the half-written staging and
+            # let the caller's retry loop recompute from the fresh
+            # snapshot. Any other read failure (or an unchanged token,
+            # i.e. genuinely missing data) propagates.
+            if _is_vanished_file_error(exc) and self.commit_token() != base_token:
+                self._fs_delete(staging)
+                return False
+            raise
         if self.partition_cols:
             # A touched partition with NO staged output lost all its
             # rows to deletes (delete_mode="apply"): materialize it as
