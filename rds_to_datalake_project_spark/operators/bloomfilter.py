@@ -220,46 +220,64 @@ def bloom_value_survivors(
     full, _live = _resolved or _resolve_table(spark, table_path)
     m_bits, k = _stored_mk(spark, idx)
     order = list(dict.fromkeys(values))
-    # ONE Spark job for the whole probe: the values hash to their k
-    # (word, mask) pairs through the SAME expressions the build used
-    # (never reimplemented driver-side — a divergent hash would skip
-    # files that DO match), the pairs broadcast-LEFT-join the sidecar
-    # on word_idx, and a single aggregation yields, per (file, value),
-    # the distinct hit count beside the value's requirement. The left
-    # join keeps sidecar rows no probe word touches, so the same
-    # result set also names every covered file — the previous shape
-    # spent three driver-synchronized jobs (hash-collect, survivor
-    # aggregation, covered-files collect) on the same answer, and
-    # serve latency was all job-launch overhead. Cost is one broadcast
-    # join + one aggregation ∝ sidecar rows, independent of probe-set
-    # size — also the 100-TB shape: a sidecar of millions of
-    # (file, word) rows meets any probe set in one shuffle-free pass.
-    from pyspark.sql import Window
-
-    probe = (
+    try:
+        # resolves the sidecar path BEFORE any probe work: a table
+        # with no bloom index (the common un-indexed case) must cost
+        # nothing here beyond this existence check.
+        sidecar = spark.read.schema(_SIDECAR_SCHEMA).parquet(idx)
+    except Exception:
+        return None, {}  # no readable index → callers full-scan
+    # The probe VALUES hash to their k bit positions through the SAME
+    # Spark expressions the build used (never reimplemented
+    # driver-side — a divergent hash would skip files that DO match):
+    # ONE explode expression over a LocalRelation of the values, so
+    # the plan is constant-size however many values are probed (969
+    # per-value literal expressions measured 16-25 s of Catalyst
+    # planning), and the collect is a single exchange-free job — the
+    # previous probe-set-sized frame with dropDuplicates/window cost
+    # two exchanges plus a broadcast-build job of pure scheduling
+    # latency per probe. Position → (word, mask) is exact integer
+    # arithmetic (pos/64, 1<<(pos%64) wrapped to a signed 64-bit long,
+    # matching shiftleft on BIGINT — pinned by test against the build
+    # expression), done driver-side over the collected positions, and
+    # the deduped pairs ship back as a LocalRelation: the sidecar
+    # meets the probe in ONE broadcast-join + aggregation job,
+    # independent of probe-set size — also the 100-TB shape: a sidecar
+    # of millions of (file, word) rows meets any probe set in one
+    # shuffle-free pass.
+    dtype = full.schema[col].dataType
+    pos_rows = (
         spark.createDataFrame(
             [(i, v) for i, v in enumerate(order)],
-            f"vid int, __v {full.schema[col].dataType.simpleString()}",
+            f"vid int, __v {dtype.simpleString()}",
         )
         .select(
             "vid",
             F.explode(_positions(F.col("__v"), m_bits, k)).alias("__pos"),
         )
-        .select(
-            "vid",
-            (F.col("__pos") / 64).cast("int").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("mask"),
-        )
-        .dropDuplicates(["vid", "word_idx", "mask"])
-        .withColumn("needed", F.count("*").over(Window.partitionBy("vid")))
+        .collect()
+        if order
+        else []
+    )
+    by_vid: dict[int, set] = {i: set() for i in range(len(order))}
+    for r in pos_rows:
+        p = int(r[1])
+        w, b = p // 64, p % 64
+        m = 1 << b
+        if m >= 1 << 63:
+            m -= 1 << 64  # shiftleft(1L, 63) is the sign bit
+        by_vid[r[0]].add((w, m))
+    probe_rows = [
+        (i, w, m, len(pairs))
+        for i, pairs in by_vid.items()
+        for (w, m) in sorted(pairs)
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "vid int, word_idx int, mask bigint, needed int"
     )
     try:
         rows = (
-            spark.read.schema(_SIDECAR_SCHEMA)
-            .parquet(idx)
-            .filter(F.col("col") == col)
+            sidecar.filter(F.col("col") == col)
             .join(F.broadcast(probe), "word_idx", "left")
             .withColumn(
                 "__hit",

@@ -694,3 +694,56 @@ def test_lookup_many_matches_per_key_lookups(spark, tmp_path):
     # empty key set and all-absent set both return exactly nothing
     assert t.lookup_many([]).count() == 0
     assert t.lookup_many(["absent-9"]).count() == 0
+
+
+def test_bloom_probe_pairs_match_build_expression(spark):
+    """The probe's driver-side position → (word, mask) arithmetic is
+    bit-identical to the build's Spark expressions (word = pos/64 cast
+    int, mask = shiftleft(1L, pos % 64) — including the sign-bit wrap
+    at pos % 64 == 63), for every position 0..127 plus the exact
+    sign-bit edge. A divergence here would skip files that DO match."""
+    rows = (
+        spark.range(128)
+        .select(
+            F.col("id").alias("pos"),
+            (F.col("id") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))"
+            ).alias("m"),
+        )
+        .collect()
+    )
+    for r in rows:
+        p = int(r["pos"])
+        w, b = p // 64, p % 64
+        m = 1 << b
+        if m >= 1 << 63:
+            m -= 1 << 64
+        assert (w, m) == (int(r["w"]), int(r["m"])), p
+    # bit 63 really is the negative sign-bit long on both sides
+    assert any(int(r["m"]) == -(1 << 63) for r in rows)
+
+
+def test_bloom_probe_empty_and_absent_values(spark, sf_dir, tmp_path):
+    """Survivors contract holds through the LocalRelation probe:
+    empty probe sets and absent values keep the covered-files answer
+    (every indexed file named, nothing falsely survives)."""
+    from rds_to_datalake_project_spark.operators.bloomfilter import (
+        bloom_value_survivors,
+        build_bloom_index,
+    )
+
+    path = str(tmp_path / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartitionByRange(4, "o_orderkey").write.mode("overwrite").parquet(path)
+    build_bloom_index(spark, path, ["o_orderkey"])
+
+    covered, survives = bloom_value_survivors(spark, path, "o_orderkey", [])
+    assert covered is not None and len(covered) == 4 and survives == {}
+
+    present = orders.orderBy("o_orderkey").limit(1).collect()[0].o_orderkey
+    covered2, survives2 = bloom_value_survivors(
+        spark, path, "o_orderkey", [present, 10**9 + 7]
+    )
+    assert len(covered2) == 4
+    assert len(survives2[present]) >= 1  # no false negatives, ever
