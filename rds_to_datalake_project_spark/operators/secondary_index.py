@@ -258,10 +258,10 @@ def secondary_lookup_keys(
             "build_secondary_index first"
         )
     _require_fresh(table, state, value_col, "equality")
-    entries = read_family(
-        spark, _idir(table, value_col), "entries", key_col, gens=state[2]
-    )
-    dtype = entries.schema[value_col].dataType
+    # dtype from the TABLE schema (plan-cached — no sidecar listing):
+    # the entries part stores value_col verbatim, so the cast target
+    # is identical to reading it off the entries schema.
+    dtype = table.read().schema[value_col].dataType
     buckets = sorted(
         {
             str(b)
@@ -269,6 +269,17 @@ def secondary_lookup_keys(
                 spark, values, lambda c: _bucket_col(c.cast(dtype))
             )
         }
+    )
+    # Buckets FIRST so the entries read lists only the probed bucket
+    # dirs (read_family partition_filter) — the bucket IN residual
+    # below still applies, so pruning stays advisory.
+    entries = read_family(
+        spark,
+        _idir(table, value_col),
+        "entries",
+        key_col,
+        gens=state[2],
+        partition_filter=("bucket", buckets),
     )
     LAST_PROBE["probes"] = LAST_PROBE.get("probes", 0) + 1
     LAST_PROBE["buckets_total"] = LAST_PROBE.get("buckets_total", 0) + N_BUCKETS
@@ -539,10 +550,7 @@ def secondary_range_lookup_keys(
         )
     _require_fresh(table, state, value_col, "range")
     _, _, n_bands, blo, bwidth = params
-    entries = read_family(
-        spark, _rdir(table, value_col), "entries", key_col, gens=state[2]
-    )
-    dtype = entries.schema[value_col].dataType
+    dtype = table.read().schema[value_col].dataType
     # Band the EXACT probe values: _band_col widens through double
     # (temporal via timestamp) — never a narrowing cast to the column
     # dtype, which would truncate 20.5 → 20 and undershoot the band
@@ -574,8 +582,22 @@ def secondary_range_lookup_keys(
         # the band filter (a million-literal IN-list helps nothing)
         # and let the residual carry correctness over a full entries
         # scan — graceful degradation, never a wrong answer.
+        entries = read_family(
+            spark, _rdir(table, value_col), "entries", key_col, gens=state[2]
+        )
         return entries.filter(residual).select(key_col).distinct()
     bands = [str(b) for b in range(int(b_lo), int(b_hi) + 1)]
+    # Band interval first, so the entries read lists only the probed
+    # band dirs (occupied bands only — the grid is sparse); the band
+    # IN residual below keeps pruning advisory.
+    entries = read_family(
+        spark,
+        _rdir(table, value_col),
+        "entries",
+        key_col,
+        gens=state[2],
+        partition_filter=("band", bands),
+    )
     return (
         entries.filter(F.col("band").isin(bands) & residual)
         .select(key_col)

@@ -44,11 +44,13 @@ the log, and deletes the delta dirs — full-rewrite cost amortized to
 from __future__ import annotations
 
 import json
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rds_to_datalake_project_spark import fsio
 from rds_to_datalake_project_spark.operators.zonemap import (
     _delete_dir,
     _read_small,
@@ -56,6 +58,20 @@ from rds_to_datalake_project_spark.operators.zonemap import (
 )
 
 DEFAULT_COMPACT_THRESHOLD = 8
+
+# partition_filter pruning caps its per-value directory existence
+# checks: past this many probed values a full listing + IN filter is
+# cheaper than one exists() round-trip per value (only matters on
+# remote schemes — native local checks are microseconds).
+_MAX_PRUNED_DIRS = 128
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    if fsio.is_local(path):
+        return os.path.isdir(path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
 def read_state(spark: SparkSession, index_dir: str) -> tuple[int, str] | None:
@@ -102,7 +118,16 @@ def write_part(
     small files; a 256-bucket index from a 32-task frame would write
     ~8k files per build where 256 suffice)."""
     if partition_by:
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        # Explicit partition count: a bare repartition(cols) lets AQE
+        # coalesce a small part to ONE post-shuffle partition (correct
+        # by data bytes), which then pays every bucket-dir's parquet
+        # writer init sequentially — 256 dirs measured seconds on one
+        # task. Pinning the session's default parallelism spreads the
+        # per-FILE fixed cost (a cost AQE's byte-based sizing cannot
+        # see); hash clustering still sends each partition value to
+        # exactly one task, so the file count per dir stays 1.
+        n = max(1, spark.sparkContext.defaultParallelism)
+        df = df.repartition(n, *[F.col(c) for c in partition_by])
     out = df.localCheckpoint(eager=True)
     writer = out.coalesce(coalesce) if coalesce else out
     w = writer.write.mode("overwrite").option(
@@ -209,10 +234,21 @@ def read_family(
     family: str,
     id_col: str,
     gens: list[int] | None = None,
+    partition_filter: tuple[str, list] | None = None,
 ) -> DataFrame:
     """The family's merged relation: base ∪ deltas, generation-aware
     tombstones applied. ``gens`` from ``family_consistent`` (pass it
     to avoid a second log read); None re-reads the log.
+
+    ``partition_filter=(col, values)``: ADVISORY directory pruning for
+    probe paths — each base/delta leg reads only its existing
+    ``<col>=<value>`` subdirectories (existence checked natively), so
+    listing + footer I/O is ∝ the probed values instead of the part's
+    full directory tree (a 256-bucket part costs a 256-dir listing per
+    probe otherwise — the index's own layout tax, at any scale). The
+    caller MUST still apply its ``col IN values`` residual: legs fall
+    back to the full read when no probed subdirectory exists (schema
+    source) or past ``_MAX_PRUNED_DIRS`` values.
 
     Scale: the base/delta scans keep their partition pruning (a
     filter on a hive-partition column pushes into every leg of the
@@ -222,7 +258,29 @@ def read_family(
     if gens is None:
         log = read_delta_log(spark, index_dir, family)
         gens = log[1] if log else []
-    base = spark.read.parquet(f"{index_dir}/{family}")
+    if partition_filter and len(partition_filter[1]) > _MAX_PRUNED_DIRS:
+        partition_filter = None
+
+    def _leg(dir_path: str, schema=None):
+        """Pruned read of one part dir, or None when the filter keeps
+        nothing (caller may skip the leg iff a schema-free base is not
+        needed)."""
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        if partition_filter:
+            col, vals = partition_filter
+            subs = [
+                s
+                for v in vals
+                if _dir_exists(spark, s := f"{dir_path}/{col}={v}")
+            ]
+            if subs:
+                return reader.option("basePath", dir_path).parquet(*subs)
+            if schema is not None:
+                return None  # delta leg with nothing probed: skip
+            # base leg must supply the schema — rare full fallback
+        return reader.parquet(dir_path)
+
+    base = _leg(f"{index_dir}/{family}")
     if not gens:
         return base
     # Deltas/tombstones read with EXPLICIT schemas (derived from the
@@ -234,11 +292,9 @@ def read_family(
     frames = [base.withColumn("__gen", F.lit(0))]
     tombs = []
     for g in sorted(gens):
-        frames.append(
-            spark.read.schema(base.schema)
-            .parquet(f"{index_dir}/{_delta_name(family, g)}")
-            .withColumn("__gen", F.lit(g))
-        )
+        delta = _leg(f"{index_dir}/{_delta_name(family, g)}", base.schema)
+        if delta is not None:
+            frames.append(delta.withColumn("__gen", F.lit(g)))
         tombs.append(
             spark.read.schema(tomb_schema)
             .parquet(f"{index_dir}/{_tomb_name(family, g)}")

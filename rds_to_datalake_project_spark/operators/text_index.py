@@ -162,14 +162,23 @@ def _stored_params(table: KeyedTable) -> tuple[str, str] | None:
     return (parts[0], parts[1]) if len(parts) == 2 else None
 
 
-def read_postings(table: KeyedTable) -> DataFrame | None:
+def read_postings(
+    table: KeyedTable, buckets: list[str] | None = None
+) -> DataFrame | None:
     """The merged posting relation (base ∪ deltas, tombstones applied)
-    IF the sidecar is consistent, else None."""
+    IF the sidecar is consistent, else None. ``buckets`` prunes the
+    directory listing to the probed bucket dirs (advisory — callers
+    keep their bucket IN filter)."""
     state = family_consistent(table.spark, _idir(table), "postings")
     if state is None:
         return None
     return read_family(
-        table.spark, _idir(table), "postings", "id", gens=state[2]
+        table.spark,
+        _idir(table),
+        "postings",
+        "id",
+        gens=state[2],
+        partition_filter=("bucket", buckets) if buckets else None,
     )
 
 
@@ -264,12 +273,13 @@ def search_and(
     if not terms:
         raise ValueError("terms must be non-empty")
     want = sorted({t.lower() for t in terms})
-    posts = read_postings(table)
+    probe = _probe_buckets(want)
+    posts = read_postings(table, buckets=probe)
     if posts is None:
         raise ValueError("text index missing or torn — build_text_index first")
     # bucket filter prunes partition dirs; term filter pushes to parquet
     hits = posts.filter(
-        F.col("bucket").isin(_probe_buckets(want)) & F.col("term").isin(want)
+        F.col("bucket").isin(probe) & F.col("term").isin(want)
     )
     matched = (
         hits.groupBy("id")
@@ -327,28 +337,51 @@ def bm25_search(
             "text index missing, torn, or pre-BM25 (no doclens) — "
             "build_text_index first"
         )
-    posts = read_family(spark, _idir(table), "postings", "id", gens=st_p[2])
+    probe = _probe_buckets(want)
+    posts = read_family(
+        spark,
+        _idir(table),
+        "postings",
+        "id",
+        gens=st_p[2],
+        partition_filter=("bucket", probe),
+    )
     dls = read_family(spark, _idir(table), "doclens", "id", gens=st_d[2])
 
-    g = dls.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
-    ).collect()[0]
-    n_docs, total = int(g["n"]), int(g["tot"] or 0)
+    hits = posts.filter(
+        F.col("bucket").isin(probe) & F.col("term").isin(want)
+    )
+    # ONE driver round-trip for all scoring statistics: the per-term
+    # document frequencies and the global (N, Σdl) union into a single
+    # collect (the NULL-term row carries the globals) — the same
+    # values the two separate jobs produced, so the fixed bit-exact
+    # scoring tree below is untouched; only the job count per search
+    # drops from 3 to 2.
+    stat_rows = (
+        hits.groupBy("term")
+        .agg(
+            F.countDistinct("id").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+        )
+        .unionByName(
+            dls.agg(
+                F.count(F.lit(1)).alias("a"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("b"),
+            ).select(F.lit(None).cast("string").alias("term"), "a", "b")
+        )
+        .collect()
+    )
+    n_docs, total, dfs = 0, 0, {}
+    for r in stat_rows:
+        if r["term"] is None:
+            n_docs, total = int(r["a"]), int(r["b"])
+        else:
+            dfs[r["term"]] = int(r["a"])
     if n_docs == 0:
         return dls.select(
             F.col("id"), F.lit(0.0).alias("score")
         ).limit(0)
     avgdl = total / n_docs  # python float division == IEEE double
-
-    hits = posts.filter(
-        F.col("bucket").isin(_probe_buckets(want)) & F.col("term").isin(want)
-    )
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in hits.groupBy("term")
-        .agg(F.countDistinct("id").alias("df"))
-        .collect()
-    }
     agg = (
         hits.groupBy("id")
         .agg(

@@ -26,6 +26,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _nofork_fs_jar() -> str | None:
+    """Path to the compiled no-fork local FileSystem jar
+    (tools/fsjava — see its sources), or None when absent. Without
+    libhadoop, stock Hadoop applies every created file's permission by
+    fork+exec of /bin/chmod, which serializes multi-file writes (a
+    256-dir partitioned parquet write spends ~6 s forking chmod for
+    ~0.5 s of writing). The jar registers a LocalFileSystem whose raw
+    layer no-ops setPermission — file:// scheme only; real schemes
+    (hdfs://, s3a://) are untouched, and a driver-provided session
+    (no jar on its classpath) keeps stock behavior."""
+    if os.environ.get("SPARK_GRAFT_NO_CHMOD", "1") != "1":
+        return None
+    jar = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "fsjava",
+        "sparkgraft-fs.jar",
+    )
+    return jar if os.path.exists(jar) else None
+
+
 def get_spark(
     app_name: str = "rds_to_datalake_project_spark",
     master: str | None = None,
@@ -82,6 +103,13 @@ def get_spark(
         ),
         "spark.ui.enabled": "false",
     }
+    jar = _nofork_fs_jar()
+    if jar is not None and SparkSession.getActiveSession() is None:
+        # Static confs — only effective when THIS factory launches the
+        # JVM; an existing session keeps whatever classpath it has (and
+        # must NOT be pointed at a class it cannot load).
+        conf["spark.driver.extraClassPath"] = jar
+        conf["spark.hadoop.fs.file.impl"] = "sparkgraft.NoForkLocalFileSystem"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

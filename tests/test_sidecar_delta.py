@@ -444,3 +444,61 @@ def test_service_status_reports_lag_and_chain_lengths(spark, tmp_path):
     assert rows[".secindex_grp"]["lag"] == 0
     assert rows[".secindex_grp"]["families"]["entries"] == 1
     assert rows[".textindex"]["lag"] == 1
+
+
+def test_read_family_partition_filter_prunes_listing_and_stays_exact(
+    spark, tmp_path
+):
+    """partition_filter reads ONLY the probed bucket directories
+    (inputFiles all live under them, across base AND delta legs) and,
+    under the caller's IN residual, returns exactly what the unpruned
+    read returns — through upserts, deletes, and a no-probed-delta
+    window."""
+    from rds_to_datalake_project_spark.operators.sidecar import (
+        family_consistent,
+        read_family,
+    )
+    from rds_to_datalake_project_spark.operators.text_index import (
+        _bucket_py,
+        _idir,
+        attach_text_index_maintenance,
+    )
+
+    t = _mk(spark, tmp_path, n=120)
+    attach_text_index_maintenance(t, "doc_id", "text")
+    t.upsert(_batch(spark, [(3, "updated text about topic zebra", 1),
+                            (7, "", 1)]))
+    t.upsert(_batch(spark, [(200, "fresh doc mentioning quasar", 2)]))
+
+    idx = _idir(t)
+    state = family_consistent(spark, idx, "postings")
+    assert state is not None and state[2], "needs a live delta chain"
+    terms = ["zebra", "topic"]
+    buckets = sorted({str(_bucket_py(w)) for w in terms})
+
+    full = read_family(spark, idx, "postings", "id", gens=state[2])
+    pruned = read_family(
+        spark, idx, "postings", "id", gens=state[2],
+        partition_filter=("bucket", buckets),
+    )
+    resid = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    want = sorted(map(tuple, full.filter(resid).collect()))
+    got = sorted(map(tuple, pruned.filter(resid).collect()))
+    assert got == want and len(got) > 0
+
+    # listing really shrank: every pruned input file sits in a probed
+    # bucket dir (tombstone parts are unbucketed and exempt)
+    frags = [f"/bucket={b}/" for b in buckets]
+    data_files = [f for f in pruned.inputFiles() if "__t" not in f]
+    assert data_files and all(
+        any(fr in f for fr in frags) for f in data_files
+    )
+    assert len(set(pruned.inputFiles())) < len(set(full.inputFiles()))
+
+    # probing buckets that exist nowhere: base falls back (schema
+    # source), residual keeps the answer exactly empty
+    none = read_family(
+        spark, idx, "postings", "id", gens=state[2],
+        partition_filter=("bucket", ["999999"]),
+    )
+    assert none.filter(F.col("bucket").isin(["999999"])).count() == 0
