@@ -200,6 +200,66 @@ def bloom_prune_files(
     return files, len(live) - len(files)
 
 
+def _probe_relation(spark, order: list, dtype, m_bits: int, k: int):
+    """``(vid, word_idx, mask, needed)`` probe rows, built IN-PLAN over
+    ``range(1)``: one literal array of the cast values (posexplode
+    keeps each value's id = its position in ``order``), ONE transform
+    lambda mapping each value's hash positions to the build's
+    (word = pos/64, mask = shiftleft(1L, pos%64)) pairs,
+    array_distinct + size for the per-value requirement. No
+    createDataFrame anywhere — a Python-list frame is RDD-backed and
+    spins a Python worker on EVERY action (~0.6 s each measured) —
+    no per-value expression either (969 per-value HOF literals
+    measured 16-25 s of Catalyst planning; one array of plain literals
+    is linear and cheap), and no probe-side exchange: broadcast-built
+    from Generate nodes only."""
+    if not order:
+        return spark.range(0).select(
+            F.lit(0).alias("vid"),
+            F.lit(0).alias("word_idx"),
+            F.lit(0).cast("bigint").alias("mask"),
+            F.lit(0).alias("needed"),
+        )
+
+    def _pair(p):
+        return F.struct(
+            (p / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+            ).alias("mask"),
+        )
+
+    def _chunk(start: int, vals: list):
+        return (
+            spark.range(1)
+            .select(
+                F.posexplode(
+                    F.array(*[F.lit(v).cast(dtype) for v in vals])
+                ).alias("__i", "__v")
+            )
+            .select(
+                (F.col("__i") + start).alias("vid"),
+                F.array_distinct(
+                    F.transform(_positions(F.col("__v"), m_bits, k), _pair)
+                ).alias("__pairs"),
+            )
+            .select(
+                "vid",
+                F.size("__pairs").alias("needed"),
+                F.explode("__pairs").alias("__pr"),
+            )
+            .select("vid", "__pr.word_idx", "__pr.mask", "needed")
+        )
+
+    # chunked so one literal array never grows unbounded (a very large
+    # IN-probe stays a linear union of bounded Generate legs)
+    step = 4096
+    out = _chunk(0, order[:step])
+    for i0 in range(step, len(order), step):
+        out = out.unionByName(_chunk(i0, order[i0 : i0 + step]))
+    return out
+
+
 def bloom_value_survivors(
     spark: SparkSession,
     table_path: str,
@@ -227,54 +287,13 @@ def bloom_value_survivors(
         sidecar = spark.read.schema(_SIDECAR_SCHEMA).parquet(idx)
     except Exception:
         return None, {}  # no readable index → callers full-scan
-    # The probe VALUES hash to their k bit positions through the SAME
-    # Spark expressions the build used (never reimplemented
-    # driver-side — a divergent hash would skip files that DO match):
-    # ONE explode expression over a LocalRelation of the values, so
-    # the plan is constant-size however many values are probed (969
-    # per-value literal expressions measured 16-25 s of Catalyst
-    # planning), and the collect is a single exchange-free job — the
-    # previous probe-set-sized frame with dropDuplicates/window cost
-    # two exchanges plus a broadcast-build job of pure scheduling
-    # latency per probe. Position → (word, mask) is exact integer
-    # arithmetic (pos/64, 1<<(pos%64) wrapped to a signed 64-bit long,
-    # matching shiftleft on BIGINT — pinned by test against the build
-    # expression), done driver-side over the collected positions, and
-    # the deduped pairs ship back as a LocalRelation: the sidecar
-    # meets the probe in ONE broadcast-join + aggregation job,
-    # independent of probe-set size — also the 100-TB shape: a sidecar
-    # of millions of (file, word) rows meets any probe set in one
-    # shuffle-free pass.
+    # In-plan probe (see _probe_relation): the values hash through the
+    # build's own expressions and the sidecar meets the broadcast
+    # probe in ONE job, independent of probe-set size — also the
+    # 100-TB shape: a sidecar of millions of (file, word) rows meets
+    # any probe set in one shuffle-free pass.
     dtype = full.schema[col].dataType
-    pos_rows = (
-        spark.createDataFrame(
-            [(i, v) for i, v in enumerate(order)],
-            f"vid int, __v {dtype.simpleString()}",
-        )
-        .select(
-            "vid",
-            F.explode(_positions(F.col("__v"), m_bits, k)).alias("__pos"),
-        )
-        .collect()
-        if order
-        else []
-    )
-    by_vid: dict[int, set] = {i: set() for i in range(len(order))}
-    for r in pos_rows:
-        p = int(r[1])
-        w, b = p // 64, p % 64
-        m = 1 << b
-        if m >= 1 << 63:
-            m -= 1 << 64  # shiftleft(1L, 63) is the sign bit
-        by_vid[r[0]].add((w, m))
-    probe_rows = [
-        (i, w, m, len(pairs))
-        for i, pairs in by_vid.items()
-        for (w, m) in sorted(pairs)
-    ]
-    probe = spark.createDataFrame(
-        probe_rows, "vid int, word_idx int, mask bigint, needed int"
-    )
+    probe = _probe_relation(spark, order, dtype, m_bits, k)
     try:
         rows = (
             sidecar.filter(F.col("col") == col)
