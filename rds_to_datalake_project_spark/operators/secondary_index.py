@@ -173,6 +173,7 @@ def build_secondary_index(table: KeyedTable, value_col: str) -> None:
         entries_of(table.read(), value_col, key_col),
         epoch,
         partition_by=["bucket"],
+        checkpoint=False,  # reads the TABLE, writes the index dir
     )
     clear_delta_log(spark, _idir(table, value_col), "entries")
     _write_small(
@@ -443,6 +444,7 @@ def build_secondary_range_index(
         _range_entries_of(snap, value_col, key_col, lo, width),
         epoch,
         partition_by=["band"],
+        checkpoint=False,  # reads the TABLE, writes the index dir
     )
     clear_delta_log(spark, _rdir(table, value_col), "entries")
     _write_small(

@@ -104,12 +104,17 @@ def write_part(
     epoch: str,
     coalesce: int | None = None,
     partition_by: list[str] | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Overwrite ``<index>/<part>`` with ``df``, then stamp its epoch
     marker. Returns the MATERIALIZED frame (derived-from-previous
     state is lazy — checkpoint before overwriting the directory it
     reads from; recounting the checkpoint costs no second disk
-    read). ``partition_by`` hive-partitions the part so consumers'
+    read). ``checkpoint=False`` skips that materialization job — pass
+    it ONLY when the plan provably does not read the directory being
+    overwritten (e.g. a delta publish writing a brand-new generation
+    dir) AND the returned frame is not re-consumed (it stays lazy).
+    ``partition_by`` hive-partitions the part so consumers'
     partition filters prune at the directory level (keep such columns
     STRING-typed: the engine session disables partition type
     inference, so values read back as strings). Partitioned parts are
@@ -128,7 +133,7 @@ def write_part(
         # exactly one task, so the file count per dir stays 1.
         n = max(1, spark.sparkContext.defaultParallelism)
         df = df.repartition(n, *[F.col(c) for c in partition_by])
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=True) if checkpoint else df
     writer = out.coalesce(coalesce) if coalesce else out
     w = writer.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"  # part replace = full reset
@@ -347,6 +352,10 @@ def publish_family_delta(
     crash leaves _VERSION old and the whole window replays (the
     generation rule makes replays idempotent)."""
     gen = (max(gens) + 1) if gens else 1
+    # checkpoint=False: both parts are brand-new generation dirs the
+    # plans cannot read (fresh/touched derive from the table's change
+    # feed), and neither return value is consumed — one write job
+    # each instead of materialize + write.
     write_part(
         spark,
         index_dir,
@@ -354,6 +363,7 @@ def publish_family_delta(
         fresh,
         epoch,
         partition_by=partition_by,
+        checkpoint=False,
     )
     write_part(
         spark,
@@ -362,6 +372,7 @@ def publish_family_delta(
         touched_ids.select(id_col).distinct(),
         epoch,
         coalesce=1,
+        checkpoint=False,
     )
     new_gens = [*gens, gen]
     _write_delta_log(spark, index_dir, family, epoch, new_gens)

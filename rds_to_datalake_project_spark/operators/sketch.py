@@ -282,8 +282,12 @@ def build_sketches(
     latest = (table.versions() or [0])[-1]
     epoch = uuid.uuid4().hex
     base = table.read()
+    # checkpoint=False: full rebuild reads the TABLE only (the
+    # refresh path's merge-with-old-sidecar MUST keep its checkpoint —
+    # it overwrites the dirs it reads)
     write_part(
-        spark, _sdir(table), "hll", hll_registers(base, col, p, hash_mode), epoch, 1
+        spark, _sdir(table), "hll", hll_registers(base, col, p, hash_mode), epoch, 1,
+        checkpoint=False,
     )
     write_part(
         spark,
@@ -292,6 +296,7 @@ def build_sketches(
         cms_counters(base, col, depth, width, hash_mode=hash_mode),
         epoch,
         1,
+        checkpoint=False,
     )
     _write_small(
         spark, f"{_sdir(table)}/_PARAMS", _params_str(col, p, depth, width, hash_mode)

@@ -139,7 +139,9 @@ def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
             "bucket", F.col("bucket").cast("string")  # partition cols read as strings
         )
         write_part(
-            spark, _idir(table), "postings", posts, epoch, partition_by=["bucket"]
+            spark, _idir(table), "postings", posts, epoch,
+            partition_by=["bucket"],
+            checkpoint=False,  # reads the cached corpus, writes the index
         )
         clear_delta_log(spark, _idir(table), "postings")  # rebuild = flat layout
         write_part(
@@ -148,6 +150,7 @@ def build_text_index(table: KeyedTable, id_col: str, text_col: str) -> None:
             "doclens",
             doclens_of(corpus, id_col, text_col),
             epoch,
+            checkpoint=False,  # reads the cached corpus, writes the index
         )
         clear_delta_log(spark, _idir(table), "doclens")
     finally:
