@@ -257,6 +257,9 @@ def main() -> int:
         # behind so each row starts from the same session state (the
         # r8→r9 uniform ~1.10x drift tracked suite growth, not code).
         spark.catalog.clearCache()
+        # Guide §1.5: label every row's jobs so event logs / the UI
+        # attribute work to the bench row that scheduled it.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         if name in PHASES:
             # Lifecycle rows report build (fixture + commits + index
             # maintenance — one-time, amortized) and serve (the probe
@@ -296,6 +299,7 @@ def main() -> int:
             tail = ""
         if name in skip_sources:
             skips[name] = skip_sources[name]()
+        spark.sparkContext.setJobDescription(None)
         print(
             f"# {name}: {n} rows in {timings[name]:.3f}s{tail}",
             file=sys.stderr,
