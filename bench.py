@@ -308,6 +308,20 @@ def main() -> int:
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # Output contract (r12 VERDICT "Next round" #1): the driver keeps
+    # only the LAST 2000 chars of stdout, and a single JSON line
+    # carrying all 76 query names + seconds is >=2.3 KB (the names
+    # alone sum to ~1.6 KB), so "one compact line with queries" cannot
+    # mathematically fit. Layout chosen instead:
+    #   1. the full contract line (metric/value/unit/queries/sf) — the
+    #      ONE JSON line of the published contract, greppable from the
+    #      stored log; phases/skips move to stderr (they were the bulk
+    #      of the 7 KB r12 line);
+    #   2. one compact {"query": name, "sec": s} line per query — the
+    #      VERDICT's grep-chunk fallback; placed AFTER the full line so
+    #      the 2000-char tail window carries the last ~45 of them for
+    #      tail-only parsers (r12 tail carried zero per-query data);
+    #   3. the compact total line LAST — always fits, always parses.
     print(
         json.dumps(
             {
@@ -315,14 +329,23 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "phases": phases,
-                "skips": skips,
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
-    # Compact repeat LAST: the full line above grew past the driver's
-    # tail-capture window in r8 ("parsed": null) — this one always fits.
+    print(
+        json.dumps({"phases": phases, "skips": skips}, separators=(",", ":")),
+        file=sys.stderr,
+    )
+    for name in HEADLINE:
+        if name in timings:
+            print(
+                json.dumps(
+                    {"query": name, "sec": timings[name]},
+                    separators=(",", ":"),
+                )
+            )
     print(
         json.dumps(
             {

@@ -40,84 +40,73 @@ _MODULES = (
 # the report has zero non-green rows (r9 VERDICT "What's wrong" #2); their
 # md5 twins carry the hash check for the same code paths.
 _PRIORITY = (
-    # --- tier A: ngram_containment_neardup is the ONLY oracled query
-    # with zero driver green rows across 11 rounds (it predates its own
-    # oracle; r11 VERDICT "What's missing" #1). It leads the window.
-    "ngram_containment_neardup",
-    # --- tier B: the full r7 stale tier (12) — last driver green r7;
-    # oldest-first freshness sweep per the committed rotation worklist
-    # (tools/rotation_debt.py computes this from CORRECTNESS_r*.json).
-    "profile_orders",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_shipping_classes",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "rolling_fingerprint",
-    "suppliers_with_returns",
-    "zorder3_key_orders",
-    # --- tier C: the r8 stale tier (30) — last driver green r8; this
-    # sweep retires the whole pre-r9 rotation debt in one window.
-    "bigram_lm_quality",
-    "chunk_documents_windows",
-    "cms_heavy_hitters_md5",
-    "cohort_weekly_retention",
-    "curate_documents_decisions",
-    "events_json_props",
-    "exact_dedup_docs",
-    "expectations_orders_report",
-    "funnel_view_click_purchase",
-    "fuzzy_customer_pairs",
-    "gated_upsert_roundtrip",
-    "hll_estimate_users_md5",
-    "lang_id",
-    # (mixture_sample_counts yields its r12 slot to the NEW
-    # matview_rewrite_rollup oracle and joins the r13 rotation
-    # worklist; its sampling-family components held r11 greens via
-    # sample_docs_per_source / train_test_split_counts)
-    "part_brand_stats",
-    "partition_enrich_string",
-    "passage_dedup_docs",
-    "pii_scrub",
-    "purge_keep_history_asof",
-    "repetition_quality",
-    "scd2_orders_history",
-    "semantic_dedup_embeddings",
-    "sessionize_events",
-    "stats_join_advisory",
-    "watermark_per_day",
-    "windowed_counts",
-    # (weighted_sample_docs yields its slot to the NEW zone-pruned
-    # refresh oracle and leads the r13 rotation worklist;
-    # hll_registers_users_md5, sketch_cms_after_cdc_md5 and
-    # doc_fingerprint defer to r13 too — their components stay
-    # hash-covered this round by their in-window twins
-    # hll_estimate_users_md5 / cms_heavy_hitters_md5 /
-    # rolling_fingerprint)
-    # --- tier E: NEW in round 12 — the zone-pruned recompute refresh's
-    # oracle-grade check (files read ∝ change set; r11 VERDICT #2),
-    # signed-delta JOIN IVM (the −ΔΔ correction term under both-feeds
-    # churn), and min/max delta maintenance with extremum repair
-    "pruned_matview_refresh",
-    "delta_join_matview_nation_revenue",
-    "delta_chain_matview_region_revenue",
-    "minmax_delta_matview_prices",
-    # round-12 late: aggregate navigation — a GROUP BY SELECT over the
-    # BASE table served from a fresh view's store (the serve raises if
-    # the rewrite does not fire, pinning the serving path)
-    "matview_rewrite_rollup",
+    # --- tier A (r13): every oracled query with ZERO driver green rows
+    # (tools/rotation_debt.py "never" tier — the r12 partial-build
+    # round's lifecycle services that missed the r12 window, plus
+    # q6_forecast_revenue, which has simply never been among the first
+    # 50 entries). Never-green sorts ahead of merely stale (r11 VERDICT
+    # "What's missing" #1).
+    "clone_table_roundtrip",
+    "concurrent_upsert_convergence",
+    "distinct_delta_matview_custcount",
+    "dv_delete_roundtrip",
+    "left_chain_matview_revenue",
+    "left_delta_matview_revenue",
+    "matview_advisor_loop",
+    "matview_rewrite_hierarchy",
+    "q6_forecast_revenue",
+    "restore_table_roundtrip",
+    # --- tier B (r13): the r8 stale tier (5) — the queries that yielded
+    # their r12 slots to the new services, owed per the r12 registry
+    # comment and r12 VERDICT "Next round" #9.
+    "doc_fingerprint",
+    "hll_registers_users_md5",
+    "mixture_sample_counts",
+    "sketch_cms_after_cdc_md5",
+    "weighted_sample_docs",
+    # --- tier C (r13): the full r9 stale tier (31) — with tiers A+B
+    # this retires ALL pre-r10 rotation debt in one window (r12 VERDICT
+    # "Next round" #9's done-criterion).
+    "above_brand_average_parts",
+    "audio_hash_neardups",
+    "balance_quartiles_by_nation",
+    "click_attribution_pairs",
+    "copurchase_part_pairs",
+    "entity_resolution_customers",
+    "equidepth_price_histogram",
+    "event_transition_matrix",
+    "fk_violation_counts",
+    "gapfill_hourly_events",
+    "grouped_quantiles_by_priority",
+    "histogram_quantiles_price",
+    "image_ahash_neardups",
+    "m4_downsample_events",
+    "neardup_keep_best_md5",
+    "order_priority_stats",
+    "orders_except_filtered",
+    "orders_partition_checksums",
+    "overlap_user_promo_spans",
+    "pagerank_trade_graph",
+    "pivot_nation_priority_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "revenue_cube",
+    "rolling_anomaly_hours",
+    "scd2_store_incremental",
+    "table_diff_report",
+    "time_weighted_value",
+    "top_customers_per_nation",
+    "unpivot_roundtrip",
     # --- tier D: core CDC/SQL round-trips — kept in-window every round
-    # (these are the reference's §2 heart; cheap insurance)
+    # (the reference's §2 heart; cheap insurance). Trimmed to 4 this
+    # round: 46 stale slots + 4 core = the full 50-slot window.
+    # sql_merge_roundtrip / delete_apply_roundtrip / lake_table_changes
+    # held green r12 rows and rotate back next round.
     "cdc_upsert_roundtrip",
-    "sql_merge_roundtrip",
     "sql_dml_roundtrip",
-    "delete_apply_roundtrip",
     "time_travel_roundtrip",
     "zonemap_pruned_scan",
-    "lake_table_changes",
 )
 
 _ALL_QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
