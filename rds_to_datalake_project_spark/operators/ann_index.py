@@ -57,6 +57,10 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rds_to_datalake_project_spark.functions.localrel import (
+    literal_frame as _literal_frame,
+)
+
 from rds_to_datalake_project_spark.operators.similarity import (
     cosine_q,
     quantize,
@@ -176,7 +180,7 @@ def build_ann_index(
         spark,
         _idx(table),
         "bounds",
-        spark.createDataFrame(
+        _literal_frame(spark, 
             [(i, lo, hi) for i, (lo, hi) in enumerate(bounds)],
             "pos int, lo double, hi double",
         ),
@@ -188,7 +192,7 @@ def build_ann_index(
             spark,
             _idx(table),
             "centroids",
-            spark.createDataFrame(
+            _literal_frame(spark, 
                 [
                     (pos, cid, [float(x) for x in vec])
                     for pos, (cid, vec) in enumerate(centroids)

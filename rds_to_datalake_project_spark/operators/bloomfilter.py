@@ -285,8 +285,24 @@ def bloom_value_survivors(
         # with no bloom index (the common un-indexed case) must cost
         # nothing here beyond this existence check.
         sidecar = spark.read.schema(_SIDECAR_SCHEMA).parquet(idx)
-    except Exception:
-        return None, {}  # no readable index → callers full-scan
+    except Exception as exc:
+        # no readable index → callers full-scan. The common case is
+        # PATH_NOT_FOUND (un-indexed table — silent by design); any
+        # OTHER failure (permissions, corrupt sidecar, transient FS)
+        # is logged so a degraded-to-full-scan real fault stays
+        # visible (r12 ADVICE).
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bloom sidecar %s unreadable (%s: %s) — lookups fall "
+                "back to full scans until the index is rebuilt",
+                idx,
+                type(exc).__name__,
+                msg.splitlines()[0] if msg else "",
+            )
+        return None, {}
     # In-plan probe (see _probe_relation): the values hash through the
     # build's own expressions and the sidecar meets the broadcast
     # probe in ONE job, independent of probe-set size — also the

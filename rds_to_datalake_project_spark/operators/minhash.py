@@ -111,7 +111,16 @@ def band_rows(
     (``lsh_candidate_pairs``) and the persisted table service
     (operators/lsh_index.py) both consume it. Map-only: shingle →
     signature → band hashes in one pass, exploded."""
+    from rds_to_datalake_project_spark.functions.localrel import (
+        widen_if_narrow,
+    )
+
     rows_per_band = num_hashes // bands
+    # The ×num_hashes seeded hashing is the cost here, not the scan: a
+    # compacted corpus reads as 1 split and serializes the whole build
+    # on one core (measured: one single-task 12 s job on local[32]).
+    # Placement-only widen; no-op when the scan is already parallel.
+    df = widen_if_narrow(df)
     sig_df = df.select(
         F.col(id_col),
         minhash_signature(

@@ -74,6 +74,39 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
+def _existing_subdirs(
+    spark: SparkSession, dir_path: str, col: str, vals: list
+) -> list[str]:
+    """The probed ``<col>=<val>`` subdirectories that exist, via ONE
+    listing of the part dir instead of one exists() per value — on
+    remote schemes a long delta chain multiplied per-value RPCs
+    (up to gens × _MAX_PRUNED_DIRS round-trips per read; r12 ADVICE).
+    Caller order is preserved (stable plan shape); any listing failure
+    reads as 'nothing probed exists', which the caller already treats
+    as the full-read / skip fallback."""
+    try:
+        if fsio.is_local(dir_path):
+            names = (
+                set(os.listdir(dir_path))
+                if os.path.isdir(dir_path)
+                else set()
+            )
+        else:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(dir_path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            names = (
+                {st.getPath().getName() for st in fs.listStatus(p)}
+                if fs.exists(p)
+                else set()
+            )
+    except Exception:
+        return []
+    return [
+        f"{dir_path}/{col}={v}" for v in vals if f"{col}={v}" in names
+    ]
+
+
 def read_state(spark: SparkSession, index_dir: str) -> tuple[int, str] | None:
     """(base-table version, build epoch) from ``_VERSION``, or None
     when missing/unparsable (pre-epoch layouts rebuild too)."""
@@ -273,11 +306,7 @@ def read_family(
         reader = spark.read if schema is None else spark.read.schema(schema)
         if partition_filter:
             col, vals = partition_filter
-            subs = [
-                s
-                for v in vals
-                if _dir_exists(spark, s := f"{dir_path}/{col}={v}")
-            ]
+            subs = _existing_subdirs(spark, dir_path, col, vals)
             if subs:
                 return reader.option("basePath", dir_path).parquet(*subs)
             if schema is not None:

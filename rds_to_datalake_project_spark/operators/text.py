@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rds_to_datalake_project_spark.functions.localrel import (
+    literal_frame as _literal_frame,
+)
+
 # Tiny per-language stopword marker sets for the heuristic language ID.
 # Deliberately small + deterministic: the goal is a cheap first-pass
 # router, not a classifier.
@@ -428,7 +432,7 @@ def bpe_merge_table(
         )
         if rank % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return _literal_frame(spark, 
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
 

@@ -135,13 +135,32 @@ def _resolve_table(spark: SparkSession, table_path: str):
     """One listing+schema resolution of the table, shared by every
     zoned operation (a second resolution would double the metadata
     cost the index exists to avoid). Partition values must round-trip
-    as the strings the layout encodes — mirror KeyedTable.read()."""
+    as the strings the layout encodes — mirror KeyedTable.read().
+
+    Memoized per (path, commit token) in the KeyedTable read-plan
+    cache: the token is rewritten as the last metadata step of every
+    live-tree mutation BEFORE any maintenance/probe can observe the
+    new tree, so a hit always describes the current committed
+    snapshot; token-less paths resolve fresh every call (see
+    upsert.resolve_cache_entry). Metadata only — the frame still
+    reads its parquet files on every action."""
+    from rds_to_datalake_project_spark.operators.upsert import (
+        resolve_cache_entry,
+    )
+
+    ent = resolve_cache_entry(spark, table_path)
+    if ent is not None:
+        hit = ent["frames"].get("zresolve")
+        if hit is not None:
+            return hit
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
     full = spark.read.option("mergeSchema", "true").parquet(table_path)
-    live = {_norm(f): f for f in full.inputFiles()}
-    return full, live
+    out = (full, {_norm(f): f for f in full.inputFiles()})
+    if ent is not None:
+        ent["frames"]["zresolve"] = out
+    return out
 
 
 def _read_small(spark: SparkSession, path: str) -> str | None:

@@ -102,9 +102,27 @@ def get_spark(
             "SPARK_GRAFT_DRIVER_MEM", "16g"
         ),
         "spark.ui.enabled": "false",
+        # Reading a directory tree with more than this many paths
+        # launches a Spark LISTING JOB (InMemoryFileIndex's parallel
+        # discovery; stock threshold 32). Every bucketed store/sidecar
+        # here has 64-256 hash dirs, so each analysis paid ~0.2-0.5 s
+        # of job-launch latency to list dirs the driver walks in
+        # microseconds on a local FS — a matview build profile showed
+        # several such jobs per refresh (r13 event-log profile). Local
+        # default keeps listings driver-side; on object stores (s3a://)
+        # driver-side listing of huge trees is the known anti-pattern
+        # (guide §7.3 "listLeafFiles"), so cluster deployments should
+        # set SPARK_GRAFT_LIST_JOB_THRESHOLD back to Spark's 32 (or
+        # size it to their store's list throughput).
+        "spark.sql.sources.parallelPartitionDiscovery.threshold":
+            os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "4096"),
     }
     jar = _nofork_fs_jar()
-    if jar is not None and SparkSession.getActiveSession() is None:
+    if (
+        jar is not None
+        and SparkSession.getActiveSession() is None
+        and (master or "").startswith("local")
+    ):
         # Static confs — only effective when THIS factory launches the
         # JVM; an existing session keeps whatever classpath it has (and
         # must NOT be pointed at a class it cannot load).

@@ -16,6 +16,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rds_to_datalake_project_spark.functions.localrel import (
+    literal_frame as _literal_frame,
+)
+
 # Table identifiers as users coming from the reference's Athena layer
 # type them: bare (`orders`), qualified (`lake.orders`, any depth), and
 # backtick-quoted per segment (`` `lake`.`orders` ``). The registry is
@@ -570,7 +574,7 @@ def _merge_statement(spark: SparkSession, m: re.Match, known: dict):
     finally:
         if cached:
             batch.unpersist()
-    return spark.createDataFrame(
+    return _literal_frame(spark, 
         [(name, n)], "table_name string, rows_merged bigint"
     )
 
@@ -805,7 +809,7 @@ def _finish_matview_create(spark, m: re.Match, name: str, mv, hooked_tables):
     from rds_to_datalake_project_spark import rewrite as _rw
 
     _rw.attach_meta(mv, m)
-    return spark.createDataFrame(
+    return _literal_frame(spark, 
         [
             (
                 name,
@@ -1081,7 +1085,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             cluster_by=cols,  # any arity — N-dim Morton interleave
             curve="zorder",  # the verb names Z-order, not the default Hilbert
         )
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), n)], "table_name string, target_files int"
         )
     m = _OPTIMIZE_RE.match(sql)
@@ -1091,14 +1095,14 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         )
 
         rewritten = compact_partitions(_resolve(m.group(1)))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), len(rewritten))],
             "table_name string, partitions_rewritten int",
         )
     m = _HISTORY_RE.match(sql)
     if m and table_bound:
         hist = _resolve(m.group(1)).describe_history()
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     h["version"],
@@ -1117,13 +1121,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     m = _VACUUM_RE.match(sql)
     if m and table_bound:
         expired = _resolve(m.group(1)).vacuum_versions(keep_last=int(m.group(2)))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), expired)], "table_name string, versions_expired int"
         )
     m = _RESTORE_RE.match(sql)
     if m and table_bound:
         new_v = _resolve(m.group(1)).restore_to_version(int(m.group(2)))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), int(m.group(2)), new_v)],
             "table_name string, restored_version int, new_version int",
         )
@@ -1132,14 +1136,14 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         t = _resolve(m.group(1))
         target = t.version_at_timestamp(m.group(2))
         new_v = t.restore_to_version(target)
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), target, new_v)],
             "table_name string, restored_version int, new_version int",
         )
     m = _VACUUM_HOURS_RE.match(sql)
     if m and table_bound:
         expired = _resolve(m.group(1)).vacuum_older_than(float(m.group(2)))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), expired)], "table_name string, versions_expired int"
         )
     m = _ANALYZE_RE.match(sql)
@@ -1160,7 +1164,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         # any registered view it reflects the plan AT REGISTRATION —
         # re-register (or use the handle) after branch commits.
         dest.register(m.group("dest"))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     m.group("dest"),
@@ -1178,7 +1182,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         if not hasattr(t, "detach"):
             raise ValueError(f"{m.group(1)} is not a shallow clone")
         res = t.detach()
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), res["partitions_copied"])],
             "table_name string, partitions_copied int",
         )
@@ -1188,7 +1192,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         if not hasattr(t, "promote"):
             raise ValueError(f"{m.group(1)} is not a shallow clone")
         res = t.promote(force=bool(m.group(2)))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     m.group(1),
@@ -1202,14 +1206,14 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     m = _ADD_CONSTRAINT_RE.match(sql)
     if m and table_bound:
         _resolve(m.group(1)).add_constraint(m.group(2), m.group(3).strip())
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), m.group(2), m.group(3).strip())],
             "table_name string, constraint_name string, check_expr string",
         )
     m = _DROP_CONSTRAINT_RE.match(sql)
     if m and table_bound:
         _resolve(m.group(1)).drop_constraint(m.group(2))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), m.group(2))],
             "table_name string, constraint_name string",
         )
@@ -1236,7 +1240,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                     size += st.getLen()
         versions = t.versions() if t.retain_versions else []
         meta = getattr(t, "_clone_meta", lambda: None)()
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     m.group(1),
@@ -1258,7 +1262,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     m = _MATERIALIZE_DV_RE.match(sql)
     if m and table_bound:
         res = _resolve(m.group(1)).materialize_deletes()
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     m.group(1),
@@ -1279,7 +1283,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
 
         t = _resolve(m.group(1))
         st = dv_stats(t.spark, t.path)
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     m.group(1),
@@ -1350,7 +1354,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                     lag,
                 )
             )
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             rows,
             "view_name string, view_class string, strategy string, "
             "base_tables string, group_cols string, lag_commits bigint",
@@ -1383,7 +1387,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             cursor = mv.refreshed_version()
         is_delta = isinstance(mv, _SignedDeltaMergeMixin)
         aux = ",".join(sorted(getattr(mv, "_aux", {}) or {})) or None
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     name,
@@ -1428,7 +1432,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         else:
             info = mv.refresh()
         _publish_matview(spark, name, mv)
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(name, info["mode"], info["base_version"], info["groups_refreshed"])],
             "view_name string, mode string, base_version int, groups_refreshed bigint",
         )
@@ -1445,7 +1449,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         # full-refreshes over it); only the name binding goes away.
         if re.fullmatch(r"\w+", name):
             spark.catalog.dropTempView(name)
-        return spark.createDataFrame([(name, True)], "view_name string, dropped boolean")
+        return _literal_frame(spark, [(name, True)], "view_name string, dropped boolean")
     m = _EXPLAIN_RW_RE.match(sql)
     if m:
         # report the aggregate-navigation decision without running the
@@ -1455,7 +1459,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
 
         df = _rw.try_rewrite(spark, m.group("q"), observe=False)
         hit = _rw.LAST_SELECT_REWRITE if df is not None else None
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     hit["view"] if hit else None,
@@ -1475,7 +1479,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
             top=int(m.group("lim")) if m.group("lim") else None,
             tables=known,
         )
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     r["name"],
@@ -1511,7 +1515,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                 continue
             run_query(spark, r["ddl"], tables=known)
             applied.append((r["name"], r["strategy"], True, None))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             applied,
             "view_name string, strategy string, created boolean, "
             "skipped_reason string",
@@ -1520,7 +1524,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
     if m:
         from rds_to_datalake_project_spark import advisor
 
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [
                 (
                     r["from_text"],
@@ -1541,7 +1545,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
 
         n = len(advisor.workload())
         advisor.reset()
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(n, True)], "shapes_cleared bigint, reset boolean"
         )
     m = _MERGE_RE.match(sql)
@@ -1555,13 +1559,13 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         if n:
             t.upsert(rows)  # merge semantics: same-key rows take the
             # incoming version per the precombine rule (idempotent)
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), n)], "table_name string, rows_inserted bigint"
         )
     m = _DELETE_RE.match(sql)
     if m and table_bound and _unquote_ident(m.group(1)) in known:
         n = _resolve(m.group(1)).delete_where(m.group(2))
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), n)], "table_name string, rows_deleted bigint"
         )
     m = _PURGE_RE.match(sql)
@@ -1569,7 +1573,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         n = _resolve(m.group(1)).purge_rows(
             m.group(2), keep_history=bool(m.group(3))
         )
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), n, bool(m.group(3)))],
             "table_name string, rows_purged bigint, kept_history boolean",
         )
@@ -1582,7 +1586,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
                 raise ValueError(f"malformed SET assignment: {part!r}")
             assignments[_unquote_ident(col.strip())] = expr.strip()
         n = _resolve(m.group(1)).update_where(m.group(3), assignments)
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group(1), n)], "table_name string, rows_updated bigint"
         )
     m = _UNLOAD_RE.match(sql)
@@ -1590,7 +1594,7 @@ def _maintenance_statement(spark: SparkSession, sql: str, known: dict):
         unload_query(
             spark, m.group("q"), m.group("path"), fmt=m.group("fmt").lower()
         )
-        return spark.createDataFrame(
+        return _literal_frame(spark, 
             [(m.group("path"), m.group("fmt").lower())],
             "path string, format string",
         )

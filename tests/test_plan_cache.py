@@ -104,3 +104,40 @@ def test_manual_invalidate_hook(table):
     before = table.read()
     invalidate_plan_cache(table.path)
     assert table.read() is not before
+
+
+# --- zonemap._resolve_table memo (r13: one resolve per commit epoch) ---------
+
+
+def test_resolve_table_memoized_per_token(spark, table):
+    from rds_to_datalake_project_spark.operators.zonemap import _resolve_table
+
+    a = _resolve_table(spark, table.path)
+    b = _resolve_table(spark, table.path)
+    assert a is b  # same committed snapshot -> same resolution object
+
+
+def test_resolve_table_sees_commit_through_any_handle(spark, table):
+    from rds_to_datalake_project_spark.operators.zonemap import _resolve_table
+
+    _full, live_before = _resolve_table(spark, table.path)
+    other = KeyedTable(spark, table.path, _spec(), retain_versions=4)
+    other.upsert(_rows(spark, 9).withColumn("Op", batch_op(spark)))
+    full_after, live_after = _resolve_table(spark, table.path)
+    # the new commit's files must be visible (token moved -> fresh listing)
+    assert set(live_after) != set(live_before)
+    assert full_after.count() == 3
+
+
+def test_resolve_table_tokenless_path_never_cached(spark, tmp_path):
+    from rds_to_datalake_project_spark.operators.zonemap import _resolve_table
+
+    p = str(tmp_path / "plaindir")
+    spark.range(3).write.parquet(p)
+    a = _resolve_table(spark, p)
+    b = _resolve_table(spark, p)
+    assert a is not b  # no commit token -> resolve fresh every call
+    # out-of-band append to the plain dir is visible immediately
+    spark.range(3, 6).write.mode("append").parquet(p)
+    _full, live = _resolve_table(spark, p)
+    assert len(live) > len(a[1])
