@@ -180,26 +180,49 @@ class ClonedTable(KeyedTable):
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
-        src = self._source(meta)
+        src = self._source(meta)  # pin validation runs on EVERY read
+        # Resolved-read memo keyed by BOTH commit tokens (r12 VERDICT
+        # "Next round" #5): the composition — local overlay ∪ pinned
+        # source remainder — only changes when the clone commits (its
+        # own token moves; @_invalidates also drops the entry) or the
+        # source commits (its token moves; different frame key). The
+        # pin-expiry failure mode keeps its CloneSourceError shape: a
+        # hit is refused when source retention moved past the pin.
+        from rds_to_datalake_project_spark.operators.upsert import (
+            resolve_cache_entry,
+        )
+
+        ent = resolve_cache_entry(self.spark, self.path)
+        key = ("clone_read", src.commit_token())
+        if ent is not None:
+            hit = ent["frames"].get(key)
+            if hit is not None and src._read_floor() <= meta["src_version"]:
+                return hit
         if not self.partition_cols:
             # unpartitioned: the divergence unit is the whole file
             # set, and ANY local commit diverges it (an emptied-by-
             # deletes branch must stay empty, not resurrect source
             # rows — hence commit evidence, not file presence)
             if self.versions():
-                return super().read()
-            return self._pinned_source_read(src, meta)
-        localized = self._localized_rels()
-        remainder = self._pinned_source_read(src, meta, exclude=localized)
-        readable = sorted(localized & self._local_dirs())
-        if not readable:
-            return remainder
-        mine = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.path)
-            .parquet(*[f"{self.path}/{rel}" for rel in readable])
-        )
-        return mine.unionByName(remainder, allowMissingColumns=True)
+                out = super().read()
+            else:
+                out = self._pinned_source_read(src, meta)
+        else:
+            localized = self._localized_rels()
+            remainder = self._pinned_source_read(src, meta, exclude=localized)
+            readable = sorted(localized & self._local_dirs())
+            if not readable:
+                out = remainder
+            else:
+                mine = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", self.path)
+                    .parquet(*[f"{self.path}/{rel}" for rel in readable])
+                )
+                out = mine.unionByName(remainder, allowMissingColumns=True)
+        if ent is not None:
+            ent["frames"][key] = out
+        return out
 
     def _pinned_source_read(
         self, src, meta: dict, exclude=None

@@ -87,7 +87,10 @@ def test_restore_invalidates(spark, table):
     assert table.read().count() == 2
 
 
-def test_clone_reads_bypass_cache(spark, table, tmp_path):
+def test_clone_reads_cached_per_token_pair(spark, table, tmp_path):
+    """r13 (VERDICT #5): clone reads memoize per (clone token, source
+    token) — a hit can only serve the composition both tokens still
+    describe; either side committing starts a fresh resolution."""
     from rds_to_datalake_project_spark.operators.clone import (
         clone_table,
         open_table,
@@ -96,8 +99,20 @@ def test_clone_reads_bypass_cache(spark, table, tmp_path):
     clone_table(table, str(tmp_path / "b"))
     b = open_table(spark, str(tmp_path / "b"), _spec(), retain_versions=4)
     r1, r2 = b.read(), b.read()
-    assert r1 is not r2  # never cached for clones
+    assert r1 is r2  # same tokens -> same resolved composition
     assert r1.count() == 2
+    # a CLONE commit invalidates (its own token moves)
+    b.upsert(_rows(spark, 31).withColumn("Op", batch_op(spark)))
+    r3 = b.read()
+    assert r3 is not r1
+    assert r3.count() == 3
+    # a SOURCE commit invalidates too (the pin composes source state;
+    # the pinned snapshot is unchanged so VALUES stay the same, but
+    # the stale frame object must not be served blindly)
+    table.upsert(_rows(spark, 32).withColumn("Op", batch_op(spark)))
+    r4 = b.read()
+    assert r4 is not r3
+    assert r4.count() == 3  # pin still shows the pre-commit source
 
 
 def test_manual_invalidate_hook(table):

@@ -410,3 +410,33 @@ def test_changes_between_timestamps(spark, tmp_path):
         "r3": ("insert", "c3"),
     }
     assert t.changes_between_timestamps(m1, m1).count() == 0
+
+
+def test_table_changes_scan_confined_to_touched_partitions(spark, tmp_path):
+    """r13 optimization: the snapshot diff excludes the FILES of
+    partitions no commit in the window touched (they are byte-identical
+    at both endpoints), and the pruned feed equals the full diff."""
+    t = _mk(spark, tmp_path)  # V0 load: months 01, 02
+    t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")
+    touched = t._touched_rels_between(0, 1)
+    assert touched is not None and touched  # partitioned + retained
+    feed = t.table_changes(0, 1)
+    files = feed.inputFiles()
+    untouched = [
+        rel
+        for rel in t._as_of_rels(1)
+        if rel not in touched
+    ]
+    for rel in untouched:
+        assert not any(f"/{rel}/" in f for f in files), rel
+    # exactness: pruned feed == brute-force unpruned diff
+    import rds_to_datalake_project_spark.operators.upsert as up
+
+    orig = up.KeyedTable._touched_rels_between
+    up.KeyedTable._touched_rels_between = lambda self, a, b: None
+    try:
+        full = t.table_changes(0, 1)
+        assert feed.exceptAll(full).count() == 0
+        assert full.exceptAll(feed).count() == 0
+    finally:
+        up.KeyedTable._touched_rels_between = orig

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Capture ``explain("formatted")`` for headline queries.
 
-Writes one ``plans/r12/<query>_<tag>.txt`` per query so plan-shape
-claims in OPTIMIZATION_r12.md are checkable without running Spark.
+Writes one ``plans/r<N>/<query>_<tag>.txt`` (dir via SPARK_GRAFT_PLANS_DIR, default r13) per query so plan-shape
+claims in OPTIMIZATION_r<N>.md are checkable without running Spark.
 Lifecycle (PHASES) rows capture the SERVE plan (the recurring cost);
 the build is a sequence of imperative commits with no single plan.
 
@@ -38,10 +38,16 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
 
-    names = [n for n in bench.HEADLINE if not only or n in only]
+    # explicit names may be ANY registry query (plan evidence is not
+    # limited to HEADLINE rows); no names = the whole HEADLINE set
+    names = (
+        [n for n in QUERIES if n in only]
+        if only
+        else list(bench.HEADLINE)
+    )
     for name in names:
         spark.catalog.clearCache()
         try:
