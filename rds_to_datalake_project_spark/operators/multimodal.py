@@ -204,9 +204,16 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "mime", "content").mapInPandas(
-        _kernel, schema=STATS_SCHEMA
+    # compute-heavy per-row kernel: a compacted media table reads as
+    # 1-2 splits and would serialize the decode on one worker —
+    # placement-only widen, no-op when the scan is already parallel
+    from rds_to_datalake_project_spark.functions.localrel import (
+        widen_if_narrow,
     )
+
+    return widen_if_narrow(
+        media.select("media_id", "mime", "content")
+    ).mapInPandas(_kernel, schema=STATS_SCHEMA)
 
 
 def synthesize_real_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -299,7 +306,11 @@ def extract_features(
                 }
             )
 
-    pruned = media.select("media_id", "mime", "content")
+    from rds_to_datalake_project_spark.functions.localrel import (
+        widen_if_narrow,
+    )
+
+    pruned = widen_if_narrow(media.select("media_id", "mime", "content"))
     return pruned.mapInPandas(_kernel, schema=FEATURE_SCHEMA)
 
 
@@ -404,9 +415,15 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
+    from rds_to_datalake_project_spark.functions.localrel import (
+        widen_if_narrow,
+    )
+
     return (
-        media.filter(F.col("mime").startswith("image/"))
-        .select("media_id", "mime", "content")
+        widen_if_narrow(
+            media.filter(F.col("mime").startswith("image/"))
+            .select("media_id", "mime", "content")
+        )
         .mapInPandas(_kernel, schema=RESIZE_SCHEMA)
     )
 
