@@ -69,6 +69,7 @@ def _base_plan(spark, sql, tables):
         advisor.CAPTURE = True
 
 
+@pytest.mark.slow
 def test_observe_recommend_create_serve_loop(spark, tmp_path, clean_advisor):
     t = _mk(spark, tmp_path, "adv_base")
     tbl = {"adv_base": t}
@@ -135,6 +136,7 @@ def test_trunc_hierarchy_unions_to_feeding_unit(spark, tmp_path, clean_advisor):
     run_query(spark, f"DROP MATERIALIZED VIEW {recs[0]['name']}", tables=tbl)
 
 
+@pytest.mark.slow
 def test_count_distinct_gets_exact_grouping_candidate(
     spark, tmp_path, clean_advisor
 ):
@@ -181,6 +183,7 @@ def test_count_distinct_gets_exact_grouping_candidate(
         run_query(spark, f"DROP MATERIALIZED VIEW {r['name']}", tables=tbl)
 
 
+@pytest.mark.slow
 def test_join_cluster_delta_and_left_chain_recompute(
     spark, tmp_path, clean_advisor
 ):

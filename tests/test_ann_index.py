@@ -69,6 +69,7 @@ def test_build_matches_retrained_sq8(spark, table):
     )
 
 
+@pytest.mark.slow
 def test_refresh_is_incremental_and_survivors_untouched(spark, table):
     build_ann_index(table)
     before = _codes_map(table)
@@ -95,6 +96,7 @@ def test_refresh_is_incremental_and_survivors_untouched(spark, table):
     assert refresh_ann_index(table) == (0, 0)
 
 
+@pytest.mark.slow
 def test_refresh_rebuilds_when_indexed_version_vacuumed(spark, table):
     build_ann_index(table)
     for tag in ("v1", "v2", "v3"):
@@ -156,6 +158,7 @@ def test_topk_serves_from_sidecar_only(spark, table):
     assert files and all("/.annindex/" in f for f in files)
 
 
+@pytest.mark.slow
 def test_attached_maintenance_follows_commits(spark, tmp_path):
     """attach_ann_maintenance makes the index a table service: the
     first commit builds it, later commits refresh it incrementally —
@@ -196,6 +199,7 @@ def _axis_centroids(dim=8, k=4):
     return out
 
 
+@pytest.mark.slow
 def test_ivf_index_prunes_cells_and_matches_full_scan(spark, table):
     """An IVF-built index serves from probed cells only; with enough
     probes the answer equals the full-scan index, and with 1 probe the
@@ -223,6 +227,7 @@ def test_ivf_index_prunes_cells_and_matches_full_scan(spark, table):
     assert set(got_ids) <= cell_ids and 3 in got_ids
 
 
+@pytest.mark.slow
 def test_ivf_refresh_keeps_centroids_and_assigns_cells(spark, table):
     cents = _axis_centroids()
     build_ann_index(table, centroids=cents)
@@ -268,6 +273,7 @@ def test_ivf_probe_prunes_at_file_level(spark, table):
     assert pf and any(f"= {qcell}" in p or f"IN ({qcell}" in p for p in pf)
 
 
+@pytest.mark.slow
 def test_centroid_drift_triggers_retrain_and_recovers(spark, table):
     """Centroid-drift trigger: centroids stay FIXED across normal
     refreshes, but with drift_rebuild_ratio armed a skewed cell
@@ -326,6 +332,7 @@ def test_centroid_drift_triggers_retrain_and_recovers(spark, table):
     assert all(r["vec_id"] >= 1000 for r in probed)  # drifted neighbors
 
 
+@pytest.mark.slow
 def test_empty_cell_triggers_retrain_and_rebalances(spark, table):
     """The empty-cell arm of the drift trigger: when every member of
     a probed cell is deleted, a probe of that cell returns NOTHING
@@ -366,6 +373,7 @@ def test_empty_cell_triggers_retrain_and_rebalances(spark, table):
     assert not _cells_drifted(table, new_cents, 1000.0)  # no empty cell
 
 
+@pytest.mark.slow
 def test_ivf_probe_prunes_after_incremental_refresh(spark, table):
     """With a delta in the chain, the probed cell filter must still
     reach PartitionFilters on EVERY leg of the merged codes read (base

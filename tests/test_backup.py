@@ -28,6 +28,7 @@ def test_export_import_roundtrip(spark, tmp_path):
     assert res.equal
 
 
+@pytest.mark.slow
 def test_export_as_of_version(spark, tmp_path):
     t = _mk_base(spark, tmp_path)
     t.upsert(spark.createDataFrame(B1, BATCH_COLS), delete_mode="apply")

@@ -76,6 +76,7 @@ def test_sync_nonpartitioned_table(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS `default`.`persist_flat`")
 
 
+@pytest.mark.slow
 def test_upsert_thousand_touched_partitions(spark, tmp_path):
     """The touched-partition predicate must stay a single IN-set (no
     O(n)-deep OR-of-AND expression tree) at backfill-scale partition

@@ -113,6 +113,7 @@ def test_full_refresh_builds_null_groups(spark, tmp_path):
     assert None in gnames and None in regions  # both hops dangle
 
 
+@pytest.mark.slow
 def test_fact_churn_incremental(spark, tmp_path):
     fact, d1, d2, view = _mk(spark, tmp_path, HOWS)
     view.refresh()
@@ -126,6 +127,7 @@ def test_fact_churn_incremental(spark, tmp_path):
     assert _got(view) == _direct(fact, d1, d2, HOWS)
 
 
+@pytest.mark.slow
 def test_match_birth_and_death_first_hop(spark, tmp_path):
     fact, d1, d2, view = _mk(spark, tmp_path, HOWS)
     view.refresh()
@@ -139,6 +141,7 @@ def test_match_birth_and_death_first_hop(spark, tmp_path):
     assert _got(view) == _direct(fact, d1, d2, HOWS)
 
 
+@pytest.mark.slow
 def test_far_dim_changes_null_only_their_columns(spark, tmp_path):
     fact, d1, d2, view = _mk(spark, tmp_path, HOWS)
     view.refresh()
@@ -153,6 +156,7 @@ def test_far_dim_changes_null_only_their_columns(spark, tmp_path):
     assert _got(view) == _direct(fact, d1, d2, HOWS)
 
 
+@pytest.mark.slow
 def test_mid_chain_rekey_under_left(spark, tmp_path):
     fact, d1, d2, view = _mk(spark, tmp_path, HOWS)
     view.refresh()
@@ -163,6 +167,7 @@ def test_mid_chain_rekey_under_left(spark, tmp_path):
     assert _got(view) == _direct(fact, d1, d2, HOWS)
 
 
+@pytest.mark.slow
 def test_mixed_hops_left_then_inner(spark, tmp_path):
     """LEFT first hop + INNER second: SQL semantics — the inner hop
     re-drops rows whose d1 side is NULL (documented); convergence must
@@ -192,6 +197,7 @@ def test_hows_validation(spark, tmp_path):
         _mk(spark, tmp_path, ["left", "full_outer"])
 
 
+@pytest.mark.slow
 def test_sql_facade_left_chain(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
 

@@ -89,6 +89,7 @@ def _rb(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_chain_converges_across_all_three_feeds(spark, tmp_path):
     facts, dims, regions, view = _mk(spark, tmp_path)
     assert view.refresh()["mode"] == "full"
@@ -118,6 +119,7 @@ def test_chain_converges_across_all_three_feeds(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_chain_far_dim_delete_tombstones_group(spark, tmp_path):
     facts, dims, regions, view = _mk(spark, tmp_path)
     view.refresh()
@@ -128,6 +130,7 @@ def test_chain_far_dim_delete_tombstones_group(spark, tmp_path):
     assert "east" not in {r[0] for r in _got(view)}
 
 
+@pytest.mark.slow
 def test_chain_hooks_follow_every_table(spark, tmp_path):
     facts, dims, regions, view = _mk(spark, tmp_path)
     attach_chain_matview_maintenance(view)
@@ -158,6 +161,7 @@ def test_chain_reset_and_validation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_star_schema_attachment_converges(spark, tmp_path):
     """STAR shape: both fks live on the fact (the second join's left
     column belongs to table 0, not table 1) — attachment-owner
@@ -228,6 +232,7 @@ def test_star_schema_attachment_converges(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sql_facade_chain_spelling(spark, tmp_path):
     """CREATE MATERIALIZED VIEW over ≥2 JOINs routes to the chain
     class, follows commits on every table under WITH AUTO REFRESH,
@@ -290,6 +295,7 @@ def test_sql_facade_chain_spelling(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_replica_keeps_attached_matview_fresh(spark, tmp_path):
     """Integration: a continuously-replicated follower
     (operators/replicate.stream_replicate) carrying an auto-refreshed

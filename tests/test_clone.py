@@ -241,6 +241,7 @@ def test_purge_on_clone_refuses(spark, tmp_path):
         cl.purge_rows("id = 1")
 
 
+@pytest.mark.slow
 def test_vacated_partition_stays_deleted_on_the_branch(spark, tmp_path):
     """Deleting EVERY row of a partition on the branch removes its
     local leaf dir — resolution must still treat the rel as diverged
@@ -402,6 +403,7 @@ def test_unpartitioned_clone_diverges_as_a_whole(spark, tmp_path):
     assert cl.read().filter(F.col("update_at") == "v9").count() == 0
 
 
+@pytest.mark.slow
 def test_matview_maintains_over_a_branch(spark, tmp_path):
     """Incremental view maintenance composes with branching: a
     MaterializedView whose base is a ClonedTable refreshes from the

@@ -63,6 +63,7 @@ def _vals(t: KeyedTable) -> dict:
     return {r.id: r.val for r in t.read().select("id", "val").collect()}
 
 
+@pytest.mark.slow
 def test_parallel_upserts_no_lost_update(spark, tmp_path):
     """Two writers, interleaved single-row batches into the SAME
     partition: the classic lost-update setup. Every row from both
@@ -106,6 +107,7 @@ def test_parallel_upserts_no_lost_update(spark, tmp_path):
     assert _LOCK_FILE not in names
 
 
+@pytest.mark.slow
 def test_lost_race_recomputes_merge(spark, tmp_path, monkeypatch):
     """Deterministic race: a competing commit lands between writer A's
     merge read and its publish. A's first publish must conflict and
@@ -131,6 +133,7 @@ def test_lost_race_recomputes_merge(spark, tmp_path, monkeypatch):
     assert got == {"r1": "a1", "r2": "a2", "zz": "from-b", "aa": "from-a"}
 
 
+@pytest.mark.slow
 def test_retries_exhausted_raises_concurrent_write_error(
     spark, tmp_path, monkeypatch
 ):
@@ -153,6 +156,7 @@ def test_retries_exhausted_raises_concurrent_write_error(
     assert not any(n.startswith(".staging-") for n in os.listdir(path))
 
 
+@pytest.mark.slow
 def test_recover_discards_stale_staged_merge(spark, tmp_path, monkeypatch):
     """A writer crashes after flagging its staging; a commit that
     bypasses recovery (vacuum-style) lands before recover() runs. The
@@ -204,6 +208,7 @@ def test_abandoned_lock_broken_after_ttl(spark, tmp_path):
     assert not lock.exists()
 
 
+@pytest.mark.slow
 def test_held_lock_times_out(spark, tmp_path):
     path = tmp_path / "t"
     t = _mk(spark, path, lock_ttl_s=3600.0, lock_timeout_s=0.5)
@@ -245,6 +250,7 @@ def test_compaction_conflicts_with_concurrent_commit(
     assert _vals(_mk(spark, path)) == {"r1": "a1", "r2": "a2"}
 
 
+@pytest.mark.slow
 def test_initial_load_reset_fences_preexisting_staging(
     spark, tmp_path, monkeypatch
 ):
@@ -274,6 +280,7 @@ def test_initial_load_reset_fences_preexisting_staging(
     assert _vals(t2) == {"r1": "a1", "r2": "a2"}  # stale merge discarded
 
 
+@pytest.mark.slow
 def test_commit_token_advances_per_commit(spark, tmp_path):
     path = tmp_path / "t"
     t = _mk(spark, path)

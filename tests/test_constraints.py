@@ -42,6 +42,7 @@ def _rows(spark, ids, ver="v0", amount=None):
     )
 
 
+@pytest.mark.slow
 def test_constraint_rejects_violating_upsert(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "t"), _spec())
     t.initial_load(_rows(spark, range(10)))

@@ -164,6 +164,7 @@ def test_upsert_only_rewrites_touched_partitions(table, spark, base_df):
     assert {r.id: r.val for r in table.read().collect()}["a"] == "a9"
 
 
+@pytest.mark.slow
 def test_compare_tables_equal_and_diff(table, spark, base_df):
     table.initial_load(base_df)
     res = compare_tables(base_df, table.read())

@@ -350,6 +350,7 @@ _SEQ_POINTS = [
         st.tuples(st.sampled_from(_SEQ_POINTS), st.integers(1, 3)), max_size=3
     )
 )
+@pytest.mark.slow
 def test_random_crash_sequences_converge(
     spark, tmp_path_factory, monkeypatch, crashes
 ):

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 
 from rds_to_datalake_project_spark.operators.contamination import contamination_report
@@ -121,6 +122,7 @@ def test_mixture_sample_epoch_semantics(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_curate_pipeline_gates_and_dedup(spark, sf_dir):
     """The composed cleaning pass: every gate fires on the planted
     corpus, dedup keeps the min-id survivor, and apply_curation

@@ -146,6 +146,7 @@ def test_unpartitioned_vector_delete(spark, tmp_path):
     assert dv.dv_stats(spark, t.path)["dirs"] == 0
 
 
+@pytest.mark.slow
 def test_snapshot_reads_and_cdc_across_vector_commits(spark, tmp_path):
     t = _partitioned(spark, tmp_path / "t", retain_versions=5)
     t.initial_load(_rows(spark))
@@ -273,6 +274,7 @@ def test_history_purge_refuses_with_outstanding_vectors(spark, tmp_path):
         t.purge_rows("id = 6", keep_history=True)
 
 
+@pytest.mark.slow
 def test_restore_across_vector_commits(spark, tmp_path):
     t = _partitioned(spark, tmp_path / "t", retain_versions=6)
     t.initial_load(_rows(spark))
@@ -439,6 +441,7 @@ def test_mor_update_appends_instead_of_rewriting(spark, tmp_path):
     assert t.read().count() == 40
 
 
+@pytest.mark.slow
 def test_mor_update_snapshot_reads_exclude_late_appends(spark, tmp_path):
     t = _partitioned(spark, tmp_path / "t", retain_versions=5)
     t.initial_load(_rows(spark))
@@ -489,6 +492,7 @@ def test_mor_update_constraints_and_validation(spark, tmp_path):
     assert (r.amount, r.b) == (8.0, 4.0)
 
 
+@pytest.mark.slow
 def test_mor_update_fold_and_compaction(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.compact import (
         compact_partitions,

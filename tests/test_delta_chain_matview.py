@@ -107,6 +107,7 @@ def _rb(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_all_three_feeds_change_in_one_window(spark, tmp_path):
     """Fact insert+delete, mid-chain fk move AND far-dim rename in the
     same window: 7 inclusion–exclusion terms; the multi-delta
@@ -128,6 +129,7 @@ def test_all_three_feeds_change_in_one_window(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_mid_chain_fk_move_relabels_facts(spark, tmp_path):
     """A dim changing its region moves EVERY fact row referencing it
     between groups — neither the fact nor the region feed says so."""
@@ -139,6 +141,7 @@ def test_mid_chain_fk_move_relabels_facts(spark, tmp_path):
     assert _got(view) == _want(facts, dims, regs)
 
 
+@pytest.mark.slow
 def test_far_dim_rename_and_delete(spark, tmp_path):
     facts, dims, regs, view = _mk(spark, tmp_path)
     view.refresh()
@@ -152,6 +155,7 @@ def test_far_dim_rename_and_delete(spark, tmp_path):
     assert _got(view) == _want(facts, dims, regs)
 
 
+@pytest.mark.slow
 def test_star_shape_converges(spark, tmp_path):
     facts, dims, regs, view = _mk(spark, tmp_path, star=True)
     view.refresh()
@@ -163,6 +167,7 @@ def test_star_shape_converges(spark, tmp_path):
     assert _got(view) == _want(facts, dims, regs, star=True)
 
 
+@pytest.mark.slow
 def test_crash_mid_apply_rebuilds(spark, tmp_path):
     facts, dims, regs, view = _mk(spark, tmp_path)
     view.refresh()
@@ -190,6 +195,7 @@ def test_bulk_rewrite_falls_back_to_full(spark, tmp_path):
     assert _got(view) == _want(facts, dims, regs)
 
 
+@pytest.mark.slow
 def test_sql_facade_routes_chain_delta(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
 
@@ -241,6 +247,7 @@ chain_events_strategy = st.lists(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(events=chain_events_strategy, cuts=st.lists(st.integers(1, 13), max_size=2))
+@pytest.mark.slow
 def test_delta_chain_equals_recompute_for_any_cdc_sequence(
     spark, tmp_path_factory, events, cuts
 ):
@@ -285,6 +292,7 @@ def test_delta_chain_equals_recompute_for_any_cdc_sequence(
     assert _got(view) == _want(facts, dims, regs)
 
 
+@pytest.mark.slow
 def test_minmax_chain_delta_converges_with_repair(spark, tmp_path):
     """min/max lifted to the chain: a far-dim rename moves extrema
     between groups (removal + insert of every joined contribution) and
@@ -328,6 +336,7 @@ def test_minmax_chain_delta_converges_with_repair(spark, tmp_path):
     assert got() == want()
 
 
+@pytest.mark.slow
 def test_count_distinct_chain_delta_converges(spark, tmp_path):
     """count(DISTINCT) lifted to the chain: a far-dim rename moves
     every joined (group, value) pair between groups in one window."""

@@ -110,6 +110,7 @@ def _db(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_fact_only_window_converges(spark, tmp_path):
     fact, dim, view = _mk(spark, tmp_path)
     assert view.refresh()["mode"] == "full"
@@ -127,6 +128,7 @@ def test_fact_only_window_converges(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_dim_group_move_relabels_joined_facts(spark, tmp_path):
     """A dim-side update MOVES every joined fact row between groups —
     the case a single-table delta view cannot see; both the vacated
@@ -139,6 +141,7 @@ def test_dim_group_move_relabels_joined_facts(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_both_sides_change_in_one_window(spark, tmp_path):
     """The −ΔA⋈ΔB correction: a NEW fact pointing at a dim key whose
     row ALSO changed in the window would be double-counted by the two
@@ -158,6 +161,7 @@ def test_both_sides_change_in_one_window(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_dim_delete_tombstones_vanished_group(spark, tmp_path):
     fact, dim, view = _mk(spark, tmp_path)
     view.refresh()
@@ -171,6 +175,7 @@ def test_dim_delete_tombstones_vanished_group(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_multi_commit_window_nets_exactly(spark, tmp_path):
     """Several commits per side, ONE refresh: endpoint-state netting
     (insert+delete cancel; only the net change contributes)."""
@@ -186,6 +191,7 @@ def test_multi_commit_window_nets_exactly(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_crash_mid_apply_rebuilds_not_double_counts(spark, tmp_path):
     """Delta apply is not replay-idempotent: a surviving intent marker
     must route the next refresh to a full rebuild."""
@@ -305,6 +311,7 @@ def test_join_key_zone_pruning_bounds_current_reads(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sql_facade_routes_delta_join(spark, tmp_path):
     """CREATE MATERIALIZED VIEW ... WITH [AUTO] DELTA REFRESH AS
     SELECT ... FROM a JOIN b ON ... builds a DeltaJoinMaterializedView
@@ -381,6 +388,7 @@ def test_sql_facade_routes_delta_join(spark, tmp_path):
         MATVIEWS.pop("djleft", None)
 
 
+@pytest.mark.slow
 def test_minmax_join_delta_repairs_on_contribution_removal(spark, tmp_path):
     """min/max over a join: a dim re-key REMOVES contributions from the
     vacated group — if one was its extremum, the group repairs from the
@@ -431,6 +439,7 @@ def test_minmax_join_delta_repairs_on_contribution_removal(spark, tmp_path):
     assert got() == want()
 
 
+@pytest.mark.slow
 def test_count_distinct_join_delta_converges(spark, tmp_path):
     """count(DISTINCT) over a join: the aux store merges the SAME
     signed contribution union as the main delta, so value births and
@@ -478,6 +487,7 @@ def test_count_distinct_join_delta_converges(spark, tmp_path):
     assert got() == want()
 
 
+@pytest.mark.slow
 def test_describe_and_refresh_full_on_delta_join(spark, tmp_path):
     """DESCRIBE MATERIALIZED VIEW reports class/strategy/cursor/aux;
     REFRESH ... FULL rebuilds a delta-join view (incl. its aux stores)
@@ -538,6 +548,7 @@ def test_describe_and_refresh_full_on_delta_join(spark, tmp_path):
         MATVIEWS.pop("djv2", None)
 
 
+@pytest.mark.slow
 def test_delta_join_store_stacks_into_downstream_view(spark, tmp_path):
     """store_retain_versions makes a delta-join view's store a valid
     BASE for a downstream recompute view (continuous-aggregate

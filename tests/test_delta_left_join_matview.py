@@ -101,6 +101,7 @@ def test_full_refresh_builds_null_group(spark, tmp_path):
     assert any(r[0] is None for r in got)  # dangling facts present
 
 
+@pytest.mark.slow
 def test_dangling_inserts_and_deletes_stay_delta(spark, tmp_path):
     fact, dim, view = _mk(spark, tmp_path)
     view.refresh()
@@ -116,6 +117,7 @@ def test_dangling_inserts_and_deletes_stay_delta(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_match_birth_adopts_dangling_facts(spark, tmp_path):
     """A dim row appearing at a previously matchless key (0 → pos
     flip) must move that key's facts out of the NULL group — though
@@ -128,6 +130,7 @@ def test_match_birth_adopts_dangling_facts(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_match_death_redangles_facts(spark, tmp_path):
     """Deleting a key's ONLY dim row (pos → 0 flip) re-dangles its
     facts into the NULL group."""
@@ -139,6 +142,7 @@ def test_match_death_redangles_facts(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_duplicate_dim_keys_no_flip_on_partial_removal(spark, tmp_path):
     """With TWO dim rows at one key (match count 2), removing one is
     NOT a flip — facts stay matched (now to one row) and never touch
@@ -215,6 +219,7 @@ def test_duplicate_dim_keys_no_flip_on_partial_removal(spark, tmp_path):
     assert _got(view2) == want
 
 
+@pytest.mark.slow
 def test_both_sides_change_one_window(spark, tmp_path):
     """New facts at a key whose FIRST dim row arrives in the SAME
     window (never dangling), a fact deleted together with its only
@@ -237,6 +242,7 @@ def test_both_sides_change_one_window(spark, tmp_path):
     assert _got(view) == _direct(fact, dim)
 
 
+@pytest.mark.slow
 def test_minmax_left_delta_with_dangling(spark, tmp_path):
     """min/max over a LEFT join: a dangling fact's amount counts
     toward fact-side extrema in the NULL group; deleting the group's
@@ -289,6 +295,7 @@ def test_minmax_left_delta_with_dangling(spark, tmp_path):
     suppress_health_check=list(HealthCheck),
 )
 @given(data=st.data())
+@pytest.mark.slow
 def test_left_delta_converges_under_arbitrary_churn(
     spark, tmp_path_factory, data
 ):

@@ -74,6 +74,7 @@ def _batch(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_delta_converges_and_never_reads_base(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     assert view.refresh()["mode"] == "full"
@@ -100,6 +101,7 @@ def test_delta_converges_and_never_reads_base(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_sum_goes_null_and_group_tombstones(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     view.refresh()
@@ -128,6 +130,7 @@ def test_sum_goes_null_and_group_tombstones(spark, tmp_path):
     assert "g2" not in {r["grp"] for r in view.read().collect()}
 
 
+@pytest.mark.slow
 def test_crash_mid_apply_rebuilds_instead_of_double_counting(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     view.refresh()
@@ -285,6 +288,7 @@ def test_delta_with_derived_group_keys(spark, tmp_path):
     assert got() == want()
 
 
+@pytest.mark.slow
 def test_avg_delta_converges_and_nulls_out(spark, tmp_path):
     """avg(<expr>) rides a hidden running sum + non-null count:
     converges to direct recomputation across inserts, deletes and
@@ -465,6 +469,7 @@ def test_minmax_extremum_removal_repairs_exactly_that_group(spark, tmp_path):
     assert _got_mm(view) == _direct_mm(t)
 
 
+@pytest.mark.slow
 def test_minmax_duplicate_extremum_removal_keeps_survivor(spark, tmp_path):
     """Removing ONE copy of a duplicated extremum triggers repair (the
     delta cannot know a twin survives) and the repair keeps the value."""
@@ -493,6 +498,7 @@ def test_minmax_update_moving_extremum_and_group_move(spark, tmp_path):
     assert _got_mm(view) == _direct_mm(t)
 
 
+@pytest.mark.slow
 def test_minmax_null_semantics_and_tombstone(spark, tmp_path):
     """NULL values never participate in min/max (SQL semantics); a
     group whose rows all vanish is tombstoned out of the view."""
@@ -513,6 +519,7 @@ def test_minmax_null_semantics_and_tombstone(spark, tmp_path):
     assert _got_mm(view) == _direct_mm(t)
 
 
+@pytest.mark.slow
 def test_minmax_repair_scan_is_zone_pruned(spark, tmp_path):
     """Extremum repair reads the base through the same zone-map file
     pruning as affected-group recompute: with a zone map over the
@@ -617,6 +624,7 @@ def _cb(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_count_distinct_tracks_value_births_and_deaths(spark, tmp_path):
     """ndv rises only when a VALUE first appears in a group and falls
     only when its LAST contributor leaves — both pure delta (no base
@@ -640,6 +648,7 @@ def test_count_distinct_tracks_value_births_and_deaths(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_count_distinct_value_and_group_moves(spark, tmp_path):
     """An update that changes a row's VALUE retires the old value's
     contribution and births the new one; a group-moving update does
@@ -654,6 +663,7 @@ def test_count_distinct_value_and_group_moves(spark, tmp_path):
     assert _got_cd(view) == _direct_cd(t)
 
 
+@pytest.mark.slow
 def test_count_distinct_crash_rebuilds_aux_and_view(spark, tmp_path):
     t, view = _mk_cd(spark, tmp_path)
     view.refresh()
@@ -669,6 +679,7 @@ def test_count_distinct_crash_rebuilds_aux_and_view(spark, tmp_path):
     assert _got_cd(view) == _direct_cd(t)
 
 
+@pytest.mark.slow
 def test_count_distinct_facade_spelling(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
 
@@ -704,6 +715,7 @@ def test_count_distinct_facade_spelling(spark, tmp_path):
         MATVIEWS.pop("cdv", None)
 
 
+@pytest.mark.slow
 def test_count_distinct_aux_store_is_bucketed_and_write_pruned(spark, tmp_path):
     """The aux store is hash-bucketed BY DEFAULT (its size ∝ distinct
     (group, value) pairs — corpus-scale for high-cardinality values):

@@ -11,6 +11,7 @@ the final lake state must equal the in-memory source of truth.
 
 from __future__ import annotations
 
+import pytest
 import random
 from datetime import datetime, timedelta
 
@@ -76,6 +77,7 @@ class Workload:
         return spark.createDataFrame(rows, schema)
 
 
+@pytest.mark.slow
 def test_generator_workload_converges_to_truth(spark, tmp_path):
     wl = Workload(seed=20240301)
     cdc_dir = str(tmp_path / "cdc")
@@ -120,6 +122,7 @@ def test_generator_workload_converges_to_truth(spark, tmp_path):
     assert wl.next_id > 50 and len(wl.truth) < wl.next_id
 
 
+@pytest.mark.slow
 def test_changes_feed_replays_into_equal_table(spark, tmp_path):
     """CDC in → lake → CDC out, closed loop: run the random workload
     into a retained table that auto-publishes its changes feed, then
@@ -221,6 +224,7 @@ def test_generator_workload_is_replay_safe(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_multi_table_tick_with_buffering_and_failure_isolation(spark, tmp_path):
     """run_incremental_all over two tables with the ingest buffer
     active (ST6): an under-filled young batch defers, an aged one

@@ -283,6 +283,7 @@ def test_frame_sample_plan(spark):
         assert sorted(ts_list) == list(range(0, 1000 * len(ts_list), 1000))
 
 
+@pytest.mark.slow
 def test_ivf_training_separates_clusters(spark):
     """k-means on 3 well-separated clusters: training converges to one
     centroid per cluster and cell assignment recovers membership."""
@@ -449,6 +450,7 @@ def test_morton_key_golden_and_locality(spark):
         assert max(xs) - min(xs) <= 7 and max(ys) - min(ys) <= 7
 
 
+@pytest.mark.slow
 def test_srp_neardup_finds_planted_duplicates(spark):
     """SRP cosine-LSH (operators/srp.py): tiny-perturbation duplicates
     land within the Hamming bound and are found through the band join
@@ -542,6 +544,7 @@ def test_sq8_codes_bounded_and_recall(spark, sf_dir):
     assert approx[0] == exact[0] == 0  # the query itself is its own 1-NN
 
 
+@pytest.mark.slow
 def test_containment_catches_subset_jaccard_misses(spark):
     """A short doc embedded verbatim in a much longer one: containment
     ≈ 1 while Jaccard is diluted far below any dedup threshold."""
@@ -805,6 +808,7 @@ def test_prefix_index_catches_contained_doc_lsh_misses(spark):
     assert got.get((0, 1)) == 1.0
 
 
+@pytest.mark.slow
 def test_prefix_index_equals_bruteforce_allpairs(spark):
     from rds_to_datalake_project_spark.operators.minhash import (
         containment_neardup,
@@ -961,6 +965,7 @@ def test_lexical_novelty_hand_checked(spark):
     assert got[2] == (0, 0, 0.0)
 
 
+@pytest.mark.slow
 def test_quantized_ivf_trainer_separates_planted_clusters(spark):
     """Fixed-point Lloyd converges on separable data and stays fully
     deterministic: same corpus → bit-identical centroids across runs
@@ -992,6 +997,7 @@ def test_quantized_ivf_trainer_separates_planted_clusters(spark):
     assert cents2 == cents
 
 
+@pytest.mark.slow
 def test_containment_prefix_full_recall_property(spark):
     """PROPERTY: for random corpora, the prefix-filter index's
     verified output equals brute-force all-pairs containment at every

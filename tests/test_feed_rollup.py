@@ -9,6 +9,7 @@ base table, including buckets emptied by deletes (tombstone path).
 
 from __future__ import annotations
 
+import pytest
 from datetime import datetime as d
 
 from pyspark.sql import functions as F
@@ -43,6 +44,7 @@ def _rollup_equals_direct(roll: RollupTable, base: KeyedTable) -> None:
     assert got == want
 
 
+@pytest.mark.slow
 def test_feed_driven_rollup_converges_and_tombstones(spark, tmp_path):
     feed = str(tmp_path / "feed")
     base = KeyedTable(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -109,6 +110,7 @@ def test_cohort_retention_triangle(spark):
     assert (c1, 1) not in out
 
 
+@pytest.mark.slow
 def test_interval_overlap_join_matches_bruteforce(spark):
     """Binned interval×interval join = brute-force cross+filter, each
     qualifying pair exactly once (incl. multi-bin overlaps)."""

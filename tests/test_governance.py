@@ -168,6 +168,7 @@ def test_table_changes_preimage_split(spark, tmp_path):
 # -- materialized view --------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_matview_full_and_incremental(spark, tmp_path):
     t = _mk(spark, tmp_path)
     mv = MaterializedView(t, str(tmp_path / "mv"), ["grp"], AGGS)
@@ -228,6 +229,7 @@ def test_matview_requires_versioned_base(spark, tmp_path):
 # -- stats sidecar + planning -------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stats_build_read_and_maintenance(spark, tmp_path):
     t = _mk(spark, tmp_path)
     assert ST.read_table_stats(t) is None
@@ -256,6 +258,7 @@ def _stats_frame(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_advise_join_strategies(spark):
     small = _stats_frame(spark, [("k", 1000, 900)])
     big = _stats_frame(spark, [("k", 50_000_000, 40_000_000)])

@@ -84,6 +84,7 @@ def _dbatch(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_full_then_incremental_converges_both_sides(spark, tmp_path):
     facts, dims, view = _mk(spark, tmp_path)
     assert view.refresh()["mode"] == "full"
@@ -109,6 +110,7 @@ def test_full_then_incremental_converges_both_sides(spark, tmp_path):
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_vanished_group_is_tombstoned(spark, tmp_path):
     facts, dims, view = _mk(spark, tmp_path)
     view.refresh()
@@ -122,6 +124,7 @@ def test_vanished_group_is_tombstoned(spark, tmp_path):
     assert "g2" not in {r["grp"] for r in view.read().collect()}
 
 
+@pytest.mark.slow
 def test_maintenance_hooks_follow_both_tables(spark, tmp_path):
     facts, dims, view = _mk(spark, tmp_path)
     attach_join_matview_maintenance(view)
@@ -144,6 +147,7 @@ def test_requires_versioned_tables(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sql_facade_join_matview_create_refresh_select_drop(spark, tmp_path):
     """CREATE MATERIALIZED VIEW ... FROM a JOIN b ON ... GROUP BY
     through the SQL layer: initial full refresh, SELECT-able temp
@@ -210,6 +214,7 @@ def test_sql_facade_join_matview_rejects_unknown_or_ambiguous_on(spark, tmp_path
         )
 
 
+@pytest.mark.slow
 def test_refresh_crash_before_cursor_replays_idempotently(
     spark, tmp_path, monkeypatch
 ):
@@ -242,6 +247,7 @@ def test_refresh_crash_before_cursor_replays_idempotently(
     assert view.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_null_group_survives_incremental_refresh(spark, tmp_path):
     """SQL GROUP BY keeps a NULL group; the incremental path must too
     (name-list joins are null-unsafe and used to tombstone it)."""
@@ -409,6 +415,7 @@ def _direct_left(facts, dims):
     }
 
 
+@pytest.mark.slow
 def test_left_join_view_converges_including_null_group(spark, tmp_path):
     """LEFT-join IVM: unmatched facts (dangling or NULL join key) live
     in the NULL group; commits that touch them — including a NEW dim
@@ -448,6 +455,7 @@ def test_left_join_view_converges_including_null_group(spark, tmp_path):
     assert None not in {g for g, _, _ in got}
 
 
+@pytest.mark.slow
 def test_sql_facade_left_join_spelling(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import run_query
 
@@ -502,6 +510,7 @@ def test_sql_auto_refresh_republishes_temp_view_single_table(spark, tmp_path):
     run_query(spark, "DROP MATERIALIZED VIEW ftotals", tables=reg)
 
 
+@pytest.mark.slow
 def test_bulk_rewrite_degrades_to_full_not_broadcast(spark, tmp_path):
     """A change window ≈ the corpus must NOT drive the incremental
     path's key/group broadcasts (corpus-sized driver broadcast at
@@ -554,6 +563,7 @@ def test_bulk_rewrite_degrades_to_full_not_broadcast(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sql_facade_expression_group_by_alias_and_expr_spellings(
     spark, tmp_path
 ):
@@ -658,6 +668,7 @@ def test_sql_facade_matview_name_and_group_by_validation(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_join_view_expression_group_keys_converge(spark, tmp_path):
     """Derived group keys on the JOIN form (time-bucketed join rollup
     shape): group by an expression over joined columns, maintained
@@ -728,6 +739,7 @@ def test_join_view_expression_group_keys_converge(spark, tmp_path):
         MATVIEWS.pop("jb", None)
 
 
+@pytest.mark.slow
 def test_stacked_views_cascade_through_versioned_store(spark, tmp_path):
     """View-on-view: a versioned store makes a matview a valid BASE
     for another matview (hourly → daily continuous-aggregate cascade).

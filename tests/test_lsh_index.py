@@ -72,6 +72,7 @@ def test_batch_screening_finds_corpus_neardup(spark, table):
     assert (100, 0) in got and 0.5 <= got[(100, 0)] < 1.0
 
 
+@pytest.mark.slow
 def test_refresh_incremental_and_screening_follows(spark, table):
     build_lsh_index(table)
     # corpus evolves: doc 1 replaced by a BASE near-dup, doc 3 deleted,
@@ -131,6 +132,7 @@ def test_torn_build_rebuilds(spark, table):
     assert v == table.versions()[-1]
 
 
+@pytest.mark.slow
 def test_attached_maintenance_follows_commits(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "svc"), SPEC, retain_versions=4)
     attach_lsh_maintenance(t)

@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rds_to_datalake_project_spark.operators import zonemap
@@ -69,6 +70,7 @@ def _recompute(t):
     }
 
 
+@pytest.mark.slow
 def test_incremental_refresh_prunes_base_files(spark, tmp_path):
     t = _dates_table(spark, str(tmp_path / "t"))
     mv = MaterializedView(
@@ -96,6 +98,7 @@ def test_incremental_refresh_prunes_base_files(spark, tmp_path):
     assert {tuple(r) for r in mv.read().collect()} == _recompute(t)
 
 
+@pytest.mark.slow
 def test_pruned_refresh_survives_null_groups(spark, tmp_path):
     """A NULL date is a REAL group; a NULL touched value must disable
     zone pruning (NULL rows sit outside every zone) instead of
@@ -116,6 +119,7 @@ def test_pruned_refresh_survives_null_groups(spark, tmp_path):
     assert {tuple(r) for r in mv.read().collect()} == _recompute(t)
 
 
+@pytest.mark.slow
 def test_join_view_pruned_recompute(spark, tmp_path):
     """JoinMaterializedView's recompute scan prunes the side that owns
     a physical group column through its zone map, exactly."""
@@ -233,6 +237,7 @@ def test_chain_touched_group_discovery_prunes_dims(spark, tmp_path):
     assert dims.read().count() == 6 and regions.read().count() == 2
 
 
+@pytest.mark.slow
 def test_chain_composite_record_keys_refresh_all_touched_groups(spark, tmp_path):
     """Two changed fact rows share the LEADING key component but live
     in different groups — keying propagation on the first component
@@ -316,6 +321,7 @@ def test_self_shadowing_group_expr_derives_once(spark, tmp_path):
 # --- delta-view stacking ---------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_delta_view_stacks_into_downstream_view(spark, tmp_path):
     """An hourly signed-delta view with a VERSIONED store feeds a
     downstream recompute view (daily cascade) through the standard
@@ -371,6 +377,7 @@ def test_delta_view_stacks_into_downstream_view(spark, tmp_path):
     assert {tuple(r) for r in daily.read().collect()} == expect
 
 
+@pytest.mark.slow
 def test_bucketed_derived_key_prunes_via_source_column(spark, tmp_path):
     """A derived date_trunc group key inverts each touched bucket to a
     closed source interval and prunes files through the SOURCE
@@ -428,6 +435,7 @@ def test_bucketed_derived_key_prunes_via_source_column(spark, tmp_path):
     assert {tuple(r) for r in mv.read().collect()} == expect
 
 
+@pytest.mark.slow
 def test_join_view_fk_propagated_fact_pruning(spark, tmp_path):
     """When every group column lives on the DIM side, the fact scan
     prunes through its JOIN-KEY zones instead: touched-group dim rows
@@ -501,6 +509,7 @@ def test_join_view_fk_propagated_fact_pruning(spark, tmp_path):
     assert {tuple(x) for x in mv.read().collect()} == expect
 
 
+@pytest.mark.slow
 def test_chain_view_fk_propagated_fact_pruning(spark, tmp_path):
     """Chain views group on far-dim columns (revenue by region name);
     the fact scan prunes through its fk zones: touched-group region
@@ -582,6 +591,7 @@ def test_chain_view_fk_propagated_fact_pruning(spark, tmp_path):
     assert {tuple(x) for x in view.read().collect()} == expect
 
 
+@pytest.mark.slow
 def test_bucketed_store_rewrites_only_touched_buckets(spark, tmp_path):
     """store_hash_buckets partitions the view store by its group key:
     a one-group refresh rewrites one bucket's files, not the store —
@@ -642,6 +652,7 @@ def test_bucketed_store_rewrites_only_touched_buckets(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == expect
 
 
+@pytest.mark.slow
 def test_bucketed_keyed_table_basic_contract(spark, tmp_path):
     """hash_buckets tables honor the generic KeyedTable contract:
     upserts rewrite only touched buckets, deletes apply, lookups and
@@ -718,6 +729,7 @@ def test_bucketed_lookup_opens_one_bucket(spark, tmp_path):
     assert t.lookup(99999).count() == 0  # absent key, residual exact
 
 
+@pytest.mark.slow
 def test_delta_view_bucketed_store_prunes_merge_read(spark, tmp_path):
     """With a bucketed store, the delta merge reads only the touched
     groups' buckets (I/O ∝ change set on BOTH merge sides) and still

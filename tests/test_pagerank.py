@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from rds_to_datalake_project_spark.operators.pagerank import pagerank
 
 SCALE = 10**12
@@ -46,6 +47,7 @@ def test_mass_conserved_up_to_truncation(spark):
     assert len(set(r.values())) == 1
 
 
+@pytest.mark.slow
 def test_checkpoint_every_same_answer(spark):
     edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
     a = _ranks(spark, edges, iters=4)

@@ -783,6 +783,7 @@ def test_rewritten_select_scans_only_view_store(spark, tmp_path):
         MATVIEWS.pop("pq_rw_v", None)
 
 
+@pytest.mark.slow
 def test_left_delta_dangling_terms_broadcast(spark, tmp_path):
     """The LEFT-join dangling machinery must never shuffle a base
     side: match counts, flip keys, and the window frames all broadcast

@@ -84,6 +84,7 @@ def _expected(all_events):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ev_a=events_strategy, ev_b=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_adversarially_interleaved_writers_converge(
     spark, tmp_path_factory, monkeypatch, ev_a, ev_b, cuts
 ):

@@ -10,6 +10,7 @@ this sweep hunts."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -53,6 +54,7 @@ def _is_delete(v):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(events=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_delta_view_equals_recompute_for_any_cdc_sequence(
     spark, tmp_path_factory, events, cuts
 ):
@@ -114,6 +116,7 @@ def test_delta_view_equals_recompute_for_any_cdc_sequence(
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(events=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_minmax_delta_view_equals_recompute_for_any_cdc_sequence(
     spark, tmp_path_factory, events, cuts
 ):
@@ -204,6 +207,7 @@ def _gname(d, v):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(events=join_events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_delta_join_view_equals_recompute_for_any_cdc_sequence(
     spark, tmp_path_factory, events, cuts
 ):
@@ -291,6 +295,7 @@ def _u(k, v):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(events=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_count_distinct_delta_equals_recompute_for_any_cdc_sequence(
     spark, tmp_path_factory, events, cuts
 ):

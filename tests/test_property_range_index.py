@@ -43,6 +43,7 @@ bounds_strategy = st.tuples(finite, finite).map(lambda t: (min(t), max(t)))
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(values=values_strategy, delta=delta_strategy, bounds=bounds_strategy)
+@pytest.mark.slow
 def test_range_lookup_equals_plain_between(
     spark, tmp_path_factory, values, delta, bounds
 ):

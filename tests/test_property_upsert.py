@@ -76,6 +76,7 @@ def _expected(batches, delete_mode: str):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(events=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_upsert_converges_to_latest_per_key(
     spark, tmp_path_factory, events, cuts, delete_mode
 ):
@@ -126,6 +127,7 @@ def test_upsert_converges_to_latest_per_key(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(events=events_strategy, cuts=cuts_strategy)
+@pytest.mark.slow
 def test_bucketed_upsert_converges_to_latest_per_key(
     spark, tmp_path_factory, events, cuts
 ):

@@ -7,6 +7,7 @@ the persisted pending-key set make the whole sequence crash-resumable.
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -49,6 +50,7 @@ def _no_trace_of(spark, t: KeyedTable, key: str) -> bool:
     return True
 
 
+@pytest.mark.slow
 def test_purge_keep_history_preserves_unrelated_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)  # commits 1..3, snapshots S0..S3
@@ -70,6 +72,7 @@ def test_purge_keep_history_preserves_unrelated_history(spark, tmp_path):
     assert _vals(t.read_as_of(1))["r2"] == "a2"
 
 
+@pytest.mark.slow
 def test_purge_keep_history_scrubs_changes_feed(spark, tmp_path):
     feed = str(tmp_path / "feed")
     t = KeyedTable(
@@ -95,6 +98,7 @@ def test_purge_keep_history_scrubs_changes_feed(spark, tmp_path):
     assert left.filter(F.col("id") == "r3").count() > 0
 
 
+@pytest.mark.slow
 def test_purge_keep_history_resumes_after_crash(spark, tmp_path):
     """A crashed purge (pending keys persisted, one snapshot dir left
     mid-swap: root swung aside, stage missing) is completed by the
@@ -131,6 +135,7 @@ def test_purge_keep_history_noop_condition(spark, tmp_path):
     assert not os.path.exists(f"{t.path}/.meta/purge_pending")
 
 
+@pytest.mark.slow
 def test_sql_facade_purge_statement(spark, tmp_path):
     """PURGE FROM t WHERE cond [KEEP HISTORY] through the one SQL
     layer: plain form floors history, KEEP HISTORY rewrites it."""

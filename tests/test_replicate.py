@@ -131,6 +131,7 @@ def test_vacuumed_feed_past_cursor_raises(spark, tmp_path):
 # --- continuous follower (stream_replicate) ------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_replicate_follows_three_live_commits(spark, tmp_path):
     """The replica FOLLOWS: one stream_replicate tick per source
     commit, each draining exactly the new feed batch; replica state
@@ -227,6 +228,7 @@ def test_stream_replicate_vacuumed_feed_past_cursor_raises(spark, tmp_path):
         stream_replicate(r, feed, str(tmp_path / "ckpt"))
 
 
+@pytest.mark.slow
 def test_stream_replicate_bounded_trigger_still_drains_backlog(spark, tmp_path):
     """max_files_per_trigger=1 slices a 3-commit backlog into several
     checkpointed micro-batches; availableNow still drains everything

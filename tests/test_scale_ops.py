@@ -29,6 +29,7 @@ def test_plan_target_files():
     assert plan_target_files(129, 128) == 2
 
 
+@pytest.mark.slow
 def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
     spec = TableSpec("t", record_key=("id",), precombine_key="v",
                      partition_source="create_at", partition_granularity="day")
@@ -417,6 +418,7 @@ def _frag_table(spark, tmp_path, name="cp"):
     return t
 
 
+@pytest.mark.slow
 def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.compact import (
         _leaf_partition_stats,
@@ -478,6 +480,7 @@ def test_partition_map_key_preserves_null_positions(spark):
     ]
 
 
+@pytest.mark.slow
 def test_compact_partitions_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
     from tests.test_crash_recovery import Boom, _inject
 
@@ -495,6 +498,7 @@ def test_compact_partitions_crash_mid_publish_recovers(spark, tmp_path, monkeypa
     assert compact_partitions(t, target_file_bytes=64 * 1024 * 1024) == []
 
 
+@pytest.mark.slow
 def test_compact_partitions_unpartitioned_whole_set(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.compact import compact_partitions
 
@@ -518,6 +522,7 @@ def test_compact_partitions_unpartitioned_whole_set(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == before_rows
 
 
+@pytest.mark.slow
 def test_compact_partitions_is_an_empty_commit_under_retention(spark, tmp_path):
     """With retention on, a compaction is a numbered commit whose
     row-level diff is empty, and pre-compaction snapshots still
@@ -562,6 +567,7 @@ _COMPACT_POINTS = [
 
 
 @pytest.mark.parametrize("point,nth", _COMPACT_POINTS)
+@pytest.mark.slow
 def test_compact_partitions_crash_at_every_publish_point(
     spark, tmp_path, monkeypatch, point, nth
 ):

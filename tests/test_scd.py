@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from rds_to_datalake_project_spark.operators.scd import scd2_history
 from rds_to_datalake_project_spark.operators.upsert import KeyedTable
 from rds_to_datalake_project_spark.schema import TableSpec
@@ -75,6 +76,7 @@ def _mk_base(spark, tmp_path):
     return t
 
 
+@pytest.mark.slow
 def test_scd2_store_incremental_matches_recompute(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.scd import Scd2Store
 
@@ -97,6 +99,7 @@ def test_scd2_store_incremental_matches_recompute(spark, tmp_path):
     assert s.refresh()["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_scd2_store_ignores_untracked_column_churn(spark, tmp_path):
     """An upsert that only bumps the precombine column must NOT open a
     new interval for the tracked value."""
@@ -138,6 +141,7 @@ def test_scd2_store_maintenance_hook(spark, tmp_path):
     assert closed == {("r1", 0): 1, ("r2", 0): 1}
 
 
+@pytest.mark.slow
 def test_scd2_store_reapply_is_idempotent(spark, tmp_path):
     """Crash between the interval upsert and the marker write: the
     re-run re-applies the same commit — same rows, same seq — and the

@@ -210,6 +210,7 @@ def test_range_lookup_prunes_band_partitions(spark, tmp_path):
     assert si.LAST_PROBE["bands_skipped"] >= 13
 
 
+@pytest.mark.slow
 def test_range_refresh_handles_rekey_delete_and_out_of_domain(spark, tmp_path):
     """Values moved OUT of the probed range must vanish (tombstone),
     new in-range rows appear, and values past the build-time max clamp
@@ -389,6 +390,7 @@ def test_range_lookup_fractional_bounds_on_integer_column(spark, tmp_path):
     assert routed == scan == want
 
 
+@pytest.mark.slow
 def test_monotone_domain_growth_keeps_recent_window_pruned(spark, tmp_path):
     """The reference's indexed column is an ever-advancing timestamp:
     values past the build-time max must open NEW bands (unbounded

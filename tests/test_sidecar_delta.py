@@ -6,6 +6,7 @@ services' full-rewrite refresh)."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -105,6 +106,7 @@ def test_lsh_refresh_writes_only_the_change_set(spark, tmp_path):
     assert fresh.exceptAll(merged).count() == 0
 
 
+@pytest.mark.slow
 def test_text_index_deletes_and_updates_are_incremental(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.text_index import _idir
 
@@ -138,6 +140,7 @@ def test_text_index_deletes_and_updates_are_incremental(spark, tmp_path):
     assert fresh.exceptAll(stored).count() == 0
 
 
+@pytest.mark.slow
 def test_chain_compacts_at_threshold_and_content_survives(spark, tmp_path):
     from rds_to_datalake_project_spark.operators.lsh_index import (
         _idx,
@@ -245,6 +248,7 @@ def test_vacuum_family_removes_only_orphans(spark, tmp_path):
     assert 1 in {r.corpus_id for r in lsh_candidates_for(t, probe).collect()}
 
 
+@pytest.mark.slow
 def test_crash_between_family_publishes_replays_and_converges(spark, tmp_path, monkeypatch):
     """Multi-family atomicity: postings delta published, CRASH before
     the doclens publish and the _VERSION advance. The sidecar must
@@ -292,6 +296,7 @@ def test_crash_between_family_publishes_replays_and_converges(spark, tmp_path, m
     assert got == [3]
 
 
+@pytest.mark.slow
 def test_crash_before_log_update_leaves_invisible_orphan(spark, tmp_path, monkeypatch):
     """Crash AFTER the delta data part lands but BEFORE the log lists
     it: the orphan is invisible to readers (log unchanged), the next
@@ -341,6 +346,7 @@ def test_crash_before_log_update_leaves_invisible_orphan(spark, tmp_path, monkey
     assert fresh.exceptAll(merged).count() == 0
 
 
+@pytest.mark.slow
 def test_randomized_lifecycle_merged_equals_recomputed(spark, tmp_path):
     """Seeded random upsert/delete windows with a LOW compaction
     threshold (forces folds mid-sequence): after every refresh, the
@@ -446,6 +452,7 @@ def test_service_status_reports_lag_and_chain_lengths(spark, tmp_path):
     assert rows[".textindex"]["lag"] == 1
 
 
+@pytest.mark.slow
 def test_read_family_partition_filter_prunes_listing_and_stays_exact(
     spark, tmp_path
 ):

@@ -100,6 +100,7 @@ def _mk_table(spark, tmp_path, rows):
     return t
 
 
+@pytest.mark.slow
 def test_sidecar_incremental_matches_rebuild(spark, tmp_path):
     t = _mk_table(spark, tmp_path, [(i, f"c{i % 7}", 0) for i in range(300)])
     build_sketches(t, "cat", p=P, depth=4, width=256)
@@ -161,6 +162,7 @@ def test_attach_maintenance_follows_commits(spark, tmp_path):
     assert cms.exceptAll(fresh).count() == 0 and fresh.exceptAll(cms).count() == 0
 
 
+@pytest.mark.slow
 def test_histogram_quantiles_brackets_exact_quantile(spark):
     """The p-quantile bracket must contain the true p-quantile, and
     per-slice histograms must merge to the whole-table answer."""

@@ -83,6 +83,7 @@ def test_result_cache_ttl(spark):
         cache.clear()
 
 
+@pytest.mark.slow
 def test_sql_facade_maintenance_statements(spark, tmp_path):
     """OPTIMIZE / VACUUM flow through run_query against registered
     KeyedTables — the whole lifecycle reachable from one SQL layer."""
@@ -401,6 +402,7 @@ def test_sql_facade_insert_into(spark, tmp_path):
     assert got == {"a": 10, "b": 2}  # a replaced (newer v), b appended
 
 
+@pytest.mark.slow
 def test_sql_facade_merge_into(spark, tmp_path):
     """Restricted MERGE INTO — the Hudi/Delta CDC-apply star forms:
     matched rows update whole-row, unmatched insert, a matched-AND
@@ -498,6 +500,7 @@ def _mk_merge_table(spark, path):
     return t
 
 
+@pytest.mark.slow
 def test_sql_facade_merge_clause_combinations(spark, tmp_path):
     """Standard MERGE semantics for every WHEN-clause subset: the
     source is partitioned by matched/not-matched, matched rows see the

@@ -64,6 +64,7 @@ def table(spark, tmp_path):
     return KeyedTable(spark, str(tmp_path / "table"), spec)
 
 
+@pytest.mark.slow
 def test_stream_cdc_available_now(spark, tmp_path, table):
     cdc_dir = str(tmp_path / "cdc")
     _write_cdc_file(spark, cdc_dir, datetime(2024, 1, 1, 10, 0, 0),
@@ -88,6 +89,7 @@ def test_stream_cdc_available_now(spark, tmp_path, table):
     assert got == {"a": "a1", "b": "b1", "c": "c0"}
 
 
+@pytest.mark.slow
 def test_tracker_bounded_batch_and_watermark(spark, tmp_path, table):
     cdc_dir = str(tmp_path / "cdc")
     for minute, key, val in [(0, "a", "a0"), (1, "b", "b0"), (2, "a", "a1")]:
@@ -173,6 +175,7 @@ def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
     assert got == {("10:00", "click"): 2}
 
 
+@pytest.mark.slow
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions closed by an
     in-batch gap are emitted; still-open sessions are not."""
@@ -275,6 +278,7 @@ def test_tracker_idle_advance(spark, tmp_path, table):
     assert files == [] and idle_wm is None
 
 
+@pytest.mark.slow
 def test_tracker_buffering_window(spark, tmp_path, table):
     """ST6: a batch smaller than min_files is deferred until it fills
     up or ages past max_buffer_age — never deferred forever."""
@@ -308,6 +312,7 @@ def test_tracker_buffering_window(spark, tmp_path, table):
     assert re.min_files == 2 and re.max_buffer_age == timedelta(minutes=5)
 
 
+@pytest.mark.slow
 def test_run_incremental_all_multi_table(spark, tmp_path):
     """Reference table_tracker_list shape: one tick drains every table
     with independent watermarks."""
@@ -475,6 +480,7 @@ def test_plan_batch_never_splits_a_commit_timestamp_group(tmp_path, monkeypatch)
     assert wm == datetime(2024, 1, 1, 10, 0, 1)
 
 
+@pytest.mark.slow
 def test_streaming_upserts_maintain_attached_index(spark, tmp_path):
     """A table service attached via add_maintenance_hook follows a
     STREAMING ingest too: every foreachBatch upsert commit refreshes
@@ -518,6 +524,7 @@ def test_streaming_upserts_maintain_attached_index(spark, tmp_path):
     assert hits == {"a", "c"}
 
 
+@pytest.mark.slow
 def test_stream_ingest_with_dedup_drops_known_neardups(spark, tmp_path):
     """Dedup at the door: batch 2's near-dup of an already-ingested
     doc is dropped (and quarantined with its match + score); novel
@@ -596,6 +603,7 @@ def test_stream_ingest_with_dedup_drops_known_neardups(spark, tmp_path):
     assert "e" not in {r.doc_id for r in table.read().collect()}
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """Real stream-stream join: two file sources, watermarks on both
     sides, time-interval condition -> bounded state, append sink."""
@@ -647,6 +655,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert {(r.l_event_id, r.r_event_id) for r in batch.collect()} == got
 
 
+@pytest.mark.slow
 def test_streaming_upserts_maintain_secondary_index(spark, tmp_path):
     """The row-level secondary index follows a streaming ingest too:
     each foreachBatch commit publishes a delta, and a non-key point
@@ -683,6 +692,7 @@ def test_streaming_upserts_maintain_secondary_index(spark, tmp_path):
     assert green == {"a"}
 
 
+@pytest.mark.slow
 def test_stream_keeps_matview_fresh_and_rewritable(spark, tmp_path):
     """Streaming ingest → IVM → aggregate navigation, end-to-end: each
     micro-batch upsert fires the maintenance hook, so after the stream

@@ -82,6 +82,7 @@ def _batch(spark, rows, op="U"):
     ).withColumn("Op", F.lit(op))
 
 
+@pytest.mark.slow
 def test_sum_distinct_converges_over_churn(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     assert view.refresh()["mode"] == "full"
@@ -103,6 +104,7 @@ def test_sum_distinct_converges_over_churn(spark, tmp_path):
     assert _got(view) == _direct(t)
 
 
+@pytest.mark.slow
 def test_sum_distinct_value_moves_and_group_moves(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     view.refresh()
@@ -116,6 +118,7 @@ def test_sum_distinct_value_moves_and_group_moves(spark, tmp_path):
     assert _got(view) == _direct(t)
 
 
+@pytest.mark.slow
 def test_sum_distinct_nulls_and_vanished_groups(spark, tmp_path):
     t, view = _mk(spark, tmp_path)
     view.refresh()
@@ -135,6 +138,7 @@ def test_sum_distinct_nulls_and_vanished_groups(spark, tmp_path):
     assert _got(view) == _direct(t)
 
 
+@pytest.mark.slow
 def test_sum_distinct_join_and_chain_classes(spark, tmp_path):
     fspec = TableSpec(
         "jfacts", record_key=("f_id",), precombine_key="f_seq",
@@ -233,6 +237,7 @@ def test_sum_distinct_join_and_chain_classes(spark, tmp_path):
     assert got == _cd()
 
 
+@pytest.mark.slow
 def test_facade_sum_distinct_and_avg_distinct_rejection(spark, tmp_path):
     from rds_to_datalake_project_spark.sql import MATVIEWS, run_query
 

@@ -42,6 +42,7 @@ def _changes(t: KeyedTable, v_from: int, v_to: int) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_table_changes_classifies_net_changes(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -71,6 +72,7 @@ def test_table_changes_validates_range(spark, tmp_path):
         t.table_changes(0, 3)  # v_from below the retention floor
 
 
+@pytest.mark.slow
 def test_changes_feed_is_streaming_readable(spark, tmp_path):
     """write_changes_feed materializes one batch per commit and a
     readStream consumer tails the feed exactly once per version."""
@@ -144,6 +146,7 @@ def test_auto_changes_feed_on_publish(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_feed_write_failure_does_not_undo_commit(spark, tmp_path, monkeypatch):
     """The feed append runs after the commit is durable: if it dies,
     the upsert surfaces the error but the table state stands, and the
@@ -198,6 +201,7 @@ def test_emptied_retained_table_keeps_history(spark, tmp_path):
     assert t.read_as_of(1).count() == 0
 
 
+@pytest.mark.slow
 def test_describe_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -223,6 +227,7 @@ def test_describe_history(spark, tmp_path):
     assert [(h["version"], h["readable"]) for h in hist] == [(3, True)]
 
 
+@pytest.mark.slow
 def test_sql_facade_for_version_as_of(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -238,6 +243,7 @@ def test_sql_facade_for_version_as_of(spark, tmp_path):
         assert got == expect, v
 
 
+@pytest.mark.slow
 def test_sql_facade_joins_two_versions(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -254,6 +260,7 @@ def test_sql_facade_joins_two_versions(spark, tmp_path):
     assert {(r.id, r.v0_val, r.v3_val) for r in rows} == {("r1", "a1", "b1")}
 
 
+@pytest.mark.slow
 def test_sql_facade_uses_session_registry(spark, tmp_path):
     """register() on a retained table enrolls it for FOR VERSION AS OF
     without threading the object through every run_query call."""
@@ -274,6 +281,7 @@ def test_sql_facade_uses_session_registry(spark, tmp_path):
         TIME_TRAVEL_TABLES.pop("tt_reg", None)
 
 
+@pytest.mark.slow
 def test_unload_and_preview_reach_snapshots(spark, tmp_path):
     """The facade's sinks behave like its queries: UNLOAD and preview
     resolve FOR VERSION AS OF through the same rewrite."""
@@ -300,6 +308,7 @@ def test_unload_and_preview_reach_snapshots(spark, tmp_path):
         TIME_TRAVEL_TABLES.pop("tt_sink", None)
 
 
+@pytest.mark.slow
 def test_sql_facade_as_of_guards(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -313,6 +322,7 @@ def test_sql_facade_as_of_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_vacuum_changes_feed_keeps_newest(spark, tmp_path):
     """Feed retention: old batch dirs expire; a fresh consumer sees
     only the retained commits."""
@@ -337,6 +347,7 @@ def test_vacuum_changes_feed_keeps_newest(spark, tmp_path):
     assert dirs() == ["v3"]
 
 
+@pytest.mark.slow
 def test_vacuum_changes_feed_floor_written_before_deletes(
     spark, tmp_path, monkeypatch
 ):
@@ -376,6 +387,7 @@ def test_vacuum_changes_feed_floor_written_before_deletes(
     assert dirs() == ["v3"]
 
 
+@pytest.mark.slow
 def test_changes_between_timestamps(spark, tmp_path):
     """The wall-clock spelling resolves each endpoint like FOR
     TIMESTAMP AS OF and yields the same net-change feed."""
@@ -412,6 +424,7 @@ def test_changes_between_timestamps(spark, tmp_path):
     assert t.changes_between_timestamps(m1, m1).count() == 0
 
 
+@pytest.mark.slow
 def test_table_changes_scan_confined_to_touched_partitions(spark, tmp_path):
     """r13 optimization: the snapshot diff excludes the FILES of
     partitions no commit in the window touched (they are byte-identical

@@ -32,6 +32,7 @@ def _mk(spark, tmp_path, rows=DOCS0):
     return t
 
 
+@pytest.mark.slow
 def test_search_and_semantics_and_rank(spark, tmp_path):
     t = _mk(spark, tmp_path)
     build_text_index(t, "id", "text")
@@ -45,6 +46,7 @@ def test_search_and_semantics_and_rank(spark, tmp_path):
     assert [r["id"] for r in search_and(t, ["QUICK", "Dog"]).collect()] == [3]
 
 
+@pytest.mark.slow
 def test_incremental_append_on_insert_only(spark, tmp_path):
     t = _mk(spark, tmp_path)
     build_text_index(t, "id", "text")
@@ -102,6 +104,7 @@ def test_bm25_ranking_and_length_normalization(spark, tmp_path):
     assert got[0][1] > got[1][1] > 0.0
 
 
+@pytest.mark.slow
 def test_bm25_follows_incremental_refresh(spark, tmp_path):
     """doclens and postings advance together through the delta publish:
     scores over the refreshed index equal a from-scratch rebuild."""

@@ -68,6 +68,7 @@ def _apply_all(spark, t):
         t.upsert(spark.createDataFrame(b, BATCH_COLS), delete_mode="apply")
 
 
+@pytest.mark.slow
 def test_read_as_of_reconstructs_every_version(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -95,6 +96,7 @@ def test_unversioned_behavior_is_unchanged(spark, tmp_path):
         t.read_as_of(0)
 
 
+@pytest.mark.slow
 def test_vacuum_versions_expires_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -120,6 +122,7 @@ def test_vacuum_versions_expires_history(spark, tmp_path):
 
 
 @pytest.mark.parametrize("expired", [0, 1])
+@pytest.mark.slow
 def test_read_as_of_expired_version_raises(spark, tmp_path, expired):
     """The r4 defect: an expired version must RAISE, never silently
     resolve retired partitions to live dirs and serve a mixed-version
@@ -131,6 +134,7 @@ def test_read_as_of_expired_version_raises(spark, tmp_path, expired):
         t.read_as_of(expired)
 
 
+@pytest.mark.slow
 def test_read_as_of_out_of_range_raises(spark, tmp_path):
     """A version that never existed must not alias to live state."""
     t = _mk(spark, tmp_path)
@@ -141,6 +145,7 @@ def test_read_as_of_out_of_range_raises(spark, tmp_path):
         t.read_as_of(-1)
 
 
+@pytest.mark.slow
 def test_retain_versions_count_is_enforced(spark, tmp_path):
     """retain_versions=N bounds history automatically: every publish
     expires commits beyond the newest N — no unbounded growth behind
@@ -156,6 +161,7 @@ def test_retain_versions_count_is_enforced(spark, tmp_path):
         t.read_as_of(0)
 
 
+@pytest.mark.slow
 def test_crash_mid_vacuum_is_conservative(spark, tmp_path, monkeypatch):
     """The floor is persisted BEFORE any history is deleted, so a
     crash mid-vacuum can only shrink the readable set, never leave a
@@ -178,6 +184,7 @@ def test_crash_mid_vacuum_is_conservative(spark, tmp_path, monkeypatch):
     assert _vals(t.read_as_of(2)) == S2
 
 
+@pytest.mark.slow
 def test_initial_load_resets_history(spark, tmp_path):
     t = _mk(spark, tmp_path)
     _apply_all(spark, t)
@@ -208,6 +215,7 @@ _FLAT_MODEL_SPEC = TableSpec(
 )
 @pytest.mark.parametrize("spec", [SPEC, _FLAT_MODEL_SPEC], ids=["part", "flat"])
 @given(data=st.data())
+@pytest.mark.slow
 def test_time_travel_matches_model_under_random_batches(
     spark, tmp_path_factory, spec, data
 ):
@@ -369,6 +377,7 @@ def test_crash_during_retained_flat_publish(
         ("staging_deleted", 1),
     ],
 )
+@pytest.mark.slow
 def test_crash_during_retained_publish(spark, tmp_path, monkeypatch, point, nth):
     """Crashes at every publish point — including the new retire and
     commit-record steps — must recover to the exact post-commit state
@@ -485,6 +494,7 @@ def test_purge_rows_erases_history_and_feed(spark, tmp_path):
 
 # --- RESTORE (rollback-as-a-commit) ------------------------------------------
 
+@pytest.mark.slow
 def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     """restore_to_version(k): read() == the v_k snapshot, committed as
     a NEW version — all prior versions (including the rolled-back
@@ -551,6 +561,7 @@ def test_restore_crash_mid_publish_recovers(spark, tmp_path, monkeypatch):
 
 # --- FOR TIMESTAMP AS OF -----------------------------------------------------
 
+@pytest.mark.slow
 def test_version_at_timestamp_resolves_each_commit(spark, tmp_path):
     """Timestamps between commits resolve to the newest version at or
     before them; pre-history raises; 'now' resolves to the head."""
@@ -580,6 +591,7 @@ def test_version_at_timestamp_resolves_each_commit(spark, tmp_path):
     assert t.version_at_timestamp(time.time()) == 2
 
 
+@pytest.mark.slow
 def test_for_timestamp_as_of_sql(spark, tmp_path):
     import datetime as dt
     import time

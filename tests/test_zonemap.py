@@ -216,6 +216,7 @@ def test_fast_count_metadata_only_and_fallback(spark, sf_dir, tmp_path):
     assert fast_count(spark, path) == expected + 9
 
 
+@pytest.mark.slow
 def test_synced_index_is_live_manifest_no_listing(spark, tmp_path, monkeypatch):
     """On a KeyedTable whose zone map the publish protocol maintains,
     a zoned read/count derives the live file set from the token-synced
@@ -337,6 +338,7 @@ _vals = st.lists(
     lo=st.one_of(st.none(), st.integers(-60, 60)),
     hi=st.one_of(st.none(), st.integers(-60, 60)),
 )
+@pytest.mark.slow
 def test_property_pruned_read_equals_full_filter(
     spark, tmp_path_factory, chunks, lo, hi
 ):
@@ -514,6 +516,7 @@ def test_bloom_index_service_follows_commits(spark, tmp_path):
     assert bloom_pruned_read(spark, t.path, "id", ["nope"]).count() == 0
 
 
+@pytest.mark.slow
 def test_lookup_intersects_zonemap_and_bloom(spark, tmp_path):
     """On a table carrying BOTH sidecars, lookup reads the
     intersection of zone-map and bloom candidates — on an unclustered
@@ -656,6 +659,7 @@ def test_bloom_auto_sizing_tracks_table_shape(spark, tmp_path):
     assert _stored_mk(spark, idx)[0] == M_BITS_MIN
 
 
+@pytest.mark.slow
 def test_lookup_many_matches_per_key_lookups(spark, tmp_path):
     """lookup_many == the union of per-key lookups == the plain IN
     filter, at ONE candidate read; its per-key pruning still opens
