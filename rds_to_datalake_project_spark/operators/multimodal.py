@@ -204,16 +204,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    # compute-heavy per-row kernel: a compacted media table reads as
-    # 1-2 splits and would serialize the decode on one worker —
-    # placement-only widen, no-op when the scan is already parallel
-    from rds_to_datalake_project_spark.functions.localrel import (
-        widen_if_narrow,
+    return media.select("media_id", "mime", "content").mapInPandas(
+        _kernel, schema=STATS_SCHEMA
     )
-
-    return widen_if_narrow(
-        media.select("media_id", "mime", "content")
-    ).mapInPandas(_kernel, schema=STATS_SCHEMA)
 
 
 def synthesize_real_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -306,11 +299,7 @@ def extract_features(
                 }
             )
 
-    from rds_to_datalake_project_spark.functions.localrel import (
-        widen_if_narrow,
-    )
-
-    pruned = widen_if_narrow(media.select("media_id", "mime", "content"))
+    pruned = media.select("media_id", "mime", "content")
     return pruned.mapInPandas(_kernel, schema=FEATURE_SCHEMA)
 
 
@@ -415,15 +404,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    from rds_to_datalake_project_spark.functions.localrel import (
-        widen_if_narrow,
-    )
-
     return (
-        widen_if_narrow(
-            media.filter(F.col("mime").startswith("image/"))
-            .select("media_id", "mime", "content")
-        )
+        media.filter(F.col("mime").startswith("image/"))
+        .select("media_id", "mime", "content")
         .mapInPandas(_kernel, schema=RESIZE_SCHEMA)
     )
 
