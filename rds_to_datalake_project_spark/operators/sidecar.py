@@ -66,14 +66,6 @@ DEFAULT_COMPACT_THRESHOLD = 8
 _MAX_PRUNED_DIRS = 128
 
 
-def _dir_exists(spark: SparkSession, path: str) -> bool:
-    if fsio.is_local(path):
-        return os.path.isdir(path)
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
-
-
 def _existing_subdirs(
     spark: SparkSession, dir_path: str, col: str, vals: list
 ) -> list[str]:
